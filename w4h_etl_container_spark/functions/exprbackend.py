@@ -1,0 +1,290 @@
+"""Backend-generic scalar expression layer.
+
+The reference's compute kernels (solar geometry, Erbs decomposition, MRT,
+UTCI polynomial, WBGT — reference ``main.py:109-205``) are pure element-wise
+arithmetic. Instead of porting them three times, every kernel in
+``kernels.py`` is written once against this tiny backend protocol and then
+rendered as:
+
+* **numpy** ndarray math — used by the pandas-UDF surface and golden tests;
+* **Spark Column** trees — the production path (JVM whole-stage codegen,
+  no Python worker in the hot loop);
+* **SQL text** — the DuckDB oracle, guaranteeing the correctness gate
+  compares two renderings of the *same* formula.
+
+Backends only need ``+ - * / **`` (native operator overloading on ndarray /
+Column / SqlExpr) plus the named functions below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class NumpyBackend:
+    """Render kernels as eager numpy math (float64)."""
+
+    @staticmethod
+    def lit(x):
+        return x
+
+    sin = staticmethod(np.sin)
+    cos = staticmethod(np.cos)
+    tan = staticmethod(np.tan)
+    asin = staticmethod(np.arcsin)
+    acos = staticmethod(np.arccos)
+    atan = staticmethod(np.arctan)
+    exp = staticmethod(np.exp)
+    log = staticmethod(np.log)
+    sqrt = staticmethod(np.sqrt)
+    abs = staticmethod(np.abs)
+    floor = staticmethod(np.floor)
+
+    @staticmethod
+    def power(a, b):
+        return np.power(a, b)
+
+    @staticmethod
+    def radians(x):
+        return np.radians(x)
+
+    @staticmethod
+    def degrees(x):
+        return np.degrees(x)
+
+    @staticmethod
+    def where(cond, a, b):
+        return np.where(cond, a, b)
+
+    @staticmethod
+    def greatest(a, b):
+        return np.maximum(a, b)
+
+    @staticmethod
+    def least(a, b):
+        return np.minimum(a, b)
+
+    @staticmethod
+    def hypot(a, b):
+        # sqrt(a²+b²) rather than np.hypot: bit-identical across the three
+        # backends (np.hypot uses a scaled algorithm that can differ by 1 ulp)
+        return np.sqrt(a * a + b * b)
+
+
+class SparkBackend:
+    """Render kernels as native Spark Column expressions (codegen'd)."""
+
+    def __init__(self):
+        from pyspark.sql import functions as F
+
+        self.F = F
+
+    def lit(self, x):
+        return self.F.lit(float(x))
+
+    def sin(self, x):
+        return self.F.sin(x)
+
+    def cos(self, x):
+        return self.F.cos(x)
+
+    def tan(self, x):
+        return self.F.tan(x)
+
+    def asin(self, x):
+        return self.F.asin(x)
+
+    def acos(self, x):
+        return self.F.acos(x)
+
+    def atan(self, x):
+        return self.F.atan(x)
+
+    def exp(self, x):
+        return self.F.exp(x)
+
+    def log(self, x):
+        return self.F.log(x)
+
+    def sqrt(self, x):
+        return self.F.sqrt(x)
+
+    def abs(self, x):
+        return self.F.abs(x)
+
+    def floor(self, x):
+        # keep double type (SQL floor returns bigint in Spark)
+        return self.F.floor(x).cast("double")
+
+    def power(self, a, b):
+        return self.F.pow(a, b)
+
+    def radians(self, x):
+        return self.F.radians(x)
+
+    def degrees(self, x):
+        return self.F.degrees(x)
+
+    def where(self, cond, a, b):
+        return self.F.when(cond, a).otherwise(b)
+
+    def greatest(self, a, b):
+        return self.F.greatest(a, b)
+
+    def least(self, a, b):
+        return self.F.least(a, b)
+
+    def hypot(self, a, b):
+        # sqrt form, matching the numpy and SQL backends bit-for-bit
+        return self.F.sqrt(a * a + b * b)
+
+
+class SqlExpr:
+    """A SQL expression fragment with operator overloading.
+
+    Every composite is parenthesized, so precedence never depends on the
+    target dialect. ``str(expr)`` yields ANSI SQL DuckDB accepts.
+    """
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __str__(self) -> str:
+        return self.s
+
+    # -- helpers ---------------------------------------------------------
+    @staticmethod
+    def _w(x) -> str:
+        if isinstance(x, SqlExpr):
+            return x.s
+        if isinstance(x, bool):
+            return "TRUE" if x else "FALSE"
+        if isinstance(x, (int, float, np.floating, np.integer)):
+            return repr(float(x))
+        raise TypeError(f"cannot embed {type(x)} in SQL")
+
+    def _bin(self, op: str, other, rev: bool = False) -> "SqlExpr":
+        a, b = SqlExpr._w(self), SqlExpr._w(other)
+        if rev:
+            a, b = b, a
+        return SqlExpr(f"({a} {op} {b})")
+
+    # -- arithmetic ------------------------------------------------------
+    def __add__(self, o):
+        return self._bin("+", o)
+
+    def __radd__(self, o):
+        return self._bin("+", o, rev=True)
+
+    def __sub__(self, o):
+        return self._bin("-", o)
+
+    def __rsub__(self, o):
+        return self._bin("-", o, rev=True)
+
+    def __mul__(self, o):
+        return self._bin("*", o)
+
+    def __rmul__(self, o):
+        return self._bin("*", o, rev=True)
+
+    def __truediv__(self, o):
+        return self._bin("/", o)
+
+    def __rtruediv__(self, o):
+        return self._bin("/", o, rev=True)
+
+    def __pow__(self, o):
+        return SqlExpr(f"POWER({SqlExpr._w(self)}, {SqlExpr._w(o)})")
+
+    def __neg__(self):
+        return SqlExpr(f"(- {self.s})")
+
+    # -- comparisons (yield boolean SQL fragments) -----------------------
+    def __gt__(self, o):
+        return self._bin(">", o)
+
+    def __ge__(self, o):
+        return self._bin(">=", o)
+
+    def __lt__(self, o):
+        return self._bin("<", o)
+
+    def __le__(self, o):
+        return self._bin("<=", o)
+
+
+class SqlBackend:
+    """Render kernels as DuckDB-compatible SQL text."""
+
+    @staticmethod
+    def col(name: str) -> SqlExpr:
+        return SqlExpr(name)
+
+    @staticmethod
+    def lit(x) -> SqlExpr:
+        return SqlExpr(repr(float(x)))
+
+    @staticmethod
+    def _fn(name, *args) -> SqlExpr:
+        return SqlExpr(f"{name}({', '.join(SqlExpr._w(a) for a in args)})")
+
+    def sin(self, x):
+        return self._fn("SIN", x)
+
+    def cos(self, x):
+        return self._fn("COS", x)
+
+    def tan(self, x):
+        return self._fn("TAN", x)
+
+    def asin(self, x):
+        return self._fn("ASIN", x)
+
+    def acos(self, x):
+        return self._fn("ACOS", x)
+
+    def atan(self, x):
+        return self._fn("ATAN", x)
+
+    def exp(self, x):
+        return self._fn("EXP", x)
+
+    def log(self, x):
+        return self._fn("LN", x)
+
+    def sqrt(self, x):
+        return self._fn("SQRT", x)
+
+    def abs(self, x):
+        return self._fn("ABS", x)
+
+    def floor(self, x):
+        return SqlExpr(f"CAST(FLOOR({SqlExpr._w(x)}) AS DOUBLE)")
+
+    def power(self, a, b):
+        return self._fn("POWER", a, b)
+
+    def radians(self, x):
+        return self._fn("RADIANS", x)
+
+    def degrees(self, x):
+        return self._fn("DEGREES", x)
+
+    def where(self, cond, a, b):
+        return SqlExpr(
+            f"(CASE WHEN {SqlExpr._w(cond)} THEN {SqlExpr._w(a)} ELSE {SqlExpr._w(b)} END)"
+        )
+
+    def greatest(self, a, b):
+        return self._fn("GREATEST", a, b)
+
+    def least(self, a, b):
+        return self._fn("LEAST", a, b)
+
+    def hypot(self, a, b):
+        # DuckDB has no HYPOT; same IEEE result for in-range inputs
+        aw, bw = SqlExpr._w(a), SqlExpr._w(b)
+        return SqlExpr(f"SQRT(({aw} * {aw}) + ({bw} * {bw}))")

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+One place that encodes the engine's execution-model choices (SURVEY.md §4):
+AQE on (runtime coalesce + skew-join handling), Arrow on (vectorized
+pandas-UDF boundary), UTC-naive timestamps (the reference keeps tz-naive UTC,
+``main.py:227,239`` of the reference), and a shuffle-partition count sized for
+the local test harness but overridable for cluster runs.
+
+At 100 TB these settings change per-deployment; everything here is plain
+Spark conf so a cluster submit can override via ``--conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "w4h-etl-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` sets local parallelism (driver contract);
+    ``shuffle_partitions`` defaults to the same so local runs don't create
+    thousands of empty tasks. On a real cluster, leave AQE to coalesce.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # dynamic broadcast conversion — the 100 TB safety net.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas-UDF boundary (kernel parity surface).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Broadcast threshold comfortably covers the dimension tables and
+        # the near-land mask analog (~1M narrow rows).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Quieter timestamp semantics: proleptic Gregorian, µs precision.
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    )
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(master)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one fixture table. Plain parquet scan: schema from footer,
+    column pruning + predicate pushdown come free from Catalyst."""
+    return spark.read.parquet(table_path(sf_dir, name))
