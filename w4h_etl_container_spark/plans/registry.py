@@ -1,0 +1,54 @@
+"""Declared-query registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL can
+express it) the equivalent DuckDB oracle SQL. ``__spark_entry__.py`` exposes
+this registry to the driver's correctness gate.
+
+Column-name parity rule: every computed/aggregate column is aliased to the
+same name in the Spark plan and the oracle SQL (the driver sorts columns by
+name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    survey_ids: tuple[str, ...] = ()
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None = None, survey_ids: tuple[str, ...] = (), doc: str = ""):
+    """Decorator registering a declared query under ``name``."""
+
+    def deco(fn):
+        QUERIES[name] = Query(name=name, fn=fn, sql=sql, survey_ids=survey_ids, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every plan module (side effect: registration) and return the
+    registry."""
+    from w4h_etl_container_spark.plans import (  # noqa: F401
+        relational,
+        weather,
+        textops,
+        vectors,
+        eventsops,
+    )
+
+    return QUERIES

@@ -1,0 +1,779 @@
+"""Relational-core declared queries (SURVEY.md §2.2–§2.8).
+
+Each query is the Spark-first expression of one reference operator, run on
+the TPC-H-ish fixtures, with a DuckDB oracle. Determinism contract (the
+driver value-hashes results):
+
+* money aggregates: per-row products stay double (both engines compute the
+  identical IEEE value), cross-row sums go through DECIMAL(18,4) — exact,
+  order-independent — then cast back to DOUBLE for a stable schema;
+* every window/arg-max has a total order (unique tie-break key);
+* no engine-specific functions in the oracle; SQL mirrors the Spark plan
+  structurally.
+
+Scale notes appear per query: what broadcasts, what shuffles, what prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.session import read_events, read_table
+from w4h_etl_container_spark.plans.registry import register
+
+# revenue per line item: exact 4-decimal value computed identically in both
+# engines (2dp price × (1 − 2dp discount) has ≤ 4 decimals)
+_REV_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+def _rev():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def _dec_sum(col, alias):
+    """Order-independent sum of a ≤4-decimal double: exact decimal add."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# PRJ-1 — column projection with pushed-down predicate
+# ---------------------------------------------------------------------------
+@register(
+    "q_prj_select",
+    sql=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, {_REV_SQL} AS revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+    survey_ids=("PRJ-1", "SF-1"),
+)
+def q_prj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRJ-1 (reference ``main.py:83-103``): select named columns + derived
+    arithmetic. Scale: Catalyst prunes the scan to 5 of 11 columns and
+    pushes ``l_returnflag = 'R'`` into the parquet reader (row-group skip).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", _rev().alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PRJ-2 — ordinal slice (isel analog)
+# ---------------------------------------------------------------------------
+@register(
+    "q_prj_slice",
+    sql="""
+    SELECT event_id, ts, user_id, value
+    FROM (
+      SELECT event_id, ts, user_id, value,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn BETWEEN 2 AND 121
+    """,
+    survey_ids=("PRJ-2",),
+)
+def q_prj_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRJ-2 (reference ``isel(time=slice(1,121))``, ``main.py:97``):
+    positional slice from the stream head = row_number over the event-time
+    order, keep ordinals 2..121 (drop the first, keep 120 — the reference's
+    exact hour-0 drop semantics).
+
+    Scale: a global ordinal needs a total order; at 100 TB this becomes a
+    range-partitioned sort + per-partition offset (Spark's row_number over
+    an unpartitioned window is a single-task reduction — acceptable only
+    because the slice head is tiny; the filter is pushed below the window
+    by Catalyst's LimitPushDown analog here would be a TopK).
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "ts", "user_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn").between(2, 121))
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PRJ-3 — range predicate on keys (bounding box analog)
+# ---------------------------------------------------------------------------
+@register(
+    "q_prj_range",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_quantity >= 10.0 AND l_quantity <= 20.0
+    """,
+    survey_ids=("PRJ-3", "FLT-3"),
+)
+def q_prj_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRJ-3 (reference ``sel(lat=slice(S,N), lon=slice(W,E))``,
+    ``main.py:98-100``): conjunctive range predicate on key columns.
+    Scale: both ranges reach the parquet scan as min/max row-group filters;
+    on a date-partitioned table the shipdate range prunes whole partitions.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_quantity").between(10.0, 20.0)
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# FLT-1 — mask semi-join filter
+# ---------------------------------------------------------------------------
+@register(
+    "q_flt_semi",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    survey_ids=("FLT-1", "JOIN-3"),
+)
+def q_flt_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLT-1 (reference near-land gate ``main.py:291-292``): emit only rows
+    whose key appears in a filter set — LEFT SEMI JOIN. Scale: the filter
+    side aggregates to distinct keys first; Spark broadcasts it when small
+    (the reference's 1M-cell mask fits comfortably), else shuffles both
+    sides on the key.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    keys = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return cust.join(
+        F.broadcast(keys), cust.c_custkey == keys.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# FLT-3 — retention clip (watermark-style)
+# ---------------------------------------------------------------------------
+@register(
+    "q_flt_retention",
+    sql="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    survey_ids=("FLT-3",),
+)
+def q_flt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLT-3 (reference retention clip ``main.py:246-250``): drop rows
+    older than the retention cutoff before merging. Scale: pure pushed
+    predicate; on a ts-partitioned snapshot this is partition pruning, the
+    dominant cost saver for the 100 TB snapshot table."""
+    ev = read_events(spark, sf_dir)
+    return ev.where(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-1 — multi-way align (merge) as n-way join
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_merge",
+    sql=f"""
+    SELECT r_name,
+           n_name,
+           CAST(SUM(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY r_name, n_name
+    """,
+    survey_ids=("JOIN-1", "AGG-1"),
+)
+def q_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-1 (reference ``xr.merge`` coordinate align, ``main.py:93-103``)
+    as its relational dual: n-way equi-join over shared keys, aggregated.
+
+    Scale: fact-to-fact (lineitem⋈orders) shuffles on orderkey — AQE picks
+    sort-merge with skew splitting; the three dimension joins broadcast
+    (hinted; nation/region/customer are small). Revenue sums are
+    decimal-exact so the hash is partition-order independent.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dec_sum(_rev(), "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-2 — prefer-new merge (combine_first)
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_combine_first",
+    sql="""
+    WITH new AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS price, o_orderstatus
+      FROM orders WHERE (o_orderkey % 3) <> 0
+    ), old AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderstatus
+      FROM orders WHERE (o_orderkey % 2) = 0
+    )
+    SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+           COALESCE(new.price, old.price) AS price,
+           COALESCE(new.o_orderstatus, old.o_orderstatus) AS status,
+           CASE WHEN new.o_orderkey IS NOT NULL THEN 'new' ELSE 'old' END AS src
+    FROM new FULL OUTER JOIN old ON new.o_orderkey = old.o_orderkey
+    """,
+    survey_ids=("JOIN-2",),
+)
+def q_join_combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-2 (reference ``combine_first``, ``main.py:246-250``): full outer
+    join on the key, each value column coalesced new-over-old. The two
+    inputs here are disjoint-ish slices of orders so all three cases
+    (new-only, old-only, both) occur.
+
+    Scale: both sides shuffle on the join key (sort-merge). For the real
+    snapshot-merge workload both tables would be bucketed by key on write,
+    making this a zero-shuffle join. AQE handles the skew case.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    new = (
+        o.where((F.col("o_orderkey") % 3) != 0)
+        .select(F.col("o_orderkey"), (F.col("o_totalprice") + F.lit(10.0)).alias("price"), "o_orderstatus")
+    )
+    old = o.where((F.col("o_orderkey") % 2) == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "o_orderstatus"
+    )
+    j = new.alias("new").join(old.alias("old"), F.col("new.o_orderkey") == F.col("old.o_orderkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("new.o_orderkey"), F.col("old.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("new.price"), F.col("old.price")).alias("price"),
+        F.coalesce(F.col("new.o_orderstatus"), F.col("old.o_orderstatus")).alias("status"),
+        F.when(F.col("new.o_orderkey").isNotNull(), F.lit("new")).otherwise(F.lit("old")).alias("src"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-3 — broadcast dimension join
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_broadcast",
+    sql=f"""
+    SELECT p_brand,
+           CAST(SUM(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 20
+    GROUP BY p_brand
+    """,
+    survey_ids=("JOIN-3", "FLT-1"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-3 (reference near-land mask zip, ``main.py:281-304``): fact
+    joined to a small dimension — explicitly broadcast, so the 100 TB fact
+    side never shuffles; the filtered dimension ships to every executor
+    once (the reference's 1 MB mask is exactly this shape)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_size") >= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dec_sum(_rev(), "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-4 — as-of join (engine extension; reference lacks it)
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_asof",
+    sql="""
+    SELECT e.event_id, e.ts, e.user_id,
+           (SELECT max(p.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+           ) AS last_purchase_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+    survey_ids=("JOIN-4",),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-4 (SURVEY §2.3, engine-provided): as-of join — for each 'error'
+    event, the most recent 'purchase' by the same user at or before it.
+
+    Spark-first formulation: no per-row subquery and no range join blowup —
+    union both streams, one pass of ``max(purchase_ts)`` over an ordered
+    running window per user. One shuffle on (user_id), linear work; this is
+    the scalable shape (the correlated-subquery oracle is O(n·m)).
+    Purchases sort before other events at the same instant so ``<=``
+    semantics hold.
+    """
+    ev = read_events(spark, sf_dir)
+    tagged = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("tie"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tie", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_purchase_ts", F.max("purchase_ts").over(w))
+        .where(F.col("event_type") == "error")
+        .select("event_id", "ts", "user_id", "last_purchase_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-1 — grouped min/max (daily highs/lows shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_daily",
+    sql="""
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           min(value) AS lo, max(value) AS hi, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    survey_ids=("AGG-1",),
+)
+def q_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG-1 (reference per-date ``max('time')``/``min('time')``,
+    ``main.py:405-408``): hash aggregate keyed (cell, date). Scale: partial
+    (map-side) min/max/sum then one shuffle on the group key; decimal sum
+    keeps the hash order-independent."""
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("value"), "total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-2 — distinct
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_distinct",
+    sql="SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events",
+    survey_ids=("AGG-2",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG-2 (reference ``np.unique`` over dates/offsets, ``main.py:401,365``):
+    distinct on computed columns — hash aggregate without values; partial
+    dedup map-side."""
+    ev = read_events(spark, sf_dir)
+    return ev.select(F.col("ts").cast("date").alias("d"), "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# AGG-3 — arg-max / max_by
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_maxby",
+    sql="""
+    SELECT l_returnflag,
+           max_by(l_orderkey, l_extendedprice * 10000000.0 + l_orderkey) AS top_orderkey,
+           max(l_extendedprice) AS top_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("AGG-3", "SRC-1"),
+)
+def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG-3 (reference latest-run arg-max over scraped links,
+    ``main.py:50,59``): ``max_by`` with a totally-ordered key
+    (price⋅1e7 + orderkey stays exact below 2⁵³, making the arg-max unique
+    and engine-independent). Scale: a single partial+final aggregate — the
+    SRC-1 'find latest source' pattern at any cardinality."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rank_key = F.col("l_extendedprice") * F.lit(10000000.0) + F.col("l_orderkey")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", rank_key).alias("top_orderkey"),
+        F.max("l_extendedprice").alias("top_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-4 — completeness gate (count-having)
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_gate",
+    sql="""
+    SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT date_part('hour', ts)) AS n_hours
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    HAVING COUNT(DISTINCT date_part('hour', ts)) >= 20
+    """,
+    survey_ids=("AGG-4",),
+)
+def q_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG-4 (reference ``len(data.time) >= 24`` gate, ``main.py:403-404``):
+    keep only dates with enough distinct hours. Scale: count-distinct
+    shuffles (date, hour) pairs — bounded cardinality (24/date), so the
+    exact distinct is cheap; no approx needed."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.countDistinct(F.hour("ts")).alias("n_hours"))
+        .where(F.col("n_hours") >= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-5 — ordered collect (per-cell time series array)
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_collect",
+    sql="""
+    SELECT l_orderkey,
+           list(l_linenumber ORDER BY l_linenumber, l_quantity) AS lines,
+           list(CAST(l_quantity AS INTEGER) ORDER BY l_linenumber, l_quantity) AS quantities
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    survey_ids=("AGG-5",),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG-5 (reference per-cell encoded array build, ``main.py:296-303``):
+    per-key array ordered by an explicit sort key — the engine makes the
+    reference's positional ordering explicit (SURVEY §2.4). Spark shape:
+    collect structs, ``sort_array``, project the payload with
+    ``transform`` — all JVM-side. Scale: one shuffle on the key; array
+    sizes are bounded (≤ 7 lines/order; ≤ ~170 hours/cell in the weather
+    workload) so no skew risk."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pair = F.struct(F.col("l_linenumber").alias("k"), F.col("l_quantity").cast("int").alias("q"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(pair)).alias("pairs"))
+        .select(
+            "l_orderkey",
+            F.transform("pairs", lambda s: s.k).alias("lines"),
+            F.transform("pairs", lambda s: s.q).alias("quantities"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-6 — rollup / grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_rollup",
+    sql="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    survey_ids=("AGG-6",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG-6 (engine extension; SURVEY §2.4): rollup over the region →
+    nation hierarchy. Scale: Spark expands grouping sets map-side then one
+    shuffle; dimension joins broadcast."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WIN-2 — ordinal offset from stream head
+# ---------------------------------------------------------------------------
+@register(
+    "q_win_offset",
+    sql="""
+    SELECT event_id, ts,
+           CAST(FLOOR(date_diff('second', (SELECT min(ts) FROM events), ts) / 3600.0) AS BIGINT) AS offset_hours
+    FROM events
+    """,
+    survey_ids=("WIN-2",),
+)
+def q_win_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIN-2 (reference ``time − time[0]`` → integer hours,
+    ``main.py:263-275``): offset of each row from the global stream head.
+
+    Spark-first: the scalar ``min(ts)`` is computed as a 1-row aggregate
+    and cross-joined (broadcast — it's one row), not a window over an
+    unpartitioned frame; at 100 TB the former is a cheap two-stage
+    reduction while the latter would serialize. Integer-hour conversion
+    uses second-difference then floor-divide — the reference's
+    accessor-based (lossless) semantics, not float ns division
+    (``main.py:266-270``)."""
+    ev = read_events(spark, sf_dir)
+    head = ev.agg(F.min("ts").alias("t0"))
+    return (
+        ev.crossJoin(F.broadcast(head))
+        .select(
+            "event_id",
+            "ts",
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("t0")) / F.lit(3600.0)
+            ).alias("offset_hours"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WIN-3 — ranking windows
+# ---------------------------------------------------------------------------
+@register(
+    "q_win_rank",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    survey_ids=("WIN-3", "SRT-2"),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIN-3 (SURVEY §2.5, engine-provided): per-group top-3 via
+    row_number with a total order (price desc, key asc). Scale: one
+    shuffle on the partition key; rank filter applied before any further
+    join so only 3 rows/customer survive the stage."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRT-1 — multi-key sort;  SRT-2 — top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q_srt_topk",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey_ids=("SRT-1", "SRT-2"),
+)
+def q_srt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT-2 (SURVEY §2.6): global top-k with a unique tie-break. Scale:
+    Spark plans TakeOrderedAndProject — per-partition heaps then a k-row
+    driver merge; no global sort ever materializes. (SRT-1's full
+    ``orderBy`` is exercised by AGG-5's explicit array ordering and the
+    oracle's ORDER BY — result hashing is order-insensitive.)"""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SET-1 — union along an axis;  SET-2 — cyclic-point union
+# ---------------------------------------------------------------------------
+@register(
+    "q_set_union",
+    sql="""
+    SELECT 'h1' AS half, l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_shipdate <  TIMESTAMP '1998-01-01' AND l_linestatus = 'F'
+    UNION ALL
+    SELECT 'h2' AS half, l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_linestatus = 'O'
+    """,
+    survey_ids=("SET-1",),
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-1 (reference ``xr.concat`` along time, ``main.py:115-131``):
+    union of disjoint slices with provenance tag. Scale: unionByName is
+    plan-level only — zero data movement; both branches read the same
+    parquet with different pushed predicates."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    h1 = li.where((F.col("l_shipdate") < cut) & (F.col("l_linestatus") == "F")).select(
+        F.lit("h1").alias("half"), "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    h2 = li.where((F.col("l_shipdate") >= cut) & (F.col("l_linestatus") == "O")).select(
+        F.lit("h2").alias("half"), "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return h1.unionByName(h2)
+
+
+@register(
+    "q_set_cyclic",
+    sql="""
+    SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT user_id + 100 AS user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events WHERE user_id = 0 GROUP BY 1, 2
+    """,
+    survey_ids=("SET-2",),
+)
+def q_set_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-2 (reference cyclic-point append: copy lon=0 as lon=360,
+    ``main.py:345-350``): duplicate one key slice under a shifted key so a
+    downstream consumer (the contour renderer) sees a closed seam. Scale:
+    the appended slice is one key's worth of rows — negligible; plan-level
+    union."""
+    ev = read_events(spark, sf_dir)
+    base = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    seam = (
+        ev.where(F.col("user_id") == 0)
+        .groupBy((F.col("user_id") + F.lit(100)).alias("user_id"), F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return base.unionByName(seam)
+
+
+# ---------------------------------------------------------------------------
+# SET-3 — intersect / except
+# ---------------------------------------------------------------------------
+@register(
+    "q_set_intersect",
+    sql="""
+    SELECT p_type FROM part WHERE p_size >= 25
+    INTERSECT
+    SELECT p_type FROM part WHERE p_retailprice >= 1500.0
+    """,
+    survey_ids=("SET-3",),
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-3 (SURVEY §2.7, engine-provided): INTERSECT = distinct + hash
+    semi-join; Spark plans a left-semi aggregate. EXCEPT is declared via
+    q_set_except."""
+    p = read_table(spark, sf_dir, "part")
+    a = p.where(F.col("p_size") >= 25).select("p_type")
+    b = p.where(F.col("p_retailprice") >= 1500.0).select("p_type")
+    return a.intersect(b)
+
+
+@register(
+    "q_set_except",
+    sql="""
+    SELECT p_type FROM part WHERE p_size >= 25
+    EXCEPT
+    SELECT p_type FROM part WHERE p_retailprice >= 1500.0
+    """,
+    survey_ids=("SET-3",),
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-3 companion: EXCEPT (distinct anti-join)."""
+    p = read_table(spark, sf_dir, "part")
+    a = p.where(F.col("p_size") >= 25).select("p_type")
+    b = p.where(F.col("p_retailprice") >= 1500.0).select("p_type")
+    return a.exceptAll(b.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SF-6 — datetime accessors;  SF-7/8 — strings & regex
+# ---------------------------------------------------------------------------
+@register(
+    "q_sf_datetime",
+    sql="""
+    SELECT event_id,
+           date_part('year', ts)  AS y,
+           date_part('month', ts) AS mo,
+           date_part('day', ts)   AS dom,
+           date_part('hour', ts)  AS h,
+           date_part('doy', ts)   AS doy,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(ts AS DATE)       AS d
+    FROM events
+    """,
+    survey_ids=("SF-6",),
+)
+def q_sf_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-6 (reference dt accessors, ``main.py:121-124,142,221``): the full
+    datetime accessor family as native Column functions — all codegen'd,
+    no UDF."""
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("dom"),
+        F.hour("ts").cast("long").alias("h"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.date_trunc("DAY", "ts").alias("day_start"),
+        F.col("ts").cast("date").alias("d"),
+    )
+
+
+@register(
+    "q_sf_strings",
+    sql="""
+    SELECT doc_id,
+           printf('%05d,%s', doc_id, lang) AS cell_id,
+           CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_num,
+           concat_ws('-', lang, source) AS tag,
+           upper(lang) AS lang_uc,
+           length(text) AS text_len
+    FROM documents
+    """,
+    survey_ids=("SF-7", "SF-8"),
+)
+def q_sf_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-7/8 (reference ``f"{lat:.2f},{lon:.2f}"`` ids and href regexes,
+    ``main.py:293,298,394-398``): format_string / regexp_extract /
+    concat_ws as native expressions."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.format_string("%05d,%s", F.col("doc_id"), F.col("lang")).alias("cell_id"),
+        F.regexp_extract("source", r"src(\d+)", 1).cast("long").alias("src_num"),
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SF-11 — JSON extraction
+# ---------------------------------------------------------------------------
+@register(
+    "q_sf_json",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    survey_ids=("SF-11",),
+)
+def q_sf_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-11 (SURVEY §2.8, extension surface): typed extraction from the
+    events JSON props column. ``from_json`` with an explicit schema (not
+    schema_of_json — deterministic, single-pass, vectorized)."""
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )

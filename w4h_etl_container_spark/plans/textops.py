@@ -1,0 +1,431 @@
+"""Text-analysis and deduplication operators over ``documents``
+(SURVEY.md §2.11 / BASELINE.json north star: LLM-training-data pipeline).
+
+Design: everything is native Column expressions (split / explode / md5 /
+higher-order array functions) — no Python UDFs — so the same plans run
+unchanged against a 100 TB corpus. Hash functions are md5-based because
+md5 is available and bit-identical in both Spark and DuckDB (xxhash64
+would be faster Spark-side but has no engine-neutral oracle; the swap is
+a one-liner noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.plans.registry import register
+from w4h_etl_container_spark.session import read_table
+
+# Word tokens: split on whitespace runs after trim. Both engines treat the
+# regex identically (Java regex vs RE2 agree on \s+).
+_TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+@register(
+    "q_token_count",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+\\d|\\d+')) AS BIGINT) AS n_numericish
+    FROM documents
+    """,
+    survey_ids=("EXT-TEXT",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer + a numeric-ish token tally —
+    the BPE-precursor stats a data pipeline reports per document). Pure
+    per-row expressions: embarrassingly parallel, scan-bound at 100 TB."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+\d|\d+"))).cast("long").alias("n_numericish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "q_text_quality",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE)
+             / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    survey_ids=("EXT-TEXT",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, punctuation density,
+    stopword ratio — the standard cheap heuristics for corpus filtering.
+    All ratios are exact-integer counts divided as doubles → bit-equal
+    across engines."""
+    d = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_tok = F.size(_tokens()).cast("double")
+    n_chr = F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (n_chr / n_tok).alias("avg_token_len"),
+        (F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"))).cast("double") / n_chr).alias(
+            "punct_ratio"
+        ),
+        (
+            F.size(F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|to|in)\b"))).cast("double")
+            / n_tok
+        ).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-count heuristic)
+# ---------------------------------------------------------------------------
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|de|que|los)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+}
+
+
+def _langid_sql() -> str:
+    scores = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS score_{lang}"
+        for lang, pat in _LANG_MARKERS.items()
+    )
+    # deterministic arg-max with fixed priority order en > es > de > fr
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {scores}
+      FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+           CASE
+             WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+             WHEN score_de >= score_fr THEN 'de'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM scored
+    """
+
+
+@register("q_lang_id", sql=_langid_sql(), survey_ids=("EXT-TEXT",))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker counts with a deterministic
+    priority arg-max (a real pipeline swaps in character n-gram profiles;
+    the operator shape — per-row score vector + arg-max — is identical).
+    Scan-bound, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat))).cast("long")
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    df = d.select("doc_id", "lang", *[scores[l].alias(f"score_{l}") for l in _LANG_MARKERS])
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("score_es") >= F.col("score_de")) & (F.col("score_es") >= F.col("score_fr")),
+            F.lit("es"),
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+@register(
+    "q_fingerprint",
+    sql=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    survey_ids=("EXT-DEDUP",),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text.
+    The canonical exact-dedup key; md5 chosen for engine-neutrality
+    (Spark-side production would use xxhash64 — 1 line to swap)."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# exact deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    sql=r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ids=("EXT-DEDUP",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest doc_id
+    as canonical (deterministic — ``dropDuplicates`` keeps an arbitrary
+    row, so the engine uses min-by-key instead). Scale: one shuffle on the
+    16-byte fingerprint; map-side partial aggregation collapses repeats
+    early."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate candidates
+# ---------------------------------------------------------------------------
+_N_HASHES = 8  # 4 bands × 2 rows
+_N_BANDS = 4
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n             ".join(
+        f"min(md5('s{i}|' || sh)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bkey FROM sigs"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+    ), sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+@register("q_minhash_lsh", sql=_minhash_sql(), survey_ids=("EXT-DEDUP",))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: word 3-gram shingles → 8 MinHash
+    signatures (min over md5('s{i}|'+shingle), engine-neutral) → 4 bands of
+    2 → bucket self-join on (band, bandkey) → distinct candidate pairs.
+
+    Scale: this is the classic linear-in-corpus shape — shingling and
+    signature aggregation are one groupBy(doc) pass; the candidate join
+    touches only same-bucket pairs, never the n² cross product. Spark-side
+    production swaps md5 for xxhash64(seed_i) and ups to 128 hashes / 16
+    bands without changing the plan shape.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", _tokens().alias("ws"))
+    shingles = (
+        words.where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sigs = shingles.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(_N_HASHES)]
+    )
+    bands = None
+    for b in range(_N_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity (verification pass for candidate pairs)
+# ---------------------------------------------------------------------------
+@register(
+    "q_ngram_jaccard",
+    sql=f"""
+    WITH words AS (
+      SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard,
+           n_common
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.2
+    """,
+    survey_ids=("EXT-DEDUP",),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity for pairs sharing ≥1 shingle, kept at
+    ≥ 0.2 — the exact verification stage behind MinHash candidates.
+
+    Scale: the shingle equi-join only materializes pairs that actually
+    share a shingle (inverted-index join), not n². Hot shingles are the
+    skew risk — production adds a document-frequency cap on the shingle
+    index (drop shingles appearing in >X% of docs) before the self-join;
+    AQE skew-split covers the rest."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", _tokens().alias("ws"))
+    shingles = (
+        words.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1]),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+            "n_common",
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, engine-neutral nibble hash)
+# ---------------------------------------------------------------------------
+_HEXD = "0123456789abcdef"
+
+
+def _simhash_sql() -> str:
+    # word hash = first 4 hex nibbles of md5(word) → 16-bit int, via
+    # instr() on the hex alphabet (identical in both engines)
+    hv = " + ".join(
+        f"(instr('{_HEXD}', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (3 - i)}" for i in range(4)
+    )
+    bits = ",\n             ".join(
+        f"SUM(CASE WHEN FLOOR(hv / {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    pack = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id, ({hv}) AS hv FROM words
+    ), bitsums AS (
+      SELECT doc_id,
+             {bits}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM bitsums
+    """
+
+
+@register("q_simhash", sql=_simhash_sql(), survey_ids=("EXT-DEDUP",))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document sketch (16-bit here; 64-bit with xxhash64 in
+    production — noted swap). Per-word 16-bit hash from md5 nibbles →
+    per-bit ±1 vote sum per document → sign → packed integer. Near-dups
+    then pair by small Hamming distance on the sketch.
+
+    Scale: explode(words) + one groupBy(doc) — linear; the 16 conditional
+    sums are one aggregate pass, all codegen'd."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    # conv(hex, 16, 10) is Spark's native hex→int; the oracle spells the
+    # same value with instr() nibble arithmetic — identical integers.
+    hv = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+    hashed = words.select("doc_id", hv.alias("hv"))
+    bitcols = [
+        F.sum(
+            F.when(F.floor(F.col("hv") / (1 << b)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    bitsums = hashed.groupBy("doc_id").agg(*bitcols)
+    pack = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        pack = term if pack is None else pack + term
+    return bitsums.select("doc_id", pack.cast("long").alias("simhash"))

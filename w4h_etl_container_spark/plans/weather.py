@@ -1,0 +1,359 @@
+"""Weather-kernel declared queries (SURVEY.md §2.8/§2.10) + the flagship
+daily-highs/lows pipeline (SURVEY.md §7 Phase A).
+
+The kernels are rendered twice from one source of truth (``kernels.py``):
+SparkBackend → native Column trees (whole-stage codegen, no Python in the
+hot path) and SqlBackend → the DuckDB oracle. Inputs are synthesized from
+fixture columns with *exact* IEEE arithmetic (mod-via-floor of 2-decimal
+doubles), so both engines see bit-identical inputs.
+
+Outputs that pass through transcendentals (exp/log/trig/pow) are rounded
+with the backend-identical ``round6`` (floor(x·1e6+0.5)/1e6): Java's and
+libm's exp/log can differ in the last ulp, and 6-decimal rounding absorbs
+that while keeping °C values meaningful to a millionth of a degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark import kernels as K
+from w4h_etl_container_spark.functions.exprbackend import SparkBackend, SqlBackend
+from w4h_etl_container_spark.plans.registry import register
+from w4h_etl_container_spark.session import read_events, read_table
+
+
+def _fmod(B, x, m):
+    """Non-negative float mod via floor — identical in every backend."""
+    return x - B.floor(x / m) * m
+
+
+def round6(B, x):
+    """Round to 6 decimals as floor(x·1e6 + 0.5)/1e6 — backend-identical
+    (engine ROUND implementations differ in tie handling; floor does not)."""
+    return B.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def synth_weather(B, value, user_id):
+    """Deterministic pseudo-weather inputs from (value, user_id).
+
+    Pure exact arithmetic (+,-,×,÷,floor) on fixture doubles — bit-equal
+    between Spark and DuckDB — landing inside each kernel's valid domain:
+    t2 ∈ [268,313] K, va ∈ [0.5,16.5] m/s, Tmrt−t2 ∈ [−16,32] K, td ≤ t2.
+    """
+    t2_k = 268.15 + _fmod(B, value, 45.0)
+    va = 0.5 + _fmod(B, value, 16.0)
+    mrt_k = t2_k + (_fmod(B, user_id, 7.0) - 2.0) * 8.0
+    td_k = t2_k - 1.0 - _fmod(B, value, 12.0)
+    lat = _fmod(B, user_id, 14.0) * 10.0 - 65.0
+    lon = _fmod(B, value * 7.3, 360.0)
+    ghi = _fmod(B, value * 4.7, 1100.0)
+    cossza = _fmod(B, value, 100.0) / 100.0
+    return {
+        "t2_k": t2_k,
+        "va": va,
+        "mrt_k": mrt_k,
+        "td_k": td_k,
+        "lat": lat,
+        "lon": lon,
+        "ghi": ghi,
+        "cossza": cossza,
+    }
+
+
+def _sql_synth() -> dict[str, str]:
+    S = SqlBackend()
+    d = synth_weather(S, S.col("value"), S.col("CAST(user_id AS DOUBLE)"))
+    return {k: str(v) for k, v in d.items()}
+
+
+def _spark_synth() -> dict:
+    B = SparkBackend()
+    return synth_weather(B, F.col("value"), F.col("user_id").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# SF-2 — wind speed (correct hypot; reference bug documented at SURVEY SF-2)
+# ---------------------------------------------------------------------------
+@register(
+    "q_wind_speed",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           SQRT(((l_quantity - 25.0) * (l_quantity - 25.0)) +
+                ((l_discount * 100.0 - 5.0) * (l_discount * 100.0 - 5.0))) AS wind_speed
+    FROM lineitem
+    """,
+    survey_ids=("SF-2",),
+)
+def q_wind_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-2 (reference ``np.hypot(u, u)`` — the engine computes the correct
+    √(u²+v²); the reference's duplicated-u is a documented upstream bug,
+    ``main.py:179``). IEEE sqrt is exactly rounded → bit-equal oracle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    B = SparkBackend()
+    u = F.col("l_quantity") - F.lit(25.0)
+    v = F.col("l_discount") * F.lit(100.0) - F.lit(5.0)
+    return li.select("l_orderkey", "l_linenumber", K.wind_speed(B, u, v).alias("wind_speed"))
+
+
+# ---------------------------------------------------------------------------
+# SF-9 — encode / decode roundtrip
+# ---------------------------------------------------------------------------
+def _encode_sql() -> str:
+    S = SqlBackend()
+    u = S.col("(l_quantity - 25.0 + l_tax * 10.0)")
+    w = S.col("(l_discount * 100.0 - 2.0 + l_quantity / 2.0)")
+    off = S.col("CAST(l_linenumber AS DOUBLE)")
+    enc = K.encode_temp_times(S, u, w, off)
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({enc} AS BIGINT) AS encoded,
+           {K.decode_utci(S, enc)} AS utci_dec,
+           {K.decode_wbgt_c(S, enc)} AS wbgt_dec,
+           CAST({K.decode_offset_hours(S, enc)} AS BIGINT) AS offset_dec
+    FROM lineitem
+    """
+
+
+@register("q_sf_encode_roundtrip", sql=_encode_sql(), survey_ids=("SF-9", "SF-4", "SF-1"))
+def q_sf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-9 (reference bit-pack ``main.py:254-276``): (utci, wbgt, offset)
+    → int32-range integer and its exact inverse, as pure Column integer
+    arithmetic (round-not-truncate per ``main.py:266-270``; the +0.5/floor
+    form is the backend-exact rounding). Values synthesized from lineitem
+    land in the encodable range utci,wbgt ∈ (−100, 100), offset ≤ 199."""
+    li = read_table(spark, sf_dir, "lineitem")
+    B = SparkBackend()
+    u = F.col("l_quantity") - F.lit(25.0) + F.col("l_tax") * F.lit(10.0)
+    w = F.col("l_discount") * F.lit(100.0) - F.lit(2.0) + F.col("l_quantity") / F.lit(2.0)
+    off = F.col("l_linenumber").cast("double")
+    enc = K.encode_temp_times(B, u, w, off)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        enc.cast("long").alias("encoded"),
+        K.decode_utci(B, enc).alias("utci_dec"),
+        K.decode_wbgt_c(B, enc).alias("wbgt_dec"),
+        K.decode_offset_hours(B, enc).cast("long").alias("offset_dec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF-4 — UTCI;  UDF-5 — WBGT (native-Column renderings)
+# ---------------------------------------------------------------------------
+def _utci_sql() -> str:
+    S = SqlBackend()
+    sy = _sql_synth()
+    utci = K.utci_c(S, S.col(sy["t2_k"]), S.col(sy["va"]), S.col(sy["mrt_k"]), S.col(sy["td_k"]))
+    return f"SELECT event_id, {round6(S, utci)} AS utci FROM events"
+
+
+@register("q_utci", sql=_utci_sql(), survey_ids=("UDF-4", "SF-10"))
+def q_utci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-4 (reference ``calculate_utci``, ``main.py:188-195``): the Bröde
+    et al. 210-term polynomial as a *native Column tree* — whole-stage
+    codegen, no Python worker, ~order-of-magnitude faster than a pandas
+    UDF at 100 TB (a parity pandas-UDF rendering is tested in tests/)."""
+    ev = read_events(spark, sf_dir)
+    B = SparkBackend()
+    sy = _spark_synth()
+    utci = K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"])
+    return ev.select("event_id", round6(B, utci).alias("utci"))
+
+
+def _wbgt_sql() -> str:
+    S = SqlBackend()
+    sy = _sql_synth()
+    wbgt = K.wbgt_c(S, S.col(sy["t2_k"]), S.col(sy["mrt_k"]), S.col(sy["va"]), S.col(sy["td_k"]))
+    return f"SELECT event_id, {round6(S, wbgt)} AS wbgt FROM events"
+
+
+@register("q_wbgt", sql=_wbgt_sql(), survey_ids=("UDF-5", "SF-10"))
+def q_wbgt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-5 (reference ``calculate_wbgt``, ``main.py:197-203``): outdoor
+    WBGT (ISO 7243 weighting, Stull wet-bulb, Newton globe recovery) as a
+    native Column tree."""
+    ev = read_events(spark, sf_dir)
+    B = SparkBackend()
+    sy = _spark_synth()
+    wbgt = K.wbgt_c(B, sy["t2_k"], sy["mrt_k"], sy["va"], sy["td_k"])
+    return ev.select("event_id", round6(B, wbgt).alias("wbgt"))
+
+
+# ---------------------------------------------------------------------------
+# UDF-1 — cos solar zenith;  UDF-2 — Erbs;  UDF-3 — MRT
+# ---------------------------------------------------------------------------
+def _cossza_sql() -> str:
+    S = SqlBackend()
+    sy = _sql_synth()
+    cz = K.cos_solar_zenith_angle(
+        S,
+        S.col(sy["lat"]),
+        S.col(sy["lon"]),
+        S.col("CAST(date_part('doy', ts) AS DOUBLE)"),
+        S.col("(CAST(date_part('hour', ts) AS DOUBLE) - 0.5)"),
+    )
+    return f"SELECT event_id, {round6(S, cz)} AS cossza FROM events"
+
+
+@register("q_cossza", sql=_cossza_sql(), survey_ids=("UDF-1",))
+def q_cossza(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-1 (reference thermofeel hour-integrated cossza,
+    ``main.py:115-131``): Spencer-1971 solar geometry evaluated at the
+    mid-hour point (the reference's per-hour integral ≈ midpoint to ≤0.3%;
+    documented deviation). Per-row expression — the reference's per-time
+    slice loop + concat (SET-1) disappears in long form."""
+    ev = read_events(spark, sf_dir)
+    B = SparkBackend()
+    sy = _spark_synth()
+    cz = K.cos_solar_zenith_angle(
+        B,
+        sy["lat"],
+        sy["lon"],
+        F.dayofyear("ts").cast("double"),
+        F.hour("ts").cast("double") - F.lit(0.5),
+    )
+    return ev.select("event_id", round6(B, cz).alias("cossza"))
+
+
+def _erbs_sql() -> str:
+    S = SqlBackend()
+    sy = _sql_synth()
+    r = K.erbs(S, S.col(sy["ghi"]), S.col(sy["cossza"]), S.col("CAST(date_part('doy', ts) AS DOUBLE)"))
+    return (
+        f"SELECT event_id, {round6(S, r['dni'])} AS dni, {round6(S, r['dhi'])} AS dhi FROM events"
+    )
+
+
+@register("q_erbs", sql=_erbs_sql(), survey_ids=("UDF-2",))
+def q_erbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-2 (reference pvlib erbs via apply_ufunc, ``utils.py:57-60``,
+    ``main.py:135-144``): multi-output decomposition — in the relational
+    model simply two derived columns from one shared subexpression
+    (Catalyst CSEs the diffuse fraction)."""
+    ev = read_events(spark, sf_dir)
+    B = SparkBackend()
+    sy = _spark_synth()
+    r = K.erbs(B, sy["ghi"], sy["cossza"], F.dayofyear("ts").cast("double"))
+    return ev.select(
+        "event_id", round6(B, r["dni"]).alias("dni"), round6(B, r["dhi"]).alias("dhi")
+    )
+
+
+def _mrt_sql() -> str:
+    S = SqlBackend()
+    sy = _sql_synth()
+    ghi = S.col(sy["ghi"])
+    mrt = K.mean_radiant_temperature_k(
+        S,
+        ghi,
+        S.col(f"({sy['ghi']} * 0.15)"),
+        S.col("(350.0 + (value - FLOOR(value / 80.0) * 80.0))"),
+        S.col("(380.0 + (value - FLOOR(value / 60.0) * 60.0))"),
+        S.col(f"({sy['ghi']} * 0.6)"),
+        S.col(sy["cossza"]),
+    )
+    return f"SELECT event_id, {round6(S, mrt)} AS mrt_k FROM events"
+
+
+@register("q_mrt", sql=_mrt_sql(), survey_ids=("UDF-3", "SF-1"))
+def q_mrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-3 (reference thermofeel MRT, ``main.py:149-158``): the 6-flux
+    MRT formula (Di Napoli et al. 2020) as one Column tree; the reference's
+    staged flux assembly (SF-1 sums + drops) is just shared subexpressions
+    here."""
+    ev = read_events(spark, sf_dir)
+    B = SparkBackend()
+    sy = _spark_synth()
+    v = F.col("value")
+    mrt = K.mean_radiant_temperature_k(
+        B,
+        sy["ghi"],
+        sy["ghi"] * 0.15,
+        350.0 + (v - F.floor(v / 80.0).cast("double") * 80.0),
+        380.0 + (v - F.floor(v / 60.0).cast("double") * 60.0),
+        sy["ghi"] * 0.6,
+        sy["cossza"],
+    )
+    return ev.select("event_id", round6(B, mrt).alias("mrt_k"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship — daily highs/lows: WIN-1 key-shift → AGG-4 gate → AGG-1
+# ---------------------------------------------------------------------------
+def _daily_sql() -> str:
+    S = SqlBackend()
+    sy = _sql_synth()
+    utci = round6(
+        S, K.utci_c(S, S.col(sy["t2_k"]), S.col(sy["va"]), S.col(sy["mrt_k"]), S.col(sy["td_k"]))
+    )
+    ha = f"(CASE WHEN FLOOR({sy['lon']} / 15.0 + 0.5) > 12.0 THEN FLOOR({sy['lon']} / 15.0 + 0.5) - 24.0 ELSE FLOOR({sy['lon']} / 15.0 + 0.5) END)"
+    return f"""
+    WITH shifted AS (
+      SELECT user_id,
+             ts + to_hours(CAST({ha} AS BIGINT)) AS haa_ts,
+             {utci} AS utci
+      FROM events
+    ), gated AS (
+      SELECT CAST(haa_ts AS DATE) AS haa_date
+      FROM shifted
+      GROUP BY 1
+      HAVING COUNT(DISTINCT date_part('hour', haa_ts)) >= 20
+    )
+    SELECT s.user_id, CAST(s.haa_ts AS DATE) AS haa_date,
+           max(s.utci) AS utci_high, min(s.utci) AS utci_low,
+           COUNT(*) AS n_obs
+    FROM shifted s
+    WHERE CAST(s.haa_ts AS DATE) IN (SELECT haa_date FROM gated)
+    GROUP BY s.user_id, CAST(s.haa_ts AS DATE)
+    """
+
+
+@register(
+    "q_daily_highlow",
+    sql=_daily_sql(),
+    survey_ids=("WIN-1", "AGG-1", "AGG-4", "UDF-4", "SF-5", "SF-6"),
+)
+def q_daily_highlow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7 Phase A; reference entry point 3,
+    ``main.py:341-443``): per-cell daily UTCI highs/lows in local solar
+    time.
+
+    WIN-1 re-expressed Spark-first: the reference's per-offset ``shift``
+    loop is a *key shift* — relabel each row's timestamp by its
+    longitude's hour angle, then group by the shifted date. No data
+    movement for the shift itself (it's a column expression); the only
+    shuffles are the completeness gate's (date,hour) aggregate — whose
+    result is broadcast back — and the final (cell, date) aggregate.
+    At 100 TB: scan-partition pruning on ts, two hash aggregates, one
+    tiny broadcast; nothing else.
+    """
+    ev = read_events(spark, sf_dir)
+    B = SparkBackend()
+    sy = _spark_synth()
+    utci = round6(B, K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"]))
+    ha_raw = F.floor(sy["lon"] / 15.0 + 0.5).cast("double")
+    ha = F.when(ha_raw > 12.0, ha_raw - 24.0).otherwise(ha_raw)  # SF-5 wraparound
+    shifted = ev.select(
+        "user_id",
+        (F.col("ts") + F.make_interval(hours=ha.cast("int"))).alias("haa_ts"),
+        utci.alias("utci"),
+    )
+    shifted = shifted.withColumn("haa_date", F.col("haa_ts").cast("date"))
+    gated = (
+        shifted.groupBy("haa_date")
+        .agg(F.countDistinct(F.hour("haa_ts")).alias("n_hours"))
+        .where(F.col("n_hours") >= 20)
+        .select("haa_date")
+    )
+    return (
+        shifted.join(F.broadcast(gated), "haa_date", "left_semi")
+        .groupBy("user_id", "haa_date")
+        .agg(
+            F.max("utci").alias("utci_high"),
+            F.min("utci").alias("utci_low"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select("user_id", "haa_date", "utci_high", "utci_low", "n_obs")
+    )

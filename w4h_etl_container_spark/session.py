@@ -47,6 +47,9 @@ def get_spark(app_name: str = "w4h-etl-spark", *, shuffle_partitions: int | None
         # Quieter timestamp semantics: proleptic Gregorian, µs precision.
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # The events fixture carries parquet TIMESTAMP(NANOS), which Spark
+        # has no native type for — read as long, convert in read_events().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if SparkSession.getActiveSession() is None:
@@ -63,4 +66,24 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table. Plain parquet scan: schema from footer,
     column pruning + predicate pushdown come free from Catalyst."""
+    # Defensive: the driver may hand us a session built without our factory;
+    # this legacy conf is dynamic, so set it here too (needed for events.ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """events with ``ts`` as a proper timestamp.
+
+    The fixture stores TIMESTAMP(NANOS); Spark reads it as nanosecond
+    longs (legacy conf) and we floor-convert to µs — lossless here because
+    the generator emits µs-resolution instants, and identical to DuckDB's
+    TIMESTAMP_NS → TIMESTAMP cast semantics.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, sf_dir, "events")
+    # integer `div`, not `/`: ns epoch values (~1.7e18) exceed double's 2⁵³
+    # exact range, and float division rounds the microsecond up
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
