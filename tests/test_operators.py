@@ -1,0 +1,106 @@
+"""Operator unit tests — edge semantics of the reusable operators
+(SURVEY §4 'needs custom work' list: JOIN-2 coalesce, FLT-2 global null
+semantics, WIN-1 relabeling, state-store protocol)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.operators.gates import drop_incomplete_timesteps, qualifying_periods
+from w4h_etl_container_spark.operators.merge import combine_first, retention_clip
+from w4h_etl_container_spark.operators.shift import hour_angle_shift, utc_hour_angle
+from w4h_etl_container_spark.pipeline.state import StateStore
+
+
+def ts(h):
+    return dt.datetime(2026, 8, 1, h)
+
+
+class TestCombineFirst:
+    def test_elementwise_prefer_new(self, spark):
+        new = spark.createDataFrame(
+            [(1, 10.0, None), (2, None, 20.0)], "k int, a double, b double"
+        )
+        old = spark.createDataFrame(
+            [(1, 99.0, 98.0), (3, 97.0, 96.0)], "k int, a double, b double"
+        )
+        got = {r["k"]: (r["a"], r["b"]) for r in combine_first(new, old, ["k"]).collect()}
+        # row in both: new value wins, but new's NULL falls back to old (xarray combine_first)
+        assert got[1] == (10.0, 98.0)
+        # new-only row: old can't fill
+        assert got[2] == (None, 20.0)
+        # old-only row: survives
+        assert got[3] == (97.0, 96.0)
+
+    def test_retention_clip(self, spark):
+        df = spark.createDataFrame([(ts(1),), (ts(5),)], "t timestamp")
+        assert retention_clip(df, "t", ts(3)).count() == 1
+
+
+class TestGates:
+    def test_global_null_semantics(self, spark):
+        # FLT-2: ts(1) has a null in SOME cell → the WHOLE timestep drops
+        df = spark.createDataFrame(
+            [
+                ("c1", ts(1), None),
+                ("c2", ts(1), 5.0),
+                ("c1", ts(2), 1.0),
+                ("c2", ts(2), 2.0),
+            ],
+            "cell string, t timestamp, v double",
+        )
+        got = drop_incomplete_timesteps(df, "t", ["v"]).collect()
+        assert {r["t"] for r in got} == {ts(2)}
+        assert len(got) == 2  # both cells of the clean timestep survive
+
+    def test_qualifying_periods(self, spark):
+        rows = [(dt.date(2026, 8, 1), ts(h)) for h in range(24)] + [
+            (dt.date(2026, 8, 2), dt.datetime(2026, 8, 2, h)) for h in range(10)
+        ]
+        df = spark.createDataFrame(rows, "d date, t timestamp")
+        good = [r["d"] for r in qualifying_periods(df, F.col("d"), "t", 24).collect()]
+        assert good == [dt.date(2026, 8, 1)]
+
+
+class TestHourAngleShift:
+    def test_wraparound(self, spark):
+        df = spark.createDataFrame(
+            [(0.0,), (7.4,), (7.6,), (180.0,), (350.0,), (359.9,)], "lon double"
+        )
+        got = {r["lon"]: r["ha"] for r in df.select("lon", utc_hour_angle(F.col("lon")).alias("ha")).collect()}
+        assert got[0.0] == 0.0
+        assert got[7.4] == 0.0
+        assert got[7.6] == 1.0  # rounds to nearest hour angle
+        assert got[180.0] == 12.0  # exactly 12 stays (reference maps >12 only)
+        assert got[350.0] == -1.0  # 23 → −1
+        assert got[359.9] == 0.0  # 24 → 0
+
+    def test_relabel_only(self, spark):
+        df = spark.createDataFrame([(350.0, ts(12), 1.0)], "lon double, ts timestamp, v double")
+        r = hour_angle_shift(df).collect()[0]
+        assert r["haa_ts"] == ts(11)  # −1 h relabel
+        assert r["v"] == 1.0 and r["ts"] == ts(12)  # nothing else moved
+
+
+class TestStateStore:
+    def test_lock_protocol(self, tmp_path):
+        s = StateStore(str(tmp_path / "st.json"))
+        assert s.try_lock() is True
+        assert s.try_lock() is False  # second run blocked (STR-2)
+        s.unlock()
+        assert s.try_lock() is True
+
+    def test_source_and_chart_registry(self, tmp_path):
+        s = StateStore(str(tmp_path / "st.json"))
+        assert s.latest_source() is None
+        s.commit_source("gfs20260801/06z")
+        assert s.latest_source() == "gfs20260801/06z"
+        s.register_chart("2026-07-20", "a")
+        s.register_chart("2026-08-01", "b")
+        expired = s.expire_charts("2026-08-01")
+        assert expired == ["2026-07-20"]
+        assert s.read()["globalCharts"] == {"2026-08-01": "b"}

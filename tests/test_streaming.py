@@ -1,0 +1,136 @@
+"""Structured Streaming tests (SURVEY §2.9 / Phase D): AvailableNow file
+ingestion with checkpoint-based exactly-once, and the watermarked window
+operators against their batch renderings."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.session import read_events
+from w4h_etl_container_spark.streaming.ingest import ingest_available_now
+from w4h_etl_container_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_aggregate,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return read_events(spark, sf_dir).cache()
+
+
+@pytest.fixture()
+def landing(tmp_path, events_batch):
+    """Split events into two 'runs' landing as separate parquet files."""
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    events_batch.where(F.col("event_id") < 500).coalesce(1).write.parquet(f"{d}/run1")
+    events_batch.where(F.col("event_id") >= 500).coalesce(1).write.parquet(f"{d}/run2")
+    return d
+
+
+class TestIngestion:
+    def test_available_now_exactly_once(self, spark, tmp_path, landing, events_batch):
+        out: list[int] = []
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        schema = events_batch.schema
+
+        def batch_fn(df, epoch_id: int):
+            df.write.mode("append").parquet(sink)
+            out.append(epoch_id)
+
+        # glob over the run subdirs
+        ingest_available_now(spark, landing + "/*", ckpt, batch_fn, schema=schema)
+        n1 = spark.read.parquet(sink).count()
+        assert n1 == events_batch.count()
+
+        # re-trigger with no new files: checkpoint prevents reprocessing
+        ingest_available_now(spark, landing + "/*", ckpt, batch_fn, schema=schema)
+        assert spark.read.parquet(sink).count() == n1  # STR-1 semantics
+
+    def test_new_file_picked_up_incrementally(self, spark, tmp_path, landing, events_batch):
+        sink = str(tmp_path / "sink2")
+        ckpt = str(tmp_path / "ckpt2")
+        schema = events_batch.schema
+
+        def batch_fn(df, _):
+            df.write.mode("append").parquet(sink)
+
+        ingest_available_now(spark, landing + "/*", ckpt, batch_fn, schema=schema)
+        base = spark.read.parquet(sink).count()
+        # a third run lands
+        events_batch.limit(50).coalesce(1).write.parquet(f"{landing}/run3")
+        ingest_available_now(spark, landing + "/*", ckpt, batch_fn, schema=schema)
+        assert spark.read.parquet(sink).count() == base + 50
+
+
+def _run_stream_to_batch(spark, tmp_path, events_batch, build, name):
+    """Drive a streaming transformation over the events as a file stream
+    with AvailableNow, collect the complete result."""
+    src = str(tmp_path / f"{name}-src")
+    events_batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events_batch.schema).parquet(src)
+    out_dir = str(tmp_path / f"{name}-out")
+    ckpt = str(tmp_path / f"{name}-ckpt")
+    q = (
+        build(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+class TestWindows:
+    def test_tumbling_matches_batch(self, spark, tmp_path, events_batch):
+        got = _run_stream_to_batch(spark, tmp_path, events_batch, tumbling_counts, "tum")
+        want = (
+            events_batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "lo", "hi")
+        )
+        # append mode emits only watermark-closed windows; all but the last
+        # window close. Compare on the emitted subset.
+        assert got.count() > 0
+        j = got.alias("g").join(
+            want.alias("w"), ["ws", "event_type"], "inner"
+        )
+        mism = j.where(
+            (F.col("g.n") != F.col("w.n"))
+            | (F.col("g.lo") != F.col("w.lo"))
+            | (F.col("g.hi") != F.col("w.hi"))
+        )
+        assert mism.count() == 0
+        # only windows inside the trailing 1-day watermark may stay open:
+        # ≤ (24h/6h + 1) slots × 5 event types
+        assert got.count() >= want.count() - 25
+
+    def test_session_matches_batch_sessionization(self, spark, tmp_path, events_batch):
+        got = _run_stream_to_batch(spark, tmp_path, events_batch, session_aggregate, "sess")
+        # every emitted session is consistent: n_events events of that user
+        # fall inside [start, end] in the batch data
+        sample = got.limit(20).collect()
+        assert len(sample) > 0
+        for r in sample:
+            n = events_batch.where(
+                (F.col("user_id") == r["user_id"])
+                & (F.col("ts") >= r["session_start"])
+                & (F.col("ts") < r["session_end"])
+            ).count()
+            assert n == r["n_events"]
+
+    def test_dedup_within_watermark(self, spark, tmp_path, events_batch):
+        got = _run_stream_to_batch(spark, tmp_path, events_batch, dedup_within_watermark, "ddp")
+        n_keys = events_batch.select("user_id", "event_type").distinct().count()
+        # at least one row per key survives; far fewer than the input
+        assert n_keys <= got.count() < events_batch.count()

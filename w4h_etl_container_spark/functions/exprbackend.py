@@ -128,11 +128,21 @@ class SparkBackend:
     def where(self, cond, a, b):
         return self.F.when(cond, a).otherwise(b)
 
+    def _col(self, x):
+        from pyspark.sql import Column
+
+        return x if isinstance(x, Column) else self.F.lit(float(x))
+
+    # greatest/least are null-STRICT (unlike SQL GREATEST, which skips
+    # nulls): numpy's maximum/minimum propagate NaN, and kernel outputs
+    # must be null wherever any input is missing (FLT-2 depends on it).
     def greatest(self, a, b):
-        return self.F.greatest(a, b)
+        a, b = self._col(a), self._col(b)
+        return self.F.when(a.isNotNull() & b.isNotNull(), self.F.greatest(a, b))
 
     def least(self, a, b):
-        return self.F.least(a, b)
+        a, b = self._col(a), self._col(b)
+        return self.F.when(a.isNotNull() & b.isNotNull(), self.F.least(a, b))
 
     def hypot(self, a, b):
         # sqrt form, matching the numpy and SQL backends bit-for-bit

@@ -1,0 +1,178 @@
+"""Multimodal media columns over Spark.
+
+Model: media is an opaque ``binary`` column plus typed metadata
+(mime/width/height/duration), one row per asset — the only schema that
+scales to 100 TB of mixed media in parquet (payloads stay columnar and
+compressed; metadata predicates prune scans without touching bytes).
+
+Processing runs through ``mapInPandas`` — Arrow ships (metadata, bytes)
+batches to Python, the kernel works per batch, output schema is explicit.
+Real decoders (PIL/ffmpeg) aren't in this container, so the decode kernel
+is a clearly-marked deterministic stub: tests exercise the full Spark
+plumbing (schema, batching, partition sizing, UDF signatures) and a
+deployment swaps ``_decode_bytes`` for the real library call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_mean", DoubleType(), False),
+        StructField("byte_entropy", DoubleType(), False),
+        StructField("content_hash", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), False),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake assets (tests only): seeded pseudo-payloads with
+    plausible metadata."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                mime,
+                int(rng.integers(16, 1920)) if mime != "audio/wav" else None,
+                int(rng.integers(16, 1080)) if mime != "audio/wav" else None,
+                int(rng.integers(100, 60000)) if mime != "image/png" else None,
+                payload,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_bytes(payload: bytes, mime: str) -> np.ndarray:
+    """STUB — deterministic fake decode.
+
+    A real deployment replaces this with PIL.Image.open / soundfile /
+    PyAV frame extraction. The stub interprets the payload bytes as a
+    uint8 array so the downstream feature math is real and testable.
+    """
+    if mime not in ("image/png", "audio/wav", "video/mp4"):
+        raise NotImplementedError(f"no decoder for {mime}")
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_stub(payload: bytes, mime: str) -> np.ndarray:
+    return _decode_bytes(payload, mime)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-asset byte-level features via ``mapInPandas``.
+
+    Arrow batches keep payload bytes off the JVM heap during Python work;
+    at scale, pair with ``spark.sql.files.maxPartitionBytes`` ≈ 128 MB so
+    a partition of payloads fits executor memory comfortably.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = _decode_bytes(r["payload"], r["mime"])
+                counts = np.bincount(arr, minlength=256).astype(np.float64)
+                p = counts / max(len(arr), 1)
+                nz = p[p > 0]
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "mime": r["mime"],
+                        "n_bytes": len(arr),
+                        "byte_mean": float(arr.mean()) if len(arr) else 0.0,
+                        "byte_entropy": float(-(nz * np.log2(nz)).sum()),
+                        "content_hash": hashlib.md5(r["payload"]).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 512, frame_len: int = 64) -> DataFrame:
+    """Frame sampling plumbing (video/audio): one output row per sampled
+    frame — the row-expanding ``mapInPandas`` shape (a UDTF in SQL terms).
+    The stub samples fixed-length byte windows; a real decoder samples
+    decoded frames at timestamps."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["mime"] == "image/png":
+                    continue
+                payload = r["payload"]
+                for k, start in enumerate(range(0, len(payload) - frame_len, every_n_bytes)):
+                    out.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": k,
+                            "frame_bytes": payload[start : start + frame_len],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes metadata through, marks the payload as
+    resized via the stub transform (real impl: PIL resize). Raises
+    NotImplementedError for mimes without a decoder — the contract a real
+    decoder must also honor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _decode_bytes(p, m)[: width * height].tobytes()
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)

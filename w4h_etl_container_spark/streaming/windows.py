@@ -1,0 +1,59 @@
+"""Streaming window operators — STR-5 (SURVEY §2.9): watermarked tumbling
+and session windows and watermark-scoped dedup over an event stream.
+
+These are the *live* counterparts of the batch-declared queries in
+``plans/eventsops.py`` (same expressions, same semantics — the batch
+versions are what the DuckDB oracle checks; these run under watermarks
+with state cleanup). Each returns a streaming DataFrame ready for
+``writeStream``; tests drive them with ``Trigger.AvailableNow`` over a
+file source and assert against the batch rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling aggregate. State for a window is dropped once
+    the watermark passes its end — bounded state at any throughput."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "lo", "hi")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "2 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked session windows (built-in ``session_window`` — dynamic
+    gap merging handled by the state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermark-scoped dedup on (user_id, event_type): state expires with
+    the watermark instead of growing forever — the streaming analog of
+    q_stream_dedup's one-per-hour rule."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
