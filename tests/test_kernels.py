@@ -73,22 +73,25 @@ class TestBackendParity:
     """numpy vs DuckDB-SQL renderings of the same kernel agree ≤1e-9
     (Spark parity is covered in test_weather_queries via the oracle)."""
 
-    def _duck_eval(self, sql_expr: str, **cols) -> float:
+    def _duck_eval(self, S: SqlBackend, sql_expr: str, **cols) -> float:
+        from w4h_etl_container_spark.functions.exprbackend import render_lets
+
         con = duckdb.connect()
         binds = ", ".join(f"{float(v)!r}::DOUBLE AS {k}" for k, v in cols.items())
-        return con.sql(f"SELECT {sql_expr} AS r FROM (SELECT {binds})").fetchone()[0]
+        q = render_lets(S, f"{sql_expr} AS r", f"(SELECT {binds})")
+        return con.sql(q).fetchone()[0]
 
     def test_utci_parity(self):
         S = SqlBackend()
         expr = K.utci_c(S, S.col("t2"), S.col("va"), S.col("mrt"), S.col("td"))
-        duck = self._duck_eval(str(expr), t2=303.15, va=4.0, mrt=320.0, td=295.0)
+        duck = self._duck_eval(S, str(expr), t2=303.15, va=4.0, mrt=320.0, td=295.0)
         ours = K.utci_c(B, arr(303.15), arr(4.0), arr(320.0), arr(295.0))[0]
         assert abs(duck - ours) < 1e-9
 
     def test_wbgt_parity(self):
         S = SqlBackend()
         expr = K.wbgt_c(S, S.col("t2"), S.col("mrt"), S.col("va"), S.col("td"))
-        duck = self._duck_eval(str(expr), t2=303.15, mrt=330.0, va=2.0, td=296.0)
+        duck = self._duck_eval(S, str(expr), t2=303.15, mrt=330.0, va=2.0, td=296.0)
         ours = K.wbgt_c(B, arr(303.15), arr(330.0), arr(2.0), arr(296.0))[0]
         assert abs(duck - ours) < 1e-9
 

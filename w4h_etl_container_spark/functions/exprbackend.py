@@ -25,6 +25,11 @@ class NumpyBackend:
     """Render kernels as eager numpy math (float64)."""
 
     @staticmethod
+    def let(name, x):
+        """Bind an intermediate — numpy is eager, so it's already a value."""
+        return x
+
+    @staticmethod
     def lit(x):
         return x
 
@@ -72,12 +77,31 @@ class NumpyBackend:
 
 
 class SparkBackend:
-    """Render kernels as native Spark Column expressions (codegen'd)."""
+    """Render kernels as native Spark Column expressions (codegen'd).
+
+    ``let`` bindings: a kernel binds each reused intermediate (power
+    ladders, vapour pressures, Newton iterates) to a generated column
+    name; the query builder materializes them with sequential
+    ``withColumn`` layers via :func:`apply_lets`. Catalyst's
+    CollapseProject keeps multi-use non-trivial aliases as projection
+    layers, so the analyzed tree stays near-linear in the number of
+    kernel operations instead of exploding combinatorially — and plan
+    *construction* stops paying thousands of py4j roundtrips for
+    repeated subtrees.
+    """
 
     def __init__(self):
         from pyspark.sql import functions as F
 
         self.F = F
+        self.lets: list[tuple[str, object]] = []
+        self._n = 0
+
+    def let(self, name, expr):
+        uname = f"__{name}_{self._n}"
+        self._n += 1
+        self.lets.append((uname, expr))
+        return self.F.col(uname)
 
     def lit(self, x):
         return self.F.lit(float(x))
@@ -227,7 +251,24 @@ class SqlExpr:
 
 
 class SqlBackend:
-    """Render kernels as DuckDB-compatible SQL text."""
+    """Render kernels as DuckDB-compatible SQL text.
+
+    ``let`` bindings render as lateral column aliases (one inner SELECT,
+    later aliases referencing earlier ones — see :func:`render_lets`), so
+    the oracle text stays ~linear in kernel size: without them the pure
+    textual substitution grows combinatorially (the UTCI chain reached
+    650 KB of SQL and seconds of binder time).
+    """
+
+    def __init__(self):
+        self.lets: list[tuple[str, str]] = []
+        self._n = 0
+
+    def let(self, name, expr) -> SqlExpr:
+        uname = f"__{name}_{self._n}"
+        self._n += 1
+        self.lets.append((uname, str(SqlExpr._w(expr))))
+        return SqlExpr(uname)
 
     @staticmethod
     def col(name: str) -> SqlExpr:
@@ -298,3 +339,28 @@ class SqlBackend:
         # DuckDB has no HYPOT; same IEEE result for in-range inputs
         aw, bw = SqlExpr._w(a), SqlExpr._w(b)
         return SqlExpr(f"SQRT(({aw} * {aw}) + ({bw} * {bw}))")
+
+
+def apply_lets(df, B: "SparkBackend"):
+    """Materialize a SparkBackend's let-bindings as projection layers, in
+    dependency (creation) order."""
+    for name, col in B.lets:
+        df = df.withColumn(name, col)
+    return df
+
+
+def drop_lets(df, B: "SparkBackend"):
+    return df.drop(*[name for name, _ in B.lets])
+
+
+def render_lets(B: "SqlBackend", select_list: str, from_table: str, where: str = "") -> str:
+    """Wrap a SQL select over ``from_table`` so all let-bindings are
+    available as lateral column aliases (DuckDB ≥0.8 resolves later
+    aliases against earlier ones within one SELECT)."""
+    if not B.lets:
+        inner = from_table
+    else:
+        binds = ", ".join(f"{expr} AS {name}" for name, expr in B.lets)
+        inner = f"(SELECT *, {binds} FROM {from_table})"
+    w = f" WHERE {where}" if where else ""
+    return f"SELECT {select_list} FROM {inner}{w}"

@@ -323,7 +323,7 @@ def cos_solar_zenith_angle(B, lat_deg, lon_deg, doy, utc_hour):
     (``utc_hour − 0.5``), see ``main.py:115-131`` parity note.
     """
     two_pi = 2.0 * np.pi
-    gamma = two_pi / 365.0 * (doy - 1.0 + (utc_hour - 12.0) / 24.0)
+    gamma = B.let("gamma", two_pi / 365.0 * (doy - 1.0 + (utc_hour - 12.0) / 24.0))
     decl = (
         0.006918
         - 0.399912 * B.cos(gamma)
@@ -333,6 +333,7 @@ def cos_solar_zenith_angle(B, lat_deg, lon_deg, doy, utc_hour):
         - 0.002697 * B.cos(3.0 * gamma)
         + 0.00148 * B.sin(3.0 * gamma)
     )
+    decl = B.let("decl", decl)
     eot_min = 229.18 * (
         0.000075
         + 0.001868 * B.cos(gamma)
@@ -341,14 +342,15 @@ def cos_solar_zenith_angle(B, lat_deg, lon_deg, doy, utc_hour):
         - 0.040849 * B.sin(2.0 * gamma)
     )
     solar_time_h = utc_hour + lon_deg / 15.0 + eot_min / 60.0
-    hour_angle = B.radians(15.0 * (solar_time_h - 12.0))
-    lat_r = B.radians(lat_deg)
+    hour_angle = B.let("hour_angle", B.radians(15.0 * (solar_time_h - 12.0)))
+    lat_r = B.let("lat_r", B.radians(lat_deg))
     cossza = B.sin(lat_r) * B.sin(decl) + B.cos(lat_r) * B.cos(decl) * B.cos(hour_angle)
     return B.greatest(cossza, B.lit(0.0))
 
 
 def erbs_diffuse_fraction(B, kt):
     """Erbs, Klein & Duffie (1982) diffuse fraction DF(kt), piecewise."""
+    kt = B.let("kt", kt)
     poly = (
         0.9511
         - 0.1604 * kt
@@ -366,7 +368,7 @@ def erbs(B, ghi, cossza, doy):
     Returns a dict with keys ``dni``, ``dhi``. Night (cossza ≤ 0.01) → 0.
     """
     # extraterrestrial radiation with eccentricity correction (Spencer 1971)
-    b_ang = 2.0 * np.pi * doy / 365.0
+    b_ang = B.let("b_ang", 2.0 * np.pi * doy / 365.0)
     ea = 1367.0 * (
         1.00011
         + 0.034221 * B.cos(b_ang)
@@ -374,12 +376,14 @@ def erbs(B, ghi, cossza, doy):
         + 0.000719 * B.cos(2.0 * b_ang)
         + 0.000077 * B.sin(2.0 * b_ang)
     )
+    cossza = B.let("erbs_cz", cossza)
+    ghi = B.let("erbs_ghi", ghi)
     day = cossza > 0.01
-    safe_cos = B.greatest(cossza, B.lit(0.01))
+    safe_cos = B.let("safe_cos", B.greatest(cossza, B.lit(0.01)))
     kt = B.greatest(ghi / (ea * safe_cos), B.lit(0.0))
-    df = erbs_diffuse_fraction(B, kt)
-    dhi = df * ghi
-    dni = (ghi - dhi) / safe_cos
+    df = B.let("erbs_df", erbs_diffuse_fraction(B, kt))
+    dhi = B.let("erbs_dhi", df * ghi)
+    dni = B.let("erbs_dni", (ghi - dhi) / safe_cos)
     zero = B.lit(0.0)
     return {
         "dni": B.where(day, B.greatest(dni, zero), zero),
@@ -395,10 +399,12 @@ def mean_radiant_temperature_k(B, ssrd, ssru, strd, stru, dni, cossza):
     strd/stru: downward/upward longwave; dni: direct normal irradiance;
     cossza: cosine of solar zenith (≥0).
     """
+    cossza = B.let("mrt_cz", cossza)
+    dni = B.let("mrt_dni", dni)
     dsw = ssrd - dni * cossza  # diffuse shortwave down
-    dsw = B.greatest(dsw, B.lit(0.0))
+    dsw = B.let("mrt_dsw", B.greatest(dsw, B.lit(0.0)))
     # projected-area factor for a standing person, gamma = solar elevation°
-    gamma = B.degrees(B.asin(B.least(cossza, B.lit(1.0))))
+    gamma = B.let("mrt_gamma", B.degrees(B.asin(B.least(cossza, B.lit(1.0)))))
     fp = 0.308 * B.cos(B.radians(gamma * (0.998 - gamma * gamma / 50000.0)))
     fa = 0.5  # angle factors for diffuse/longwave on a rotationally symmetric person
     absorb = 0.7 / 0.97  # shortwave absorption / longwave emissivity
@@ -417,21 +423,27 @@ def utci_c(B, t2_k, va_ms, mrt_k, td_k):
     Valid range (clamped upstream by data, not here): Ta ∈ [−50, 50] °C,
     va ∈ [0.5, 17] m/s, D_Tmrt ∈ [−30, 70] K.
     """
-    ta = t2_k - 273.15
-    dtm = mrt_k - t2_k
-    e_hpa = saturation_vapour_pressure_hpa(B, td_k)
-    pa = e_hpa / 10.0  # kPa
-    va = B.least(B.greatest(va_ms, B.lit(0.5)), B.lit(17.0))
+    ta = B.let("ta", t2_k - 273.15)
+    dtm = B.let("dtm", mrt_k - t2_k)
+    e_hpa = saturation_vapour_pressure_hpa(B, B.let("utci_td", td_k))
+    pa = B.let("pa", e_hpa / 10.0)  # kPa
+    va = B.let("va_c", B.least(B.greatest(va_ms, B.lit(0.5)), B.lit(17.0)))
 
-    # power ladders (reuse products instead of POWER() so all three
-    # backends produce the identical multiply tree)
-    def ladder(x):
+    # power ladders as bound intermediates (reuse products instead of
+    # POWER() so all three backends produce the identical multiply tree,
+    # and each power is computed once instead of per term)
+    def ladder(tag, x):
         p = [None, x]
-        for _ in range(5):
-            p.append(p[-1] * x)
+        for k in range(5):
+            p.append(B.let(f"{tag}{k + 2}", p[-1] * x))
         return p  # p[1]..p[6]
 
-    pt, pv, pd, pp = ladder(ta), ladder(va), ladder(dtm), ladder(pa)
+    pt, pv, pd, pp = (
+        ladder("ta", ta),
+        ladder("va", va),
+        ladder("dtm", dtm),
+        ladder("pa", pa),
+    )
 
     terms = []
     for i, j, k, l, c in UTCI_COEFFS:
@@ -463,17 +475,22 @@ def wet_bulb_stull_c(B, ta_c, rh_pct):
 def globe_temperature_k(B, ta_k, mrt_k, va_ms):
     """Globe temperature [K] from MRT: two Newton steps on the standard
     15 cm globe energy balance  Tg⁴ + h·(Tg − Ta) = Tmrt⁴  with
-    h = 1.1e8·va^0.6 / (0.95·0.15^0.4)  (ISO 7726 globe constants)."""
+    h = 1.1e8·va^0.6 / (0.95·0.15^0.4)  (ISO 7726 globe constants).
+
+    Each Newton iterate is let-bound: unbound, the symbolic tree grows
+    ~36× per step (tg appears six times in its own update)."""
     va = B.greatest(va_ms, B.lit(0.1))
-    h = 1.1e8 * B.power(va, 0.6) / (0.95 * 0.15**0.4)
-    mrt4 = mrt_k * mrt_k * mrt_k * mrt_k
+    h = B.let("bg_h", 1.1e8 * B.power(va, 0.6) / (0.95 * 0.15**0.4))
+    mrt_k = B.let("bg_mrt", mrt_k)
+    ta_k = B.let("bg_ta", ta_k)
+    mrt4 = B.let("bg_mrt4", mrt_k * mrt_k * mrt_k * mrt_k)
     tg = mrt_k  # initial guess
 
-    for _ in range(2):
-        tg2 = tg * tg
+    for i in range(2):
+        tg2 = B.let(f"bg_tg2_{i}", tg * tg)
         f = tg2 * tg2 + h * (tg - ta_k) - mrt4
         fp = 4.0 * tg2 * tg + h
-        tg = tg - f / fp
+        tg = B.let(f"bg_tg_{i + 1}", tg - f / fp)
     return tg
 
 
@@ -484,9 +501,10 @@ def wbgt_c(B, t2_k, mrt_k, va_ms, td_k):
     Documented approximation of the reference's thermofeel call
     (``main.py:197-203``) — same inputs, same output semantics.
     """
-    ta_c = t2_k - 273.15
-    rh = 100.0 * saturation_vapour_pressure_hpa(B, td_k) / saturation_vapour_pressure_hpa(B, t2_k)
-    rh = B.least(B.greatest(rh, B.lit(1.0)), B.lit(100.0))
+    t2_k = B.let("wbgt_t2", t2_k)
+    ta_c = B.let("wbgt_ta", t2_k - 273.15)
+    rh = 100.0 * saturation_vapour_pressure_hpa(B, B.let("wbgt_td", td_k)) / saturation_vapour_pressure_hpa(B, t2_k)
+    rh = B.let("wbgt_rh", B.least(B.greatest(rh, B.lit(1.0)), B.lit(100.0)))
     tnwb = wet_bulb_stull_c(B, ta_c, rh)
     tg_c = globe_temperature_k(B, t2_k, mrt_k, va_ms) - 273.15
     return 0.7 * tnwb + 0.2 * tg_c + 0.1 * ta_c

@@ -40,36 +40,37 @@ def derive_thermal_indices(df: DataFrame) -> DataFrame:
     cossza → erbs(dni) → MRT → wind → UTCI, WBGT. Everything whole-stage
     codegen; Catalyst CSEs shared radiation subexpressions (the
     reference computed and dropped them by hand, ``main.py:151-172``)."""
+    from w4h_etl_container_spark.functions.exprbackend import apply_lets
+
     B = SparkBackend()
-    cossza = K.cos_solar_zenith_angle(
-        B,
-        F.col("lat"),
-        F.col("lon"),
-        F.dayofyear("ts").cast("double"),
-        F.hour("ts").cast("double") - F.lit(0.5),  # mid-hour ≈ hour integral
+    doy = F.dayofyear("ts").cast("double")
+    cossza = B.let(
+        "cossza",
+        K.cos_solar_zenith_angle(
+            B, F.col("lat"), F.col("lon"), doy, F.hour("ts").cast("double") - F.lit(0.5)
+        ),
     )
-    df = df.withColumn("cossza", cossza)
-    erbs = K.erbs(B, F.coalesce(F.col("dswrfsfc"), F.lit(0.0)), F.col("cossza"), F.dayofyear("ts").cast("double"))
-    df = df.withColumn("dni", erbs["dni"])
-    mrt = K.mean_radiant_temperature_k(
-        B,
-        F.col("dswrfsfc"),
-        F.col("uswrfsfc"),
-        F.col("dlwrfsfc"),
-        F.col("ulwrfsfc"),
-        F.col("dni"),
-        F.col("cossza"),
+    erbs = K.erbs(B, F.coalesce(F.col("dswrfsfc"), F.lit(0.0)), cossza, doy)
+    dni = B.let("dni", erbs["dni"])
+    mrt = B.let(
+        "mrt_k",
+        K.mean_radiant_temperature_k(
+            B,
+            F.col("dswrfsfc"),
+            F.col("uswrfsfc"),
+            F.col("dlwrfsfc"),
+            F.col("ulwrfsfc"),
+            dni,
+            cossza,
+        ),
     )
-    df = df.withColumn("mrt_k", mrt)
     # correct wind magnitude — reference's hypot(u, u) bug documented at SF-2
-    df = df.withColumn("wind", K.wind_speed(B, F.col("ugrd10m"), F.col("vgrd10m")))
-    df = df.withColumn(
-        "utci", K.utci_c(B, F.col("tmp2m"), F.col("wind"), F.col("mrt_k"), F.col("dpt2m"))
+    wind = B.let("wind", K.wind_speed(B, F.col("ugrd10m"), F.col("vgrd10m")))
+    utci = K.utci_c(B, F.col("tmp2m"), wind, mrt, F.col("dpt2m"))
+    wbgt = K.wbgt_c(B, F.col("tmp2m"), mrt, wind, F.col("dpt2m"))
+    return apply_lets(df, B).select(
+        "lat", "lon", "ts", utci.alias("utci"), wbgt.alias("wbgt")
     )
-    df = df.withColumn(
-        "wbgt", K.wbgt_c(B, F.col("tmp2m"), F.col("mrt_k"), F.col("wind"), F.col("dpt2m"))
-    )
-    return df.select("lat", "lon", "ts", "utci", "wbgt")
 
 
 def merge_with_previous(new: DataFrame, prev: DataFrame, earliest_necessary: str) -> DataFrame:

@@ -7,19 +7,31 @@ hot path) and SqlBackend → the DuckDB oracle. Inputs are synthesized from
 fixture columns with *exact* IEEE arithmetic (mod-via-floor of 2-decimal
 doubles), so both engines see bit-identical inputs.
 
-Outputs that pass through transcendentals (exp/log/trig/pow) are rounded
-with the backend-identical ``round6`` (floor(x·1e6+0.5)/1e6): Java's and
-libm's exp/log can differ in the last ulp, and 6-decimal rounding absorbs
-that while keeping °C values meaningful to a millionth of a degree.
+Two engineering rules keep these plans fast and exact:
+
+* **let-bindings** — every reused kernel intermediate becomes a named
+  column (``apply_lets`` projection layers / SQL lateral aliases).
+  Without them the symbolic form explodes combinatorially: the UTCI
+  chain reached 650 KB of SQL / tens of thousands of Column nodes, with
+  multi-second plan-build and binder times in both engines.
+* **round6** — outputs that pass through transcendentals (exp/log/trig/
+  pow) are rounded with backend-identical floor(x·1e6+0.5)/1e6: Java's
+  and libm's exp/log can differ in the last ulp; 6-decimal rounding
+  absorbs that while keeping °C meaningful to a millionth of a degree.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from w4h_etl_container_spark import kernels as K
-from w4h_etl_container_spark.functions.exprbackend import SparkBackend, SqlBackend
+from w4h_etl_container_spark.functions.exprbackend import (
+    SparkBackend,
+    SqlBackend,
+    apply_lets,
+    render_lets,
+)
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.session import read_events, read_table
 
@@ -41,36 +53,39 @@ def synth_weather(B, value, user_id):
     Pure exact arithmetic (+,-,×,÷,floor) on fixture doubles — bit-equal
     between Spark and DuckDB — landing inside each kernel's valid domain:
     t2 ∈ [268,313] K, va ∈ [0.5,16.5] m/s, Tmrt−t2 ∈ [−16,32] K, td ≤ t2.
+    Every output is let-bound so downstream kernels reference short names.
     """
-    t2_k = 268.15 + _fmod(B, value, 45.0)
-    va = 0.5 + _fmod(B, value, 16.0)
-    mrt_k = t2_k + (_fmod(B, user_id, 7.0) - 2.0) * 8.0
-    td_k = t2_k - 1.0 - _fmod(B, value, 12.0)
-    lat = _fmod(B, user_id, 14.0) * 10.0 - 65.0
-    lon = _fmod(B, value * 7.3, 360.0)
-    ghi = _fmod(B, value * 4.7, 1100.0)
-    cossza = _fmod(B, value, 100.0) / 100.0
+    value = B.let("sw_value", value)
+    user_id = B.let("sw_uid", user_id)
+    t2_k = B.let("sy_t2k", 268.15 + _fmod(B, value, 45.0))
     return {
         "t2_k": t2_k,
-        "va": va,
-        "mrt_k": mrt_k,
-        "td_k": td_k,
-        "lat": lat,
-        "lon": lon,
-        "ghi": ghi,
-        "cossza": cossza,
+        "va": B.let("sy_va", 0.5 + _fmod(B, value, 16.0)),
+        "mrt_k": B.let("sy_mrtk", t2_k + (_fmod(B, user_id, 7.0) - 2.0) * 8.0),
+        "td_k": B.let("sy_tdk", t2_k - 1.0 - _fmod(B, value, 12.0)),
+        "lat": B.let("sy_lat", _fmod(B, user_id, 14.0) * 10.0 - 65.0),
+        "lon": B.let("sy_lon", _fmod(B, value * 7.3, 360.0)),
+        "ghi": B.let("sy_ghi", _fmod(B, value * 4.7, 1100.0)),
+        "cossza": B.let("sy_cz", _fmod(B, value, 100.0) / 100.0),
     }
 
 
-def _sql_synth() -> dict[str, str]:
-    S = SqlBackend()
-    d = synth_weather(S, S.col("value"), S.col("CAST(user_id AS DOUBLE)"))
-    return {k: str(v) for k, v in d.items()}
-
-
-def _spark_synth() -> dict:
+def _spark_events_kernel(spark, sf_dir, build) -> DataFrame:
+    """Shared shape: events → synth inputs → kernel → (event_id, outputs)."""
+    ev = read_events(spark, sf_dir)
     B = SparkBackend()
-    return synth_weather(B, F.col("value"), F.col("user_id").cast("double"))
+    sy = synth_weather(B, F.col("value"), F.col("user_id").cast("double"))
+    outputs = build(B, sy)  # dict name → Column (may add more lets)
+    df = apply_lets(ev, B)
+    return df.select("event_id", *[c.alias(n) for n, c in outputs.items()])
+
+
+def _sql_events_kernel(build) -> str:
+    S = SqlBackend()
+    sy = synth_weather(S, S.col("value"), S.col("CAST(user_id AS DOUBLE)"))
+    outputs = build(S, sy)
+    select = ", ".join(["event_id"] + [f"{e} AS {n}" for n, e in outputs.items()])
+    return render_lets(S, select, "events")
 
 
 # ---------------------------------------------------------------------------
@@ -102,18 +117,17 @@ def q_wind_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _encode_sql() -> str:
     S = SqlBackend()
-    u = S.col("(l_quantity - 25.0 + l_tax * 10.0)")
-    w = S.col("(l_discount * 100.0 - 2.0 + l_quantity / 2.0)")
+    u = S.let("enc_u", S.col("(l_quantity - 25.0 + l_tax * 10.0)"))
+    w = S.let("enc_w", S.col("(l_discount * 100.0 - 2.0 + l_quantity / 2.0)"))
     off = S.col("CAST(l_linenumber AS DOUBLE)")
-    enc = K.encode_temp_times(S, u, w, off)
-    return f"""
-    SELECT l_orderkey, l_linenumber,
-           CAST({enc} AS BIGINT) AS encoded,
-           {K.decode_utci(S, enc)} AS utci_dec,
-           {K.decode_wbgt_c(S, enc)} AS wbgt_dec,
-           CAST({K.decode_offset_hours(S, enc)} AS BIGINT) AS offset_dec
-    FROM lineitem
-    """
+    enc = S.let("enc", K.encode_temp_times(S, u, w, off))
+    select = (
+        f"l_orderkey, l_linenumber, CAST({enc} AS BIGINT) AS encoded, "
+        f"{K.decode_utci(S, enc)} AS utci_dec, "
+        f"{K.decode_wbgt_c(S, enc)} AS wbgt_dec, "
+        f"CAST({K.decode_offset_hours(S, enc)} AS BIGINT) AS offset_dec"
+    )
+    return render_lets(S, select, "lineitem")
 
 
 @register("q_sf_encode_roundtrip", sql=_encode_sql(), survey_ids=("SF-9", "SF-4", "SF-1"))
@@ -125,11 +139,11 @@ def q_sf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     land in the encodable range utci,wbgt ∈ (−100, 100), offset ≤ 199."""
     li = read_table(spark, sf_dir, "lineitem")
     B = SparkBackend()
-    u = F.col("l_quantity") - F.lit(25.0) + F.col("l_tax") * F.lit(10.0)
-    w = F.col("l_discount") * F.lit(100.0) - F.lit(2.0) + F.col("l_quantity") / F.lit(2.0)
+    u = B.let("enc_u", F.col("l_quantity") - F.lit(25.0) + F.col("l_tax") * F.lit(10.0))
+    w = B.let("enc_w", F.col("l_discount") * F.lit(100.0) - F.lit(2.0) + F.col("l_quantity") / F.lit(2.0))
     off = F.col("l_linenumber").cast("double")
-    enc = K.encode_temp_times(B, u, w, off)
-    return li.select(
+    enc = B.let("enc", K.encode_temp_times(B, u, w, off))
+    return apply_lets(li, B).select(
         "l_orderkey",
         "l_linenumber",
         enc.cast("long").alias("encoded"),
@@ -142,141 +156,114 @@ def q_sf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # UDF-4 — UTCI;  UDF-5 — WBGT (native-Column renderings)
 # ---------------------------------------------------------------------------
-def _utci_sql() -> str:
-    S = SqlBackend()
-    sy = _sql_synth()
-    utci = K.utci_c(S, S.col(sy["t2_k"]), S.col(sy["va"]), S.col(sy["mrt_k"]), S.col(sy["td_k"]))
-    return f"SELECT event_id, {round6(S, utci)} AS utci FROM events"
+def _utci_outputs(B, sy):
+    utci = K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"])
+    return {"utci": round6(B, utci)}
 
 
-@register("q_utci", sql=_utci_sql(), survey_ids=("UDF-4", "SF-10"))
+@register("q_utci", sql=_sql_events_kernel(_utci_outputs), survey_ids=("UDF-4", "SF-10"))
 def q_utci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-4 (reference ``calculate_utci``, ``main.py:188-195``): the Bröde
     et al. 210-term polynomial as a *native Column tree* — whole-stage
-    codegen, no Python worker, ~order-of-magnitude faster than a pandas
-    UDF at 100 TB (a parity pandas-UDF rendering is tested in tests/)."""
-    ev = read_events(spark, sf_dir)
-    B = SparkBackend()
-    sy = _spark_synth()
-    utci = K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"])
-    return ev.select("event_id", round6(B, utci).alias("utci"))
+    codegen, no Python worker (a parity pandas-UDF rendering is tested in
+    tests/). Power ladders and humidity are let-bound columns, so the
+    analyzed plan is linear in polynomial size."""
+    return _spark_events_kernel(spark, sf_dir, _utci_outputs)
 
 
-def _wbgt_sql() -> str:
-    S = SqlBackend()
-    sy = _sql_synth()
-    wbgt = K.wbgt_c(S, S.col(sy["t2_k"]), S.col(sy["mrt_k"]), S.col(sy["va"]), S.col(sy["td_k"]))
-    return f"SELECT event_id, {round6(S, wbgt)} AS wbgt FROM events"
+def _wbgt_outputs(B, sy):
+    wbgt = K.wbgt_c(B, sy["t2_k"], sy["mrt_k"], sy["va"], sy["td_k"])
+    return {"wbgt": round6(B, wbgt)}
 
 
-@register("q_wbgt", sql=_wbgt_sql(), survey_ids=("UDF-5", "SF-10"))
+@register("q_wbgt", sql=_sql_events_kernel(_wbgt_outputs), survey_ids=("UDF-5", "SF-10"))
 def q_wbgt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-5 (reference ``calculate_wbgt``, ``main.py:197-203``): outdoor
-    WBGT (ISO 7243 weighting, Stull wet-bulb, Newton globe recovery) as a
-    native Column tree."""
-    ev = read_events(spark, sf_dir)
-    B = SparkBackend()
-    sy = _spark_synth()
-    wbgt = K.wbgt_c(B, sy["t2_k"], sy["mrt_k"], sy["va"], sy["td_k"])
-    return ev.select("event_id", round6(B, wbgt).alias("wbgt"))
+    WBGT (ISO 7243 weighting, Stull wet-bulb, let-bound Newton globe
+    recovery) as a native Column tree."""
+    return _spark_events_kernel(spark, sf_dir, _wbgt_outputs)
 
 
 # ---------------------------------------------------------------------------
 # UDF-1 — cos solar zenith;  UDF-2 — Erbs;  UDF-3 — MRT
 # ---------------------------------------------------------------------------
-def _cossza_sql() -> str:
-    S = SqlBackend()
-    sy = _sql_synth()
+def _cossza_outputs_spark(B, sy):
+    cz = K.cos_solar_zenith_angle(
+        B, sy["lat"], sy["lon"], F.dayofyear("ts").cast("double"), F.hour("ts").cast("double") - F.lit(0.5)
+    )
+    return {"cossza": round6(B, cz)}
+
+
+def _cossza_outputs_sql(S, sy):
     cz = K.cos_solar_zenith_angle(
         S,
-        S.col(sy["lat"]),
-        S.col(sy["lon"]),
+        sy["lat"],
+        sy["lon"],
         S.col("CAST(date_part('doy', ts) AS DOUBLE)"),
         S.col("(CAST(date_part('hour', ts) AS DOUBLE) - 0.5)"),
     )
-    return f"SELECT event_id, {round6(S, cz)} AS cossza FROM events"
+    return {"cossza": round6(S, cz)}
 
 
-@register("q_cossza", sql=_cossza_sql(), survey_ids=("UDF-1",))
+@register("q_cossza", sql=_sql_events_kernel(_cossza_outputs_sql), survey_ids=("UDF-1",))
 def q_cossza(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-1 (reference thermofeel hour-integrated cossza,
     ``main.py:115-131``): Spencer-1971 solar geometry evaluated at the
     mid-hour point (the reference's per-hour integral ≈ midpoint to ≤0.3%;
     documented deviation). Per-row expression — the reference's per-time
     slice loop + concat (SET-1) disappears in long form."""
-    ev = read_events(spark, sf_dir)
-    B = SparkBackend()
-    sy = _spark_synth()
-    cz = K.cos_solar_zenith_angle(
-        B,
-        sy["lat"],
-        sy["lon"],
-        F.dayofyear("ts").cast("double"),
-        F.hour("ts").cast("double") - F.lit(0.5),
-    )
-    return ev.select("event_id", round6(B, cz).alias("cossza"))
+    return _spark_events_kernel(spark, sf_dir, _cossza_outputs_spark)
 
 
-def _erbs_sql() -> str:
-    S = SqlBackend()
-    sy = _sql_synth()
-    r = K.erbs(S, S.col(sy["ghi"]), S.col(sy["cossza"]), S.col("CAST(date_part('doy', ts) AS DOUBLE)"))
-    return (
-        f"SELECT event_id, {round6(S, r['dni'])} AS dni, {round6(S, r['dhi'])} AS dhi FROM events"
-    )
+def _erbs_outputs_spark(B, sy):
+    r = K.erbs(B, sy["ghi"], sy["cossza"], F.dayofyear("ts").cast("double"))
+    return {"dni": round6(B, r["dni"]), "dhi": round6(B, r["dhi"])}
 
 
-@register("q_erbs", sql=_erbs_sql(), survey_ids=("UDF-2",))
+def _erbs_outputs_sql(S, sy):
+    r = K.erbs(S, sy["ghi"], sy["cossza"], S.col("CAST(date_part('doy', ts) AS DOUBLE)"))
+    return {"dni": round6(S, r["dni"]), "dhi": round6(S, r["dhi"])}
+
+
+@register("q_erbs", sql=_sql_events_kernel(_erbs_outputs_sql), survey_ids=("UDF-2",))
 def q_erbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-2 (reference pvlib erbs via apply_ufunc, ``utils.py:57-60``,
-    ``main.py:135-144``): multi-output decomposition — in the relational
-    model simply two derived columns from one shared subexpression
-    (Catalyst CSEs the diffuse fraction)."""
-    ev = read_events(spark, sf_dir)
-    B = SparkBackend()
-    sy = _spark_synth()
-    r = K.erbs(B, sy["ghi"], sy["cossza"], F.dayofyear("ts").cast("double"))
-    return ev.select(
-        "event_id", round6(B, r["dni"]).alias("dni"), round6(B, r["dhi"]).alias("dhi")
+    ``main.py:135-144``): multi-output decomposition — two derived columns
+    over shared let-bound intermediates (the diffuse fraction computed
+    once, not per output)."""
+    return _spark_events_kernel(spark, sf_dir, _erbs_outputs_spark)
+
+
+def _mrt_inputs(B, sy, value):
+    return dict(
+        ssrd=sy["ghi"],
+        ssru=sy["ghi"] * 0.15,
+        strd=350.0 + (value - B.floor(value / 80.0) * 80.0),
+        stru=380.0 + (value - B.floor(value / 60.0) * 60.0),
+        dni=sy["ghi"] * 0.6,
+        cossza=sy["cossza"],
     )
 
 
-def _mrt_sql() -> str:
-    S = SqlBackend()
-    sy = _sql_synth()
-    ghi = S.col(sy["ghi"])
-    mrt = K.mean_radiant_temperature_k(
-        S,
-        ghi,
-        S.col(f"({sy['ghi']} * 0.15)"),
-        S.col("(350.0 + (value - FLOOR(value / 80.0) * 80.0))"),
-        S.col("(380.0 + (value - FLOOR(value / 60.0) * 60.0))"),
-        S.col(f"({sy['ghi']} * 0.6)"),
-        S.col(sy["cossza"]),
-    )
-    return f"SELECT event_id, {round6(S, mrt)} AS mrt_k FROM events"
+def _mrt_outputs_spark(B, sy):
+    i = _mrt_inputs(B, sy, F.col("value"))
+    mrt = K.mean_radiant_temperature_k(B, i["ssrd"], i["ssru"], i["strd"], i["stru"], i["dni"], i["cossza"])
+    return {"mrt_k": round6(B, mrt)}
 
 
-@register("q_mrt", sql=_mrt_sql(), survey_ids=("UDF-3", "SF-1"))
+def _mrt_outputs_sql(S, sy):
+    i = _mrt_inputs(S, sy, S.col("value"))
+    mrt = K.mean_radiant_temperature_k(S, i["ssrd"], i["ssru"], i["strd"], i["stru"], i["dni"], i["cossza"])
+    return {"mrt_k": round6(S, mrt)}
+
+
+@register("q_mrt", sql=_sql_events_kernel(_mrt_outputs_sql), survey_ids=("UDF-3", "SF-1"))
 def q_mrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-3 (reference thermofeel MRT, ``main.py:149-158``): the 6-flux
     MRT formula (Di Napoli et al. 2020) as one Column tree; the reference's
-    staged flux assembly (SF-1 sums + drops) is just shared subexpressions
-    here."""
-    ev = read_events(spark, sf_dir)
-    B = SparkBackend()
-    sy = _spark_synth()
-    v = F.col("value")
-    mrt = K.mean_radiant_temperature_k(
-        B,
-        sy["ghi"],
-        sy["ghi"] * 0.15,
-        350.0 + (v - F.floor(v / 80.0).cast("double") * 80.0),
-        380.0 + (v - F.floor(v / 60.0).cast("double") * 60.0),
-        sy["ghi"] * 0.6,
-        sy["cossza"],
-    )
-    return ev.select("event_id", round6(B, mrt).alias("mrt_k"))
+    staged flux assembly (SF-1 sums + drops) is just shared let-bound
+    subexpressions here."""
+    return _spark_events_kernel(spark, sf_dir, _mrt_outputs_spark)
 
 
 # ---------------------------------------------------------------------------
@@ -284,17 +271,17 @@ def q_mrt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _daily_sql() -> str:
     S = SqlBackend()
-    sy = _sql_synth()
-    utci = round6(
-        S, K.utci_c(S, S.col(sy["t2_k"]), S.col(sy["va"]), S.col(sy["mrt_k"]), S.col(sy["td_k"]))
+    sy = synth_weather(S, S.col("value"), S.col("CAST(user_id AS DOUBLE)"))
+    utci = round6(S, K.utci_c(S, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"]))
+    ha_raw = S.let("ha_raw", S.col(f"FLOOR({sy['lon']} / 15.0 + 0.5)"))
+    shifted_select = (
+        f"user_id, ts + to_hours(CAST(CASE WHEN {ha_raw} > 12.0 THEN {ha_raw} - 24.0 "
+        f"ELSE {ha_raw} END AS BIGINT)) AS haa_ts, {utci} AS utci"
     )
-    ha = f"(CASE WHEN FLOOR({sy['lon']} / 15.0 + 0.5) > 12.0 THEN FLOOR({sy['lon']} / 15.0 + 0.5) - 24.0 ELSE FLOOR({sy['lon']} / 15.0 + 0.5) END)"
+    shifted = render_lets(S, shifted_select, "events")
     return f"""
     WITH shifted AS (
-      SELECT user_id,
-             ts + to_hours(CAST({ha} AS BIGINT)) AS haa_ts,
-             {utci} AS utci
-      FROM events
+      {shifted}
     ), gated AS (
       SELECT CAST(haa_ts AS DATE) AS haa_date
       FROM shifted
@@ -331,11 +318,11 @@ def q_daily_highlow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_events(spark, sf_dir)
     B = SparkBackend()
-    sy = _spark_synth()
+    sy = synth_weather(B, F.col("value"), F.col("user_id").cast("double"))
     utci = round6(B, K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"]))
-    ha_raw = F.floor(sy["lon"] / 15.0 + 0.5).cast("double")
+    ha_raw = B.let("ha_raw", F.floor(sy["lon"] / 15.0 + 0.5).cast("double"))
     ha = F.when(ha_raw > 12.0, ha_raw - 24.0).otherwise(ha_raw)  # SF-5 wraparound
-    shifted = ev.select(
+    shifted = apply_lets(ev, B).select(
         "user_id",
         (F.col("ts") + F.make_interval(hours=ha.cast("int"))).alias("haa_ts"),
         utci.alias("utci"),
