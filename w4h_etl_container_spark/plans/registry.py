@@ -49,6 +49,8 @@ def load_all() -> dict[str, Query]:
         textops,
         vectors,
         eventsops,
+        extended,
+        multimodalops,
     )
 
     return QUERIES
