@@ -188,24 +188,31 @@ def q_wbgt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UDF-1 — cos solar zenith;  UDF-2 — Erbs;  UDF-3 — MRT
 # ---------------------------------------------------------------------------
 def _cossza_outputs_spark(B, sy):
-    cz = K.cos_solar_zenith_angle(
-        B, sy["lat"], sy["lon"], F.dayofyear("ts").cast("double"), F.hour("ts").cast("double") - F.lit(0.5)
+    cz = B.let(
+        "cz_out",
+        K.cos_solar_zenith_angle(
+            B, sy["lat"], sy["lon"], F.dayofyear("ts").cast("double"), F.hour("ts").cast("double") - F.lit(0.5)
+        ),
     )
-    return {"cossza": round6(B, cz)}
+    # SF-3: zenith angle recovered via arccos (reference ``main.py:141``)
+    return {"cossza": round6(B, cz), "zenith_deg": round6(B, B.degrees(B.acos(cz)))}
 
 
 def _cossza_outputs_sql(S, sy):
-    cz = K.cos_solar_zenith_angle(
-        S,
-        sy["lat"],
-        sy["lon"],
-        S.col("CAST(date_part('doy', ts) AS DOUBLE)"),
-        S.col("(CAST(date_part('hour', ts) AS DOUBLE) - 0.5)"),
+    cz = S.let(
+        "cz_out",
+        K.cos_solar_zenith_angle(
+            S,
+            sy["lat"],
+            sy["lon"],
+            S.col("CAST(date_part('doy', ts) AS DOUBLE)"),
+            S.col("(CAST(date_part('hour', ts) AS DOUBLE) - 0.5)"),
+        ),
     )
-    return {"cossza": round6(S, cz)}
+    return {"cossza": round6(S, cz), "zenith_deg": round6(S, S.degrees(S.acos(cz)))}
 
 
-@register("q_cossza", sql=_sql_events_kernel(_cossza_outputs_sql), survey_ids=("UDF-1",))
+@register("q_cossza", sql=_sql_events_kernel(_cossza_outputs_sql), survey_ids=("UDF-1", "SF-3"))
 def q_cossza(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-1 (reference thermofeel hour-integrated cossza,
     ``main.py:115-131``): Spencer-1971 solar geometry evaluated at the
