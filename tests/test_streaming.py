@@ -134,3 +134,42 @@ class TestWindows:
         n_keys = events_batch.select("user_id", "event_type").distinct().count()
         # at least one row per key survives; far fewer than the input
         assert n_keys <= got.count() < events_batch.count()
+
+
+class TestStatefulOperator:
+    def test_apply_in_pandas_with_state(self, spark, tmp_path, events_batch):
+        """Custom stateful op: state accumulates ACROSS micro-batches (two
+        files → per-user totals equal the batch aggregate over all data)."""
+        from w4h_etl_container_spark.streaming.stateful import user_running_stats
+
+        src = str(tmp_path / "st-src")
+        events_batch.where(F.col("event_id") < 500).coalesce(1).write.mode("append").parquet(src)
+        events_batch.where(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            user_running_stats(stream)
+            .writeStream.format("memory")
+            .queryName("user_stats")
+            .option("checkpointLocation", str(tmp_path / "st-ckpt"))
+            .outputMode("update")  # stateful op emits updated rows per batch
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM user_stats")
+        # the LAST emitted row per user carries the cross-batch totals
+        final = {
+            r["user_id"]: (r["n_events"], r["max_value"])
+            for r in got.orderBy("n_events").collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["mx"])
+            for r in events_batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+            .collect()
+        }
+        assert final == want
+        # updates were emitted per batch, so more rows than users exist
+        assert got.count() > len(want)

@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator — the engine's
+``applyInPandasWithState`` surface (SURVEY §2.9/§2.10: the escape hatch for
+stateful semantics the built-in windows can't express).
+
+Operator implemented: per-user running telemetry (event count, running max
+value, high-water-mark timestamp) that emits an updated row per user per
+micro-batch and expires idle users' state via processing-time timeout —
+the canonical "profile accumulator" shape of a training-data pipeline
+(per-source corpus counters work identically).
+
+State is a single Arrow-encoded tuple per key; the state store bounds
+memory by key cardinality, and the timeout bounds key cardinality by
+activity — both required properties at 100 TB/day event volumes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_value double, last_ts timestamp"
+STATE_SCHEMA = "n_events bigint, max_value double, last_ts timestamp"
+
+
+def _make_update(timeout_ms: int | None):
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, mx, last = state.get if state.exists else (0, float("-inf"), None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+            t = pdf["ts"].max()
+            last = t if last is None or t > last else last
+        state.update((n, mx, last))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "max_value": mx, "last_ts": last}]
+        )
+
+    return _update
+
+
+def user_running_stats(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Attach the stateful accumulator to a streaming events frame.
+
+    ``idle_timeout_ms`` enables processing-time state expiry for
+    continuously-running queries (bounding state by key activity). Leave
+    ``None`` for ``Trigger.AvailableNow`` batch drains — a pending
+    processing-time timeout keeps an available-now query alive past its
+    last batch, so the trigger would never terminate.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update(idle_timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
