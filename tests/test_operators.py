@@ -104,3 +104,22 @@ class TestStateStore:
         expired = s.expire_charts("2026-08-01")
         assert expired == ["2026-07-20"]
         assert s.read()["globalCharts"] == {"2026-08-01": "b"}
+
+
+class TestGroupedMap:
+    def test_zscore_udf_vs_native_parity(self, spark, sf_dir):
+        """UDF-6 surface: applyInPandas grouped-map agrees with the native
+        window rendering to 1e-9 (SURVEY §5.2 parity discipline)."""
+        from w4h_etl_container_spark.operators.groupedmap import (
+            zscore_grouped_map,
+            zscore_native,
+        )
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir)
+        a = zscore_grouped_map(ev).withColumnRenamed("zscore", "z_udf")
+        b = zscore_native(ev).withColumnRenamed("zscore", "z_nat")
+        j = a.join(b.select("event_id", "z_nat"), "event_id")
+        diff = j.agg(F.max(F.abs(F.col("z_udf") - F.col("z_nat")))).collect()[0][0]
+        assert diff < 1e-9
+        assert a.count() == ev.count()

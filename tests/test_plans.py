@@ -54,9 +54,12 @@ class TestJoinStrategies:
         p = plan_of(reg["q_flt_semi"].fn(spark, sf_dir))
         assert "BroadcastHashJoin" in p and "LeftSemi" in p
 
-    def test_range_join_is_bnlj_with_broadcast(self, spark, sf_dir, reg):
+    def test_range_join_binned_to_hash_join(self, spark, sf_dir, reg):
+        # the binning rewrite must produce an equi hash join, not the
+        # O(n·m) BroadcastNestedLoopJoin a raw non-equi condition plans
         p = plan_of(reg["q_join_range"].fn(spark, sf_dir))
-        assert "BroadcastNestedLoopJoin" in p
+        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
 
     def test_topk_no_global_sort(self, spark, sf_dir, reg):
         p = plan_of(reg["q_srt_topk"].fn(spark, sf_dir))

@@ -33,18 +33,30 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-4 (SURVEY §2.3, engine-provided): range join — each (filtered)
     part paired with lineitems whose quantity falls in ±1 of its size.
 
-    Scale: a non-equi join has no hash path; Spark plans
-    BroadcastNestedLoopJoin with the small filtered side broadcast, so the
-    big side streams partition-local. For two big sides the engine's
-    recipe is binning: join on floor(qty) = floor(size)±1 as an equi-key,
-    then post-filter — turning O(n·m) into a co-partitioned join."""
+    Spark-first formulation: a raw non-equi join would plan
+    BroadcastNestedLoopJoin — O(n·m) comparisons (7.5 s at sf0.1 for
+    600 k × 2.4 k). The engine applies the *binning rewrite*: each part
+    explodes into its covered integer bins, the fact side joins on
+    floor(quantity) = bin as an equi-key (hash join, broadcastable), and
+    the exact range predicate post-filters. Same semantics, linear work —
+    and with two large sides the bin key co-partitions both, no broadcast
+    needed. (The oracle keeps the declarative range-join SQL; DuckDB's
+    IEJoin optimizes it natively.)"""
     p = read_table(spark, sf_dir, "part").where(F.col("p_size") >= 45).select("p_partkey", "p_size")
-    li = read_table(spark, sf_dir, "lineitem").select("l_quantity")
+    p_bins = p.select(
+        "p_partkey",
+        "p_size",
+        F.explode(F.sequence(F.col("p_size") - 1, F.col("p_size") + 1)).alias("bin"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", F.floor("l_quantity").cast("int").alias("bin")
+    )
     cond = (F.col("l_quantity") >= F.col("p_size") - 1.0) & (
         F.col("l_quantity") <= F.col("p_size") + 1.0
     )
     return (
-        li.join(F.broadcast(p), cond)
+        li.join(F.broadcast(p_bins), "bin")
+        .where(cond)
         .groupBy("p_partkey", "p_size")
         .agg(F.count(F.lit(1)).alias("n_close"))
     )

@@ -182,3 +182,45 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(s_norm).alias("l2_norm"),
         F.expr(s_unit).alias("unit_c0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (LSH candidates → exact verify)
+# ---------------------------------------------------------------------------
+def _neardup_sql() -> str:
+    dot = _dot("duck", "a.embedding", "b.embedding")
+    cos6 = _round6(f"(({dot}) / (a.nrm * b.nrm))")
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_bucket_expr('duck')} AS bucket,
+             {_norm('duck', 'embedding')} AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos6} AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+
+@register("q_embed_neardup", sql=_neardup_sql(), survey_ids=("EXT-DEDUP", "EXT-SIM",))
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the two-stage shape — LSH bucket join
+    proposes candidates (1/2⁸ of pairs in expectation), exact cosine
+    verifies each. A dedup pass then thresholds `cosine` and keeps
+    min(vec_id) per connected component.
+
+    Scale: candidates are same-bucket only — repartitioning by bucket
+    co-locates the join; the exact verify touches candidate pairs, never
+    n². Norms computed once per vector alongside the signature."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_bucket_expr("spark")).alias("bucket"),
+        F.expr(_norm("spark", "embedding")).alias("nrm"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cos = F.expr(_round6(f"(({_dot('spark', 'a.embedding', 'b.embedding')}) / (a.nrm * b.nrm))"))
+    return a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cosine"))
