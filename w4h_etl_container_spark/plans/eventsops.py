@@ -161,3 +161,34 @@ def q_state_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n_total"))
         .where(F.col("last_seen") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SNK-4 — MapType state operations (map build → filter → expand)
+# ---------------------------------------------------------------------------
+@register(
+    "q_state_map",
+    sql="""
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ) WHERE n >= 10
+    """,
+    survey_ids=("SNK-4", "SF-11", "STR-4"),
+)
+def q_state_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK-4 (reference ``globalCharts`` dotted-map updates,
+    ``utils.py:80-91``): the MapType op chain — build a per-user
+    map<event_type, count> with ``map_from_entries``, expire small entries
+    with ``map_filter`` (the STR-4 expiry shape), then ``explode`` back to
+    rows so the oracle can hash it. Scale: one aggregate; the map ops are
+    per-row expressions over bounded-size maps (5 event types)."""
+    ev = read_events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    kept = mapped.select(
+        "user_id", F.map_filter("m", lambda k, v: v >= 10).alias("m")
+    )
+    return kept.select("user_id", F.explode("m").alias("event_type", "n"))
