@@ -18,14 +18,18 @@ from w4h_etl_container_spark.pipeline.state import StateStore
 
 
 def discover_latest_source(spark: SparkSession, grid_dir: str) -> str:
-    """SRC-1/AGG-3 (reference scrape + arg-max, ``main.py:41-62``): latest
-    run = max_by(url, run_date·100 + run_hour) over the listing table.
-    (The HTTP directory scrape that *produces* the listing is an ingestion
-    concern outside the engine; its regex extraction is SF-8.)"""
+    """SRC-1/AGG-3/SF-8 (reference scrape + regex + arg-max,
+    ``main.py:41-62``): the run key is *parsed out of the href itself*
+    (``gfs(\\d{8})`` date + trailing ``(\\d{2})z`` cycle — the reference's
+    regexes at ``main.py:44,55``), then the latest run is
+    ``max_by(url, key)``. (The HTTP directory scrape that produces the
+    listing rows is an ingestion concern outside the engine.)"""
     listing = spark.read.parquet(f"{grid_dir}/source_listing.parquet")
-    row = listing.agg(
-        F.max_by("url", F.col("run_date").cast("long") * 100 + F.col("run_hour")).alias("url")
-    ).collect()[0]
+    run_key = (
+        F.regexp_extract("url", r"gfs(\d{8})", 1).cast("long") * 100
+        + F.regexp_extract("url", r"_(\d{2})z$", 1).cast("long")
+    )
+    row = listing.agg(F.max_by("url", run_key).alias("url")).collect()[0]
     return row["url"]
 
 
