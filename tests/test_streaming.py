@@ -173,3 +173,34 @@ class TestStatefulOperator:
         assert final == want
         # updates were emitted per batch, so more rows than users exist
         assert got.count() > len(want)
+
+
+class TestIncrementalForecast:
+    def test_runs_merge_into_snapshot(self, spark, tmp_path, grid_dir):
+        """Phase D integration: two landed runs drain through the streaming
+        checkpoint into a prefer-new-merged snapshot; re-trigger is a no-op."""
+        from w4h_etl_container_spark.streaming.incremental import incremental_forecast
+
+        run = spark.read.parquet(f"{grid_dir}/gfs_run.parquet")
+        landing = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        snap = str(tmp_path / "snapshot")
+        # run A: first 24 hours; run B: the rest (overlapping grid keys)
+        cut = "2026-08-02T01:00:00"
+        run.where(F.col("ts") < cut).coalesce(1).write.parquet(f"{landing}/runA")
+
+        incremental_forecast(spark, landing + "/*", ckpt, snap, run.schema)
+        n1 = spark.read.parquet(snap).count()
+        assert n1 == run.where(F.col("ts") < cut).count()
+
+        run.where(F.col("ts") >= cut).coalesce(1).write.parquet(f"{landing}/runB")
+        incremental_forecast(spark, landing + "/*", ckpt, snap, run.schema)
+        n2 = spark.read.parquet(snap).count()
+        assert n2 == run.count()  # full grid now present
+
+        # re-trigger with nothing new: checkpoint makes it a no-op
+        incremental_forecast(spark, landing + "/*", ckpt, snap, run.schema)
+        assert spark.read.parquet(snap).count() == n2
+
+        # snapshot is date-partitioned (FLT-3 pruning surface)
+        assert any(d.startswith("snap_date=") for d in os.listdir(snap))
