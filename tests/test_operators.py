@@ -123,3 +123,37 @@ class TestGroupedMap:
         diff = j.agg(F.max(F.abs(F.col("z_udf") - F.col("z_nat")))).collect()[0][0]
         assert diff < 1e-9
         assert a.count() == ev.count()
+
+
+class TestSaltedAggregate:
+    def test_matches_plain_aggregate(self, spark, sf_dir):
+        """Salted two-stage aggregation must equal the one-stage plan
+        exactly (decimal sums keep it order-independent)."""
+        from w4h_etl_container_spark.operators.skew import salted_aggregate
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir)
+        salted = salted_aggregate(
+            ev,
+            ["event_type"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "mx": (F.max("value"), F.max("mx")),
+                "total": (
+                    F.sum(F.col("value").cast("decimal(18,4)")),
+                    F.sum("total"),
+                ),
+            },
+            salt_n=8,
+        )
+        plain = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("mx"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+        )
+        s = {r["event_type"]: (r["n"], r["mx"], r["total"]) for r in salted.collect()}
+        p = {r["event_type"]: (r["n"], r["mx"], r["total"]) for r in plain.collect()}
+        assert s == p
+        # the salted plan really has two aggregation exchanges
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") >= 2

@@ -777,3 +777,98 @@ def q_sf_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_json("props", "k BIGINT").getField("k").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# anti join / correlated EXISTS
+# ---------------------------------------------------------------------------
+@register(
+    "q_flt_anti",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    survey_ids=("FLT-1", "SET-3"),
+)
+def q_flt_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLT-1 complement: LEFT ANTI join — rows whose key does NOT appear
+    in the filter set (the 'not near land' / 'never purchased' shape).
+    Scale: same broadcast hash plan as the semi join, negated."""
+    cust = read_table(spark, sf_dir, "customer")
+    keys = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return cust.join(
+        F.broadcast(keys), cust.c_custkey == keys.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_exists_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("FLT-1", "JOIN-1", "AGG-1"),
+)
+def q_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    late-shipped line, counted per priority. Spark plans the EXISTS as a
+    left-semi join on the correlation key with the extra predicate —
+    declared through the SQL frontend so the correlated-subquery surface
+    itself is exercised. Scale: semi join shuffles on orderkey; the date
+    range prunes the orders scan first."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "q_top_customers",
+    sql=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST({_REV_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey_ids=("JOIN-1", "AGG-1", "SRT-2"),
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-revenue per customer, top 20. Exercises
+    the full join→aggregate→top-k pipeline in one plan. Scale: lineitem⋈
+    orders shuffles; customer/nation broadcast; TakeOrdered bounds the
+    result without a global sort. Revenue tie-break by custkey keeps the
+    limit deterministic."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dec_sum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
