@@ -9,6 +9,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from w4h_etl_container_spark.functions.vectorkernels import ivf_centroids, make_ivf_assign_udf
 from w4h_etl_container_spark.kernels import tree_sum
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.plans.vectors import DIM, _S, _elem
@@ -248,9 +249,11 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 N_CENTROIDS = 4
 
+_ivf_udf = make_ivf_assign_udf(ivf_centroids(N_CENTROIDS, DIM))
+
 
 def _centroid(k: int, j: int) -> float:
-    """Deterministic centroid component (literal in both engines)."""
+    """Centroid component — lockstep with vectorkernels.ivf_centroids."""
     return math.cos(k * 31.0 + j * 7.0)
 
 
@@ -273,7 +276,7 @@ def _ivf_sql() -> str:
     return f"""
     SELECT vec_id, label,
            CAST({expr_k} AS BIGINT) AS centroid_id,
-           FLOOR({expr_d} * 1000000.0 + 0.5) / 1000000.0 AS dist2
+           CAST(FLOOR({expr_d} * 1000000.0 + 0.5) AS BIGINT) AS dist2_e6
     FROM (SELECT *, {binds} FROM embeddings)
     """
 
@@ -282,23 +285,16 @@ def _ivf_sql() -> str:
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (deterministic literal centroids; argmin with ties to lowest id).
+    Spark side is the Arrow numpy kernel (see vectorkernels.py — identical
+    op order as the oracle's SQL trees, micro-unit integer output).
 
     This is the ANN scale path's partitioner: repartition by centroid_id
     and a query probes only its nearest cells — sub-linear search with
     data locality (pairs with q_ann_lsh; a real index trains centroids
     with k-means over a sample, the assignment plan is identical)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    with_d = emb.select(
-        "*", *[F.expr(_ivf_dist_expr("spark", k)).alias(f"__d{k}") for k in range(N_CENTROIDS)]
-    )
-    expr_k = F.lit(0)
-    expr_d = F.col("__d0")
-    for k in range(1, N_CENTROIDS):
-        expr_k = F.when(F.col(f"__d{k}") < expr_d, F.lit(k)).otherwise(expr_k)
-        expr_d = F.when(F.col(f"__d{k}") < expr_d, F.col(f"__d{k}")).otherwise(expr_d)
-    r6 = F.floor(expr_d * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-    return with_d.select(
-        "vec_id", "label", expr_k.cast("long").alias("centroid_id"), r6.alias("dist2")
+    return emb.select("vec_id", "label", _ivf_udf("embedding").alias("iv")).select(
+        "vec_id", "label", "iv.centroid_id", "iv.dist2_e6"
     )
 
 

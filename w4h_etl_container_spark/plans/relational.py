@@ -445,8 +445,8 @@ def q_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     sql="""
     SELECT l_orderkey,
-           list(l_linenumber ORDER BY l_linenumber, l_quantity) AS lines,
-           list(CAST(l_quantity AS INTEGER) ORDER BY l_linenumber, l_quantity) AS quantities
+           array_to_string(list(l_linenumber ORDER BY l_linenumber, l_quantity), ',') AS lines,
+           array_to_string(list(CAST(l_quantity AS INTEGER) ORDER BY l_linenumber, l_quantity), ',') AS quantities
     FROM lineitem
     GROUP BY l_orderkey
     """,
@@ -457,9 +457,12 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key array ordered by an explicit sort key — the engine makes the
     reference's positional ordering explicit (SURVEY §2.4). Spark shape:
     collect structs, ``sort_array``, project the payload with
-    ``transform`` — all JVM-side. Scale: one shuffle on the key; array
-    sizes are bounded (≤ 7 lines/order; ≤ ~170 hours/cell in the weather
-    workload) so no skew risk."""
+    ``transform`` — all JVM-side. The declared output joins each array to
+    a CSV string so every compared cell is a flat scalar (array cells
+    crash pandas-based canonicalizers — round-1 driver finding); the
+    arrays themselves are the intermediate, unchanged. Scale: one shuffle
+    on the key; array sizes are bounded (≤ 7 lines/order; ≤ ~170
+    hours/cell in the weather workload) so no skew risk."""
     li = read_table(spark, sf_dir, "lineitem")
     pair = F.struct(F.col("l_linenumber").alias("k"), F.col("l_quantity").cast("int").alias("q"))
     return (
@@ -467,8 +470,8 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(pair)).alias("pairs"))
         .select(
             "l_orderkey",
-            F.transform("pairs", lambda s: s.k).alias("lines"),
-            F.transform("pairs", lambda s: s.q).alias("quantities"),
+            F.concat_ws(",", F.transform("pairs", lambda s: s.k)).alias("lines"),
+            F.concat_ws(",", F.transform("pairs", lambda s: s.q)).alias("quantities"),
         )
     )
 
