@@ -95,6 +95,22 @@ class TestBackendParity:
         ours = K.wbgt_c(B, arr(303.15), arr(330.0), arr(2.0), arr(296.0))[0]
         assert abs(duck - ours) < 1e-9
 
+    def test_greatest_least_null_strict_in_sql(self):
+        """SqlBackend.greatest/least must propagate NULL (Spark/numpy
+        contract), not skip it like plain SQL GREATEST does in DuckDB."""
+        S = SqlBackend()
+        g = S.greatest(S.col("a"), S.col("b"))
+        le = S.least(S.col("a"), S.col("b"))
+        con = duckdb.connect()
+        row = con.sql(
+            f"SELECT {g} AS g, {le} AS l FROM (SELECT NULL::DOUBLE AS a, 0.5 AS b)"
+        ).fetchone()
+        assert row == (None, None)
+        row2 = con.sql(
+            f"SELECT {g} AS g, {le} AS l FROM (SELECT 1.5::DOUBLE AS a, 0.5 AS b)"
+        ).fetchone()
+        assert row2 == (1.5, 0.5)
+
 
 class TestEncodeDecode:
     @given(

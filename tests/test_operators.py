@@ -179,3 +179,28 @@ class TestCompaction:
         assert "PartitionFilters" in got.where(F.col("d") == "2024-01-05")._jdf.queryExecution().executedPlan().toString() or True
         import os as _os
         assert any(x.startswith("d=") for x in _os.listdir(path))
+
+    def test_target_files_per_partition_honored(self, spark, sf_dir, tmp_path):
+        """n>1 must actually split each partition value into ~n files —
+        repartition(n, col) alone routes a value wholly to one task."""
+        import os
+
+        from w4h_etl_container_spark.pipeline.maintenance import compact_parquet
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir).withColumn("d", F.to_date("ts"))
+        path = str(tmp_path / "tbl2")
+        ev.repartition(8).write.partitionBy("d").parquet(path)
+        n_rows = spark.read.parquet(path).count()
+
+        compact_parquet(spark, path, "d", target_files_per_partition=3)
+        per_part = {}
+        for root, _, files in os.walk(path):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n and os.path.basename(root).startswith("d="):
+                per_part[os.path.basename(root)] = n
+        assert per_part, "no partition dirs found"
+        # at least one partition split into >1 file (hash-bucket split)
+        assert max(per_part.values()) > 1
+        assert max(per_part.values()) <= 3
+        assert spark.read.parquet(path).count() == n_rows

@@ -329,11 +329,21 @@ class SqlBackend:
             f"(CASE WHEN {SqlExpr._w(cond)} THEN {SqlExpr._w(a)} ELSE {SqlExpr._w(b)} END)"
         )
 
+    # null-STRICT, matching SparkBackend's contract (FLT-2 semantics):
+    # plain SQL GREATEST/LEAST *skip* nulls (GREATEST(NULL, x) = x in
+    # DuckDB), which would diverge from the Spark rendering on any null
+    # kernel input.
     def greatest(self, a, b):
-        return self._fn("GREATEST", a, b)
+        aw, bw = SqlExpr._w(a), SqlExpr._w(b)
+        return SqlExpr(
+            f"(CASE WHEN {aw} IS NULL OR {bw} IS NULL THEN NULL ELSE GREATEST({aw}, {bw}) END)"
+        )
 
     def least(self, a, b):
-        return self._fn("LEAST", a, b)
+        aw, bw = SqlExpr._w(a), SqlExpr._w(b)
+        return SqlExpr(
+            f"(CASE WHEN {aw} IS NULL OR {bw} IS NULL THEN NULL ELSE LEAST({aw}, {bw}) END)"
+        )
 
     def hypot(self, a, b):
         # DuckDB has no HYPOT; same IEEE result for in-range inputs

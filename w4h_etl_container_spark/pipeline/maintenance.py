@@ -29,7 +29,19 @@ def compact_parquet(
     df = spark.read.parquet(path)
     writer = df
     if partition_col is not None:
-        writer = df.repartition(target_files_per_partition, partition_col)
+        if target_files_per_partition > 1:
+            # repartition(n, partition_col) alone hash-routes each
+            # partition VALUE wholly to one task (→ always ~1 file); a
+            # bucket term actually splits each partition value n ways.
+            # The explicit partition count keeps AQE from coalescing the
+            # buckets back together on small inputs.
+            from pyspark.sql import functions as F
+
+            bucket = F.pmod(F.hash(*df.columns), F.lit(target_files_per_partition))
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            writer = df.repartition(max(n_shuffle, target_files_per_partition), partition_col, bucket)
+        else:
+            writer = df.repartition(target_files_per_partition, partition_col)
     else:
         writer = df.coalesce(target_files_per_partition)
     staging = path + ".compact"

@@ -689,11 +689,14 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("SET-3",),
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SET-3 companion: EXCEPT (distinct anti-join)."""
+    """SET-3 companion: EXCEPT DISTINCT = ``subtract`` (distinct
+    anti-join). NOT ``exceptAll(b).distinct()`` — bag difference keeps a
+    value whose multiplicity in a exceeds its multiplicity in b, which is
+    not EXCEPT semantics."""
     p = read_table(spark, sf_dir, "part")
     a = p.where(F.col("p_size") >= 25).select("p_type")
     b = p.where(F.col("p_retailprice") >= 1500.0).select("p_type")
-    return a.exceptAll(b.distinct()).distinct()
+    return a.subtract(b)
 
 
 # ---------------------------------------------------------------------------
@@ -789,14 +792,19 @@ def q_sf_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_flt_anti",
     sql="""
     SELECT c_custkey, c_name, c_mktsegment
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
     """,
     survey_ids=("FLT-1", "SET-3"),
 )
 def q_flt_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-1 complement: LEFT ANTI join — rows whose key does NOT appear
     in the filter set (the 'not near land' / 'never purchased' shape).
+    Oracle uses NOT EXISTS, whose null semantics match left_anti exactly
+    (NOT IN's three-valued logic empties the result if any key is NULL).
     Scale: same broadcast hash plan as the semi join, negated."""
     cust = read_table(spark, sf_dir, "customer")
     keys = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_custkey")
