@@ -113,7 +113,7 @@ class TestBucketedZeroShuffleMerge:
 
 class TestKernelCodegen:
     def test_utci_stays_in_wholestage_codegen(self, spark, sf_dir, reg):
-        p = plan_of(reg["q_utci"].fn(spark, sf_dir))
+        p = plan_of(reg["q_thermal_indices"].fn(spark, sf_dir))
         # toString renders whole-stage codegen regions as "*(id)" prefixes
         assert "*(1)" in p or "WholeStageCodegen" in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # no Python in plan
@@ -129,7 +129,6 @@ class TestKernelCodegen:
         "q_ann_probe",
         "q_ivf_assign",
         "q_media_features",
-        "q_media_frames",
     }
 
     def test_no_python_udf_outside_arrow_allowlist(self, spark, sf_dir, reg):

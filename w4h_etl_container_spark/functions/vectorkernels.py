@@ -36,7 +36,14 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+_VECSTATS_SCHEMA = StructType(
+    [StructField("l2_norm_e6", LongType()), StructField("unit_c0_e6", LongType())]
+)
+_IVF_SCHEMA = StructType(
+    [StructField("centroid_id", LongType()), StructField("dist2_e6", LongType())]
+)
 
 
 def tree_reduce(m: np.ndarray) -> np.ndarray:
@@ -135,7 +142,7 @@ def make_vecstats_udf():
     """Per-vector hygiene stats: L2 norm and first normalized component,
     both in micro-units."""
 
-    @F.pandas_udf("l2_norm_e6 bigint, unit_c0_e6 bigint")
+    @F.pandas_udf(_VECSTATS_SCHEMA)
     def vec_stats(emb: pd.Series) -> pd.DataFrame:
         a = stackf64(emb)
         if len(a) == 0:
@@ -153,7 +160,7 @@ def make_ivf_assign_udf(centroids: np.ndarray):
     the lowest centroid id (strict-< running min, matching the oracle's
     CASE chain)."""
 
-    @F.pandas_udf("centroid_id bigint, dist2_e6 bigint")
+    @F.pandas_udf(_IVF_SCHEMA)
     def ivf_assign(emb: pd.Series) -> pd.DataFrame:
         a = stackf64(emb)
         if len(a) == 0:

@@ -16,30 +16,45 @@ from w4h_etl_container_spark.session import read_events
 
 
 # ---------------------------------------------------------------------------
-# STR-5 — tumbling window aggregation
+# STR-5 — tumbling + sliding window aggregation
 # ---------------------------------------------------------------------------
 @register(
     "q_stream_tumbling",
     sql="""
-    SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
+    SELECT 'tumble6h' AS kind,
+           time_bucket(INTERVAL '6 hours', ts) AS ws,
            event_type,
            COUNT(*) AS n,
            min(value) AS lo, max(value) AS hi,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'slide1d6h' AS kind,
+           time_bucket(INTERVAL '6 hours', ts) - to_hours(6 * k.k) AS ws,
+           '*' AS event_type,
+           COUNT(*) AS n,
+           min(value) AS lo, max(value) AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 2
     """,
     survey_ids=("STR-5",),
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STR-5 (SURVEY §2.9): 6-hour tumbling window per event type.
-    ``F.window`` aligns to the epoch, as does DuckDB's ``time_bucket``
-    (their origins differ by 2000-01-01, which is a whole multiple of 6 h
-    — boundaries coincide). In streaming mode the identical expression
-    runs under ``withWatermark`` (see streaming/windows.py). Scale: one
-    hash aggregate; window assignment is a pure expression."""
+    """STR-5 (SURVEY §2.9): 6-hour tumbling windows per event type, plus
+    sliding windows (1 day long, 6 h slide — each row lands in 4 windows),
+    tagged and unioned. ``F.window`` aligns to the epoch, as does DuckDB's
+    ``time_bucket`` (their origins differ by 2000-01-01, a whole multiple
+    of 6 h — boundaries coincide); the oracle spells the slide expansion
+    as a cross join with k ∈ 0..3. In streaming mode the identical
+    expressions run under ``withWatermark`` (see streaming/windows.py).
+
+    Scale: tumbling is one hash aggregate (window assignment is a pure
+    expression); sliding is a bounded ×(length/slide) map-side row
+    expansion before its aggregate. The union is plan-level only."""
     ev = read_events(spark, sf_dir)
-    return (
+    tumble = (
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -47,8 +62,35 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
         )
-        .select(F.col("w.start").alias("ws"), "event_type", "n", "lo", "hi", "total")
+        .select(
+            F.lit("tumble6h").alias("kind"),
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "n",
+            "lo",
+            "hi",
+            "total",
+        )
     )
+    slide = (
+        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.lit("slide1d6h").alias("kind"),
+            F.col("w.start").alias("ws"),
+            F.lit("*").alias("event_type"),
+            "n",
+            "lo",
+            "hi",
+            "total",
+        )
+    )
+    return tumble.unionByName(slide)
 
 
 # ---------------------------------------------------------------------------
@@ -137,58 +179,53 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STR-1/STR-4 — source bookkeeping & state expiry (relational state table)
+# STR-1/STR-4/SNK-4 — state-table maintenance (map ops + expiry + bookkeeping)
 # ---------------------------------------------------------------------------
 @register(
-    "q_state_expiry",
+    "q_state_ops",
     sql="""
-    SELECT event_type, max(ts) AS last_seen, COUNT(*) AS n_total
-    FROM events
-    GROUP BY event_type
-    HAVING max(ts) >= TIMESTAMP '2024-01-25 00:00:00'
-    """,
-    survey_ids=("STR-1", "STR-4", "SNK-4"),
-)
-def q_state_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STR-1/STR-4 (reference status-doc bookkeeping + chart-registry
-    expiry, ``utils.py:80-91``, ``main.py:353-359``): the state table as
-    rows (type → last_seen), expired entries dropped by the retention
-    predicate. The reference's dotted-path map updates become plain
-    aggregate-then-filter over the state relation."""
-    ev = read_events(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n_total"))
-        .where(F.col("last_seen") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# SNK-4 — MapType state operations (map build → filter → expand)
-# ---------------------------------------------------------------------------
-@register(
-    "q_state_map",
-    sql="""
-    SELECT user_id, event_type, n FROM (
+    WITH per_type AS (
       SELECT user_id, event_type, COUNT(*) AS n
       FROM events GROUP BY user_id, event_type
-    ) WHERE n >= 10
+    ), live AS (
+      SELECT event_type, max(ts) AS last_seen
+      FROM events
+      GROUP BY event_type
+      HAVING max(ts) >= TIMESTAMP '2024-01-25 00:00:00'
+    )
+    SELECT p.user_id, p.event_type, p.n, l.last_seen
+    FROM per_type p JOIN live l ON p.event_type = l.event_type
+    WHERE p.n >= 10
     """,
-    survey_ids=("SNK-4", "SF-11", "STR-4"),
+    survey_ids=("STR-1", "STR-4", "SNK-4", "SF-11"),
 )
-def q_state_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SNK-4 (reference ``globalCharts`` dotted-map updates,
-    ``utils.py:80-91``): the MapType op chain — build a per-user
-    map<event_type, count> with ``map_from_entries``, expire small entries
-    with ``map_filter`` (the STR-4 expiry shape), then ``explode`` back to
-    rows so the oracle can hash it. Scale: one aggregate; the map ops are
-    per-row expressions over bounded-size maps (5 event types)."""
+def q_state_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-table maintenance chain (reference status-doc
+    bookkeeping + ``globalCharts`` dotted-map updates + chart-registry
+    expiry, ``utils.py:80-91``, ``main.py:353-359``):
+
+    * SNK-4/SF-11 — build a per-user map<event_type, count> with
+      ``map_from_entries``, drop small entries with ``map_filter``, then
+      ``explode`` back to rows (the MapType op surface, oracle-hashable);
+    * STR-1/STR-4 — the per-type state rows (type → last_seen) with
+      expired types dropped by the retention predicate, joined back so
+      every surviving row carries its source's bookkeeping.
+
+    Scale: two hash aggregates sharing the events scan; the live-type
+    state is tiny → broadcast join; map ops are per-row expressions over
+    bounded-size maps (5 event types)."""
     ev = read_events(spark, sf_dir)
     per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
     )
-    kept = mapped.select(
-        "user_id", F.map_filter("m", lambda k, v: v >= 10).alias("m")
+    kept = mapped.select("user_id", F.map_filter("m", lambda k, v: v >= 10).alias("m"))
+    rows = kept.select("user_id", F.explode("m").alias("event_type", "n"))
+    live = (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("last_seen"))
+        .where(F.col("last_seen") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
     )
-    return kept.select("user_id", F.explode("m").alias("event_type", "n"))
+    return rows.join(F.broadcast(live), "event_type").select(
+        "user_id", "event_type", "n", "last_seen"
+    )

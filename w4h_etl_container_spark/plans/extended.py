@@ -1,19 +1,22 @@
-"""Extended operator coverage — the SURVEY §2 'opt' rows (JOIN-4 range,
-AGG-6 cube/approx, WIN-3 frames) plus engine-surface demos (SQL frontend,
-IVF assignment, fuzzy matching, sliding windows)."""
+"""Extended operator coverage — the SURVEY §2 'opt' rows (JOIN-4 range
+join, AGG-6 exact percentiles) plus engine-surface demos (SQL frontend,
+IVF centroid assignment). WIN-3 frames live in q_win_funcs
+(plans/relational.py), CUBE in q_agg_rollup, sliding windows in
+q_stream_tumbling (plans/eventsops.py), edit-distance verification in
+q_minhash_lsh (plans/textops.py)."""
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.functions.vectorkernels import ivf_centroids, make_ivf_assign_udf
 from w4h_etl_container_spark.kernels import tree_sum
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.plans.vectors import DIM, _S, _elem
-from w4h_etl_container_spark.session import read_events, read_table
+from w4h_etl_container_spark.session import read_table
 
 
 # ---------------------------------------------------------------------------
@@ -64,42 +67,6 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# AGG-6 — cube;  approx count-distinct (rows-only)
-# ---------------------------------------------------------------------------
-@register(
-    "q_agg_cube",
-    sql="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    survey_ids=("AGG-6",),
-)
-def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AGG-6: CUBE over (returnflag, linestatus) — all 4 grouping sets in
-    one pass (map-side expansion + single shuffle)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"),
-    )
-
-
-@register("q_approx_distinct", sql=None, survey_ids=("AGG-6",))
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AGG-6: HyperLogLog++ approximate count-distinct (rows-only check —
-    sketch internals are engine-specific, so no value oracle; the driver
-    records cardinality). At 100 TB this replaces exact distinct counts
-    whose shuffle would dominate the job."""
-    ev = read_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # exact percentiles
 # ---------------------------------------------------------------------------
 @register(
@@ -124,123 +91,6 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
         r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# WIN-3 — frames: moving aggregate, lag/lead deltas
-# ---------------------------------------------------------------------------
-@register(
-    "q_win_moving",
-    sql="""
-    SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
-           COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
-    FROM events
-    """,
-    survey_ids=("WIN-3",),
-)
-def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WIN-3 frames: 3-row moving sum per user (decimal-exact so the
-    incremental frame evaluation order can't produce float drift).
-    Scale: one shuffle on user_id; frames evaluate streaming per
-    partition."""
-    ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("moving_sum"),
-        F.count(F.lit(1)).over(w).alias("n_in_frame"),
-    )
-
-
-@register(
-    "q_win_lag_lead",
-    sql="""
-    SELECT event_id, user_id, ts,
-           value - lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_prev,
-           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS delta_next
-    FROM events
-    """,
-    survey_ids=("WIN-3",),
-)
-def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WIN-3: lag/lead deltas per user (exact double subtraction; total
-    order via (ts, event_id))."""
-    ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
-        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# STR-5 — sliding windows
-# ---------------------------------------------------------------------------
-@register(
-    "q_stream_sliding",
-    sql="""
-    SELECT time_bucket(INTERVAL '6 hours', ts) - to_hours(6 * k.k) AS ws,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
-    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
-    GROUP BY 1
-    """,
-    survey_ids=("STR-5",),
-)
-def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STR-5: sliding window (1 day long, 6 h slide) — each row lands in 4
-    windows. Spark's ``window(ts, '1 day', '6 hours')`` expands rows
-    map-side; the oracle spells the same expansion as a cross join with
-    k ∈ 0..3. Scale: ×4 row expansion before one hash aggregate — the
-    slide ratio bounds the blowup."""
-    ev = read_events(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
-        )
-        .select(F.col("w.start").alias("ws"), "n", "total")
-    )
-
-
-# ---------------------------------------------------------------------------
-# fuzzy matching (edit distance)
-# ---------------------------------------------------------------------------
-@register(
-    "q_edit_distance",
-    sql="""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS dist
-    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-    """,
-    survey_ids=("EXT-DEDUP",),
-)
-def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein distance between adjacent documents' 30-char prefixes —
-    the exact-verification primitive for fuzzy dedup (both engines
-    implement the same DP). Scale: O(len²) per pair — only ever run on
-    candidate pairs (MinHash/SimHash output), never the cross product."""
-    d = read_table(spark, sf_dir, "documents")
-    a = d.alias("a")
-    b = d.alias("b")
-    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.levenshtein(
-            F.substring(F.col("a.text"), 1, 30), F.substring(F.col("b.text"), 1, 30)
-        ).cast("long").alias("dist"),
     )
 
 

@@ -18,19 +18,19 @@ from w4h_etl_container_spark.plans.registry import register
 
 @register("q_media_features", sql=None, survey_ids=("EXT-MEDIA",))
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-level feature extraction over binary media columns via
-    Arrow-batched ``mapInPandas`` (decode kernel stubbed — see
-    multimodal/media.py; Spark-side plumbing is real). Deterministic:
-    seeded synth + md5 content hashes."""
+    """The multimodal processing chain over binary media columns:
+    byte-level feature extraction (Arrow-batched ``mapInPandas``; decode
+    kernel stubbed — see multimodal/media.py; Spark-side plumbing is
+    real) joined with per-asset sampled-frame counts from the
+    row-expanding ``frame_sample`` kernel (the UDTF shape — one output
+    row per frame, aggregated back per asset). Deterministic: seeded
+    synth + md5 content hashes; image assets (no frames) carry
+    n_frames = 0."""
     media = synthesize_media(spark, n=64)
-    return extract_features(media).orderBy("media_id")
-
-
-@register("q_media_frames", sql=None, survey_ids=("EXT-MEDIA",))
-def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (row-expanding mapInPandas — the UDTF shape): one
-    row per sampled frame of each audio/video asset."""
-    media = synthesize_media(spark, n=64)
-    return frame_sample(media).select(
-        "media_id", "frame_idx", F.length("frame_bytes").alias("n_bytes")
+    n_frames = frame_sample(media).groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        extract_features(media)
+        .join(n_frames, "media_id", "left")
+        .withColumn("n_frames", F.coalesce(F.col("n_frames"), F.lit(0)))
+        .orderBy("media_id")
     )

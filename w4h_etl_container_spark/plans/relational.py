@@ -173,6 +173,53 @@ def q_flt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# FLT-2 — global null-slice drop (the dropna("time") gate)
+# ---------------------------------------------------------------------------
+@register(
+    "q_flt_dropna",
+    sql="""
+    WITH seeded AS (
+      SELECT event_id, ts, user_id, date_trunc('hour', ts) AS hts,
+             CASE WHEN event_id % 37 = 5 THEN NULL ELSE value END AS v
+      FROM events
+    ), clean AS (
+      SELECT hts FROM seeded
+      GROUP BY hts
+      HAVING max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) = 0
+    )
+    SELECT event_id, ts, user_id, v
+    FROM seeded WHERE hts IN (SELECT hts FROM clean)
+    """,
+    survey_ids=("FLT-2",),
+)
+def q_flt_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLT-2 (reference ``data.dropna('time')``, ``main.py:402``): a time
+    label dies if ANY cell is null at that label — a global-per-timestep
+    predicate, NOT a per-row dropna (SURVEY §4's flagged subtle-semantics
+    risk). Nulls are seeded deterministically (event_id % 37 = 5) so the
+    gate's behavior is oracle-pinned on real null inputs.
+
+    Spark shape is ``operators.gates.drop_incomplete_timesteps``: one
+    aggregate per timestep (bounded cardinality: hours) and a broadcast
+    semi-join back — survives any grid width at 100 TB."""
+    from w4h_etl_container_spark.operators.gates import drop_incomplete_timesteps
+
+    ev = read_events(spark, sf_dir)
+    seeded = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.date_trunc("HOUR", "ts").alias("hts"),
+        F.when(F.col("event_id") % 37 == 5, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return drop_incomplete_timesteps(seeded, "hts", ["v"]).select(
+        "event_id", "ts", "user_id", "v"
+    )
+
+
+# ---------------------------------------------------------------------------
 # JOIN-1 — multi-way align (merge) as n-way join
 # ---------------------------------------------------------------------------
 @register(
@@ -373,15 +420,35 @@ def q_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q_agg_distinct",
-    sql="SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events",
-    survey_ids=("AGG-2",),
+    sql="SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, 1 AS approx_ok FROM events",
+    survey_ids=("AGG-2", "AGG-6"),
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGG-2 (reference ``np.unique`` over dates/offsets, ``main.py:401,365``):
     distinct on computed columns — hash aggregate without values; partial
-    dedup map-side."""
+    dedup map-side.
+
+    Also carries the AGG-6 approx-distinct self-check: ``approx_ok`` is 1
+    iff HyperLogLog++ ``approx_count_distinct(user_id)`` (2% rsd) lands
+    within 5% of the exact global count — sketch internals are
+    engine-specific, so the *bound* is the oracle-checkable contract (the
+    oracle's constant 1 fails the gate if the sketch drifts out of
+    tolerance). At 100 TB the approx variant replaces exact distincts
+    whose shuffle would dominate the job."""
     ev = read_events(spark, sf_dir)
-    return ev.select(F.col("ts").cast("date").alias("d"), "event_type").distinct()
+    distinct = ev.select(F.col("ts").cast("date").alias("d"), "event_type").distinct()
+    check = ev.agg(
+        (
+            (
+                F.abs(F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
+                / F.countDistinct("user_id")
+            )
+            <= 0.05
+        )
+        .cast("int")
+        .alias("approx_ok")
+    )
+    return distinct.crossJoin(F.broadcast(check))
 
 
 # ---------------------------------------------------------------------------
@@ -487,21 +554,24 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
+    GROUP BY CUBE (r_name, n_name)
     """,
     survey_ids=("AGG-6",),
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AGG-6 (engine extension; SURVEY §2.4): rollup over the region →
-    nation hierarchy. Scale: Spark expands grouping sets map-side then one
-    shuffle; dimension joins broadcast."""
+    """AGG-6 (engine extension; SURVEY §2.4): CUBE over (region, nation) —
+    all four grouping sets in one pass, a strict superset of the rollup
+    hierarchy (the ROLLUP sets plus the nation-only marginal), so one
+    declared query pins the whole grouping-sets machinery. Scale: Spark
+    expands grouping sets map-side then one shuffle; dimension joins
+    broadcast."""
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
+        .cube("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             _dec_sum(F.col("c_acctbal"), "total_bal"),
@@ -547,30 +617,52 @@ def q_win_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# WIN-3 — ranking windows
+# WIN-3 — the window-function suite: ranking, frames, lag/lead
 # ---------------------------------------------------------------------------
 @register(
-    "q_win_rank",
+    "q_win_funcs",
     sql="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    SELECT event_id, user_id, ts, rnk, moving_sum, n_in_frame, delta_prev, delta_next
     FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-      FROM orders
-    ) WHERE rnk <= 3
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame,
+             value - lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_prev,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS delta_next
+      FROM events
+    ) WHERE rnk <= 5
     """,
     survey_ids=("WIN-3", "SRT-2"),
 )
-def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WIN-3 (SURVEY §2.5, engine-provided): per-group top-3 via
-    row_number with a total order (price desc, key asc). Scale: one
-    shuffle on the partition key; rank filter applied before any further
-    join so only 3 rows/customer survive the stage."""
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+def q_win_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIN-3 (SURVEY §2.5, engine-provided): the full window-function
+    family over one shared (partition, order) spec — ranking
+    (row_number + top-5-per-key filter), a 3-row moving frame
+    (decimal-exact so incremental frame evaluation can't drift), and
+    lag/lead deltas. One shuffle on user_id serves every function; the
+    rank filter bounds what leaves the stage (SRT-2 per-group top-k
+    shape). Scale: frames evaluate streaming per partition — no
+    re-buffering per function."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
     return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk"))
-        .where(F.col("rnk") <= 3)
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.row_number().over(w).alias("rnk"),
+            F.sum(F.col("value").cast("decimal(18,4)")).over(wf).cast("double").alias("moving_sum"),
+            F.count(F.lit(1)).over(wf).alias("n_in_frame"),
+            (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+            (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+        )
+        .where(F.col("rnk") <= 5)
     )
 
 
@@ -661,42 +753,35 @@ def q_set_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SET-3 — intersect / except
 # ---------------------------------------------------------------------------
 @register(
-    "q_set_intersect",
+    "q_set_ops",
     sql="""
-    SELECT p_type FROM part WHERE p_size >= 25
-    INTERSECT
-    SELECT p_type FROM part WHERE p_retailprice >= 1500.0
+    SELECT p_type, 'intersect' AS op FROM (
+      SELECT p_type FROM part WHERE p_size >= 25
+      INTERSECT
+      SELECT p_type FROM part WHERE p_retailprice >= 1500.0
+    )
+    UNION ALL
+    SELECT p_type, 'except' AS op FROM (
+      SELECT p_type FROM part WHERE p_size >= 25
+      EXCEPT
+      SELECT p_type FROM part WHERE p_retailprice >= 1500.0
+    )
     """,
     survey_ids=("SET-3",),
 )
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SET-3 (SURVEY §2.7, engine-provided): INTERSECT = distinct + hash
-    semi-join; Spark plans a left-semi aggregate. EXCEPT is declared via
-    q_set_except."""
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-3 (SURVEY §2.7, engine-provided): INTERSECT (distinct hash
+    semi-join) and EXCEPT DISTINCT (``subtract`` — NOT
+    ``exceptAll().distinct()``, which is bag difference and wrongly keeps
+    values with surplus multiplicity in a), tagged and unioned. Scale:
+    both are one shuffle on the compared column; the tag union is
+    plan-level only."""
     p = read_table(spark, sf_dir, "part")
     a = p.where(F.col("p_size") >= 25).select("p_type")
     b = p.where(F.col("p_retailprice") >= 1500.0).select("p_type")
-    return a.intersect(b)
-
-
-@register(
-    "q_set_except",
-    sql="""
-    SELECT p_type FROM part WHERE p_size >= 25
-    EXCEPT
-    SELECT p_type FROM part WHERE p_retailprice >= 1500.0
-    """,
-    survey_ids=("SET-3",),
-)
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SET-3 companion: EXCEPT DISTINCT = ``subtract`` (distinct
-    anti-join). NOT ``exceptAll(b).distinct()`` — bag difference keeps a
-    value whose multiplicity in a exceeds its multiplicity in b, which is
-    not EXCEPT semantics."""
-    p = read_table(spark, sf_dir, "part")
-    a = p.where(F.col("p_size") >= 25).select("p_type")
-    b = p.where(F.col("p_retailprice") >= 1500.0).select("p_type")
-    return a.subtract(b)
+    return a.intersect(b).withColumn("op", F.lit("intersect")).unionByName(
+        a.subtract(b).withColumn("op", F.lit("except"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -712,15 +797,18 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_part('hour', ts)  AS h,
            date_part('doy', ts)   AS doy,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-           CAST(ts AS DATE)       AS d
+           CAST(ts AS DATE)       AS d,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
     """,
-    survey_ids=("SF-6",),
+    survey_ids=("SF-6", "SF-11"),
 )
 def q_sf_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SF-6 (reference dt accessors, ``main.py:121-124,142,221``): the full
     datetime accessor family as native Column functions — all codegen'd,
-    no UDF."""
+    no UDF. Plus SF-11 typed JSON extraction from the props column
+    (``from_json`` with an explicit schema — deterministic, single-pass,
+    vectorized; not schema_of_json)."""
     ev = read_events(spark, sf_dir)
     return ev.select(
         "event_id",
@@ -731,6 +819,7 @@ def q_sf_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("ts").cast("long").alias("doy"),
         F.date_trunc("DAY", "ts").alias("day_start"),
         F.col("ts").cast("date").alias("d"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
     )
 
 
@@ -759,29 +848,6 @@ def q_sf_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", "lang", "source").alias("tag"),
         F.upper("lang").alias("lang_uc"),
         F.length("text").cast("long").alias("text_len"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# SF-11 — JSON extraction
-# ---------------------------------------------------------------------------
-@register(
-    "q_sf_json",
-    sql="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-    FROM events
-    """,
-    survey_ids=("SF-11",),
-)
-def q_sf_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SF-11 (SURVEY §2.8, extension surface): typed extraction from the
-    events JSON props column. ``from_json`` with an explicit schema (not
-    schema_of_json — deterministic, single-pass, vectorized)."""
-    ev = read_events(spark, sf_dir)
-    return ev.select(
-        "event_id",
-        F.from_json("props", "k BIGINT").getField("k").alias("k"),
     )
 
 

@@ -27,74 +27,7 @@ def _tokens():
 
 
 # ---------------------------------------------------------------------------
-# token counting
-# ---------------------------------------------------------------------------
-@register(
-    "q_token_count",
-    sql=f"""
-    SELECT doc_id,
-           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+\\d|\\d+')) AS BIGINT) AS n_numericish
-    FROM documents
-    """,
-    survey_ids=("EXT-TEXT",),
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer + a numeric-ish token tally —
-    the BPE-precursor stats a data pipeline reports per document). Pure
-    per-row expressions: embarrassingly parallel, scan-bound at 100 TB."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(_tokens()).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+\d|\d+"))).cast("long").alias("n_numericish"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# quality scoring
-# ---------------------------------------------------------------------------
-@register(
-    "q_text_quality",
-    sql=f"""
-    SELECT doc_id,
-           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS DOUBLE) / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS avg_token_len,
-           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE) AS punct_ratio,
-           CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE)
-             / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS stopword_ratio
-    FROM documents
-    WHERE length(text) > 0
-    """,
-    survey_ids=("EXT-TEXT",),
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, mean token length, punctuation density,
-    stopword ratio — the standard cheap heuristics for corpus filtering.
-    All ratios are exact-integer counts divided as doubles → bit-equal
-    across engines."""
-    d = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
-    n_tok = F.size(_tokens()).cast("double")
-    n_chr = F.length("text").cast("double")
-    return d.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        (n_chr / n_tok).alias("avg_token_len"),
-        (F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"))).cast("double") / n_chr).alias(
-            "punct_ratio"
-        ),
-        (
-            F.size(F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|to|in)\b"))).cast("double")
-            / n_tok
-        ).alias("stopword_ratio"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# language identification (stopword-count heuristic)
+# text profiling: token stats + quality scores + language ID in one scan
 # ---------------------------------------------------------------------------
 _LANG_MARKERS: dict[str, str] = {
     "en": r"\b(the|and|of|to|is)\b",
@@ -104,19 +37,29 @@ _LANG_MARKERS: dict[str, str] = {
 }
 
 
-def _langid_sql() -> str:
+def _profile_sql() -> str:
     scores = ",\n           ".join(
         f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS score_{lang}"
         for lang, pat in _LANG_MARKERS.items()
     )
-    # deterministic arg-max with fixed priority order en > es > de > fr
     return f"""
     WITH scored AS (
       SELECT doc_id, lang,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+\\d|\\d+')) AS BIGINT) AS n_numericish,
+           CAST(length(text) AS DOUBLE) / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE)
+             / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS stopword_ratio,
            {scores}
       FROM documents
+      WHERE length(text) > 0
     )
-    SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+    SELECT doc_id, lang, n_tokens, n_chars, n_numericish,
+           avg_token_len, punct_ratio, stopword_ratio,
+           score_en, score_es, score_de, score_fr,
            CASE
              WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
              WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
@@ -127,19 +70,48 @@ def _langid_sql() -> str:
     """
 
 
-@register("q_lang_id", sql=_langid_sql(), survey_ids=("EXT-TEXT",))
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-marker counts with a deterministic
-    priority arg-max (a real pipeline swaps in character n-gram profiles;
-    the operator shape — per-row score vector + arg-max — is identical).
-    Scan-bound, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
+@register("q_text_profile", sql=_profile_sql(), survey_ids=("EXT-TEXT",))
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis profile in ONE scan — exactly how a
+    corpus pipeline runs it (each document is read once, every cheap
+    heuristic comes out together):
+
+    * token counting — whitespace tokenizer + numeric-ish token tally
+      (the BPE-precursor stats);
+    * quality scoring — length, mean token length, punctuation density,
+      stopword ratio (exact-integer counts divided as doubles →
+      bit-equal across engines);
+    * language ID — stopword-marker counts per language with a
+      deterministic priority arg-max (a real pipeline swaps in character
+      n-gram profiles; the operator shape — score vector + arg-max — is
+      identical).
+
+    Pure per-row expressions: embarrassingly parallel, scan-bound at
+    100 TB, zero shuffles."""
+    d = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_tok = F.size(_tokens()).cast("double")
+    n_chr = F.length("text").cast("double")
     lowered = F.lower(F.col("text"))
     scores = {
         lang: F.size(F.regexp_extract_all(lowered, F.lit(pat))).cast("long")
         for lang, pat in _LANG_MARKERS.items()
     }
-    df = d.select("doc_id", "lang", *[scores[l].alias(f"score_{l}") for l in _LANG_MARKERS])
+    df = d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+\d|\d+"))).cast("long").alias("n_numericish"),
+        (n_chr / n_tok).alias("avg_token_len"),
+        (F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"))).cast("double") / n_chr).alias(
+            "punct_ratio"
+        ),
+        (
+            F.size(F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|to|in)\b"))).cast("double")
+            / n_tok
+        ).alias("stopword_ratio"),
+        *[scores[l].alias(f"score_{l}") for l in _LANG_MARKERS],
+    )
     pred = (
         F.when(
             (F.col("score_en") >= F.col("score_es"))
@@ -158,52 +130,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# document fingerprinting
-# ---------------------------------------------------------------------------
-@register(
-    "q_fingerprint",
-    sql=r"""
-    SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-    survey_ids=("EXT-DEDUP",),
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint: md5 of whitespace-normalized lowercased text.
-    The canonical exact-dedup key; md5 chosen for engine-neutrality
-    (Spark-side production would use xxhash64 — 1 line to swap)."""
-    d = read_table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
-
-
-# ---------------------------------------------------------------------------
-# exact deduplication
+# exact deduplication (content fingerprint → per-doc canonical mapping)
 # ---------------------------------------------------------------------------
 @register(
     "q_dedup_exact",
     sql=r"""
-    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
-           min(doc_id) AS canonical_id,
-           COUNT(*) AS n_copies
-    FROM documents
-    GROUP BY 1
+    SELECT doc_id,
+           fingerprint,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+    FROM (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
     """,
     survey_ids=("EXT-DEDUP",),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group by content fingerprint, keep the smallest doc_id
-    as canonical (deterministic — ``dropDuplicates`` keeps an arbitrary
-    row, so the engine uses min-by-key instead). Scale: one shuffle on the
-    16-byte fingerprint; map-side partial aggregation collapses repeats
-    early."""
+    """Exact dedup, per-document view: content fingerprint (md5 of
+    whitespace-normalized lowercased text — engine-neutral; Spark-side
+    production swaps in xxhash64, 1 line) plus each document's canonical
+    representative = the smallest doc_id sharing its fingerprint
+    (deterministic — ``dropDuplicates`` keeps an arbitrary row, so the
+    engine uses min-over-fingerprint instead). ``doc_id =
+    canonical_id`` selects survivors; the rest are the drop list — the
+    actionable dedup output.
+
+    Scale: one shuffle on the 16-byte fingerprint (the window and any
+    follow-up aggregate share it); fingerprint groups are tiny so the
+    window state is bounded."""
     d = read_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fingerprint")
     return (
-        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
     )
 
 
@@ -234,23 +197,34 @@ def _minhash_sql() -> str:
       FROM shingles GROUP BY doc_id
     ), bands AS (
       {band_selects}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b,
+           levenshtein(substr(da.text, 1, 30), substr(db.text, 1, 30)) AS prefix_editdist
+    FROM cands
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
     """
 
 
 @register("q_minhash_lsh", sql=_minhash_sql(), survey_ids=("EXT-DEDUP",))
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: word 3-gram shingles → 8 MinHash
-    signatures (min over md5('s{i}|'+shingle), engine-neutral) → 4 bands of
-    2 → bucket self-join on (band, bandkey) → distinct candidate pairs.
+    """MinHash+LSH near-dup candidates WITH the fuzzy-verify stage: word
+    3-gram shingles → 8 MinHash signatures (min over md5('s{i}|'+shingle),
+    engine-neutral) → 4 bands of 2 → bucket self-join on (band, bandkey)
+    → distinct candidate pairs → Levenshtein distance between the pair's
+    30-char prefixes (the O(len²) exact-verification primitive, run ONLY
+    on candidate pairs — never the cross product; both engines implement
+    the same DP).
 
-    Scale: this is the classic linear-in-corpus shape — shingling and
-    signature aggregation are one groupBy(doc) pass; the candidate join
-    touches only same-bucket pairs, never the n² cross product. Spark-side
-    production swaps md5 for xxhash64(seed_i) and ups to 128 hashes / 16
-    bands without changing the plan shape.
+    Scale: the classic linear-in-corpus shape — shingling and signature
+    aggregation are one groupBy(doc) pass; the candidate join touches
+    only same-bucket pairs, never n²; the verify joins the tiny candidate
+    set back to documents (broadcast of the pairs at real scale).
+    Spark-side production swaps md5 for xxhash64(seed_i) and ups to 128
+    hashes / 16 bands without changing the plan shape.
     """
     d = read_table(spark, sf_dir, "documents")
     words = d.select("doc_id", _tokens().alias("ws"))
@@ -280,7 +254,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = part if bands is None else bands.unionByName(part)
     a = bands.alias("a")
     bb = bands.alias("b")
-    return (
+    cands = (
         a.join(
             bb,
             (F.col("a.band") == F.col("b.band"))
@@ -289,6 +263,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("da_id"), F.substring("text", 1, 30).alias("pa"))
+    db = d.select(F.col("doc_id").alias("db_id"), F.substring("text", 1, 30).alias("pb"))
+    return (
+        cands.join(da, F.col("doc_a") == F.col("da_id"))
+        .join(db, F.col("doc_b") == F.col("db_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("prefix_editdist"),
+        )
     )
 
 

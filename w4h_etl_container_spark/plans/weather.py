@@ -89,40 +89,18 @@ def _sql_events_kernel(build) -> str:
 
 
 # ---------------------------------------------------------------------------
-# SF-2 — wind speed (correct hypot; reference bug documented at SURVEY SF-2)
+# SF-1/2/4/9 — grid scalar suite: wind speed + encode/decode roundtrip
 # ---------------------------------------------------------------------------
-@register(
-    "q_wind_speed",
-    sql="""
-    SELECT l_orderkey, l_linenumber,
-           SQRT(((l_quantity - 25.0) * (l_quantity - 25.0)) +
-                ((l_discount * 100.0 - 5.0) * (l_discount * 100.0 - 5.0))) AS wind_speed
-    FROM lineitem
-    """,
-    survey_ids=("SF-2",),
-)
-def q_wind_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SF-2 (reference ``np.hypot(u, u)`` — the engine computes the correct
-    √(u²+v²); the reference's duplicated-u is a documented upstream bug,
-    ``main.py:179``). IEEE sqrt is exactly rounded → bit-equal oracle."""
-    li = read_table(spark, sf_dir, "lineitem")
-    B = SparkBackend()
-    u = F.col("l_quantity") - F.lit(25.0)
-    v = F.col("l_discount") * F.lit(100.0) - F.lit(5.0)
-    return li.select("l_orderkey", "l_linenumber", K.wind_speed(B, u, v).alias("wind_speed"))
-
-
-# ---------------------------------------------------------------------------
-# SF-9 — encode / decode roundtrip
-# ---------------------------------------------------------------------------
-def _encode_sql() -> str:
+def _sf_scalars_sql() -> str:
     S = SqlBackend()
     u = S.let("enc_u", S.col("(l_quantity - 25.0 + l_tax * 10.0)"))
     w = S.let("enc_w", S.col("(l_discount * 100.0 - 2.0 + l_quantity / 2.0)"))
     off = S.col("CAST(l_linenumber AS DOUBLE)")
     enc = S.let("enc", K.encode_temp_times(S, u, w, off))
+    wind = K.wind_speed(S, S.col("(l_quantity - 25.0)"), S.col("(l_discount * 100.0 - 5.0)"))
     select = (
-        f"l_orderkey, l_linenumber, CAST({enc} AS BIGINT) AS encoded, "
+        f"l_orderkey, l_linenumber, {wind} AS wind_speed, "
+        f"CAST({enc} AS BIGINT) AS encoded, "
         f"{K.decode_utci(S, enc)} AS utci_dec, "
         f"{K.decode_wbgt_c(S, enc)} AS wbgt_dec, "
         f"CAST({K.decode_offset_hours(S, enc)} AS BIGINT) AS offset_dec"
@@ -130,22 +108,32 @@ def _encode_sql() -> str:
     return render_lets(S, select, "lineitem")
 
 
-@register("q_sf_encode_roundtrip", sql=_encode_sql(), survey_ids=("SF-9", "SF-4", "SF-1"))
-def q_sf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SF-9 (reference bit-pack ``main.py:254-276``): (utci, wbgt, offset)
-    → int32-range integer and its exact inverse, as pure Column integer
-    arithmetic (round-not-truncate per ``main.py:266-270``; the +0.5/floor
-    form is the backend-exact rounding). Values synthesized from lineitem
-    land in the encodable range utci,wbgt ∈ (−100, 100), offset ≤ 199."""
+@register("q_sf_scalars", sql=_sf_scalars_sql(), survey_ids=("SF-2", "SF-9", "SF-4", "SF-1"))
+def q_sf_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grid scalar-function suite in one scan:
+
+    * SF-2 wind speed — the engine computes the correct √(u²+v²); the
+      reference's duplicated-u ``np.hypot(u, u)`` is a documented upstream
+      bug (``main.py:179``). IEEE sqrt is exactly rounded → bit-equal
+      oracle.
+    * SF-9/SF-4 bit-pack roundtrip (reference ``main.py:254-276``):
+      (utci, wbgt, offset) → int32-range integer and its exact inverse as
+      pure Column integer arithmetic (round-not-truncate per
+      ``main.py:266-270``; +0.5/floor is the backend-exact rounding).
+      Synthesized inputs land in the encodable range utci,wbgt ∈
+      (−100, 100), offset ≤ 199."""
     li = read_table(spark, sf_dir, "lineitem")
     B = SparkBackend()
     u = B.let("enc_u", F.col("l_quantity") - F.lit(25.0) + F.col("l_tax") * F.lit(10.0))
     w = B.let("enc_w", F.col("l_discount") * F.lit(100.0) - F.lit(2.0) + F.col("l_quantity") / F.lit(2.0))
     off = F.col("l_linenumber").cast("double")
     enc = B.let("enc", K.encode_temp_times(B, u, w, off))
+    wu = F.col("l_quantity") - F.lit(25.0)
+    wv = F.col("l_discount") * F.lit(100.0) - F.lit(5.0)
     return apply_lets(li, B).select(
         "l_orderkey",
         "l_linenumber",
+        K.wind_speed(B, wu, wv).alias("wind_speed"),
         enc.cast("long").alias("encoded"),
         K.decode_utci(B, enc).alias("utci_dec"),
         K.decode_wbgt_c(B, enc).alias("wbgt_dec"),
@@ -154,93 +142,8 @@ def q_sf_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# UDF-4 — UTCI;  UDF-5 — WBGT (native-Column renderings)
+# UDF-3/4/5 — thermal indices suite (MRT, UTCI, WBGT in one pass)
 # ---------------------------------------------------------------------------
-def _utci_outputs(B, sy):
-    utci = K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"])
-    return {"utci": round6(B, utci)}
-
-
-@register("q_utci", sql=_sql_events_kernel(_utci_outputs), survey_ids=("UDF-4", "SF-10"))
-def q_utci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDF-4 (reference ``calculate_utci``, ``main.py:188-195``): the Bröde
-    et al. 210-term polynomial as a *native Column tree* — whole-stage
-    codegen, no Python worker (a parity pandas-UDF rendering is tested in
-    tests/). Power ladders and humidity are let-bound columns, so the
-    analyzed plan is linear in polynomial size."""
-    return _spark_events_kernel(spark, sf_dir, _utci_outputs)
-
-
-def _wbgt_outputs(B, sy):
-    wbgt = K.wbgt_c(B, sy["t2_k"], sy["mrt_k"], sy["va"], sy["td_k"])
-    return {"wbgt": round6(B, wbgt)}
-
-
-@register("q_wbgt", sql=_sql_events_kernel(_wbgt_outputs), survey_ids=("UDF-5", "SF-10"))
-def q_wbgt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDF-5 (reference ``calculate_wbgt``, ``main.py:197-203``): outdoor
-    WBGT (ISO 7243 weighting, Stull wet-bulb, let-bound Newton globe
-    recovery) as a native Column tree."""
-    return _spark_events_kernel(spark, sf_dir, _wbgt_outputs)
-
-
-# ---------------------------------------------------------------------------
-# UDF-1 — cos solar zenith;  UDF-2 — Erbs;  UDF-3 — MRT
-# ---------------------------------------------------------------------------
-def _cossza_outputs_spark(B, sy):
-    cz = B.let(
-        "cz_out",
-        K.cos_solar_zenith_angle(
-            B, sy["lat"], sy["lon"], F.dayofyear("ts").cast("double"), F.hour("ts").cast("double") - F.lit(0.5)
-        ),
-    )
-    # SF-3: zenith angle recovered via arccos (reference ``main.py:141``)
-    return {"cossza": round6(B, cz), "zenith_deg": round6(B, B.degrees(B.acos(cz)))}
-
-
-def _cossza_outputs_sql(S, sy):
-    cz = S.let(
-        "cz_out",
-        K.cos_solar_zenith_angle(
-            S,
-            sy["lat"],
-            sy["lon"],
-            S.col("CAST(date_part('doy', ts) AS DOUBLE)"),
-            S.col("(CAST(date_part('hour', ts) AS DOUBLE) - 0.5)"),
-        ),
-    )
-    return {"cossza": round6(S, cz), "zenith_deg": round6(S, S.degrees(S.acos(cz)))}
-
-
-@register("q_cossza", sql=_sql_events_kernel(_cossza_outputs_sql), survey_ids=("UDF-1", "SF-3"))
-def q_cossza(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDF-1 (reference thermofeel hour-integrated cossza,
-    ``main.py:115-131``): Spencer-1971 solar geometry evaluated at the
-    mid-hour point (the reference's per-hour integral ≈ midpoint to ≤0.3%;
-    documented deviation). Per-row expression — the reference's per-time
-    slice loop + concat (SET-1) disappears in long form."""
-    return _spark_events_kernel(spark, sf_dir, _cossza_outputs_spark)
-
-
-def _erbs_outputs_spark(B, sy):
-    r = K.erbs(B, sy["ghi"], sy["cossza"], F.dayofyear("ts").cast("double"))
-    return {"dni": round6(B, r["dni"]), "dhi": round6(B, r["dhi"])}
-
-
-def _erbs_outputs_sql(S, sy):
-    r = K.erbs(S, sy["ghi"], sy["cossza"], S.col("CAST(date_part('doy', ts) AS DOUBLE)"))
-    return {"dni": round6(S, r["dni"]), "dhi": round6(S, r["dhi"])}
-
-
-@register("q_erbs", sql=_sql_events_kernel(_erbs_outputs_sql), survey_ids=("UDF-2",))
-def q_erbs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDF-2 (reference pvlib erbs via apply_ufunc, ``utils.py:57-60``,
-    ``main.py:135-144``): multi-output decomposition — two derived columns
-    over shared let-bound intermediates (the diffuse fraction computed
-    once, not per output)."""
-    return _spark_events_kernel(spark, sf_dir, _erbs_outputs_spark)
-
-
 def _mrt_inputs(B, sy, value):
     return dict(
         ssrd=sy["ghi"],
@@ -252,25 +155,116 @@ def _mrt_inputs(B, sy, value):
     )
 
 
-def _mrt_outputs_spark(B, sy):
-    i = _mrt_inputs(B, sy, F.col("value"))
-    mrt = K.mean_radiant_temperature_k(B, i["ssrd"], i["ssru"], i["strd"], i["stru"], i["dni"], i["cossza"])
-    return {"mrt_k": round6(B, mrt)}
+def _thermal_outputs(B, sy, value):
+    i = _mrt_inputs(B, sy, value)
+    mrt = K.mean_radiant_temperature_k(
+        B, i["ssrd"], i["ssru"], i["strd"], i["stru"], i["dni"], i["cossza"]
+    )
+    utci = K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"])
+    wbgt = K.wbgt_c(B, sy["t2_k"], sy["mrt_k"], sy["va"], sy["td_k"])
+    return {
+        "mrt_k": round6(B, mrt),
+        "utci": round6(B, utci),
+        "wbgt": round6(B, wbgt),
+    }
 
 
-def _mrt_outputs_sql(S, sy):
-    i = _mrt_inputs(S, sy, S.col("value"))
-    mrt = K.mean_radiant_temperature_k(S, i["ssrd"], i["ssru"], i["strd"], i["stru"], i["dni"], i["cossza"])
-    return {"mrt_k": round6(S, mrt)}
+def _thermal_outputs_spark(B, sy):
+    return _thermal_outputs(B, sy, F.col("value"))
 
 
-@register("q_mrt", sql=_sql_events_kernel(_mrt_outputs_sql), survey_ids=("UDF-3", "SF-1"))
-def q_mrt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDF-3 (reference thermofeel MRT, ``main.py:149-158``): the 6-flux
-    MRT formula (Di Napoli et al. 2020) as one Column tree; the reference's
-    staged flux assembly (SF-1 sums + drops) is just shared let-bound
-    subexpressions here."""
-    return _spark_events_kernel(spark, sf_dir, _mrt_outputs_spark)
+def _thermal_outputs_sql(S, sy):
+    return _thermal_outputs(S, sy, S.col("value"))
+
+
+@register(
+    "q_thermal_indices",
+    sql=_sql_events_kernel(_thermal_outputs_sql),
+    survey_ids=("UDF-3", "UDF-4", "UDF-5", "SF-10", "SF-1"),
+)
+def q_thermal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thermal-index kernel suite computed in ONE scan — exactly how a
+    production pipeline runs it (the reference computes MRT → UTCI → WBGT
+    per timestep in sequence, ``main.py:149-203``):
+
+    * UDF-3 MRT — the 6-flux formula (Di Napoli et al. 2020); the
+      reference's staged flux assembly (SF-1 sums + drops) becomes shared
+      let-bound subexpressions.
+    * UDF-4 UTCI — the Bröde et al. 210-term polynomial as a native
+      Column tree (whole-stage codegen, no Python worker; a parity
+      pandas-UDF rendering is tested in tests/). Power ladders and
+      humidity are let-bound, keeping the analyzed plan linear in
+      polynomial size.
+    * UDF-5 WBGT — ISO 7243 weighting, Stull wet-bulb, let-bound Newton
+      globe recovery.
+
+    Scale: one scan, zero shuffles, one codegen'd projection; let-bound
+    intermediates (va clamp, humidity, power ladders) are shared across
+    the three indices instead of recomputed."""
+    return _spark_events_kernel(spark, sf_dir, _thermal_outputs_spark)
+
+
+# ---------------------------------------------------------------------------
+# UDF-1 — cos solar zenith;  UDF-2 — Erbs decomposition (solar suite)
+# ---------------------------------------------------------------------------
+def _solar_outputs_spark(B, sy):
+    cz = B.let(
+        "cz_out",
+        K.cos_solar_zenith_angle(
+            B, sy["lat"], sy["lon"], F.dayofyear("ts").cast("double"), F.hour("ts").cast("double") - F.lit(0.5)
+        ),
+    )
+    # SF-3: zenith angle recovered via arccos (reference ``main.py:141``)
+    r = K.erbs(B, sy["ghi"], sy["cossza"], F.dayofyear("ts").cast("double"))
+    return {
+        "cossza": round6(B, cz),
+        "zenith_deg": round6(B, B.degrees(B.acos(cz))),
+        "dni": round6(B, r["dni"]),
+        "dhi": round6(B, r["dhi"]),
+    }
+
+
+def _solar_outputs_sql(S, sy):
+    cz = S.let(
+        "cz_out",
+        K.cos_solar_zenith_angle(
+            S,
+            sy["lat"],
+            sy["lon"],
+            S.col("CAST(date_part('doy', ts) AS DOUBLE)"),
+            S.col("(CAST(date_part('hour', ts) AS DOUBLE) - 0.5)"),
+        ),
+    )
+    r = K.erbs(S, sy["ghi"], sy["cossza"], S.col("CAST(date_part('doy', ts) AS DOUBLE)"))
+    return {
+        "cossza": round6(S, cz),
+        "zenith_deg": round6(S, S.degrees(S.acos(cz))),
+        "dni": round6(S, r["dni"]),
+        "dhi": round6(S, r["dhi"]),
+    }
+
+
+@register(
+    "q_solar",
+    sql=_sql_events_kernel(_solar_outputs_sql),
+    survey_ids=("UDF-1", "UDF-2", "SF-3"),
+)
+def q_solar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The solar-geometry suite in one scan:
+
+    * UDF-1 cossza (reference thermofeel hour-integrated cossza,
+      ``main.py:115-131``): Spencer-1971 solar geometry evaluated at the
+      mid-hour point (the reference's per-hour integral ≈ midpoint to
+      ≤0.3%; documented deviation). SF-3: the zenith angle recovered via
+      arccos (reference ``main.py:141``).
+    * UDF-2 Erbs decomposition (reference pvlib erbs via apply_ufunc,
+      ``utils.py:57-60``, ``main.py:135-144``): multi-output kernel — DNI
+      and DHI over a shared let-bound diffuse fraction (computed once,
+      not per output).
+
+    Per-row expressions — the reference's per-time slice loop + concat
+    (SET-1) disappears in long form. Scan-bound at any scale."""
+    return _spark_events_kernel(spark, sf_dir, _solar_outputs_spark)
 
 
 # ---------------------------------------------------------------------------
