@@ -111,23 +111,35 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                arr = _decode_bytes(r["payload"], r["mime"])
-                counts = np.bincount(arr, minlength=256).astype(np.float64)
-                p = counts / max(len(arr), 1)
-                nz = p[p > 0]
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "mime": r["mime"],
-                        "n_bytes": len(arr),
-                        "byte_mean": float(arr.mean()) if len(arr) else 0.0,
-                        "byte_entropy": float(-(nz * np.log2(nz)).sum()),
-                        "content_hash": hashlib.md5(r["payload"]).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            # columnar access + zip — never iterrows (which constructs a
+            # pandas Series per row and dominated the round-1 profile)
+            ids = pdf["media_id"].to_numpy()
+            mimes = pdf["mime"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            n_bytes = np.empty(len(pdf), dtype=np.int64)
+            means = np.zeros(len(pdf), dtype=np.float64)
+            entropies = np.zeros(len(pdf), dtype=np.float64)
+            hashes = []
+            for i, (mime, payload) in enumerate(zip(mimes, payloads)):
+                arr = _decode_bytes(payload, mime)
+                n_bytes[i] = len(arr)
+                if len(arr):
+                    counts = np.bincount(arr, minlength=256).astype(np.float64)
+                    p = counts / len(arr)
+                    nz = p[p > 0]
+                    means[i] = arr.mean()
+                    entropies[i] = -(nz * np.log2(nz)).sum()
+                hashes.append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": mimes,
+                    "n_bytes": n_bytes,
+                    "byte_mean": means,
+                    "byte_entropy": entropies,
+                    "content_hash": hashes,
+                }
+            )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
@@ -140,20 +152,17 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 512, frame_len: int = 64
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                if r["mime"] == "image/png":
+            ids, idxs, frames = [], [], []
+            for media_id, mime, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["mime"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                if mime == "image/png":
                     continue
-                payload = r["payload"]
                 for k, start in enumerate(range(0, len(payload) - frame_len, every_n_bytes)):
-                    out.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": k,
-                            "frame_bytes": payload[start : start + frame_len],
-                        }
-                    )
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_bytes"])
+                    ids.append(media_id)
+                    idxs.append(k)
+                    frames.append(payload[start : start + frame_len])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)
 

@@ -79,6 +79,10 @@ def upsert_documents(docs: DataFrame, out_dir: str, n_chunks: int = 12) -> int:
     """
     os.makedirs(out_dir, exist_ok=True)
     target = docs.repartition(n_chunks, "_id")  # the reference's "12 chunks"
+    # count via accumulator inside the ONE write pass — a trailing
+    # docs.count() would re-execute the whole encode→join→collect plan
+    # (accumulator updates in actions are exactly-once per successful task)
+    n_docs = docs.sparkSession.sparkContext.accumulator(0)
 
     def write_partition(rows) -> None:
         @retry(tries=4, delay_s=0.1, backoff=2.0, exceptions=(OSError,))
@@ -96,10 +100,12 @@ def upsert_documents(docs: DataFrame, out_dir: str, n_chunks: int = 12) -> int:
                     f.write(json.dumps(d, sort_keys=True, default=str) + "\n")
             os.replace(tmp, final)
 
-        _write([r.asDict(recursive=True) for r in rows])
+        batch = [r.asDict(recursive=True) for r in rows]
+        n_docs.add(len(batch))
+        _write(batch)
 
     target.foreachPartition(write_partition)
-    return docs.count()
+    return n_docs.value
 
 
 def run_serve(spark: SparkSession, merged: DataFrame, grid_dir: str, out_dir: str) -> int:

@@ -77,23 +77,26 @@ def q_prj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_prj_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRJ-2 (reference ``isel(time=slice(1,121))``, ``main.py:97``):
-    positional slice from the stream head = row_number over the event-time
-    order, keep ordinals 2..121 (drop the first, keep 120 — the reference's
-    exact hour-0 drop semantics).
+    positional slice from the stream head — take the first 121 rows in
+    event-time order, drop the head row (the reference's exact hour-0
+    drop), keep 120.
 
-    Scale: a global ordinal needs a total order; at 100 TB this becomes a
-    range-partitioned sort + per-partition offset (Spark's row_number over
-    an unpartitioned window is a single-task reduction — acceptable only
-    because the slice head is tiny; the filter is pushed below the window
-    by Catalyst's LimitPushDown analog here would be a TopK).
-    """
+    Spark-first shape with NO window at all: ``orderBy().limit(121)``
+    plans TakeOrderedAndProject — per-partition top-k heaps merged at the
+    driver, never a global sort or a single-task unpartitioned window
+    (round-1's ``WindowExec: No Partition Defined`` finding). The head
+    row is then removed by a broadcast anti-join on its unique key
+    (min over (ts, event_id) structs — deterministic total order). At
+    100 TB the heap merge touches k rows per partition and nothing
+    else."""
     ev = read_events(spark, sf_dir)
-    w = Window.orderBy("ts", "event_id")
-    return (
-        ev.select("event_id", "ts", "user_id", "value", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn").between(2, 121))
-        .drop("rn")
+    head = (
+        ev.select("event_id", "ts", "user_id", "value")
+        .orderBy("ts", "event_id")
+        .limit(121)
     )
+    first_key = head.agg(F.min(F.struct("ts", "event_id")).alias("k")).select("k.event_id")
+    return head.join(F.broadcast(first_key), "event_id", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -352,11 +352,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # no broadcast hint on sizes: per-document cardinality is unbounded at
+    # corpus scale (a hint would OOM the driver at 10^9 docs); AQE
+    # broadcasts it anyway when it is actually small.
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     j = (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
