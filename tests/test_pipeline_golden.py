@@ -167,6 +167,28 @@ class TestChartsGolden:
         lons = {r[0] for r in un.select("lon").distinct().collect()}
         assert 360.0 in lons and 0.0 in lons
 
+    def test_render_uses_reference_fixed_scale(self, spark_merged, tmp_path):
+        """SNK-3 parity: every rendered artifact carries the reference's
+        fixed 10-color/9-level UTCI scale (main.py:369-382), not per-chart
+        autoscaling."""
+        assert len(charts_mod.UTCI_COLORS) == 10
+        assert charts_mod.UTCI_LEVELS == [-40.0, -27.0, -13.0, 0.0, 9.0, 26.0, 32.0, 38.0, 46.0]
+        # band assignment: boundaries land in the upper band (digitize right-open)
+        bins = charts_mod.level_bins(np.array([-50.0, -40.0, 0.0, 25.9, 26.0, 50.0]))
+        np.testing.assert_array_equal(bins, [0, 1, 4, 5, 6, 9])
+
+        daily = charts_mod.daily_extremes(
+            charts_mod.cyclic_point_union(spark_merged.select("lat", "lon", "ts", "utci")),
+            min_hours=24,
+        )
+        arts = charts_mod.render_charts(daily, str(tmp_path / "charts"))
+        assert arts
+        if arts[0].endswith(".npz"):
+            z = np.load(arts[0])
+            np.testing.assert_array_equal(z["levels"], np.array(charts_mod.UTCI_LEVELS))
+            np.testing.assert_array_equal(z["high_band"], charts_mod.level_bins(z["high"]))
+            assert z["high_band"].max() <= len(charts_mod.UTCI_COLORS) - 1
+
 
 class TestJobEndToEnd:
     def test_full_cycle_and_skip(self, spark, grid_dir, tmp_path):

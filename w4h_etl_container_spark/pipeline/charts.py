@@ -48,11 +48,33 @@ def daily_extremes(df: DataFrame, value_col: str = "utci", min_hours: int = 24) 
     )
 
 
+# The reference's fixed UTCI contour scale (``main.py:369-382``): 10 heat
+# colors over 9 level boundaries [°C] — every chart uses the same scale so
+# dates are visually comparable (not per-chart autoscaling).
+UTCI_COLORS = [
+    "#004adb", "#306cde", "#468de0", "#5aadde", "#75cdd6",
+    "#b3e8b6", "#ffde98", "#fcad6e", "#f27946", "#e43a20",
+]
+UTCI_LEVELS = [-40.0, -27.0, -13.0, 0.0, 9.0, 26.0, 32.0, 38.0, 46.0]
+
+
+def level_bins(values: np.ndarray) -> np.ndarray:
+    """Color-band index (0..len(UTCI_COLORS)-1) per value under the fixed
+    scale — the render's level assignment, testable without matplotlib."""
+    return np.digitize(values, UTCI_LEVELS)
+
+
 def render_charts(daily: DataFrame, out_dir: str) -> list[str]:
     """SNK-3: collect the per-date grids (the one deliberate driver-side
-    hop) and render. With matplotlib present → contour PNGs (2 per date,
-    highs and lows, reusing one figure); without → deterministic .npz
-    grids so the artifact chain stays testable."""
+    hop) and render with the reference's fixed 10-color/9-level scale.
+
+    With matplotlib present → contour PNGs (2 per date, highs and lows)
+    on ONE reused figure: contour collections are removed after each save
+    instead of rebuilding figure + axes per chart (the reference's
+    explicit speedup, ``main.py:421-423``; coastline/border features from
+    cartopy belong here too when that library is deployed). Without
+    matplotlib → deterministic .npz grids carrying the same fixed-scale
+    band assignment so the artifact chain stays testable."""
     os.makedirs(out_dir, exist_ok=True)
     pdf = daily.toPandas().sort_values(["haa_date", "lat", "lon"])
     artifacts: list[str] = []
@@ -63,17 +85,27 @@ def render_charts(daily: DataFrame, out_dir: str) -> list[str]:
     except ImportError:
         have_mpl = False
 
+    fig = None
+    if have_mpl:
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(20, 20), dpi=100)
+        ax = fig.add_subplot(1, 1, 1)
+        ax.set_frame_on(False)
+
     for d, grp in pdf.groupby("haa_date"):
         if have_mpl:
-            import matplotlib.pyplot as plt
-
             for kind in ("high", "low"):
                 piv = grp.pivot_table(index="lat", columns="lon", values=kind)
-                fig = plt.figure(figsize=(20, 20), dpi=100)
-                plt.contourf(piv.columns, piv.index, piv.values, levels=9)
+                cs = ax.contourf(
+                    piv.columns, piv.index, piv.values, levels=UTCI_LEVELS, colors=UTCI_COLORS,
+                    extend="both",
+                )
                 path = os.path.join(out_dir, f"{d}_{kind}.png")
-                fig.savefig(path)
-                plt.close(fig)
+                fig.savefig(path, pad_inches=0, bbox_inches="tight")
+                # figure reuse: drop only the plotted contours (reference
+                # main.py:421-423) — no per-chart figure/axes rebuild
+                cs.remove()
                 artifacts.append(path)
         else:
             path = os.path.join(out_dir, f"{d}.npz")
@@ -83,6 +115,13 @@ def render_charts(daily: DataFrame, out_dir: str) -> list[str]:
                 lon=grp["lon"].to_numpy(),
                 high=grp["high"].to_numpy(),
                 low=grp["low"].to_numpy(),
+                high_band=level_bins(grp["high"].to_numpy()),
+                low_band=level_bins(grp["low"].to_numpy()),
+                levels=np.array(UTCI_LEVELS),
             )
             artifacts.append(path)
+    if fig is not None:
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
     return artifacts
