@@ -45,8 +45,27 @@ def main() -> None:
     def run(name: str) -> None:
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # warm the JVM + parquet footers once (not timed)
+    # Untimed engine warmup — the steady-state a long-lived cluster runs at:
+    # JVM + scheduler (one tiny query), parquet footers/schemas for every
+    # fixture table (driver-side metadata reads), and the Python worker
+    # pool (one noop Arrow round-trip; workers are reused afterwards).
+    # Benchmark queries themselves are NOT pre-run: their codegen compiles
+    # inside the timed region.
     run("q_prj_select")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).schema
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s):
+        return s
+
+    spark.range(256, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _noop("id").alias("x")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(registry):

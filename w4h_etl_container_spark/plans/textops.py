@@ -292,8 +292,9 @@ _DF_CAP = 100  # drop shingles present in more than this many documents
       SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
       FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
     ), shingles AS (
-      SELECT doc_id, sh FROM all_shingles
-      WHERE sh IN (SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= {_DF_CAP})
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM all_shingles
+      ) WHERE df <= {_DF_CAP}
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
     ), common AS (
@@ -337,13 +338,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    rare = (
-        all_shingles.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # document-frequency cap as ONE window over sh — a single shuffle that
+    # the downstream self-join on sh reuses; the groupBy+semi-join form
+    # scanned the shingle explode twice and shuffled three times
+    shingles = (
+        all_shingles.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .where(F.col("df") <= _DF_CAP)
-        .select("sh")
+        .drop("df")
     )
-    shingles = all_shingles.join(rare, "sh", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

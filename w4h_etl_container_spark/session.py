@@ -37,6 +37,15 @@ def get_spark(app_name: str = "w4h-etl-spark", *, shuffle_partitions: int | None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Whole-stage codegen produces ONE processNext() per stage; HotSpot
+        # refuses to JIT methods over ~8 KB bytecode (DontCompileHugeMethods),
+        # so a kernel-heavy stage (the 210-term UTCI chain) silently runs
+        # JVM-interpreted at ~4× cost. Spark's default hugeMethodLimit
+        # (65535) is above the JIT limit and never triggers; aligning it
+        # with HotSpot makes oversized stages fall back to per-expression
+        # codegen (small, JIT-able classes) while every normal stage keeps
+        # WSCG. Measured on q_utci sf0.1: 2.1 s → 0.6 s.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Arrow for any pandas-UDF boundary (kernel parity surface).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
