@@ -124,6 +124,58 @@ class TestGroupedMap:
         assert diff < 1e-9
         assert a.count() == ev.count()
 
+    def test_session_features_udf_vs_native_exact(self, spark, sf_dir):
+        """The declared grouped-map (q_grouped_map) agrees EXACTLY with
+        the native window rendering — integer outputs, no tolerance."""
+        from pyspark.sql import Window
+
+        from w4h_etl_container_spark.operators.groupedmap import session_features_grouped_map
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir)
+        got = session_features_grouped_map(ev)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.coalesce(
+                F.floor(F.unix_timestamp("ts")).cast("long")
+                - F.floor(F.unix_timestamp(F.lag("ts").over(w))).cast("long"),
+                F.lit(-1),
+            ).alias("gap_s"),
+        )
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+class TestBandedLSH:
+    def test_two_band_candidates_superset_and_hash_joins(self, spark, sf_dir):
+        """The multi-band LSH pattern (PERF.md): candidates = OR of two
+        plane-band bucket joins, built as a UNION of equi hash joins (an
+        OR join condition would plan a nested loop). Band 2's planes are
+        disjoint from band 1's, recall can only grow."""
+        from w4h_etl_container_spark.functions.vectorkernels import hyperplanes, make_bucket_udf
+        from w4h_etl_container_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        all_planes = hyperplanes(16, 64)
+        b1 = make_bucket_udf(all_planes[:8])
+        b2 = make_bucket_udf(all_planes[8:])
+        sig = emb.select("vec_id", b1("embedding").alias("ba"), b2("embedding").alias("bb"))
+
+        def pairs(col):
+            a, b = sig.alias("a"), sig.alias("b")
+            return a.join(
+                b, (F.col(f"a.{col}") == F.col(f"b.{col}")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+            ).select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+
+        one_band = pairs("ba").distinct()
+        banded = pairs("ba").unionByName(pairs("bb")).distinct()
+        n1, n2 = one_band.count(), banded.count()
+        assert n2 >= n1  # recall can only grow
+        p = banded._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in p  # both bands are hash joins
+
 
 class TestSaltedAggregate:
     def test_matches_plain_aggregate(self, spark, sf_dir):

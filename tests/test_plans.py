@@ -129,6 +129,7 @@ class TestKernelCodegen:
         "q_ann_probe",
         "q_ivf_assign",
         "q_media_features",
+        "q_grouped_map",
     }
 
     def test_no_python_udf_outside_arrow_allowlist(self, spark, sf_dir, reg):

@@ -41,3 +41,35 @@ def zscore_native(events: DataFrame) -> DataFrame:
     std = F.stddev_pop("value").over(w)
     z = F.when(std > 0, (F.col("value") - mean) / std).otherwise(F.lit(0.0))
     return events.select("user_id", "event_id", "value", z.alias("zscore"))
+
+
+SESSION_FEATURES_SCHEMA = "user_id bigint, event_id bigint, rn bigint, gap_s bigint"
+
+
+def session_features_grouped_map(events: DataFrame) -> DataFrame:
+    """Per-user ordinal + inter-event gap via Arrow grouped-map — the
+    oracle-checkable UDF-6 declared surface (integer outputs are exact in
+    every engine; gap counts whole-second boundary crossings, -1 for each
+    user's first event). The whole group arrives as one pandas frame —
+    the shape custom sessionization / trajectory kernels need."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # floor to whole seconds resolution-independently (Arrow hands the
+        # kernel datetime64[ns] regardless of the column's µs precision)
+        ts_s = pdf["ts"].astype("datetime64[s]").astype("int64")
+        gap = ts_s.diff().fillna(-1).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "rn": range(1, len(pdf) + 1),
+                "gap_s": gap.to_numpy(),
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(kernel, SESSION_FEATURES_SCHEMA)
+    )

@@ -16,7 +16,7 @@ from w4h_etl_container_spark.functions.vectorkernels import ivf_centroids, make_
 from w4h_etl_container_spark.kernels import tree_sum
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.plans.vectors import DIM, _S, _elem
-from w4h_etl_container_spark.session import read_table
+from w4h_etl_container_spark.session import read_events, read_table
 
 
 # ---------------------------------------------------------------------------
@@ -146,6 +146,38 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", _ivf_udf("embedding").alias("iv")).select(
         "vec_id", "label", "iv.centroid_id", "iv.dist2_e6"
     )
+
+
+# ---------------------------------------------------------------------------
+# UDF-6 — grouped-map (applyInPandas) on the oracle-checked surface
+# ---------------------------------------------------------------------------
+@register(
+    "q_grouped_map",
+    sql="""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           COALESCE(date_diff('second',
+                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                              ts), -1) AS gap_s
+    FROM events
+    """,
+    survey_ids=("UDF-6",),
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-6 (SURVEY §2.10): the ``applyInPandas`` grouped-map surface on
+    the hash-checked gate — per-user event ordinal + whole-second
+    inter-event gap computed by a pandas kernel that receives each user's
+    full group as one frame (the shape custom sessionization kernels
+    need). Integer outputs keep the oracle exact; the same semantics as a
+    native window plan (pinned against each other in
+    tests/test_udf_parity.py — the engine's rule is to prefer the window
+    form unless the kernel genuinely needs the whole group).
+
+    Scale: one shuffle on user_id; Arrow ships each group once; state is
+    bounded by the largest single group."""
+    from w4h_etl_container_spark.operators.groupedmap import session_features_grouped_map
+
+    return session_features_grouped_map(read_events(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
