@@ -125,15 +125,18 @@ class TestGroupedMap:
         assert a.count() == ev.count()
 
     def test_session_features_udf_vs_native_exact(self, spark, sf_dir):
-        """The declared grouped-map (q_grouped_map) agrees EXACTLY with
-        the native window rendering — integer outputs, no tolerance."""
+        """Both grouped-map renderings (per-group applyInPandas and
+        batched mapInPandas) agree EXACTLY with the native window form —
+        integer outputs, no tolerance."""
         from pyspark.sql import Window
 
-        from w4h_etl_container_spark.operators.groupedmap import session_features_grouped_map
+        from w4h_etl_container_spark.operators.groupedmap import (
+            session_features_batched,
+            session_features_grouped_map,
+        )
         from w4h_etl_container_spark.session import read_events
 
         ev = read_events(spark, sf_dir)
-        got = session_features_grouped_map(ev)
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         want = ev.select(
             "user_id",
@@ -145,7 +148,27 @@ class TestGroupedMap:
                 F.lit(-1),
             ).alias("gap_s"),
         )
-        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        for got in (session_features_grouped_map(ev), session_features_batched(ev)):
+            assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    def test_session_features_batched_survives_batch_straddle(self, spark, sf_dir):
+        """The batched kernel carries state across Arrow batches: with
+        batches shrunk to 16 rows every group straddles batches, and the
+        result must not change."""
+        from w4h_etl_container_spark.operators.groupedmap import session_features_batched
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir)
+        before = session_features_batched(ev)
+        baseline = {tuple(r) for r in before.collect()}
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "16")
+        try:
+            tiny = {tuple(r) for r in session_features_batched(ev).collect()}
+        finally:
+            spark.conf.set(key, old)
+        assert tiny == baseline
 
 
 class TestBandedLSH:

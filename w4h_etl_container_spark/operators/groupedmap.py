@@ -73,3 +73,61 @@ def session_features_grouped_map(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(kernel, SESSION_FEATURES_SCHEMA)
     )
+
+
+def session_features_batched(events: DataFrame) -> DataFrame:
+    """The SAME semantics in the small-group physical regime.
+
+    ``applyInPandas`` ships one Arrow batch and one Python call PER GROUP
+    — measured ~2.4 ms of pure machinery per group (3.6 s for 1500 tiny
+    groups with an identity kernel, vs 0.23 s through ``mapInPandas``).
+    With millions of small groups that overhead IS the job. The batched
+    form repartitions by the group key, sorts within partitions, and runs
+    ONE ``mapInPandas`` pass that segments groups inside each Arrow batch
+    — thousands of groups amortize one transfer.
+
+    A group may straddle two Arrow batches of the same partition, so the
+    kernel carries (uid, last-second, running ordinal) state across the
+    batch iterator — the correctness detail that makes this shape safe at
+    any ``maxRecordsPerBatch`` (pinned by a shrunken-batch test).
+    ``applyInPandas`` remains the right call when each group is LARGE
+    (its per-group cost amortizes and the whole-frame API is simpler).
+    """
+    import numpy as np
+
+    part = (
+        events.select("user_id", "event_id", "ts")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
+
+    def kernel(batches):
+        prev_uid: int | None = None
+        prev_ts = 0
+        prev_rn = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            uid = pdf["user_id"].to_numpy()
+            ts_s = pdf["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+            n = len(uid)
+            new = np.empty(n, dtype=bool)
+            new[0] = uid[0] != prev_uid
+            new[1:] = uid[1:] != uid[:-1]
+            idx = np.arange(n, dtype=np.int64)
+            # start index of each row's run; the batch-straddling prefix
+            # (new[0] == False) gets a virtual start of -prev_rn
+            starts = np.where(new, idx, np.int64(-(10**15)))
+            run_start = np.maximum.accumulate(starts)
+            rn = np.where(run_start >= 0, idx - run_start + 1, idx + 1 + prev_rn)
+            gap = np.empty(n, dtype=np.int64)
+            gap[1:] = np.where(new[1:], -1, ts_s[1:] - ts_s[:-1])
+            gap[0] = -1 if new[0] else ts_s[0] - prev_ts
+            prev_uid = int(uid[-1])
+            prev_ts = int(ts_s[-1])
+            prev_rn = int(rn[-1])
+            yield pd.DataFrame(
+                {"user_id": uid, "event_id": pdf["event_id"].to_numpy(), "rn": rn, "gap_s": gap}
+            )
+
+    return part.mapInPandas(kernel, SESSION_FEATURES_SCHEMA)

@@ -164,20 +164,23 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("UDF-6",),
 )
 def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDF-6 (SURVEY §2.10): the ``applyInPandas`` grouped-map surface on
-    the hash-checked gate — per-user event ordinal + whole-second
-    inter-event gap computed by a pandas kernel that receives each user's
-    full group as one frame (the shape custom sessionization kernels
-    need). Integer outputs keep the oracle exact; the same semantics as a
-    native window plan (pinned against each other in
-    tests/test_udf_parity.py — the engine's rule is to prefer the window
-    form unless the kernel genuinely needs the whole group).
+    """UDF-6 (SURVEY §2.10): the grouped-map surface on the hash-checked
+    gate — per-user event ordinal + whole-second inter-event gap computed
+    by a Python kernel over whole groups (the shape custom sessionization
+    kernels need). Integer outputs keep the oracle exact.
 
-    Scale: one shuffle on user_id; Arrow ships each group once; state is
-    bounded by the largest single group."""
-    from w4h_etl_container_spark.operators.groupedmap import session_features_grouped_map
+    Physical strategy: this corpus is the many-SMALL-groups regime, where
+    ``applyInPandas``'s per-group Arrow batch + Python call is pure
+    overhead (~2.4 ms/group measured), so the declared plan uses the
+    batched form — repartition by key, sort within partitions, one
+    ``mapInPandas`` pass segmenting groups per batch with cross-batch
+    state carry (operators/groupedmap.py). The ``applyInPandas``
+    rendering of the same kernel is the large-group path; both are
+    parity-pinned against each other and the native window form in
+    tests. Scale: one shuffle on user_id either way."""
+    from w4h_etl_container_spark.operators.groupedmap import session_features_batched
 
-    return session_features_grouped_map(read_events(spark, sf_dir))
+    return session_features_batched(read_events(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
