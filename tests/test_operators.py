@@ -106,6 +106,61 @@ class TestStateStore:
         assert s.read()["globalCharts"] == {"2026-08-01": "b"}
 
 
+class TestAlerts:
+    def test_alert_fans_out_logs_and_never_masks(self, tmp_path):
+        """The reference's text_alert contract (utils.py:15-30): a human
+        finds out, the failure still raises, and a broken sink cannot
+        mask it. Plus the durable JSONL audit trail."""
+        import json
+
+        from w4h_etl_container_spark.pipeline import alerts
+
+        got: list[str] = []
+        alerts.clear_sinks()
+        alerts.configure_log(str(tmp_path / "alerts.jsonl"))
+        alerts.register_sink(got.append)
+
+        def broken(_msg: str) -> None:
+            raise RuntimeError("pager down")
+
+        alerts.register_sink(broken)
+
+        @alerts.alert_on_failure("scrape")
+        def boom():
+            raise ValueError("no runs found")
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            boom()
+        assert got == ["scrape failed: ValueError: no runs found"]
+        lines = [json.loads(ln) for ln in open(tmp_path / "alerts.jsonl")]
+        assert lines and lines[0]["stage"] == "scrape"
+        alerts.clear_sinks()
+
+    def test_job_failure_alerts_and_unlocks(self, spark, grid_dir, tmp_path, monkeypatch):
+        """run_job: a mid-cycle failure alerts, re-raises, and releases
+        the lock (the reference's finally-unlock semantics)."""
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.pipeline import alerts, forecast as forecast_mod
+        from w4h_etl_container_spark.pipeline.job import run_job
+        from w4h_etl_container_spark.pipeline.state import StateStore
+
+        got: list[str] = []
+        alerts.clear_sinks()
+        alerts.register_sink(got.append)
+        monkeypatch.setattr(
+            forecast_mod, "run_forecast", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("load died"))
+        )
+        work = str(tmp_path / "work")
+        with _pytest.raises(RuntimeError):
+            run_job(spark, grid_dir, work)
+        assert got and "load died" in got[0]
+        assert StateStore(f"{work}/status.json").try_lock()  # lock released
+        alerts.clear_sinks()
+
+
 class TestGroupedMap:
     def test_zscore_udf_vs_native_parity(self, spark, sf_dir):
         """UDF-6 surface: applyInPandas grouped-map agrees with the native

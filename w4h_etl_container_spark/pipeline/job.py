@@ -11,6 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from w4h_etl_container_spark.pipeline import alerts
 from w4h_etl_container_spark.pipeline import charts as charts_mod
 from w4h_etl_container_spark.pipeline import forecast as forecast_mod
 from w4h_etl_container_spark.pipeline import serve as serve_mod
@@ -37,6 +38,7 @@ def run_job(spark: SparkSession, grid_dir: str, work_dir: str) -> dict:
     """One job cycle. Returns a small result summary (what the reference
     logs through its stage Timer, ``utils.py:94-111``)."""
     state = StateStore(os.path.join(work_dir, "status.json"))
+    alerts.configure_log(os.path.join(work_dir, "alerts.jsonl"))
     if not state.try_lock():  # STR-2 (main.py:33-35)
         return {"skipped": "locked"}
     try:
@@ -63,5 +65,11 @@ def run_job(spark: SparkSession, grid_dir: str, work_dir: str) -> dict:
             state.expire_charts(min(dates))  # STR-4 (main.py:353-359)
         merged.unpersist()
         return {"source": source, "n_docs": n_docs, "charts": len(artifacts), "dates": dates}
+    except Exception as e:
+        # the reference SMS-alerts then raises (utils.py:15-30,
+        # main.py:48-49); the engine fans out to registered sinks + the
+        # durable alert log, then re-raises — the lock still releases.
+        alerts.alert(f"etl job failed: {type(e).__name__}: {e}", context={"stage": "run_job"})
+        raise
     finally:
         state.unlock()  # the reference's `finally` (main.py:447-448)
