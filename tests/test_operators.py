@@ -226,6 +226,46 @@ class TestGroupedMap:
         assert tiny == baseline
 
 
+class TestIVFTraining:
+    def test_kmeans_distortion_monotone_and_beats_literals(self, spark, sf_dir):
+        """Lloyd's invariant: per-iteration mean distortion is
+        non-increasing; trained centroids beat the literal stand-ins the
+        declared query uses for its oracle."""
+        from w4h_etl_container_spark.functions.vectorkernels import ivf_centroids
+        from w4h_etl_container_spark.operators.ivfindex import assign, train_ivf_centroids
+        from w4h_etl_container_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        trained, history = train_ivf_centroids(emb, k=4, iters=3)
+        assert len(history) == 3
+        assert all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
+
+        def mean_distortion(c):
+            return assign(emb, c).agg(F.avg("dist2_e6")).collect()[0][0] / 1e6
+
+        assert mean_distortion(trained) <= mean_distortion(ivf_centroids(4, 64))
+
+    def test_partitioned_index_colocates_cells(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.ivfindex import (
+            build_partitioned_index,
+            train_ivf_centroids,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        trained, _ = train_ivf_centroids(emb, k=4, iters=1)
+        index = build_partitioned_index(emb, trained)
+        # every centroid's vectors land in exactly one partition
+        spread = (
+            index.withColumn("part", F.spark_partition_id())
+            .groupBy("centroid_id")
+            .agg(F.countDistinct("part").alias("n_parts"))
+            .agg(F.max("n_parts"))
+            .collect()[0][0]
+        )
+        assert spread == 1
+
+
 class TestBandedLSH:
     def test_two_band_candidates_superset_and_hash_joins(self, spark, sf_dir):
         """The multi-band LSH pattern (PERF.md): candidates = OR of two

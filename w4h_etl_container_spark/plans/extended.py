@@ -140,8 +140,11 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the ANN scale path's partitioner: repartition by centroid_id
     and a query probes only its nearest cells — sub-linear search with
-    data locality (pairs with q_ann_lsh; a real index trains centroids
-    with k-means over a sample, the assignment plan is identical)."""
+    data locality (pairs with q_ann_lsh). The literal centroids exist so
+    the oracle can check the assignment; the real index build — Lloyd's
+    k-means with the same Arrow assign kernel, posexplode centroid
+    update, distortion-monotone — lives in ``operators/ivfindex.py``
+    (tested) and feeds this identical plan a trained matrix."""
     emb = read_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", "label", _ivf_udf("embedding").alias("iv")).select(
         "vec_id", "label", "iv.centroid_id", "iv.dist2_e6"
