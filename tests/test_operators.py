@@ -266,6 +266,20 @@ class TestIVFTraining:
         assert spread == 1
 
 
+class TestMinHashParameterization:
+    def test_fewer_rows_per_band_is_superset(self, spark, sf_dir):
+        """LSH banding theory: with the same signatures, 8 bands of 1 row
+        collide whenever ANY minhash matches — a superset of 4 bands of 2
+        (both must match). The recall lever production uses at 128/16."""
+        from w4h_etl_container_spark.plans.textops import minhash_candidates
+        from w4h_etl_container_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        narrow = {tuple(r) for r in minhash_candidates(d, 8, 4).collect()}
+        wide = {tuple(r) for r in minhash_candidates(d, 8, 8).collect()}
+        assert narrow <= wide
+
+
 class TestBandedLSH:
     def test_two_band_candidates_superset_and_hash_joins(self, spark, sf_dir):
         """The multi-band LSH pattern (PERF.md): candidates = OR of two

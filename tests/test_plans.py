@@ -145,3 +145,37 @@ class TestKernelCodegen:
         # numpy), not giant expression trees that fall out of codegen
         p = plan_of(reg["q_ann_lsh"].fn(spark, sf_dir))
         assert "ArrowEvalPython" in p or "PythonUDF" in p
+
+    def test_huge_method_limit_pinned(self, spark):
+        # kernel-heavy WSCG stages must fall back to JIT-able
+        # per-expression codegen instead of running JVM-interpreted
+        # (HotSpot skips methods over ~8 KB bytecode) — see session.py
+        assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+
+
+class TestRound2PlanShapes:
+    def test_prj_slice_has_no_window(self, spark, sf_dir, reg):
+        # head slice = TakeOrdered + broadcast anti-join; an unpartitioned
+        # window would serialize the whole table through one task
+        p = plan_of(reg["q_prj_slice"].fn(spark, sf_dir))
+        assert "WindowExec" not in p and "Window" not in p
+        assert "TakeOrderedAndProject" in p
+
+    def test_grouped_map_uses_batched_map_in_pandas(self, spark, sf_dir, reg):
+        # small-group regime: one MapInPandas pass over key-sorted
+        # partitions, NOT per-group FlatMapGroupsInPandas
+        p = plan_of(reg["q_grouped_map"].fn(spark, sf_dir))
+        assert "MapInPandas" in p
+        assert "FlatMapGroupsInPandas" not in p
+
+    def test_ngram_jaccard_no_broadcast_of_sizes_and_single_df_cap_shuffle(
+        self, spark, sf_dir, reg
+    ):
+        # the per-doc sizes table must not carry a broadcast hint
+        # (unbounded at corpus scale); the DF cap is a window over sh
+        # whose exchange the candidate self-join reuses
+        df = reg["q_ngram_jaccard"].fn(spark, sf_dir)
+        opt = optimized_of(df)
+        assert "ResolvedHint" not in opt
+        p = plan_of(df)
+        assert "Window" in p  # DF cap rendered as one window over sh

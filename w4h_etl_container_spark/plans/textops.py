@@ -209,6 +209,55 @@ def _minhash_sql() -> str:
     """
 
 
+def minhash_candidates(d: DataFrame, n_hashes: int = _N_HASHES, n_bands: int = _N_BANDS) -> DataFrame:
+    """Parameterized MinHash+LSH candidate generator: word 3-gram
+    shingles → ``n_hashes`` MinHash signatures → ``n_bands`` bands of
+    ``n_hashes // n_bands`` → bucket self-join → distinct (doc_a, doc_b)
+    pairs. Production scale swaps 8/4 for 128/16 (and md5 for seeded
+    xxhash64) without changing the plan shape; fewer rows per band →
+    higher recall (candidates at r rows/band are a superset of those at
+    any multiple of r — the S-curve lever, pinned in tests)."""
+    rows_per_band = n_hashes // n_bands
+    assert rows_per_band * n_bands == n_hashes
+    words = d.select("doc_id", _tokens().alias("ws"))
+    shingles = (
+        words.where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sigs = shingles.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    bands = None
+    for b in range(n_bands):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register("q_minhash_lsh", sql=_minhash_sql(), survey_ids=("EXT-DEDUP",))
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates WITH the fuzzy-verify stage: word
@@ -227,43 +276,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes / 16 bands without changing the plan shape.
     """
     d = read_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", _tokens().alias("ws"))
-    shingles = (
-        words.where(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 3),
-                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
-    sigs = shingles.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(_N_HASHES)]
-    )
-    bands = None
-    for b in range(_N_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    bb = bands.alias("b")
-    cands = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = minhash_candidates(d, _N_HASHES, _N_BANDS)
     da = d.select(F.col("doc_id").alias("da_id"), F.substring("text", 1, 30).alias("pa"))
     db = d.select(F.col("doc_id").alias("db_id"), F.substring("text", 1, 30).alias("pb"))
     return (
