@@ -266,6 +266,23 @@ class TestIVFTraining:
         assert spread == 1
 
 
+class TestDedupFastPath:
+    def test_xxhash_fast_path_same_group_structure(self, spark, sf_dir):
+        """The production xxhash64 dedup must induce EXACTLY the same
+        canonical grouping as the oracle-checkable md5 path — only the
+        key encoding differs."""
+        from w4h_etl_container_spark.plans.registry import load_all
+        from w4h_etl_container_spark.plans.textops import dedup_exact_fast
+        from w4h_etl_container_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        slow = load_all()["q_dedup_exact"].fn(spark, sf_dir)
+        fast = dedup_exact_fast(d)
+        a = {(r["doc_id"], r["canonical_id"], r["n_copies"]) for r in slow.collect()}
+        b = {(r["doc_id"], r["canonical_id"], r["n_copies"]) for r in fast.collect()}
+        assert a == b
+
+
 class TestMinHashParameterization:
     def test_fewer_rows_per_band_is_superset(self, spark, sf_dir):
         """LSH banding theory: with the same signatures, 8 bands of 1 row

@@ -37,23 +37,35 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-4 (SURVEY §2.3, engine-provided): range join — each (filtered)
     part paired with lineitems whose quantity falls in ±1 of its size.
 
-    Spark-first formulation: a raw non-equi join would plan
-    BroadcastNestedLoopJoin — O(n·m) comparisons (7.5 s at sf0.1 for
-    600 k × 2.4 k). The engine applies the *binning rewrite*: each part
-    explodes into its covered integer bins, the fact side joins on
-    floor(quantity) = bin as an equi-key (hash join, broadcastable), and
-    the exact range predicate post-filters. Same semantics, linear work —
-    and with two large sides the bin key co-partitions both, no broadcast
-    needed. (The oracle keeps the declarative range-join SQL; DuckDB's
-    IEJoin optimizes it natively.)"""
+    Spark-first formulation, two rewrites stacked:
+
+    * **binning**: a raw non-equi join plans BroadcastNestedLoopJoin —
+      O(n·m) comparisons (7.5 s at sf0.1 for 600 k × 2.4 k). Each part
+      explodes into its covered integer bins; the fact side joins on
+      floor(quantity) = bin as an equi-key (hash join); the exact range
+      predicate post-filters. With two large sides the bin key
+      co-partitions both — no broadcast needed.
+    * **eager aggregation**: the final aggregate only needs COUNT per
+      part, and the fact side's join key has ~50 distinct values — so
+      the fact side pre-aggregates to (quantity, cnt) BEFORE the join
+      (600 k rows → ~50) and the count is a SUM of cnt after it. The
+      join's intermediate collapses from ~20 M rows to ~10 k. This is
+      the classic aggregate-pushdown-below-join rewrite, legal because
+      quantity determines the join+filter outcome entirely.
+
+    (The oracle keeps the declarative range-join SQL; DuckDB's IEJoin
+    optimizes it natively.)"""
     p = read_table(spark, sf_dir, "part").where(F.col("p_size") >= 45).select("p_partkey", "p_size")
     p_bins = p.select(
         "p_partkey",
         "p_size",
         F.explode(F.sequence(F.col("p_size") - 1, F.col("p_size") + 1)).alias("bin"),
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_quantity", F.floor("l_quantity").cast("int").alias("bin")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_quantity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bin", F.floor("l_quantity").cast("int"))
     )
     cond = (F.col("l_quantity") >= F.col("p_size") - 1.0) & (
         F.col("l_quantity") <= F.col("p_size") + 1.0
@@ -62,7 +74,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p_bins), "bin")
         .where(cond)
         .groupBy("p_partkey", "p_size")
-        .agg(F.count(F.lit(1)).alias("n_close"))
+        .agg(F.sum("cnt").alias("n_close"))
     )
 
 

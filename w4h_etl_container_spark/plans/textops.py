@@ -209,6 +209,23 @@ def _minhash_sql() -> str:
     """
 
 
+def dedup_exact_fast(d: DataFrame) -> DataFrame:
+    """The PRODUCTION rendering of exact dedup: xxhash64 fingerprint
+    (JVM-native, ~10× faster than md5's hex string path, 8-byte key
+    instead of 32) — same normalize → fingerprint → min-over-group plan
+    as the declared q_dedup_exact, which keeps md5 only because the
+    oracle needs an engine-neutral hash. Pinned equivalent in tests:
+    identical group structure (same canonical sets), different key
+    encoding."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", F.xxhash64(norm).alias("fingerprint"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+    )
+
+
 def minhash_candidates(d: DataFrame, n_hashes: int = _N_HASHES, n_bands: int = _N_BANDS) -> DataFrame:
     """Parameterized MinHash+LSH candidate generator: word 3-gram
     shingles → ``n_hashes`` MinHash signatures → ``n_bands`` bands of
