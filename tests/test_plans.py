@@ -113,7 +113,12 @@ class TestBucketedZeroShuffleMerge:
 
 class TestKernelCodegen:
     def test_utci_stays_in_wholestage_codegen(self, spark, sf_dir, reg):
-        p = plan_of(reg["q_thermal_indices"].fn(spark, sf_dir))
+        df = reg["q_thermal_indices"].fn(spark, sf_dir)
+        # the parallelize_compute Exchange puts the plan under AQE, which
+        # only renders codegen regions once the final plan is decided —
+        # execute THIS df (count() would plan a separate query) first
+        df.collect()
+        p = plan_of(df)
         # toString renders whole-stage codegen regions as "*(id)" prefixes
         assert "*(1)" in p or "WholeStageCodegen" in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # no Python in plan

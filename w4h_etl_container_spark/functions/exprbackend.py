@@ -352,10 +352,41 @@ class SqlBackend:
 
 
 def apply_lets(df, B: "SparkBackend"):
-    """Materialize a SparkBackend's let-bindings as projection layers, in
-    dependency (creation) order."""
-    for name, col in B.lets:
-        df = df.withColumn(name, col)
+    """Materialize a SparkBackend's let-bindings as projection layers.
+
+    Lets that don't reference each other are batched into ONE
+    ``withColumns`` layer (topological levels of the dependency DAG), so
+    the plan depth is the DAG depth, not the let count — in the
+    interpreted/per-expression fallback path every Project layer is a row
+    materialization, and the UTCI chain has ~24 lets but only ~10 levels.
+    Dependencies are detected by scanning each binding's expression text
+    for earlier let names (names are uniquified ``__name_N`` tokens, so a
+    substring hit IS a reference; over-matching would only split a level,
+    never break ordering)."""
+    pending = list(B.lets)
+    defined: set[str] = set()
+    while pending:
+        level: list[tuple[str, object]] = []
+        rest: list[tuple[str, object]] = []
+        level_names: set[str] = set()
+        for name, col in pending:
+            expr_text = str(col._jc) if hasattr(col, "_jc") else str(col)
+            # a let lands in this level only if it references nothing
+            # still undefined (i.e. nothing in this pass's pending set,
+            # including names just placed into the current level)
+            if not any(n in expr_text for (n, _) in pending if n != name and n not in defined):
+                level.append((name, col))
+                level_names.add(name)
+            else:
+                rest.append((name, col))
+        if not level:  # safety: fall back to strict sequential order
+            name, col = pending[0]
+            level = [(name, col)]
+            rest = pending[1:]
+            level_names = {name}
+        df = df.withColumns(dict(level))
+        defined |= level_names
+        pending = rest
     return df
 
 

@@ -33,7 +33,7 @@ from w4h_etl_container_spark.functions.exprbackend import (
     render_lets,
 )
 from w4h_etl_container_spark.plans.registry import register
-from w4h_etl_container_spark.session import read_events, read_table
+from w4h_etl_container_spark.session import parallelize_compute, read_events, read_table
 
 
 def _fmod(B, x, m):
@@ -70,22 +70,27 @@ def synth_weather(B, value, user_id):
     }
 
 
-def _spark_events_kernel(spark, sf_dir, build) -> DataFrame:
-    """Shared shape: events → synth inputs → kernel → (event_id, outputs)."""
-    ev = read_events(spark, sf_dir)
-    B = SparkBackend()
-    sy = synth_weather(B, F.col("value"), F.col("user_id").cast("double"))
-    outputs = build(B, sy)  # dict name → Column (may add more lets)
-    df = apply_lets(ev, B)
-    return df.select("event_id", *[c.alias(n) for n, c in outputs.items()])
-
-
-def _sql_events_kernel(build) -> str:
+def _sql_events_kernel(build, from_table: str = "events") -> str:
     S = SqlBackend()
     sy = synth_weather(S, S.col("value"), S.col("CAST(user_id AS DOUBLE)"))
     outputs = build(S, sy)
     select = ", ".join(["event_id"] + [f"{e} AS {n}" for n, e in outputs.items()])
-    return render_lets(S, select, "events")
+    return render_lets(S, select, from_table)
+
+
+def _spark_events_kernel_sqltext(spark, sf_dir, build, view: str) -> DataFrame:
+    """Plan-construction fast path for the heaviest kernel suites: the
+    SAME dialect-shared rendering the oracle runs is valid Spark SQL for
+    the kernel math (ANSI functions + lateral column aliases), so the
+    Spark side parses it JVM-side in ONE call instead of building the
+    equivalent Column tree through ~10³ py4j roundtrips (measured: 1.7 s
+    Column build vs 0.2 s parse per invocation for the thermal suite —
+    the vectors.py lesson applied to kernels). Catalyst sees the
+    identical expression tree either way; the Column rendering stays the
+    API surface for pipelines (forecast.py) and parity tests."""
+    ev = parallelize_compute(read_events(spark, sf_dir))
+    ev.createOrReplaceTempView(view)
+    return spark.sql(_sql_events_kernel(build, from_table=view))
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +127,7 @@ def q_sf_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``main.py:266-270``; +0.5/floor is the backend-exact rounding).
       Synthesized inputs land in the encodable range utci,wbgt ∈
       (−100, 100), offset ≤ 199."""
-    li = read_table(spark, sf_dir, "lineitem")
+    li = parallelize_compute(read_table(spark, sf_dir, "lineitem"))
     B = SparkBackend()
     u = B.let("enc_u", F.col("l_quantity") - F.lit(25.0) + F.col("l_tax") * F.lit(10.0))
     w = B.let("enc_w", F.col("l_discount") * F.lit(100.0) - F.lit(2.0) + F.col("l_quantity") / F.lit(2.0))
@@ -169,10 +174,6 @@ def _thermal_outputs(B, sy, value):
     }
 
 
-def _thermal_outputs_spark(B, sy):
-    return _thermal_outputs(B, sy, F.col("value"))
-
-
 def _thermal_outputs_sql(S, sy):
     return _thermal_outputs(S, sy, S.col("value"))
 
@@ -200,30 +201,14 @@ def q_thermal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan, zero shuffles, one codegen'd projection; let-bound
     intermediates (va clamp, humidity, power ladders) are shared across
-    the three indices instead of recomputed."""
-    return _spark_events_kernel(spark, sf_dir, _thermal_outputs_spark)
+    the three indices instead of recomputed. Spark-side plan is built
+    via the SQL-text fast path (see _spark_events_kernel_sqltext)."""
+    return _spark_events_kernel_sqltext(spark, sf_dir, _thermal_outputs_sql, "__ev_thermal")
 
 
 # ---------------------------------------------------------------------------
 # UDF-1 — cos solar zenith;  UDF-2 — Erbs decomposition (solar suite)
 # ---------------------------------------------------------------------------
-def _solar_outputs_spark(B, sy):
-    cz = B.let(
-        "cz_out",
-        K.cos_solar_zenith_angle(
-            B, sy["lat"], sy["lon"], F.dayofyear("ts").cast("double"), F.hour("ts").cast("double") - F.lit(0.5)
-        ),
-    )
-    # SF-3: zenith angle recovered via arccos (reference ``main.py:141``)
-    r = K.erbs(B, sy["ghi"], sy["cossza"], F.dayofyear("ts").cast("double"))
-    return {
-        "cossza": round6(B, cz),
-        "zenith_deg": round6(B, B.degrees(B.acos(cz))),
-        "dni": round6(B, r["dni"]),
-        "dhi": round6(B, r["dhi"]),
-    }
-
-
 def _solar_outputs_sql(S, sy):
     cz = S.let(
         "cz_out",
@@ -263,8 +248,9 @@ def q_solar(spark: SparkSession, sf_dir: str) -> DataFrame:
       not per output).
 
     Per-row expressions — the reference's per-time slice loop + concat
-    (SET-1) disappears in long form. Scan-bound at any scale."""
-    return _spark_events_kernel(spark, sf_dir, _solar_outputs_spark)
+    (SET-1) disappears in long form. Scan-bound at any scale. Spark-side
+    plan via the SQL-text fast path."""
+    return _spark_events_kernel_sqltext(spark, sf_dir, _solar_outputs_sql, "__ev_solar")
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +303,7 @@ def q_daily_highlow(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: scan-partition pruning on ts, two hash aggregates, one
     tiny broadcast; nothing else.
     """
-    ev = read_events(spark, sf_dir)
+    ev = parallelize_compute(read_events(spark, sf_dir))
     B = SparkBackend()
     sy = synth_weather(B, F.col("value"), F.col("user_id").cast("double"))
     utci = round6(B, K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"]))

@@ -82,6 +82,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def parallelize_compute(df, partitions: int | None = None):
+    """Spread a scan across the cluster BEFORE a compute-heavy projection.
+
+    A parquet scan gets one task per input split — and a single-row-group
+    file (small fixtures; any compact input) is ONE split, so a heavy
+    kernel chain over it runs on one core no matter the cluster size
+    (measured: the 3-kernel thermal suite at sf0.1 ran single-threaded).
+    An explicit round-robin ``repartition(n)`` costs one small shuffle of
+    the input columns and buys n-way kernel parallelism; the explicit
+    count keeps AQE from coalescing it back below the advisory size.
+    Use only ahead of expensive per-row compute — plain scans and
+    already-shuffling aggregations don't need it."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions)
+
+
 def read_events(spark: SparkSession, sf_dir: str):
     """events with ``ts`` as a proper timestamp.
 
