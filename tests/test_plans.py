@@ -74,12 +74,15 @@ class TestAggregationShapes:
         assert p.count("HashAggregate") >= 2
         assert "partial_" in p.lower() or "partial" in p
 
-    def test_flagship_single_scan_per_branch(self, spark, sf_dir, reg):
-        # the UTCI kernel columns must not leak into the gate branch's scan
+    def test_flagship_single_pass(self, spark, sf_dir, reg):
+        # one events scan, one full-data aggregate; the completeness gate
+        # rides the hour-bitmask carried by the (user, date) partials and
+        # is applied by a window over the aggregated rows — no second
+        # scan, no semi join back against the input
         p = plan_of(reg["q_daily_highlow"].fn(spark, sf_dir))
-        gate_part = p.split("BroadcastExchange")[-1]
-        assert "__ta" not in gate_part.split("Scan parquet")[0] or True
-        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+        assert p.count("Scan parquet") == 1
+        assert "Join" not in p
+        assert "Window" in p and "bit_count" in p
 
 
 class TestBucketedZeroShuffleMerge:

@@ -297,11 +297,18 @@ def q_daily_highlow(spark: SparkSession, sf_dir: str) -> DataFrame:
     WIN-1 re-expressed Spark-first: the reference's per-offset ``shift``
     loop is a *key shift* — relabel each row's timestamp by its
     longitude's hour angle, then group by the shifted date. No data
-    movement for the shift itself (it's a column expression); the only
-    shuffles are the completeness gate's (date,hour) aggregate — whose
-    result is broadcast back — and the final (cell, date) aggregate.
-    At 100 TB: scan-partition pruning on ts, two hash aggregates, one
-    tiny broadcast; nothing else.
+    movement for the shift itself (it's a column expression).
+
+    AGG-4 gate folded into ONE pass: each (user, date) partial carries a
+    24-bit hour-presence bitmask (``bit_or(shiftleft(1, hour))``); the
+    date-level distinct-hour count is then ``bit_count`` of the masks
+    OR-ed across users — a window over the already-aggregated rows (one
+    row per user×date, ~1e4× smaller than the input), so the gate never
+    rescans the data. vs the naive two-branch shape (separate
+    date-level countDistinct + semi join): ONE events scan instead of
+    two, UTCI computed once, one full-data shuffle instead of two.
+    At 100 TB: scan-partition pruning on ts, one hash aggregate with
+    map-side partials, one tiny window; nothing else.
     """
     ev = parallelize_compute(read_events(spark, sf_dir))
     B = SparkBackend()
@@ -314,20 +321,20 @@ def q_daily_highlow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.make_interval(hours=ha.cast("int"))).alias("haa_ts"),
         utci.alias("utci"),
     )
-    shifted = shifted.withColumn("haa_date", F.col("haa_ts").cast("date"))
-    gated = (
-        shifted.groupBy("haa_date")
-        .agg(F.countDistinct(F.hour("haa_ts")).alias("n_hours"))
-        .where(F.col("n_hours") >= 20)
-        .select("haa_date")
-    )
-    return (
-        shifted.join(F.broadcast(gated), "haa_date", "left_semi")
-        .groupBy("user_id", "haa_date")
+    daily = (
+        shifted.groupBy("user_id", F.col("haa_ts").cast("date").alias("haa_date"))
         .agg(
             F.max("utci").alias("utci_high"),
             F.min("utci").alias("utci_low"),
             F.count(F.lit(1)).alias("n_obs"),
+            F.expr("bit_or(shiftleft(1, hour(haa_ts)))").alias("hmask"),
         )
+    )
+    from pyspark.sql import Window
+
+    date_hours = F.bit_count(F.expr("bit_or(hmask)").over(Window.partitionBy("haa_date")))
+    return (
+        daily.withColumn("__n_hours", date_hours)
+        .where(F.col("__n_hours") >= 20)
         .select("user_id", "haa_date", "utci_high", "utci_low", "n_obs")
     )
