@@ -44,10 +44,23 @@ TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 N_PLANES = 8  # 2^8 = 256 buckets — sized for the fixture corpus (see PERF.md)
 
+# Banded LSH for the near-dup candidate join: N_BANDS independent
+# signatures of PLANES_PER_BAND sign bits each; a pair is a candidate if
+# it collides in ANY band. More planes per band → smaller buckets
+# (bounded candidate volume); more bands → recall (near pairs get
+# N_BANDS chances). 2×10 → 1024 buckets per band at fixture scale.
+N_BANDS = 2
+PLANES_PER_BAND = 10
+
 _PLANES = hyperplanes(N_PLANES, DIM)
+_BAND_PLANES = hyperplanes(N_BANDS * PLANES_PER_BAND, DIM)
 _norm_udf = make_norm_udf()
 _cosine_e6_udf = make_cosine_e6_udf()
 _bucket_udf = make_bucket_udf(_PLANES)
+_band_udfs = [
+    make_bucket_udf(_BAND_PLANES[b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND])
+    for b in range(N_BANDS)
+]
 _vecstats_udf = make_vecstats_udf()
 
 
@@ -96,6 +109,23 @@ def _bucket_expr(dialect: str) -> str:
         )
     bucket = " + ".join(
         f"(CASE WHEN ({dots[p]}) >= 0.0 THEN {1 << p} ELSE 0 END)" for p in range(N_PLANES)
+    )
+    return f"CAST({bucket} AS BIGINT)"
+
+
+def _band_bucket_expr(dialect: str, band: int) -> str:
+    """SQL rendering of band ``band``'s signature — plane p_local of the
+    band is global plane ``band·PLANES_PER_BAND + p_local`` of the shared
+    matrix (lockstep with ``_band_udfs``)."""
+    dots = []
+    for p_local in range(PLANES_PER_BAND):
+        p = band * PLANES_PER_BAND + p_local
+        dots.append(
+            str(tree_sum([_S(f"({_elem(dialect, 'embedding', j + 1)} * {_plane(p, j)!r})") for j in range(DIM)]))
+        )
+    bucket = " + ".join(
+        f"(CASE WHEN ({dots[p_local]}) >= 0.0 THEN {1 << p_local} ELSE 0 END)"
+        for p_local in range(PLANES_PER_BAND)
     )
     return f"CAST({bucket} AS BIGINT)"
 
@@ -191,44 +221,72 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_sql() -> str:
     dot = _dot("duck", "a.embedding", "b.embedding")
     cos6 = _e6(f"(({dot}) / (a.nrm * b.nrm))")
+    band_joins = "\n      UNION\n".join(
+        f"      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+        f"      FROM sig a JOIN sig b ON a.b{b} = b.b{b} AND a.vec_id < b.vec_id"
+        for b in range(N_BANDS)
+    )
+    band_cols = ", ".join(f"{_band_bucket_expr('duck', b)} AS b{b}" for b in range(N_BANDS))
     return f"""
     WITH sig AS (
-      SELECT vec_id, embedding, {_bucket_expr('duck')} AS bucket,
+      SELECT vec_id, embedding, {band_cols},
              {_norm('duck', 'embedding')} AS nrm
       FROM embeddings
+    ), pairs AS (
+{band_joins}
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos6} AS cosine_e6
-    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    SELECT p.vec_a, p.vec_b, {cos6} AS cosine_e6
+    FROM pairs p
+    JOIN sig a ON a.vec_id = p.vec_a
+    JOIN sig b ON b.vec_id = p.vec_b
     """
 
 
 @register("q_embed_neardup", sql=_neardup_sql(), survey_ids=("EXT-DEDUP", "EXT-SIM",))
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: the two-stage shape — LSH bucket join
-    proposes candidates (1/2⁸ of pairs in expectation), exact cosine
-    verifies each. A dedup pass then thresholds ``cosine_e6`` and keeps
-    min(vec_id) per connected component.
+    """Embedding-cosine near-dup: the two-stage banded-LSH shape —
+    ``N_BANDS`` independent hyperplane signatures each propose same-bucket
+    candidate pairs (a UNION of equi hash joins, one per band — never an
+    OR-join, which would plan a nested loop), exact cosine verifies each
+    deduplicated pair. A downstream dedup pass thresholds ``cosine_e6``
+    and keeps min(vec_id) per connected component.
 
-    Scale: candidates are same-bucket only — repartitioning by bucket
-    co-locates the join; the exact verify touches candidate pairs, never
-    n². Norms computed once per vector alongside the signature; at corpus
-    scale add a second hyperplane band (OR of two bucket joins) to keep
-    per-bucket pair counts bounded while recall holds."""
+    Scale: per-band bucket count 2^PLANES_PER_BAND bounds per-bucket pair
+    volume (candidates O(n·bucket_load·bands), never n²); banding buys
+    recall back — a near pair collides in ANY of the bands. Repartition
+    by band bucket co-locates each join; norms are computed once per
+    vector. At corpus scale materialize ``sig`` once (checkpoint / table)
+    instead of recomputing per band side — the plan shape is unchanged."""
     emb = read_table(spark, sf_dir, "embeddings")
     sig = emb.select(
         "vec_id",
         "embedding",
-        _bucket_udf("embedding").alias("bucket"),
+        *[udf("embedding").alias(f"b{i}") for i, udf in enumerate(_band_udfs)],
         _norm_udf("embedding").alias("nrm"),
     )
     a = sig.alias("a")
     b = sig.alias("b")
-    return a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        _cosine_e6_udf("a.embedding", "b.embedding", "a.nrm", "b.nrm").alias("cosine_e6"),
+    bands = [
+        a.join(
+            b, (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+        ).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        for i in range(N_BANDS)
+    ]
+    pairs = bands[0]
+    for extra in bands[1:]:
+        pairs = pairs.union(extra)
+    # pair-key dedup (payload columns are identical across band copies);
+    # exact verify runs once per unique candidate pair
+    pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    return pairs.select(
+        "vec_a", "vec_b", _cosine_e6_udf("ea", "eb", "na", "nb").alias("cosine_e6")
     )
 
 
