@@ -229,11 +229,22 @@ def dedup_exact_fast(d: DataFrame) -> DataFrame:
 def minhash_candidates(d: DataFrame, n_hashes: int = _N_HASHES, n_bands: int = _N_BANDS) -> DataFrame:
     """Parameterized MinHash+LSH candidate generator: word 3-gram
     shingles → ``n_hashes`` MinHash signatures → ``n_bands`` bands of
-    ``n_hashes // n_bands`` → bucket self-join → distinct (doc_a, doc_b)
-    pairs. Production scale swaps 8/4 for 128/16 (and md5 for seeded
-    xxhash64) without changing the plan shape; fewer rows per band →
-    higher recall (candidates at r rows/band are a superset of those at
-    any multiple of r — the S-curve lever, pinned in tests)."""
+    ``n_hashes // n_bands`` → per-(band, bucket) doc sets → in-bucket
+    pair expansion → distinct (doc_a, doc_b) pairs. Production scale
+    swaps 8/4 for 128/16 (and md5 for seeded xxhash64) without changing
+    the plan shape; fewer rows per band → higher recall (candidates at r
+    rows/band are a superset of those at any multiple of r — the S-curve
+    lever, pinned in tests).
+
+    Plan shape: the expensive signature aggregate is evaluated ONCE —
+    ``stack`` fans each doc's signature into its band rows in the same
+    projection (no union of per-band selects), and bucket pairs come
+    from ``collect_set`` per (band, bucket) + a higher-order pair
+    expansion (all JVM, no self-join — a self-join would re-evaluate the
+    whole shingle→signature subtree on both sides). Per-bucket pair
+    blowup is quadratic in bucket occupancy by construction — banding
+    keeps buckets small; a production corpus adds an occupancy cap
+    (size(ds) ≤ N) exactly like the shingle DF cap."""
     rows_per_band = n_hashes // n_bands
     assert rows_per_band * n_bands == n_hashes
     words = d.select("doc_id", _tokens().alias("ws"))
@@ -253,24 +264,23 @@ def minhash_candidates(d: DataFrame, n_hashes: int = _N_HASHES, n_bands: int = _
     sigs = shingles.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)]
     )
-    bands = None
-    for b in range(n_bands):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    bb = bands.alias("b")
+    stack_args = ", ".join(
+        f"{b}L, concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(n_bands)
+    )
+    bands = sigs.selectExpr("doc_id", f"stack({n_bands}, {stack_args}) AS (band, bkey)")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pair_expand = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expand)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
