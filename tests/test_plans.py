@@ -176,14 +176,17 @@ class TestRound2PlanShapes:
         assert "MapInPandas" in p
         assert "FlatMapGroupsInPandas" not in p
 
-    def test_ngram_jaccard_no_broadcast_of_sizes_and_single_df_cap_shuffle(
+    def test_ngram_jaccard_no_broadcast_of_sizes_and_no_self_join(
         self, spark, sf_dir, reg
     ):
         # the per-doc sizes table must not carry a broadcast hint
-        # (unbounded at corpus scale); the DF cap is a window over sh
-        # whose exchange the candidate self-join reuses
+        # (unbounded at corpus scale); the inverted index is ONE
+        # groupBy(sh) posting-list aggregate (its size is the DF cap) with
+        # in-list pair expansion — no shingle self-join, no window
         df = reg["q_ngram_jaccard"].fn(spark, sf_dir)
         opt = optimized_of(df)
         assert "ResolvedHint" not in opt
         p = plan_of(df)
-        assert "Window" in p  # DF cap rendered as one window over sh
+        assert "collect_set" in p
+        # the only joins are the two tiny sizes lookups at the end
+        assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 2

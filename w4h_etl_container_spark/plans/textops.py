@@ -357,12 +357,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity for pairs sharing ≥1 (rare) shingle,
     kept at ≥ 0.1 — the exact verification stage behind MinHash candidates.
 
-    Scale: the shingle equi-join materializes only pairs that actually
-    share a shingle (inverted-index join), not n² — but hot shingles make
-    that quadratic *per shingle*, so the index first drops shingles with
-    document frequency > {_DF_CAP} (on this corpus the cap cuts the join
-    from 36M to ~1M candidate pairs; Jaccard is then computed on the
-    capped sets consistently). AQE skew-split covers residual imbalance."""
+    Scale: the inverted index materializes only pairs that actually share
+    a shingle, not n² — one groupBy(sh) builds the posting lists, whose
+    size IS the document frequency, so shingles with df > {_DF_CAP} are
+    dropped by a length filter (on this corpus the cap cuts 36M to ~1M
+    candidate pairs; Jaccard is then computed on the capped sets
+    consistently) and per-shingle pairs expand JVM-side from the list —
+    hot-shingle blowup is quadratic per posting list, which the cap
+    bounds. No self-join, so the shingle subtree is never re-evaluated."""
     d = read_table(spark, sf_dir, "documents")
     words = d.select("doc_id", _tokens().alias("ws"))
     all_shingles = (
@@ -378,20 +380,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # document-frequency cap as ONE window over sh — a single shuffle that
-    # the downstream self-join on sh reuses; the groupBy+semi-join form
-    # scanned the shingle explode twice and shuffled three times
-    shingles = (
-        all_shingles.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-        .where(F.col("df") <= _DF_CAP)
-        .drop("df")
+    # inverted index in ONE groupBy(sh): the posting list's size IS the
+    # document frequency (the cap filter), and in-list pairs come from a
+    # higher-order expansion — no window shuffle, no self-join (which
+    # would re-evaluate the whole shingle subtree on both sides)
+    byssh = (
+        all_shingles.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") <= _DF_CAP)
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    sizes = (
+        byssh.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_expand = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        byssh.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expand)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     # no broadcast hint on sizes: per-document cardinality is unbounded at
