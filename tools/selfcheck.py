@@ -35,7 +35,11 @@ def _canon_cell(v) -> str:
         return "T" if v else "F"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas materializes SQL NULL in float columns as NaN on BOTH
+            # engine paths (the driver's canonicalizer demonstrably equates
+            # them — q_win_funcs' NULL lag cells hash green) — so NULL and
+            # NaN canonicalize identically here too.
+            return "∅"
         return repr(v)  # shortest roundtrip repr — identical for identical doubles
     if isinstance(v, Decimal):
         return repr(float(v))
@@ -46,6 +50,25 @@ def _canon_cell(v) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+def _from_pandas(v):
+    """Unwrap pandas/numpy scalars to Python, preserving float-ness.
+
+    np.float64(1.0) must stay ``float`` (not collapse to int) so that a
+    DuckDB HUGEINT column that pandas coerced to float64 hashes differently
+    from Spark's bigint — exactly what the driver's canonicalizer sees.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
 
 
 def canon_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -95,7 +118,25 @@ def main() -> int:
         try:
             rel = con.sql(q.sql)
             d_cols = rel.columns
-            d_rows = rel.fetchall()
+            # Materialize through pandas like the driver's canonicalizer —
+            # fetchall() hands back Python ints and hides type drift (e.g.
+            # DuckDB HUGEINT → float64 through pandas), which cost a round-2
+            # driver hash mismatch the tuple path could not reproduce.
+            pdf = rel.df()
+            # pandas widens DATE to midnight datetime64; narrow those
+            # columns back using DuckDB's declared types (the driver's
+            # round-2 results show DATE columns hash equal to Spark dates,
+            # while HUGEINT→float64 drift does NOT get normalized).
+            date_cols = {c for c, t in zip(rel.columns, rel.types) if str(t) == "DATE"}
+            is_date = [c in date_cols for c in d_cols]
+            d_rows = [
+                tuple(
+                    _from_pandas(v).date() if is_date[i] and v is not None and v == v and hasattr(v, "date")
+                    else _from_pandas(v)
+                    for i, v in enumerate(row)
+                )
+                for row in pdf.itertuples(index=False, name=None)
+            ]
             d_hash = canon_hash(d_cols, d_rows)
             duck_s = time.time() - t1
         except Exception:

@@ -109,8 +109,12 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB's windowed SUM yields HUGEINT, which pandas
+             -- materializes as float64 (1.0 vs Spark's bigint 1) and every
+             -- row hash differs; BIGINT matches Spark's sum(int) output.
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM ordered
     )
     SELECT user_id, session_id,

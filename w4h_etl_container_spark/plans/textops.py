@@ -3,10 +3,12 @@
 
 Design: everything is native Column expressions (split / explode / md5 /
 higher-order array functions) — no Python UDFs — so the same plans run
-unchanged against a 100 TB corpus. Hash functions are md5-based because
-md5 is available and bit-identical in both Spark and DuckDB (xxhash64
-would be faster Spark-side but has no engine-neutral oracle; the swap is
-a one-liner noted per query).
+unchanged against a 100 TB corpus. Oracle-checked hash functions are
+md5-based because md5 is bit-identical in both Spark and DuckDB (one
+digest per input, sliced into lanes where several hash slots are needed);
+the xxhash64 production twins (``dedup_exact_fast``,
+``minhash_candidates_fast``) run the same plan shapes on JVM-native
+64-bit hashes and are pinned by pytest parity instead.
 """
 
 from __future__ import annotations
@@ -175,11 +177,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _N_HASHES = 8  # 4 bands × 2 rows
 _N_BANDS = 4
+# Bucket occupancy cap: a (band, bandkey) bucket with more than this many
+# documents (boilerplate-heavy corpora) would expand quadratically; capped
+# buckets are dropped entirely — candidates lost there reappear via the
+# doc pair's OTHER bands (the whole point of banding). Enforced in the
+# plan AND the oracle, exactly like the shingle _DF_CAP.
+_BUCKET_CAP = 64
 
 
 def _minhash_sql() -> str:
+    # one md5 per (doc, shingle); signature slot i = min over the 4-hex-char
+    # slice [4i, 4i+4) — lexicographic min on hex == numeric min on the
+    # 16-bit value, and both engines slice the identical digest
     sig_cols = ",\n             ".join(
-        f"min(md5('s{i}|' || sh)) AS h{i}" for i in range(_N_HASHES)
+        f"min(substr(h, {4 * i + 1}, 4)) AS h{i}" for i in range(_N_HASHES)
     )
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bkey FROM sigs"
@@ -194,12 +205,16 @@ def _minhash_sql() -> str:
     ), sigs AS (
       SELECT doc_id,
              {sig_cols}
-      FROM shingles GROUP BY doc_id
+      FROM (SELECT doc_id, md5(sh) AS h FROM shingles) GROUP BY doc_id
     ), bands AS (
       {band_selects}
+    ), buckets AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {_BUCKET_CAP}
     ), cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      JOIN buckets k ON a.band = k.band AND a.bkey = k.bkey
     )
     SELECT doc_a, doc_b,
            levenshtein(substr(da.text, 1, 30), substr(db.text, 1, 30)) AS prefix_editdist
@@ -226,25 +241,90 @@ def dedup_exact_fast(d: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(d: DataFrame, n_hashes: int = _N_HASHES, n_bands: int = _N_BANDS) -> DataFrame:
+def minhash_candidates(
+    d: DataFrame,
+    n_hashes: int = _N_HASHES,
+    n_bands: int = _N_BANDS,
+    bucket_cap: int = _BUCKET_CAP,
+) -> DataFrame:
     """Parameterized MinHash+LSH candidate generator: word 3-gram
     shingles → ``n_hashes`` MinHash signatures → ``n_bands`` bands of
-    ``n_hashes // n_bands`` → per-(band, bucket) doc sets → in-bucket
-    pair expansion → distinct (doc_a, doc_b) pairs. Production scale
-    swaps 8/4 for 128/16 (and md5 for seeded xxhash64) without changing
-    the plan shape; fewer rows per band → higher recall (candidates at r
+    ``n_hashes // n_bands`` → per-(band, bucket) doc sets (occupancy
+    between 2 and ``bucket_cap``) → in-bucket pair expansion → distinct
+    (doc_a, doc_b) pairs. Production scale swaps 8/4 for 128/16 via
+    ``minhash_candidates_fast`` (seeded xxhash64) without changing the
+    plan shape; fewer rows per band → higher recall (candidates at r
     rows/band are a superset of those at any multiple of r — the S-curve
     lever, pinned in tests).
 
-    Plan shape: the expensive signature aggregate is evaluated ONCE —
-    ``stack`` fans each doc's signature into its band rows in the same
-    projection (no union of per-band selects), and bucket pairs come
-    from ``collect_set`` per (band, bucket) + a higher-order pair
-    expansion (all JVM, no self-join — a self-join would re-evaluate the
-    whole shingle→signature subtree on both sides). Per-bucket pair
-    blowup is quadratic in bucket occupancy by construction — banding
-    keeps buckets small; a production corpus adds an occupancy cap
-    (size(ds) ≤ N) exactly like the shingle DF cap."""
+    Plan shape: ONE md5 per distinct (doc, shingle) — signature slot i
+    is the min over the digest's 4-hex-char slice [4i, 4i+4)
+    (lexicographic min on hex == numeric min on the 16-bit value; both
+    engines slice the identical digest), so the hash cost is 1/n_hashes
+    of the naive per-slot rehash. ``stack`` fans each doc's signature
+    into its band rows in the same projection (no union of per-band
+    selects), and bucket pairs come from ``collect_set`` per (band,
+    bucket) + a higher-order pair expansion (all JVM, no self-join — a
+    self-join would re-evaluate the whole shingle→signature subtree on
+    both sides). Per-bucket pair blowup is quadratic in bucket
+    occupancy, so buckets above ``bucket_cap`` are dropped outright
+    (enforced here AND in the oracle): a boilerplate-heavy corpus can't
+    detonate one bucket, and true near-dups dropped there still pair in
+    their other, less-common bands."""
+    rows_per_band = n_hashes // n_bands
+    assert rows_per_band * n_bands == n_hashes
+    assert 4 * n_hashes <= 32, "slice-derived signatures need n_hashes ≤ 8; use the xxhash64 variant"
+    words = d.select("doc_id", _tokens().alias("ws"))
+    shingles = (
+        words.where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    hashed = shingles.select("doc_id", F.md5("sh").alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", 4 * i + 1, 4)).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    stack_args = ", ".join(
+        f"{b}L, concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(n_bands)
+    )
+    bands = sigs.selectExpr("doc_id", f"stack({n_bands}, {stack_args}) AS (band, bkey)")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
+    )
+    pair_expand = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expand)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def minhash_candidates_fast(
+    d: DataFrame,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    bucket_cap: int = _BUCKET_CAP,
+) -> DataFrame:
+    """The PRODUCTION MinHash path: ``n_hashes`` seeded xxhash64 slots
+    (JVM-native 64-bit lanes, no hex strings — each slot hashes (seed_i,
+    shingle) in one pass) at full 128/16 scale. Identical plan shape to
+    the oracle-checked ``minhash_candidates``; xxhash64 has no
+    engine-neutral DuckDB twin, so this variant is pinned by pytest
+    recall-parity on planted near-dups instead of the hash gate."""
     rows_per_band = n_hashes // n_bands
     assert rows_per_band * n_bands == n_hashes
     words = d.select("doc_id", _tokens().alias("ws"))
@@ -262,17 +342,19 @@ def minhash_candidates(d: DataFrame, n_hashes: int = _N_HASHES, n_bands: int = _
         .distinct()
     )
     sigs = shingles.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)]
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)]
     )
     stack_args = ", ".join(
-        f"{b}L, concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        "{}L, concat_ws(',', {})".format(
+            b, ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        )
         for b in range(n_bands)
     )
     bands = sigs.selectExpr("doc_id", f"stack({n_bands}, {stack_args}) AS (band, bkey)")
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .where(F.size("ds") >= 2)
+        .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
     )
     pair_expand = (
         "flatten(transform(ds, (x, i) -> "
@@ -288,19 +370,21 @@ def minhash_candidates(d: DataFrame, n_hashes: int = _N_HASHES, n_bands: int = _
 @register("q_minhash_lsh", sql=_minhash_sql(), survey_ids=("EXT-DEDUP",))
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates WITH the fuzzy-verify stage: word
-    3-gram shingles → 8 MinHash signatures (min over md5('s{i}|'+shingle),
-    engine-neutral) → 4 bands of 2 → bucket self-join on (band, bandkey)
-    → distinct candidate pairs → Levenshtein distance between the pair's
-    30-char prefixes (the O(len²) exact-verification primitive, run ONLY
-    on candidate pairs — never the cross product; both engines implement
-    the same DP).
+    3-gram shingles → ONE md5 per shingle fanned into 8 slice-derived
+    MinHash signatures (engine-neutral) → 4 bands of 2 → capped
+    (band, bandkey) buckets → distinct candidate pairs → Levenshtein
+    distance between the pair's 30-char prefixes (the O(len²)
+    exact-verification primitive, run ONLY on candidate pairs — never
+    the cross product; both engines implement the same DP).
 
     Scale: the classic linear-in-corpus shape — shingling and signature
-    aggregation are one groupBy(doc) pass; the candidate join touches
-    only same-bucket pairs, never n²; the verify joins the tiny candidate
-    set back to documents (broadcast of the pairs at real scale).
-    Spark-side production swaps md5 for xxhash64(seed_i) and ups to 128
-    hashes / 16 bands without changing the plan shape.
+    aggregation are one groupBy(doc) pass; candidates come only from
+    same-bucket pairs with bucket occupancy capped at {_BUCKET_CAP}
+    (never n², even on boilerplate corpora); the verify joins the tiny
+    candidate set back to documents (broadcast of the pairs at real
+    scale). Production swaps to 128 hashes / 16 bands of seeded xxhash64
+    via ``minhash_candidates_fast`` — same plan shape, pytest
+    recall-parity instead of the SQL oracle.
     """
     d = read_table(spark, sf_dir, "documents")
     cands = minhash_candidates(d, _N_HASHES, _N_BANDS)
