@@ -297,6 +297,45 @@ class TestMinHashParameterization:
         assert narrow <= wide
 
 
+class TestMinHashFastPath:
+    def test_recall_parity_on_planted_near_dups(self, spark):
+        """The production 128/16 xxhash64 path (minhash_candidates_fast)
+        has no DuckDB oracle, so it is pinned here instead: on a corpus
+        with 20 planted near-dup pairs (one word of fifty swapped,
+        Jaccard ≈ 0.88) its candidate set must contain every planted
+        pair AND everything the oracle-checked 8/4 md5 path finds on the
+        same corpus. Deterministic: fixed seed, fixed hash families."""
+        import random
+
+        from w4h_etl_container_spark.plans.textops import (
+            minhash_candidates,
+            minhash_candidates_fast,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i:03d}" for i in range(400)]
+        rows: list[tuple[int, str]] = []
+        planted: set[tuple[int, int]] = set()
+        doc_id = 0
+        for _ in range(20):
+            base = [rng.choice(vocab) for _ in range(50)]
+            mutated = list(base)
+            mutated[rng.randrange(5, 45)] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(base)))
+            rows.append((doc_id + 1, " ".join(mutated)))
+            planted.add((doc_id, doc_id + 1))
+            doc_id += 2
+        for _ in range(60):  # unrelated background docs
+            rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(50))))
+            doc_id += 1
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+
+        slow = {tuple(r) for r in minhash_candidates(d, 8, 4).collect()}
+        fast = {tuple(r) for r in minhash_candidates_fast(d, 128, 16).collect()}
+        assert planted <= fast, f"missed planted pairs: {sorted(planted - fast)}"
+        assert slow <= fast, f"md5-path candidates missing: {sorted(slow - fast)}"
+
+
 class TestBandedLSH:
     def test_two_band_candidates_superset_and_hash_joins(self, spark, sf_dir):
         """The multi-band LSH pattern (PERF.md): candidates = OR of two

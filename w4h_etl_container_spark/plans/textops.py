@@ -241,6 +241,64 @@ def dedup_exact_fast(d: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_sets(d: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles per document — the shared front end
+    of every near-dup operator (MinHash slow/fast, n-gram Jaccard): one
+    tokenize → higher-order-function shingling → explode → distinct."""
+    words = d.select("doc_id", _tokens().alias("ws"))
+    return (
+        words.where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+# In-bucket pair expansion over a sorted doc-id array: all (i < j) pairs,
+# JVM-side, no self-join (a self-join would re-evaluate the whole
+# shingle→signature subtree on both sides).
+_PAIR_EXPAND = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+)
+
+
+def _banded_pairs(
+    sigs: DataFrame, n_hashes: int, n_bands: int, bucket_cap: int, bkey_expr
+) -> DataFrame:
+    """Shared LSH back end (one copy for the md5 and xxhash64 front ends,
+    so bucket-cap semantics cannot drift between them): signature columns
+    ``h0..h{n-1}`` → ``stack`` into (band, bkey) rows in one projection →
+    per-(band, bkey) sorted doc sets with occupancy in [2, bucket_cap] →
+    in-bucket pair expansion → distinct (doc_a, doc_b). ``bkey_expr``
+    renders a band's slot columns into its key SQL (hex concat for md5
+    slices; ','-joined decimal for xxhash64 lanes)."""
+    rows_per_band = n_hashes // n_bands
+    assert rows_per_band * n_bands == n_hashes
+    stack_args = ", ".join(
+        f"{b}L, {bkey_expr([f'h{b * rows_per_band + r}' for r in range(rows_per_band)])}"
+        for b in range(n_bands)
+    )
+    bands = sigs.selectExpr("doc_id", f"stack({n_bands}, {stack_args}) AS (band, bkey)")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
+    )
+    return (
+        buckets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def minhash_candidates(
     d: DataFrame,
     n_hashes: int = _N_HASHES,
@@ -261,55 +319,24 @@ def minhash_candidates(
     is the min over the digest's 4-hex-char slice [4i, 4i+4)
     (lexicographic min on hex == numeric min on the 16-bit value; both
     engines slice the identical digest), so the hash cost is 1/n_hashes
-    of the naive per-slot rehash. ``stack`` fans each doc's signature
-    into its band rows in the same projection (no union of per-band
-    selects), and bucket pairs come from ``collect_set`` per (band,
-    bucket) + a higher-order pair expansion (all JVM, no self-join — a
-    self-join would re-evaluate the whole shingle→signature subtree on
-    both sides). Per-bucket pair blowup is quadratic in bucket
-    occupancy, so buckets above ``bucket_cap`` are dropped outright
-    (enforced here AND in the oracle): a boilerplate-heavy corpus can't
-    detonate one bucket, and true near-dups dropped there still pair in
-    their other, less-common bands."""
-    rows_per_band = n_hashes // n_bands
-    assert rows_per_band * n_bands == n_hashes
+    of the naive per-slot rehash. Limit of the slice trick: 16-bit lanes
+    saturate on very shingle-heavy documents (as a doc's shingle count
+    approaches 2^16 every lane's min tends to 0, degenerating ALL its
+    band keys at once, and pairs lost to the bucket cap then have no
+    distinct other band to reappear in) — large-document corpora belong
+    on ``minhash_candidates_fast``'s 64-bit lanes, where saturation
+    needs ~2^64 shingles. Shared back end ``_banded_pairs`` caps bucket
+    occupancy (enforced here AND in the oracle): per-bucket pair blowup
+    is quadratic, so a boilerplate-heavy corpus can't detonate one
+    bucket, and true near-dups dropped there still pair in their other,
+    less-common bands."""
     assert 4 * n_hashes <= 32, "slice-derived signatures need n_hashes ≤ 8; use the xxhash64 variant"
-    words = d.select("doc_id", _tokens().alias("ws"))
-    shingles = (
-        words.where(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 3),
-                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
-    hashed = shingles.select("doc_id", F.md5("sh").alias("h"))
+    hashed = _shingle_sets(d).select("doc_id", F.md5("sh").alias("h"))
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(F.substring("h", 4 * i + 1, 4)).alias(f"h{i}") for i in range(n_hashes)]
     )
-    stack_args = ", ".join(
-        f"{b}L, concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
-        for b in range(n_bands)
-    )
-    bands = sigs.selectExpr("doc_id", f"stack({n_bands}, {stack_args}) AS (band, bkey)")
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
-    )
-    pair_expand = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    return (
-        buckets.select(F.explode(F.expr(pair_expand)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    return _banded_pairs(
+        sigs, n_hashes, n_bands, bucket_cap, lambda slots: f"concat({', '.join(slots)})"
     )
 
 
@@ -321,49 +348,17 @@ def minhash_candidates_fast(
 ) -> DataFrame:
     """The PRODUCTION MinHash path: ``n_hashes`` seeded xxhash64 slots
     (JVM-native 64-bit lanes, no hex strings — each slot hashes (seed_i,
-    shingle) in one pass) at full 128/16 scale. Identical plan shape to
-    the oracle-checked ``minhash_candidates``; xxhash64 has no
-    engine-neutral DuckDB twin, so this variant is pinned by pytest
-    recall-parity on planted near-dups instead of the hash gate."""
-    rows_per_band = n_hashes // n_bands
-    assert rows_per_band * n_bands == n_hashes
-    words = d.select("doc_id", _tokens().alias("ws"))
-    shingles = (
-        words.where(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 3),
-                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
-    sigs = shingles.groupBy("doc_id").agg(
+    shingle) in one pass) at full 128/16 scale, feeding the same
+    ``_banded_pairs`` back end as the oracle-checked
+    ``minhash_candidates``. xxhash64 has no engine-neutral DuckDB twin,
+    so this variant is pinned by pytest recall-parity on planted
+    near-dups instead of the hash gate
+    (tests/test_operators.py::TestMinHashFastPath)."""
+    sigs = _shingle_sets(d).groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)]
     )
-    stack_args = ", ".join(
-        "{}L, concat_ws(',', {})".format(
-            b, ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
-        )
-        for b in range(n_bands)
-    )
-    bands = sigs.selectExpr("doc_id", f"stack({n_bands}, {stack_args}) AS (band, bkey)")
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
-    )
-    pair_expand = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    return (
-        buckets.select(F.explode(F.expr(pair_expand)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    return _banded_pairs(
+        sigs, n_hashes, n_bands, bucket_cap, lambda slots: f"concat_ws(',', {', '.join(slots)})"
     )
 
 
@@ -379,8 +374,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the classic linear-in-corpus shape — shingling and signature
     aggregation are one groupBy(doc) pass; candidates come only from
-    same-bucket pairs with bucket occupancy capped at {_BUCKET_CAP}
-    (never n², even on boilerplate corpora); the verify joins the tiny
+    same-bucket pairs with bucket occupancy capped at 64 (= _BUCKET_CAP;
+    never n², even on boilerplate corpora); the verify joins the tiny
     candidate set back to documents (broadcast of the pairs at real
     scale). Production swaps to 128 hashes / 16 bands of seeded xxhash64
     via ``minhash_candidates_fast`` — same plan shape, pytest
@@ -450,20 +445,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle blowup is quadratic per posting list, which the cap
     bounds. No self-join, so the shingle subtree is never re-evaluated."""
     d = read_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", _tokens().alias("ws"))
-    all_shingles = (
-        words.where(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 3),
-                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
+    all_shingles = _shingle_sets(d)
     # inverted index in ONE groupBy(sh): the posting list's size IS the
     # document frequency (the cap filter), and in-list pairs come from a
     # higher-order expansion — no window shuffle, no self-join (which
@@ -478,13 +460,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    pair_expand = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
-    )
     common = (
         byssh.where(F.size("ds") >= 2)
-        .select(F.explode(F.expr(pair_expand)).alias("p"))
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
