@@ -13,6 +13,7 @@ Spark conf so a cluster submit can override via ``--conf``.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -46,6 +47,18 @@ def get_spark(app_name: str = "w4h-etl-spark", *, shuffle_partitions: int | None
         # codegen (small, JIT-able classes) while every normal stage keeps
         # WSCG. Measured on q_utci sf0.1: 2.1 s → 0.6 s.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Janino compile results are cached by generated source; the
+        # default 100-entry LRU evicts a 50-query workload's stages
+        # (~2-4 codegen'd stages each) before they recur. Static conf —
+        # applies to the first session in the JVM.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # PySpark 4 captures a Python stack trace per DataFrame API call to
+        # enrich error origins; for kernel-sized plans (hundreds of Column
+        # ops) that costs ~40% of plan construction (measured via cProfile:
+        # _capture_call_site + getActiveSession per call). An engine
+        # service builds plans programmatically — the enriched origin adds
+        # nothing — so it's off here; ad-hoc debugging can re-enable.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Arrow for any pandas-UDF boundary (kernel parity surface).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
@@ -72,14 +85,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Catalog cache: base DataFrame per (session, parquet path). Creating a
+# parquet DataFrame lists the directory and reads footers for the schema on
+# the DRIVER — ~80 ms per call here, repeated for every table reference of
+# every query. A real engine resolves tables through a catalog that holds
+# this metadata once; this cache is that catalog. Weak-keyed by session so
+# a stopped session's relations aren't resurrected, and keyed by absolute
+# path so different scale factors never alias. Fixture tables are immutable
+# for a session's lifetime (the driver contract), so no invalidation.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, object]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table. Plain parquet scan: schema from footer,
-    column pruning + predicate pushdown come free from Catalyst."""
+    column pruning + predicate pushdown come free from Catalyst; the base
+    relation is catalog-cached per session (driver-side metadata only —
+    executors still scan the files per query)."""
     # Defensive: the driver may hand us a session built without our factory;
     # this legacy conf is dynamic, so set it here too (needed for events.ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(table_path(sf_dir, name))
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    path = table_path(sf_dir, name)
+    df = cache.get(path)
+    if df is None:
+        df = cache[path] = spark.read.parquet(path)
+    return df
 
 
 def parallelize_compute(df, partitions: int | None = None):
