@@ -242,22 +242,26 @@ def dedup_exact_fast(d: DataFrame) -> DataFrame:
 
 
 def _shingle_sets(d: DataFrame) -> DataFrame:
-    """Distinct word-trigram shingles per document — the shared front end
-    of every near-dup operator (MinHash slow/fast, n-gram Jaccard): one
-    tokenize → higher-order-function shingling → explode → distinct."""
+    """Word-trigram shingle occurrences per document — the shared front
+    end of every near-dup operator (MinHash slow/fast, n-gram Jaccard):
+    one tokenize → higher-order-function shingling → explode.
+
+    Deliberately NOT deduplicated: every consumer is
+    duplicate-insensitive (MinHash signatures are min-aggregates;
+    Jaccard posting lists are ``collect_set``), so the set semantics the
+    oracle spells with SELECT DISTINCT hold while the engine skips the
+    dedup's full-width exchange — each pipeline pays ONE shuffle (its
+    own aggregation) instead of two. At 100 TB the dropped shuffle is
+    the widest intermediate in the whole dedup family."""
     words = d.select("doc_id", _tokens().alias("ws"))
-    return (
-        words.where(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 3),
-                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
+    return words.where(F.size("ws") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]),
+            )
+        ).alias("sh"),
     )
 
 
