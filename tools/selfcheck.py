@@ -71,6 +71,16 @@ def _from_pandas(v):
     return v
 
 
+def nan_cells(rows: list[tuple]) -> int:
+    """Count float-NaN cells. NULL and NaN canonicalize to the same token
+    (driver-verified equivalence — see _canon_cell), which could mask a
+    genuine Spark-NaN vs DuckDB-NULL divergence; surfacing the count per
+    engine keeps any such masking visible instead of silent."""
+    return sum(
+        1 for r in rows for v in r if isinstance(v, float) and math.isnan(v)
+    )
+
+
 def canon_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
@@ -169,7 +179,12 @@ def main() -> int:
                             break
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows, spark {spark_s:.1f}s, duck {duck_s:.2f}s)")
+            s_nan, d_nan = nan_cells(s_rows), nan_cells(d_rows)
+            nan_note = f" [nan cells: spark {s_nan}, duck {d_nan}]" if (s_nan or d_nan) else ""
+            print(
+                f"PASS {name} ({len(s_rows)} rows, spark {spark_s:.1f}s, "
+                f"duck {duck_s:.2f}s){nan_note}"
+            )
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
