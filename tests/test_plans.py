@@ -190,3 +190,28 @@ class TestRound2PlanShapes:
         assert "collect_set" in p
         # the only joins are the two tiny sizes lookups at the end
         assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 2
+
+
+class TestRound4PlanShapes:
+    def test_percentile_scale_path_is_mergeable_sketch(self, spark, sf_dir, reg):
+        # the declared approx percentile must be a map-side partial sketch
+        # merged after ONE exchange — never a sort-per-group — and the
+        # scan must prune to the two referenced columns
+        p = plan_of(reg["q_percentile"].fn(spark, sf_dir))
+        assert "partial_percentile_approx" in p
+        assert p.count("Exchange") == 1
+        assert "Sort" not in p
+        read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_extendedprice" in read_schema and "l_partkey" not in read_schema
+
+    def test_shingle_pipeline_has_no_dedup_exchange(self, spark, sf_dir, reg):
+        # every near-dup consumer is duplicate-insensitive, so the shingle
+        # front end must NOT spend a shuffle on distinct(): the MinHash
+        # signature pipeline is explode -> md5 -> ONE exchange into the
+        # per-doc min-aggregate (plus one per band bucket + one for the
+        # final pair distinct = 3 total); the old dedup added a fourth
+        from w4h_etl_container_spark.plans.textops import minhash_candidates
+        from w4h_etl_container_spark.session import read_table as rt
+
+        p = plan_of(minhash_candidates(rt(spark, sf_dir, "documents")))
+        assert p.count("Exchange") == 3
