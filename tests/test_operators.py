@@ -336,6 +336,74 @@ class TestMinHashFastPath:
         assert slow <= fast, f"md5-path candidates missing: {sorted(slow - fast)}"
 
 
+class TestWinnowing:
+    """winnow_fingerprints has no gate slot (the 50-query window is
+    full), so the DuckDB twin runs HERE — same rigor as the oracle gate,
+    plus the SIGMOD containment guarantee on planted shared spans."""
+
+    def _duck_twin(self, sf_dir: str, k: int, w: int):
+        import duckdb
+
+        hexd = "0123456789abcdef"
+        # 32-bit hash from the first 8 md5 hex digits via nibble arithmetic
+        # (DuckDB has no hex→int conv); h rendered per position
+        gram = f"substr(b, CAST(i AS INTEGER), {k})"
+        nib = " + ".join(
+            f"(instr('{hexd}', substr(md5({gram}), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+            for p in range(8)
+        )
+        q = f"""
+        WITH base AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS b
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), grams AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(b) - {k - 1} + 1), i -> ({nib})) AS hs
+          FROM base WHERE length(b) >= {k + w - 1}
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                 range(1, len(hs) - {w - 1} + 1),
+                 j -> list_min(list_slice(hs, CAST(j AS INTEGER), CAST(j + {w - 1} AS INTEGER)))
+               ))) AS fingerprints
+        FROM grams
+        """
+        return {r[0]: list(r[1]) for r in duckdb.sql(q).fetchall()}
+
+    def test_duckdb_parity(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.textops import winnow_fingerprints
+        from w4h_etl_container_spark.session import read_table
+
+        got = {
+            r["doc_id"]: list(r["fingerprints"])
+            for r in winnow_fingerprints(read_table(spark, sf_dir, "documents")).collect()
+        }
+        want = self._duck_twin(sf_dir, 8, 4)
+        assert got == want
+
+    def test_shared_span_yields_shared_fingerprint(self, spark):
+        """SIGMOD 2003 guarantee: a shared substring of length >= w+k-1
+        produces at least one shared fingerprint; unrelated random docs
+        share none (deterministic corpus)."""
+        import random
+
+        from w4h_etl_container_spark.plans.textops import winnow_fingerprints
+
+        rng = random.Random(11)
+        span = "the quick brown fox jumps over the lazy dog"  # >> w+k-1 chars
+        mk = lambda: "".join(rng.choice("abcdefghij ") for _ in range(120))  # noqa: E731
+        rows = [
+            (0, mk() + " " + span + " " + mk()),
+            (1, mk() + " " + span + " " + mk()),
+            (2, mk()),
+            (3, mk()),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(d).collect()}
+        assert fps[0] & fps[1], "planted shared span produced no shared fingerprint"
+        assert not (fps[2] & fps[3]), "unrelated docs should share no fingerprints"
+
+
 class TestBandedLSH:
     def test_two_band_candidates_superset_and_hash_joins(self, spark, sf_dir):
         """The multi-band LSH pattern (PERF.md): candidates = OR of two
