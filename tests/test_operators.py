@@ -512,3 +512,84 @@ class TestCompaction:
         assert max(per_part.values()) > 1
         assert max(per_part.values()) <= 3
         assert spark.read.parquet(path).count() == n_rows
+
+
+class TestConnectedComponents:
+    """connected_components / dedup_survivors have no gate slot (the
+    50-query window is full), so the DuckDB twin — a recursive-CTE
+    reachability closure — runs HERE with the oracle gate's rigor, on
+    the REAL MinHash candidate pairs of the fixture corpus."""
+
+    def _duck_cc(self, pairs: list[tuple[int, int]]) -> dict[int, int]:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pairs(a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO pairs VALUES (?, ?)", pairs)
+        rows = con.execute(
+            """
+            WITH RECURSIVE
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs
+            ),
+            reach(v, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+            )
+            SELECT v, MIN(r) FROM reach GROUP BY v
+            """
+        ).fetchall()
+        con.close()
+        return {v: r for v, r in rows}
+
+    def test_duckdb_parity_on_real_candidates(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.components import connected_components
+        from w4h_etl_container_spark.plans.textops import minhash_candidates
+        from w4h_etl_container_spark.session import read_table
+
+        pairs_df = minhash_candidates(read_table(spark, sf_dir, "documents"))
+        pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+        assert pairs, "fixture corpus should produce candidate pairs"
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs_df).collect()
+        }
+        assert got == self._duck_cc(pairs)
+
+    def test_path_graph_diameter_stress(self, spark):
+        """A 12-vertex path is the adversarial (max-diameter) shape for
+        min-label propagation; the round loop must still converge to a
+        single component labeled by the path head."""
+        from w4h_etl_container_spark.operators.components import connected_components
+
+        path_edges = [(i, i + 1) for i in range(11)]
+        clique = [(100, 101), (101, 102), (100, 102)]
+        iso = [(200, 201)]
+        df = spark.createDataFrame(path_edges + clique + iso, "doc_a: long, doc_b: long")
+        got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        assert {got[v] for v in range(12)} == {0}
+        assert {got[v] for v in (100, 101, 102)} == {100}
+        assert {got[v] for v in (200, 201)} == {200}
+        assert got == self._duck_cc(path_edges + clique + iso)
+
+    def test_survivors_keep_one_per_cluster(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.components import (
+            connected_components,
+            dedup_survivors,
+        )
+        from w4h_etl_container_spark.plans.textops import minhash_candidates
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = minhash_candidates(docs)
+        surv = dedup_survivors(docs, pairs)
+        cc = connected_components(pairs).collect()
+        n_docs = docs.count()
+        clusters = {r["cluster_id"] for r in cc}
+        losers = sum(1 for r in cc if r["doc_id"] != r["cluster_id"])
+        assert surv.count() == n_docs - losers
+        # every cluster's canonical doc survived
+        surv_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        assert clusters <= surv_ids

@@ -1,0 +1,108 @@
+"""Connected components over near-duplicate candidate pairs — the final
+stage of every corpus-scale dedup pipeline (SURVEY.md §2.11).
+
+Candidate generators (``minhash_candidates``, ``embedding_neardup``,
+``ngram_jaccard``) emit PAIRS, but removal needs CLUSTERS: if A~B and
+B~C, then {A, B, C} is one duplicate group and exactly one survivor may
+be kept. That grouping is connected components on the pair graph.
+
+Engine shape — iterative min-label propagation, pure DataFrame ops:
+
+* state is one (vertex, label) table, label = smallest doc_id reached
+  so far; each round joins the symmetrized edge list to the labels,
+  takes the min label over each vertex's neighborhood plus itself, and
+  stops when the global label sum stops falling.
+* Convergence detection costs ONE scalar aggregate per round (the label
+  sum is monotone non-increasing and strictly decreases until the fixed
+  point) — no change-count join, no driver-side diffing of label
+  tables.
+* Rounds needed = graph diameter. Near-dup components are bucket
+  overlaps — near-cliques with diameters of 2-4 — so 3-5 rounds in
+  practice even at corpus scale; ``max_rounds`` bounds the adversarial
+  case (a path-shaped component) and raising it is safe because every
+  extra round is a no-op after convergence.
+* Each round's state is ``localCheckpoint``-ed, which truncates the
+  logical plan. This is load-bearing, not hygiene: the round body
+  references ``labels`` twice (message join + union), so without
+  truncation the plan TREE doubles every round — 2^rounds analyzer
+  copies, measured as a driver OOM on a 15-edge path graph by round 11.
+  Caching alone does not help (InMemoryRelation reuse happens at the
+  physical level; Catalyst still walks the exponential logical tree).
+  On a multi-executor cluster swap ``localCheckpoint`` for reliable
+  ``checkpoint`` (HDFS/S3-backed) — same call site, same plan shape.
+
+At 100 TB the label table is |V| rows (only documents that appear in
+some candidate pair — a small fraction of the corpus) and each round is
+one shuffle on doc_id; the alternating large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+2014) drops in here if components with large diameters ever appear —
+same state table, different message rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Cluster an undirected pair list into connected components.
+
+    ``pairs``: two integer columns (first = one endpoint, second = the
+    other; column names are taken positionally so the candidate
+    generators' (doc_a, doc_b) output plugs in directly).
+
+    Returns (doc_id, cluster_id) — one row per distinct vertex,
+    cluster_id = the smallest doc_id in its component (a deterministic,
+    engine-neutral canonical choice).
+    """
+    a, b = pairs.columns[0], pairs.columns[1]
+    # Symmetrize once: each round's neighborhood min must see both
+    # directions. union + distinct is one exchange, paid once, outside
+    # the loop.
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("l"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("l")).collect()[0][0]
+
+    for _ in range(max_rounds):
+        # min over {own label} ∪ {neighbors' labels}: one join on the
+        # propagation side, one union, one hash-agg shuffle on v.
+        # localCheckpoint materializes the round AND truncates lineage
+        # (see module docstring — without it the plan tree is 2^rounds).
+        msgs = edges.join(labels, edges.src == labels.v).select(
+            F.col("dst").alias("v"), "l"
+        )
+        labels = (
+            msgs.unionByName(labels).groupBy("v").agg(F.min("l").alias("l")).localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("l")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("cluster_id"))
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Full near-dedup resolution: candidate pairs → components → keep
+    exactly one document per duplicate cluster (the smallest ``key`` —
+    deterministic) plus every document that appears in no pair.
+
+    Returns ``docs`` filtered to survivors — the "deduplicated corpus"
+    a training-data pipeline writes out. The anti-join side is the
+    LOSER set (paired docs whose id differs from their cluster min),
+    which is tiny relative to the corpus, so Spark broadcasts it and
+    the full-corpus scan never shuffles.
+    """
+    cc = connected_components(pairs)
+    losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(
+        F.broadcast(losers.withColumnRenamed("doc_id", key)), on=key, how="left_anti"
+    )
