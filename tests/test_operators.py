@@ -593,3 +593,111 @@ class TestConnectedComponents:
         # every cluster's canonical doc survived
         surv_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
         assert clusters <= surv_ids
+
+
+class TestDeterministicSampling:
+    """Threshold sampling on a keyed md5 hash: the DuckDB twin checks
+    EXACT membership (both engines compute the same buckets), and the
+    algebraic properties a corpus recipe relies on are asserted
+    directly (reproducibility, nesting, partition invariance)."""
+
+    def _duck_ids(self, sf_dir: str, rate: float, salt: str) -> set[int]:
+        import duckdb
+
+        hexd = "0123456789abcdef"
+        nib = " + ".join(
+            f"(instr('{hexd}', substr(h, {p + 1}, 1)) - 1) * {16 ** (5 - p)}"
+            for p in range(6)
+        )
+        m = 1 << 24
+        q = f"""
+        WITH hashed AS (
+          SELECT doc_id, md5('{salt}' || CAST(doc_id AS VARCHAR)) AS h
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        )
+        SELECT doc_id FROM hashed WHERE ({nib}) < {int(rate * m)}
+        """
+        return {r[0] for r in duckdb.sql(q).fetchall()}
+
+    def test_duckdb_membership_parity(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.sampling import deterministic_sample
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        got = {
+            r["doc_id"]
+            for r in deterministic_sample(docs, 0.2, "doc_id", salt="s0")
+            .select("doc_id")
+            .collect()
+        }
+        want = self._duck_ids(sf_dir, 0.2, "s0")
+        assert got == want
+        n = docs.count()
+        assert 0.1 * n < len(got) < 0.3 * n  # rate is roughly honored
+
+    def test_nested_and_reproducible(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.sampling import deterministic_sample
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        s10 = {r["doc_id"] for r in deterministic_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+        s20 = {r["doc_id"] for r in deterministic_sample(docs, 0.2, "doc_id").select("doc_id").collect()}
+        s10b = {r["doc_id"] for r in deterministic_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+        assert s10 == s10b  # bit-stable rerun
+        assert s10 <= s20  # thresholds nest
+        # partition-invariant: same membership after a reshuffle
+        s10c = {
+            r["doc_id"]
+            for r in deterministic_sample(docs.repartition(7), 0.1, "doc_id")
+            .select("doc_id")
+            .collect()
+        }
+        assert s10 == s10c
+        # different salt draws a genuinely different sample
+        s10d = {
+            r["doc_id"]
+            for r in deterministic_sample(docs, 0.1, "doc_id", salt="other")
+            .select("doc_id")
+            .collect()
+        }
+        assert s10 != s10d
+
+    def test_stratified_rates(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.sampling import stratified_sample
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        rates = {"A": 0.5, "N": 0.1}
+        out = stratified_sample(li, rates, "l_returnflag", "l_orderkey").groupBy(
+            "l_returnflag"
+        ).count().collect()
+        by_flag = {r["l_returnflag"]: r["count"] for r in out}
+        assert set(by_flag) <= set(rates)  # absent strata ('R') dropped
+        totals = {
+            r["l_returnflag"]: r["count"]
+            for r in li.groupBy("l_returnflag").count().collect()
+        }
+        for s, r in rates.items():
+            # orderkey-keyed: each order's lines sample together, so the
+            # tolerance is loose; the point is the per-stratum threshold
+            assert 0.4 * r * totals[s] < by_flag.get(s, 0) < 1.8 * r * totals[s]
+
+    def test_fast_path_structure_parity(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.sampling import (
+            deterministic_sample,
+            deterministic_sample_fast,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        n = docs.count()
+        fast = deterministic_sample_fast(docs, 0.2, "doc_id")
+        assert 0.1 * n < fast.count() < 0.3 * n
+        # identical plan shape: a single pushed filter, no shuffle
+        for df in (deterministic_sample(docs, 0.2, "doc_id"), fast):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+        # deterministic rerun
+        assert {r["doc_id"] for r in fast.collect()} == {
+            r["doc_id"] for r in deterministic_sample_fast(docs, 0.2, "doc_id").collect()
+        }

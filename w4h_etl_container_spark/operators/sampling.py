@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling (SURVEY.md §2.11 — training-data
+pipeline surface).
+
+``df.sample()`` draws from a per-partition RNG: the result changes with
+partitioning, task retries, and Spark version — unacceptable when a
+training corpus must be re-derivable bit-for-bit from its recipe. The
+pipeline answer is THRESHOLD sampling on a keyed hash: a row is in the
+sample iff ``hash(salt, key) mod M < rate·M``. Properties that matter at
+100 TB:
+
+* **Deterministic & partition-invariant** — membership depends only on
+  (salt, key), never on physical layout, executor count, or retries;
+  the sample is reproducible on any cluster from the recipe alone.
+* **Nested** — for the same salt, sample(10%) ⊆ sample(20%): growing a
+  corpus never discards previously selected rows (stable train subsets
+  as budgets grow).
+* **Embarrassingly parallel** — a per-row filter, pushed into the scan;
+  zero shuffles, no RNG state, no driver coordination.
+* **Stratified for free** — a per-stratum rate is just a different
+  threshold on the same hash (map lookup, still one scan).
+
+Hash renderings mirror the dedup family: md5-slice (bit-identical in
+Spark and DuckDB → the pytest twin checks EXACT membership, not a
+statistical bound) and a seeded-xxhash64 production twin pinned by
+structure parity (identical selection logic, JVM-native hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Threshold denominator: hash buckets in [0, M). 2^24 keeps the whole
+# md5-slice arithmetic exact in 32-bit lanes and gives rate resolution
+# of ~6e-8 — finer than any corpus recipe specifies.
+_M = 1 << 24
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 2^24) from the first 6 hex digits of
+    md5(salt || key) — engine-neutral (DuckDB twin does the same nibble
+    arithmetic), uniform because md5 is."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6), 16, 10
+    ).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key: str, salt: str = "s0"
+) -> DataFrame:
+    """Keep rows whose hash bucket falls under ``rate``. Membership is a
+    pure function of (salt, row key): reproducible across clusters,
+    partitionings, and retries, and nested across rates (see module
+    docstring). One codegen'd filter — the scan is the whole cost."""
+    return df.where(_bucket(F.col(key), salt) < int(rate * _M))
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], stratum: str, key: str, salt: str = "s0"
+) -> DataFrame:
+    """Per-stratum threshold sampling in ONE scan: the stratum column
+    selects its rate via a literal CASE map (absent strata keep nothing);
+    the same hash bucket is compared against the selected threshold.
+    Rebalancing a skewed corpus (e.g. downsample boilerplate-heavy
+    domains) without a groupBy: still a pure filter, zero shuffles."""
+    thr = F.lit(-1)
+    for s, r in rates.items():
+        thr = F.when(F.col(stratum) == s, F.lit(int(r * _M))).otherwise(thr)
+    return df.where(_bucket(F.col(key), salt) < thr)
+
+
+def deterministic_sample_fast(
+    df: DataFrame, rate: float, key: str, salt_seed: int = 0
+) -> DataFrame:
+    """Production rendering: seeded xxhash64 instead of md5 (one JVM
+    hash instruction vs a digest + string slice — the same swap as
+    ``dedup_exact_fast``). ``pmod`` maps the signed 64-bit hash onto the
+    same [0, 2^24) bucket space; selection logic is otherwise identical,
+    pinned by structure parity in tests (xxhash64 has no engine-neutral
+    DuckDB twin)."""
+    bucket = F.pmod(F.xxhash64(F.lit(salt_seed), F.col(key)), F.lit(_M))
+    return df.where(bucket < int(rate * _M))
