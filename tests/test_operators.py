@@ -701,3 +701,89 @@ class TestDeterministicSampling:
         assert {r["doc_id"] for r in fast.collect()} == {
             r["doc_id"] for r in deterministic_sample_fast(docs, 0.2, "doc_id").collect()
         }
+
+
+class TestInt8Quantization:
+    """quantize_embeddings has no gate slot (50-query window full); the
+    DuckDB twin — the same floor/scale arithmetic as list_transform SQL
+    — runs HERE and checks the emitted integers exactly."""
+
+    def _duck_twin(self, sf_dir: str):
+        import duckdb
+
+        q = f"""
+        WITH amaxed AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+                 embedding
+          FROM read_parquet('{sf_dir}/embeddings.parquet')
+        )
+        SELECT vec_id,
+               CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / amax * 127 + 0.5) AS BIGINT))
+               END AS q,
+               CAST(floor(amax / 127 * 1000000.0 + 0.5) AS BIGINT) AS scale_e6
+        FROM amaxed
+        """
+        return {r[0]: (list(r[1]), r[2]) for r in duckdb.sql(q).fetchall()}
+
+    def test_duckdb_integer_parity(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.quantize import quantize_embeddings
+        from w4h_etl_container_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        got = {
+            r["vec_id"]: (list(r["q"]), r["scale_e6"])
+            for r in quantize_embeddings(emb).select("vec_id", "q", "scale_e6").collect()
+        }
+        want = self._duck_twin(sf_dir)
+        assert got == want
+        # value range is int8-safe
+        assert all(-127 <= v <= 127 for qv, _ in got.values() for v in qv)
+
+    def test_quantized_cosine_approximates_exact(self, spark, sf_dir):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.quantize import (
+            quantize_embeddings,
+            quantized_cosine_expr,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        emb = quantize_embeddings(read_table(spark, sf_dir, "embeddings")).cache()
+        a = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("ia"), F.col("q").alias("qa"), F.col("embedding").alias("ea")
+        )
+        b = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).select(
+            F.col("vec_id").alias("ib"), F.col("q").alias("qb"), F.col("embedding").alias("eb")
+        )
+        rows = (
+            a.crossJoin(b)
+            .select("ia", "ib", quantized_cosine_expr("qa", "qb").alias("qcos"), "ea", "eb")
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            ea, eb = r["ea"], r["eb"]
+            dot = sum(x * y for x, y in zip(ea, eb))
+            na = math.sqrt(sum(x * x for x in ea))
+            nb = math.sqrt(sum(x * x for x in eb))
+            exact = dot / (na * nb)
+            assert abs(r["qcos"] - exact) < 0.03, (r["ia"], r["ib"], r["qcos"], exact)
+        emb.unpersist()
+
+    def test_qdot_is_jvm_native(self, spark, sf_dir):
+        """The scoring dot must not drag a Python UDF into the hot path:
+        only the one quantize kernel appears in the plan."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.quantize import qdot, quantize_embeddings
+        from w4h_etl_container_spark.session import read_table
+
+        emb = quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+        scored = emb.select(qdot("q", "q").alias("qq"))
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") <= 1  # the quantizer itself, nothing else

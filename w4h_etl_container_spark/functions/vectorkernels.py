@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 _VECSTATS_SCHEMA = StructType(
     [StructField("l2_norm_e6", LongType()), StructField("unit_c0_e6", LongType())]
@@ -179,3 +179,41 @@ def make_ivf_assign_udf(centroids: np.ndarray):
         return pd.DataFrame({"centroid_id": best_k, "dist2_e6": e6(best_d)})
 
     return ivf_assign
+
+
+_QUANT_SCHEMA = StructType(
+    [
+        StructField("q", ArrayType(LongType())),
+        StructField("scale_e6", LongType()),
+    ]
+)
+
+
+def make_quantize_udf():
+    """Symmetric per-vector int8 scalar quantization — the memory-scale
+    path for embedding storage and ANN verify at corpus scale (float32
+    d-dim → d bytes + one scale: 4× smaller vectors, integer SIMD dots).
+
+    q_i = floor(x_i / amax · 127 + 0.5) ∈ [-127, 127],
+    scale_e6 = floor(amax / 127 · 1e6 + 0.5); an all-zero vector
+    quantizes to zeros with scale 0. Every op (abs, max, /, ·, floor)
+    is a single correctly-rounded IEEE double op evaluated in the same
+    order as the DuckDB twin's list_transform rendering, so the emitted
+    INTEGERS are bit-identical across engines (same contract as the
+    *_e6 kernels)."""
+
+    @F.pandas_udf(_QUANT_SCHEMA)
+    def quantize(emb: pd.Series) -> pd.DataFrame:
+        a = stackf64(emb)
+        if len(a) == 0:
+            return pd.DataFrame(
+                {"q": pd.Series([], dtype="object"), "scale_e6": pd.Series([], dtype="int64")}
+            )
+        amax = np.abs(a).max(axis=1)
+        safe = np.where(amax == 0.0, 1.0, amax)
+        q = np.floor(a / safe[:, None] * 127.0 + 0.5).astype(np.int64)
+        q[amax == 0.0] = 0
+        scale = np.floor(amax / 127.0 * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"q": list(q), "scale_e6": scale})
+
+    return quantize
