@@ -787,3 +787,126 @@ class TestInt8Quantization:
         scored = emb.select(qdot("q", "q").alias("qq"))
         plan = scored._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") <= 1  # the quantizer itself, nothing else
+
+
+class TestBpePretokenizer:
+    """bpe_pretokenize / token_vocabulary have no gate slot; the DuckDB
+    twin (same regex, RE2 side) runs HERE and pins the exact token
+    streams and the vocabulary's deterministic top-k."""
+
+    PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+    def test_duckdb_token_stream_parity(self, spark, sf_dir):
+        import duckdb
+
+        from w4h_etl_container_spark.plans.textops import bpe_pretokenize
+        from w4h_etl_container_spark.session import read_table
+
+        got = {
+            r["doc_id"]: (list(r["pretokens"]), r["n_all"], r["n_pretokens"])
+            for r in bpe_pretokenize(read_table(spark, sf_dir, "documents")).collect()
+        }
+        pat = self.PAT.replace("'", "''")
+        want = {
+            r[0]: (list(r[1]), r[2], r[3])
+            for r in duckdb.sql(
+                f"""
+                SELECT doc_id,
+                       regexp_extract_all(text, '{pat}') AS pretokens,
+                       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_all,
+                       CAST(len(list_filter(regexp_extract_all(text, '{pat}'),
+                                            t -> NOT regexp_matches(t, '^\\s+$'))) AS BIGINT)
+                         AS n_pretokens
+                FROM read_parquet('{sf_dir}/documents.parquet')
+                """
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_pretokens_reconstruct_text(self, spark, sf_dir):
+        """Byte-level BPE property: pre-tokens partition the text — their
+        concatenation is the original document."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import bpe_pretokenize
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        joined = bpe_pretokenize(docs).join(docs.select("doc_id", "text"), "doc_id")
+        bad = joined.where(
+            F.concat_ws("", F.col("pretokens")) != F.col("text")
+        ).count()
+        assert bad == 0
+
+    def test_vocabulary_topk_parity(self, spark, sf_dir):
+        import duckdb
+
+        from w4h_etl_container_spark.plans.textops import token_vocabulary
+        from w4h_etl_container_spark.session import read_table
+
+        got = [
+            (r["token"], r["n_occurrences"])
+            for r in token_vocabulary(read_table(spark, sf_dir, "documents"), top_n=50).collect()
+        ]
+        pat = self.PAT.replace("'", "''")
+        want = duckdb.sql(
+            f"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '{pat}')) AS t
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            )
+            SELECT lower(regexp_replace(t, '^ ', '')) AS token,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM toks WHERE NOT regexp_matches(t, '^\\s+$')
+            GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50
+            """
+        ).fetchall()
+        assert got == [tuple(w) for w in want]
+
+
+class TestDedupPipelineEndToEnd:
+    """The full near-dedup recipe a corpus pipeline runs, composed from
+    the engine's own stages: candidates (MinHash LSH, production
+    xxhash64 path) → connected components → survivor selection →
+    deterministic sample of the survivors. Asserts the invariants the
+    composition must preserve, at the larger sf0.01 fixture."""
+
+    def test_full_recipe(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.components import (
+            connected_components,
+            dedup_survivors,
+        )
+        from w4h_etl_container_spark.operators.sampling import deterministic_sample
+        from w4h_etl_container_spark.plans.textops import minhash_candidates_fast
+        from w4h_etl_container_spark.session import read_table
+
+        sf = "/root/testdata/sf0.01"
+        docs = read_table(spark, sf, "documents")
+        n_docs = docs.count()
+
+        pairs = minhash_candidates_fast(docs).localCheckpoint()
+        n_pairs = pairs.count()
+        assert n_pairs > 0
+        # candidate volume stays bucket-bounded, never quadratic
+        assert n_pairs < n_docs * 10
+
+        cc = connected_components(pairs).localCheckpoint()
+        # every paired doc got a cluster; cluster head is its own label
+        paired = pairs.select(F.col("doc_a").alias("d")).unionByName(
+            pairs.select(F.col("doc_b").alias("d"))
+        ).distinct()
+        assert cc.count() == paired.count()
+        heads = cc.where(F.col("doc_id") == F.col("cluster_id")).count()
+        losers = cc.count() - heads
+        assert heads > 0 and losers > 0
+
+        surv = dedup_survivors(docs, pairs)
+        assert surv.count() == n_docs - losers
+
+        # recipe tail: reproducible 50% sample of the deduped corpus
+        sampled = deterministic_sample(surv, 0.5, "doc_id")
+        c1, c2 = sampled.count(), sampled.count()
+        assert c1 == c2
+        assert 0.35 * (n_docs - losers) < c1 < 0.65 * (n_docs - losers)

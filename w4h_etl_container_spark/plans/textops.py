@@ -615,3 +615,55 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         pack = term if pack is None else pack + term
     return bitsums.select("doc_id", pack.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenization + vocabulary building
+# ---------------------------------------------------------------------------
+# GPT-2-shaped pre-tokenizer (simplified to ASCII classes so Java regex
+# and RE2 agree symbol-for-symbol): contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation
+# runs, whitespace runs. Both engines use leftmost-first alternation, so
+# the token streams are identical — pinned exactly by the pytest twin.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_pretokenize(d: DataFrame) -> DataFrame:
+    """Per-document BPE pre-token stream — the unit a byte-pair-encoding
+    tokenizer merges within (no merge crosses a pre-token boundary), and
+    the honest token-count estimator for corpus budgeting (whitespace
+    counts undercount punctuation-heavy text; this is the regex the
+    byte-level BPE family actually splits on).
+
+    One codegen'd projection (regexp_extract_all), zero shuffles; the
+    whitespace-run tokens are kept (byte-level BPE encodes them too) —
+    ``n_pretokens`` excludes them for the "text token" count."""
+    # idx=0 (whole match): the pattern's only group is non-capturing, and
+    # Spark's default group index of 1 rejects it.
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        toks.alias("pretokens"),
+        F.size(toks).cast("long").alias("n_all"),
+        F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))).cast("long").alias("n_pretokens"),
+    )
+
+
+def token_vocabulary(d: DataFrame, top_n: int = 1000) -> DataFrame:
+    """Corpus vocabulary from the pre-token stream: normalize (strip the
+    leading space marker, lowercase), count, keep the ``top_n`` most
+    frequent with a deterministic (count desc, token asc) order.
+
+    Scale shape: explode → ONE partial-agg shuffle on token →
+    TakeOrderedAndProject for the cap. Token frequency is Zipfian —
+    exactly the skew AQE's skew handling and the partial aggregate
+    absorb (the hot token's partials combine map-side; no single
+    reducer sees the raw occurrence stream)."""
+    toks = bpe_pretokenize(d).select(
+        F.explode("pretokens").alias("t")
+    ).where(~F.col("t").rlike(r"^\s+$"))
+    norm = F.lower(F.regexp_replace("t", r"^ ", ""))
+    counts = toks.select(norm.alias("token")).groupBy("token").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(top_n)
