@@ -204,3 +204,37 @@ class TestIncrementalForecast:
 
         # snapshot is date-partitioned (FLT-3 pruning surface)
         assert any(d.startswith("snap_date=") for d in os.listdir(snap))
+
+
+class TestSlidingWindow:
+    def test_sliding_matches_batch(self, spark, tmp_path, events_batch):
+        from w4h_etl_container_spark.streaming.windows import sliding_counts
+
+        got = _run_stream_to_batch(spark, tmp_path, events_batch, sliding_counts, "sli")
+        want = (
+            events_batch.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+            .select(
+                F.col("w.start").alias("ws"),
+                F.col("w.end").alias("we"),
+                "event_type",
+                "n",
+                "mean_value",
+            )
+        )
+        assert got.count() > 0
+        # every event lands in window/slide = 3 overlapping windows:
+        # total emitted+open counts must be 3x the event count
+        assert want.agg(F.sum("n")).collect()[0][0] == 3 * events_batch.count()
+        j = got.alias("g").join(want.alias("w"), ["ws", "we", "event_type"], "inner")
+        mism = j.where(
+            (F.col("g.n") != F.col("w.n"))
+            | (F.abs(F.col("g.mean_value") - F.col("w.mean_value")) > 1e-9)
+        ).count()
+        assert mism == 0
+        # append mode only withholds windows still open at the final
+        # watermark (= max_ts - 1 day): with 2 h slides and 6 h windows,
+        # window ends fall in the open (1 day + 6 h) tail every 2 h —
+        # ≤ 16 windows per event_type
+        n_types = events_batch.select("event_type").distinct().count()
+        assert got.count() >= want.count() - 16 * n_types

@@ -32,6 +32,32 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str = "2 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked SLIDING aggregate: each event contributes to
+    ``window/slide`` overlapping windows (3 here). Spark assigns the
+    overlapping windows at the map side (one state entry per open
+    window, same bounded-state guarantee as tumbling — a window's state
+    drops when the watermark passes its end); the per-event fan-out is
+    window/slide, constant, not data-dependent."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "mean_value",
+        )
+    )
+
+
 def session_aggregate(
     events: DataFrame, gap: str = "2 hours", watermark: str = "1 day"
 ) -> DataFrame:
