@@ -27,7 +27,7 @@ structure parity (identical selection logic, JVM-native hash).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Threshold denominator: hash buckets in [0, M). 2^24 keeps the whole
@@ -80,3 +80,24 @@ def deterministic_sample_fast(
     DuckDB twin)."""
     bucket = F.pmod(F.xxhash64(F.lit(salt_seed), F.col(key)), F.lit(_M))
     return df.where(bucket < int(rate * _M))
+
+
+def deterministic_topk_per_group(
+    df: DataFrame, k: int, group: str, key: str, salt: str = "s0"
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by hash order —
+    the EXACT-size companion to ``stratified_sample``'s rate-based
+    thresholds (eval-set construction wants "2 000 docs per language",
+    not "~0.1%"). Selection order is (hash bucket, key): deterministic,
+    partition-invariant, and unbiased w.r.t. any data column.
+
+    Shape: one window sort per group (row_number ≤ k). At corpus scale
+    with huge groups, the two-pass refinement keeps the sort bounded:
+    take the per-group k-th smallest bucket on a coarse histogram as a
+    threshold filter, then window-sort only the ~k survivors — same
+    result, the full-group sort never happens. The one-pass form here
+    is the correct plan wherever a group fits a task's sort buffer."""
+    w = Window.partitionBy(group).orderBy(_bucket(F.col(key), salt), key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+    )
