@@ -986,3 +986,59 @@ class TestDedupScaleStress:
         # linear, not quadratic: the bucket cap bounds per-bucket pair
         # expansion even though every bucket now holds >= 16 docs
         assert n_pairs < reps * n * 40
+
+
+class TestQualityFilterChain:
+    """quality_flags / quality_filter / quality_report over the
+    oracle-checked profile expressions. The DuckDB twin recomputes the
+    kept set from the same profile SQL + rule predicates; the report's
+    exclusive attribution must sum exactly to the total drop."""
+
+    def test_duckdb_kept_set_parity(self, spark, sf_dir):
+        import duckdb
+
+        from w4h_etl_container_spark.plans.textops import (
+            QUALITY_RULES,
+            _profile_sql,
+            quality_filter,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
+        got = {r["doc_id"] for r in quality_filter(docs).select("doc_id").collect()}
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        conds = " AND ".join(
+            f"NOT ({col} {op} {thr})" for col, op, thr in QUALITY_RULES.values()
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM ({_profile_sql()}) WHERE {conds}"
+            ).fetchall()
+        }
+        con.close()
+        assert got == want
+        assert 0 < len(got)
+
+    def test_report_attribution_sums(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.textops import QUALITY_RULES, quality_report
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
+        rep = quality_report(docs).collect()[0].asDict()
+        dropped = rep["n_docs"] - rep["n_kept"]
+        assert dropped == sum(rep[f"n_first_{name}"] for name in QUALITY_RULES)
+        for name in QUALITY_RULES:
+            assert rep[f"n_first_{name}"] <= rep[f"n_{name}"]
+
+    def test_single_scan_no_shuffle(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.textops import quality_filter
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
+        plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

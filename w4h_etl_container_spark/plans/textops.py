@@ -91,6 +91,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-row expressions: embarrassingly parallel, scan-bound at
     100 TB, zero shuffles."""
     d = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return text_profile(d)
+
+
+def text_profile(d: DataFrame) -> DataFrame:
+    """Library form of the profile (the declared query body — shared so
+    the quality-filter chain composes on the exact oracle-checked
+    expressions rather than a drifting copy)."""
     n_tok = F.size(_tokens()).cast("double")
     n_chr = F.length("text").cast("double")
     lowered = F.lower(F.col("text"))
@@ -667,3 +674,71 @@ def token_vocabulary(d: DataFrame, top_n: int = 1000) -> DataFrame:
         F.count("*").alias("n_occurrences")
     )
     return counts.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(top_n)
+
+
+# ---------------------------------------------------------------------------
+# Declarative quality-filter chain over the profile signals
+# ---------------------------------------------------------------------------
+# Rule set as data: name → (column, op, threshold). Ordered — the audit
+# column reports the FIRST failed rule, so order is the triage order.
+# Defaults are fixture-scaled stand-ins for the published corpus-filter
+# families (Gopher/C4-style length, word-shape, symbol-density and
+# stopword rules); a deployment tunes thresholds per corpus.
+QUALITY_RULES: dict[str, tuple[str, str, float]] = {
+    "too_few_tokens": ("n_tokens", "<", 5),
+    "too_many_tokens": ("n_tokens", ">", 100_000),
+    "avg_token_too_short": ("avg_token_len", "<", 2.0),
+    "avg_token_too_long": ("avg_token_len", ">", 14.0),
+    "too_much_punct": ("punct_ratio", ">", 0.15),
+    "too_numeric": ("n_numericish", ">", 50),
+    "no_stopwords": ("stopword_ratio", "<", 0.001),
+}
+
+
+def _rule_fails(col: str, op: str, thr: float):
+    c = F.col(col)
+    return c < F.lit(thr) if op == "<" else c > F.lit(thr)
+
+
+def quality_flags(d: DataFrame, rules: dict | None = None) -> DataFrame:
+    """Profile + per-rule failure booleans + ``keep`` + ``first_fail``
+    (NULL when kept) in ONE scan. The audit columns are the part a real
+    pipeline cannot skip: corpus loss must be attributable per rule
+    before anyone trusts the filtered output."""
+    rules = QUALITY_RULES if rules is None else rules
+    prof = text_profile(d)
+    out = prof.select(
+        "*", *[_rule_fails(*spec).alias(f"fail_{name}") for name, spec in rules.items()]
+    )
+    keep = None
+    first = F.lit(None).cast("string")
+    for name in reversed(list(rules)):
+        fail = F.col(f"fail_{name}")
+        keep = ~fail if keep is None else (keep & ~fail)
+        first = F.when(fail, F.lit(name)).otherwise(first)
+    return out.select("*", keep.alias("keep"), first.alias("first_fail"))
+
+
+def quality_filter(d: DataFrame, rules: dict | None = None) -> DataFrame:
+    """The kept corpus: documents passing every rule. Pure per-row
+    filter over one scan — the 100 TB cost is the read itself."""
+    flags = quality_flags(d, rules)
+    return flags.where(F.col("keep")).drop(
+        "keep", "first_fail", *[c for c in flags.columns if c.startswith("fail_")]
+    )
+
+
+def quality_report(d: DataFrame, rules: dict | None = None) -> DataFrame:
+    """Per-rule attribution in one aggregate: how many documents fail
+    each rule (non-exclusive) and how many are lost to it first
+    (exclusive — sums to the total drop). One scan, one tiny
+    fixed-width aggregate row per rule."""
+    rules = QUALITY_RULES if rules is None else rules
+    flags = quality_flags(d, rules)
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("keep").cast("long")).alias("n_kept")]
+    for name in rules:
+        aggs.append(F.sum(F.col(f"fail_{name}").cast("long")).alias(f"n_{name}"))
+        aggs.append(
+            F.sum((F.col("first_fail") == name).cast("long")).alias(f"n_first_{name}")
+        )
+    return flags.agg(*aggs)
