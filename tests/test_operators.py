@@ -1042,3 +1042,57 @@ class TestQualityFilterChain:
         docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
         plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestSourceCuration:
+    def test_duckdb_parity(self, spark, sf_dir):
+        import duckdb
+
+        from w4h_etl_container_spark.plans.textops import (
+            QUALITY_RULES,
+            _profile_sql,
+            source_curation_report,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
+        got = {
+            r["source"]: (
+                r["n_docs"], r["total_tokens"], r["n_failed"], r["n_dup_docs"],
+                r["keep_source"], r["downsample_source"],
+            )
+            for r in source_curation_report(docs).collect()
+        }
+        fails = " OR ".join(f"({col} {op} {thr})" for col, op, thr in QUALITY_RULES.values())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+            " WHERE length(text) > 0"
+        )
+        want = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(
+                f"""
+                WITH prof AS (
+                  SELECT doc_id, n_tokens, ({fails}) AS failed FROM ({_profile_sql()})
+                ), fp AS (
+                  SELECT doc_id, source,
+                         COUNT(*) OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) > 1 AS is_dup
+                  FROM documents
+                ), rep AS (
+                  SELECT source, COUNT(*) AS n_docs,
+                         SUM(n_tokens) AS total_tokens,
+                         SUM(CAST(failed AS BIGINT)) AS n_failed,
+                         SUM(CAST(is_dup AS BIGINT)) AS n_dup_docs
+                  FROM fp JOIN prof USING (doc_id) GROUP BY source
+                )
+                SELECT source, n_docs, total_tokens, n_failed, n_dup_docs,
+                       (n_dup_docs * 2 < n_docs AND n_failed * 2 < n_docs) AS keep_source,
+                       (n_dup_docs * 4 >= n_docs) AS downsample_source
+                FROM rep
+                """
+            ).fetchall()
+        }
+        con.close()
+        assert got == want
+        assert len(got) > 1

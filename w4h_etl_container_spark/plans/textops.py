@@ -742,3 +742,59 @@ def quality_report(d: DataFrame, rules: dict | None = None) -> DataFrame:
             F.sum((F.col("first_fail") == name).cast("long")).alias(f"n_first_{name}")
         )
     return flags.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Source-level curation (per-domain corpus decisions)
+# ---------------------------------------------------------------------------
+def source_curation_report(d: DataFrame) -> DataFrame:
+    """Per-source corpus curation aggregates — the decision table behind
+    "keep /downsample /drop this domain": document count, token volume,
+    quality-rule failure count, and the exact-duplicate share, plus the
+    keep verdict itself. Real pipelines gate WHOLE SOURCES this way
+    (a domain that is 60% boilerplate dups is cut at the source level,
+    not document by document).
+
+    Determinism contract: every aggregate is an INTEGER (counts and
+    integer sums — exact and order-independent), and the verdicts are
+    integer inequalities (cross-multiplied, never divided), so the
+    DuckDB twin matches bit-for-bit with no float canonicalization.
+
+    Shape: the profile and fingerprint are per-row projections on one
+    scan; then one shuffle keyed by the 16-byte fingerprint (dup
+    detection) and one keyed by source (the report). Sources are
+    bounded cardinality (domains), so the report aggregate is tiny and
+    the source groupBy is the classic skew case — a giant domain is
+    exactly what AQE skew-split plus the integer partial aggregates
+    absorb."""
+    flags = quality_flags(d)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = d.select("doc_id", "source", F.md5(norm).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    dup = fp.withColumn("n_copies", F.count(F.lit(1)).over(w)).select(
+        "doc_id", "source", (F.col("n_copies") > 1).cast("long").alias("is_dup")
+    )
+    per_doc = dup.join(
+        flags.select("doc_id", "n_tokens", (~F.col("keep")).cast("long").alias("failed")),
+        "doc_id",
+    )
+    rep = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("failed").alias("n_failed"),
+        F.sum("is_dup").alias("n_dup_docs"),
+    )
+    # verdicts as integer inequalities: dup share ≥ 1/2 or failure share
+    # ≥ 1/2 drops the source; dup share ≥ 1/4 flags it for downsampling
+    return rep.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_failed",
+        "n_dup_docs",
+        (
+            (F.col("n_dup_docs") * 2 < F.col("n_docs"))
+            & (F.col("n_failed") * 2 < F.col("n_docs"))
+        ).alias("keep_source"),
+        (F.col("n_dup_docs") * 4 >= F.col("n_docs")).alias("downsample_source"),
+    )
