@@ -1096,3 +1096,28 @@ class TestSourceCuration:
         con.close()
         assert got == want
         assert len(got) > 1
+
+
+class TestAnnRecall:
+    def test_recall_measured_and_sane(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.vectors import N_QUERIES, TOP_K, ann_recall
+
+        rows = ann_recall(spark, sf_dir).collect()
+        assert len(rows) == N_QUERIES
+        for r in rows:
+            assert 0 <= r["n_hits"] <= TOP_K
+        # single-bucket probe visits ~1/2^8 of the corpus; on the fixture
+        # it must still find SOME true neighbors overall (the tradeoff the
+        # operator exists to measure), while never exceeding exact top-k
+        assert sum(r["n_hits"] for r in rows) > 0
+
+    def test_probe_is_subset_of_bucket(self, spark, sf_dir):
+        """Probe results only come from the query's own bucket — the
+        sub-linearity contract."""
+        from w4h_etl_container_spark.plans.vectors import q_ann_lsh, q_ann_probe
+
+        buckets = {
+            r["vec_id"]: r["bucket"] for r in q_ann_lsh(spark, sf_dir).collect()
+        }
+        for r in q_ann_probe(spark, sf_dir).collect():
+            assert buckets[r["cand_id"]] == buckets[r["query_id"]]

@@ -350,3 +350,39 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_e6").desc(), F.col("cand_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Recall measurement: the ANN quality metric, computed by the engine itself
+# ---------------------------------------------------------------------------
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the sub-linear probe path (q_ann_probe) against the
+    exact baseline (q_cosine_topk), per query vector — the number every
+    ANN deployment tunes against (probe fraction vs recall; multi-probe
+    and IVF nprobe move the same tradeoff).
+
+    Engine shape: both sides are the engine's own declared plans; the
+    comparison is one broadcast semi-join on (query_id, cand_id) and a
+    per-query count — negligible next to the searches themselves.
+    ``recall_pct`` is an integer (hits·100/k), exact in both engines."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    probe = q_ann_probe(spark, sf_dir).select("query_id", "cand_id")
+    hits = exact.join(probe, ["query_id", "cand_id"], "left_semi")
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") * 100 / F.lit(TOP_K)).cast("long").alias("recall_pct"),
+    )
