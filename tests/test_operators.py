@@ -1121,3 +1121,47 @@ class TestAnnRecall:
         }
         for r in q_ann_probe(spark, sf_dir).collect():
             assert buckets[r["cand_id"]] == buckets[r["query_id"]]
+
+
+class TestIvfMultiProbe:
+    """IVF-Flat search: recall is monotone in nprobe, and probing every
+    cell IS exact search (bit-identical to q_cosine_topk)."""
+
+    def _topk_sets(self, df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    def test_recall_monotone_and_exact_at_full_probe(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.vectors import (
+            ivf_probe_topk,
+            q_cosine_topk,
+        )
+
+        exact = self._topk_sets(q_cosine_topk(spark, sf_dir))
+        recalls = []
+        for nprobe in (1, 2, 4):
+            got = self._topk_sets(ivf_probe_topk(spark, sf_dir, nprobe=nprobe))
+            hit = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+            tot = sum(len(v) for v in exact.values())
+            recalls.append(hit / tot)
+        assert recalls == sorted(recalls), recalls  # monotone in nprobe
+        assert recalls[-1] == 1.0  # nprobe = n_centroids == exact search
+        assert recalls[0] > 0.2  # single-cell probe finds real neighbors
+
+    def test_full_probe_scores_match_exact(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.vectors import (
+            ivf_probe_topk,
+            q_cosine_topk,
+        )
+
+        got = {
+            (r["query_id"], r["cand_id"]): r["cosine_e6"]
+            for r in ivf_probe_topk(spark, sf_dir, nprobe=4).collect()
+        }
+        want = {
+            (r["query_id"], r["cand_id"]): r["cosine_e6"]
+            for r in q_cosine_topk(spark, sf_dir).collect()
+        }
+        assert got == want

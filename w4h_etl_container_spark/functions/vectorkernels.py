@@ -217,3 +217,27 @@ def make_quantize_udf():
         return pd.DataFrame({"q": list(q), "scale_e6": scale})
 
     return quantize
+
+
+def make_ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """Multi-probe cell list: the ``nprobe`` nearest centroid ids by
+    squared L2, ties to the lowest id (full argsort of the k-row
+    distance matrix — k is small by construction; the kernel is
+    dimension-independent like every vector kernel here)."""
+    k = len(centroids)
+    nprobe = min(nprobe, k)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ivf_probe(emb: pd.Series) -> pd.Series:
+        a = stackf64(emb)
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        # dist2[i, c] via the same (x - c)^2 tree order as assign
+        d2 = np.stack(
+            [tree_reduce((a - centroids[c]) * (a - centroids[c])) for c in range(k)], axis=1
+        )
+        # stable argsort = ties to lowest centroid id
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int64)
+        return pd.Series(list(order))
+
+    return ivf_probe

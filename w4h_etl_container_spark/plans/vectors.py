@@ -386,3 +386,66 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits") * 100 / F.lit(TOP_K)).cast("long").alias("recall_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF search (IVF-Flat, the production ANN shape)
+# ---------------------------------------------------------------------------
+def ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2, n_centroids: int = 4
+) -> DataFrame:
+    """IVF-Flat search: corpus vectors are assigned to their nearest
+    centroid cell once (the index); each query exactly-ranks ONLY the
+    vectors in its ``nprobe`` nearest cells. ``nprobe`` is THE tuning
+    knob: 1 = fastest/lowest recall, n_centroids = exact search — and
+    recall is monotone in it (pinned in tests, including exactness at
+    nprobe = n_centroids against q_cosine_topk).
+
+    Scale shape: assignments are computed by the same Arrow argmin
+    kernel as q_ivf_assign; at corpus scale the assignment is
+    MATERIALIZED ONCE (repartitioned/bucketed by centroid_id) and
+    queries touch nprobe/n_centroids of the data with locality — the
+    probe join is an equi-join on centroid_id, broadcast from the
+    (tiny) query × nprobe cell list. Centroids come from
+    ``operators/ivfindex.py``'s trained matrix in production; the
+    deterministic literal matrix here keeps tests reproducible."""
+    from w4h_etl_container_spark.functions.vectorkernels import (
+        ivf_centroids,
+        make_ivf_assign_udf,
+        make_ivf_probe_udf,
+    )
+
+    cents = ivf_centroids(n_centroids, DIM)
+    assign_udf = make_ivf_assign_udf(cents)
+    probe_udf = make_ivf_probe_udf(cents, nprobe)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    indexed = emb.select(
+        "vec_id",
+        "embedding",
+        _norm_udf("embedding").alias("nrm"),
+        assign_udf("embedding")["centroid_id"].alias("cell"),
+    )
+    queries = (
+        indexed.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            probe_udf("embedding").alias("cells"),
+        )
+        .select("query_id", "qe", "qn", F.explode("cells").alias("cell"))
+    )
+    cands = indexed.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    scored = (
+        cands.join(F.broadcast(queries), ["cell"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _cosine_e6_udf("qe", "ce", "qn", "cn").alias("cosine_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_e6").desc(), F.col("cand_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
