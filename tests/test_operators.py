@@ -1165,3 +1165,35 @@ class TestIvfMultiProbe:
             for r in q_cosine_topk(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestSurvivorPolicy:
+    def test_prefer_keeps_max_score_per_cluster(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.components import (
+            connected_components,
+            dedup_survivors,
+        )
+        from w4h_etl_container_spark.plans.textops import minhash_candidates
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = minhash_candidates(docs).localCheckpoint()
+        surv = dedup_survivors(docs, pairs, prefer="n_chars")
+        cc = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        chars = {
+            r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()
+        }
+        # expected survivor per cluster: max n_chars, ties to smallest id
+        clusters: dict[int, list[int]] = {}
+        for d, c in cc.items():
+            clusters.setdefault(c, []).append(d)
+        expect_keep = {
+            min(ds, key=lambda d: (-chars[d], d)) for ds in clusters.values()
+        }
+        surv_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        clustered = set(cc)
+        assert surv_ids & clustered == expect_keep
+        # same total count as the default policy: one survivor per cluster
+        assert surv.count() == dedup_survivors(docs, pairs).count()

@@ -90,19 +90,42 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("cluster_id"))
 
 
-def dedup_survivors(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, key: str = "doc_id", prefer: str | None = None
+) -> DataFrame:
     """Full near-dedup resolution: candidate pairs → components → keep
-    exactly one document per duplicate cluster (the smallest ``key`` —
-    deterministic) plus every document that appears in no pair.
+    exactly one document per duplicate cluster plus every document that
+    appears in no pair.
+
+    Survivor policy: by default the smallest ``key`` (pure graph data —
+    no doc lookup needed). With ``prefer`` = a numeric column name, the
+    cluster keeps its max-``prefer`` member instead (ties to the
+    smallest key) — the quality-aware choice a real pipeline wants
+    ("keep the longest / highest-scoring copy, drop the rest"), at the
+    cost of one extra broadcast join to fetch the column for the
+    (tiny) clustered subset.
 
     Returns ``docs`` filtered to survivors — the "deduplicated corpus"
     a training-data pipeline writes out. The anti-join side is the
-    LOSER set (paired docs whose id differs from their cluster min),
-    which is tiny relative to the corpus, so Spark broadcasts it and
-    the full-corpus scan never shuffles.
+    LOSER set (paired docs minus one survivor per cluster), which is
+    tiny relative to the corpus, so Spark broadcasts it and the
+    full-corpus scan never shuffles.
     """
     cc = connected_components(pairs)
-    losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if prefer is None:
+        losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    else:
+        scored = cc.join(
+            F.broadcast(docs.select(F.col(key).alias("doc_id"), prefer)), "doc_id"
+        )
+        # arg-max per cluster with a deterministic (score desc, id asc)
+        # tie-break: max_by over a packed struct — one aggregate pass
+        best = scored.groupBy("cluster_id").agg(
+            F.expr(f"min_by(doc_id, struct(-{prefer} AS s, doc_id AS d))").alias("keep_id")
+        )
+        losers = scored.join(
+            best, scored.cluster_id == best.cluster_id, "inner"
+        ).where(F.col("doc_id") != F.col("keep_id")).select("doc_id")
     return docs.join(
         F.broadcast(losers.withColumnRenamed("doc_id", key)), on=key, how="left_anti"
     )
