@@ -115,8 +115,10 @@ def dedup_survivors(
     if prefer is None:
         losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     else:
-        scored = cc.join(
-            F.broadcast(docs.select(F.col(key).alias("doc_id"), prefer)), "doc_id"
+        # broadcast the TINY side (the cluster table), never the corpus:
+        # the scan side stays shuffle-free at any corpus size
+        scored = docs.select(F.col(key).alias("doc_id"), prefer).join(
+            F.broadcast(cc), "doc_id"
         )
         # arg-max per cluster with a deterministic (score desc, id asc)
         # tie-break: max_by over a packed struct — one aggregate pass
