@@ -1197,3 +1197,56 @@ class TestSurvivorPolicy:
         assert surv_ids & clustered == expect_keep
         # same total count as the default policy: one survivor per cluster
         assert surv.count() == dedup_survivors(docs, pairs).count()
+
+
+class TestChunking:
+    def test_chunks_are_substrings_and_cover(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import chunk_documents
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
+        ch = chunk_documents(docs, chunk_tokens=64, stride=48).cache()
+        texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+        rows = ch.collect()
+        assert rows
+        seen = set()
+        for r in rows:
+            assert r["chunk_text"] in texts[r["doc_id"]]  # true substring
+            assert 1 <= r["n_chunk_tokens"] <= 64
+            seen.add(r["doc_id"])
+        assert seen == set(texts)  # every doc chunked
+
+        # coverage: concatenating stride-prefixes of consecutive chunks +
+        # the last full chunk reconstructs the document
+        bydoc: dict[int, list] = {}
+        for r in rows:
+            bydoc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+        import duckdb
+
+        pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+".replace("'", "''")
+        toks = {
+            r[0]: list(r[1])
+            for r in duckdb.sql(
+                f"SELECT doc_id, regexp_extract_all(text, '{pat}') FROM "
+                f"read_parquet('{sf_dir}/documents.parquet') WHERE length(text) > 0"
+            ).fetchall()
+        }
+        for doc_id, chs in bydoc.items():
+            chs.sort()
+            n = len(toks[doc_id])
+            # chunk starts: 0, 48, 96, ... (0-based); every token index
+            # must fall inside at least one [start, start+64) window
+            last_start = 48 * (len(chs) - 1)
+            assert last_start + 64 >= n, (doc_id, last_start, n)
+        ch.unpersist()
+
+    def test_zero_shuffle_plan(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.textops import chunk_documents
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
+        plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

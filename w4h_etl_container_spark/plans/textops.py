@@ -798,3 +798,50 @@ def source_curation_report(d: DataFrame) -> DataFrame:
         ).alias("keep_source"),
         (F.col("n_dup_docs") * 4 >= F.col("n_docs")).alias("downsample_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+def chunk_documents(d: DataFrame, chunk_tokens: int = 64, stride: int = 48) -> DataFrame:
+    """Split each document's pre-token stream into fixed-size chunks of
+    ``chunk_tokens`` pre-tokens advancing by ``stride`` (overlap =
+    chunk_tokens − stride) — the step that turns a cleaned corpus into
+    training-window rows. The final partial window is kept iff it adds
+    unseen tokens (standard trailing-window rule: last start ≤
+    n − stride keeps every token covered exactly once by some chunk
+    start).
+
+    Since BPE pre-tokens concatenate back to the exact text
+    (tested invariant), each chunk's ``chunk_text`` is a true substring
+    of the document — chunk boundaries never split a pre-token.
+
+    Shape: pure higher-order functions in one projection + one
+    ``posexplode`` — zero shuffles, zero UDFs; output rows carry
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text). Embarrassingly
+    parallel at any corpus size; downstream tokenization/packing
+    consumes the rows partition-locally."""
+    assert 0 < stride <= chunk_tokens
+    pt = bpe_pretokenize(d).select("doc_id", "pretokens", "n_all")
+    # chunk starts over the FULL stream (whitespace tokens included so
+    # reconstruction holds): 1, 1+stride, ... while start <= n - stride
+    # (plus the mandatory first chunk)
+    n = F.col("n_all")
+    n_starts = F.greatest(
+        F.lit(1), (F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + F.lit(1)).cast("int")
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_starts - F.lit(1)), lambda i: i * stride + 1
+    )
+    chunks = pt.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("pretokens", s, chunk_tokens))
+        ).alias("chunk_id", "toks"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("toks").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws("", F.col("toks")).alias("chunk_text"),
+    )
