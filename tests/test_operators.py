@@ -1250,3 +1250,51 @@ class TestChunking:
         docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
         plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestSequencePacking:
+    BUDGET = 256
+
+    def _assignments(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.packing import pack_chunks
+        from w4h_etl_container_spark.plans.textops import chunk_documents
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where("length(text) > 0")
+        chunks = chunk_documents(docs, chunk_tokens=64, stride=48)
+        return chunks, pack_chunks(chunks, budget=self.BUDGET)
+
+    def test_every_chunk_packed_once_within_budget(self, spark, sf_dir):
+        chunks, packed = self._assignments(spark, sf_dir)
+        rows = packed.collect()
+        assert len(rows) == chunks.count()  # bijection on chunk rows
+        assert len({(r["doc_id"], r["chunk_id"]) for r in rows}) == len(rows)
+        by_pack: dict[int, list] = {}
+        for r in rows:
+            by_pack.setdefault(r["pack_id"], []).append(r)
+        for pid, members in by_pack.items():
+            total = sum(r["n_chunk_tokens"] for r in members)
+            if len(members) > 1:
+                assert total <= self.BUDGET, (pid, total)
+            # slot offsets: strictly increasing, consistent with sizes
+            members.sort(key=lambda r: r["pack_slot"])
+            off = 0
+            for r in members:
+                assert r["pack_slot"] == off
+                off += r["n_chunk_tokens"]
+
+    def test_utilization_and_determinism(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        chunks, packed = self._assignments(spark, sf_dir)
+        agg = packed.agg(
+            F.sum("n_chunk_tokens").alias("tokens"),
+            F.countDistinct("pack_id").alias("n_packs"),
+        ).collect()[0]
+        # FFD on many small chunks: wasted space stays bounded
+        assert agg["tokens"] / (agg["n_packs"] * self.BUDGET) > 0.6
+        # deterministic rerun: identical assignment table
+        _, packed2 = self._assignments(spark, sf_dir)
+        a = sorted(map(tuple, packed.collect()))
+        b = sorted(map(tuple, packed2.collect()))
+        assert a == b
