@@ -69,8 +69,9 @@ def get_spark(app_name: str = "w4h-etl-spark", *, shuffle_partitions: int | None
         # Quieter timestamp semantics: proleptic Gregorian, µs precision.
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-        # The events fixture carries parquet TIMESTAMP(NANOS), which Spark
-        # has no native type for — read as long, convert in read_events().
+        # Some fixture generations carry parquet TIMESTAMP(NANOS), which
+        # Spark has no native type for — read as long; read_events()
+        # dispatches on the observed dtype. Harmless for µs fixtures.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -133,16 +134,28 @@ def parallelize_compute(df, partitions: int | None = None):
 
 
 def read_events(spark: SparkSession, sf_dir: str):
-    """events with ``ts`` as a proper timestamp.
+    """events with ``ts`` as a proper (session-UTC) timestamp.
 
-    The fixture stores TIMESTAMP(NANOS); Spark reads it as nanosecond
-    longs (legacy conf) and we floor-convert to µs — lossless here because
-    the generator emits µs-resolution instants, and identical to DuckDB's
-    TIMESTAMP_NS → TIMESTAMP cast semantics.
+    The fixture's ``ts`` physical layout has varied across generations:
+    TIMESTAMP(NANOS) parquet (read as nanosecond longs under the legacy
+    conf) and plain TIMESTAMP(MICROS) (read natively as TIMESTAMP /
+    TIMESTAMP_NTZ). Dispatch on the observed Spark dtype so a fixture
+    regeneration can't take every events consumer down at analysis time:
+
+    - ``bigint``: ns-epoch longs → floor-divide to µs. Integer ``div``,
+      not ``/``: ns epoch values (~1.7e18) exceed double's 2⁵³ exact
+      range and float division rounds the microsecond up. Lossless — the
+      generator emits µs-resolution instants.
+    - any timestamp type (``timestamp`` / ``timestamp_ntz``): cast to
+      session-UTC ``timestamp``, matching the prior rounds' schema and
+      DuckDB's TIMESTAMP semantics on the same file.
     """
     from pyspark.sql import functions as F
 
     df = read_table(spark, sf_dir, "events")
-    # integer `div`, not `/`: ns epoch values (~1.7e18) exceed double's 2⁵³
-    # exact range, and float division rounds the microsecond up
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_dtype = dict(df.dtypes).get("ts", "")
+    if ts_dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "timestamp":
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
