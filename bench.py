@@ -63,7 +63,7 @@ def main() -> None:
     # steady-state engine), scheduling, and the full sf0.1 data scan +
     # compute — nothing data-dependent is pre-materialized and no plan or
     # result object is reused across the warmup/timed boundary.
-    run("q_prj_select")
+    run("q_prj_range")
     # Two passes at sf0.001 + one at the measured scale: HotSpot's tiered
     # JIT promotes the generated classes to C2 only after repeated
     # invocations (measured on this harness: a 10-query pass fell

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.operators.merge import combine_first
-from w4h_etl_container_spark.plans.registry import load_all
+from w4h_etl_container_spark.plans.registry import load_library
 from w4h_etl_container_spark.session import read_table
 
 
@@ -24,7 +24,9 @@ def optimized_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def reg():
-    return load_all()
+    # library tier included: plan-shape contracts hold for off-gate
+    # queries too (they remain part of the engine's declared surface)
+    return load_library()
 
 
 class TestPushdownAndPruning:
@@ -138,6 +140,7 @@ class TestKernelCodegen:
         "q_ivf_assign",
         "q_media_features",
         "q_grouped_map",
+        "q_quantize",
     }
 
     def test_no_python_udf_outside_arrow_allowlist(self, spark, sf_dir, reg):

@@ -170,7 +170,7 @@ def _ivf_sql() -> str:
     """
 
 
-@register("q_ivf_assign", sql=_ivf_sql(), survey_ids=("EXT-SIM",))
+@register("q_ivf_assign", sql=_ivf_sql(), survey_ids=("EXT-SIM",), gate=False)
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (deterministic literal centroids; argmin with ties to lowest id).
@@ -183,7 +183,11 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can check the assignment; the real index build — Lloyd's
     k-means with the same Arrow assign kernel, posexplode centroid
     update, distortion-monotone — lives in ``operators/ivfindex.py``
-    (tested) and feeds this identical plan a trained matrix."""
+    (tested) and feeds this identical plan a trained matrix.
+
+    Library tier: EXT-SIM's IVF surface stays gate-checked via
+    ``q_ann_probe`` (whose probe path contains this assignment); this
+    slot went to the corpus-pipeline operators (plans/corpus.py)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", "label", _ivf_udf("embedding").alias("iv")).select(
         "vec_id", "label", "iv.centroid_id", "iv.dist2_e6"

@@ -29,20 +29,36 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Library tier: fully-implemented declared queries kept OFF the driver's
+# gate (the gate caps at 50 rows; overlapping relational shapes ceded
+# their slots to the round-4 corpus-pipeline operators). Library queries
+# keep their oracle SQL and stay pinned by the pytest plan-shape and
+# selfcheck-library suites — same code path, one registry flag.
+LIBRARY: dict[str, Query] = {}
 
-def register(name: str, sql: str | None = None, survey_ids: tuple[str, ...] = (), doc: str = ""):
-    """Decorator registering a declared query under ``name``."""
+
+def register(
+    name: str,
+    sql: str | None = None,
+    survey_ids: tuple[str, ...] = (),
+    doc: str = "",
+    gate: bool = True,
+):
+    """Decorator registering a declared query under ``name``.
+
+    ``gate=False`` registers into the library tier: runnable and
+    oracle-checked in tests, but not occupying one of the driver's 50
+    CORRECTNESS slots."""
 
     def deco(fn):
-        QUERIES[name] = Query(name=name, fn=fn, sql=sql, survey_ids=survey_ids, doc=doc or (fn.__doc__ or ""))
+        target = QUERIES if gate else LIBRARY
+        target[name] = Query(name=name, fn=fn, sql=sql, survey_ids=survey_ids, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco
 
 
-def load_all() -> dict[str, Query]:
-    """Import every plan module (side effect: registration) and return the
-    registry."""
+def _import_plans() -> None:
     from w4h_etl_container_spark.plans import (  # noqa: F401
         relational,
         weather,
@@ -51,6 +67,19 @@ def load_all() -> dict[str, Query]:
         eventsops,
         extended,
         multimodalops,
+        corpus,
     )
 
+
+def load_all() -> dict[str, Query]:
+    """Import every plan module (side effect: registration) and return the
+    gate registry — the queries the driver hash-checks."""
+    _import_plans()
     return QUERIES
+
+
+def load_library() -> dict[str, Query]:
+    """Gate queries plus the off-gate library tier (for tests and ad-hoc
+    use). Names are disjoint between tiers."""
+    _import_plans()
+    return {**QUERIES, **LIBRARY}

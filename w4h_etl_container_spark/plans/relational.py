@@ -47,11 +47,16 @@ def _dec_sum(col, alias):
     WHERE l_returnflag = 'R'
     """,
     survey_ids=("PRJ-1", "SF-1"),
+    gate=False,
 )
 def q_prj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRJ-1 (reference ``main.py:83-103``): select named columns + derived
     arithmetic. Scale: Catalyst prunes the scan to 5 of 11 columns and
     pushes ``l_returnflag = 'R'`` into the parquet reader (row-group skip).
+
+    Library tier: PRJ-1/SF-1 stay gate-checked via
+    ``q_sql_pricing_summary`` (same pruned-scan + pushed-filter shape);
+    this slot went to the corpus-pipeline operators (plans/corpus.py).
     """
     li = read_table(spark, sf_dir, "lineitem")
     return (
@@ -73,7 +78,7 @@ def q_prj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) WHERE rn BETWEEN 2 AND 121
     """,
-    survey_ids=("PRJ-2",),
+    survey_ids=("PRJ-2", "SRT-1", "SRT-2"),
 )
 def q_prj_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRJ-2 (reference ``isel(time=slice(1,121))``, ``main.py:97``):
@@ -163,12 +168,17 @@ def q_flt_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
     """,
     survey_ids=("FLT-3",),
+    gate=False,
 )
 def q_flt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-3 (reference retention clip ``main.py:246-250``): drop rows
     older than the retention cutoff before merging. Scale: pure pushed
     predicate; on a ts-partitioned snapshot this is partition pruning, the
-    dominant cost saver for the 100 TB snapshot table."""
+    dominant cost saver for the 100 TB snapshot table.
+
+    Library tier: FLT-3's pushed-range shape stays gate-checked via
+    ``q_prj_range`` (tagged FLT-3) and the streaming retention ops; this
+    slot went to the corpus-pipeline operators (plans/corpus.py)."""
     ev = read_events(spark, sf_dir)
     return ev.where(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")).select(
         "event_id", "ts", "user_id", "event_type"
@@ -328,12 +338,17 @@ def q_join_combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand
     """,
     survey_ids=("JOIN-3", "FLT-1"),
+    gate=False,
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-3 (reference near-land mask zip, ``main.py:281-304``): fact
     joined to a small dimension — explicitly broadcast, so the 100 TB fact
     side never shuffles; the filtered dimension ships to every executor
-    once (the reference's 1 MB mask is exactly this shape)."""
+    once (the reference's 1 MB mask is exactly this shape).
+
+    Library tier: the broadcast fact-dim shape stays gate-checked via
+    ``q_flt_semi`` (JOIN-3) and ``q_join_merge``'s broadcast dims; this
+    slot went to the corpus-pipeline operators (plans/corpus.py)."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").where(F.col("p_size") >= 20)
     return (
@@ -681,13 +696,19 @@ def q_win_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     survey_ids=("SRT-1", "SRT-2"),
+    gate=False,
 )
 def q_srt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT-2 (SURVEY §2.6): global top-k with a unique tie-break. Scale:
     Spark plans TakeOrderedAndProject — per-partition heaps then a k-row
     driver merge; no global sort ever materializes. (SRT-1's full
     ``orderBy`` is exercised by AGG-5's explicit array ordering and the
-    oracle's ORDER BY — result hashing is order-insensitive.)"""
+    oracle's ORDER BY — result hashing is order-insensitive.)
+
+    Library tier: SRT-1/SRT-2 stay gate-checked via ``q_prj_slice``
+    (same TakeOrderedAndProject plan), ``q_top_customers``, and
+    ``q_win_funcs``; this slot went to the corpus-pipeline operators
+    (plans/corpus.py)."""
     o = read_table(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -868,13 +889,19 @@ def q_sf_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     survey_ids=("FLT-1", "SET-3"),
+    gate=False,
 )
 def q_flt_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-1 complement: LEFT ANTI join — rows whose key does NOT appear
     in the filter set (the 'not near land' / 'never purchased' shape).
     Oracle uses NOT EXISTS, whose null semantics match left_anti exactly
     (NOT IN's three-valued logic empties the result if any key is NULL).
-    Scale: same broadcast hash plan as the semi join, negated."""
+    Scale: same broadcast hash plan as the semi join, negated.
+
+    Library tier: FLT-1 stays gate-checked via ``q_flt_semi``; the
+    anti/except shape via ``q_set_ops`` (EXCEPT) and ``q_prj_slice``'s
+    broadcast anti-join; this slot went to the corpus-pipeline operators
+    (plans/corpus.py)."""
     cust = read_table(spark, sf_dir, "customer")
     keys = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_custkey")
     return cust.join(

@@ -192,7 +192,11 @@ _N_BANDS = 4
 _BUCKET_CAP = 64
 
 
-def _minhash_sql() -> str:
+def minhash_cands_ctes() -> str:
+    """WITH-body fragment ending at the ``cands`` CTE (distinct candidate
+    (doc_a, doc_b) pairs) — shared by the q_minhash_lsh oracle here and
+    the q_dedup_survivors oracle (plans/corpus.py), so the two oracles'
+    candidate semantics cannot drift."""
     # one md5 per (doc, shingle); signature slot i = min over the 4-hex-char
     # slice [4i, 4i+4) — lexicographic min on hex == numeric min on the
     # 16-bit value, and both engines slice the identical digest
@@ -203,8 +207,7 @@ def _minhash_sql() -> str:
         f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bkey FROM sigs"
         for b in range(_N_BANDS)
     )
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents
     ), shingles AS (
       SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
@@ -222,7 +225,12 @@ def _minhash_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       JOIN buckets k ON a.band = k.band AND a.bkey = k.bkey
-    )
+    )"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH {minhash_cands_ctes()}
     SELECT doc_a, doc_b,
            levenshtein(substr(da.text, 1, 30), substr(db.text, 1, 30)) AS prefix_editdist
     FROM cands
