@@ -574,6 +574,21 @@ class TestConnectedComponents:
         assert {got[v] for v in (200, 201)} == {200}
         assert got == self._duck_cc(path_edges + clique + iso)
 
+    def test_long_path_converges_in_log_rounds(self, spark):
+        """Pointer-jump shortcutting must make round count O(log d), not
+        O(d): a 101-vertex path (diameter 100) has to converge inside a
+        12-round budget (3 hook-only rounds + ~log₂ 100 jumping rounds)
+        — plain min-label propagation would need 100."""
+        from w4h_etl_container_spark.operators.components import connected_components
+
+        path_edges = [(i, i + 1) for i in range(100)]
+        df = spark.createDataFrame(path_edges, "doc_a: long, doc_b: long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, max_rounds=12).collect()
+        }
+        assert got == {v: 0 for v in range(101)}
+
     def test_survivors_keep_one_per_cluster(self, spark, sf_dir):
         from w4h_etl_container_spark.operators.components import (
             connected_components,
@@ -949,6 +964,73 @@ class TestTopKPerGroup:
             ).fetchall()
         }
         assert {(r["lang"], r["doc_id"]) for r in got.select("lang", "doc_id").collect()} == want
+
+    def test_refined_two_pass_matches_one_pass(self, spark, sf_dir):
+        """The two-pass refinement is a pure plan change: identical rows
+        to the one-pass window sort on the real fixture corpus."""
+        from w4h_etl_container_spark.operators.sampling import (
+            deterministic_topk_per_group,
+            deterministic_topk_per_group_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        one = {
+            (r["lang"], r["doc_id"])
+            for r in deterministic_topk_per_group(docs, 5, "lang", "doc_id")
+            .select("lang", "doc_id")
+            .collect()
+        }
+        two = {
+            (r["lang"], r["doc_id"])
+            for r in deterministic_topk_per_group_refined(docs, 5, "lang", "doc_id")
+            .select("lang", "doc_id")
+            .collect()
+        }
+        assert two == one
+
+    def test_refined_rescue_path_stays_exact(self, spark, sf_dir):
+        """Force the exactness audit to fire: an oversample far below 1
+        makes the threshold miss winners in (essentially) every group,
+        so the full-group fallback must reproduce the one-pass rows."""
+        from w4h_etl_container_spark.operators.sampling import (
+            deterministic_topk_per_group,
+            deterministic_topk_per_group_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        one = {
+            (r["lang"], r["doc_id"])
+            for r in deterministic_topk_per_group(docs, 7, "lang", "doc_id")
+            .select("lang", "doc_id")
+            .collect()
+        }
+        two = {
+            (r["lang"], r["doc_id"])
+            for r in deterministic_topk_per_group_refined(
+                docs, 7, "lang", "doc_id", oversample=0.01
+            )
+            .select("lang", "doc_id")
+            .collect()
+        }
+        assert two == one
+
+    def test_refined_window_input_is_threshold_filtered(self, spark, sf_dir):
+        """The huge-group guarantee: the window sort's input is the
+        bucket-threshold candidate pool (broadcast-joined + filtered),
+        never the raw table — no full per-group sort in the plan."""
+        from w4h_etl_container_spark.operators.sampling import (
+            deterministic_topk_per_group_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        got = deterministic_topk_per_group_refined(docs, 5, "lang", "doc_id")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "_thr" in plan, "candidate threshold filter missing from plan"
+        assert plan.count("BroadcastHashJoin") >= 2  # threshold join + audit anti-join
 
 
 class TestDedupScaleStress:

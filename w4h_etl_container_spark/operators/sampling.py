@@ -91,13 +91,72 @@ def deterministic_topk_per_group(
     not "~0.1%"). Selection order is (hash bucket, key): deterministic,
     partition-invariant, and unbiased w.r.t. any data column.
 
-    Shape: one window sort per group (row_number ≤ k). At corpus scale
-    with huge groups, the two-pass refinement keeps the sort bounded:
-    take the per-group k-th smallest bucket on a coarse histogram as a
-    threshold filter, then window-sort only the ~k survivors — same
-    result, the full-group sort never happens. The one-pass form here
-    is the correct plan wherever a group fits a task's sort buffer."""
+    Shape: one window sort per group (row_number ≤ k). The one-pass
+    form here is the correct plan wherever a group fits a task's sort
+    buffer; ``deterministic_topk_per_group_refined`` is the same
+    selection with the sort bounded for huge groups."""
     w = Window.partitionBy(group).orderBy(_bucket(F.col(key), salt), key)
     return (
         df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+    )
+
+
+def deterministic_topk_per_group_refined(
+    df: DataFrame,
+    k: int,
+    group: str,
+    key: str,
+    salt: str = "s0",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Two-pass rendering of ``deterministic_topk_per_group`` — identical
+    rows, but the window sort never sees a full group, so it stays
+    correct-and-fast when one group holds billions of rows.
+
+    Pass 1 counts each group (map-side partial agg — tiny output) and
+    derives a per-group bucket threshold ``thr = M·oversample·k / n``:
+    buckets are uniform on [0, M), so ~``oversample·k`` rows of an
+    n-row group land under it. Pass 2 filters to those candidates (the
+    threshold table is broadcast — the corpus scan never shuffles) and
+    window-sorts only them: per group the exchange + sort handle ~4k
+    rows instead of n.
+
+    Exactness is audited, not assumed: rows are ordered by (bucket,
+    key) and every non-candidate's bucket exceeds every candidate's, so
+    a group's candidate set provably contains its min(k, n) winners iff
+    it has ≥ min(k, n) members. Groups failing the audit — binomially
+    unlikely at oversample 4, but possible — fall back to their full
+    row set for the sort. Both audit tables are per-group aggregates:
+    broadcast-size at any corpus scale."""
+    bucket = _bucket(F.col(key), salt)
+    counts = df.groupBy(group).agg(F.count(F.lit(1)).alias("_n"))
+    thresholds = counts.select(
+        group,
+        "_n",
+        F.least(
+            F.lit(_M).cast("long"),
+            F.ceil(F.lit(float(_M) * oversample * k) / F.col("_n")).cast("long"),
+        ).alias("_thr"),
+    )
+    cand = df.join(F.broadcast(thresholds), group).where(bucket < F.col("_thr"))
+    # Audit drives from the FULL group table (left join): a group whose
+    # candidate set is empty is the failure mode most in need of rescue
+    # and would be invisible to an aggregate over candidates alone.
+    cand_counts = cand.groupBy(group).agg(F.count(F.lit(1)).alias("_c"))
+    short = (
+        thresholds.select(group, "_n")
+        .join(cand_counts, group, "left")
+        .where(
+            F.coalesce(F.col("_c"), F.lit(0)) < F.least(F.lit(k).cast("long"), F.col("_n"))
+        )
+        .select(group)
+    )
+    pool = (
+        cand.join(F.broadcast(short), group, "left_anti")
+        .select(*df.columns)
+        .unionByName(df.join(F.broadcast(short), group, "left_semi"))
+    )
+    w = Window.partitionBy(group).orderBy(_bucket(F.col(key), salt), key)
+    return (
+        pool.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
     )
