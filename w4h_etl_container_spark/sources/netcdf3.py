@@ -17,12 +17,11 @@ pipeline needs: double/float/int variables over fixed dimensions with
 text attributes. A deployment with netCDF4 installed can swap
 ``read_netcdf3``/``write_netcdf3`` for the library calls; the
 grid⇄long-form reshaping on either side is the part that matters to the
-engine and is identical. Scope boundary, stated plainly: the reference's
-actual mask file (``/root/reference/near_land_complete_globe.nc``) is
-NetCDF-4, i.e. an HDF5 container — OUTSIDE this codec's CDF-1/CDF-2
-scope and unreadable here; ingesting it requires the netCDF4/h5py swap
-above (the engine-side mask semantics are covered by the parquet-backed
-mask fixtures either way).
+engine and is identical. Scope boundary: this codec covers NetCDF
+classic (CDF-1/CDF-2) only; the reference's actual mask file
+(``near_land_complete_globe.nc``) is NetCDF-4, i.e. an HDF5 container,
+and is ingested by the sibling ``sources/hdf5.py`` reader (golden-tested
+against that artifact).
 
 At scale the converter is a per-file map (one .nc file → one parquet
 write): parallelize by file with ``spark.read.format("binaryFile")`` or
