@@ -96,14 +96,16 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     from w4h_etl_container_spark.session import get_spark
-    from w4h_etl_container_spark.plans.registry import load_all
+    from w4h_etl_container_spark.plans.registry import load_library
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    registry = load_all()
+    # library tier included: the driver hash-checks only the 50 gate
+    # queries, but the local mirror keeps every declared oracle honest
+    registry = load_library()
     names = [n for n in sorted(registry) if not only or n in only]
     n_pass = n_fail = 0
     for name in names:
