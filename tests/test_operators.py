@@ -557,6 +557,13 @@ class TestConnectedComponents:
             for r in connected_components(pairs_df).collect()
         }
         assert got == self._duck_cc(pairs)
+        # strategy parity: the distributed label-propagation loop and the
+        # driver union-find must produce identical labels on real pairs
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs_df, driver_edge_cap=0).collect()
+        }
+        assert dist == got
 
     def test_path_graph_diameter_stress(self, spark):
         """A 12-vertex path is the adversarial (max-diameter) shape for
@@ -568,7 +575,10 @@ class TestConnectedComponents:
         clique = [(100, 101), (101, 102), (100, 102)]
         iso = [(200, 201)]
         df = spark.createDataFrame(path_edges + clique + iso, "doc_a: long, doc_b: long")
-        got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, driver_edge_cap=0).collect()
+        }
         assert {got[v] for v in range(12)} == {0}
         assert {got[v] for v in (100, 101, 102)} == {100}
         assert {got[v] for v in (200, 201)} == {200}
@@ -585,7 +595,9 @@ class TestConnectedComponents:
         df = spark.createDataFrame(path_edges, "doc_a: long, doc_b: long")
         got = {
             r["doc_id"]: r["cluster_id"]
-            for r in connected_components(df, max_rounds=12).collect()
+            for r in connected_components(
+                df, max_rounds=12, driver_edge_cap=0
+            ).collect()
         }
         assert got == {v: 0 for v in range(101)}
 

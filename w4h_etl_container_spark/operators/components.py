@@ -6,7 +6,12 @@ Candidate generators (``minhash_candidates``, ``embedding_neardup``,
 B~C, then {A, B, C} is one duplicate group and exactly one survivor may
 be kept. That grouping is connected components on the pair graph.
 
-Engine shape — iterative min-label propagation, pure DataFrame ops:
+Engine shape — ADAPTIVE, like Spark's own broadcast-vs-shuffle join
+selection: the symmetrized edge list is checkpointed first, and when it
+fits a broadcast-sized cap the labels come from one driver union-find
+over it (the pair graph is a small derived table — docs that collided
+in some LSH bucket — not the corpus); past the cap, iterative min-label
+propagation in pure DataFrame ops:
 
 * state is one (vertex, label) table, label = smallest doc_id reached
   so far; each round joins the symmetrized edge list to the labels,
@@ -58,7 +63,10 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 20, shortcut_after: int = 3
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    shortcut_after: int = 3,
+    driver_edge_cap: int = 200_000,
 ) -> DataFrame:
     """Cluster an undirected pair list into connected components.
 
@@ -69,6 +77,17 @@ def connected_components(
     ``shortcut_after``: rounds of plain min-label propagation before
     pointer-jumping turns on (see module docstring — shallow graphs
     converge before paying for it; deep graphs get O(log d) rounds).
+
+    ``driver_edge_cap``: adaptive strategy selection, the same move AQE
+    makes for broadcast-vs-shuffle joins. The candidate-pair graph is a
+    small DERIVED table (docs that collided in some LSH bucket), often
+    orders of magnitude smaller than the corpus; when the symmetrized
+    edge list — already materialized by the checkpoint — fits the cap
+    (≈ a few MB, broadcast-table-sized), a driver-side union-find with
+    path compression replaces the iterative job rounds: identical
+    labels (parity-pinned in tests), none of the per-round scheduling
+    latency. Above the cap the distributed loop runs unchanged; pass
+    ``0`` to force it.
 
     Returns (doc_id, cluster_id) — one row per distinct vertex,
     cluster_id = the smallest doc_id in its component (a deterministic,
@@ -81,6 +100,11 @@ def connected_components(
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint()
+
+    if driver_edge_cap and edges.count() <= driver_edge_cap:
+        # count() and collect() both read the checkpointed partitions —
+        # the candidate subtree is never re-evaluated.
+        return _driver_cc(pairs.sparkSession, edges.collect())
 
     labels = (
         edges.select(F.col("src").alias("v"))
@@ -118,6 +142,34 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("cluster_id"))
+
+
+def _driver_cc(spark, edge_rows) -> DataFrame:
+    """Union-find with path compression over a collected edge list —
+    the small-graph strategy of ``connected_components`` (same labels:
+    cluster_id = component-minimum vertex id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        s, d = row[0], row[1]
+        for v in (s, d):
+            if v not in parent:
+                parent[v] = v
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)  # root = smaller id
+    # root chosen as the min at every union step ⇒ find(v) IS the
+    # component minimum once all edges are processed
+    labels = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(labels, "doc_id: long, cluster_id: long")
 
 
 def dedup_survivors(
