@@ -103,6 +103,40 @@ def test_real_fixture_layout_is_dispatched(spark):
     )
 
 
+# Full physical-schema pin for every fixture table (as of the round-6
+# regeneration). A driver-side regeneration that changes ANY name or
+# arrow type fails here first, with the exact drift named — instead of
+# surfacing as dozens of analysis-time errors across the gate (the
+# round-5 failure mode). A deliberate fixture change updates this map.
+_ARROW_SCHEMAS = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {"c_custkey": "int64", "c_name": "string", "c_nationkey": "int32", "c_acctbal": "double", "c_mktsegment": "string"},
+    "supplier": {"s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32", "s_acctbal": "double"},
+    "part": {"p_partkey": "int64", "p_name": "string", "p_brand": "string", "p_type": "string", "p_size": "int32", "p_retailprice": "double"},
+    "orders": {"o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string", "o_totalprice": "double", "o_orderdate": "timestamp[us]", "o_orderpriority": "string"},
+    "lineitem": {"l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64", "l_linenumber": "int32", "l_quantity": "double", "l_extendedprice": "double", "l_discount": "double", "l_tax": "double", "l_returnflag": "string", "l_linestatus": "string", "l_shipdate": "timestamp[us]"},
+    # events.ts: any layout read_events dispatches on (see tests above)
+    "events": {"event_id": "int64", "ts": None, "user_id": "int64", "event_type": "string", "value": "double", "props": "string"},
+    "documents": {"doc_id": "int64", "text": "string", "lang": "string", "source": "string", "n_chars": "int64"},
+    "embeddings": {"vec_id": "int64", "embedding": "list<element: float>", "label": "int32"},
+}
+
+
+def test_all_fixture_schemas_stable():
+    drifts = []
+    for name, want in _ARROW_SCHEMAS.items():
+        sch = pq.read_schema(os.path.join(SF_DIR, f"{name}.parquet"))
+        got = {f.name: str(f.type) for f in sch}
+        if set(got) != set(want):
+            drifts.append(f"{name}: columns {sorted(got)} != expected {sorted(want)}")
+            continue
+        for col, typ in want.items():
+            if typ is not None and got[col] != typ:
+                drifts.append(f"{name}.{col}: {got[col]} != expected {typ}")
+    assert not drifts, "fixture regeneration changed physical schemas:\n" + "\n".join(drifts)
+
+
 def test_read_table_other_fixtures_stable(spark):
     """Non-events tables: pin the column sets the plans depend on."""
     expected_cols = {

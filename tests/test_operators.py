@@ -1392,3 +1392,170 @@ class TestSequencePacking:
         a = sorted(map(tuple, packed.collect()))
         b = sorted(map(tuple, packed2.collect()))
         assert a == b
+
+
+class TestDecontamination:
+    """N-gram overlap decontamination: exact DuckDB parity on the flagged
+    set (both engines build the identical word 8-grams), plus the two
+    boundary properties — self-decontamination flags everything long
+    enough to have an 8-gram, and disjoint probes flag nothing."""
+
+    def _duck_flagged(self, sf_dir: str, n: int) -> dict[int, int]:
+        import duckdb
+
+        q = f"""
+        WITH words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), grams AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(ws, CAST(i AS INTEGER), CAST(i + {n - 1} AS INTEGER)), ' ') AS gram
+          FROM words, LATERAL (SELECT unnest(range(1, len(ws) - {n - 1} + 1)) AS i) t
+          WHERE len(ws) >= {n}
+        ), probe_grams AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id, COUNT(*) AS n_hits
+        FROM grams g JOIN probe_grams p USING (gram)
+        GROUP BY g.doc_id
+        """
+        return {r[0]: r[1] for r in duckdb.sql(q).fetchall()}
+
+    def test_duckdb_parity_on_fixture_probes(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import _DECON_N, decontaminate
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        probes = docs.where(F.col("doc_id") % 97 == 0)
+        clean, flagged = decontaminate(docs, probes)
+        got = {r["doc_id"]: r["n_hits"] for r in flagged.collect()}
+        want = self._duck_flagged(sf_dir, _DECON_N)
+        assert got == want
+        assert clean.count() == docs.count() - len(got)
+        # probes contaminate themselves (every probe with ≥ n words)
+        probe_ids = {r["doc_id"] for r in probes.select("doc_id").collect()}
+        long_probe_ids = {
+            r["doc_id"]
+            for r in probes.where(F.size(F.split(F.trim("text"), r"\s+")) >= _DECON_N)
+            .select("doc_id")
+            .collect()
+        }
+        assert long_probe_ids <= set(got)
+        assert not clean.where(F.col("doc_id").isin(list(long_probe_ids))).count()
+        del probe_ids
+
+    def test_disjoint_probes_flag_nothing(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import decontaminate
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        probes = docs.limit(3).select(
+            "doc_id",
+            F.concat(F.lit("zq xv qj wk vz jx kq zx vq jw kx zj "), F.lit("qv wz")).alias("text"),
+        )
+        clean, flagged = decontaminate(docs, probes)
+        assert flagged.count() == 0
+        assert clean.count() == docs.count()
+
+    def test_broadcast_plan_shape(self, spark, sf_dir):
+        """Both joins must broadcast the small side — the corpus is never
+        exchanged for the membership test or the anti join."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import decontaminate
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        clean, _ = decontaminate(docs, docs.where(F.col("doc_id") % 97 == 0))
+        plan = clean._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+
+class TestTokenBudgetSample:
+    """Budget-fill sampling: exact DuckDB parity (same bucket, same
+    hash-order cumulative sum) plus the budget-overshoot bound and the
+    nesting-in-budget property."""
+
+    _BUDGETS = {"en": 4000, "de": 1500}
+
+    def _duck_ids(self, sf_dir: str, budgets: dict[str, int]) -> set[int]:
+        import duckdb
+
+        hexd = "0123456789abcdef"
+        nib = " + ".join(
+            f"(instr('{hexd}', substr(h, {p + 1}, 1)) - 1) * {16 ** (5 - p)}"
+            for p in range(6)
+        )
+        case = " ".join(f"WHEN '{s}' THEN {b}" for s, b in budgets.items())
+        q = f"""
+        WITH hashed AS (
+          SELECT doc_id, lang, n_chars, md5('s0' || CAST(doc_id AS VARCHAR)) AS h
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), cum AS (
+          SELECT doc_id, lang,
+                 COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY ({nib}), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS before
+          FROM hashed
+        )
+        SELECT doc_id FROM cum
+        WHERE before < (CASE lang {case} ELSE NULL END)
+        """
+        return {r[0] for r in duckdb.sql(q).fetchall()}
+
+    def test_duckdb_membership_parity(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.sampling import token_budget_sample
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(docs, self._BUDGETS, "lang", "doc_id", "n_chars")
+            .select("doc_id")
+            .collect()
+        }
+        assert got == self._duck_ids(sf_dir, self._BUDGETS)
+
+    def test_budget_bound_and_absent_strata(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.sampling import token_budget_sample
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        kept = token_budget_sample(docs, self._BUDGETS, "lang", "doc_id", "n_chars")
+        rows = kept.groupBy("lang").agg(
+            F.sum("n_chars").alias("total"), F.max("n_chars").alias("biggest")
+        ).collect()
+        langs = set()
+        for r in rows:
+            langs.add(r["lang"])
+            budget = self._BUDGETS[r["lang"]]  # absent strata keep nothing
+            # every kept doc STARTS inside the budget → overshoot < one doc
+            assert r["total"] - r["biggest"] < budget
+        assert langs <= set(self._BUDGETS)
+
+    def test_nested_in_budget(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.sampling import token_budget_sample
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        small = {
+            r["doc_id"]
+            for r in token_budget_sample(docs, {"en": 2000}, "lang", "doc_id", "n_chars")
+            .select("doc_id")
+            .collect()
+        }
+        big = {
+            r["doc_id"]
+            for r in token_budget_sample(docs, {"en": 6000}, "lang", "doc_id", "n_chars")
+            .select("doc_id")
+            .collect()
+        }
+        assert small <= big

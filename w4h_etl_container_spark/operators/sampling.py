@@ -160,3 +160,48 @@ def deterministic_topk_per_group_refined(
     return (
         pool.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum: str,
+    key: str,
+    weight: str,
+    salt: str = "s0",
+) -> DataFrame:
+    """Fill a per-stratum TOKEN budget (not a row count): keep documents
+    in deterministic hash order until the stratum's cumulative weight
+    (token count) reaches its budget — the domain-mixing primitive a
+    training-data pipeline runs last ("2B tokens of code, 500M of
+    forums"), where documents have wildly different lengths and a row
+    quota would miss the actual knob.
+
+    A document is kept iff it STARTS inside the budget (cumulative
+    weight of hash-order predecessors < budget), so each stratum
+    overshoots by at most one document — deterministic, and every
+    selection property of the hash-order family holds: membership
+    depends only on (salt, key, budgets), growing a budget only ADDS
+    documents (the hash order is fixed — the nesting property in the
+    budget dimension), and absent strata keep nothing.
+
+    Shape: one window sum per stratum in hash order — one shuffle on
+    the stratum key. A stratum far larger than its budget admits the
+    same two-pass refinement as ``deterministic_topk_per_group_refined``
+    (threshold on the bucket at ~budget/avg_weight · oversample, then
+    window only the candidates); one-pass is the correct plan while a
+    stratum fits a task's sort buffer."""
+    thr = F.lit(None).cast("long")
+    for s, b in budgets.items():
+        thr = F.when(F.col(stratum) == s, F.lit(int(b))).otherwise(thr)
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(_bucket(F.col(key), salt), key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(weight)).over(w), F.lit(0))
+    return (
+        df.withColumn("_before", before)
+        .where(F.col("_before") < thr)
+        .drop("_before")
+    )

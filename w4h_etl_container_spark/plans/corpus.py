@@ -19,13 +19,20 @@ from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.operators.components import dedup_survivors
 from w4h_etl_container_spark.operators.quantize import qdot, quantize_embeddings
-from w4h_etl_container_spark.operators.sampling import _M, _bucket, stratified_sample
+from w4h_etl_container_spark.operators.sampling import (
+    _M,
+    _bucket,
+    stratified_sample,
+    token_budget_sample,
+)
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.plans.textops import (
     _BPE_PAT,
+    _DECON_N,
     _WINNOW_K,
     _WINNOW_W,
     chunk_documents,
+    decontaminate,
     minhash_cands_ctes,
     minhash_candidates,
     token_vocabulary,
@@ -328,3 +335,79 @@ def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         read_table(spark, sf_dir, "documents"), _CHUNK_TOKENS, _CHUNK_STRIDE
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-TEXT — decontamination (n-gram overlap vs a held-out probe set)
+# ---------------------------------------------------------------------------
+def _decontam_sql(n: int = _DECON_N) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(ws, CAST(i AS INTEGER), CAST(i + {n - 1} AS INTEGER)), ' ') AS gram
+      FROM words, LATERAL (SELECT unnest(range(1, len(ws) - {n - 1} + 1)) AS i) t
+      WHERE len(ws) >= {n}
+    ), probe_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM grams g JOIN probe_grams p USING (gram)
+    GROUP BY g.doc_id
+    """
+
+
+@register("q_decontaminate", sql=_decontam_sql(), survey_ids=("EXT-TEXT", "EXT-DEDUP"), gate=False)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination audit table (GPT-3 appendix-C
+    procedure; ``textops.decontaminate``): every document sharing a word
+    8-gram with the held-out probe slice (doc_id ≡ 0 mod 97 — the
+    fixture's stand-in for a benchmark suite), with its overlap count.
+
+    Library tier: the corpus scan feeds two broadcast hash joins (probe
+    n-gram set in, flagged id set out) and is never exchanged — plan
+    pinned in TestDecontamination alongside exact DuckDB parity."""
+    docs = read_table(spark, sf_dir, "documents")
+    _, flagged = decontaminate(docs, docs.where(F.col("doc_id") % 97 == 0))
+    return flagged
+
+
+# ---------------------------------------------------------------------------
+# EXT-SAMPLE — per-stratum token-budget fill (domain mixing)
+# ---------------------------------------------------------------------------
+_BUDGETS = {"en": 40000, "de": 15000}
+
+
+def _budget_sql() -> str:
+    bucket = _nib("md5('s0' || CAST(doc_id AS VARCHAR))", 6)
+    case = " ".join(f"WHEN '{s}' THEN {b}" for s, b in _BUDGETS.items())
+    return f"""
+    WITH cum AS (
+      SELECT doc_id, lang, source, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY ({bucket}), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS before
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM cum
+    WHERE before < (CASE lang {case} ELSE NULL END)
+    """
+
+
+@register("q_budget_sample", sql=_budget_sql(), survey_ids=("EXT-SAMPLE",), gate=False)
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by TOKEN budget (``sampling.token_budget_sample``):
+    fill each language's character budget in deterministic hash order —
+    membership is a pure function of (salt, doc_id, budgets), nested in
+    the budget dimension, overshooting by at most one document per
+    stratum. The last selection a training-data pipeline runs ("2B
+    tokens of code, 500M of forums").
+
+    Library tier: one window sum per stratum; the huge-stratum two-pass
+    refinement mirrors ``deterministic_topk_per_group_refined``."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = token_budget_sample(docs, _BUDGETS, "lang", "doc_id", "n_chars")
+    return kept.select("doc_id", "lang", "source", "n_chars")

@@ -853,3 +853,58 @@ def chunk_documents(d: DataFrame, chunk_tokens: int = 64, stride: int = 48) -> D
         F.size("toks").cast("long").alias("n_chunk_tokens"),
         F.concat_ws("", F.col("toks")).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap against a held-out probe set
+# ---------------------------------------------------------------------------
+_DECON_N = 8  # words per overlap n-gram (the GPT-3 appendix-C shape uses 13)
+
+
+def doc_ngrams(d: DataFrame, n: int = _DECON_N) -> DataFrame:
+    """(doc_id, gram) — every word n-gram of each document, via the same
+    tokenize → higher-order windowing as the shingle front end (word
+    3-grams are the n=3 case). One projection + explode, zero shuffles."""
+    words = d.select("doc_id", _tokens().alias("ws"))
+    return words.where(F.size("ws") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.col("ws")[i + j] for j in range(n)]
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame, probes: DataFrame, n: int = _DECON_N
+) -> tuple[DataFrame, DataFrame]:
+    """Training-set decontamination (the GPT-3 appendix-C / PaLM
+    procedure): remove every training document that shares ANY word
+    n-gram with a held-out probe set (benchmark prompts, eval targets),
+    so measured performance can't come from memorized eval text.
+
+    Returns (clean, flagged): ``docs`` minus contaminated rows, and the
+    flagged (doc_id, n_hits) table for audit.
+
+    Scale shape: the probe side is the SMALL side (benchmark suites are
+    thousands of documents, the corpus is billions) — its distinct
+    n-gram set is explicitly broadcast, so the corpus scan never
+    shuffles for the membership test; the semi join runs inside the
+    scan stage. The flagged id set (contaminated docs) is again tiny
+    and broadcasts back for the anti join — the corpus is read once
+    per pass and never exchanged. At 100 TB this is two broadcast
+    hash joins over one scan each; n-gram hashing (xxhash64) drops the
+    broadcast to 8 bytes/gram when probe suites grow."""
+    probe_grams = doc_ngrams(probes, n).select("gram").distinct()
+    hits = (
+        doc_ngrams(docs, n)
+        .join(F.broadcast(probe_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    clean = docs.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_anti")
+    return clean, hits
