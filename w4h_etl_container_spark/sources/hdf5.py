@@ -89,11 +89,13 @@ class H5File:
             raise ValueError(f"{self.path}: not an HDF5 file")
         ver = self.buf[8]
         if ver in (0, 1):
-            # v0/v1: sizes at 13/14, root symbol-table entry at 24+32
+            # v0/v1: sizes at 13/14; v1 inserts 4 bytes (indexed-storage
+            # node k + reserved) before the address block
             if self.buf[13] != 8 or self.buf[14] != 8:
                 raise NotImplementedError("only 8-byte offsets/lengths supported")
+            base = 24 + (4 if ver == 1 else 0)
             # symbol table entry: link name offset(8) + header address(8)
-            root = struct.unpack_from("<Q", self.buf, 24 + 32 + 8)[0]
+            root = struct.unpack_from("<Q", self.buf, base + 32 + 8)[0]
         elif ver in (2, 3):
             if self.buf[9] != 8 or self.buf[10] != 8:
                 raise NotImplementedError("only 8-byte offsets/lengths supported")
@@ -125,6 +127,7 @@ class H5File:
                 while p + 4 <= e - 4:  # each block ends in a 4-byte checksum
                     mtype = buf[p]
                     msize = struct.unpack_from("<H", buf, p + 1)[0]
+                    mflags = buf[p + 3]
                     body = p + 4 + (2 if track else 0)
                     if mtype == _M_CONTINUATION:
                         caddr, clen = struct.unpack_from("<QQ", buf, body)
@@ -132,6 +135,12 @@ class H5File:
                             raise ValueError("bad OCHK continuation block")
                         blocks.append((caddr + 4, caddr + clen))
                     else:
+                        if mflags & 0x02 and mtype in (
+                            _M_DATASPACE, _M_DATATYPE, _M_FILLVALUE, _M_LAYOUT
+                        ):
+                            raise NotImplementedError(
+                                f"shared message (type 0x{mtype:02x}) not supported"
+                            )
                         msgs.append((mtype, msize, body))
                     p = body + msize
         else:
@@ -143,11 +152,21 @@ class H5File:
                 p, e = blocks.pop(0)
                 while p + 8 <= e and len(msgs) < nmsg:
                     mtype, msize = struct.unpack_from("<HH", buf, p)
+                    mflags = buf[p + 4]
                     body = p + 8
                     if mtype == _M_CONTINUATION:
                         caddr, clen = struct.unpack_from("<QQ", buf, body)
                         blocks.append((caddr, caddr + clen))  # v1: no signature
                     else:
+                        if mflags & 0x02 and mtype in (
+                            _M_DATASPACE, _M_DATATYPE, _M_FILLVALUE, _M_LAYOUT
+                        ):
+                            # the body is a shared-message POINTER, not the
+                            # message — parsing it as inline data would
+                            # yield garbage shapes/dtypes silently
+                            raise NotImplementedError(
+                                f"shared message (type 0x{mtype:02x}) not supported"
+                            )
                         msgs.append((mtype, msize, body))
                     p = body + msize
         return msgs
