@@ -139,9 +139,9 @@ def _sample_sql() -> str:
 def q_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling membership on the gate: the stratified
     per-language sample (one scan, per-stratum thresholds on one keyed
-    md5 hash — ``operators.sampling``) with the 10%% base-sample flag
+    md5 hash — ``operators.sampling``) with the 10% base-sample flag
     alongside, which exhibits the nesting property on the hash-checked
-    surface: every ``in_base_sample`` row of a stratum with rate ≥ 10%%
+    surface: every ``in_base_sample`` row of a stratum with rate ≥ 10%
     is by construction in that stratum's sample.
 
     Scale: membership is a pure function of (salt, doc_id) — partition-

@@ -470,7 +470,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the inverted index materializes only pairs that actually share
     a shingle, not n² — one groupBy(sh) builds the posting lists, whose
-    size IS the document frequency, so shingles with df > {_DF_CAP} are
+    size IS the document frequency, so shingles with df > 100 (_DF_CAP) are
     dropped by a length filter (on this corpus the cap cuts 36M to ~1M
     candidate pairs; Jaccard is then computed on the capped sets
     consistently) and per-shingle pairs expand JVM-side from the list —
