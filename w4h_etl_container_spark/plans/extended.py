@@ -105,10 +105,12 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     * the SCALE path (``p50a_cents``/``p90a_cents``) —
       ``percentile_approx`` (Greenwald-Khanna quantile summary: bounded
       memory, mergeable map-side partials; only sketches shuffle, never
-      rows). Declared on integer cents with accuracy 100 000, where the
-      GK rank-error bound (n/accuracy < 1 at gate scale) makes the
-      sketch EXACT and deterministic — the returned element is the one
-      at rank ceil(p·n), which is DuckDB ``quantile_disc`` by
+      rows). Declared on integer cents with accuracy 1 000 000, where
+      the GK rank-error bound (n/accuracy < 1 at every harness scale —
+      the biggest group is ~300k rows at sf0.1; round-6 audit: accuracy
+      100 000 hash-FAILED at sf0.1 exactly as the bound predicts) makes
+      the sketch EXACT and deterministic — the returned element is the
+      one at rank ceil(p·n), which is DuckDB ``quantile_disc`` by
       definition, so the oracle checks the approx path's values
       bit-for-bit. At 100 TB the same plan runs with accuracy tuned to
       the memory budget; the plan shape (single-pass mergeable sketch)
@@ -121,7 +123,7 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("ex"),
         F.expr(
             "percentile_approx(CAST(ROUND(l_extendedprice * 100) AS BIGINT),"
-            " array(0.5, 0.9), 100000)"
+            " array(0.5, 0.9), 1000000)"
         ).alias("ap"),
     )
     return agged.select(
