@@ -1559,3 +1559,34 @@ class TestTokenBudgetSample:
             .collect()
         }
         assert small <= big
+
+
+class TestNgramJaccardFastPath:
+    def test_exact_result_parity_with_string_keys(self, spark, sf_dir):
+        """The xxhash64-keyed production path must produce the identical
+        (doc_a, doc_b, n_common) set as the string-keyed oracle path —
+        hash collisions are the only possible divergence and there are
+        none at fixture scale."""
+        from w4h_etl_container_spark.plans.registry import load_all
+        from w4h_etl_container_spark.plans.textops import ngram_jaccard_fast
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        slow = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in load_all()["q_ngram_jaccard"].fn(spark, sf_dir).collect()
+        }
+        fast = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in ngram_jaccard_fast(docs).collect()
+        }
+        assert fast == slow
+        assert slow, "fixture corpus should have near-dup pairs"
+
+    def test_fast_plan_shuffles_longs_not_strings(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.textops import ngram_jaccard_fast
+        from w4h_etl_container_spark.session import read_table
+
+        df = ngram_jaccard_fast(read_table(spark, sf_dir, "documents"))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "xxhash64" in plan
