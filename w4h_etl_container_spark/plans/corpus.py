@@ -202,7 +202,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan never shuffles. Diameters of near-dup components are 2-4
     (bucket overlaps), so 3-5 rounds in practice."""
     docs = read_table(spark, sf_dir, "documents")
-    surv = dedup_survivors(docs, minhash_candidates(docs))
+    # spread the per-shingle md5 signature stage (the q_winnow trade);
+    # the corpus-side anti-join input stays the plain scan
+    surv = dedup_survivors(docs, minhash_candidates(parallelize_compute(docs)))
     return surv.select("doc_id", "lang", "source", "n_chars")
 
 

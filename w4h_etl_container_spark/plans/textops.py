@@ -414,7 +414,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-parity instead of the SQL oracle.
     """
     d = read_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(d, _N_HASHES, _N_BANDS)
+    # per-shingle md5 is kernel-grade compute on a one-split input —
+    # spread the signature stage (same trade as q_winnow; measured
+    # 1.06 → 0.67 s for the candidate subtree at sf0.1)
+    from w4h_etl_container_spark.session import parallelize_compute
+
+    cands = minhash_candidates(parallelize_compute(d), _N_HASHES, _N_BANDS)
     da = d.select(F.col("doc_id").alias("da_id"), F.substring("text", 1, 30).alias("pa"))
     db = d.select(F.col("doc_id").alias("db_id"), F.substring("text", 1, 30).alias("pb"))
     return (
