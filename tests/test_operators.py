@@ -1590,3 +1590,49 @@ class TestNgramJaccardFastPath:
         df = ngram_jaccard_fast(read_table(spark, sf_dir, "documents"))
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "xxhash64" in plan
+
+
+class TestWinnowOverlap:
+    """Winnow-overlap pairs: the SIGMOD-2003 guarantee made operational —
+    documents sharing a long span must share a fingerprint and pair up,
+    even when their remaining text is disjoint (the case whole-document
+    MinHash misses). Cross-engine value parity runs in selfcheck via the
+    library-tier oracle."""
+
+    def test_shared_span_pairs_up(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import (
+            _WINNOW_K,
+            _WINNOW_W,
+            _jaccard_from_shingles,
+            winnow_fingerprints,
+        )
+
+        span = "the quick brown fox jumps over the lazy dog again and again"
+        assert len(span) >= _WINNOW_K + _WINNOW_W - 1
+        rows = [
+            (1, f"alpha beta gamma delta {span} epsilon zeta"),
+            (2, f"one two three four five six seven {span} eight nine"),
+            (3, "completely different text with no common span at all here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        occ = (
+            winnow_fingerprints(docs)
+            .localCheckpoint()
+            .select("doc_id", F.explode("fingerprints").alias("sh"))
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["n_common"]
+            for r in _jaccard_from_shingles(occ, threshold=0.0).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1  # the paper's guarantee
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_fixture_produces_overlap_pairs(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.registry import load_library
+
+        df = load_library()["q_winnow_overlap"].fn(spark, sf_dir)
+        rows = df.collect()
+        assert rows, "fixture near-dups must surface as winnow-overlap pairs"
+        assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)

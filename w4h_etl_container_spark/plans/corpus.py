@@ -56,25 +56,32 @@ def _nib(expr: str, n_hex: int) -> str:
 # ---------------------------------------------------------------------------
 # EXT-DEDUP — winnowing document fingerprints (SIGMOD 2003)
 # ---------------------------------------------------------------------------
-def _winnow_sql(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+def _winnow_fps_ctes(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    """WITH-body fragment ending at the ``fps`` CTE (doc_id, sorted
+    distinct fingerprint list) — shared by the q_winnow oracle and the
+    q_winnow_overlap oracle so their fingerprint semantics cannot
+    drift."""
     gram = f"substr(b, CAST(i AS INTEGER), {k})"
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS b
       FROM documents
     ), grams AS (
       SELECT doc_id,
              list_transform(range(1, length(b) - {k - 1} + 1), i -> ({_nib(f"md5({gram})", 8)})) AS hs
       FROM base WHERE length(b) >= {k + w - 1}
-    )
-    , fps AS (
+    ), fps AS (
       SELECT doc_id,
              list_sort(list_distinct(list_transform(
                range(1, len(hs) - {w - 1} + 1),
                j -> list_min(list_slice(hs, CAST(j AS INTEGER), CAST(j + {w - 1} AS INTEGER)))
              ))) AS fingerprints
       FROM grams
-    )
+    )"""
+
+
+def _winnow_sql() -> str:
+    return f"""
+    WITH {_winnow_fps_ctes()}
     SELECT doc_id,
            array_to_string(fingerprints, ',') AS fingerprints_csv,
            CAST(len(fingerprints) AS BIGINT) AS n_fps
@@ -413,3 +420,71 @@ def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     kept = token_budget_sample(docs, _BUDGETS, "lang", "doc_id", "n_chars")
     return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP — winnow-overlap pairs (span-level similarity candidates)
+# ---------------------------------------------------------------------------
+def _winnow_overlap_sql() -> str:
+    from w4h_etl_container_spark.plans.textops import _DF_CAP
+
+    return f"""
+    WITH {_winnow_fps_ctes()},
+    occ AS (
+      SELECT doc_id, unnest(fingerprints) AS fp FROM fps
+    ), capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM occ
+      ) WHERE df <= {_DF_CAP}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) /
+             CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard,
+           n_common
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.1
+    """
+
+
+@register("q_winnow_overlap", sql=_winnow_overlap_sql(), survey_ids=("EXT-DEDUP",), gate=False)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of the winnowing fingerprints: document pairs whose
+    fingerprint sets overlap (Jaccard ≥ 0.1) — the SIGMOD-2003 use case.
+    Winnowing guarantees any shared substring of length ≥ w + k - 1
+    contributes a shared fingerprint, so this finds SPAN-level copies
+    (quotations, boilerplate, plagiarized passages) that whole-document
+    MinHash misses when the surrounding text differs.
+
+    Engine shape: fingerprints (spread via ``parallelize_compute``,
+    the q_winnow trade) → explode → the SAME posting-list back end as
+    n-gram Jaccard (``_jaccard_from_shingles`` — df-capped inverted
+    index, packed in-bucket pair expansion), with int64 fingerprint
+    keys, so the widest exchange ships 8-byte longs. Library tier:
+    checked by selfcheck's oracle run and TestWinnowOverlap."""
+    from w4h_etl_container_spark.plans.textops import _jaccard_from_shingles
+
+    fps = winnow_fingerprints(
+        parallelize_compute(read_table(spark, sf_dir, "documents"))
+    )
+    # The localCheckpoint between the fingerprint HOFs and the explode
+    # is a CORRECTNESS-OF-COST barrier, not a tuning knob: exploding the
+    # HOF-produced array re-evaluates the whole fingerprint chain per
+    # OUTPUT row (measured ~0.9 s/doc — linear probe at n=5/20/50 —
+    # vs 6 ms/doc for the chain itself; >190 s vs 0.4 s at sf0.01), and
+    # a repartition does NOT stop it (projection/generate pushdown
+    # crosses round-robin exchanges). Eagerly materializing the small
+    # (doc_id, fingerprints) table — one row per document — makes the
+    # explode read stored arrays. Same lineage-truncation tool the CC
+    # loop uses; on a cluster swap for reliable checkpoint.
+    occ = fps.localCheckpoint().select(
+        "doc_id", F.explode("fingerprints").alias("sh")
+    )
+    return _jaccard_from_shingles(occ)
