@@ -1636,3 +1636,66 @@ class TestWinnowOverlap:
         rows = df.collect()
         assert rows, "fixture near-dups must surface as winnow-overlap pairs"
         assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+class TestExactPercentileRefined:
+    """The bounded-state exact percentile: bit-equal to percentile()'s
+    unbounded-buffer aggregate on real data, under a sketch bracket that
+    provably encloses the target ranks (with an audited full-group
+    fallback when it doesn't)."""
+
+    def _want(self, spark, li, q):
+        from pyspark.sql import functions as F
+
+        return {
+            r[0]: r[1][0]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile(l_extendedprice, array({q}))"))
+            .collect()
+        }
+
+    def test_bit_parity_across_quantiles(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+            got = {
+                r[0]: r["p"]
+                for r in exact_percentile_refined(
+                    li, "l_extendedprice", "l_returnflag", q
+                ).collect()
+            }
+            assert got == self._want(spark, li, q), f"divergence at q={q}"
+
+    def test_rescue_path_stays_exact(self, spark, sf_dir):
+        """accuracy=10 makes ε enormous: the bracket collapses to nearly
+        the whole domain or misses ranks outright — either way the audit
+        + fallback must still produce the exact value."""
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        got = {
+            r[0]: r["p"]
+            for r in exact_percentile_refined(
+                li, "l_extendedprice", "l_returnflag", 0.5, accuracy=10
+            ).collect()
+        }
+        assert got == self._want(spark, li, 0.5)
+
+    def test_sort_input_is_bracket_filtered(self, spark, sf_dir):
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        df = exact_percentile_refined(li, "l_extendedprice", "l_returnflag", 0.9)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "_lo" in plan and "_hi" in plan, "bracket filter missing from plan"

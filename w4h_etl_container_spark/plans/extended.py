@@ -254,3 +254,48 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DataFrame registry and the SQL surface share Catalyst plans."""
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PRICING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles with bounded state (the 100 TB-exact rendering)
+# ---------------------------------------------------------------------------
+@register(
+    "q_percentile_exactscale",
+    sql="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           FLOOR(quantile_cont(l_extendedprice, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("AGG-6",),
+    gate=False,
+)
+def q_percentile_exactscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state EXACT percentile (``operators.percentiles.
+    exact_percentile_refined``): sketch-bracket pass narrows each
+    group's candidate window to ~6·n/accuracy values, a second pass
+    counts below and window-sorts only the bracket, and the
+    interpolation reproduces ``percentile``/``quantile_cont``
+    bit-for-bit (audited, with a full-group fallback). The rendering of
+    AGG-6 that stays exact AND memory-bounded at 100 TB — where
+    ``q_percentile``'s exact arm cannot run and its sketch arm is no
+    longer exact. Library tier; the same r6 rounding contract as
+    q_percentile on both sides."""
+    from w4h_etl_container_spark.operators.percentiles import (
+        exact_percentile_refined,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    p50 = exact_percentile_refined(li, "l_extendedprice", "l_returnflag", 0.5)
+    p90 = exact_percentile_refined(li, "l_extendedprice", "l_returnflag", 0.9)
+    return (
+        p50.withColumnRenamed("p", "_p50")
+        .join(p90.withColumnRenamed("p", "_p90"), "l_returnflag")
+        .select(
+            "l_returnflag",
+            r6(F.col("_p50")).alias("p50"),
+            r6(F.col("_p90")).alias("p90"),
+        )
+    )
