@@ -1699,3 +1699,38 @@ class TestExactPercentileRefined:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" in plan
         assert "_lo" in plan and "_hi" in plan, "bracket filter missing from plan"
+
+    def test_adversarial_group_shapes(self, spark):
+        """Parity on the shapes that break rank arithmetic: single-row
+        groups, all-equal values, duplicates exactly at the rank
+        boundary, negatives, and mixed magnitudes — many groups, one
+        job, checked against percentile() group by group."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+
+        groups = {
+            "single": [42.0],
+            "pair": [1.0, 2.0],
+            "ties_all": [7.0] * 25,
+            "boundary_dups": [1.0] * 9 + [2.0] * 9 + [3.0] * 2,
+            "negatives": [-5.0, -1.0, -3.0, 0.0, 2.5, -2.5],
+            "mixed_mag": [1e-6, 1e6, 3.14, -2.71, 0.5, 123456.789, 1e-3],
+            "two_clusters": [0.0] * 10 + [100.0] * 10,
+        }
+        rows = [(g, v) for g, vals in groups.items() for v in vals]
+        df = spark.createDataFrame(rows, "g: string, x: double")
+        for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+            got = {
+                r["g"]: r["p"]
+                for r in exact_percentile_refined(df, "x", "g", q).collect()
+            }
+            want = {
+                r["g"]: r["w"][0]
+                for r in df.groupBy("g")
+                .agg(F.expr(f"percentile(x, array({q}))").alias("w"))
+                .collect()
+            }
+            assert got == want, f"divergence at q={q}"
