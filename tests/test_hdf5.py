@@ -188,3 +188,84 @@ class TestCraftedChunked:
         want = arr.copy()
         want[2, 3:5] = 0  # absent chunk → default fill
         np.testing.assert_array_equal(got, want)
+
+
+class TestFilterMessageV2:
+    """Version-2 filter-pipeline messages omit the Name Length field for
+    builtin filters (id < 256) — a layout the golden artifact (contiguous)
+    and the crafted fixture (v1 message) never exercise."""
+
+    def _filters_of(self, payload: bytes):
+        from w4h_etl_container_spark.sources.hdf5 import H5File
+
+        f = object.__new__(H5File)
+        f.buf = payload
+        return f._filters(0)
+
+    def test_v2_builtin_filters_have_no_name_field(self):
+        body = bytes([2, 2])  # version 2, two filters
+        body += struct.pack("<HHH", 2, 0, 1) + struct.pack("<I", 4)  # shuffle(4)
+        body += struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6)  # deflate(6)
+        assert self._filters_of(body) == [(2, (4,)), (1, (6,))]
+
+    def test_v2_custom_filter_keeps_name_field(self):
+        body = bytes([2, 1])
+        body += struct.pack("<HHHH", 300, 4, 0, 2) + b"myf\0" + struct.pack("<II", 7, 9)
+        assert self._filters_of(body) == [(300, (7, 9))]
+
+    def test_v1_message_unchanged(self):
+        body = bytes([1, 1]) + b"\0" * 6
+        body += struct.pack("<HHHH", 1, 0, 0, 1) + struct.pack("<I", 6) + b"\0" * 4
+        assert self._filters_of(body) == [(1, (6,))]
+
+
+class TestSquareGridAxisPairing:
+    """A square (lat, lon) grid must still pair each axis with a DISTINCT
+    scale (file order = netCDF definition order); truly ambiguous scale
+    sets raise instead of silently mislabeling coordinates."""
+
+    class _FakeDS:
+        def __init__(self, name, arr, attrs):
+            self.name, self._arr, self.attrs = name, arr, attrs
+            self.shape = arr.shape
+            self.dtype = arr.dtype
+
+        def read(self):
+            return self._arr
+
+    def _patch(self, monkeypatch, sets):
+        import w4h_etl_container_spark.sources.hdf5 as hdf5mod
+
+        monkeypatch.setattr(hdf5mod, "read_hdf5", lambda path: sets)
+
+    def test_square_grid_pairs_both_axes(self, monkeypatch):
+        from w4h_etl_container_spark.sources.hdf5 import mask_nc4_to_long
+
+        scale = {"CLASS": "DIMENSION_SCALE"}
+        sets = {
+            "lat": self._FakeDS("lat", np.array([10.0, 20.0, 30.0], "f4"), scale),
+            "lon": self._FakeDS("lon", np.array([1.0, 2.0, 3.0], "f4"), scale),
+            "m": self._FakeDS("m", np.arange(9, dtype="i1").reshape(3, 3), {}),
+        }
+        self._patch(monkeypatch, sets)
+        df = mask_nc4_to_long("ignored.nc")
+        assert list(df.columns) == ["lat", "lon", "m"]
+        assert len(df) == 9
+        assert sorted(df["lat"].unique()) == [10.0, 20.0, 30.0]
+        assert sorted(df["lon"].unique()) == [1.0, 2.0, 3.0]
+        # axis-major order: lat varies slowest
+        assert df["lat"].iloc[0] == 10.0 and df["lon"].iloc[1] == 2.0
+
+    def test_truly_ambiguous_scales_raise(self, monkeypatch):
+        from w4h_etl_container_spark.sources.hdf5 import mask_nc4_to_long
+
+        scale = {"CLASS": "DIMENSION_SCALE"}
+        sets = {
+            "a": self._FakeDS("a", np.zeros(3, "f4"), scale),
+            "b": self._FakeDS("b", np.zeros(3, "f4"), scale),
+            "c": self._FakeDS("c", np.zeros(3, "f4"), scale),
+            "m": self._FakeDS("m", np.zeros((3, 3), "i1"), {}),
+        }
+        self._patch(monkeypatch, sets)
+        with pytest.raises(ValueError, match="ambiguous dimension scales"):
+            mask_nc4_to_long("ignored.nc")

@@ -72,6 +72,14 @@ def exact_percentile_refined(
         )
         .withColumn("_kf", F.floor("_pos").cast("long") + 1)
         .withColumn("_kc", F.ceil("_pos").cast("long") + 1)
+        # One row per group — materialize it. The bracket feeds FOUR
+        # subtrees (audit counts, in-bracket filter, rescue, rank
+        # targets); re-evaluating the GK sketch per subtree would let
+        # the audit validate a DIFFERENT bracket than the one the pool
+        # was filtered by (sketch merge order follows shuffle-fetch
+        # order), voiding the exactness proof. A checkpointed bracket
+        # is one broadcast-sized fact every consumer agrees on.
+        .localCheckpoint()
     )
 
     j = rows.join(F.broadcast(pre), group)

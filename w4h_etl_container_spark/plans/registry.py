@@ -51,6 +51,11 @@ def register(
     CORRECTNESS slots."""
 
     def deco(fn):
+        if name in QUERIES or name in LIBRARY:
+            # a duplicate would let load_library() silently shadow the
+            # gate entry — tests would then validate a different plan
+            # than the one the driver hash-checks
+            raise ValueError(f"query {name!r} already registered")
         target = QUERIES if gate else LIBRARY
         target[name] = Query(name=name, fn=fn, sql=sql, survey_ids=survey_ids, doc=doc or (fn.__doc__ or ""))
         return fn

@@ -366,15 +366,21 @@ class H5File:
         p = body + (8 if ver == 1 else 2)
         out = []
         for _ in range(nf):
-            fid, namelen = struct.unpack_from("<HH", buf, p)
-            _, nvals = struct.unpack_from("<HH", buf, p + 4)
-            p += 8
+            fid = struct.unpack_from("<H", buf, p)[0]
             if ver == 1 or fid >= 256:
+                namelen, flags, nvals = struct.unpack_from("<HHH", buf, p + 2)
+                p += 8
                 p += (namelen + 7) & ~7 if ver == 1 else namelen
+            else:
+                # v2 builtin filters (id < 256) OMIT the Name Length
+                # field entirely: id(2), flags(2), nvals(2), values
+                flags, nvals = struct.unpack_from("<HH", buf, p + 2)
+                p += 6
             vals = struct.unpack_from(f"<{nvals}I", buf, p)
             p += 4 * nvals
             if ver == 1 and nvals % 2:
                 p += 4  # v1 pads client data to 8 bytes
+            del flags
             out.append((fid, vals))
         return out
 
@@ -481,7 +487,11 @@ def mask_nc4_to_long(path: str) -> pd.DataFrame:
     The data variable is the one 2-D dataset that is NOT a netCDF
     dimension scale (coordinate vars carry ``CLASS=DIMENSION_SCALE``);
     its axes pair with the scales whose lengths match, in storage order
-    (lat before lon on a CF grid, as in the reference file)."""
+    (lat before lon on a CF grid, as in the reference file). Each scale
+    is consumed at most once, so a SQUARE grid still pairs both axes —
+    in file order, the netCDF definition order (the unambiguous mapping
+    lives in DIMENSION_LIST object references, outside this reader's
+    scope); two leftover same-length scales for one axis raise."""
     sets = read_hdf5(path)
     coords = {
         n: d for n, d in sets.items() if d.attrs.get("CLASS") == "DIMENSION_SCALE"
@@ -491,10 +501,19 @@ def mask_nc4_to_long(path: str) -> pd.DataFrame:
         raise ValueError(f"{path}: expected exactly one 2-D data variable, got {len(grids)}")
     var = grids[0]
     axes = []
-    for axis_len in var.shape:
-        match = [n for n, c in coords.items() if c.shape == (axis_len,)]
+    used: set[str] = set()
+    for i, axis_len in enumerate(var.shape):
+        match = [
+            n for n, c in coords.items() if c.shape == (axis_len,) and n not in used
+        ]
+        remaining_same = sum(1 for length in var.shape[i:] if length == axis_len)
         if not match:
-            raise ValueError(f"{path}: no dimension scale of length {axis_len}")
+            raise ValueError(f"{path}: no unused dimension scale of length {axis_len}")
+        if len(match) > remaining_same:
+            raise ValueError(
+                f"{path}: ambiguous dimension scales {match} for axis length {axis_len}"
+            )
+        used.add(match[0])
         axes.append((match[0], coords[match[0]].read().astype(np.float64)))
     (aname, avals), (bname, bvals) = axes
     aa, bb = np.meshgrid(avals, bvals, indexing="ij")
