@@ -238,3 +238,59 @@ class TestSlidingWindow:
         # ≤ 16 windows per event_type
         n_types = events_batch.select("event_type").distinct().count()
         assert got.count() >= want.count() - 16 * n_types
+
+
+class TestStreamingCorpusDedup:
+    """Corpus ops compose with Structured Streaming: an incrementally
+    arriving document stream deduplicates exactly against the history —
+    foreachBatch + the batch dedup operator over an accumulating
+    fingerprint store, the pattern a continuously-ingesting training
+    pipeline runs (the forecast merge's incremental.py shape, applied to
+    the corpus surface)."""
+
+    def test_incremental_exact_dedup_matches_batch(self, spark, tmp_path, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import dedup_exact_fast
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = str(tmp_path / "docs-src")
+        # two arrival waves with an overlap: wave 2 re-delivers some of
+        # wave 1's texts under new doc_ids (late duplicates)
+        w1 = docs.where(F.col("doc_id") % 2 == 0)
+        w2 = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        w1.coalesce(1).write.parquet(src)
+        w2.coalesce(1).write.mode("append").parquet(src)
+
+        store = str(tmp_path / "dedup-store")
+
+        def dedup_batch(batch, _epoch):
+            fp = dedup_exact_fast(batch).select("doc_id", "fingerprint")
+            fp.write.mode("append").parquet(store)
+
+        stream = spark.readStream.schema(w1.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # survivors: first-arriving doc per fingerprint across ALL batches
+        stored = spark.read.parquet(store)
+        surv = stored.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+        # must equal the batch dedup over the full union
+        full = w1.unionByName(w2)
+        want = (
+            dedup_exact_fast(full)
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        assert stored.count() == full.count()  # every arrival fingerprinted
+        got_set = {(r["fingerprint"], r["doc_id"]) for r in surv.collect()}
+        want_set = {(r["fingerprint"], r["doc_id"]) for r in want.collect()}
+        assert got_set == want_set
