@@ -218,3 +218,22 @@ class TestRound4PlanShapes:
 
         p = plan_of(minhash_candidates(rt(spark, sf_dir, "documents")))
         assert p.count("Exchange") == 3
+
+
+class TestRound7PlanShapes:
+    def test_parallelize_compute_spreads_single_split_only(self, spark, sf_dir):
+        """parallelize_compute is a parallelism REPAIR, not a default: a
+        compact (single-split) scan gets the round-robin spread, but an
+        input that already has >= target splits must pass through
+        untouched — at corpus scale the repartition would be a full
+        shuffle AND a parallelism ceiling (VERDICT r6 #1)."""
+        from w4h_etl_container_spark.session import parallelize_compute
+
+        docs = read_table(spark, sf_dir, "documents")
+        assert docs.rdd.getNumPartitions() < 8  # compact fixture: few splits
+        spread = parallelize_compute(docs)
+        assert "RoundRobinPartitioning" in plan_of(spread)
+
+        wide = docs.repartition(32)  # >= defaultParallelism (8 in tests)
+        # identity (is, not just plan-equal): no second Exchange is planned
+        assert parallelize_compute(wide) is wide

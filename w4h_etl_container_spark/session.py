@@ -135,9 +135,19 @@ def parallelize_compute(df, partitions: int | None = None):
     the input columns and buys n-way kernel parallelism; the explicit
     count keeps AQE from coalescing it back below the advisory size.
     Use only ahead of expensive per-row compute — plain scans and
-    already-shuffling aggregations don't need it."""
+    already-shuffling aggregations don't need it.
+
+    Scale guard: the spread is a *parallelism repair*, not a default. A
+    real corpus scan at cluster scale already has thousands of splits; a
+    round-robin repartition there would be a full shuffle of the input
+    columns AND a parallelism ceiling (down to ``defaultParallelism``).
+    So we observe the input's split count first (driver-side plan
+    inspection — no job) and pass the hint through only when the scan is
+    genuinely under-split."""
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
     return df.repartition(partitions)
 
 
