@@ -1688,7 +1688,12 @@ class TestExactPercentileRefined:
         }
         assert got == self._want(spark, li, 0.5)
 
-    def test_sort_input_is_bracket_filtered(self, spark, sf_dir):
+    def test_sort_runs_on_bounded_bracket_pool(self, spark, sf_dir):
+        """Round-7 shape: the rank lookup is per-group array arithmetic
+        over the collect_list'd bracket pool (bounded at ~6εn by the
+        sketch guarantee) — no Window operator, no extra shuffle, and
+        when the audit passes the plan contains NO second look at the
+        data (the rescue subtree only attaches on a failed audit)."""
         from w4h_etl_container_spark.operators.percentiles import (
             exact_percentile_refined,
         )
@@ -1697,8 +1702,12 @@ class TestExactPercentileRefined:
         li = read_table(spark, sf_dir, "lineitem")
         df = exact_percentile_refined(li, "l_extendedprice", "l_returnflag", 0.9)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Window" in plan
-        assert "_lo" in plan and "_hi" in plan, "bracket filter missing from plan"
+        assert "Window" not in plan
+        assert "_pool" in plan and "_los" in plan, "bracket pool missing from plan"
+        # audit passed on real data ⇒ no rescue ⇒ no parquet rescan in
+        # the result plan (the two data scans happened inside the
+        # checkpointed aggregate)
+        assert "Scan parquet" not in plan
 
     def test_adversarial_group_shapes(self, spark):
         """Parity on the shapes that break rank arithmetic: single-row
@@ -1734,3 +1743,168 @@ class TestExactPercentileRefined:
                 .collect()
             }
             assert got == want, f"divergence at q={q}"
+
+
+class TestExactPercentileMultiQuantile:
+    """Round 7: the list-of-quantiles signature shares pass 1 (one GK
+    sketch) and pass 2 (one audit scan, one pooled window) across all
+    quantiles and must stay bit-equal to percentile(x, array(...))."""
+
+    def test_multi_quantile_bit_parity(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+        got = {
+            r[0]: list(r["p"])
+            for r in exact_percentile_refined(
+                li, "l_extendedprice", "l_returnflag", qs
+            ).collect()
+        }
+        want = {
+            r[0]: list(r[1])
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, qs))}))"))
+            .collect()
+        }
+        assert got == want
+
+    def test_multi_quantile_rescue_path(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        got = {
+            r[0]: list(r["p"])
+            for r in exact_percentile_refined(
+                li, "l_extendedprice", "l_returnflag", [0.5, 0.9], accuracy=10
+            ).collect()
+        }
+        want = {
+            r[0]: list(r[1])
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))"))
+            .collect()
+        }
+        assert got == want
+
+    def test_multi_quantile_adversarial_shapes(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+
+        groups = {
+            "single": [42.0],
+            "ties_all": [7.0] * 25,
+            "boundary_dups": [1.0] * 9 + [2.0] * 9 + [3.0] * 2,
+            "negatives": [-5.0, -1.0, -3.0, 0.0, 2.5, -2.5],
+        }
+        rows = [(g, v) for g, vals in groups.items() for v in vals]
+        df = spark.createDataFrame(rows, "g: string, x: double")
+        qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+        got = {
+            r["g"]: list(r["p"])
+            for r in exact_percentile_refined(df, "x", "g", qs).collect()
+        }
+        want = {
+            r["g"]: list(r["w"])
+            for r in df.groupBy("g")
+            .agg(F.expr(f"percentile(x, array({', '.join(map(str, qs))}))").alias("w"))
+            .collect()
+        }
+        assert got == want
+
+    def test_one_sketch_scan(self, spark, sf_dir):
+        """The shared pass 1 is the point: exactly ONE GK sketch
+        aggregate in the plan regardless of quantile count."""
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        df = exact_percentile_refined(li, "l_extendedprice", "l_returnflag", [0.5, 0.9])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("partial_percentile_approx") <= 1
+
+    def test_forced_rescue_parity(self, spark, sf_dir):
+        """The audit fallback (a group whose sketch violated its rank
+        guarantee) cannot be triggered honestly — that's the point — so
+        exercise the machinery via the test hook: every group forced
+        down the full-row rescue path must still match percentile()
+        bit-for-bit, for scalar and list signatures."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        got = {
+            r[0]: list(r["p"])
+            for r in exact_percentile_refined(
+                li, "l_extendedprice", "l_returnflag", [0.5, 0.9], _force_rescue=True
+            ).collect()
+        }
+        want = {
+            r[0]: list(r[1])
+            for r in li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))"))
+            .collect()
+        }
+        assert got == want
+        got1 = {
+            r[0]: r["p"]
+            for r in exact_percentile_refined(
+                li, "l_extendedprice", "l_returnflag", 0.9, _force_rescue=True
+            ).collect()
+        }
+        assert got1 == {g: ps[1] for g, ps in want.items()}
+
+    def test_disc_rank_matches_duckdb_quantile_disc(self, spark):
+        """disc=True replaces the accuracy-bound percentile_approx
+        rendering with a rank lookup on the bracket pool. The rank rule
+        (max(1, ceil(q*n)), double arithmetic) must match DuckDB
+        quantile_disc exactly — including n where q*n is integral (the
+        float-boundary case), ties, and single-row groups."""
+        import duckdb
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from w4h_etl_container_spark.operators.percentiles import (
+            exact_percentile_refined,
+        )
+
+        groups = {
+            "n10": [float(i) for i in range(1, 11)],      # q*n integral at .5/.9
+            "n20": [float(i) for i in range(1, 21)],
+            "n1": [3.5],
+            "ties": [2.0] * 7 + [5.0] * 13,
+            "neg": [-4.0, -1.5, 0.0, 2.5, -3.0, 7.0, 1.0],
+        }
+        rows = [(g, v) for g, vals in groups.items() for v in vals]
+        df = spark.createDataFrame(rows, "g: string, x: double")
+        qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+        got = {
+            r["g"]: list(r["p_disc"])
+            for r in exact_percentile_refined(df, "x", "g", qs, disc=True).collect()
+        }
+        con = duckdb.connect()
+        for g, vals in groups.items():
+            lst = ", ".join(f"({v!r})" for v in vals)
+            for qi, q in enumerate(qs):
+                want = con.execute(
+                    f"SELECT quantile_disc(x, {q}) FROM (VALUES {lst}) t(x)"
+                ).fetchone()[0]
+                assert got[g][qi] == want, (g, q, got[g][qi], want)

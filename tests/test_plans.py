@@ -196,16 +196,21 @@ class TestRound2PlanShapes:
 
 
 class TestRound4PlanShapes:
-    def test_percentile_scale_path_is_mergeable_sketch(self, spark, sf_dir, reg):
-        # the declared approx percentile must be a map-side partial sketch
-        # merged after ONE exchange — never a sort-per-group — and the
-        # scan must prune to the two referenced columns
-        p = plan_of(reg["q_percentile"].fn(spark, sf_dir))
-        assert "partial_percentile_approx" in p
-        assert p.count("Exchange") == 1
-        assert "Sort" not in p
-        read_schema = p.split("ReadSchema:")[1].splitlines()[0]
-        assert "l_extendedprice" in read_schema and "l_partkey" not in read_schema
+    def test_percentile_gate_is_bounded_state(self, spark, sf_dir, reg):
+        # since round 7 BOTH gate percentile renderings are bounded-state:
+        # the exact arm is the refined two-scan operator (GK bracket +
+        # bounded pool, materialized in a checkpointed per-group
+        # aggregate) and the disc arm reads rank ⌈q·n⌉ off the same pool.
+        # The visible plan must contain no unbounded percentile() buffer,
+        # no Window, and — audit passing — no rescan of the data.
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        df = reg["q_percentile"].fn(spark, sf_dir)
+        assert jsc.getPersistentRDDs().size() - before == 1  # one two-scan job
+        p = plan_of(df)
+        assert "percentile(l_extendedprice" not in p  # unbounded buffer banned
+        assert "Window" not in p
+        assert "Scan parquet" not in p  # audit green => no rescue rescan
 
     def test_shingle_pipeline_has_no_dedup_exchange(self, spark, sf_dir, reg):
         # every near-dup consumer is duplicate-insensitive, so the shingle
@@ -237,3 +242,15 @@ class TestRound7PlanShapes:
         wide = docs.repartition(32)  # >= defaultParallelism (8 in tests)
         # identity (is, not just plan-equal): no second Exchange is planned
         assert parallelize_compute(wide) is wide
+
+    def test_percentile_exactscale_single_pass1(self, spark, sf_dir, reg):
+        """q_percentile_exactscale's two quantiles share ONE pass-1
+        materialization: exactly one checkpointed bracket table is
+        persisted while the plan is built (the old per-quantile form
+        materialized two). Counted via the session's persistent-RDD
+        registry — localCheckpoint persists one RDD per pass-1."""
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        df = reg["q_percentile_exactscale"].fn(spark, sf_dir)
+        assert jsc.getPersistentRDDs().size() - before == 1
+        assert df.count() > 0  # and the shared-bracket plan still runs

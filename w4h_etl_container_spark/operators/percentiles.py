@@ -5,29 +5,44 @@
 aggregator — the one plan shape in the declared surface that cannot
 bound memory at corpus scale. ``percentile_approx`` bounds memory but
 is only exact while accuracy exceeds the group size. This module closes
-the gap: a two-pass plan that returns the bit-exact continuous
+the gap: a two-scan plan that returns the bit-exact continuous
 (type-7 / linear-interpolation) percentile — the same number
 ``percentile`` and DuckDB ``quantile_cont`` produce — while no operator
 ever holds more than ~6·n/accuracy values of a group.
 
-Pass 1 (one scan): per group, the row count and a Greenwald-Khanna
-bracket — ``percentile_approx`` at ``[q - 3ε, q + 3ε]`` (ε = 1/accuracy)
-whose rank-error guarantee (±εn) makes the bracket provably enclose the
-target ranks ⌊r⌋ and ⌈r⌉, r = 1 + (n-1)·q. Pass 2 (one scan + a tiny
-sort): count values strictly below the bracket, window-sort ONLY the
-in-bracket rows (expected ~6εn per group — bounded by the accuracy
-knob, not the group), read the two ranked values, interpolate.
+Scan 1: per group, the row count and a Greenwald-Khanna bracket —
+``percentile_approx`` at ``[q - 3ε, q + 3ε]`` (ε = 1/accuracy) whose
+rank-error guarantee (±εn) makes the bracket provably enclose the
+target ranks ⌊r⌋ and ⌈r⌉, r = 1 + (n-1)·q. Scan 2 (ONE aggregation):
+per group, count values strictly below each bracket, count values
+inside it, and ``collect_list`` only the in-bracket values — a buffer
+bounded at ~6εn per quantile by the sketch guarantee, not by the group.
+The final step is per-group array arithmetic on that bounded row:
+``array_sort`` the bracket pool, index the two target ranks directly
+(rank − below), interpolate. No window, no extra shuffle — the sort is
+an O(εn·log εn) kernel on an already-bounded array.
+
+Multiple quantiles share the whole plan: ONE GK sketch per group emits
+every bracket, and the shared scan-2 aggregation carries per-quantile
+below/in counts plus the union-of-brackets pool. A k-quantile report
+costs exactly the same two data scans as one quantile.
 
 Exactness is audited, not assumed (the ``deterministic_topk_per_group_
 refined`` pattern): a group whose bracket demonstrably missed a target
 rank — possible only if the sketch under-delivered its guarantee —
-falls back to its full row set for the sort. The audit tables are
-per-group aggregates: broadcast-sized at any scale.
+falls back to its full row set. The audit rides the checkpointed
+per-group aggregate (one bounded row per group), so the common path
+never re-scans the data: the rescue subtree is attached only when the
+audit actually finds a failed group (a driver-side count over the
+materialized aggregate — the same adaptive-plan pattern as
+``operators.components``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,110 +50,241 @@ def exact_percentile_refined(
     df: DataFrame,
     value: str,
     group: str,
-    q: float,
+    q: float | Sequence[float],
     accuracy: int = 10_000,
+    extra_aggs: Sequence[Column] | None = None,
+    disc: bool = False,
+    _force_rescue: bool = False,
 ) -> DataFrame:
-    """(group, p) — the exact continuous percentile ``q`` of ``value``
+    """(group, p) — the exact continuous percentile(s) ``q`` of ``value``
     per group, computed with bounded per-group state (module docstring).
+
+    ``q`` may be one quantile (``p`` is a double, the historical
+    signature) or a sequence (``p`` is an array of doubles in ``q``'s
+    order, sharing both scans across all quantiles — the shape a real
+    percentile report wants). ``extra_aggs`` are additional aggregate
+    columns evaluated in the scan-2 aggregation (over the non-null
+    ``value`` rows) and carried to the output — lets a caller fold e.g.
+    a ``percentile_approx`` sketch into the same scan instead of paying
+    a third one. ``disc=True`` additionally returns ``p_disc`` — the
+    DISCRETE percentile (DuckDB ``quantile_disc``: the element at rank
+    max(1, ⌈q·n⌉)) read from the SAME bracket pool: that rank provably
+    lies in [kf, kc] (⌈q·n⌉ ≥ ⌊(n−1)q⌋+1 and ≤ ⌈(n−1)q⌉+1 for q ∈
+    [0,1]), the disc ranks are added to the audit, and no extra sketch
+    or scan is paid. Exact at ANY scale — unlike a
+    ``percentile_approx``-as-disc rendering, which is only exact while
+    accuracy exceeds the group size.
 
     Equal to ``F.expr(f"percentile({value}, {q})")`` bit-for-bit: the
     final interpolation runs on exact ranked values; the sketch only
     narrows where the sort looks."""
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    scalar = not isinstance(q, Sequence)
+    qs = [q] if scalar else list(q)
+    if not qs:
+        raise ValueError("need at least one quantile")
+    for qi in qs:
+        if not 0.0 <= qi <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {qi}")
+    k = len(qs)
+    extras = list(extra_aggs or [])
+    extra_names = [df.select(e).columns[0] for e in extras] if extras else []
     eps = 1.0 / accuracy
-    qlo, qhi = max(0.0, q - 3 * eps), min(1.0, q + 3 * eps)
+    bounds = []
+    for qi in qs:
+        bounds += [max(0.0, qi - 3 * eps), min(1.0, qi + 3 * eps)]
     rows = df.where(F.col(value).isNotNull()).select(group, value)
 
     pre = (
         rows.groupBy(group)
         .agg(
             F.count(value).alias("_n"),
+            # ONE sketch per group serves every quantile's bracket.
             F.expr(
-                f"percentile_approx({value}, array({qlo!r}, {qhi!r}), {accuracy})"
+                f"percentile_approx({value}, array({', '.join(repr(b) for b in bounds)}), {accuracy})"
             ).alias("_br"),
         )
         .select(
             group,
             "_n",
-            F.col("_br")[0].alias("_lo"),
-            F.col("_br")[1].alias("_hi"),
-            # 0-based position, the EXACT arithmetic shape of Spark's
+            # Effective brackets. The ±3ε quantile margin only spans
+            # ranks once εn ≥ 1: for n > accuracy, 3εn ≥ 3 ranks covers
+            # both the GK error (±εn) and the ≤1-rank gap between the
+            # sketch's q·n rank convention and percentile's (n−1)·q.
+            # For n ≤ accuracy a sub-rank margin can miss the target by
+            # that convention gap, so small groups take the exact
+            # full-pool path instead — bracket widened to ±∞, pool = the
+            # whole group, which is bounded by `accuracy` by definition
+            # (the same knob that bounds the large-group pool at ~6εn).
+            F.array(
+                *[
+                    F.when(F.col("_n") <= accuracy, F.lit(float("-inf")))
+                    .otherwise(F.col("_br")[2 * i])
+                    for i in range(k)
+                ]
+            ).alias("_los"),
+            F.array(
+                *[
+                    F.when(F.col("_n") <= accuracy, F.lit(float("inf")))
+                    .otherwise(F.col("_br")[2 * i + 1])
+                    for i in range(k)
+                ]
+            ).alias("_his"),
+            # 0-based positions, the EXACT arithmetic shape of Spark's
             # `percentile` (and DuckDB quantile_cont): (n-1)·q, floored
             # for the lower index, the fraction as the interpolation
             # weight. A 1-based rendering (1 + (n-1)q) rounds
             # differently in float and diverges by an ULP.
-            ((F.col("_n") - 1) * F.lit(q)).alias("_pos"),
+            F.array(*[((F.col("_n") - 1) * F.lit(qi)) for qi in qs]).alias("_poss"),
         )
-        .withColumn("_kf", F.floor("_pos").cast("long") + 1)
-        .withColumn("_kc", F.ceil("_pos").cast("long") + 1)
-        # One row per group — materialize it. The bracket feeds FOUR
-        # subtrees (audit counts, in-bracket filter, rescue, rank
-        # targets); re-evaluating the GK sketch per subtree would let
-        # the audit validate a DIFFERENT bracket than the one the pool
-        # was filtered by (sketch merge order follows shuffle-fetch
-        # order), voiding the exactness proof. A checkpointed bracket
-        # is one broadcast-sized fact every consumer agrees on.
-        .localCheckpoint()
+        .withColumn("_kfs", F.transform("_poss", lambda p: F.floor(p).cast("long") + 1))
+        .withColumn("_kcs", F.transform("_poss", lambda p: F.ceil(p).cast("long") + 1))
     )
 
+    # Scan 2 — audit counts AND the bounded bracket pool in one
+    # aggregation. `pre` is referenced exactly ONCE in this plan (the
+    # broadcast join below); the bracket targets ride the aggregation
+    # via first(), so every consumer sees the one sketch evaluation —
+    # the nondeterministic-sketch hazard (GK merge order follows
+    # shuffle-fetch order) never fans out.
     j = rows.join(F.broadcast(pre), group)
-    audit = (
-        j.groupBy(group)
-        .agg(
-            F.sum((F.col(value) < F.col("_lo")).cast("long")).alias("_below"),
+    in_any = F.lit(False)
+    for i in range(k):
+        in_any = in_any | (
+            (F.col(value) >= F.col("_los")[i]) & (F.col(value) <= F.col("_his")[i])
+        )
+    aggs = []
+    for i in range(k):
+        aggs.append(
+            F.sum((F.col(value) < F.col("_los")[i]).cast("long")).alias(f"_below_{i}")
+        )
+        aggs.append(
             F.sum(
-                ((F.col(value) >= F.col("_lo")) & (F.col(value) <= F.col("_hi"))).cast(
-                    "long"
-                )
-            ).alias("_in"),
+                (
+                    (F.col(value) >= F.col("_los")[i])
+                    & (F.col(value) <= F.col("_his")[i])
+                ).cast("long")
+            ).alias(f"_in_{i}")
         )
-        .join(pre.select(group, "_kf", "_kc"), group)
-    )
-    # bracket provably contains ranks kf..kc ⇔ below < kf and below+in ≥ kc
-    ok = audit.where(
-        (F.col("_below") < F.col("_kf"))
-        & (F.col("_below") + F.col("_in") >= F.col("_kc"))
-    ).select(group, "_below")
-    rescued = audit.join(ok, group, "left_anti").select(
-        group, F.lit(0).cast("long").alias("_below")
-    )
+    aggs += [
+        F.first("_n").alias("_n"),
+        F.first("_los").alias("_los"),
+        F.first("_his").alias("_his"),
+        F.first("_poss").alias("_poss"),
+        F.first("_kfs").alias("_kfs"),
+        F.first("_kcs").alias("_kcs"),
+        F.array_sort(F.collect_list(F.when(in_any, F.col(value)))).alias("_pool"),
+    ]
+    aggs += extras
+    # One bounded row per group (pool ≤ k·6εn values) — materialize it:
+    # the audit verdict and the result read the SAME aggregate, and the
+    # rescue decision below needs a cheap count over it.
+    g2 = j.groupBy(group).agg(*aggs).localCheckpoint()
 
-    in_bracket = j.where(
-        (F.col(value) >= F.col("_lo")) & (F.col(value) <= F.col("_hi"))
-    ).select(group, value)
-    full = rows.join(F.broadcast(rescued.select(group)), group, "left_semi").select(
-        group, value
-    )
-    pool = in_bracket.join(
-        F.broadcast(rescued.select(group)), group, "left_anti"
-    ).unionByName(full)
+    # bracket i provably contains its ranks kf..kc
+    #   ⇔ below_i < kf_i and below_i + in_i ≥ kc_i
+    def disc_rank(i: int, n: Column) -> Column:
+        # DuckDB quantile_disc's rank rule, same double arithmetic:
+        # max(1, ceil(q·n)) — verified against DuckDB across boundary
+        # cases (q·n exactly integral, n=1, q=0/1).
+        return F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(qs[i]) * n))
 
-    w = Window.partitionBy(group).orderBy(value)
-    ranked = (
-        pool.join(F.broadcast(ok.unionByName(rescued)), group)
-        .withColumn("_rank", F.row_number().over(w) + F.col("_below"))
-        .join(F.broadcast(pre.select(group, "_pos", "_kf", "_kc")), group)
-        .where((F.col("_rank") == F.col("_kf")) | (F.col("_rank") == F.col("_kc")))
-    )
-    return (
-        ranked.groupBy(group, "_pos", "_kf", "_kc")
-        .agg(
-            F.min(F.when(F.col("_rank") == F.col("_kf"), F.col(value))).alias("_vf"),
-            F.min(F.when(F.col("_rank") == F.col("_kc"), F.col(value))).alias("_vc"),
+    ok_pred = F.lit(True)
+    for i in range(k):
+        ok_pred = (
+            ok_pred
+            & (F.col(f"_below_{i}") < F.col("_kfs")[i])
+            & (F.col(f"_below_{i}") + F.col(f"_in_{i}") >= F.col("_kcs")[i])
         )
-        .select(
-            group,
-            # Spark's Percentile.getPercentile arithmetic, token for
-            # token: (higher − pos)·lower_val + (pos − lower)·higher_val
-            # when the position is fractional, else the exact value —
-            # any algebraically-equal rearrangement rounds differently
-            # in float and costs an ULP against the oracle.
-            F.when(F.col("_kf") == F.col("_kc"), F.col("_vf"))
-            .otherwise(
-                (F.ceil("_pos").cast("double") - F.col("_pos")) * F.col("_vf")
-                + (F.col("_pos") - F.floor("_pos").cast("double")) * F.col("_vc")
+        if disc:
+            rd = disc_rank(i, F.col("_n"))
+            ok_pred = (
+                ok_pred
+                & (F.col(f"_below_{i}") < rd)
+                & (F.col(f"_below_{i}") + F.col(f"_in_{i}") >= rd)
             )
-            .alias("p"),
+    if _force_rescue:  # test hook: exercise the fallback machinery
+        ok_pred = F.lit(False)
+
+    def interp(i: int, pool: Column, below: Column, n: Column):
+        """Rank the targets inside the sorted per-bracket pool. The
+        continuous interpolation is Spark's Percentile.getPercentile
+        arithmetic, token for token: (higher − pos)·lower_val +
+        (pos − lower)·higher_val when the position is fractional, else
+        the exact value — any algebraically-equal rearrangement rounds
+        differently in float and costs an ULP against the oracle. The
+        discrete value is a plain element_at on the disc rank."""
+        pos = F.col("_poss")[i]
+        kf, kc = F.col("_kfs")[i], F.col("_kcs")[i]
+        srt = F.array_sort(
+            F.filter(
+                pool,
+                lambda v: (v >= F.col("_los")[i]) & (v <= F.col("_his")[i]),
+            )
         )
+        vf = F.element_at(srt, (kf - below).cast("int"))
+        vc = F.element_at(srt, (kc - below).cast("int"))
+        cont = F.when(kf == kc, vf).otherwise(
+            (F.ceil(pos).cast("double") - pos) * vf
+            + (pos - F.floor(pos).cast("double")) * vc
+        )
+        if not disc:
+            return cont, None
+        vd = F.element_at(srt, (disc_rank(i, n) - below).cast("int"))
+        return cont, vd
+
+    def finish(src: DataFrame, pool: Column, belows: list[Column], n: Column) -> DataFrame:
+        pairs = [interp(i, pool, belows[i], n) for i in range(k)]
+        out = [group, F.array(*[c for c, _ in pairs]).alias("_ps")]
+        if disc:
+            out.append(F.array(*[d for _, d in pairs]).alias("_pds"))
+        return src.select(*(out + extra_names))
+
+    main = finish(
+        g2.where(ok_pred),
+        F.col("_pool"),
+        [F.col(f"_below_{i}") for i in range(k)],
+        F.col("_n"),
     )
+
+    # Rescue: only if some group's sketch under-delivered its rank
+    # guarantee. g2 is checkpointed, so this count is a scan of tiny
+    # per-group rows — and when it's zero (the overwhelmingly common
+    # case) the result plan contains NO second look at the data.
+    bad = g2.where(~ok_pred)
+    if bad.limit(1).count() > 0:
+        full = (
+            rows.join(
+                F.broadcast(bad.select(group, "_poss", "_kfs", "_kcs", *extra_names)),
+                group,
+            )
+            .groupBy(group)
+            .agg(
+                F.array_sort(F.collect_list(F.col(value))).alias("_all"),
+                F.count(F.col(value)).alias("_n"),
+                F.first("_poss").alias("_poss"),
+                F.first("_kfs").alias("_kfs"),
+                F.first("_kcs").alias("_kcs"),
+                # full-pool fallback: every value qualifies for every
+                # bracket, so widen the bracket bounds to the pool
+                F.min(F.col(value)).alias("_mn"),
+                F.max(F.col(value)).alias("_mx"),
+                *[F.first(n).alias(n) for n in extra_names],
+            )
+            .withColumn("_los", F.array_repeat(F.col("_mn"), k))
+            .withColumn("_his", F.array_repeat(F.col("_mx"), k))
+        )
+        rescue = finish(
+            full, F.col("_all"), [F.lit(0).cast("long")] * k, F.col("_n")
+        )
+        main = main.unionByName(rescue)
+
+    pd_cols = []
+    if disc:
+        pd_cols = [
+            (F.col("_pds")[0] if scalar else F.col("_pds")).alias("p_disc")
+        ]
+    if scalar:
+        return main.select(
+            group, F.col("_ps")[0].alias("p"), *pd_cols, *extra_names
+        )
+    return main.select(group, F.col("_ps").alias("p"), *pd_cols, *extra_names)

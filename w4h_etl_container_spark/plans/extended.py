@@ -16,7 +16,7 @@ from w4h_etl_container_spark.functions.vectorkernels import ivf_centroids, make_
 from w4h_etl_container_spark.kernels import tree_sum
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.plans.vectors import DIM, _S, _elem
-from w4h_etl_container_spark.session import read_events, read_table
+from w4h_etl_container_spark.session import parallelize_compute, read_events, read_table
 
 
 # ---------------------------------------------------------------------------
@@ -95,43 +95,49 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("AGG-6",),
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentiles, BOTH renderings on the hash-checked gate:
+    """Percentiles, BOTH renderings on the hash-checked gate — and since
+    round 7 BOTH are bounded-state at any scale:
 
-    * exact continuous (``p50``/``p90``) — linear interpolation on the
-      sorted values, Spark ``percentile`` ≡ DuckDB ``quantile_cont``.
-      One array-form call (``percentile(x, array(0.5, 0.9))``) so the
-      per-group value buffer is collected and sorted ONCE, not per
-      quantile (measured 2.26 → 0.85 s at sf0.1 for the two-call form).
-    * the SCALE path (``p50a_cents``/``p90a_cents``) —
-      ``percentile_approx`` (Greenwald-Khanna quantile summary: bounded
-      memory, mergeable map-side partials; only sketches shuffle, never
-      rows). Declared on integer cents with accuracy 1 000 000, where
-      the GK rank-error bound (n/accuracy < 1 at every harness scale —
-      the biggest group is ~300k rows at sf0.1; round-6 audit: accuracy
-      100 000 hash-FAILED at sf0.1 exactly as the bound predicts) makes
-      the sketch EXACT and deterministic — the returned element is the
-      one at rank ceil(p·n), which is DuckDB ``quantile_disc`` by
-      definition, so the oracle checks the approx path's values
-      bit-for-bit. At 100 TB the same plan runs with accuracy tuned to
-      the memory budget; the plan shape (single-pass mergeable sketch)
-      is what makes it the percentile you'd actually run there —
-      ``percentile``'s exact buffer holds every value per group and
-      cannot bound memory."""
+    * exact continuous (``p50``/``p90``) — the refined two-scan operator
+      (``operators.percentiles.exact_percentile_refined``): one
+      GK-sketch scan brackets both target ranks, one more scan counts
+      below-bracket and collect_lists ONLY the ~6εn in-bracket rows, and
+      per-group array arithmetic interpolates — reproducing
+      ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit (audited,
+      full-group fallback). The previous rendering
+      (``percentile(x, array(...))``) buffered every group value in one
+      aggregator — it was the last unbounded-buffer plan on the gate.
+    * discrete (``p50a_cents``/``p90a_cents``) — DuckDB
+      ``quantile_disc`` read off the SAME bracket pool at rank
+      max(1, ⌈q·n⌉): no extra sketch, no extra scan, and — unlike the
+      previous ``percentile_approx(accuracy=1e6)`` rendering, whose
+      exactness held only while accuracy exceeded the group size (a
+      bound that breaks at 100 TB) — exact at every scale because the
+      audit proves the pool contains the disc rank."""
+    from w4h_etl_container_spark.operators.percentiles import (
+        exact_percentile_refined,
+    )
+
     li = read_table(spark, sf_dir, "lineitem")
     r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
-    agged = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("ex"),
-        F.expr(
-            "percentile_approx(CAST(ROUND(l_extendedprice * 100) AS BIGINT),"
-            " array(0.5, 0.9), 1000000)"
-        ).alias("ap"),
+    # disc=True reads the DISCRETE percentile off the same bracket pool
+    # (rank max(1, ⌈q·n⌉) — DuckDB quantile_disc's rule) — no second
+    # sketch, no third scan. The cents rendering applies the monotone
+    # cents map to the selected element; order (hence rank) is
+    # preserved, so it equals quantile_disc over per-row cents.
+    # compact single-split inputs serialize the GK inserts — spread the
+    # two narrow columns first (scale-guarded no-op on well-split input)
+    src = parallelize_compute(li.select("l_returnflag", "l_extendedprice"))
+    both = exact_percentile_refined(
+        src, "l_extendedprice", "l_returnflag", [0.5, 0.9], disc=True
     )
-    return agged.select(
+    cents = lambda c: F.round(c * F.lit(100.0), 0).cast("long")  # noqa: E731
+    return both.select(
         "l_returnflag",
-        r6(F.col("ex")[0]).alias("p50"),
-        r6(F.col("ex")[1]).alias("p90"),
-        F.col("ap")[0].alias("p50a_cents"),
-        F.col("ap")[1].alias("p90a_cents"),
+        r6(F.col("p")[0]).alias("p50"),
+        r6(F.col("p")[1]).alias("p90"),
+        cents(F.col("p_disc")[0]).alias("p50a_cents"),
+        cents(F.col("p_disc")[1]).alias("p90a_cents"),
     )
 
 
@@ -273,29 +279,29 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentile_exactscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded-state EXACT percentile (``operators.percentiles.
-    exact_percentile_refined``): sketch-bracket pass narrows each
-    group's candidate window to ~6·n/accuracy values, a second pass
-    counts below and window-sorts only the bracket, and the
-    interpolation reproduces ``percentile``/``quantile_cont``
-    bit-for-bit (audited, with a full-group fallback). The rendering of
-    AGG-6 that stays exact AND memory-bounded at 100 TB — where
-    ``q_percentile``'s exact arm cannot run and its sketch arm is no
-    longer exact. Library tier; the same r6 rounding contract as
-    q_percentile on both sides."""
+    exact_percentile_refined``): a sketch-bracket scan narrows each
+    group's candidate window to ~6·n/accuracy values, a second scan
+    counts below-bracket and collect_lists only the in-bracket rows,
+    and per-group array arithmetic interpolates — reproducing
+    ``percentile``/``quantile_cont`` bit-for-bit (audited, with a
+    full-group fallback). The rendering of AGG-6 that stays exact AND
+    memory-bounded at 100 TB. Library tier; the same r6 rounding
+    contract as q_percentile on both sides.
+
+    Both quantiles come from ONE call (round 7): the multi-quantile
+    signature shares both scans — one GK sketch emits both brackets,
+    one aggregation carries both audits and the union pool — so the
+    two-quantile report costs the same two data scans as one."""
     from w4h_etl_container_spark.operators.percentiles import (
         exact_percentile_refined,
     )
 
     li = read_table(spark, sf_dir, "lineitem")
     r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
-    p50 = exact_percentile_refined(li, "l_extendedprice", "l_returnflag", 0.5)
-    p90 = exact_percentile_refined(li, "l_extendedprice", "l_returnflag", 0.9)
-    return (
-        p50.withColumnRenamed("p", "_p50")
-        .join(p90.withColumnRenamed("p", "_p90"), "l_returnflag")
-        .select(
-            "l_returnflag",
-            r6(F.col("_p50")).alias("p50"),
-            r6(F.col("_p90")).alias("p90"),
-        )
+    src = parallelize_compute(li.select("l_returnflag", "l_extendedprice"))
+    ps = exact_percentile_refined(src, "l_extendedprice", "l_returnflag", [0.5, 0.9])
+    return ps.select(
+        "l_returnflag",
+        r6(F.col("p")[0]).alias("p50"),
+        r6(F.col("p")[1]).alias("p90"),
     )
