@@ -621,6 +621,36 @@ class TestConnectedComponents:
         surv_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
         assert clusters <= surv_ids
 
+    def test_survivors_high_dup_rate_no_forced_broadcast(self, spark):
+        """Web-corpus dup rates run 30-50%, so the loser set is
+        O(corpus): the anti-join must not carry an unconditional
+        broadcast hint. With broadcast_cap=0 the optimized plan has no
+        ResolvedHint/broadcast marker (AQE may still pick a broadcast
+        exchange at runtime — that is its call, not a forced one), and
+        the survivor set is identical to the hinted plan's."""
+        from w4h_etl_container_spark.operators.components import dedup_survivors
+
+        # 1000 docs in 250 clusters of 4 ⇒ 750 losers (75% dup rate)
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_chars")
+        )
+        pairs = spark.createDataFrame(
+            [(4 * c + i, 4 * c + i + 1) for c in range(250) for i in range(3)],
+            "doc_a: long, doc_b: long",
+        )
+        unhinted = dedup_survivors(docs, pairs, broadcast_cap=0)
+        plan = unhinted._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in plan and "BROADCAST" not in plan
+        got = sorted(r["doc_id"] for r in unhinted.collect())
+        assert got == [4 * c for c in range(250)]
+        hinted = dedup_survivors(docs, pairs)  # default cap ⇒ hinted
+        assert sorted(r["doc_id"] for r in hinted.collect()) == got
+        # the prefer branch obeys the same gate
+        pref = dedup_survivors(docs, pairs, prefer="n_chars", broadcast_cap=0)
+        pplan = pref._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in pplan and "BROADCAST" not in pplan
+        assert pref.count() == 250
+
 
 class TestDeterministicSampling:
     """Threshold sampling on a keyed md5 hash: the DuckDB twin checks

@@ -173,7 +173,11 @@ def _driver_cc(spark, edge_rows) -> DataFrame:
 
 
 def dedup_survivors(
-    docs: DataFrame, pairs: DataFrame, key: str = "doc_id", prefer: str | None = None
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    prefer: str | None = None,
+    broadcast_cap: int = 4_000_000,
 ) -> DataFrame:
     """Full near-dedup resolution: candidate pairs → components → keep
     exactly one document per duplicate cluster plus every document that
@@ -184,23 +188,37 @@ def dedup_survivors(
     cluster keeps its max-``prefer`` member instead (ties to the
     smallest key) — the quality-aware choice a real pipeline wants
     ("keep the longest / highest-scoring copy, drop the rest"), at the
-    cost of one extra broadcast join to fetch the column for the
-    (tiny) clustered subset.
+    cost of one extra join to fetch the column for the clustered
+    subset.
 
     Returns ``docs`` filtered to survivors — the "deduplicated corpus"
     a training-data pipeline writes out. The anti-join side is the
-    LOSER set (paired docs minus one survivor per cluster), which is
-    tiny relative to the corpus, so Spark broadcasts it and the
-    full-corpus scan never shuffles.
+    LOSER set (paired docs minus one survivor per cluster). Whether
+    that side is broadcast is NOT assumed: web-corpus duplicate rates
+    run 30-50%, so the loser set is O(corpus) in the worst case and a
+    forced broadcast hint would OOM the driver at that size. Instead
+    the clustered-vertex count — one cheap scan of the already
+    materialized component table — gates the hint: at or under
+    ``broadcast_cap`` vertices (≈ tens of MB of longs, the common
+    LSH-candidate case) the corpus scan gets the broadcast anti-join
+    and never shuffles; above it the hint is dropped and the join
+    plans as a shuffle join, with AQE still free to demote it to a
+    broadcast at runtime if the post-filter loser set turns out small.
+    Pass ``broadcast_cap=0`` to never hint.
     """
-    cc = connected_components(pairs)
+    cc = connected_components(pairs).localCheckpoint()
+    # One scalar job over checkpointed (or driver-built) partitions —
+    # the component computation is never re-evaluated.
+    clustered_small = broadcast_cap > 0 and cc.count() <= broadcast_cap
+    hint = F.broadcast if clustered_small else (lambda df: df)
     if prefer is None:
         losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     else:
-        # broadcast the TINY side (the cluster table), never the corpus:
-        # the scan side stays shuffle-free at any corpus size
+        # join the cluster table (|V| rows — the docs that collided in
+        # some candidate bucket), never the full corpus; broadcast only
+        # when the gate says it fits
         scored = docs.select(F.col(key).alias("doc_id"), prefer).join(
-            F.broadcast(cc), "doc_id"
+            hint(cc), "doc_id"
         )
         # arg-max per cluster with a deterministic (score desc, id asc)
         # tie-break: max_by over a packed struct — one aggregate pass
@@ -211,5 +229,5 @@ def dedup_survivors(
             best, scored.cluster_id == best.cluster_id, "inner"
         ).where(F.col("doc_id") != F.col("keep_id")).select("doc_id")
     return docs.join(
-        F.broadcast(losers.withColumnRenamed("doc_id", key)), on=key, how="left_anti"
+        hint(losers.withColumnRenamed("doc_id", key)), on=key, how="left_anti"
     )
