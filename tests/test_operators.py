@@ -1617,7 +1617,9 @@ class TestNgramJaccardFastPath:
         from w4h_etl_container_spark.plans.textops import ngram_jaccard_fast
         from w4h_etl_container_spark.session import read_table
 
-        df = ngram_jaccard_fast(read_table(spark, sf_dir, "documents"))
+        # spread=False: the checkpoint barrier would truncate the
+        # xxhash64 subtree out of the visible plan
+        df = ngram_jaccard_fast(read_table(spark, sf_dir, "documents"), spread=False)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "xxhash64" in plan
 

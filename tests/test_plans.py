@@ -185,14 +185,32 @@ class TestRound2PlanShapes:
         # the per-doc sizes table must not carry a broadcast hint
         # (unbounded at corpus scale); the inverted index is ONE
         # groupBy(sh) posting-list aggregate (its size is the DF cap) with
-        # in-list pair expansion — no shingle self-join, no window
-        df = reg["q_ngram_jaccard"].fn(spark, sf_dir)
-        opt = optimized_of(df)
+        # in-list pair expansion — no shingle self-join, no window.
+        # The gate plan ends at the posting-list checkpoint barrier, so
+        # the lazy subtree is inspected through the spread=False twin.
+        from w4h_etl_container_spark.plans.textops import (
+            _jaccard_from_shingles,
+            _shingle_sets,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        keyed = _shingle_sets(read_table(spark, sf_dir, "documents")).select(
+            "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("sh")
+        )
+        lazy = _jaccard_from_shingles(keyed, spread=False)
+        opt = optimized_of(lazy)
         assert "ResolvedHint" not in opt
-        p = plan_of(df)
+        p = plan_of(lazy)
         assert "collect_set" in p
         # the only joins are the two tiny sizes lookups at the end
         assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 2
+        # the gate rendering itself: no hints, same two joins, and the
+        # posting-list barrier present (checkpointed scan)
+        df = reg["q_ngram_jaccard"].fn(spark, sf_dir)
+        gp = plan_of(df)
+        assert "ResolvedHint" not in optimized_of(df)
+        assert gp.count("SortMergeJoin") + gp.count("BroadcastHashJoin") <= 2
+        assert "ExistingRDD" in gp or "LogicalRDD" in optimized_of(df)
 
 
 class TestRound4PlanShapes:

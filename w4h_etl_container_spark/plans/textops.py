@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.plans.registry import register
-from w4h_etl_container_spark.session import read_table
+from w4h_etl_container_spark.session import parallelize_compute, read_table
 
 # Word tokens: split on whitespace runs after trim. Both engines treat the
 # regex identically (Java regex vs RE2 agree on \s+).
@@ -26,6 +26,17 @@ _TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
 
 def _tokens():
     return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def _nib_sql(expr: str, n_hex: int) -> str:
+    """DuckDB hex→int nibble arithmetic over the first ``n_hex`` hex
+    chars of ``expr`` (DuckDB has no hex→int builtin; the Spark twin is
+    ``conv(substring(..., 1, n_hex), 16, 10)`` — same integer by
+    construction). Shared rendering with the winnow/sampling oracles."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1) * {16 ** (n_hex - 1 - p)}"
+        for p in range(n_hex)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -417,8 +428,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-shingle md5 is kernel-grade compute on a one-split input —
     # spread the signature stage (same trade as q_winnow; measured
     # 1.06 → 0.67 s for the candidate subtree at sf0.1)
-    from w4h_etl_container_spark.session import parallelize_compute
-
     cands = minhash_candidates(parallelize_compute(d), _N_HASHES, _N_BANDS)
     da = d.select(F.col("doc_id").alias("da_id"), F.substring("text", 1, 30).alias("pa"))
     db = d.select(F.col("doc_id").alias("db_id"), F.substring("text", 1, 30).alias("pb"))
@@ -444,9 +453,12 @@ _DF_CAP = 100  # drop shingles present in more than this many documents
     sql=f"""
     WITH words AS (
       SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents
-    ), all_shingles AS (
-      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+    ), hashed AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS h
       FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+    ), all_shingles AS (
+      SELECT doc_id, ({_nib_sql('h', 15)}) AS sh FROM hashed
     ), shingles AS (
       SELECT doc_id, sh FROM (
         SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM all_shingles
@@ -480,26 +492,59 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs; Jaccard is then computed on the capped sets
     consistently) and per-shingle pairs expand JVM-side from the list —
     hot-shingle blowup is quadratic per posting list, which the cap
-    bounds. No self-join, so the shingle subtree is never re-evaluated."""
+    bounds. No self-join, so the shingle subtree is never re-evaluated.
+
+    Since round 7 the gate rendering keys the index on 60-bit md5-nibble
+    integers — ``conv(substring(md5(sh), 1, 15), 16, 10)`` / the oracle's
+    instr() arithmetic, the same engine-neutral hex→int both the winnow
+    and sampling oracles pin — so the widest exchange in the plan (the
+    posting-list groupBy) ships 8-byte longs instead of ~25-byte shingle
+    strings. Collision risk at 60 bits is n²·2⁻⁶¹ — absent at any
+    realistic shingle count, and identical in both engines anyway (same
+    md5 prefix). ``ngram_jaccard_fast`` remains the pure-production twin
+    (xxhash64, no hex detour), result-parity-pinned in pytest."""
     d = read_table(spark, sf_dir, "documents")
-    all_shingles = _shingle_sets(d)
+    # per-shingle md5 over a one-split fixture scan is kernel-grade
+    # compute — spread it (guarded; no-op once the scan has real splits)
+    keyed = _shingle_sets(parallelize_compute(d)).select(
+        "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("sh")
+    )
     # inverted index in ONE groupBy(sh): the posting list's size IS the
     # document frequency (the cap filter), and in-list pairs come from a
     # higher-order expansion — no window shuffle, no self-join (which
     # would re-evaluate the whole shingle subtree on both sides)
-    return _jaccard_from_shingles(all_shingles)
+    return _jaccard_from_shingles(keyed)
 
 
-def _jaccard_from_shingles(shingles: DataFrame, threshold: float = 0.1) -> DataFrame:
+def _jaccard_from_shingles(
+    shingles: DataFrame, threshold: float = 0.1, spread: bool = True
+) -> DataFrame:
     """Shared Jaccard back end over a (doc_id, sh) occurrence stream — one
-    copy for the string-keyed oracle path and the xxhash64-keyed
+    copy for the md5-keyed oracle path and the xxhash64-keyed
     production path, so the posting-list/cap/pair semantics cannot
-    drift between them (the ``_banded_pairs`` pattern)."""
+    drift between them (the ``_banded_pairs`` pattern).
+
+    The posting-list table is localCheckpoint-ed (reliable ``checkpoint``
+    on a cluster — same call site) before fan-out for two reasons, the
+    same barrier the winnow-overlap pipeline documents (PERF.md): it is
+    consumed by BOTH the sizes branch and the pair branch, so the barrier
+    stops the collect_set aggregation from evaluating twice; and — the
+    measured one — when AQE coalesces the small post-shuffle table to one
+    partition, the O(Σ len(ds)²) in-bucket pair expansion downstream
+    would run on one core. ``parallelize_compute`` over the materialized
+    table re-spreads it only when the observed split count is genuinely
+    low (its scale guard skips at cluster scale, where the shuffle output
+    keeps many partitions; measured sf0.1: 2.3 s → 1.4 s).
+    ``spread=False`` skips the barrier — identical results over a fully
+    lazy plan, used by the plan-shape tests to inspect the posting-list
+    subtree the checkpoint would truncate away."""
     byssh = (
         shingles.groupBy("sh")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") <= _DF_CAP)
     )
+    if spread:
+        byssh = parallelize_compute(byssh.localCheckpoint())
     sizes = (
         byssh.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -532,7 +577,7 @@ def _jaccard_from_shingles(shingles: DataFrame, threshold: float = 0.1) -> DataF
     return j.where(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_fast(d: DataFrame, threshold: float = 0.1) -> DataFrame:
+def ngram_jaccard_fast(d: DataFrame, threshold: float = 0.1, spread: bool = True) -> DataFrame:
     """The PRODUCTION Jaccard rendering: shingles collapse to xxhash64
     longs BEFORE the posting-list groupBy, so the widest exchange in the
     pipeline shuffles 8-byte keys instead of ~25-byte strings (~3×
@@ -543,7 +588,7 @@ def ngram_jaccard_fast(d: DataFrame, threshold: float = 0.1) -> DataFrame:
     same trade every ``_fast`` twin in this family makes; pinned by
     exact result parity against the string-keyed path in tests."""
     keyed = _shingle_sets(d).select("doc_id", F.xxhash64("sh").alias("sh"))
-    return _jaccard_from_shingles(keyed, threshold)
+    return _jaccard_from_shingles(keyed, threshold, spread=spread)
 
 
 # ---------------------------------------------------------------------------
