@@ -41,11 +41,18 @@ def get_spark(app_name: str = "w4h-etl-spark", *, shuffle_partitions: int | None
         # FAIR task scheduling: a multi-tenant engine runs concurrent
         # queries; FIFO hands every core to the queue-head job even
         # through its low-parallelism stages (a serialized iteration, a
-        # 1-task scan), idling the rest. FAIR backfills with other jobs'
-        # tasks — measured 8.1 s vs 10.1 s (cold-vs-warm-JVM, FAIR
-        # handicapped) for the concurrent-8 declared workload at sf0.1;
-        # identical behavior for a single job at a time.
+        # 1-task scan), idling the rest — measured 8.1 s vs 10.1 s
+        # (cold-vs-warm-JVM, FAIR handicapped) for the concurrent-8
+        # declared workload at sf0.1; identical for a single job.
+        # The allocation file is load-bearing: without it all jobs share
+        # the one "default" pool whose INTRA-pool order is FIFO (only
+        # backfill, no fair sharing); the shipped file flips the default
+        # pool itself to FAIR so same-pool jobs round-robin tasks.
         .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"),
+        )
         # Whole-stage codegen produces ONE processNext() per stage; HotSpot
         # refuses to JIT methods over ~8 KB bytecode (DontCompileHugeMethods),
         # so a kernel-heavy stage (the 210-term UTCI chain) silently runs

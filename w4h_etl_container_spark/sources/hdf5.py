@@ -102,6 +102,7 @@ class H5File:
             root = struct.unpack_from("<Q", self.buf, 12 + 24)[0]
         else:
             raise NotImplementedError(f"superblock version {ver}")
+        self._seen_groups: set[int] = set()
         self._walk_group(root, "")
 
     # -- object headers -----------------------------------------------------
@@ -121,10 +122,17 @@ class H5File:
             soc = int.from_bytes(buf[pos : pos + socb], "little")
             pos += socb
             track = bool(flags & 0x04)
+            # Chunk 0's 'Size of Chunk 0' covers the message region only —
+            # the trailing 4-byte checksum sits OUTSIDE it (verified on the
+            # reference artifact: a <4-byte gap at chunk end is a legal
+            # tail, not a dropped message). OCHK continuation lengths DO
+            # include their signature and checksum, so those block ends
+            # are trimmed by 8 when enqueued; the loop bound is then
+            # uniformly "message header fits before block end".
             blocks = [(pos, pos + soc)]
             while blocks:
                 p, e = blocks.pop(0)
-                while p + 4 <= e - 4:  # each block ends in a 4-byte checksum
+                while p + 4 <= e:
                     mtype = buf[p]
                     msize = struct.unpack_from("<H", buf, p + 1)[0]
                     mflags = buf[p + 3]
@@ -133,7 +141,7 @@ class H5File:
                         caddr, clen = struct.unpack_from("<QQ", buf, body)
                         if buf[caddr : caddr + 4] != b"OCHK":
                             raise ValueError("bad OCHK continuation block")
-                        blocks.append((caddr + 4, caddr + clen))
+                        blocks.append((caddr + 4, caddr + clen - 4))
                     else:
                         if mflags & 0x02 and mtype in (
                             _M_DATASPACE, _M_DATATYPE, _M_FILLVALUE, _M_LAYOUT
@@ -173,6 +181,13 @@ class H5File:
 
     # -- groups -------------------------------------------------------------
     def _walk_group(self, header: int, prefix: str) -> None:
+        # hard-link cycles are legal HDF5 (absent in netCDF-4 output);
+        # without this guard they'd recurse to RecursionError
+        if header in self._seen_groups:
+            raise ValueError(
+                f"{self.path}: hard-link cycle at object header 0x{header:x}"
+            )
+        self._seen_groups.add(header)
         msgs = self._messages(header)
         types = {t for t, _, _ in msgs}
         links: list[tuple[str, int]] = []
@@ -299,6 +314,14 @@ class H5File:
             p = body + 8 + (1 if ver == 3 else 0)
             name = buf[p : p + nsz].split(b"\0")[0].decode()
             p += nsz
+            # v2/v3 flags (bit 0: datatype shared, bit 1: dataspace
+            # shared): the datatype/dataspace regions then hold shared-
+            # message POINTERS, not inline definitions — parsing them
+            # inline would silently yield a garbled value (e.g. a broken
+            # CLASS attr breaks dimension-scale detection). Mirror the
+            # object-header shared-message guard: value elided.
+            if buf[body + 1] & 0x03:
+                return name, None
             dt_off, p = p, p + dtsz
             ds_off, p = p, p + dssz
         else:
