@@ -601,6 +601,45 @@ class TestConnectedComponents:
         }
         assert got == {v: 0 for v in range(101)}
 
+    def test_edge_rewrite_parity(self, spark, sf_dir):
+        """Kiveris large-star/small-star edge rewriting must label
+        identically to the label-propagation loop and the recursive-CTE
+        oracle — on the real MinHash candidate pairs, a max-diameter
+        path, a dense clique block, and a self-loop singleton."""
+        from w4h_etl_container_spark.operators.components import connected_components
+        from w4h_etl_container_spark.plans.textops import minhash_candidates
+        from w4h_etl_container_spark.session import read_table
+
+        pairs_df = minhash_candidates(read_table(spark, sf_dir, "documents"))
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs_df, edges_dwarf_memory=True).collect()
+        }
+        base = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs_df).collect()
+        }
+        assert got == base
+
+        # synthetic: 31-vertex path + dense K8 + two-vertex edge +
+        # self-loop-only vertex (must come back as its own singleton)
+        path = [(i, i + 1) for i in range(30)]
+        k8 = [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)]
+        extra = [(200, 201), (300, 300)]
+        df = spark.createDataFrame(path + k8 + extra, "doc_a: long, doc_b: long")
+        er = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, edges_dwarf_memory=True).collect()
+        }
+        lp = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, driver_edge_cap=0).collect()
+        }
+        assert er == lp
+        assert {er[v] for v in range(31)} == {0}
+        assert {er[100 + i] for i in range(8)} == {100}
+        assert er[300] == 300
+
     def test_survivors_keep_one_per_cluster(self, spark, sf_dir):
         from w4h_etl_container_spark.operators.components import (
             connected_components,

@@ -67,6 +67,7 @@ def connected_components(
     max_rounds: int = 20,
     shortcut_after: int = 3,
     driver_edge_cap: int = 200_000,
+    edges_dwarf_memory: bool = False,
 ) -> DataFrame:
     """Cluster an undirected pair list into connected components.
 
@@ -89,11 +90,26 @@ def connected_components(
     latency. Above the cap the distributed loop runs unchanged; pass
     ``0`` to force it.
 
+    ``edges_dwarf_memory``: selects the Kiveris alternating
+    large-star/small-star edge-rewriting variant instead of the
+    label-propagation loop (see ``_edge_rewrite_cc``). Use when the EDGE
+    list itself dwarfs executor memory — the boilerplate-heavy
+    web-corpus case where per-round full-size edge shuffles are the
+    bottleneck: edge rewriting strictly shrinks the edge list round
+    over round, while label propagation re-shuffles all |E| rows every
+    round. Identical labels (parity-pinned); activation bound: prefer
+    it once |E| exceeds roughly what one round's shuffle can hold
+    in memory across the cluster (|E|·16 bytes vs aggregate shuffle
+    memory); below that the label loop's fixed two-shuffle round is
+    cheaper.
+
     Returns (doc_id, cluster_id) — one row per distinct vertex,
     cluster_id = the smallest doc_id in its component (a deterministic,
     engine-neutral canonical choice).
     """
     a, b = pairs.columns[0], pairs.columns[1]
+    if edges_dwarf_memory:
+        return _edge_rewrite_cc(pairs, max_rounds)
     # Symmetrize once: each round's neighborhood min must see both
     # directions. union + distinct is one exchange, paid once, outside
     # the loop.
@@ -170,6 +186,103 @@ def _driver_cc(spark, edge_rows) -> DataFrame:
     # component minimum once all edges are processed
     labels = [(v, find(v)) for v in parent]
     return spark.createDataFrame(labels, "doc_id: long, cluster_id: long")
+
+
+def _edge_rewrite_cc(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Kiveris et al. two-phase connected components ("Connected
+    Components in MapReduce and Beyond", SoCC 2014): alternate
+    LARGE-STAR (every node hooks its larger neighbors to the minimum of
+    its closed neighborhood) and SMALL-STAR (every node hooks its
+    smaller neighbors and itself to the minimum of its small
+    neighborhood) until the edge set is a star forest — each component
+    one root (its minimum vertex) with direct spokes.
+
+    Why a second strategy exists: the label-propagation loop shuffles
+    the FULL edge list once per round, fine while |E| fits the
+    cluster's shuffle comfortably. Here the edge list itself is the
+    state and it strictly shrinks — duplicate edges collapse in the
+    per-round ``distinct`` and every rewrite points spokes at
+    ever-smaller hubs — with O(log² n) round convergence proven in the
+    paper. Per round: two hash-agg shuffles (the per-node minima) and
+    two joins that AQE sizes off the shrinking edge list.
+
+    Implementation notes:
+    * edges are canonicalized (u < v) so LARGE-STAR's "larger
+      neighbors" is the v side of ``sym`` and SMALL-STAR needs no
+      symmetrize at all — it groups the canonical list by its larger
+      endpoint directly;
+    * convergence = (count, Σ xxhash64(u,v)) fixed across one full
+      round — one scalar aggregate over the checkpointed new edge
+      list, the same one-job-per-round discipline as the label loop;
+    * labels come from a min-aggregate over the final star edges, so a
+      not-quite-converged forest under ``max_rounds`` degrades to a
+      safe (still-correct-per-edge) approximation rather than garbage;
+    * vertices whose only pair was a self-loop never enter the rewrite
+      (self-loops carry no connectivity) and are restored as their own
+      singleton clusters at the end — exact parity with the label
+      loop's vertex set.
+    """
+    a, b = pairs.columns[0], pairs.columns[1]
+    verts = (
+        pairs.select(F.col(a).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b).alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        pairs.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def stats(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev = stats(e)
+    for _ in range(max_rounds):
+        # LARGE-STAR: symmetrize, per-node minimum over the closed
+        # neighborhood, hook every LARGER neighbor to it. m ≤ u < v so
+        # the emitted (m, v) is already canonical.
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), "v")
+            .distinct()
+        )
+        # SMALL-STAR over the canonical list: group by the LARGER
+        # endpoint v; neighbors u are all smaller, so the closed-small-
+        # neighborhood minimum is just min(u). Hook each small neighbor
+        # and v itself to it.
+        mins2 = ls.groupBy("v").agg(F.min("u").alias("m"))
+        joined = ls.join(mins2, "v")
+        spokes = joined.where(F.col("u") != F.col("m")).select(
+            F.col("m").alias("u"), F.col("u").alias("v")
+        )
+        hubs = joined.select(F.col("m").alias("u"), "v")
+        e2 = spokes.unionByName(hubs).distinct().localCheckpoint(eager=False)
+        cur = stats(e2)  # materializes the lazy checkpoint — one job
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+    star = e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id")).unionByName(
+        e.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id"))
+    )
+    labels = star.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    return verts.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
 
 
 def dedup_survivors(
