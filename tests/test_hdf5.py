@@ -190,6 +190,178 @@ class TestCraftedChunked:
         np.testing.assert_array_equal(got, want)
 
 
+def _craft_dense_group_file(path: str, arrays: dict, btree_depth: int = 0) -> None:
+    """Write an HDF5 file whose root group stores its links DENSELY —
+    Link Info message → fractal heap (one direct root block) of Link
+    messages, indexed by a v2 B-tree (leaf root, or one internal level
+    when ``btree_depth=1``). This is the layout netCDF-4 emits past the
+    compact-link threshold; no libhdf5 exists in this container, so the
+    bytes follow the public spec (III.G fractal heap, III.A.2 v2
+    B-tree) field by field. Datasets are 1-D contiguous ``<i4``/``<f4``
+    under v1 object headers."""
+    names = list(arrays)
+    n = len(names)
+    assert btree_depth in (0, 1)
+    if btree_depth == 1:
+        assert n == 3, "depth-1 crafting places 1 root record + 2 single-record leaves"
+
+    SB_SZ, ROOT_SZ, DSHDR_SZ, FRHP_SZ, FHDB_SZ, BTHD_SZ = 48, 33, 88, 146, 512, 38
+    link_sizes = [2 + 1 + len(nm.encode()) + 8 for nm in names]
+    fhdb_hdr = 4 + 1 + 8 + 4  # sig, ver, heap hdr addr, 32-bit block offset
+    assert fhdb_hdr + sum(link_sizes) <= FHDB_SZ
+
+    sb_at = 0
+    root_at = SB_SZ
+    ds_at = [root_at + ROOT_SZ + i * DSHDR_SZ for i in range(n)]
+    frhp_at = root_at + ROOT_SZ + n * DSHDR_SZ
+    fhdb_at = frhp_at + FRHP_SZ
+    bthd_at = fhdb_at + FHDB_SZ
+    if btree_depth == 0:
+        btlf_at = bthd_at + BTHD_SZ
+        btlf_sz = 6 + 11 * n + 4
+        data_at = btlf_at + btlf_sz
+    else:
+        btin_at = bthd_at + BTHD_SZ
+        btin_sz = 6 + 11 * 1 + 2 * (8 + 1) + 4  # 1 record, 2 child ptrs (nrec size 1)
+        leaf_sz = 6 + 11 * 1 + 4
+        leaf_ats = [btin_at + btin_sz, btin_at + btin_sz + leaf_sz]
+        data_at = btin_at + btin_sz + 2 * leaf_sz
+    data_ats, pos = [], data_at
+    for nm in names:
+        data_ats.append(pos)
+        pos += arrays[nm].nbytes
+    eof = pos
+
+    out = bytearray()
+    # superblock v2 (spec II.A.2)
+    out += b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0])
+    out += struct.pack("<QQQQ", 0, _UNDEF, eof, root_at) + b"\0\0\0\0"
+    assert len(out) == SB_SZ
+    # root object header v2: one Link Info message, chunk-0 size EXCLUDES
+    # the trailing checksum (the boundary the reader pins)
+    out += b"OHDR" + bytes([2, 0x00, 22])  # version, flags, size-of-chunk-0
+    out += bytes([0x02, 18, 0, 0])  # msg: type=Link Info, size, flags, body...
+    out += bytes([0, 0]) + struct.pack("<QQ", frhp_at, bthd_at)
+    out += b"\0\0\0\0"  # checksum (not verified)
+    assert len(out) == root_at + ROOT_SZ
+    # dataset object headers (v1): dataspace, datatype, contiguous layout
+    for i, nm in enumerate(names):
+        arr = arrays[nm]
+        out += struct.pack("<BBHII", 1, 0, 3, 1, 72) + b"\0" * 4
+        out += struct.pack("<HHI", 0x01, 16, 0)
+        out += bytes([1, 1, 0]) + b"\0" * 5 + struct.pack("<Q", arr.shape[0])
+        out += struct.pack("<HHI", 0x03, 8, 0)
+        cls_bits = bytes([0x10, 0x08, 0, 0]) if arr.dtype.kind == "i" else bytes([0x11, 0x20, 0, 0])
+        out += cls_bits + struct.pack("<I", arr.dtype.itemsize)
+        out += struct.pack("<HHI", 0x08, 24, 0)
+        out += bytes([3, 1]) + struct.pack("<QQ", data_ats[i], arr.nbytes) + b"\0" * 6
+        assert len(out) == ds_at[i] + DSHDR_SZ
+    # fractal heap header (III.G): managed-only, unfiltered, direct root
+    out += b"FRHP" + bytes([0]) + struct.pack("<HH", 7, 0) + bytes([0])
+    out += struct.pack("<I", 512)  # max size of managed objects
+    out += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge btree
+    out += struct.pack("<QQ", 0, _UNDEF)  # free space, fs manager
+    out += struct.pack("<QQQQ", 512, 512, 0, n)  # managed/alloc/iter/nobj
+    out += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes + counts
+    out += struct.pack("<HQQHH", 4, 512, 4096, 32, 1)  # width,start,maxdir,bits,rows
+    out += struct.pack("<QH", fhdb_at, 0)  # root block addr, cur rows (0=direct)
+    out += b"\0\0\0\0"
+    assert len(out) == frhp_at + FRHP_SZ
+    # direct block: header then the link messages back to back
+    out += b"FHDB" + bytes([0]) + struct.pack("<QI", frhp_at, 0)
+    heap_offs = []
+    off = fhdb_hdr
+    for nm, ls, tgt in zip(names, link_sizes, ds_at):
+        heap_offs.append(off)
+        enc = nm.encode()
+        out += bytes([1, 0, len(enc)]) + enc + struct.pack("<Q", tgt)
+        off += ls
+    out += b"\0" * (FHDB_SZ - fhdb_hdr - sum(link_sizes))
+    assert len(out) == bthd_at
+
+    def record(i: int) -> bytes:
+        # name-hash (unverified) + managed heap ID: type/version byte,
+        # 32-bit heap offset, 16-bit length
+        return b"\0\0\0\0" + bytes([0]) + struct.pack("<IH", heap_offs[i], link_sizes[i])
+
+    root_nrec = n if btree_depth == 0 else 1
+    root_node = btlf_at if btree_depth == 0 else btin_at
+    out += b"BTHD" + bytes([0, 5]) + struct.pack("<IHH", 512, 11, btree_depth)
+    out += bytes([100, 40]) + struct.pack("<QHQ", root_node, root_nrec, n)
+    out += b"\0\0\0\0"
+    assert len(out) == bthd_at + BTHD_SZ
+    if btree_depth == 0:
+        out += b"BTLF" + bytes([0, 5]) + b"".join(record(i) for i in range(n))
+        out += b"\0\0\0\0"
+        assert len(out) == data_at
+    else:
+        # internal root: child0, record "names[1]", child1 — in-tree
+        # order leaf0 < rec < leaf1 (hash order is not checked on read)
+        out += b"BTIN" + bytes([0, 5]) + record(1)
+        out += struct.pack("<QB", leaf_ats[0], 1) + struct.pack("<QB", leaf_ats[1], 1)
+        out += b"\0\0\0\0"
+        for li, ridx in zip(leaf_ats, (0, 2)):
+            assert len(out) == li
+            out += b"BTLF" + bytes([0, 5]) + record(ridx) + b"\0\0\0\0"
+        assert len(out) == data_at
+    for nm in names:
+        out += arrays[nm].tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+class TestCraftedDenseGroup:
+    """Dense (fractal-heap) group links — the modern multi-variable
+    netCDF-4 layout the round-6 reader raised on."""
+
+    def test_dense_links_leaf_root(self, tmp_path):
+        from w4h_etl_container_spark.sources.hdf5 import read_hdf5
+
+        arrays = {
+            "alpha": np.arange(4, dtype="<i4"),
+            "beta": np.array([1.5, -2.5, 4.0], dtype="<f4"),
+            "gamma": np.arange(10, 15, dtype="<i4"),
+        }
+        p = str(tmp_path / "dense.h5")
+        _craft_dense_group_file(p, arrays, btree_depth=0)
+        sets = read_hdf5(p)
+        assert set(sets) == set(arrays)
+        for nm, arr in arrays.items():
+            assert sets[nm].shape == arr.shape
+            np.testing.assert_array_equal(sets[nm].read(), arr)
+
+    def test_dense_links_one_internal_level(self, tmp_path):
+        from w4h_etl_container_spark.sources.hdf5 import read_hdf5
+
+        arrays = {
+            "a": np.arange(3, dtype="<i4"),
+            "b": np.array([9.0, 8.0], dtype="<f4"),
+            "c": np.arange(6, dtype="<i4"),
+        }
+        p = str(tmp_path / "dense_deep.h5")
+        _craft_dense_group_file(p, arrays, btree_depth=1)
+        sets = read_hdf5(p)
+        assert set(sets) == set(arrays)
+        for nm, arr in arrays.items():
+            np.testing.assert_array_equal(sets[nm].read(), arr)
+
+    def test_depth_two_raises_clearly(self, tmp_path):
+        from w4h_etl_container_spark.sources.hdf5 import H5File
+
+        arrays = {"a": np.arange(3, dtype="<i4"), "b": np.arange(2, dtype="<i4"),
+                  "c": np.arange(2, dtype="<i4")}
+        p = str(tmp_path / "deep.h5")
+        _craft_dense_group_file(p, arrays, btree_depth=0)
+        buf = bytearray(open(p, "rb").read())
+        # locate BTHD and bump its depth field to 2
+        at = bytes(buf).index(b"BTHD")
+        struct.pack_into("<H", buf, at + 12, 2)
+        p2 = str(tmp_path / "deep2.h5")
+        open(p2, "wb").write(bytes(buf))
+        with pytest.raises(NotImplementedError, match="depth"):
+            H5File(p2)
+
+
 class TestFilterMessageV2:
     """Version-2 filter-pipeline messages omit the Name Length field for
     builtin filters (id < 256) — a layout the golden artifact (contiguous)

@@ -12,10 +12,12 @@ by libhdf5 1.8+ actually use:
 * superblock v0/v1 (symbol-table root) and v2/v3 (root header address);
 * object headers v1 (unsigned, 8-byte-aligned messages) and v2
   (``OHDR``/``OCHK`` signed blocks, optional creation-order fields);
-* both group encodings — old-style symbol tables (v1 B-tree over
-  ``SNOD`` nodes + local heap) and new-style compact Link messages;
-  dense (fractal-heap) groups raise a clear error — netCDF-4 emits
-  them only past hundreds of variables per group;
+* all three group encodings — old-style symbol tables (v1 B-tree over
+  ``SNOD`` nodes + local heap), new-style compact Link messages, and
+  dense groups (Link messages in a fractal heap indexed by a v2
+  B-tree on name hash — the layout netCDF-4 emits past its
+  compact-link threshold); v2 B-trees deeper than one internal level
+  (≈ tens of thousands of links) raise clearly;
 * dataspace v1/v2, datatype classes 0/1/3 (fixed-point, IEEE float,
   fixed-length string), attribute messages v1/v3;
 * data layout v3: compact, contiguous, and chunked behind a v1 B-tree
@@ -201,15 +203,16 @@ class H5File:
                 if t == _M_LINK:
                     links.append(self._parse_link(body))
                 elif t == _M_LINKINFO:
-                    # dense groups keep links in a fractal heap — out of scope
+                    # dense groups keep link messages in a fractal heap,
+                    # indexed by a v2 B-tree on name hash — netCDF-4
+                    # switches to this layout past the compact-link
+                    # threshold (8 links by default)
                     p = body + 2  # version, flags
                     if self.buf[body + 1] & 0x01:
                         p += 8  # max creation index
-                    fheap = struct.unpack_from("<Q", self.buf, p)[0]
+                    fheap, name_bt = struct.unpack_from("<QQ", self.buf, p)
                     if fheap != _UNDEF:
-                        raise NotImplementedError(
-                            "dense (fractal-heap) group links not supported"
-                        )
+                        links += self._dense_links(fheap, name_bt)
         for name, addr in links:
             child = self._messages(addr)
             ctypes = {t for t, _, _ in child}
@@ -239,6 +242,64 @@ class H5File:
         if ltype != 0:
             raise NotImplementedError(f"link type {ltype} (soft/external)")
         return name, struct.unpack_from("<Q", buf, p)[0]
+
+    # -- dense groups: fractal heap + v2 B-tree (spec III.G / III.A.2) -------
+    def _dense_links(self, fheap: int, name_bt: int) -> list[tuple[str, int]]:
+        """Enumerate a dense group's links: every record of the name-index
+        v2 B-tree (type 5: 4-byte name hash + fractal-heap ID) resolves
+        through the heap's doubling table to a stored Link message, parsed
+        with the same ``_parse_link`` the compact path uses. Lookup order
+        is hash order — irrelevant here, enumeration only."""
+        heap = _FractalHeap(self.buf, fheap)
+        out: list[tuple[str, int]] = []
+        for rec in self._v2btree_records(name_bt):
+            out.append(self._parse_link(heap.object_file_offset(rec[4:])))
+        return out
+
+    def _v2btree_records(self, addr: int) -> list[bytes]:
+        """All records of a v2 B-tree, in tree order. Depth 0 (leaf root)
+        and depth 1 (one internal level, ≈185 links/leaf at libhdf5's
+        default 2048-byte node) cover netCDF-4 files into the tens of
+        thousands of variables; deeper trees raise with the observed
+        depth. Checksums are not verified (same policy as fletcher32)."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header")
+        node_size = struct.unpack_from("<I", buf, addr + 6)[0]
+        rec_size, depth = struct.unpack_from("<HH", buf, addr + 10)
+        root, root_nrec = struct.unpack_from("<QH", buf, addr + 16)
+        if depth > 1:
+            raise NotImplementedError(f"v2 B-tree depth {depth} (> 1) not supported")
+
+        def bytes_for(v: int) -> int:
+            return max(1, (v.bit_length() + 7) // 8)
+
+        # leaf capacity fixes the size of the per-child record counts in
+        # internal nodes (spec III.A.2 "Child Node Pointer")
+        max_leaf_nrec = (node_size - 10) // rec_size
+        nrec_sz = bytes_for(max_leaf_nrec)
+
+        def leaf(node: int, nrec: int) -> list[bytes]:
+            if buf[node : node + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf")
+            p = node + 6
+            return [bytes(buf[p + i * rec_size : p + (i + 1) * rec_size]) for i in range(nrec)]
+
+        if depth == 0:
+            return leaf(root, root_nrec)
+        if buf[root : root + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node")
+        out: list[bytes] = []
+        p = root + 6
+        ptr_at = p + root_nrec * rec_size
+        for i in range(root_nrec + 1):
+            caddr = struct.unpack_from("<Q", buf, ptr_at)[0]
+            cnrec = int.from_bytes(buf[ptr_at + 8 : ptr_at + 8 + nrec_sz], "little")
+            out.extend(leaf(caddr, cnrec))
+            ptr_at += 8 + nrec_sz
+            if i < root_nrec:
+                out.append(bytes(buf[p + i * rec_size : p + (i + 1) * rec_size]))
+        return out
 
     def _symbol_links(self, btree: int, heap: int) -> list[tuple[str, int]]:
         """Old-style group: v1 B-tree (node type 0) over SNOD symbol
@@ -494,6 +555,105 @@ class H5File:
         )
         trim = tuple(slice(0, sl.stop - sl.start) for sl in sel)
         out[sel] = chunk[trim]
+
+
+class _FractalHeap:
+    """Managed-object side of an HDF5 fractal heap (spec III.G) — the
+    storage behind dense group links and dense attributes. Parses the
+    FRHP header, walks the doubling table (direct root, or an indirect
+    root of direct-block rows) into an ordered block map over the heap's
+    linear address space, and resolves managed heap IDs to FILE offsets.
+    Huge (v2-B-tree-backed) and tiny (ID-embedded) objects raise — link
+    messages are far below the managed-object threshold. Filtered heaps
+    (I/O filter length > 0) raise: netCDF-4 never compresses link heaps.
+
+    The heap's linear space INCLUDES each direct block's header bytes
+    (the block-offset field names the block's first header byte), so an
+    object at heap offset ``o`` inside a block whose offset is ``b``
+    lives at ``block_file_addr + (o - b)`` — one subtraction, no
+    payload reassembly."""
+
+    def __init__(self, buf: bytes, addr: int):
+        if buf[addr : addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap header")
+        self.buf = buf
+        (
+            self.id_len,
+            self.filter_len,
+        ) = struct.unpack_from("<HH", buf, addr + 5)
+        self.flags = buf[addr + 9]
+        self.max_managed = struct.unpack_from("<I", buf, addr + 10)[0]
+        if self.filter_len:
+            raise NotImplementedError("filtered fractal heap not supported")
+        (
+            self.table_width,
+            self.start_block,
+            self.max_direct,
+            self.max_heap_bits,
+            _start_rows,
+            self.root_addr,
+            self.cur_rows,
+        ) = struct.unpack_from("<HQQHHQH", buf, addr + 14 + 8 * 12)
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = max(1, (self.max_managed.bit_length() + 7) // 8)
+        # header bytes at the start of every direct block (checksum
+        # present only when flags bit 1 is set)
+        self.db_header = 4 + 1 + 8 + self.off_size + (4 if self.flags & 0x02 else 0)
+        # ordered (heap_offset, size, file_addr) spans
+        self.blocks: list[tuple[int, int, int]] = []
+        if self.cur_rows == 0:
+            self._add_direct(self.root_addr, 0, self.start_block)
+        else:
+            self._walk_indirect(self.root_addr, self.cur_rows)
+
+    def _row_size(self, row: int) -> int:
+        # doubling table: rows 0 and 1 at the starting size, then ×2/row
+        return self.start_block if row < 2 else self.start_block << (row - 1)
+
+    def _add_direct(self, addr: int, heap_off: int, size: int) -> None:
+        if self.buf[addr : addr + 4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block")
+        self.blocks.append((heap_off, size, addr))
+
+    def _walk_indirect(self, addr: int, nrows: int) -> None:
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block")
+        import math
+
+        max_direct_rows = (
+            int(math.log2(self.max_direct)) - int(math.log2(self.start_block)) + 2
+        )
+        p = addr + 4 + 1 + 8 + self.off_size
+        heap_off = 0
+        for row in range(nrows):
+            size = self._row_size(row)
+            for _ in range(self.table_width):
+                child = struct.unpack_from("<Q", buf, p)[0]
+                p += 8
+                if row >= max_direct_rows:
+                    raise NotImplementedError(
+                        "nested indirect fractal heap blocks not supported"
+                    )
+                if child != _UNDEF:
+                    self._add_direct(child, heap_off, size)
+                heap_off += size
+
+    def object_file_offset(self, heap_id: bytes) -> int:
+        """FILE offset of a managed object from its heap ID."""
+        b0 = heap_id[0]
+        if (b0 >> 6) != 0:
+            raise NotImplementedError(f"heap ID version {b0 >> 6}")
+        idtype = (b0 >> 4) & 0x3
+        if idtype != 0:
+            raise NotImplementedError(
+                f"non-managed fractal heap object (type {idtype})"
+            )
+        off = int.from_bytes(heap_id[1 : 1 + self.off_size], "little")
+        for heap_off, size, addr in self.blocks:
+            if heap_off <= off < heap_off + size:
+                return addr + (off - heap_off)
+        raise ValueError(f"heap offset {off} outside any direct block")
 
 
 def read_hdf5(path: str) -> dict[str, H5Dataset]:
