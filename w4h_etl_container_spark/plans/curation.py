@@ -1,0 +1,371 @@
+"""Corpus-curation operators: cross-document span dedup, repetition
+signals, PII scrubbing (SURVEY.md §2.11 extension surface).
+
+Three text-rewrite / text-audit operators every large-scale training-data
+pipeline runs between raw ingestion and tokenization:
+
+* **span dedup** — the C4 / RefinedWeb rule: any fixed-width word span
+  occurring more than once in the corpus keeps exactly ONE occurrence
+  (the first in (doc_id, pos) order) and every other occurrence is cut
+  from its document. Catches boilerplate shared across pages that
+  whole-document fingerprints (q_dedup_exact) and document-level MinHash
+  (q_minhash_lsh) cannot see, without winnowing's candidate-pair stage.
+* **repetition signals** — the Gopher repetition heuristics (Rae et al.
+  2021 §A1.1): fraction of words covered by the most frequent 2-gram and
+  by duplicated 5-grams. High values mark machine-generated / template
+  text; the quality-filter chain consumes them as plain columns.
+* **PII scrub** — regex redaction of emails, IPv4 addresses and phone
+  numbers with per-document match counts, applied in a documented order
+  on the evolving text so counts are unambiguous.
+
+All three are library-tier declared queries with exact DuckDB oracles
+(`q_span_dedup`, `q_repetition`, `q_pii_scrub`); crafted-input parity
+and behavior tests live in tests/test_curation.py (the driver fixture
+contains no PII, so the scrub's non-trivial path is pinned there).
+
+Reference: the reference pipeline (main.py) has no corpus stage; these
+derive from the BASELINE.json extension mandate, matching the published
+procedures cited above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.plans.registry import register
+from w4h_etl_container_spark.plans.textops import _TOKENS_SQL, _tokens
+from w4h_etl_container_spark.session import read_table
+
+_HEXD = "0123456789abcdef"
+
+
+def _nib_at(expr: str, start: int, n_hex: int) -> str:
+    """DuckDB hex→int over ``n_hex`` hex chars of ``expr`` starting at
+    1-based ``start`` (DuckDB has no hex→int builtin; the Spark twin is
+    ``conv(substring(x, start, n_hex), 16, 10)`` — same integer by
+    construction)."""
+    return " + ".join(
+        f"(instr('{_HEXD}', substr({expr}, {start + p}, 1)) - 1) * {16 ** (n_hex - 1 - p)}"
+        for p in range(n_hex)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP — cross-document span dedup (C4 §2.2 / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+_SPAN_W = 10  # words per non-overlapping span (C4 uses three sentences)
+
+
+def span_spans(d: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """(doc_id, pos, span, n_spans) — each document cut into
+    non-overlapping ``w``-word spans (last span may be shorter). Pure
+    projection + posexplode: zero shuffles. Re-joining the spans of one
+    document with single spaces in pos order reproduces its
+    whitespace-normalized text — the invariant span_dedup's rebuild
+    relies on (pinned in tests)."""
+    ws = _tokens()
+    n_spans = F.floor((F.size("ws") + w - 1) / w).cast("long")
+    return (
+        d.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", ws.alias("ws"))
+        .select("doc_id", "ws", n_spans.alias("n_spans"))
+        .select(
+            "doc_id",
+            "n_spans",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_spans") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i * w + 1, w)),
+                )
+            ).alias("pos", "span"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "span", "n_spans")
+    )
+
+
+def span_dedup(d: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """C4-style cross-document span dedup: every distinct ``w``-word
+    span keeps its first occurrence in (doc_id, pos) order; all other
+    occurrences (across OR within documents) are removed, and each
+    document's text is rebuilt from its surviving spans.
+
+    Returns (doc_id, n_spans, n_removed, clean_text).
+
+    Scale shape (100 TB): the duplicate-detection exchange never ships
+    text — spans are keyed by two md5-derived int64s (120 bits total;
+    the `row_number` window shuffles 32 bytes/row: k1, k2, doc_id, pos).
+    The removal list (doc_id, pos) is the DUPLICATE occurrences only —
+    a few percent of spans on a typical web corpus — so the flag join
+    back onto the span table is AQE-broadcastable; the rebuild is the
+    one unavoidable full-text shuffle (groupBy doc_id), which any
+    text-rewrite operator pays exactly once. Nothing is all-pairs.
+
+    Engine-neutral keys: both engines key on the identical md5-nibble
+    integers, so results match bit-for-bit; a 120-bit key collision
+    (which would remove one unique span occurrence) is ~2⁻⁶⁰ even at
+    10¹² spans. Production can swap xxhash64(span)+xxhash64(reverse)
+    for the md5 pair — one line, same plan shape."""
+    spans = span_spans(d, w)
+    h = F.md5("span")
+    keyed = spans.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("k1"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("k2"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("k1", "k2").orderBy("doc_id", "pos")
+    )
+    removals = (
+        keyed.withColumn("rn", rn)
+        .where(F.col("rn") > 1)
+        .select("doc_id", "pos", F.lit(True).alias("removed"))
+    )
+    # left join (not anti): a document whose EVERY span was removed must
+    # still appear in the output, with empty clean_text
+    flagged = spans.join(removals, ["doc_id", "pos"], "left").withColumn(
+        "removed", F.coalesce("removed", F.lit(False))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.first("n_spans").alias("n_spans"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "span", "removed"))),
+                    lambda x: ~x["removed"],
+                ),
+                lambda x: x["span"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def _span_sql(w: int = _SPAN_W) -> str:
+    k1 = _nib_at("h", 1, 15)
+    k2 = _nib_at("h", 16, 15)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_TOKENS_SQL} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ), spans AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(ws, CAST(i * {w} + 1 AS INTEGER), CAST(i * {w} + {w} AS INTEGER)), ' ') AS span,
+             CAST((len(ws) + {w - 1}) // {w} AS BIGINT) AS n_spans
+      FROM words, LATERAL (SELECT unnest(range(0, (len(ws) + {w - 1}) // {w})) AS i) t
+    ), keyed AS (
+      SELECT doc_id, pos, span, n_spans, md5(span) AS h FROM spans
+    ), flagged AS (
+      SELECT doc_id, pos, span, n_spans,
+             row_number() OVER (PARTITION BY ({k1}), ({k2}) ORDER BY doc_id, pos) AS rn
+      FROM keyed
+    )
+    SELECT doc_id,
+           MAX(n_spans) AS n_spans,
+           MAX(n_spans) - COUNT(*) FILTER (WHERE rn = 1) AS n_removed,
+           COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """
+
+
+@register("q_span_dedup", sql=_span_sql(), survey_ids=("EXT-DEDUP", "EXT-TEXT"), gate=False)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup over `documents` (``span_dedup``): each
+    10-word span keeps its first (doc_id, pos) occurrence corpus-wide;
+    documents are rebuilt from surviving spans with removal counts.
+
+    Library tier: the dedup exchange ships int64 keys, the removal set
+    joins back AQE-broadcastable, one full-text rebuild shuffle —
+    plan and rebuild-invariant pinned in TestSpanDedup."""
+    return span_dedup(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-TEXT — Gopher repetition signals (Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+_REP_MIN_WORDS = 5  # docs shorter than the longest gram are excluded
+
+
+def repetition_signals(d: DataFrame) -> DataFrame:
+    """Per-document repetition heuristics over word n-grams:
+
+    * ``top2_frac`` — words covered by the most frequent 2-gram:
+      ``max_count(2gram) * 2 / n_words`` (overlapping grams, so values
+      can exceed 1 on degenerate ababab text — a feature: those are
+      exactly the documents the filter should catch);
+    * ``dup5_frac`` — words covered by duplicated 5-grams:
+      ``sum(count * 5 where count > 1) / n_words``.
+
+    Returns (doc_id, n_words, top2_frac, dup5_frac) for documents with
+    at least ``_REP_MIN_WORDS`` words (shorter docs have no 5-gram and
+    are the length filter's job, not this one's).
+
+    Scale shape: both gram sizes ride ONE exploded stream; the count
+    aggregate on (doc_id, n, gram) takes map-side partials (Zipf-skewed
+    grams combine before the exchange), the per-(doc, n) reduction is
+    over the already-aggregated counts, and the final per-doc pivot is
+    a conditional aggregate over ≤2 rows per document. All integer
+    counts; the divisions are exact-integer-to-double, so both engines
+    produce bit-identical doubles."""
+    words = (
+        d.select("doc_id", _tokens().alias("ws"))
+        .where(F.size("ws") >= _REP_MIN_WORDS)
+        .select("doc_id", "ws", F.size("ws").cast("long").alias("n_words"))
+    )
+
+    def grams(n: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size("ws") - n),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice("ws", i + 1, n)).alias("gram"),
+            ),
+        )
+
+    exploded = words.select(
+        "doc_id",
+        "n_words",
+        F.explode(F.concat(grams(2), grams(5))).alias("g"),
+    ).select("doc_id", "n_words", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.first("n_words").alias("n_words"), F.count(F.lit(1)).alias("c")
+    )
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.first("n_words").alias("n_words"),
+        F.max("c").alias("max_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
+    )
+    return per_n.groupBy("doc_id").agg(
+        F.first("n_words").alias("n_words"),
+        (
+            F.max(F.when(F.col("n") == 2, F.col("max_c"))).cast("double")
+            * 2
+            / F.first("n_words")
+        ).alias("top2_frac"),
+        (
+            F.max(F.when(F.col("n") == 5, F.col("dup_c"))).cast("double")
+            * 5
+            / F.first("n_words")
+        ).alias("dup5_frac"),
+    )
+
+
+def _repetition_sql() -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents
+    ), sized AS (
+      SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words
+      FROM words WHERE len(ws) >= {_REP_MIN_WORDS}
+    ), g AS (
+      SELECT doc_id, n_words, 2 AS n,
+             ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)] AS gram
+      FROM sized, LATERAL (SELECT unnest(range(1, len(ws) - 2 + 2)) AS i) t
+      UNION ALL
+      SELECT doc_id, n_words, 5 AS n,
+             array_to_string(list_slice(ws, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)), ' ') AS gram
+      FROM sized, LATERAL (SELECT unnest(range(1, len(ws) - 5 + 2)) AS i) t
+    ), counts AS (
+      SELECT doc_id, n, gram, MAX(n_words) AS n_words, COUNT(*) AS c
+      FROM g GROUP BY doc_id, n, gram
+    ), per_n AS (
+      SELECT doc_id, n, MAX(n_words) AS n_words, MAX(c) AS max_c,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+      FROM counts GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           MAX(n_words) AS n_words,
+           CAST(MAX(CASE WHEN n = 2 THEN max_c END) AS DOUBLE) * 2 / MAX(n_words) AS top2_frac,
+           CAST(MAX(CASE WHEN n = 5 THEN dup_c END) AS DOUBLE) * 5 / MAX(n_words) AS dup5_frac
+    FROM per_n
+    GROUP BY doc_id
+    """
+
+
+@register("q_repetition", sql=_repetition_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals over `documents`
+    (``repetition_signals``): most-frequent-2-gram coverage and
+    duplicated-5-gram coverage per document, the standard
+    machine-generated-text detectors consumed by the quality-filter
+    chain.
+
+    Library tier: one exploded stream for both gram sizes, map-side
+    combined counts, integer-exact doubles — parity and known-value
+    cases in TestRepetitionSignals."""
+    return repetition_signals(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-TEXT — PII scrubbing (redaction + audit counts)
+# ---------------------------------------------------------------------------
+# RE2-and-Java-compatible patterns (no lookaround, no backrefs): both
+# engines support \b, \d and bounded repetition identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(d: DataFrame) -> DataFrame:
+    """Regex PII redaction with audit counts: emails → ``[EMAIL]``, then
+    IPv4 addresses → ``[IP]``, then NNN-NNN-NNNN / NNN.NNN.NNNN phone
+    numbers → ``[PHONE]``, each pattern counted and replaced on the text
+    AS LEFT by the previous pattern (order is part of the contract —
+    e.g. digits inside an email are gone before the phone pass, and the
+    IP pass runs before the phone pass so dotted quads are never
+    half-claimed as dotted phone numbers).
+
+    Returns (doc_id, n_emails, n_ips, n_phones, clean_text).
+
+    Scale: three codegen'd regex projections in one scan — zero
+    shuffles, zero UDFs, embarrassingly parallel. The patterns are
+    RE2/Java-portable by construction (no lookaround), which is what
+    makes the DuckDB oracle exact."""
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, _PII_EMAIL, "[EMAIL]")
+    t2 = F.regexp_replace(t1, _PII_IP, "[IP]")
+    t3 = F.regexp_replace(t2, _PII_PHONE, "[PHONE]")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t0, F.lit(_PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(_PII_IP), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t2, F.lit(_PII_PHONE), 0)).cast("long").alias("n_phones"),
+        t3.alias("clean_text"),
+    )
+
+
+def _pii_sql() -> str:
+    email, ip, phone = _PII_EMAIL, _PII_IP, _PII_PHONE
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             text AS t0,
+             regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t1
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, t0, t1, regexp_replace(t1, '{ip}', '[IP]', 'g') AS t2
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, '{email}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '{phone}')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '{phone}', '[PHONE]', 'g') AS clean_text
+    FROM s2
+    """
+
+
+@register("q_pii_scrub", sql=_pii_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over `documents` (``pii_scrub``). The driver
+    fixture contains no PII, so the oracle here pins the no-op path
+    (counts 0, text unchanged); the planted-PII path — every pattern,
+    the application order, and cross-engine regex agreement — is pinned
+    on crafted rows in TestPIIScrub.
+
+    Library tier: three regex projections in one scan, zero shuffles."""
+    return pii_scrub(read_table(spark, sf_dir, "documents"))

@@ -73,6 +73,7 @@ def _import_plans() -> None:
         extended,
         multimodalops,
         corpus,
+        curation,
     )
 
 

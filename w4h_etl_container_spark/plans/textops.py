@@ -121,9 +121,12 @@ def text_profile(d: DataFrame) -> DataFrame:
         "lang",
         n_tok.cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+\d|\d+"))).cast("long").alias("n_numericish"),
+        # idx=0 (whole match) is REQUIRED on group-free patterns: the
+        # Spark default idx=1 raises REGEX_GROUP_INDEX on the first row
+        # that actually matches (latent on digit-free fixture text)
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+\d|\d+"), 0)).cast("long").alias("n_numericish"),
         (n_chr / n_tok).alias("avg_token_len"),
-        (F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"))).cast("double") / n_chr).alias(
+        (F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).cast("double") / n_chr).alias(
             "punct_ratio"
         ),
         (
