@@ -189,6 +189,38 @@ class TestChartsGolden:
             np.testing.assert_array_equal(z["high_band"], charts_mod.level_bins(z["high"]))
             assert z["high_band"].max() <= len(charts_mod.UTCI_COLORS) - 1
 
+    def test_coastline_from_mask(self, spark_merged, tmp_path):
+        """The cartopy-free coastline layer (reference main.py:384-391):
+        boundary segments derived from the near-land mask itself."""
+        # a single land cell in open sea → exactly 4 boundary segments
+        mask = np.zeros((4, 5), dtype=np.int8)
+        mask[2, 2] = 1
+        lats = np.array([10.0, 20.0, 30.0, 40.0])
+        lons = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+        segs = charts_mod.coastline_segments(mask, lats, lons)
+        assert segs.shape == (4, 4)
+        # vertical boundaries at the lon midlines 1.5 and 2.5
+        xs = sorted(s[0] for s in segs if s[0] == s[2])
+        assert xs == [1.5, 2.5]
+        # horizontal boundaries at the lat midlines 25 and 35
+        ys = sorted(s[1] for s in segs if s[1] == s[3])
+        assert ys == [25.0, 35.0]
+        # all-sea mask → no segments
+        assert charts_mod.coastline_segments(np.zeros((3, 3)), lats[:3], lons[:3]).shape == (0, 4)
+
+        # the layer rides every artifact
+        daily = charts_mod.daily_extremes(
+            charts_mod.cyclic_point_union(spark_merged.select("lat", "lon", "ts", "utci")),
+            min_hours=24,
+        )
+        arts = charts_mod.render_charts(
+            daily, str(tmp_path / "charts_coast"), coast=(mask, lats, lons)
+        )
+        assert arts
+        if arts[0].endswith(".npz"):
+            z = np.load(arts[0])
+            np.testing.assert_array_equal(z["coast_segments"], segs)
+
 
 class TestJobEndToEnd:
     def test_full_cycle_and_skip(self, spark, grid_dir, tmp_path):

@@ -64,18 +64,70 @@ def level_bins(values: np.ndarray) -> np.ndarray:
     return np.digitize(values, UTCI_LEVELS)
 
 
-def render_charts(daily: DataFrame, out_dir: str) -> list[str]:
+def coastline_segments(
+    mask: np.ndarray, lats: np.ndarray, lons: np.ndarray
+) -> np.ndarray:
+    """Land/sea boundary polyline segments from a 0/1 mask grid — the
+    cartopy-free replacement for the reference's coastline feature
+    (``main.py:384-391``): the engine already ingests the reference's
+    near-land mask natively (sources/hdf5.py), and the mask's own
+    land/sea transitions ARE the coastline at grid resolution.
+
+    Returns an (n, 4) array of (x0, y0, x1, y1) segments placed on the
+    midlines between adjacent cells whose mask values differ. Pure
+    vectorized numpy (no per-cell Python loop), testable without
+    matplotlib."""
+    mask = np.asarray(mask)
+    lats = np.asarray(lats, dtype=float)
+    lons = np.asarray(lons, dtype=float)
+    segs = []
+    # vertical boundary between horizontally-adjacent cells (i, j)/(i, j+1):
+    # a segment along the lon midline spanning the cell's lat extent
+    dj = np.argwhere(mask[:, 1:] != mask[:, :-1])
+    if dj.size:
+        i, j = dj[:, 0], dj[:, 1]
+        x = (lons[j] + lons[j + 1]) / 2.0
+        y0 = lats[np.maximum(i - 1, 0)] / 2.0 + lats[i] / 2.0
+        y1 = lats[np.minimum(i + 1, len(lats) - 1)] / 2.0 + lats[i] / 2.0
+        segs.append(np.column_stack([x, y0, x, y1]))
+    # horizontal boundary between vertically-adjacent cells (i, j)/(i+1, j)
+    di = np.argwhere(mask[1:, :] != mask[:-1, :])
+    if di.size:
+        i, j = di[:, 0], di[:, 1]
+        y = (lats[i] + lats[i + 1]) / 2.0
+        x0 = lons[np.maximum(j - 1, 0)] / 2.0 + lons[j] / 2.0
+        x1 = lons[np.minimum(j + 1, len(lons) - 1)] / 2.0 + lons[j] / 2.0
+        segs.append(np.column_stack([x0, y, x1, y]))
+    if not segs:
+        return np.empty((0, 4))
+    return np.concatenate(segs, axis=0)
+
+
+def render_charts(
+    daily: DataFrame,
+    out_dir: str,
+    coast: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> list[str]:
     """SNK-3: collect the per-date grids (the one deliberate driver-side
     hop) and render with the reference's fixed 10-color/9-level scale.
 
     With matplotlib present → contour PNGs (2 per date, highs and lows)
     on ONE reused figure: contour collections are removed after each save
     instead of rebuilding figure + axes per chart (the reference's
-    explicit speedup, ``main.py:421-423``; coastline/border features from
-    cartopy belong here too when that library is deployed). Without
-    matplotlib → deterministic .npz grids carrying the same fixed-scale
-    band assignment so the artifact chain stays testable."""
+    explicit speedup, ``main.py:421-423``). Without matplotlib →
+    deterministic .npz grids carrying the same fixed-scale band
+    assignment so the artifact chain stays testable.
+
+    ``coast`` is an optional (mask_2d, lats, lons) triple — typically
+    the reference's near-land mask pivoted to a grid — rendered as the
+    coastline layer the reference gets from cartopy (``main.py:
+    384-391``): drawn ONCE per figure (it survives the per-chart
+    contour removal) with matplotlib, embedded as ``coast_segments``
+    in every .npz artifact otherwise."""
     os.makedirs(out_dir, exist_ok=True)
+    coast_segs = (
+        coastline_segments(coast[0], coast[1], coast[2]) if coast is not None else None
+    )
     pdf = daily.toPandas().sort_values(["haa_date", "lat", "lon"])
     artifacts: list[str] = []
     try:
@@ -92,6 +144,16 @@ def render_charts(daily: DataFrame, out_dir: str) -> list[str]:
         fig = plt.figure(figsize=(20, 20), dpi=100)
         ax = fig.add_subplot(1, 1, 1)
         ax.set_frame_on(False)
+        if coast_segs is not None and len(coast_segs):
+            from matplotlib.collections import LineCollection
+
+            # drawn once, reused across every saved chart (not removed
+            # with the per-date contour collections)
+            ax.add_collection(
+                LineCollection(
+                    coast_segs.reshape(-1, 2, 2), colors="black", linewidths=0.5
+                )
+            )
 
     for d, grp in pdf.groupby("haa_date"):
         if have_mpl:
@@ -118,6 +180,9 @@ def render_charts(daily: DataFrame, out_dir: str) -> list[str]:
                 high_band=level_bins(grp["high"].to_numpy()),
                 low_band=level_bins(grp["low"].to_numpy()),
                 levels=np.array(UTCI_LEVELS),
+                coast_segments=(
+                    coast_segs if coast_segs is not None else np.empty((0, 4))
+                ),
             )
             artifacts.append(path)
     if fig is not None:
