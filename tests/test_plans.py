@@ -267,8 +267,18 @@ class TestRound7PlanShapes:
         persisted while the plan is built (the old per-quantile form
         materialized two). Counted via the session's persistent-RDD
         registry — localCheckpoint persists one RDD per pass-1."""
-        jsc = spark.sparkContext._jsc.sc()
-        before = jsc.getPersistentRDDs().size()
+        def rdd_ids():
+            jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+            it = jmap.keysIterator()
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        # diff id SETS, not sizes: the ContextCleaner unpersists prior
+        # tests' out-of-scope checkpoints asynchronously, so a size
+        # delta races (observed: new +1 and cleanup −1 cancelling)
+        before = rdd_ids()
         df = reg["q_percentile_exactscale"].fn(spark, sf_dir)
-        assert jsc.getPersistentRDDs().size() - before == 1
+        assert len(rdd_ids() - before) == 1
         assert df.count() > 0  # and the shared-bracket plan still runs

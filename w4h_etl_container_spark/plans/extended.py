@@ -125,9 +125,13 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch, no third scan. The cents rendering applies the monotone
     # cents map to the selected element; order (hence rank) is
     # preserved, so it equals quantile_disc over per-row cents.
-    # compact single-split inputs serialize the GK inserts — spread the
-    # two narrow columns first (scale-guarded no-op on well-split input)
-    src = parallelize_compute(li.select("l_returnflag", "l_extendedprice"))
+    # NO compute spread here (measured, sf0.1 warm): GK inserts cost
+    # ~0.5 µs/row — the round-robin exchange of 600 k rows (+0.43 s)
+    # costs more than single-task sketching saves (0.49 s unspread vs
+    # 0.79 s spread). parallelize_compute is for kernel-grade per-row
+    # work (winnow's ~300 md5/doc); at real scale the input has many
+    # splits and GK partials parallelize off the scan for free.
+    src = li.select("l_returnflag", "l_extendedprice")
     both = exact_percentile_refined(
         src, "l_extendedprice", "l_returnflag", [0.5, 0.9], disc=True
     )
@@ -298,7 +302,9 @@ def q_percentile_exactscale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
-    src = parallelize_compute(li.select("l_returnflag", "l_extendedprice"))
+    # no compute spread — same measurement as q_percentile: the
+    # exchange costs more than single-task GK saves at this row weight
+    src = li.select("l_returnflag", "l_extendedprice")
     ps = exact_percentile_refined(src, "l_extendedprice", "l_returnflag", [0.5, 0.9])
     return ps.select(
         "l_returnflag",
