@@ -488,3 +488,28 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("fingerprints").alias("sh")
     )
     return _jaccard_from_shingles(occ)
+
+
+# ---------------------------------------------------------------------------
+# EXT-PACK — sequence packing (chunk rows → fixed-budget training windows)
+# ---------------------------------------------------------------------------
+@register("q_pack", sql=None, survey_ids=("EXT-PACK", "EXT-TEXT"), gate=False)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunk table (``operators.packing.
+    pack_chunks``): assign every 64-pre-token training chunk to a
+    256-token pack by partition-local first-fit-decreasing — the step
+    that turns chunk rows into full context windows without wasting
+    budget on padding.
+
+    Rows-only check (no oracle): FFD's bin state is inherently
+    sequential per partition — SQL cannot replicate the partition-local
+    assignment. The strong invariants — bijection on chunk rows, pack
+    totals ≤ budget whenever a pack has >1 member, slot offsets strictly
+    increasing and consistent with member sizes — are pinned in
+    TestSequencePacking; partitions is fixed (32) so the assignment is
+    deterministic for the driver's repeated runs."""
+    from w4h_etl_container_spark.operators.packing import pack_chunks
+
+    docs = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chunks = chunk_documents(docs, _CHUNK_TOKENS, _CHUNK_STRIDE)
+    return pack_chunks(chunks, budget=256, partitions=32)
