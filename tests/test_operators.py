@@ -514,6 +514,43 @@ class TestCompaction:
         assert spark.read.parquet(path).count() == n_rows
 
 
+class TestSemanticSurvivors:
+    def test_planted_duplicates_keep_one(self, spark):
+        """SemDeDup composition: planted identical embeddings must
+        collapse to the min-id survivor; orthogonal vectors all
+        survive. (The fixture has no true near-dups — cosine tops out
+        ~0.32 — so the planted case pins the clustering path the
+        declared query's threshold only brushes.)"""
+        import numpy as np
+
+        from w4h_etl_container_spark.plans.vectors import (
+            _SEM_THRESH_E6,
+            embed_neardup_pairs,
+        )
+        from w4h_etl_container_spark.operators.components import dedup_survivors
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(6, 64)).astype("float32")
+        rows = []
+        for i in range(6):
+            rows.append((i, [float(x) for x in base[i]], i % 3))
+        # ids 10, 11 duplicate id 0's embedding exactly
+        rows.append((10, [float(x) for x in base[0]], 0))
+        rows.append((11, [float(x) for x in base[0]], 1))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        edges = (
+            embed_neardup_pairs(emb)
+            .where(F.col("cosine_e6") >= _SEM_THRESH_E6)
+            .select("vec_a", "vec_b")
+        )
+        surv = {r["vec_id"] for r in dedup_survivors(emb, edges, key="vec_id").collect()}
+        assert 0 in surv and 10 not in surv and 11 not in surv
+        # every non-duplicated vector survives
+        assert {1, 2, 3, 4, 5} <= surv
+
+
 class TestConnectedComponents:
     """connected_components / dedup_survivors have no gate slot (the
     50-query window is full), so the DuckDB twin — a recursive-CTE

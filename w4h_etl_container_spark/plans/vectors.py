@@ -218,7 +218,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (LSH candidates → exact verify)
 # ---------------------------------------------------------------------------
-def _neardup_sql() -> str:
+def _neardup_ctes() -> str:
+    """WITH-body fragment ending at the ``verified`` CTE (vec_a, vec_b,
+    cosine_e6) — shared by the q_embed_neardup oracle and the
+    q_semantic_survivors oracle so the banded-LSH candidate semantics
+    cannot drift between them (the minhash_cands_ctes pattern)."""
     dot = _dot("duck", "a.embedding", "b.embedding")
     cos6 = _e6(f"(({dot}) / (a.nrm * b.nrm))")
     band_joins = "\n      UNION\n".join(
@@ -227,37 +231,31 @@ def _neardup_sql() -> str:
         for b in range(N_BANDS)
     )
     band_cols = ", ".join(f"{_band_bucket_expr('duck', b)} AS b{b}" for b in range(N_BANDS))
-    return f"""
-    WITH sig AS (
+    return f"""sig AS (
       SELECT vec_id, embedding, {band_cols},
              {_norm('duck', 'embedding')} AS nrm
       FROM embeddings
     ), pairs AS (
 {band_joins}
-    )
-    SELECT p.vec_a, p.vec_b, {cos6} AS cosine_e6
-    FROM pairs p
-    JOIN sig a ON a.vec_id = p.vec_a
-    JOIN sig b ON b.vec_id = p.vec_b
+    ), verified AS (
+      SELECT p.vec_a, p.vec_b, {cos6} AS cosine_e6
+      FROM pairs p
+      JOIN sig a ON a.vec_id = p.vec_a
+      JOIN sig b ON b.vec_id = p.vec_b
+    )"""
+
+
+def _neardup_sql() -> str:
+    return f"""
+    WITH {_neardup_ctes()}
+    SELECT vec_a, vec_b, cosine_e6 FROM verified
     """
 
 
-@register("q_embed_neardup", sql=_neardup_sql(), survey_ids=("EXT-DEDUP", "EXT-SIM",))
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: the two-stage banded-LSH shape —
-    ``N_BANDS`` independent hyperplane signatures each propose same-bucket
-    candidate pairs (a UNION of equi hash joins, one per band — never an
-    OR-join, which would plan a nested loop), exact cosine verifies each
-    deduplicated pair. A downstream dedup pass thresholds ``cosine_e6``
-    and keeps min(vec_id) per connected component.
-
-    Scale: per-band bucket count 2^PLANES_PER_BAND bounds per-bucket pair
-    volume (candidates O(n·bucket_load·bands), never n²); banding buys
-    recall back — a near pair collides in ANY of the bands. Repartition
-    by band bucket co-locates each join; norms are computed once per
-    vector. At corpus scale materialize ``sig`` once (checkpoint / table)
-    instead of recomputing per band side — the plan shape is unchanged."""
-    emb = read_table(spark, sf_dir, "embeddings")
+def embed_neardup_pairs(emb: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cosine_e6) — banded-LSH candidate pairs with exact
+    cosine verification (the q_embed_neardup plan body, shared with the
+    semantic-survivors composition)."""
     sig = emb.select(
         "vec_id",
         "embedding",
@@ -288,6 +286,90 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", _cosine_e6_udf("ea", "eb", "na", "nb").alias("cosine_e6")
     )
+
+
+@register("q_embed_neardup", sql=_neardup_sql(), survey_ids=("EXT-DEDUP", "EXT-SIM",))
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the two-stage banded-LSH shape —
+    ``N_BANDS`` independent hyperplane signatures each propose same-bucket
+    candidate pairs (a UNION of equi hash joins, one per band — never an
+    OR-join, which would plan a nested loop), exact cosine verifies each
+    deduplicated pair. A downstream dedup pass thresholds ``cosine_e6``
+    and keeps min(vec_id) per connected component.
+
+    Scale: per-band bucket count 2^PLANES_PER_BAND bounds per-bucket pair
+    volume (candidates O(n·bucket_load·bands), never n²); banding buys
+    recall back — a near pair collides in ANY of the bands. Repartition
+    by band bucket co-locates each join; norms are computed once per
+    vector. At corpus scale materialize ``sig`` once (checkpoint / table)
+    instead of recomputing per band side — the plan shape is unchanged."""
+    return embed_neardup_pairs(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup survivors (SemDeDup shape: near-dup pairs → keep-one)
+# ---------------------------------------------------------------------------
+# Cluster threshold on the e6-scaled cosine. The fixture's synthetic
+# embeddings top out near cosine 0.32 (no planted duplicates), so the
+# declared query thresholds at the distribution's top percentile to
+# exercise real cluster formation; a production corpus uses ~0.95+.
+_SEM_THRESH_E6 = 300_000
+
+
+def _semantic_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_neardup_ctes()},
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM verified WHERE cosine_e6 >= {_SEM_THRESH_E6}
+      UNION SELECT vec_b, vec_a FROM verified WHERE cosine_e6 >= {_SEM_THRESH_E6}
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    ),
+    losers AS (
+      SELECT v AS vec_id FROM reach GROUP BY v HAVING v <> MIN(r)
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+
+@register(
+    "q_semantic_survivors",
+    sql=_semantic_sql(),
+    survey_ids=("EXT-DEDUP", "EXT-SIM"),
+    gate=False,
+)
+def q_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end (the SemDeDup shape, Abbas et al.
+    2023): banded-LSH embedding near-dup pairs (``embed_neardup_pairs``
+    — the exact plan q_embed_neardup gates, shared function) →
+    threshold on verified cosine → connected components → exactly one
+    survivor per semantic cluster plus every unclustered vector
+    (``operators.components.dedup_survivors``, the same engine the
+    MinHash survivor gate query uses).
+
+    Oracle: the shared ``_neardup_ctes`` fragment plus the recursive
+    reachability closure — candidate semantics and survivor sets are
+    engine-neutral by construction.
+
+    Scale: pairs are banded-LSH-bounded (never all-pairs), the cluster
+    table holds only thresholded vectors, and the corpus anti-join
+    broadcast is count-gated — every stage inherits its gate query's
+    100 TB shape; only the composition is new."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    edges = (
+        embed_neardup_pairs(emb)
+        .where(F.col("cosine_e6") >= _SEM_THRESH_E6)
+        .select("vec_a", "vec_b")
+    )
+    from w4h_etl_container_spark.operators.components import dedup_survivors
+
+    surv = dedup_survivors(emb, edges, key="vec_id")
+    return surv.select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------
