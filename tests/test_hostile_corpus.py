@@ -1,0 +1,167 @@
+"""Hostile-corpus parity sweep: every documents-only declared query runs
+on a crafted corpus of engine-differentiating text — BMP unicode
+(accents, CJK), tabs/newlines, punctuation, digits, empty and
+one-word documents, heavy repetition — and must match DuckDB exactly.
+
+The driver fixture is ASCII word-soup, which masks real cross-engine
+divergence; this corpus has already caught three shipped bugs:
+`regexp_extract_all`'s group-1 default (crash on first matching row),
+Java-vs-RE2 `\\b` semantics around non-ASCII letters (RE2 finds
+`\\band\\b` INSIDE "ñandú"), and empty-document chunk rows ('' vs
+NULL). Known documented limit, deliberately NOT in this corpus:
+non-BMP codepoints (emoji) — Spark `length()` counts UTF-16 code units
+while DuckDB counts codepoints, so length-derived columns diverge
+there by definition of the two engines' string models.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from w4h_etl_container_spark.plans.registry import load_library
+
+TEXTS = [
+    "The quick brown fox; jumped over 1999 dogs?! Really, truly.",
+    "naïve café déjà-vu — ñandú über straße",
+    "中文 文本 处理 测试 中文 文本 再来 一次 中文 文本",
+    "tab\tseparated\twords and\nnewline split lines here",
+    "x",
+    "",
+    "  leading and trailing   spaces  ",
+    "repeat me repeat me repeat me repeat me repeat me",
+    "MiXeD CaSe THE the The of OF and AND to TO is IS",
+    "digits 123 456.789 12.34.56.78 and a1b2c3 mix",
+]
+
+# every declared query whose oracle reads ONLY the documents table
+DOC_ONLY_QUERIES = [
+    "q_text_profile",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_winnow",
+    "q_token_vocab",
+    "q_chunks",
+    "q_span_dedup",
+    "q_repetition",
+    "q_pii_scrub",
+    "q_decontaminate",
+    "q_winnow_overlap",
+    "q_dedup_survivors",
+    "q_sample_strat",
+    "q_budget_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("hostile"))
+    rows = [
+        (i, t, "en" if i % 2 == 0 else "de", "web" if i % 3 else "books", len(t))
+        for i, t in enumerate(TEXTS)
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d
+
+
+@pytest.fixture(scope="module")
+def duck(hostile_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{hostile_dir}/documents.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", DOC_ONLY_QUERIES)
+def test_hostile_parity(spark, hostile_dir, duck, name):
+    q = load_library()[name]
+    assert q.sql is not None, f"{name} lost its oracle"
+    sdf = q.fn(spark, hostile_dir).toPandas()
+    ddf = duck.execute(q.sql).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns), (cols, sorted(ddf.columns))
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    d = ddf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# hostile embeddings: zero vector (0/0 cosine), magnitude extremes within
+# the e6 fixed-point domain, exact duplicates, antipodes. Out of contract
+# (documented): |component|·1e6 beyond int64 — the e6 representation's
+# own range; both engines now yield NULL for non-finite/overflow stats
+# (pre-fix, numpy silently wrapped the zero-vector's NaN to INT64_MIN).
+# ---------------------------------------------------------------------------
+EMB_QUERIES = [
+    "q_ann_lsh",
+    "q_quantize",
+    "q_cosine_topk",
+    "q_embed_neardup",
+    "q_ann_probe",
+    "q_ivf_assign",
+    "q_semantic_survivors",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_dir(tmp_path_factory) -> str:
+    import numpy as np
+
+    d = str(tmp_path_factory.mktemp("hostile_emb"))
+    rng = np.random.default_rng(3)
+    vecs = []
+    for i in range(20):
+        v = rng.normal(size=64).astype("float32")
+        vecs.append((i, [float(x) for x in v], i % 3))
+    vecs.append((20, [0.0] * 64, 0))  # zero vector: 0/0 unit component
+    vecs.append((21, [1e5] * 64, 1))  # large but inside the e6 domain
+    vecs.append((22, [1e-30] * 64, 2))  # tiny magnitude
+    vecs.append((23, vecs[0][1], 0))  # exact duplicate of vec 0
+    vecs.append((24, [-float(x) for x in vecs[0][1]], 1))  # antipode
+    pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"]).to_parquet(
+        os.path.join(d, "embeddings.parquet"), index=False
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def duck_emb(hostile_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{hostile_emb_dir}/embeddings.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_hostile_embeddings_parity(spark, hostile_emb_dir, duck_emb, name):
+    q = load_library()[name]
+    sdf = q.fn(spark, hostile_emb_dir).toPandas()
+    ddf = duck_emb.execute(q.sql).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns), (cols, sorted(ddf.columns))
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    d = ddf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
+
+
+def test_zero_vector_stats_are_null_not_wrapped(spark, hostile_emb_dir):
+    """The pre-fix behavior: numpy astype(int64) wrapped the zero
+    vector's NaN unit component to INT64_MIN — silent garbage from the
+    hygiene stat whose whole job is flagging such vectors."""
+    q = load_library()["q_ann_lsh"]
+    row = (
+        q.fn(spark, hostile_emb_dir)
+        .where("vec_id = 20")
+        .collect()[0]
+    )
+    assert row["l2_norm_e6"] == 0
+    assert row["unit_c0_e6"] is None

@@ -66,10 +66,18 @@ def stackf64(s: pd.Series) -> np.ndarray:
     return np.stack(s.to_numpy()).astype(np.float64)
 
 
-def e6(x: np.ndarray) -> np.ndarray:
-    """floor(x·1e6 + 0.5) as int64 — mirrors the oracle's
-    CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)."""
-    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+def e6(x: np.ndarray) -> pd.arrays.IntegerArray:
+    """floor(x·1e6 + 0.5) as NULLABLE int64 — mirrors the oracle's
+    guarded CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT). Non-finite inputs
+    (0/0 cosine of a zero-norm vector) and values outside int64 yield
+    NULL: a bare ``.astype(int64)`` silently wraps NaN to INT64_MIN —
+    garbage output from the very hygiene stats meant to CATCH bad
+    vectors (hostile-embeddings finding)."""
+    y = np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5)
+    ok = np.isfinite(y) & (np.abs(y) < 9.223372036854775e18)
+    return pd.arrays.IntegerArray(
+        np.where(ok, y, 0).astype(np.int64), mask=~ok
+    )
 
 
 def hyperplanes(n_planes: int, dim: int) -> np.ndarray:

@@ -318,6 +318,7 @@ def _chunks_sql() -> str:
              regexp_extract_all(text, '{pat}') AS toks,
              len(regexp_extract_all(text, '{pat}')) AS n
       FROM documents
+      WHERE length(text) > 0
     ), st AS (
       SELECT doc_id, toks,
              greatest(1, CAST(ceil((n - {c}) / {s}.0) AS INTEGER) + 1) AS n_starts

@@ -42,18 +42,38 @@ def _nib_sql(expr: str, n_hex: int) -> str:
 # ---------------------------------------------------------------------------
 # text profiling: token stats + quality scores + language ID in one scan
 # ---------------------------------------------------------------------------
-_LANG_MARKERS: dict[str, str] = {
-    "en": r"\b(the|and|of|to|is)\b",
-    "es": r"\b(el|la|de|que|los)\b",
-    "de": r"\b(der|die|das|und|ist)\b",
-    "fr": r"\b(le|la|les|et|est)\b",
+# Marker WORDS, counted by whitespace-token membership (after lowering
+# and stripping non-alphanumeric edges) — NOT by `\b`-anchored regex:
+# Java's \b treats accented letters as word characters while RE2's \b is
+# ASCII-only, so boundary-anchored counting diverges between the engines
+# on any non-ASCII text (hostile-corpus finding: RE2 sees `\band\b`
+# INSIDE "ñandú"). Token membership is engine-neutral by construction
+# and also the more faithful rendering of what language-ID actually
+# scores (word occurrences, not substring boundaries).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
 }
+_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+# anchored edge-strip (no \b anywhere): lower + drop non-alphanumeric
+# ASCII runs at token edges, so "the," counts and "café" never matches
+_EDGE_STRIP = r"^[^a-z0-9]+|[^a-z0-9]+$"
+
+
+def _sql_word_count(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter({_TOKENS_SQL}, t -> list_contains([{lst}], "
+        f"regexp_replace(lower(t), '{_EDGE_STRIP}', '', 'g'))))"
+    )
 
 
 def _profile_sql() -> str:
     scores = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS score_{lang}"
-        for lang, pat in _LANG_MARKERS.items()
+        f"CAST({_sql_word_count(ws)} AS BIGINT) AS score_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
     )
     return f"""
     WITH scored AS (
@@ -64,7 +84,7 @@ def _profile_sql() -> str:
            CAST(length(text) AS DOUBLE) / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS avg_token_len,
            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
              / CAST(length(text) AS DOUBLE) AS punct_ratio,
-           CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE)
+           CAST({_sql_word_count(_STOPWORDS)} AS DOUBLE)
              / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS stopword_ratio,
            {scores}
       FROM documents
@@ -111,11 +131,19 @@ def text_profile(d: DataFrame) -> DataFrame:
     expressions rather than a drifting copy)."""
     n_tok = F.size(_tokens()).cast("double")
     n_chr = F.length("text").cast("double")
-    lowered = F.lower(F.col("text"))
-    scores = {
-        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat))).cast("long")
-        for lang, pat in _LANG_MARKERS.items()
-    }
+
+    def word_count(words: tuple[str, ...]):
+        vocab = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter(
+                _tokens(),
+                lambda t: F.array_contains(
+                    vocab, F.regexp_replace(F.lower(t), _EDGE_STRIP, "")
+                ),
+            )
+        )
+
+    scores = {lang: word_count(ws).cast("long") for lang, ws in _LANG_MARKERS.items()}
     df = d.select(
         "doc_id",
         "lang",
@@ -129,10 +157,7 @@ def text_profile(d: DataFrame) -> DataFrame:
         (F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).cast("double") / n_chr).alias(
             "punct_ratio"
         ),
-        (
-            F.size(F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|to|in)\b"))).cast("double")
-            / n_tok
-        ).alias("stopword_ratio"),
+        (word_count(_STOPWORDS).cast("double") / n_tok).alias("stopword_ratio"),
         *[scores[l].alias(f"score_{l}") for l in _LANG_MARKERS],
     )
     pred = (
@@ -905,7 +930,13 @@ def chunk_documents(d: DataFrame, chunk_tokens: int = 64, stride: int = 48) -> D
     parallel at any corpus size; downstream tokenization/packing
     consumes the rows partition-locally."""
     assert 0 < stride <= chunk_tokens
-    pt = bpe_pretokenize(d).select("doc_id", "pretokens", "n_all")
+    # empty documents emit NO chunk row (there is nothing to window);
+    # without this filter the mandatory chunk 0 yields an empty-string
+    # chunk where the DuckDB rendering yields NULL (hostile-corpus
+    # finding — masked by the fixture, which has no empty text)
+    pt = bpe_pretokenize(d.where(F.length("text") > 0)).select(
+        "doc_id", "pretokens", "n_all"
+    )
     # chunk starts over the FULL stream (whitespace tokens included so
     # reconstruction holds): 1, 1+stride, ... while start <= n - stride
     # (plus the mandatory first chunk)

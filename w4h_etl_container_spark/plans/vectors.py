@@ -89,8 +89,16 @@ def _norm(dialect: str, a: str) -> str:
 
 
 def _e6(x: str) -> str:
-    """Micro-unit integer: CAST(FLOOR(x·1e6 + 0.5) AS BIGINT)."""
-    return f"CAST(FLOOR({x} * 1000000.0 + 0.5) AS BIGINT)"
+    """Micro-unit integer: CAST(FLOOR(x·1e6 + 0.5) AS BIGINT), NULL for
+    non-finite inputs (a zero-norm vector's 0/0 cosine or unit
+    component). Mirrors the Arrow kernel's ``e6`` guard — without it
+    the two engines disagree undefinedly: numpy wraps NaN to INT64_MIN
+    while DuckDB either errors the cast or floats the column."""
+    return (
+        f"CASE WHEN isfinite({x} * 1000000.0) "
+        f"AND abs({x} * 1000000.0) < 9.223372036854775e18 "
+        f"THEN CAST(FLOOR({x} * 1000000.0 + 0.5) AS BIGINT) ELSE NULL END"
+    )
 
 
 def _plane(p: int, j: int) -> float:
