@@ -218,7 +218,11 @@ def q_state_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two hash aggregates sharing the events scan; the live-type
     state is tiny → broadcast join; map ops are per-row expressions over
     bounded-size maps (5 event types)."""
-    ev = read_events(spark, sf_dir)
+    # a NULL event_type crashes map_from_entries (NULL_MAP_KEY) — and
+    # such rows can never reach the output anyway (the equality join on
+    # event_type drops NULL), so both engines agree after the filter
+    # (hostile-events finding; the fixture has no null types)
+    ev = read_events(spark, sf_dir).where(F.col("event_type").isNotNull())
     per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")

@@ -822,7 +822,9 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_part('doy', ts)   AS doy,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
            CAST(ts AS DATE)       AS d,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                ELSE NULL END AS k
     FROM events
     """,
     survey_ids=("SF-6", "SF-11"),
@@ -832,7 +834,11 @@ def q_sf_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     datetime accessor family as native Column functions — all codegen'd,
     no UDF. Plus SF-11 typed JSON extraction from the props column
     (``from_json`` with an explicit schema — deterministic, single-pass,
-    vectorized; not schema_of_json)."""
+    vectorized; not schema_of_json). Malformed/null props and
+    non-numeric k yield NULL on BOTH engines: from_json is PERMISSIVE
+    by default, and the oracle mirrors it with json_valid + TRY_CAST —
+    DuckDB's bare json_extract ERRORS on malformed input (hostile-events
+    finding; the fixture's props are all well-formed)."""
     ev = read_events(spark, sf_dir)
     return ev.select(
         "event_id",
