@@ -514,3 +514,62 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     chunks = chunk_documents(docs, _CHUNK_TOKENS, _CHUNK_STRIDE)
     return pack_chunks(chunks, budget=256, partitions=32)
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP — quality-aware survivor selection (keep the longest copy)
+# ---------------------------------------------------------------------------
+def _survivors_best_sql() -> str:
+    return f"""
+    WITH RECURSIVE {minhash_cands_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION SELECT doc_b, doc_a FROM cands
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    ),
+    labels AS (
+      SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v
+    ),
+    ranked AS (
+      SELECT l.v,
+             row_number() OVER (
+               PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.v
+             ) AS rn
+      FROM labels l JOIN documents d ON d.doc_id = l.v
+    ),
+    losers AS (SELECT v AS doc_id FROM ranked WHERE rn > 1)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+@register(
+    "q_dedup_survivors_best",
+    sql=_survivors_best_sql(),
+    survey_ids=("EXT-DEDUP",),
+    gate=False,
+)
+def q_dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors: same MinHash-LSH candidate pairs
+    and connected components as the gate's `q_dedup_survivors`, but each
+    cluster keeps its LONGEST member (``prefer="n_chars"``, ties to the
+    smallest doc_id) — the policy a real pipeline wants ("keep the
+    best copy, drop the rest") instead of the graph-only min-id rule.
+
+    Oracle: the shared candidate CTEs + reachability closure, with a
+    deterministic (n_chars DESC, doc_id) rank per cluster — the arg-max
+    the Spark side computes with one ``min_by`` over a packed struct.
+
+    Scale: identical to the gate query plus ONE extra join fetching the
+    prefer column for the clustered subset only (|V| rows, never the
+    corpus)."""
+    docs = read_table(spark, sf_dir, "documents")
+    surv = dedup_survivors(
+        docs, minhash_candidates(parallelize_compute(docs)), prefer="n_chars"
+    )
+    return surv.select("doc_id", "lang", "source", "n_chars")
