@@ -197,6 +197,66 @@ class TestTextProfileRealText:
         _parity(text_profile(df), con.execute(_profile_sql()).fetchdf())
 
 
+class TestCurationProperties:
+    """Property-based invariants over randomized corpora (hypothesis;
+    driver-style Spark round-trips are too slow for per-example runs, so
+    each property draws a corpus batch and checks it in one job)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=45
+    )
+
+    @given(st.lists(words, min_size=1, max_size=8))
+    @settings(max_examples=12, deadline=None)
+    def test_span_dedup_invariants(self, spark, corpora):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+        out = span_dedup(_docs(spark, rows)).collect()
+        # every non-empty doc appears exactly once
+        expect_ids = {i for i, t in rows if t.strip()}
+        assert {r["doc_id"] for r in out} == expect_ids
+        distinct_spans = set()
+        for r in out:
+            ws = rows[r["doc_id"]][1].split()
+            spans = [
+                " ".join(ws[i * _SPAN_W : (i + 1) * _SPAN_W])
+                for i in range((len(ws) + _SPAN_W - 1) // _SPAN_W)
+            ]
+            assert r["n_spans"] == len(spans)
+            assert 0 <= r["n_removed"] <= r["n_spans"]
+            distinct_spans.update(spans)
+        # THE keep-first postcondition: total survivors == number of
+        # distinct spans corpus-wide (exactly one occurrence each)
+        total_kept = sum(r["n_spans"] - r["n_removed"] for r in out)
+        assert total_kept == len(distinct_spans)
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet="abcDEF0189 .@-\t\n[]()!?ñü中",
+                min_size=0,
+                max_size=120,
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_pii_scrub_idempotent(self, spark, texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        once = pii_scrub(_docs(spark, rows))
+        twice = pii_scrub(
+            once.select(F.col("doc_id"), F.col("clean_text").alias("text"))
+        ).collect()
+        by_id = {r["doc_id"]: r for r in once.collect()}
+        for r in twice:
+            # a second pass finds nothing and changes nothing
+            assert r["n_emails"] == r["n_ips"] == r["n_phones"] == 0
+            assert r["clean_text"] == by_id[r["doc_id"]]["clean_text"]
+
+
 class TestSpanSpans:
     def test_span_concat_roundtrip(self, spark):
         text = " ".join(f"t{i}" for i in range(2 * _SPAN_W + 3))
