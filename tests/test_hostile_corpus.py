@@ -55,6 +55,7 @@ DOC_ONLY_QUERIES = [
     "q_dedup_survivors",
     "q_sample_strat",
     "q_budget_sample",
+    "q_frame_sample",
 ]
 
 

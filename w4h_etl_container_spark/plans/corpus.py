@@ -573,3 +573,74 @@ def q_dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, minhash_candidates(parallelize_compute(docs)), prefer="n_chars"
     )
     return surv.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# EXT-MEDIA — binary frame sampling under the hash oracle
+# ---------------------------------------------------------------------------
+_FRAME_STEP = 128  # bytes between sampled frame starts
+_FRAME_LEN = 32  # bytes per frame
+
+
+def _frame_sample_sql(step: int = _FRAME_STEP, flen: int = _FRAME_LEN) -> str:
+    # DuckDB has no BLOB substring/md5 — the oracle frames in HEX-string
+    # space (both engines' hex() emit uppercase): byte offset s maps to
+    # hex offset s*2+1, byte length to 2x hex chars. Identity = md5 of
+    # the hex rendering, which Spark reproduces as md5(hex(frame_bytes))
+    # over the REAL binary frames its mapInPandas kernel produced.
+    return f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(s // {step} AS BIGINT) AS frame_idx,
+           md5(substr(hx, CAST(s * 2 + 1 AS BIGINT), {flen * 2})) AS frame_md5,
+           CAST({flen} AS BIGINT) AS n_frame_bytes
+    FROM media,
+         LATERAL (
+           SELECT unnest(range(0, GREATEST(n - {flen}, 0), {step})) AS s
+         ) t
+    """
+
+
+@register(
+    "q_frame_sample",
+    sql=_frame_sample_sql(),
+    survey_ids=("EXT-MEDIA",),
+    gate=False,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary frame sampling under the driver-grade hash oracle: each
+    document's UTF-8 payload (the fixture's stand-in for a real media
+    asset — same opaque-binary column shape) is frame-sampled by the
+    ACTUAL multimodal kernel (``multimodal.media.frame_sample``: Arrow
+    mapInPandas, one output row per fixed-length byte window every
+    ``_FRAME_STEP`` bytes), then each frame is identified by the md5 of
+    its hex rendering so the oracle can reproduce it without BLOB
+    functions.
+
+    This puts the row-expanding binary-column path — previously
+    pytest-only on synthesized assets — under an exact cross-engine
+    value check.
+
+    Scale: mapInPandas streams Arrow batches of payload bytes off the
+    JVM heap; zero shuffles (scan → expand → project); pair with
+    files.maxPartitionBytes so a partition of assets fits executor
+    memory."""
+    from w4h_etl_container_spark.multimodal.media import frame_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video/mp4").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    frames = frame_sample(media, every_n_bytes=_FRAME_STEP, frame_len=_FRAME_LEN)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5(F.hex("frame_bytes")).alias("frame_md5"),
+        F.length("frame_bytes").cast("long").alias("n_frame_bytes"),
+    )
