@@ -56,6 +56,7 @@ DOC_ONLY_QUERIES = [
     "q_sample_strat",
     "q_budget_sample",
     "q_frame_sample",
+    "q_quality_flags",
 ]
 
 

@@ -644,3 +644,55 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.hex("frame_bytes")).alias("frame_md5"),
         F.length("frame_bytes").cast("long").alias("n_frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-TEXT — the quality-filter chain under the hash oracle
+# ---------------------------------------------------------------------------
+def _quality_flags_sql() -> str:
+    from w4h_etl_container_spark.plans.textops import QUALITY_RULES, _profile_sql
+
+    def fail(col: str, op: str, thr: float) -> str:
+        return f"({col} {op} {thr})"
+
+    fails = ",\n           ".join(
+        f"{fail(*spec)} AS fail_{name}" for name, spec in QUALITY_RULES.items()
+    )
+    first = " ".join(
+        f"WHEN {fail(*spec)} THEN '{name}'" for name, spec in QUALITY_RULES.items()
+    )
+    keep = " AND ".join(f"NOT {fail(*spec)}" for spec in QUALITY_RULES.values())
+    return f"""
+    SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           {fails},
+           ({keep}) AS keep,
+           CASE {first} ELSE NULL END AS first_fail
+    FROM ({_profile_sql()}) prof
+    """
+
+
+@register("q_quality_flags", sql=_quality_flags_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative quality-filter chain (``textops.quality_flags``)
+    under the driver-grade hash oracle: every Gopher/C4-family rule's
+    per-document verdict, the combined ``keep`` decision, and the
+    ordered ``first_fail`` attribution — the audit table a pipeline
+    publishes alongside its filtered corpus (corpus loss must be
+    attributable per rule before the output is trusted).
+
+    Oracle: the rule predicates rendered over the SAME profile subquery
+    the q_text_profile oracle checks — rules-as-data means both engines
+    generate their conditions from one QUALITY_RULES dict, so a
+    threshold change cannot drift.
+
+    Scale: one scan, zero shuffles (plan-pinned in TestQualityChain) —
+    the rules are plain codegen'd comparisons over profile columns."""
+    from w4h_etl_container_spark.plans.textops import quality_flags
+
+    d = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    cols = ["doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"]
+    from w4h_etl_container_spark.plans.textops import QUALITY_RULES
+
+    return quality_flags(d).select(
+        *cols, *[f"fail_{n}" for n in QUALITY_RULES], "keep", "first_fail"
+    )
