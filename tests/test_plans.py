@@ -151,6 +151,24 @@ class TestKernelCodegen:
             if name not in self.ARROW_ALLOWED:
                 assert "PythonUDF" not in p, f"{name} fell back to a Python UDF"
 
+    # BroadcastNestedLoopJoin is legitimate ONLY when one side is a
+    # broadcast of a provably tiny relation: the 1-row stream-head
+    # aggregate (q_win_offset), the scalar HLL estimate (q_agg_distinct),
+    # and the bounded query set in the declared-exact cosine baseline
+    # (q_cosine_topk). Everywhere else a BNLJ means a join lost its equi
+    # condition — at 100 TB that is a cluster-killer, so the sweep fails
+    # the moment a future plan change introduces one.
+    BNLJ_ALLOWED = {"q_agg_distinct", "q_cosine_topk", "q_win_offset"}
+
+    def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):
+        for name, q in reg.items():
+            p = plan_of(q.fn(spark, sf_dir))
+            assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
+            if name not in self.BNLJ_ALLOWED:
+                assert "BroadcastNestedLoopJoin" not in p, (
+                    f"{name} plans a nested-loop join (lost its equi condition?)"
+                )
+
     def test_vector_queries_use_arrow_not_interpreted_trees(self, spark, sf_dir, reg):
         # the vector math must run as Arrow-batched pandas UDFs (SIMD
         # numpy), not giant expression trees that fall out of codegen
