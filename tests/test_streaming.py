@@ -175,6 +175,81 @@ class TestStatefulOperator:
         assert got.count() > len(want)
 
 
+class TestTransformWithState:
+    def test_tws_plan_builds_with_contract_schema(self, spark, tmp_path, events_batch):
+        """The transformWithStateInPandas twin analyzes against the same
+        output contract as the applyInPandasWithState form (plan-build
+        needs no protobuf; only execution does)."""
+        from w4h_etl_container_spark.streaming.stateful import (
+            OUTPUT_SCHEMA,
+            user_running_stats_tws,
+        )
+
+        src = str(tmp_path / "tws-schema-src")
+        events_batch.limit(10).write.parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).parquet(src)
+        df = user_running_stats_tws(stream)
+        from pyspark.sql.types import _parse_datatype_string
+
+        assert df.schema == _parse_datatype_string(OUTPUT_SCHEMA)
+
+    def test_tws_twin_matches_apply_in_pandas_form(self, spark, tmp_path, events_batch):
+        """The Spark 4 transformWithStateInPandas rendering accumulates
+        the same cross-batch per-user totals as the
+        applyInPandasWithState operator (and as the batch aggregate).
+
+        Executing transformWithState requires the protobuf runtime for
+        its state-server protocol — absent in this container, present on
+        a real Spark 4 cluster; the parity body skips cleanly without it
+        (same import-gate policy as the media decoders)."""
+        pytest.importorskip("google.protobuf.descriptor")
+        from w4h_etl_container_spark.streaming.stateful import user_running_stats_tws
+
+        src = str(tmp_path / "tws-src")
+        events_batch.where(F.col("event_id") < 500).coalesce(1).write.mode("append").parquet(src)
+        events_batch.where(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        # transformWithState requires the RocksDB state store provider
+        # (the default HDFS-backed store does not implement it)
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(prov_key, None)
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            q = (
+                user_running_stats_tws(stream)
+                .writeStream.format("memory")
+                .queryName("user_stats_tws")
+                .option("checkpointLocation", str(tmp_path / "tws-ckpt"))
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+        got = spark.sql("SELECT * FROM user_stats_tws")
+        final = {
+            r["user_id"]: (r["n_events"], r["max_value"])
+            for r in got.orderBy("n_events").collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["mx"])
+            for r in events_batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+            .collect()
+        }
+        assert final == want
+        assert got.count() > len(want)  # per-batch updates were emitted
+
+
 class TestIncrementalForecast:
     def test_runs_merge_into_snapshot(self, spark, tmp_path, grid_dir):
         """Phase D integration: two landed runs drain through the streaming
