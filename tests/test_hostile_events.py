@@ -77,6 +77,11 @@ def hostile_ev_dir(tmp_path_factory) -> str:
         (eid + 4, pd.Timestamp("2024-12-31 23:59:59.999999"), 3, "purchase", 0.0, '{"k": 3}'),
         (eid + 5, base + pd.Timedelta(hours=3), 4, None, 1.0, '{"k": 4}'),  # null type
         (eid + 6, base + pd.Timedelta(hours=4), 5, "view", 2.0, '{"k": "abc"}'),  # mistyped k
+        (eid + 7, pd.NaT, 2, "view", 3.0, '{"k": 9}'),  # null ts: ingestion drops it
+        # null user_id (anonymous event): grouping/partitioning treats
+        # NULL identically in both engines — probed parity-clean across
+        # all 19 queries, kept here so that stays true
+        (eid + 8, base + pd.Timedelta(hours=5), None, "view", 4.0, '{"k": 10}'),
     ]
     pdf = pd.DataFrame(
         rows + hostile,
@@ -99,12 +104,20 @@ def hostile_ev_dir(tmp_path_factory) -> str:
 def duck_ev(hostile_ev_dir):
     con = duckdb.connect()
     for t in (
-        "events", "region", "nation", "customer", "supplier", "part",
+        "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings",
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{hostile_ev_dir}/{t}.parquet')"
         )
+    # the oracle view models the INGESTED relation: read_events enforces
+    # ts IS NOT NULL (a null event time has engine-defined, non-portable
+    # semantics in every temporal operator — see session.read_events).
+    # Driver fixtures always satisfy the contract, so the driver's raw
+    # views and this filtered view are the same relation there.
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{hostile_ev_dir}/events.parquet') WHERE ts IS NOT NULL"
+    )
     return con
 
 

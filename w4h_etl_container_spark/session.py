@@ -174,13 +174,22 @@ def read_events(spark: SparkSession, sf_dir: str):
     - any timestamp type (``timestamp`` / ``timestamp_ntz``): cast to
       session-UTC ``timestamp``, matching the prior rounds' schema and
       DuckDB's TIMESTAMP semantics on the same file.
-    """
+
+    Ingestion contract: ``ts IS NOT NULL``. The event time is the
+    stream's organizing key — every temporal operator (ordering,
+    windows, watermarks, as-of) has ENGINE-DEFINED rather than
+    query-defined behavior on a null there (Spark sorts nulls first
+    where DuckDB sorts them last; ``window(null)`` drops the row where
+    ``date_trunc(null)`` groups it), so a null-ts event has no portable
+    meaning. Dropped here, exactly as the JSONL boundary quarantines a
+    missing required field (hostile-events finding; the fixtures always
+    satisfy the contract, so oracles over the raw view agree)."""
     from pyspark.sql import functions as F
 
     df = read_table(spark, sf_dir, "events")
     ts_dtype = dict(df.dtypes).get("ts", "")
     if ts_dtype == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_dtype == "timestamp":
-        return df
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.where(F.col("ts").isNotNull())
