@@ -67,6 +67,10 @@ def hostile_dir(tmp_path_factory) -> str:
         (i, t, "en" if i % 2 == 0 else "de", "web" if i % 3 else "books", len(t))
         for i, t in enumerate(TEXTS)
     ]
+    # null text (out-of-JSONL-contract data arriving via parquet): every
+    # query must null-propagate or filter it identically to DuckDB —
+    # caught a len(None) crash in the frame-sampling kernel
+    rows.append((len(TEXTS), None, "en", "web", 0))
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     ).to_parquet(os.path.join(d, "documents.parquet"), index=False)

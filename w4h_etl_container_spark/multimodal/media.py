@@ -156,7 +156,10 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 512, frame_len: int = 64
             for media_id, mime, payload in zip(
                 pdf["media_id"].to_numpy(), pdf["mime"].to_numpy(), pdf["payload"].to_numpy()
             ):
-                if mime == "image/png":
+                if mime == "image/png" or payload is None:
+                    # a null payload has no frames (kernel-level guard:
+                    # len(None) raised before any query filter could be
+                    # relied on — hostile-corpus finding)
                     continue
                 for k, start in enumerate(range(0, len(payload) - frame_len, every_n_bytes)):
                     ids.append(media_id)

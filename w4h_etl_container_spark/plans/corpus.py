@@ -631,7 +631,10 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory."""
     from w4h_etl_container_spark.multimodal.media import frame_sample
 
-    docs = read_table(spark, sf_dir, "documents")
+    # null text → null payload → no frames: the oracle's encode(NULL)
+    # lateral naturally emits nothing, so filter to match (the kernel
+    # also guards null payloads defensively)
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video/mp4").alias("mime"),
