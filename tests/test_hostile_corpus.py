@@ -57,6 +57,7 @@ DOC_ONLY_QUERIES = [
     "q_budget_sample",
     "q_frame_sample",
     "q_quality_flags",
+    "q_media_features",
 ]
 
 
@@ -132,6 +133,10 @@ def hostile_emb_dir(tmp_path_factory) -> str:
     vecs.append((22, [1e-30] * 64, 2))  # tiny magnitude
     vecs.append((23, vecs[0][1], 0))  # exact duplicate of vec 0
     vecs.append((24, [-float(x) for x in vecs[0][1]], 1))  # antipode
+    # null embedding: dropped at the read_embeddings ingestion boundary
+    # (distance to a null vector is undefined; a None array crashed every
+    # Arrow kernel's np.stack before the contract existed)
+    vecs.append((25, None, 2))
     pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"]).to_parquet(
         os.path.join(d, "embeddings.parquet"), index=False
     )
@@ -141,8 +146,11 @@ def hostile_emb_dir(tmp_path_factory) -> str:
 @pytest.fixture(scope="module")
 def duck_emb(hostile_emb_dir):
     con = duckdb.connect()
+    # the oracle view models the INGESTED relation (see
+    # session.read_embeddings); driver fixtures have no null vectors, so
+    # the driver's raw views and this filtered view are the same there
     con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{hostile_emb_dir}/embeddings.parquet'"
+        f"CREATE VIEW embeddings AS SELECT * FROM '{hostile_emb_dir}/embeddings.parquet' WHERE embedding IS NOT NULL"
     )
     return con
 

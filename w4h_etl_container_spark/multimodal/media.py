@@ -121,6 +121,13 @@ def extract_features(media: DataFrame) -> DataFrame:
             entropies = np.zeros(len(pdf), dtype=np.float64)
             hashes = []
             for i, (mime, payload) in enumerate(zip(mimes, payloads)):
+                if payload is None:
+                    # defensive twin of the frame-sampler's guard: a null
+                    # payload has no bytes (callers filter, kernels must
+                    # still not crash on out-of-contract rows)
+                    n_bytes[i] = 0
+                    hashes.append(None)
+                    continue
                 arr = _decode_bytes(payload, mime)
                 n_bytes[i] = len(arr)
                 if len(arr):

@@ -38,7 +38,7 @@ from w4h_etl_container_spark.plans.textops import (
     token_vocabulary,
     winnow_fingerprints,
 )
-from w4h_etl_container_spark.session import parallelize_compute, read_table
+from w4h_etl_container_spark.session import parallelize_compute, read_embeddings, read_table
 
 _HEXD = "0123456789abcdef"
 
@@ -259,7 +259,7 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     story at 100 TB. The quantized vector is emitted as a CSV string
     (array cells crash pandas-based canonicalizers — the ``q_agg_collect``
     contract); ``qdot`` consumes the array form directly."""
-    emb = quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    emb = quantize_embeddings(read_embeddings(spark, sf_dir))
     return emb.select(
         "vec_id",
         F.concat_ws(",", F.col("q")).alias("q_csv"),

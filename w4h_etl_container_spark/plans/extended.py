@@ -16,7 +16,7 @@ from w4h_etl_container_spark.functions.vectorkernels import ivf_centroids, make_
 from w4h_etl_container_spark.kernels import tree_sum
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.plans.vectors import DIM, _S, _elem
-from w4h_etl_container_spark.session import parallelize_compute, read_events, read_table
+from w4h_etl_container_spark.session import parallelize_compute, read_embeddings, read_events, read_table
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +200,7 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Library tier: EXT-SIM's IVF surface stays gate-checked via
     ``q_ann_probe`` (whose probe path contains this assignment); this
     slot went to the corpus-pipeline operators (plans/corpus.py)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     return emb.select("vec_id", "label", _ivf_udf("embedding").alias("iv")).select(
         "vec_id", "label", "iv.centroid_id", "iv.dist2_e6"
     )

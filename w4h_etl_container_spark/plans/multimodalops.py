@@ -27,8 +27,11 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project the documents fixture into the opaque-binary media model:
     (media_id, mime, payload) with payload = encode(text, 'UTF-8'). This is
     the ingestion boundary a real deployment crosses when it lands blobs
-    into parquet binary columns."""
-    docs = read_table(spark, sf_dir, "documents")
+    into parquet binary columns — and like every ingestion boundary it
+    enforces the required-field contract: a null payload (null text
+    here, a failed blob fetch in production) has no bytes to process
+    and would crash the decode kernels (np.frombuffer(None))."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     mime = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
@@ -49,14 +52,15 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 0 THEN 'image/png'
                 WHEN 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS mime,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_hash,
            -- frame sampler: windows of 64 bytes every 512 bytes, images
            -- carry no frames; len(range(0, L-64, 512)) = ceil((L-64)/512)
            CAST(CASE WHEN doc_id % 3 = 0 THEN 0
-                     ELSE GREATEST(0, CAST(CEIL((octet_length(CAST(text AS BLOB)) - 64) / 512.0) AS BIGINT))
+                     ELSE GREATEST(0, CAST(CEIL((octet_length(encode(text)) - 64) / 512.0) AS BIGINT))
                 END AS BIGINT) AS n_frames
     FROM documents
+    WHERE text IS NOT NULL
     """,
     survey_ids=("EXT-MEDIA",),
 )

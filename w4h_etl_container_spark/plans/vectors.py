@@ -37,7 +37,7 @@ from w4h_etl_container_spark.functions.vectorkernels import (
 )
 from w4h_etl_container_spark.kernels import tree_sum
 from w4h_etl_container_spark.plans.registry import register
-from w4h_etl_container_spark.session import read_table
+from w4h_etl_container_spark.session import read_embeddings, read_table
 
 DIM = 64
 TOP_K = 5
@@ -171,7 +171,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: at 100 TB the corpus side stays partition-local; the rnk≤k
     filter bounds the shuffle to k rows per (query, partition) under AQE.
     The LSH variant (q_ann_lsh / q_ann_probe) is the sub-linear path."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     normed = emb.select("vec_id", "embedding", _norm_udf("embedding").alias("nrm"))
     q = normed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
@@ -214,7 +214,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: scan-bound, zero shuffle; one Arrow pass computes signature and
     stats together. Repartitioning by the signature makes the candidate
     join co-located. N_PLANES grows with the corpus (see module doc)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     return emb.select(
         "vec_id",
         "label",
@@ -311,7 +311,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by band bucket co-locates each join; norms are computed once per
     vector. At corpus scale materialize ``sig`` once (checkpoint / table)
     instead of recomputing per band side — the plan shape is unchanged."""
-    return embed_neardup_pairs(read_table(spark, sf_dir, "embeddings"))
+    return embed_neardup_pairs(read_embeddings(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +368,7 @@ def q_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     table holds only thresholded vectors, and the corpus anti-join
     broadcast is count-gated — every stage inherits its gate query's
     100 TB shape; only the composition is new."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     edges = (
         embed_neardup_pairs(emb)
         .where(F.col("cosine_e6") >= _SEM_THRESH_E6)
@@ -415,7 +415,7 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touching one partition per query — contrast q_cosine_topk's full
     scan. This is the declared demonstration that the engine's ANN path
     is sub-linear, not just bucketed."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     sig = emb.select(
         "vec_id",
         "embedding",
@@ -509,7 +509,7 @@ def ivf_probe_topk(
     assign_udf = make_ivf_assign_udf(cents)
     probe_udf = make_ivf_probe_udf(cents, nprobe)
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_embeddings(spark, sf_dir)
     indexed = emb.select(
         "vec_id",
         "embedding",

@@ -193,3 +193,22 @@ def read_events(spark: SparkSession, sf_dir: str):
     elif ts_dtype != "timestamp":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.where(F.col("ts").isNotNull())
+
+
+def read_embeddings(spark: SparkSession, sf_dir: str):
+    """embeddings with the vector-ingestion contract enforced:
+    ``embedding IS NOT NULL``.
+
+    Distance to a null vector is undefined in every similarity operator
+    (and a None array crashes any Arrow kernel's ``np.stack`` outright —
+    hostile-embeddings finding, all seven vector queries), so null rows
+    drop at the boundary exactly as null event times do in
+    ``read_events``. Fixtures always satisfy the contract, so oracles
+    over the raw view agree. Per-ELEMENT hygiene (NaN/Inf components)
+    stays a query-level concern — the e6 stats kernel NULL-guards those
+    and q_ann_lsh's hygiene columns exist to flag them."""
+    from pyspark.sql import functions as F
+
+    return read_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
