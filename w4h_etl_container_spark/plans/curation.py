@@ -105,7 +105,14 @@ def span_dedup(d: DataFrame, w: int = _SPAN_W) -> DataFrame:
     integers, so results match bit-for-bit; a 120-bit key collision
     (which would remove one unique span occurrence) is ~2⁻⁶⁰ even at
     10¹² spans. Production can swap xxhash64(span)+xxhash64(reverse)
-    for the md5 pair — one line, same plan shape."""
+    for the md5 pair — one line, same plan shape.
+
+    Precondition: ``doc_id`` is unique (the documents table's key —
+    TESTDATA.md). Under key duplication the keep-first order
+    (doc_id, pos) has ties, so "first occurrence" is ill-defined in ANY
+    engine and the per-document rebuild would interleave two bodies;
+    probed: the other 19 documents queries are duplicate-id-agnostic,
+    this operator is the one that semantically requires the key."""
     spans = span_spans(d, w)
     h = F.md5("span")
     keyed = spans.select(
