@@ -72,6 +72,12 @@ def hostile_dir(tmp_path_factory) -> str:
     # query must null-propagate or filter it identically to DuckDB —
     # caught a len(None) crash in the frame-sampling kernel
     rows.append((len(TEXTS), None, "en", "web", 0))
+    # null dimension columns (lang/source are OPTIONAL per the JSONL
+    # contract): probed parity-clean across all 20 documents queries —
+    # null strata fall outside every CASE threshold identically, null
+    # grouping keys group identically
+    rows.append((len(TEXTS) + 1, "a document with a null language tag", None, "web", 35))
+    rows.append((len(TEXTS) + 2, "a document with a null source tag", "en", None, 33))
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
