@@ -58,6 +58,7 @@ DOC_ONLY_QUERIES = [
     "q_frame_sample",
     "q_quality_flags",
     "q_media_features",
+    "q_unigram_logprob",
 ]
 
 

@@ -154,11 +154,17 @@ class TestKernelCodegen:
     # BroadcastNestedLoopJoin is legitimate ONLY when one side is a
     # broadcast of a provably tiny relation: the 1-row stream-head
     # aggregate (q_win_offset), the scalar HLL estimate (q_agg_distinct),
-    # and the bounded query set in the declared-exact cosine baseline
-    # (q_cosine_topk). Everywhere else a BNLJ means a join lost its equi
-    # condition — at 100 TB that is a cluster-killer, so the sweep fails
-    # the moment a future plan change introduces one.
-    BNLJ_ALLOWED = {"q_agg_distinct", "q_cosine_topk", "q_win_offset"}
+    # the bounded query set in the declared-exact cosine baseline
+    # (q_cosine_topk), and the 1-row corpus-total scalar in the unigram
+    # scorer (q_unigram_logprob). Everywhere else a BNLJ means a join
+    # lost its equi condition — at 100 TB that is a cluster-killer, so
+    # the sweep fails the moment a future plan change introduces one.
+    BNLJ_ALLOWED = {
+        "q_agg_distinct",
+        "q_cosine_topk",
+        "q_win_offset",
+        "q_unigram_logprob",
+    }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):
         for name, q in reg.items():

@@ -376,3 +376,94 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Library tier: three regex projections in one scan, zero shuffles."""
     return pii_scrub(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-TEXT — unigram log-probability scoring (perplexity-style filter)
+# ---------------------------------------------------------------------------
+def unigram_logprob(d: DataFrame) -> DataFrame:
+    """Per-document average unigram log2-probability under the corpus's
+    OWN empirical token distribution — the perplexity-style quality
+    signal (CCNet / Wenzek et al. 2020 filter by LM perplexity; the
+    unigram self-model is its zero-dependency core: documents of
+    corpus-typical vocabulary score high, outlier/garbage tokens drag
+    the average down). Higher (less negative) = more typical.
+
+    Returns (doc_id, n_tokens, sum_lp_e6, avg_lp) where ``sum_lp_e6``
+    is the exact integer sum of per-token micro-unit log-probs and
+    ``avg_lp`` = sum_lp_e6 / n_tokens / 1e6.
+
+    Exactness discipline: floating point enters ONLY per distinct
+    (count, total) pair — log2(cnt/total) is rounded to an e6 integer
+    per token, and everything after is integer arithmetic, so the
+    per-document sums are order-independent and bit-equal across
+    engines (the same transcendental-rounding contract the solar
+    kernels use; a float sum of logs would diverge on accumulation
+    order).
+
+    Scale: one explode → token-count aggregate (map-side combined,
+    Zipf skew absorbed), one scalar total, one hash join of the token
+    stream against the count table (self-trained vocab is corpus-bound;
+    broadcast when it fits, AQE decides), one per-doc integer
+    aggregate."""
+    toks = (
+        d.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(_tokens()).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    lp_e6 = F.floor(
+        F.log2(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = toks.join(counts, "token").crossJoin(F.broadcast(total)).select(
+        "doc_id", lp_e6.alias("lp_e6")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp_e6").alias("sum_lp_e6"),
+        (
+            F.sum("lp_e6").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_lp"),
+    )
+
+
+def _unigram_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ), total AS (
+      SELECT SUM(cnt) AS tot FROM counts
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(log2(CAST(c.cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+      FROM toks t JOIN counts c USING (token), total
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           -- DuckDB SUM(BIGINT) widens to HUGEINT, which pandas floats
+           -- (the round-2 canonicalizer drift) — cast back
+           CAST(SUM(lp_e6) AS BIGINT) AS sum_lp_e6,
+           CAST(SUM(lp_e6) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_lp
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
+@register("q_unigram_logprob", sql=_unigram_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring over `documents`
+    (``unigram_logprob``): per-document average unigram log2-prob under
+    the corpus's own token distribution — the quality-filter chain's
+    language-model signal without a model dependency.
+
+    Library tier: per-token e6-integer rounding makes the document
+    aggregate exact-integer (order-free, engine-neutral); plan = one
+    count aggregate + one token join + one per-doc aggregate."""
+    return unigram_logprob(read_table(spark, sf_dir, "documents"))
