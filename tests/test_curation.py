@@ -257,6 +257,68 @@ class TestCurationProperties:
             assert r["clean_text"] == by_id[r["doc_id"]]["clean_text"]
 
 
+class TestUnigramLogprob:
+    """Round-8: the vocab join consumes pre-aggregated (doc_id, token, k)
+    rows — same integers, smaller and skew-absorbed join input — and the
+    libm-boundary risk ADVICE flagged is measured, not assumed."""
+
+    ROWS = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "unique tokens only here"),
+        (4, "   "),
+        (5, "cat cat mat"),
+    ]
+
+    def test_crafted_duckdb_parity(self, spark):
+        from w4h_etl_container_spark.plans.curation import (
+            _unigram_sql,
+            unigram_logprob,
+        )
+
+        _parity(unigram_logprob(_docs(spark, self.ROWS)), _duck(self.ROWS, _unigram_sql()))
+
+    def test_join_input_is_preaggregated(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.curation import unigram_logprob
+        from w4h_etl_container_spark.session import read_table
+        from tests.test_plans import optimized_of
+
+        plan = optimized_of(unigram_logprob(read_table(spark, sf_dir, "documents")))
+        # the (doc_id, token) partial aggregate sits BELOW the vocab
+        # join: the join's streamed side is the distinct-per-doc count
+        # table, never the raw per-occurrence token stream
+        join_at = plan.index("Join")
+        assert "Aggregate [doc_id" in plan[join_at:], plan
+
+    def test_boundary_distance_exceeds_libm_band(self, spark, sf_dir):
+        """Minimum distance of log2(cnt/tot)·1e6 + 0.5 to an integer
+        boundary over EVERY distinct (cnt, tot) of the fixture corpus.
+        A cross-engine 1-ulp libm difference moves the product by at
+        most ~|log2|·2⁻⁵²·1e6 ≈ 6e-9 for |log2| ≤ 25 — parity is safe
+        while the measured minimum stays orders of magnitude above
+        that band (docstring contract, quantified)."""
+        import math
+
+        from w4h_etl_container_spark.plans.curation import _tokens
+        from w4h_etl_container_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        toks = d.where(F.length(F.trim("text")) > 0).select(
+            F.explode(_tokens()).alias("token")
+        )
+        counts = [
+            r["cnt"]
+            for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        ]
+        tot = sum(counts)
+        min_dist = 1.0
+        for cnt in set(counts):
+            x = math.log2(cnt / tot) * 1e6 + 0.5
+            min_dist = min(min_dist, abs(x - round(x)))
+        # 2-ulp cross-engine band at |log2| ≤ 25 is ~1.2e-8
+        assert min_dist > 1e-6, min_dist
+
+
 class TestSpanSpans:
     def test_span_concat_roundtrip(self, spark):
         text = " ".join(f"t{i}" for i in range(2 * _SPAN_W + 3))

@@ -401,31 +401,54 @@ def unigram_logprob(d: DataFrame) -> DataFrame:
     kernels use; a float sum of logs would diverge on accumulation
     order).
 
+    Residual cross-engine risk, quantified: the JVM's StrictMath.log
+    and DuckDB's libm log are each correctly-rounded to ≤1 ulp, so
+    log2(cnt/tot)·1e6 computed by the two engines can differ by at
+    most ~2 ulp ≈ |x|·2⁻⁵²·1e6 ≈ 5e-9 e6-units for |log2| ≤ 25. A
+    parity break therefore needs some (cnt, tot) pair to land within
+    that band of a .5 rounding boundary — probability ≈ 1e-8 per
+    distinct vocab entry under a uniform-fraction model, i.e. one
+    expected collision per ~1e8-entry vocab (natural-language vocabs
+    are ~1e6). TestUnigramBoundary measures the actual minimum
+    boundary distance on the fixture corpus (≫ the 2-ulp band) so a
+    fixture drift toward the boundary fails loudly rather than as a
+    mystery hash mismatch. Callers needing certainty at any vocab
+    size should materialize the (cnt, tot)→lp_e6 lookup from one
+    engine and feed it to both.
+
     Scale: one explode → token-count aggregate (map-side combined,
-    Zipf skew absorbed), one scalar total, one hash join of the token
-    stream against the count table (self-trained vocab is corpus-bound;
-    broadcast when it fits, AQE decides), one per-doc integer
-    aggregate."""
+    Zipf skew absorbed), one scalar total, one hash join of the
+    PER-DOCUMENT token counts against the corpus count table, one
+    per-doc integer aggregate. The join input is pre-aggregated to
+    distinct-per-doc tokens — (doc_id, token, k) — BEFORE the vocab
+    join: at corpus scale the naive rendering shuffles one row per
+    token OCCURRENCE on a Zipf-skewed key whenever the vocab doesn't
+    broadcast, while the pre-aggregate absorbs the skew in a map-side
+    combine and shrinks the join input by the corpus's mean
+    within-document token multiplicity. sum(lp·k) ≡ per-occurrence
+    sum exactly (integer arithmetic — no float reassociation), so the
+    result is bit-identical to the per-occurrence oracle rendering."""
     toks = (
         d.where(F.length(F.trim("text")) > 0)
         .select("doc_id", F.explode(_tokens()).alias("token"))
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    counts = doc_counts.groupBy("token").agg(F.sum("k").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("tot"))
     lp_e6 = F.floor(
         F.log2(F.col("cnt").cast("double") / F.col("tot").cast("double"))
         * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("long")
-    scored = toks.join(counts, "token").crossJoin(F.broadcast(total)).select(
-        "doc_id", lp_e6.alias("lp_e6")
+    scored = doc_counts.join(counts, "token").crossJoin(F.broadcast(total)).select(
+        "doc_id", "k", lp_e6.alias("lp_e6")
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("lp_e6").alias("sum_lp_e6"),
+        F.sum("k").alias("n_tokens"),
+        F.sum(F.col("lp_e6") * F.col("k")).alias("sum_lp_e6"),
         (
-            F.sum("lp_e6").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum(F.col("lp_e6") * F.col("k")).cast("double")
+            / F.sum("k").cast("double")
             / F.lit(1000000.0)
         ).alias("avg_lp"),
     )
