@@ -112,12 +112,25 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
-    workload_wall = float("inf")
-    for _ in range(2):
+    # Concurrent pass: adaptive best-of-N. Two passes minimum; when the
+    # two disagree by >20% (the signature of an interference burst
+    # landing inside one of them — the narrowest-margin measurement in
+    # this file, since a single multi-second burst lands entirely in
+    # one ~5-10 s window), keep sampling up to 5 passes and report the
+    # minimum. A clean host exits after 2.
+    def concurrent_pass() -> float:
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=8) as ex:
             list(ex.map(run, sorted(registry)))
-        workload_wall = min(workload_wall, round(time.time() - t0, 3))
+        return round(time.time() - t0, 3)
+
+    walls = [concurrent_pass(), concurrent_pass()]
+    while len(walls) < 5:
+        lo2 = sorted(walls)[:2]
+        if (lo2[1] - lo2[0]) / max(lo2[0], 1e-9) <= 0.20:
+            break  # the minimum is corroborated by a second clean pass
+        walls.append(concurrent_pass())
+    workload_wall = min(walls)
 
     print(
         json.dumps(

@@ -303,6 +303,41 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT-TEXT — BPE merge training (round 8: the trainable half of the
+# tokenizer — pre-tokenization + top-k vocab stop short of a vocab you
+# can encode with)
+# ---------------------------------------------------------------------------
+_BPE_N_MERGES = 40
+
+
+@register("q_bpe_merges", sql=None, survey_ids=("EXT-TEXT",), gate=False)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table over `documents`: (rank, left, right,
+    merged, cnt) for the first 40 merges — ``operators.bpe.bpe_train``
+    run on the corpus's (word, freq) table.
+
+    Rows-only declared query (honestly non-SQL-expressible: the merge
+    loop is an iterative argmax with state rewriting — a recursive CTE
+    would have to carry the whole symbolized vocabulary per step).
+    Exactness is pinned instead by tests/test_bpe.py: merge-sequence
+    parity against an independent reference implementation of the
+    published algorithm (Sennrich 2016), including the paper's worked
+    example, on crafted corpora AND on this fixture.
+
+    Scale: ONE corpus-scale aggregation (word counts); the loop runs
+    on the vocab-bounded distinct-word table — per-iteration cost is
+    |V|, independent of corpus size."""
+    from w4h_etl_container_spark.operators.bpe import (
+        bpe_train,
+        merges_df,
+        word_counts,
+    )
+
+    wc = word_counts(read_table(spark, sf_dir, "documents"))
+    return merges_df(spark, bpe_train(wc, _BPE_N_MERGES))
+
+
+# ---------------------------------------------------------------------------
 # EXT-TEXT — document chunking (context-window preparation)
 # ---------------------------------------------------------------------------
 _CHUNK_TOKENS = 64
