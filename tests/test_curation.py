@@ -319,6 +319,96 @@ class TestUnigramLogprob:
         assert min_dist > 1e-6, min_dist
 
 
+class TestLangId:
+    """Self-trained trigram language-id (lang_id_ngram): the fixture's
+    lang tags are uncorrelated word-soup, so classification QUALITY is
+    pinned here on real multilingual text — labeled training rows plus
+    held-out unlabeled rows that must classify correctly — while
+    cross-engine parity on the fixture rides selfcheck/hostile sweeps."""
+
+    LABELED = [
+        (0, "the cat sat on the mat and the dog ran through the garden with the children", "en"),
+        (1, "she walked to the market this morning and bought fresh bread with the money", "en"),
+        (8, "a quick brown fox jumped over the lazy dog near the old wooden fence", "en"),
+        (9, "they watched the evening sky together while the wind moved through the trees", "en"),
+        (2, "der Hund lief durch den Garten und die Kinder spielten mit dem Ball im Haus", "de"),
+        (3, "die Frau ging am Morgen auf den Markt und kaufte frisches Brot mit dem Geld", "de"),
+        (10, "das Wetter war heute schön und wir sind mit den Kindern in den Park gegangen", "de"),
+        (11, "er hat das Buch auf den Tisch gelegt und dann das Fenster geöffnet", "de"),
+        (4, "le chien courait dans le jardin et les enfants jouaient avec le ballon dans la maison", "fr"),
+        (5, "la femme est allée au marché ce matin et elle a acheté du pain frais avec l'argent", "fr"),
+        (12, "il a posé le livre sur la table et puis il a ouvert la fenêtre de la chambre", "fr"),
+        (13, "nous avons regardé le ciel du soir ensemble pendant que le vent soufflait", "fr"),
+        (6, "猫坐在垫子上狗跑过花园孩子们在房子里玩球", "zh"),
+        (7, "今天早上她走到市场买了新鲜的面包和一些水果回家做饭", "zh"),
+        (14, "天气很好我们带着孩子们去公园散步看到了很多花", "zh"),
+        (15, "他把书放在桌子上然后打开了窗户看外面的风景", "zh"),
+    ]
+    HELD_OUT = [
+        (100, "the children played in the garden with the dog and the cat this morning", "en"),
+        (101, "die Kinder spielten am Morgen mit dem Hund und der Frau im Garten", "de"),
+        (102, "les enfants jouaient dans le jardin avec le chien ce matin", "fr"),
+        (103, "孩子们今天早上在花园里和狗一起玩球然后回家吃面包", "zh"),
+    ]
+
+    def _df(self, spark):
+        rows = [(i, t, l) for i, t, l in self.LABELED] + [
+            (i, t, None) for i, t, _ in self.HELD_OUT
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_held_out_documents_classify_correctly(self, spark):
+        from w4h_etl_container_spark.plans.curation import lang_id_ngram
+
+        out = {r["doc_id"]: r for r in lang_id_ngram(self._df(spark)).collect()}
+        for doc_id, _, expect in self.HELD_OUT:
+            assert out[doc_id]["lang_pred"] == expect, (doc_id, out[doc_id])
+            assert out[doc_id]["margin_e6"] > 0
+        # labeled rows classify as themselves (training self-consistency)
+        for doc_id, _, expect in self.LABELED:
+            assert out[doc_id]["lang_pred"] == expect, (doc_id, out[doc_id])
+
+    def test_charset_signal_separates_cjk(self, spark):
+        from w4h_etl_container_spark.plans.curation import lang_id_ngram
+
+        out = {r["doc_id"]: r for r in lang_id_ngram(self._df(spark)).collect()}
+        assert out[6]["ascii_e6"] < 300_000  # CJK body, only pad spaces
+        assert out[0]["ascii_e6"] == 1_000_000
+        # accented French: high but not pure ASCII
+        assert 800_000 < out[5]["ascii_e6"] < 1_000_000
+
+    def test_crafted_duckdb_parity(self, spark):
+        from w4h_etl_container_spark.plans.curation import _langid_sql, lang_id_ngram
+
+        rows = [(i, t, l) for i, t, l in self.LABELED] + [
+            (i, t, None) for i, t, _ in self.HELD_OUT
+        ] + [(200, None, "en"), (201, "", "de"), (202, "   ", None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+        _parity(lang_id_ngram(df), con.execute(_langid_sql()).fetchdf())
+
+    def test_mismatch_filter(self, spark):
+        from w4h_etl_container_spark.plans.curation import lang_mismatch
+
+        rows = [(i, t, l) for i, t, l in self.LABELED] + [
+            # an English document mislabeled as German — the CCNet drop case
+            (300, "the quick brown fox jumped over the lazy dog in the garden", "de"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        bad = lang_mismatch(df).collect()
+        assert [r["doc_id"] for r in bad] == [300]
+        assert bad[0]["lang_pred"] == "en"
+
+    def test_profile_is_topk_capped(self, spark):
+        from w4h_etl_container_spark.plans.curation import _LANGID_TOPK, lang_id_ngram
+        from tests.test_plans import optimized_of
+
+        plan = optimized_of(lang_id_ngram(self._df(spark)))
+        # the Cavnar-Trenkle truncation is in the plan (rank filter at K)
+        assert f"<= {_LANGID_TOPK}" in plan or f"{_LANGID_TOPK}" in plan
+
+
 class TestSpanSpans:
     def test_span_concat_roundtrip(self, spark):
         text = " ".join(f"t{i}" for i in range(2 * _SPAN_W + 3))

@@ -59,6 +59,7 @@ DOC_ONLY_QUERIES = [
     "q_quality_flags",
     "q_media_features",
     "q_unigram_logprob",
+    "q_langid",
 ]
 
 
@@ -186,3 +187,32 @@ def test_zero_vector_stats_are_null_not_wrapped(spark, hostile_emb_dir):
     )
     assert row["l2_norm_e6"] == 0
     assert row["unit_c0_e6"] is None
+
+
+def test_embeddings_quarantine_partitions_raw(spark, hostile_emb_dir):
+    """ADVICE r7: null-vector drops at the embeddings boundary are
+    auditable (complement view + count), not silent."""
+    from w4h_etl_container_spark.session import (
+        read_embeddings,
+        read_embeddings_quarantine,
+        read_table,
+    )
+
+    raw = read_table(spark, hostile_emb_dir, "embeddings")
+    clean = read_embeddings(spark, hostile_emb_dir)
+    quar = read_embeddings_quarantine(spark, hostile_emb_dir)
+    assert quar.count() == 1
+    assert clean.count() + quar.count() == raw.count()
+    assert clean.select("vec_id").intersect(quar.select("vec_id")).count() == 0
+
+
+def test_ingestion_audit_on_driver_fixture(spark, sf_dir):
+    """The audit table over the clean driver fixture: totals match the
+    raw tables, zero quarantined (the fixtures honor the contracts)."""
+    from w4h_etl_container_spark.session import ingestion_audit, read_table
+
+    rows = {r["table"]: r for r in ingestion_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"events", "embeddings"}
+    for t, r in rows.items():
+        assert r["n_quarantined"] == 0
+        assert r["n_total"] == r["n_clean"] == read_table(spark, sf_dir, t).count()

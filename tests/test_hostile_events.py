@@ -154,3 +154,23 @@ def test_hostile_events_parity(spark, hostile_ev_dir, duck_ev, name):
     s = sdf[cols].sort_values(cols).reset_index(drop=True)
     d = ddf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, d, check_dtype=False)
+
+
+def test_ingestion_quarantine_partitions_raw(spark, hostile_ev_dir):
+    """ADVICE r7: the parquet boundary's contract drops are auditable —
+    read_events ∪ read_events_quarantine = the raw table, disjointly
+    (the JSONL boundary's every-row-lands-somewhere invariant)."""
+    from w4h_etl_container_spark.session import (
+        read_events,
+        read_events_quarantine,
+        read_table,
+    )
+
+    raw = read_table(spark, hostile_ev_dir, "events")
+    clean = read_events(spark, hostile_ev_dir)
+    quar = read_events_quarantine(spark, hostile_ev_dir)
+    assert quar.count() == 1  # exactly the null-ts row
+    assert clean.count() + quar.count() == raw.count()
+    # disjoint by event id
+    both = clean.select("event_id").intersect(quar.select("event_id"))
+    assert both.count() == 0

@@ -80,3 +80,90 @@ class TestClusterBy:
     def test_requires_columns(self, spark, sf_dir):
         with pytest.raises(ValueError):
             cluster_by(read_table(spark, sf_dir, "events"), [])
+
+
+class TestZorderBy:
+    """Interleaved (Morton) layout: min/max skipping must work on EVERY
+    z-ordered key — the case linear clustering is blind to (a trailing-
+    key predicate touches every linearly-clustered file)."""
+
+    def _grid(self, spark):
+        from pyspark.sql import functions as F
+
+        # 100×100 uniform grid: the classic z-order demonstration domain
+        return (
+            spark.range(10_000)
+            .select(
+                (F.col("id") % 100).alias("x"),
+                (F.col("id") / 100).cast("long").alias("y"),
+                F.col("id").alias("payload"),
+            )
+        )
+
+    def test_both_keys_prune(self, spark, tmp_path):
+        from w4h_etl_container_spark.operators.layout import zorder_by
+
+        out = str(tmp_path / "zordered")
+        zorder_by(self._grid(spark), ["x", "y"], n_files=16, bits=8).write.parquet(out)
+        for col in ("x", "y"):
+            ranges = _file_ranges(out, col)
+            n = len(ranges)
+            assert n >= 8
+            # a band predicate on EITHER key touches a strict subset of
+            # files: with 16 files on a 2-d Morton curve each key splits
+            # into ~4 runs, so a 10-wide band reads ~n/4 + boundaries
+            band_lo, band_hi = 40, 49
+            touching = sum(1 for lo, hi in ranges if not (hi < band_lo or lo > band_hi))
+            assert touching <= n // 2, (col, touching, n)
+
+    def test_linear_control_trailing_key_cannot_prune(self, spark, tmp_path):
+        out = str(tmp_path / "linear")
+        cluster_by(self._grid(spark), ["x", "y"], n_files=16).write.parquet(out)
+        ranges = _file_ranges(out, "y")
+        # sorted by (x, y): every file spans (almost) the whole y domain
+        spanning = sum(1 for lo, hi in ranges if lo <= 5 and hi >= 94)
+        assert spanning >= len(ranges) - 2
+
+    def test_rows_preserved_and_schema_unchanged(self, spark, tmp_path):
+        from w4h_etl_container_spark.operators.layout import zorder_by
+
+        g = self._grid(spark)
+        out = str(tmp_path / "z2")
+        zorder_by(g, ["x", "y"], n_files=8).write.parquet(out)
+        back = spark.read.parquet(out)
+        assert sorted(back.columns) == sorted(g.columns)  # _zkey dropped
+        assert back.count() == g.count()
+        assert back.agg({"payload": "sum"}).collect()[0][0] == g.agg(
+            {"payload": "sum"}
+        ).collect()[0][0]
+
+    def test_morton_key_reference_values(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.layout import morton_key
+
+        # interleave(x=0b101, y=0b011) with 3 bits: bit b*2+0 from x,
+        # bit b*2+1 from y → 0b011011... compute expected in python
+        def ref(x, y, bits):
+            out = 0
+            for b in range(bits):
+                out |= ((x >> b) & 1) << (2 * b)
+                out |= ((y >> b) & 1) << (2 * b + 1)
+            return out
+
+        rows = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(rows, "x long, y long").select(
+            "x", "y", morton_key([F.col("x"), F.col("y")], bits=3).alias("z")
+        )
+        for r in df.collect():
+            assert r["z"] == ref(r["x"], r["y"], 3), (r["x"], r["y"])
+
+    def test_degenerate_and_null_columns(self, spark, tmp_path):
+        from w4h_etl_container_spark.operators.layout import zorder_by
+
+        rows = [(1, None, 5), (1, 2, 6), (1, 3, 7)]
+        df = spark.createDataFrame(rows, "c long, d long, e long")
+        # constant column (mx == mn) and nulls must not crash; layout
+        # degrades to the informative keys
+        out = zorder_by(df, ["c", "d"], n_files=2)
+        assert out.count() == 3

@@ -164,6 +164,9 @@ class TestKernelCodegen:
         "q_cosine_topk",
         "q_win_offset",
         "q_unigram_logprob",
+        # the 1-row trigram-universe scalar and the L-row (bounded
+        # language-dimension) per-profile constants in the langid scorer
+        "q_langid",
     }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):

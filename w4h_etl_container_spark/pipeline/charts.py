@@ -76,10 +76,28 @@ def coastline_segments(
     Returns an (n, 4) array of (x0, y0, x1, y1) segments placed on the
     midlines between adjacent cells whose mask values differ. Pure
     vectorized numpy (no per-cell Python loop), testable without
-    matplotlib."""
+    matplotlib.
+
+    Preconditions (asserted): ``lats``/``lons`` are monotonic axis
+    vectors matching ``mask``'s row/column order — segment midlines are
+    computed from NEIGHBOR coordinates, so shuffled axes would draw
+    segments at wrong positions silently. Edge behavior (documented, by
+    design): at grid borders (i=0 or max) the clamped neighbor is the
+    edge cell itself, so border segments span half a cell — harmless
+    for interior coastlines; callers needing full-length border
+    segments should pad the axes by one cell."""
     mask = np.asarray(mask)
     lats = np.asarray(lats, dtype=float)
     lons = np.asarray(lons, dtype=float)
+    if mask.shape != (len(lats), len(lons)):
+        raise ValueError(
+            f"mask shape {mask.shape} != (len(lats), len(lons)) = "
+            f"({len(lats)}, {len(lons)})"
+        )
+    for name, ax in (("lats", lats), ("lons", lons)):
+        d = np.diff(ax)
+        if len(d) and not ((d > 0).all() or (d < 0).all()):
+            raise ValueError(f"{name} must be strictly monotonic")
     segs = []
     # vertical boundary between horizontally-adjacent cells (i, j)/(i, j+1):
     # a segment along the lon midline spanning the cell's lat extent

@@ -479,6 +479,235 @@ def _unigram_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# EXT-TEXT — language identification (self-trained char-trigram profiles)
+# ---------------------------------------------------------------------------
+_LANGID_TOPK = 300  # Cavnar-Trenkle profile size (top trigrams per language)
+
+
+def lang_id_ngram(d: DataFrame) -> DataFrame:
+    """Character-trigram language identification — the zero-dependency
+    core of the CCNet langid stage (Wenzek et al. 2020 run fastText
+    here; the character-n-gram-profile method itself is Cavnar &
+    Trenkle 1994, with rank-distance swapped for the same add-one
+    smoothed log-probability scoring the unigram quality model uses,
+    so the whole thing stays native-column and integer-exact).
+
+    Self-trained: per-language trigram profiles come from the corpus's
+    OWN labeled rows (``lang IS NOT NULL``); every document — labeled
+    or not — is then scored against every profile and arg-maxed. This
+    is the real production shape: label a seed slice, classify the
+    rest, then filter on disagreement (``lang_mismatch``).
+
+    Returns (doc_id, lang, lang_pred, best_lp_e6, margin_e6,
+    n_trigrams, ascii_e6):
+
+    * ``lang_pred`` — argmax language (tie-break: score DESC, language
+      DESC — Spark's struct max and the oracle's window agree exactly);
+    * ``best_lp_e6``/``margin_e6`` — winning score and its lead over
+      the runner-up (NULL with one profile), integer micro-log2 units;
+    * ``ascii_e6`` — printable-ASCII character ratio ×1e6 (the charset
+      signal: CJK/Cyrillic documents separate on this column alone).
+
+    Exactness discipline = unigram_logprob's: log2 enters once per
+    distinct (cnt, tot+V) pair, is e6-integer rounded, and every
+    document aggregate after that is integer arithmetic — order-free
+    and engine-neutral (same libm-boundary contract, quantified
+    there).
+
+    Scale: the trigram stream is the widest intermediate (~len(text)
+    rows/doc — the shingle family's shape); it feeds ONE per-doc-trigram
+    partial aggregate and ONE per-language profile aggregate (both
+    map-side combined, Zipf skew absorbed). The profile is
+    alphabet-bounded (|Σ|³·L rows — broadcast at any corpus size), the
+    per-doc × language cross is L-bounded, and the final argmax is a
+    tiny struct-max aggregate. No corpus-scale shuffle wider than the
+    (doc_id, tg) count table."""
+    nrm = F.concat(
+        F.lit(" "),
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        F.lit(" "),
+    )
+    base = (
+        d.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", nrm.alias("nrm"))
+    )
+    tgs = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("nrm") - 2),
+                lambda i: F.substring(F.col("nrm"), i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    dtg = tgs.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("k"))
+    # Profiles keep each language's TOP-K trigrams (Cavnar-Trenkle's
+    # profile truncation, deterministic tie-break) — besides matching
+    # the published method, equal-size profiles kill the smoothing
+    # artifact where a small training corpus's flatter unseen penalty
+    # out-scores a large one on out-of-profile documents.
+    raw_train = (
+        tgs.where(F.col("lang").isNotNull())
+        .groupBy(F.col("lang").alias("cl"), "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_prof = Window.partitionBy("cl").orderBy(F.col("cnt").desc(), F.col("tg"))
+    train = (
+        raw_train.withColumn("rk", F.row_number().over(w_prof))
+        .where(F.col("rk") <= _LANGID_TOPK)
+        .drop("rk")
+    )
+    tot = train.groupBy("cl").agg(F.sum("cnt").alias("tot"))
+    vd = train.agg(F.countDistinct("tg").alias("v"))
+
+    def lp(num, den):
+        return F.floor(
+            F.log2(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    profile = (
+        train.join(tot, "cl")
+        .crossJoin(F.broadcast(vd))
+        .select("cl", "tg", lp(F.col("cnt") + 1, F.col("tot") + F.col("v")).alias("lp_e6"))
+    )
+    unseen = tot.crossJoin(F.broadcast(vd)).select(
+        "cl", lp(F.lit(1), F.col("tot") + F.col("v")).alias("unseen_e6")
+    )
+    known = dtg.join(profile, "tg").groupBy("doc_id", "cl").agg(
+        F.sum(F.col("k") * F.col("lp_e6")).alias("s_known"),
+        F.sum("k").alias("k_known"),
+    )
+    doc_tot = base.select(
+        "doc_id",
+        "lang",
+        (F.length("nrm") - 2).cast("long").alias("n_trigrams"),
+        F.floor(
+            (F.length("nrm") - F.length(F.regexp_replace("nrm", "[ -~]", "")))
+            * F.lit(1000000.0)
+            / F.length("nrm")
+        )
+        .cast("long")
+        .alias("ascii_e6"),
+    )
+    scored = (
+        doc_tot.crossJoin(F.broadcast(unseen))
+        .join(known, ["doc_id", "cl"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cl",
+            "n_trigrams",
+            "ascii_e6",
+            (
+                F.coalesce(F.col("s_known"), F.lit(0))
+                + (F.col("n_trigrams") - F.coalesce(F.col("k_known"), F.lit(0)))
+                * F.col("unseen_e6")
+            ).alias("score_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.max(F.struct("score_e6", "cl")).alias("_b"),
+        F.sort_array(F.collect_list("score_e6"), asc=False).alias("_ss"),
+        F.first("n_trigrams").alias("n_trigrams"),
+        F.first("ascii_e6").alias("ascii_e6"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("_b.cl").alias("lang_pred"),
+        F.col("_b.score_e6").alias("best_lp_e6"),
+        (F.col("_b.score_e6") - F.try_element_at("_ss", F.lit(2))).alias("margin_e6"),
+        "n_trigrams",
+        "ascii_e6",
+    )
+
+
+def lang_mismatch(d: DataFrame) -> DataFrame:
+    """Documents whose predicted language disagrees with the wire tag —
+    the CCNet-style drop/requeue set (an unlabeled document never
+    mismatches; it has nothing to disagree with)."""
+    scored = lang_id_ngram(d)
+    return scored.where(
+        F.col("lang").isNotNull() & (F.col("lang_pred") != F.col("lang"))
+    )
+
+
+def _langid_sql() -> str:
+    return r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             ' ' || lower(regexp_replace(trim(text), '\s+', ' ', 'g')) || ' ' AS nrm
+      FROM documents WHERE length(trim(text)) > 0
+    ), tgs AS (
+      SELECT doc_id, lang, substr(nrm, CAST(i AS INTEGER), 3) AS tg
+      FROM base, LATERAL (SELECT unnest(generate_series(1, length(nrm) - 2)) AS i) t
+    ), dtg AS (
+      SELECT doc_id, tg, COUNT(*) AS k FROM tgs GROUP BY 1, 2
+    ), raw_train AS (
+      SELECT lang AS cl, tg, COUNT(*) AS cnt FROM tgs WHERE lang IS NOT NULL GROUP BY 1, 2
+    ), train AS (
+      SELECT cl, tg, cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY cl ORDER BY cnt DESC, tg) AS rk
+        FROM raw_train
+      ) WHERE rk <= {topk}
+    ), tot AS (
+      SELECT cl, SUM(cnt) AS tot FROM train GROUP BY 1
+    ), vd AS (
+      SELECT COUNT(DISTINCT tg) AS v FROM train
+    ), profile AS (
+      SELECT cl, tg,
+             CAST(FLOOR(log2(CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+      FROM train JOIN tot USING (cl), vd
+    ), unseen AS (
+      SELECT cl,
+             CAST(FLOOR(log2(1.0 / CAST(tot + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS unseen_e6
+      FROM tot, vd
+    ), known AS (
+      SELECT d.doc_id, p.cl, SUM(d.k * p.lp_e6) AS s_known, SUM(d.k) AS k_known
+      FROM dtg d JOIN profile p USING (tg) GROUP BY 1, 2
+    ), doc_tot AS (
+      SELECT doc_id, lang, CAST(length(nrm) - 2 AS BIGINT) AS n_trigrams,
+             CAST(FLOOR((length(nrm) - length(regexp_replace(nrm, '[ -~]', '', 'g'))) * 1000000.0 / length(nrm)) AS BIGINT) AS ascii_e6
+      FROM base
+    ), scored AS (
+      -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which pandas
+      -- floats (the canonicalizer drift the unigram oracle documents)
+      SELECT t.doc_id, t.lang, u.cl, t.n_trigrams, t.ascii_e6,
+             CAST(COALESCE(k.s_known, 0)
+                  + (t.n_trigrams - COALESCE(k.k_known, 0)) * u.unseen_e6
+                  AS BIGINT) AS score_e6
+      FROM doc_tot t CROSS JOIN unseen u
+      LEFT JOIN known k ON k.doc_id = t.doc_id AND k.cl = u.cl
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, cl DESC) AS rk
+      FROM scored
+    )
+    SELECT doc_id,
+           MAX(CASE WHEN rk = 1 THEN lang END) AS lang,
+           MAX(CASE WHEN rk = 1 THEN cl END) AS lang_pred,
+           MAX(CASE WHEN rk = 1 THEN score_e6 END) AS best_lp_e6,
+           MAX(CASE WHEN rk = 1 THEN score_e6 END)
+             - MAX(CASE WHEN rk = 2 THEN score_e6 END) AS margin_e6,
+           MAX(CASE WHEN rk = 1 THEN n_trigrams END) AS n_trigrams,
+           MAX(CASE WHEN rk = 1 THEN ascii_e6 END) AS ascii_e6
+    FROM ranked GROUP BY doc_id
+    """.replace("{topk}", str(_LANGID_TOPK))
+
+
+@register("q_langid", sql=_langid_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification over `documents` (``lang_id_ngram``):
+    self-trained character-trigram profiles, integer micro-log2
+    scoring, charset signal, deterministic argmax.
+
+    Library tier: hash-checked against the DuckDB oracle in selfcheck
+    and on the hostile corpus (CJK, accents, null lang/text rows)."""
+    return lang_id_ngram(read_table(spark, sf_dir, "documents"))
+
+
 @register("q_unigram_logprob", sql=_unigram_sql(), survey_ids=("EXT-TEXT",), gate=False)
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring over `documents`

@@ -206,9 +206,83 @@ def read_embeddings(spark: SparkSession, sf_dir: str):
     ``read_events``. Fixtures always satisfy the contract, so oracles
     over the raw view agree. Per-ELEMENT hygiene (NaN/Inf components)
     stays a query-level concern — the e6 stats kernel NULL-guards those
-    and q_ann_lsh's hygiene columns exist to flag them."""
+    and q_ann_lsh's hygiene columns exist to flag them.
+
+    Auditability: rows dropped here are not silent — see
+    ``read_embeddings_quarantine`` / ``ingestion_audit`` (the same
+    every-row-lands-somewhere invariant the JSONL boundary keeps)."""
     from pyspark.sql import functions as F
 
     return read_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
+
+
+def read_events_quarantine(spark: SparkSession, sf_dir: str):
+    """The events rows ``read_events`` drops (null ``ts`` after the
+    dtype dispatch) — the parquet boundary's quarantine view, mirroring
+    the JSONL boundary's invariant that every input row lands in
+    exactly ONE of (clean, quarantine). ``read_events(...)`` ∪ this
+    = the raw table, disjointly (pinned in tests)."""
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, sf_dir, "events")
+    ts_dtype = dict(df.dtypes).get("ts", "")
+    if ts_dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.where(F.col("ts").isNull())
+
+
+def read_embeddings_quarantine(spark: SparkSession, sf_dir: str):
+    """The embeddings rows ``read_embeddings`` drops (null vector) —
+    the quarantine complement (see ``read_events_quarantine``)."""
+    from pyspark.sql import functions as F
+
+    return read_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNull()
+    )
+
+
+def ingestion_audit(spark: SparkSession, sf_dir: str):
+    """One-row-per-contract audit of the parquet ingestion boundary:
+    (table, n_total, n_clean, n_quarantined) for every read_* that
+    enforces a contract. n_clean + n_quarantined = n_total by
+    construction (clean and quarantine are predicate complements over
+    the same scan — the metric hook ADVICE asked for: corpus loss at
+    the boundary is countable, not silent). One scan per table; the
+    counts are cheap aggregate jobs a pipeline run logs once."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def audit(name, clean, quarantined):
+        return (
+            clean.select(F.lit(1).alias("one"))
+            .agg(F.count(F.lit(1)).alias("n_clean"))
+            .crossJoin(
+                quarantined.select(F.lit(1).alias("one"))
+                .agg(F.count(F.lit(1)).alias("n_quarantined"))
+            )
+            .select(
+                F.lit(name).alias("table"),
+                (F.col("n_clean") + F.col("n_quarantined")).alias("n_total"),
+                "n_clean",
+                "n_quarantined",
+            )
+        )
+
+    parts = [
+        audit(
+            "events",
+            read_events(spark, sf_dir),
+            read_events_quarantine(spark, sf_dir),
+        ),
+        audit(
+            "embeddings",
+            read_embeddings(spark, sf_dir),
+            read_embeddings_quarantine(spark, sf_dir),
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
