@@ -104,6 +104,8 @@ class TestBpeTrain:
             {"ab": 5, "abab": 5, "ababab": 5},
             {"x": 9, "y": 9},  # nothing mergeable
             {"répété": 3, "été": 5, "tété": 2},  # multi-byte chars
+            {"中文文本": 4, "文本处理": 3, " 中文": 2},  # CJK + space marker
+            {" the": 7, "the,": 3, "?!": 5, " x": 2},  # punct + nbsp
         ]
         for freqs in corpora:
             got = _as_tuples(bpe_train(_wc_df(spark, freqs), 8))

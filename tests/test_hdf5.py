@@ -345,7 +345,10 @@ class TestCraftedDenseGroup:
         for nm, arr in arrays.items():
             np.testing.assert_array_equal(sets[nm].read(), arr)
 
-    def test_depth_two_raises_clearly(self, tmp_path):
+    def test_corrupt_depth_header_raises_clearly(self, tmp_path):
+        # pre-r8 this raised NotImplementedError("depth > 1"); deep
+        # trees are now traversed, so a header CLAIMING depth 2 over a
+        # leaf root is detected as corruption (root isn't BTIN)
         from w4h_etl_container_spark.sources.hdf5 import H5File
 
         arrays = {"a": np.arange(3, dtype="<i4"), "b": np.arange(2, dtype="<i4"),
@@ -353,13 +356,142 @@ class TestCraftedDenseGroup:
         p = str(tmp_path / "deep.h5")
         _craft_dense_group_file(p, arrays, btree_depth=0)
         buf = bytearray(open(p, "rb").read())
-        # locate BTHD and bump its depth field to 2
         at = bytes(buf).index(b"BTHD")
         struct.pack_into("<H", buf, at + 12, 2)
         p2 = str(tmp_path / "deep2.h5")
         open(p2, "wb").write(bytes(buf))
-        with pytest.raises(NotImplementedError, match="depth"):
+        with pytest.raises(ValueError, match="internal node"):
             H5File(p2)
+
+
+class TestV2BtreeAnyDepth:
+    """Round 8: v2 B-tree traversal at arbitrary depth, against an
+    INDEPENDENT tree builder that computes the spec's per-level
+    child-pointer widths itself and serializes partially-filled nodes.
+    (netCDF-4 needs depth ≤ 1; this pins the >3k-variable case the r7
+    reader refused.)"""
+
+    NODE_SIZE = 64
+    REC_SIZE = 8
+
+    def _capacities(self, depth):
+        bytes_for = lambda v: max(1, (v.bit_length() + 7) // 8)  # noqa: E731
+        max_nrec = {0: (self.NODE_SIZE - 10) // self.REC_SIZE}
+        cum = {0: max_nrec[0]}
+        for d in range(1, depth + 1):
+            ptr = 8 + bytes_for(max_nrec[d - 1]) + (
+                bytes_for(cum[d - 1]) if d > 1 else 0
+            )
+            cap = (self.NODE_SIZE - 10 - ptr) // (self.REC_SIZE + ptr)
+            max_nrec[d] = cap
+            cum[d] = cum[d - 1] * (cap + 1) + cap
+        return max_nrec, cum
+
+    def _build(self, depth):
+        """Return (buffer, expected_records) for a tree of the given
+        depth with non-full nodes (leaves hold 3 of 6, internals the
+        lesser of 2 and capacity)."""
+        bytes_for = lambda v: max(1, (v.bit_length() + 7) // 8)  # noqa: E731
+        max_nrec, cum = self._capacities(depth)
+
+        def shape(d):
+            nrec = 3 if d == 0 else min(2, max_nrec[d])
+            assert nrec >= 1
+            node = {"d": d, "recs": [None] * nrec, "children": []}
+            if d > 0:
+                node["children"] = [shape(d - 1) for _ in range(nrec + 1)]
+            return node
+
+        root = shape(depth)
+
+        # assign record values in IN-ORDER position so the expected
+        # sequence is simply ascending
+        counter = iter(range(10_000))
+
+        def assign(n):
+            if n["d"] == 0:
+                n["recs"] = [struct.pack("<Q", next(counter)) for _ in n["recs"]]
+                return
+            recs = []
+            for i, c in enumerate(n["children"]):
+                assign(c)
+                if i < len(n["recs"]):
+                    recs.append(struct.pack("<Q", next(counter)))
+            n["recs"] = recs
+
+        assign(root)
+        expected = []
+
+        def inorder(n):
+            if n["d"] == 0:
+                expected.extend(n["recs"])
+                return
+            for i, c in enumerate(n["children"]):
+                inorder(c)
+                if i < len(n["recs"]):
+                    expected.append(n["recs"][i])
+
+        inorder(root)
+
+        # assign addresses: header (32 B) then nodes in DFS order
+        nodes = []
+
+        def collect(n):
+            nodes.append(n)
+            for c in n["children"]:
+                collect(c)
+
+        collect(root)
+        header_size = 32
+        for i, n in enumerate(nodes):
+            n["addr"] = header_size + i * self.NODE_SIZE
+
+        def total_recs(n):
+            return len(n["recs"]) + sum(total_recs(c) for c in n["children"])
+
+        out = bytearray()
+        out += b"BTHD" + bytes([0, 5])
+        out += struct.pack("<I", self.NODE_SIZE)
+        out += struct.pack("<HH", self.REC_SIZE, depth)
+        out += bytes([100, 40])  # split/merge percents
+        out += struct.pack("<QH", root["addr"], len(root["recs"]))
+        assert len(out) <= header_size
+        out += b"\0" * (header_size - len(out))
+        for n in nodes:
+            blob = bytearray()
+            if n["d"] == 0:
+                blob += b"BTLF" + bytes([0, 5])
+                for r in n["recs"]:
+                    blob += r
+            else:
+                blob += b"BTIN" + bytes([0, 5])
+                for r in n["recs"]:
+                    blob += r
+                sz_nrec = bytes_for(max_nrec[n["d"] - 1])
+                sz_tot = bytes_for(cum[n["d"] - 1]) if n["d"] > 1 else 0
+                for c in n["children"]:
+                    blob += struct.pack("<Q", c["addr"])
+                    blob += len(c["recs"]).to_bytes(sz_nrec, "little")
+                    if sz_tot:
+                        blob += total_recs(c).to_bytes(sz_tot, "little")
+            assert len(blob) <= self.NODE_SIZE, (n["d"], len(blob))
+            blob += b"\0" * (self.NODE_SIZE - len(blob))
+            out += blob
+        return bytes(out), expected
+
+    @pytest.mark.parametrize("depth", [0, 1, 2, 3])
+    def test_traversal_any_depth(self, depth):
+        from w4h_etl_container_spark.sources.hdf5 import H5File
+
+        buf, expected = self._build(depth)
+        f = object.__new__(H5File)
+        f.buf = buf
+        got = f._v2btree_records(0)
+        assert got == expected
+        # deep trees actually have many records (sanity that the
+        # fixture exercises recursion, not a trivial tree)
+        if depth >= 2:
+            assert len(got) > 20
 
 
 class TestFilterMessageV2:

@@ -60,6 +60,7 @@ DOC_ONLY_QUERIES = [
     "q_media_features",
     "q_unigram_logprob",
     "q_langid",
+    "q_curated_corpus",
 ]
 
 

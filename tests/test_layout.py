@@ -167,3 +167,103 @@ class TestZorderBy:
         # degrades to the informative keys
         out = zorder_by(df, ["c", "d"], n_files=2)
         assert out.count() == 3
+
+
+class TestHilbertKey:
+    def test_reference_values(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.layout import hilbert_key
+
+        # independent reference: the classic xy2d walk
+        def ref(x, y, bits):
+            d = 0
+            s = 1 << (bits - 1)
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x = s - 1 - x
+                        y = s - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        rows = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(rows, "x long, y long").select(
+            "x", "y", hilbert_key(F.col("x"), F.col("y"), bits=3).alias("h")
+        )
+        got = {(r["x"], r["y"]): r["h"] for r in df.collect()}
+        for x, y in rows:
+            assert got[(x, y)] == ref(x, y, 3), (x, y)
+        # bijectivity over the full 8×8 grid
+        assert sorted(got.values()) == list(range(64))
+
+    def test_adjacency_no_jumps(self, spark):
+        """THE Hilbert property Morton lacks: consecutive curve indices
+        are grid neighbors (Manhattan distance exactly 1) — per-file key
+        ranges therefore map to compact spatial blobs."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.layout import hilbert_key, morton_key
+
+        rows = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        hil = {
+            r["h"]: (r["x"], r["y"])
+            for r in df.select(
+                "x", "y", hilbert_key(F.col("x"), F.col("y"), bits=4).alias("h")
+            ).collect()
+        }
+        for d in range(255):
+            (x0, y0), (x1, y1) = hil[d], hil[d + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+        # Morton control: it DOES jump (that's the trade)
+        mor = {
+            r["m"]: (r["x"], r["y"])
+            for r in df.select(
+                "x", "y", morton_key([F.col("x"), F.col("y")], bits=4).alias("m")
+            ).collect()
+        }
+        jumps = sum(
+            1
+            for d in range(255)
+            if abs(mor[d][0] - mor[d + 1][0]) + abs(mor[d][1] - mor[d + 1][1]) > 1
+        )
+        assert jumps > 0
+
+
+class TestHilbertLayout:
+    def test_both_keys_prune_under_hilbert(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.layout import zorder_by
+
+        g = (
+            spark.range(10_000)
+            .select(
+                (F.col("id") % 100).alias("x"),
+                (F.col("id") / 100).cast("long").alias("y"),
+            )
+        )
+        out = str(tmp_path / "hilbert")
+        zorder_by(g, ["x", "y"], n_files=16, bits=8, curve="hilbert").write.parquet(out)
+        for col in ("x", "y"):
+            ranges = _file_ranges(out, col)
+            n = len(ranges)
+            band_lo, band_hi = 40, 49
+            touching = sum(
+                1 for lo, hi in ranges if not (hi < band_lo or lo > band_hi)
+            )
+            assert touching <= n // 2, (col, touching, n)
+
+    def test_hilbert_requires_two_columns(self, spark):
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.operators.layout import zorder_by
+
+        df = spark.range(10).selectExpr("id as a", "id as b", "id as c")
+        with _pytest.raises(ValueError):
+            zorder_by(df, ["a", "b", "c"], curve="hilbert")

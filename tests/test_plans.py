@@ -167,6 +167,8 @@ class TestKernelCodegen:
         # the 1-row trigram-universe scalar and the L-row (bounded
         # language-dimension) per-profile constants in the langid scorer
         "q_langid",
+        # inherits q_langid's bounded language-dimension cross as a CTE
+        "q_curated_corpus",
     }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):

@@ -78,15 +78,58 @@ def morton_key(quantized: list[Column], bits: int = 16) -> Column:
     return key
 
 
+def hilbert_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Hilbert-curve index of a quantized 2-d point (each coordinate in
+    [0, 2^bits)) — the locality refinement over Morton order: the curve
+    has no long diagonal jumps, so per-file bounding boxes are tighter
+    for the same file count (what Databricks' liquid clustering and
+    science-grid layouts use).
+
+    The classic xy2d algorithm (Hilbert 1891; the bitwise form is the
+    Warren, *Hacker's Delight* rendering): walk bit levels from the top,
+    accumulate the quadrant index, and rotate the frame. Expressed as
+    ONE native fold over the bit levels with a struct accumulator
+    (d, x, y) — no UDF, no per-row Python; the rotation's swap/reflect
+    arms are plain integer expressions. 2-d only (the standard case:
+    lat/lon, x/y tiles); k-d generalizations belong on the Morton path."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in [1, 31]")
+    levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    init = F.struct(
+        F.lit(0).cast("long").alias("d"),
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+    )
+
+    def step(acc, lvl):
+        # 2^lvl — shiftleft() takes only a literal int shift, so the
+        # per-element level goes through pow (double-exact to 2^53)
+        s = F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = acc["d"] + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        # rotate: ry==0 → (reflect if rx==1, then swap x/y)
+        refl_x = F.when((ry == 0) & (rx == 1), s - 1 - acc["x"]).otherwise(acc["x"])
+        refl_y = F.when((ry == 0) & (rx == 1), s - 1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, refl_y).otherwise(acc["x"])
+        ny = F.when(ry == 0, refl_x).otherwise(acc["y"])
+        return F.struct(d2.alias("d"), nx.alias("x"), ny.alias("y"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
 def zorder_by(
     df: DataFrame,
     cols: list[str],
     n_files: int | None = None,
     bits: int = 16,
+    curve: str = "z",
 ) -> DataFrame:
-    """Return ``df`` re-laid-out on the Morton interleave of ``cols``
-    so min/max skipping works on EVERY listed key, not just the leading
-    one (module docstring).
+    """Return ``df`` re-laid-out on the interleaved-curve index of
+    ``cols`` so min/max skipping works on EVERY listed key, not just
+    the leading one (module docstring). ``curve="z"`` (default) is the
+    Morton interleave for any k; ``curve="hilbert"`` swaps in the
+    Hilbert index (tighter per-file bounding boxes, 2-d only).
 
     Quantization is equi-width over each column's observed [min, max]
     (ONE tiny all-column aggregate, collected as a driver scalar — the
@@ -98,6 +141,10 @@ def zorder_by(
     key. Nulls quantize to bucket 0 (they sort together, first)."""
     if not cols:
         raise ValueError("zorder_by needs at least one column")
+    if curve not in ("z", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}")
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError("hilbert curve layout is 2-d (pass exactly two columns)")
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
@@ -115,7 +162,12 @@ def zorder_by(
             / F.lit(float(mx - mn))
         ).cast("long")
         quantized.append(F.coalesce(F.least(q, F.lit(levels)), F.lit(0)))
-    keyed = df.withColumn("_zkey", morton_key(quantized, bits))
+    key = (
+        hilbert_key(quantized[0], quantized[1], bits)
+        if curve == "hilbert"
+        else morton_key(quantized, bits)
+    )
+    keyed = df.withColumn("_zkey", key)
     parted = (
         keyed.repartitionByRange(n_files, "_zkey")
         if n_files is not None

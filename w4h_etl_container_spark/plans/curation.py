@@ -708,6 +708,98 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_ngram(read_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# EXT-TEXT / EXT-DEDUP — the end-to-end curation gate as ONE decision table
+# ---------------------------------------------------------------------------
+def _curated_sql() -> str:
+    from w4h_etl_container_spark.plans.corpus import _quality_flags_sql
+    from w4h_etl_container_spark.plans.textops import DEDUP_EXACT_SQL
+
+    return f"""
+    WITH q AS ({_quality_flags_sql()}),
+         dd AS ({DEDUP_EXACT_SQL}),
+         li AS ({_langid_sql()})
+    SELECT q.doc_id,
+           dd.n_copies,
+           q.keep AS keep_quality,
+           (dd.doc_id = dd.canonical_id) AS is_canonical,
+           li.lang,
+           li.lang_pred,
+           (li.lang IS NULL OR li.lang_pred = li.lang) AS lang_ok,
+           (q.keep AND dd.doc_id = dd.canonical_id
+             AND (li.lang IS NULL OR li.lang_pred = li.lang)) AS curated
+    FROM q
+    JOIN dd ON q.doc_id = dd.doc_id
+    JOIN li ON q.doc_id = li.doc_id
+    """
+
+
+@register(
+    "q_curated_corpus",
+    sql=_curated_sql(),
+    survey_ids=("EXT-TEXT", "EXT-DEDUP"),
+    gate=False,
+)
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation gate as one per-document decision table —
+    the row a real pipeline writes next to its filtered corpus:
+
+    * ``keep_quality`` — every Gopher/C4-family rule passes
+      (``quality_flags``; rules-as-data, one QUALITY_RULES dict renders
+      both engines);
+    * ``is_canonical`` — the document is its exact-dup cluster's
+      min-doc_id representative (``q_dedup_exact``'s shared SQL);
+    * ``lang_ok`` — the trigram classifier agrees with the wire
+      language tag, vacuously true for unlabeled docs
+      (``lang_id_ngram``);
+    * ``curated`` — the conjunction: the document enters the training
+      corpus.
+
+    Universe: documents with non-blank text (the langid stage's
+    domain — a whitespace-only doc has no language and fails
+    ``too_few_tokens`` anyway).
+
+    Composition discipline: every stage is individually hash-green
+    against its own oracle, and THIS query re-renders the same three
+    subqueries as CTEs in both engines — so the composed decision is
+    exactly as trustworthy as its parts (no re-implementation, no
+    drift surface).
+
+    Scale: three 1:1 joins on doc_id over stages that are each one
+    scan + one bounded shuffle (profile: zero shuffles; dedup: one
+    fingerprint window; langid: the trigram aggregates) — the join
+    keys are the natural partitioning, so AQE co-locates them."""
+    from w4h_etl_container_spark.plans.textops import q_dedup_exact, quality_flags
+
+    d = read_table(spark, sf_dir, "documents")
+    q = quality_flags(d.where(F.length("text") > 0)).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    dd = q_dedup_exact(spark, sf_dir).select(
+        "doc_id",
+        "n_copies",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+    li = lang_id_ngram(d).select("doc_id", "lang", "lang_pred")
+    lang_ok = F.col("lang").isNull() | (F.col("lang_pred") == F.col("lang"))
+    return (
+        q.join(dd, "doc_id")
+        .join(li, "doc_id")
+        .select(
+            "doc_id",
+            "n_copies",
+            "keep_quality",
+            "is_canonical",
+            "lang",
+            "lang_pred",
+            lang_ok.alias("lang_ok"),
+            (F.col("keep_quality") & F.col("is_canonical") & lang_ok).alias(
+                "curated"
+            ),
+        )
+    )
+
+
 @register("q_unigram_logprob", sql=_unigram_sql(), survey_ids=("EXT-TEXT",), gate=False)
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring over `documents`

@@ -180,9 +180,9 @@ def text_profile(d: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # exact deduplication (content fingerprint → per-doc canonical mapping)
 # ---------------------------------------------------------------------------
-@register(
-    "q_dedup_exact",
-    sql=r"""
+# One copy of the oracle SQL: the gate query AND the round-8 curated-corpus
+# composition both consume it, so the fingerprint definition cannot drift.
+DEDUP_EXACT_SQL = r"""
     SELECT doc_id,
            fingerprint,
            min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
@@ -192,7 +192,12 @@ def text_profile(d: DataFrame) -> DataFrame:
              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents
     )
-    """,
+    """
+
+
+@register(
+    "q_dedup_exact",
+    sql=DEDUP_EXACT_SQL,
     survey_ids=("EXT-DEDUP",),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

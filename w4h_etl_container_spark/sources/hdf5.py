@@ -16,8 +16,8 @@ by libhdf5 1.8+ actually use:
   ``SNOD`` nodes + local heap), new-style compact Link messages, and
   dense groups (Link messages in a fractal heap indexed by a v2
   B-tree on name hash — the layout netCDF-4 emits past its
-  compact-link threshold); v2 B-trees deeper than one internal level
-  (≈ tens of thousands of links) raise clearly;
+  compact-link threshold), with v2 B-tree traversal at ANY depth
+  (per-level child-pointer widths from the spec's capacity formulas);
 * dataspace v1/v2, datatype classes 0/1/3 (fixed-point, IEEE float,
   fixed-length string), attribute messages v1/v3;
 * data layout v3: compact, contiguous, and chunked behind a v1 B-tree
@@ -257,27 +257,44 @@ class H5File:
         return out
 
     def _v2btree_records(self, addr: int) -> list[bytes]:
-        """All records of a v2 B-tree, in tree order. Depth 0 (leaf root)
-        and depth 1 (one internal level, ≈185 links/leaf at libhdf5's
-        default 2048-byte node) cover netCDF-4 files into the tens of
-        thousands of variables; deeper trees raise with the observed
-        depth. Checksums are not verified (same policy as fletcher32)."""
+        """All records of a v2 B-tree, in tree order, at ANY depth
+        (round 8 — the former one-internal-level limit is lifted; a
+        netCDF-4 file never needs more than depth 1 in practice, but a
+        >3k-variable pathological file no longer refuses).
+
+        Child-pointer field widths vary per level (spec III.A.2): an
+        internal node's pointer to a depth-(d−1) child carries the
+        child's DIRECT record count in the minimum bytes for that
+        level's node capacity, plus — only when the child is itself
+        internal — the subtree's cumulative record total in the bytes
+        for the cumulative capacity. Both capacity tables derive from
+        node_size/rec_size exactly as libhdf5 computes them
+        (n·rec + (n+1)·ptr ≤ node_size − 10), so the reader walks the
+        same byte layout the writer emitted. Checksums are not verified
+        (same policy as fletcher32)."""
         buf = self.buf
         if buf[addr : addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header")
         node_size = struct.unpack_from("<I", buf, addr + 6)[0]
         rec_size, depth = struct.unpack_from("<HH", buf, addr + 10)
         root, root_nrec = struct.unpack_from("<QH", buf, addr + 16)
-        if depth > 1:
-            raise NotImplementedError(f"v2 B-tree depth {depth} (> 1) not supported")
 
         def bytes_for(v: int) -> int:
             return max(1, (v.bit_length() + 7) // 8)
 
-        # leaf capacity fixes the size of the per-child record counts in
-        # internal nodes (spec III.A.2 "Child Node Pointer")
-        max_leaf_nrec = (node_size - 10) // rec_size
-        nrec_sz = bytes_for(max_leaf_nrec)
+        # per-depth node capacity (max direct records) and cumulative
+        # subtree capacity — these fix every child-pointer field width
+        max_nrec = {0: (node_size - 10) // rec_size}
+        cum_max = {0: max_nrec[0]}
+        for d in range(1, depth + 1):
+            ptr = 8 + bytes_for(max_nrec[d - 1]) + (
+                bytes_for(cum_max[d - 1]) if d > 1 else 0
+            )
+            cap = (node_size - 10 - ptr) // (rec_size + ptr)
+            if cap < 1:
+                raise ValueError("v2 B-tree node size too small for its depth")
+            max_nrec[d] = cap
+            cum_max[d] = cum_max[d - 1] * (cap + 1) + cap
 
         def leaf(node: int, nrec: int) -> list[bytes]:
             if buf[node : node + 4] != b"BTLF":
@@ -285,21 +302,28 @@ class H5File:
             p = node + 6
             return [bytes(buf[p + i * rec_size : p + (i + 1) * rec_size]) for i in range(nrec)]
 
-        if depth == 0:
-            return leaf(root, root_nrec)
-        if buf[root : root + 4] != b"BTIN":
-            raise ValueError("bad v2 B-tree internal node")
-        out: list[bytes] = []
-        p = root + 6
-        ptr_at = p + root_nrec * rec_size
-        for i in range(root_nrec + 1):
-            caddr = struct.unpack_from("<Q", buf, ptr_at)[0]
-            cnrec = int.from_bytes(buf[ptr_at + 8 : ptr_at + 8 + nrec_sz], "little")
-            out.extend(leaf(caddr, cnrec))
-            ptr_at += 8 + nrec_sz
-            if i < root_nrec:
-                out.append(bytes(buf[p + i * rec_size : p + (i + 1) * rec_size]))
-        return out
+        def visit(node: int, nrec: int, d: int) -> list[bytes]:
+            if d == 0:
+                return leaf(node, nrec)
+            if buf[node : node + 4] != b"BTIN":
+                raise ValueError("bad v2 B-tree internal node")
+            sz_nrec = bytes_for(max_nrec[d - 1])
+            sz_tot = bytes_for(cum_max[d - 1]) if d > 1 else 0
+            p = node + 6
+            ptr_at = p + nrec * rec_size
+            out: list[bytes] = []
+            for i in range(nrec + 1):
+                caddr = struct.unpack_from("<Q", buf, ptr_at)[0]
+                cnrec = int.from_bytes(
+                    buf[ptr_at + 8 : ptr_at + 8 + sz_nrec], "little"
+                )
+                ptr_at += 8 + sz_nrec + sz_tot
+                out.extend(visit(caddr, cnrec, d - 1))
+                if i < nrec:
+                    out.append(bytes(buf[p + i * rec_size : p + (i + 1) * rec_size]))
+            return out
+
+        return visit(root, root_nrec, depth)
 
     def _symbol_links(self, btree: int, heap: int) -> list[tuple[str, int]]:
         """Old-style group: v1 B-tree (node type 0) over SNOD symbol
