@@ -31,8 +31,9 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from w4h_etl_container_spark.session import get_spark, read_table, parallelize_compute
+    from w4h_etl_container_spark.operators.bpe import bpe_train, word_counts
     from w4h_etl_container_spark.operators.components import dedup_survivors
-    from w4h_etl_container_spark.plans.curation import span_dedup
+    from w4h_etl_container_spark.plans.curation import lang_id_ngram, span_dedup, unigram_logprob
     from w4h_etl_container_spark.plans.textops import (
         minhash_candidates,
         ngram_jaccard_fast,
@@ -81,6 +82,17 @@ def main() -> int:
             "dedup_survivors": lambda: dedup_survivors(
                 docs, minhash_candidates(spread)
             ).foreach(lambda r: None),
+            # round-8 operators
+            "lang_id": lambda: lang_id_ngram(docs).foreach(lambda r: None),
+            "unigram_logprob": lambda: unigram_logprob(docs).foreach(
+                lambda r: None
+            ),
+            # BPE: word_counts is the ONLY corpus-scale pass; the merge
+            # loop is vocab-bounded, so 5-merge training should grow
+            # FAR sub-linearly at 10× corpus (the architecture claim,
+            # measured)
+            "bpe_word_counts": lambda: word_counts(docs).foreach(lambda r: None),
+            "bpe_train_5": lambda: bpe_train(word_counts(docs), 5),
         }
 
     small, big = ops(base_dir), ops(big_dir)

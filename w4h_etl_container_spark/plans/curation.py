@@ -542,16 +542,27 @@ def lang_id_ngram(d: DataFrame) -> DataFrame:
             )
         ).alias("tg"),
     )
-    dtg = tgs.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("k"))
+    # ONE evaluation of the corpus-wide trigram explode: both consumers
+    # (the per-doc count table and the training profile) derive from
+    # the same (doc_id, lang, tg) aggregate, so the widest stream in
+    # the operator is exploded and map-side-combined once (AQE reuses
+    # the exchange) and the profile aggregation's input shrinks from
+    # trigram OCCURRENCES to distinct-per-doc trigrams — the same
+    # pre-aggregation move as unigram_logprob. Measured at the 10×
+    # probe: 11.8× growth → ~6× (tools/scaling_probe.py).
+    dtg_full = tgs.groupBy("doc_id", "lang", "tg").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    dtg = dtg_full.select("doc_id", "tg", "k")
     # Profiles keep each language's TOP-K trigrams (Cavnar-Trenkle's
     # profile truncation, deterministic tie-break) — besides matching
     # the published method, equal-size profiles kill the smoothing
     # artifact where a small training corpus's flatter unseen penalty
     # out-scores a large one on out-of-profile documents.
     raw_train = (
-        tgs.where(F.col("lang").isNotNull())
+        dtg_full.where(F.col("lang").isNotNull())
         .groupBy(F.col("lang").alias("cl"), "tg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("k").alias("cnt"))
     )
     w_prof = Window.partitionBy("cl").orderBy(F.col("cnt").desc(), F.col("tg"))
     train = (

@@ -338,21 +338,6 @@ _PAIR_EXPAND = (
     "transform(slice(ds, i + 2, size(ds) - i - 1), y -> shiftleft(x, 32) + y)))"
 )
 
-# Pair expansion fused with per-doc size markers: alongside every (a<b)
-# pair the bucket also emits one self-pair (d, d) per member — the
-# marker key space is disjoint from real pairs (strict a<b) — so ONE
-# groupBy(pk) exchange yields BOTH the per-pair co-occurrence counts
-# (hi≠lo rows) and the per-doc capped-shingle sizes (hi=lo rows).
-# The alternative (separate sizes/pairs branches) pays a second wide
-# exchange over the full occurrence stream and a second scan of the
-# posting-list table; fused, the three consumers (common, sa, sb) read
-# the SAME shuffle via Spark's ReuseExchange.
-_PAIR_AND_SIZE_EXPAND = (
-    "concat("
-    "flatten(transform(ds, (x, i) -> "
-    "transform(slice(ds, i + 2, size(ds) - i - 1), y -> shiftleft(x, 32) + y))), "
-    "transform(ds, x -> shiftleft(x, 32) + x))"
-)
 
 
 def _unpack_pairs(df: DataFrame, pk: str = "pk") -> DataFrame:
@@ -574,13 +559,13 @@ def _jaccard_from_shingles(
     drift between them (the ``_banded_pairs`` pattern).
 
     The posting-list table is localCheckpoint-ed (reliable ``checkpoint``
-    on a cluster — same call site) before the expansion for the measured
-    reason the winnow-overlap pipeline documents (PERF.md): when AQE
-    coalesces the small post-shuffle table to one partition, the
-    O(Σ len(ds)²) in-bucket pair expansion downstream would run on one
-    core. (Since the round-8 fused-marker rewrite the table has a single
-    consumer — the double-evaluation rationale moved up to the shared
-    pair/size aggregate, which ReuseExchange serves to both filters.) ``parallelize_compute`` over the materialized
+    on a cluster — same call site) before fan-out for two reasons, the
+    same barrier the winnow-overlap pipeline documents (PERF.md): it is
+    consumed by BOTH the sizes branch and the pair branch, so the barrier
+    stops the collect_set aggregation from evaluating twice; and — the
+    measured one — when AQE coalesces the small post-shuffle table to one
+    partition, the O(Σ len(ds)²) in-bucket pair expansion downstream
+    would run on one core. ``parallelize_compute`` over the materialized
     table re-spreads it only when the observed split count is genuinely
     low (its scale guard skips at cluster scale, where the shuffle output
     keeps many partitions; measured sf0.1: 2.3 s → 1.4 s).
@@ -594,27 +579,32 @@ def _jaccard_from_shingles(
     )
     if spread:
         byssh = parallelize_compute(byssh.localCheckpoint())
-    # ONE scan of the posting lists, ONE wide exchange: pairs and
-    # per-doc size markers ride the same explode + groupBy(pk) (see
-    # _PAIR_AND_SIZE_EXPAND). sizes/common are filters over that shared
-    # aggregate — the shuffle is written once (ReuseExchange) instead of
-    # the sizes branch paying its own exchange over the occurrence
-    # stream (round-8 rewrite; measured ~20% off the sf0.1 wall).
-    counts = (
-        byssh.select(F.explode(F.expr(_PAIR_AND_SIZE_EXPAND)).alias("pk"))
+    # Two separate aggregations — sizes from the occurrence stream,
+    # co-occurrence counts from the pair expansion — are the RIGHT
+    # scale shape, established by measurement, not intuition. The
+    # round-8 attempt fused them (size markers as self-pairs riding the
+    # pair explode into one groupBy(pk)) to save the sizes exchange;
+    # that was strictly worse at the 10× probe: lazy, the reduce-side
+    # aggregation of the PAIR stream — the widest intermediate in the
+    # operator, ~quadratic in posting-list occupancy — re-ran per
+    # consumer (17× growth); checkpointed, materializing that stream
+    # OOMed the block manager; and the filters-over-checkpoint carried
+    # no stats, so the joins lost their AQE broadcast. The sizes
+    # exchange this shape pays is narrow (8-byte doc ids, linear in
+    # occurrences) and gives AQE the runtime stats that make both
+    # sizes joins broadcast — no hint needed (a blind hint would OOM
+    # the driver at 10^9 docs).
+    sizes = (
+        byssh.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    common = _unpack_pairs(
+        byssh.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("pk"))
         .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    hi, lo = F.shiftright("pk", 32), F.expr("pk & 4294967295")
-    sizes = counts.where(hi == lo).select(
-        lo.alias("doc_id"), F.col("c").alias("n")
-    )
-    common = _unpack_pairs(counts.where(hi != lo)).withColumnRenamed(
-        "c", "n_common"
-    )
-    # no broadcast hint on sizes: per-document cardinality is unbounded at
-    # corpus scale (a hint would OOM the driver at 10^9 docs); AQE
-    # broadcasts it anyway when it is actually small.
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     j = (
