@@ -409,6 +409,52 @@ class TestLangId:
         assert f"<= {_LANGID_TOPK}" in plan or f"{_LANGID_TOPK}" in plan
 
 
+class TestBigramLogprob:
+    def test_phrase_coherence_separates_what_unigram_cannot(self, spark):
+        """Two documents with IDENTICAL token multisets — one in the
+        corpus-typical phrase order, one scrambled — get the same
+        unigram score but different bigram scores (higher for the
+        coherent one). This is the whole point of the second gram."""
+        from w4h_etl_container_spark.plans.curation import (
+            bigram_logprob,
+            unigram_logprob,
+        )
+
+        phrase = "the cat sat on the mat"
+        rows = [
+            (1, phrase),
+            (2, phrase),
+            (3, phrase),
+            (10, phrase),  # coherent: corpus-typical order
+            (11, "mat the on sat cat the"),  # same tokens, scrambled
+        ]
+        d = _docs(spark, rows)
+        uni = {r["doc_id"]: r["avg_lp"] for r in unigram_logprob(d).collect()}
+        assert uni[10] == uni[11]  # unigram is order-blind
+        big = {r["doc_id"]: r["avg_lp"] for r in bigram_logprob(d).collect()}
+        assert big[10] > big[11]
+
+    def test_short_docs_excluded(self, spark):
+        from w4h_etl_container_spark.plans.curation import bigram_logprob
+
+        rows = [(1, "solo"), (2, ""), (3, "two tokens")]
+        out = bigram_logprob(_docs(spark, rows)).collect()
+        assert {r["doc_id"] for r in out} == {3}
+        assert out[0]["n_bigrams"] == 1
+
+    def test_crafted_duckdb_parity(self, spark):
+        from w4h_etl_container_spark.plans.curation import _bigram_sql, bigram_logprob
+
+        rows = [
+            (1, "a b a b a"),
+            (2, "b a b a b"),
+            (3, "a a a a"),
+            (4, "c d"),
+            (5, "  "),
+        ]
+        _parity(bigram_logprob(_docs(spark, rows)), _duck(rows, _bigram_sql()))
+
+
 class TestSpanSpans:
     def test_span_concat_roundtrip(self, spark):
         text = " ".join(f"t{i}" for i in range(2 * _SPAN_W + 3))

@@ -61,6 +61,8 @@ DOC_ONLY_QUERIES = [
     "q_unigram_logprob",
     "q_langid",
     "q_curated_corpus",
+    "q_bpe_pairs",
+    "q_bigram_logprob",
 ]
 
 

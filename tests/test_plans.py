@@ -167,6 +167,8 @@ class TestKernelCodegen:
         # the 1-row trigram-universe scalar and the L-row (bounded
         # language-dimension) per-profile constants in the langid scorer
         "q_langid",
+        # 1-row corpus-total scalar, as in q_unigram_logprob
+        "q_bigram_logprob",
         # inherits q_langid's bounded language-dimension cross as a CTE
         "q_curated_corpus",
     }

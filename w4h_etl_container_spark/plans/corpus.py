@@ -310,6 +310,54 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N_MERGES = 40
 
 
+def _bpe_pairs_sql() -> str:
+    pat = _BPE_PAT.replace("'", "''")
+    return rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '{pat}')) AS word FROM documents
+    ), words AS (
+      SELECT word, COUNT(*) AS freq FROM toks
+      WHERE NOT regexp_matches(word, '^\s+$') GROUP BY word
+    ), pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+             substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+             freq
+      FROM words, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) t
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pairs GROUP BY a, b
+    """
+
+
+@register("q_bpe_pairs", sql=_bpe_pairs_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's iteration-0 pair-count table under the
+    driver-grade hash oracle: adjacent character-pair frequencies over
+    the corpus (word, freq) table — i.e. the aggregation every merge
+    round runs, pinned cross-engine at the one round SQL can express.
+    The iterative remainder (argmax → rewrite → repeat) stays
+    rows-only on `q_bpe_merges` with reference-implementation parity
+    in tests/test_bpe.py; THIS query is the corpus-scale half of the
+    trainer (the loop is vocab-bounded).
+
+    Scale: the same two map-side-combined aggregations as training
+    (word counts, then pair counts weighted by freq)."""
+    from w4h_etl_container_spark.operators.bpe import (
+        _adjacent_pairs,
+        _chars,
+        word_counts,
+    )
+
+    wc = word_counts(read_table(spark, sf_dir, "documents"))
+    return (
+        wc.select(
+            "freq",
+            F.explode(_adjacent_pairs(_chars(F.col("word")))).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
 @register("q_bpe_merges", sql=None, survey_ids=("EXT-TEXT",), gate=False)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table over `documents`: (rank, left, right,

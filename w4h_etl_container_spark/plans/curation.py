@@ -720,6 +720,122 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT-TEXT — interpolated bigram log-probability (the LM step past unigram)
+# ---------------------------------------------------------------------------
+_BIGRAM_LAMBDA = 0.9  # weight on the conditional bigram term
+
+
+def bigram_logprob(d: DataFrame) -> DataFrame:
+    """Per-document average INTERPOLATED bigram log2-probability under
+    the corpus's own counts — one rung up the CCNet ladder from
+    ``unigram_logprob`` (their production scorer is a 5-gram KenLM;
+    Jelinek-Mercer interpolation λ·P(w₂|w₁) + (1−λ)·P(w₂) is that
+    model family's zero-dependency two-gram core, and the signal
+    separates phrase-coherent text from bag-of-frequent-words text the
+    unigram model scores identically).
+
+    Returns (doc_id, n_bigrams, sum_lp_e6, avg_lp) over documents with
+    ≥ 2 tokens. Exactness discipline = unigram_logprob's: float enters
+    once per distinct (c₁₂, c₁, c₂, N) tuple — both engines evaluate
+    the identical IEEE expression λ·(c₁₂/c₁) + (1−λ)·(c₂/N), round its
+    log2 to an e6 integer, and aggregate in integers (same quantified
+    libm-boundary contract).
+
+    Scale: the bigram occurrence stream pre-aggregates to
+    distinct-per-doc (w₁, w₂, k) BEFORE any join (the r8 unigram
+    lesson); the profile join is ONE join because c₁/c₂/N enrich the
+    corpus-bound bigram vocab table, not the occurrence stream."""
+    base = d.where(F.length(F.trim("text")) > 0).select("doc_id", _tokens().alias("ws"))
+    base = base.where(F.size("ws") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    doc_big = bigrams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c12 = doc_big.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    # unigram counts from the SAME stream: c(w1) over bigram positions
+    # plus each doc's last token — spelled as plain token counts
+    unis = base.select("doc_id", F.explode("ws").alias("w"))
+    c_uni = unis.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = c_uni.agg(F.sum("c").alias("n_total"))
+    prof = (
+        c12.join(c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lam = F.lit(_BIGRAM_LAMBDA)
+    p = lam * (F.col("c12").cast("double") / F.col("c1").cast("double")) + (
+        F.lit(1.0) - lam
+    ) * (F.col("c2").cast("double") / F.col("n_total").cast("double"))
+    prof = prof.select(
+        "w1",
+        "w2",
+        F.floor(F.log2(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("lp_e6"),
+    )
+    scored = doc_big.join(prof, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.sum("k").alias("n_bigrams"),
+        F.sum(F.col("lp_e6") * F.col("k")).alias("sum_lp_e6"),
+        (
+            F.sum(F.col("lp_e6") * F.col("k")).cast("double")
+            / F.sum("k").cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_lp"),
+    )
+    return scored
+
+
+def _bigram_sql() -> str:
+    lam = repr(_BIGRAM_LAMBDA)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents
+      WHERE length(trim(text)) > 0 AND len({_TOKENS_SQL}) >= 2
+    ), bigrams AS (
+      SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+    ), doc_big AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS k FROM bigrams GROUP BY 1, 2, 3
+    ), c12 AS (
+      SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM doc_big GROUP BY 1, 2
+    ), unis AS (
+      SELECT unnest(ws) AS w FROM base
+    ), c_uni AS (
+      SELECT w, COUNT(*) AS c FROM unis GROUP BY w
+    ), total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c_uni
+    ), prof AS (
+      SELECT c12.w1, c12.w2,
+             CAST(FLOOR(log2(
+               {lam} * (CAST(c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+               + (1.0 - {lam}) * (CAST(u2.c AS DOUBLE) / CAST(n_total AS DOUBLE))
+             ) * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+      FROM c12
+      JOIN c_uni u1 ON u1.w = c12.w1
+      JOIN c_uni u2 ON u2.w = c12.w2, total
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p.lp_e6 * d.k) AS BIGINT) AS sum_lp_e6,
+           CAST(SUM(p.lp_e6 * d.k) AS DOUBLE) / SUM(d.k) / 1000000.0 AS avg_lp
+    FROM doc_big d JOIN prof p ON p.w1 = d.w1 AND p.w2 = d.w2
+    GROUP BY d.doc_id
+    """
+
+
+@register("q_bigram_logprob", sql=_bigram_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality scoring over `documents`
+    (``bigram_logprob``) — phrase-coherence signal the unigram scorer
+    cannot see, under the same integer-exact cross-engine contract."""
+    return bigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # EXT-TEXT / EXT-DEDUP — the end-to-end curation gate as ONE decision table
 # ---------------------------------------------------------------------------
 def _curated_sql() -> str:
