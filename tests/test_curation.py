@@ -455,6 +455,61 @@ class TestBigramLogprob:
         _parity(bigram_logprob(_docs(spark, rows)), _duck(rows, _bigram_sql()))
 
 
+class TestSourceKL:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_outlier_domain_scores_higher(self, spark):
+        from w4h_etl_container_spark.plans.curation import source_kl
+
+        rows = [
+            (1, "the cat sat on the mat with the dog", "web"),
+            (2, "the dog ran to the cat by the mat", "web"),
+            (3, "the cat and the dog sat on the mat", "web"),
+            # an outlier domain with disjoint vocabulary
+            (4, "qq ww ee rr tt yy uu ii oo pp", "spamcorp"),
+        ]
+        out = {r["source"]: r for r in source_kl(self._df(spark, rows)).collect()}
+        assert out["spamcorp"]["kl_bits"] > out["web"]["kl_bits"]
+        # KL is nonnegative up to per-term rounding
+        for r in out.values():
+            assert r["kl_e9"] >= -r["n_distinct"]
+
+    def test_single_source_kl_zero(self, spark):
+        from w4h_etl_container_spark.plans.curation import source_kl
+
+        rows = [(1, "alpha beta gamma alpha", "only")]
+        row = source_kl(self._df(spark, rows)).collect()[0]
+        # p_source == p_corpus exactly → every term log2(1) = 0
+        assert row["kl_e9"] == 0
+
+    def test_null_source_is_a_stratum(self, spark):
+        from w4h_etl_container_spark.plans.curation import source_kl
+
+        rows = [
+            (1, "the cat sat", "web"),
+            (2, "unattributed text here", None),
+        ]
+        out = source_kl(self._df(spark, rows)).collect()
+        assert {r["source"] for r in out} == {"web", None}
+
+    def test_crafted_duckdb_parity(self, spark):
+        from w4h_etl_container_spark.plans.curation import _source_kl_sql, source_kl
+
+        rows = [
+            (1, "a b c a", "x"),
+            (2, "a b c d e", "y"),
+            (3, "z z z", None),
+            (4, "", "x"),
+        ]
+        sdf = source_kl(self._df(spark, rows))
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+        )
+        _parity(sdf, con.execute(_source_kl_sql()).fetchdf())
+
+
 class TestSpanSpans:
     def test_span_concat_roundtrip(self, spark):
         text = " ".join(f"t{i}" for i in range(2 * _SPAN_W + 3))

@@ -63,6 +63,7 @@ DOC_ONLY_QUERIES = [
     "q_curated_corpus",
     "q_bpe_pairs",
     "q_bigram_logprob",
+    "q_source_kl",
 ]
 
 

@@ -169,6 +169,7 @@ class TestKernelCodegen:
         "q_langid",
         # 1-row corpus-total scalar, as in q_unigram_logprob
         "q_bigram_logprob",
+        "q_source_kl",
         # inherits q_langid's bounded language-dimension cross as a CTE
         "q_curated_corpus",
     }

@@ -836,6 +836,105 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT-TEXT — per-source KL divergence (domain-mixing signal)
+# ---------------------------------------------------------------------------
+def source_kl(d: DataFrame) -> DataFrame:
+    """Per-source KL divergence KL(p_source ‖ p_corpus) over the token
+    distributions — the scalar behind data-mixing decisions (how far a
+    domain's language sits from the mixture; DoReMi-family reweighting
+    and the classic Moore-Lewis domain filter both start from exactly
+    this quantity). Low KL = corpus-typical source; high KL = outlier
+    domain worth up/down-weighting deliberately.
+
+    Returns (source, n_tokens, n_distinct, kl_e9, kl_bits) — sources
+    including NULL (unattributed documents are a stratum too).
+
+    Exactness: each term p_s(w)·log2(p_s(w)/q(w)) is computed once per
+    distinct (c_sw, c_s, c_w, N) tuple in identical IEEE double
+    arithmetic on both engines, rounded to an e9 integer (KL terms are
+    tiny — e9 keeps the sum faithful at vocab scale while int64 holds
+    |V|·30e9 comfortably), then summed in integers: order-free and
+    engine-neutral. ``kl_bits`` = kl_e9/1e9 is the human rendering.
+    KL ≥ 0 up to per-term rounding (±0.5e-9 each).
+
+    Scale: ONE (source, token) map-side-combined aggregate (the only
+    corpus-scale shuffle), a vocab-bound join against corpus counts,
+    and a sources-bound final sum."""
+    toks = (
+        d.where(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(_tokens()).alias("w"))
+    )
+    c_sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    c_s = c_sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    c_w = c_sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    n = c_w.agg(F.sum("c_w").alias("n_total"))
+    # null-safe source join: NULL is a real stratum (unattributed
+    # documents); a plain equi-join would silently drop it
+    cs2 = c_s.withColumnRenamed("source", "_src")
+    term = (
+        c_sw.join(cs2, F.col("source").eqNullSafe(F.col("_src")))
+        .drop("_src")
+        .join(c_w, "w")
+        .crossJoin(F.broadcast(n))
+    )
+    p_s = F.col("c_sw").cast("double") / F.col("c_s").cast("double")
+    q = F.col("c_w").cast("double") / F.col("n_total").cast("double")
+    t_e9 = F.floor(p_s * F.log2(p_s / q) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        term.select("source", t_e9.alias("t"), "c_sw")
+        .groupBy("source")
+        .agg(
+            F.sum("c_sw").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("t").alias("kl_e9"),
+            (F.sum("t").cast("double") / F.lit(1e9)).alias("kl_bits"),
+        )
+    )
+
+
+def _source_kl_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKENS_SQL}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), c_sw AS (
+      SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY 1, 2
+    ), c_s AS (
+      SELECT source, CAST(SUM(c_sw) AS BIGINT) AS c_s FROM c_sw GROUP BY 1
+    ), c_w AS (
+      SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM c_sw GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM c_w
+    ), term AS (
+      SELECT t.source, t.c_sw,
+             CAST(FLOOR(
+               (CAST(t.c_sw AS DOUBLE) / CAST(s.c_s AS DOUBLE))
+               * log2((CAST(t.c_sw AS DOUBLE) / CAST(s.c_s AS DOUBLE))
+                      / (CAST(w.c_w AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS t_e9
+      FROM c_sw t
+      JOIN c_s s ON s.source IS NOT DISTINCT FROM t.source
+      JOIN c_w w ON w.w = t.w, n
+    )
+    SELECT source,
+           CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(t_e9) AS BIGINT) AS kl_e9,
+           CAST(SUM(t_e9) AS DOUBLE) / 1000000000.0 AS kl_bits
+    FROM term GROUP BY source
+    """
+
+
+@register("q_source_kl", sql=_source_kl_sql(), survey_ids=("EXT-TEXT",), gate=False)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing KL table over `documents` (``source_kl``): per
+    source, the token-distribution divergence from the corpus mixture,
+    integer-exact cross-engine. Feeds source up/down-weighting next to
+    ``source_curation_report``'s keep/drop verdicts."""
+    return source_kl(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # EXT-TEXT / EXT-DEDUP — the end-to-end curation gate as ONE decision table
 # ---------------------------------------------------------------------------
 def _curated_sql() -> str:
