@@ -111,6 +111,27 @@ class TestBpeTrain:
             got = _as_tuples(bpe_train(_wc_df(spark, freqs), 8))
             assert got == ref_train(freqs, 8), freqs
 
+    def test_random_corpora_parity(self, spark):
+        """Property: on randomized corpora the distributed trainer and
+        the reference dict trainer emit identical merge sequences.
+        Drawn per-batch (one Spark round-trip per example keeps the
+        property affordable — the TestCurationProperties pattern)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        words = st.text(alphabet="abcá 字", min_size=1, max_size=7).map(
+            lambda s: s.strip() or "a"
+        )
+        corpus = st.dictionaries(words, st.integers(1, 9), min_size=1, max_size=12)
+
+        @given(corpus)
+        @settings(max_examples=8, deadline=None)
+        def check(freqs):
+            got = _as_tuples(bpe_train(_wc_df(spark, freqs), 6))
+            assert got == ref_train(freqs, 6), freqs
+
+        check()
+
     def test_min_count_stops_early(self, spark):
         freqs = {"ab": 1, "cd": 1}  # every pair is a hapax
         assert bpe_train(_wc_df(spark, freqs), 5, min_count=2) == []
