@@ -64,6 +64,7 @@ DOC_ONLY_QUERIES = [
     "q_bpe_pairs",
     "q_bigram_logprob",
     "q_source_kl",
+    "q_incremental_dedup",
 ]
 
 

@@ -2016,3 +2016,55 @@ class TestExactPercentileMultiQuantile:
                     f"SELECT quantile_disc(x, {q}) FROM (VALUES {lst}) t(x)"
                 ).fetchone()[0]
                 assert got[g][qi] == want, (g, q, got[g][qi], want)
+
+
+class TestIncrementalDedup:
+    """Incremental dedup (textops.incremental_dedup): new-batch verdicts
+    against corpus history — cross-engine parity rides selfcheck +
+    hostile sweeps; these pin the operational semantics."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_verdicts(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import (
+            content_fingerprints,
+            incremental_dedup,
+        )
+
+        history = content_fingerprints(
+            self._docs(spark, [(1, "seen before"), (2, "also seen")])
+        ).select("fingerprint")
+        batch = self._docs(
+            spark,
+            [
+                (10, "seen before"),        # dup vs history
+                (11, "brand new text"),     # keep
+                (12, "brand new text"),     # in-batch dup of 11
+                (13, "Seen   BEFORE"),      # normalization: dup vs history
+            ],
+        )
+        out = {r["doc_id"]: r for r in incremental_dedup(batch, history).collect()}
+        assert out[10]["dup_vs_history"] and not out[10]["keep"]
+        assert out[11]["keep"] and not out[11]["dup_vs_history"]
+        assert out[12]["dup_in_batch"] and not out[12]["keep"]
+        assert out[13]["dup_vs_history"]  # md5 of normalized text matches
+
+    def test_ingest_loop_converges(self, spark):
+        """The operational loop: appending survivors' fingerprints to
+        history makes a re-ingest of the same batch drop everything."""
+        from w4h_etl_container_spark.plans.textops import (
+            content_fingerprints,
+            incremental_dedup,
+        )
+
+        batch = self._docs(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa")])
+        empty = content_fingerprints(batch).where("1 = 0").select("fingerprint")
+        first = incremental_dedup(batch, empty)
+        kept = first.where("keep")
+        assert kept.count() == 2
+        history2 = kept.select("fingerprint")
+        second = incremental_dedup(batch, history2)
+        assert second.where("keep").count() == 0

@@ -224,6 +224,93 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXT-DEDUP — incremental dedup (new batch vs corpus history)
+# ---------------------------------------------------------------------------
+def content_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — the exact-dedup content key, factored out
+    so batch and history sides cannot drift."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def incremental_dedup(batch: DataFrame, history_fp: DataFrame) -> DataFrame:
+    """Deduplicate a NEW document batch against corpus history — the
+    shape a continuously-ingesting 100 TB pipeline actually runs: the
+    already-curated corpus is never recomputed; only its fingerprint
+    set meets the incoming batch.
+
+    ``batch``: documents (doc_id, text, …); ``history_fp``: one column
+    ``fingerprint`` (the running store the job appends survivors to).
+
+    Returns per-batch-document verdicts: (doc_id, fingerprint,
+    dup_vs_history, dup_in_batch, keep) with keep = not seen before
+    AND first (min doc_id) among in-batch copies.
+
+    Scale: ONE shuffle on the 16-byte fingerprint serves both the
+    in-batch window and the history join (same key); the history side
+    arrives pre-distinct and joins as a hash join — at 10^12-doc
+    history that side is a bucketed/Bloom-backed table, and the LEFT
+    join here is exactly the probe the storage layer optimizes. No
+    batch-vs-batch or history-vs-history work ever happens."""
+    fp = content_fingerprints(batch)
+    w = Window.partitionBy("fingerprint")
+    flagged = fp.withColumn("_first", F.min("doc_id").over(w))
+    hist = history_fp.select("fingerprint").distinct().withColumn(
+        "_seen", F.lit(True)
+    )
+    out = (
+        flagged.join(hist, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.coalesce(F.col("_seen"), F.lit(False)).alias("dup_vs_history"),
+            (F.col("doc_id") != F.col("_first")).alias("dup_in_batch"),
+        )
+        .withColumn(
+            "keep", ~F.col("dup_vs_history") & ~F.col("dup_in_batch")
+        )
+    )
+    return out
+
+
+_INC_SPLIT = 2  # fixture split: even doc_ids play "history", odd "new batch"
+
+
+def _incremental_sql() -> str:
+    return rf"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % {_INC_SPLIT} = 0
+    ), batch AS (
+      SELECT doc_id, fingerprint,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS first_id
+      FROM fp WHERE doc_id % {_INC_SPLIT} = 1
+    )
+    SELECT b.doc_id, b.fingerprint,
+           (h.fingerprint IS NOT NULL) AS dup_vs_history,
+           (b.doc_id <> b.first_id) AS dup_in_batch,
+           (h.fingerprint IS NULL AND b.doc_id = b.first_id) AS keep
+    FROM batch b LEFT JOIN hist h ON h.fingerprint = b.fingerprint
+    """
+
+
+@register("q_incremental_dedup", sql=_incremental_sql(), survey_ids=("EXT-DEDUP",), gate=False)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup under the hash oracle: the fixture splits by
+    doc_id parity — even ids play the already-ingested history, odd ids
+    the incoming batch (``incremental_dedup``). Library tier; the
+    operational loop (append survivors' fingerprints back to history)
+    is the one-line consumer of ``keep``."""
+    d = read_table(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % _INC_SPLIT == 1)
+    history = content_fingerprints(d.where(F.col("doc_id") % _INC_SPLIT == 0))
+    return incremental_dedup(batch, history.select("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate candidates
 # ---------------------------------------------------------------------------
 _N_HASHES = 8  # 4 bands × 2 rows
