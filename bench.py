@@ -104,13 +104,29 @@ def main() -> None:
     # passes is the standard estimator for the code's actual cost under
     # external noise — every pass still does all per-query work.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    pass_totals: list[float] = []
+
+    def sequential_pass() -> None:
+        tot = 0.0
         for name in sorted(registry):
             t0 = time.time()
             run(name)
             dt = round(time.time() - t0, 3)
+            tot += dt
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+        pass_totals.append(tot)
+
+    sequential_pass()
+    sequential_pass()
+    # Adaptive third/fourth pass, mirroring the concurrent measurement:
+    # pass totals disagreeing by >20% mean an interference burst landed
+    # inside one of them — more samples tighten the per-query minima.
+    while (
+        len(pass_totals) < 4
+        and (max(pass_totals) - min(pass_totals)) / max(min(pass_totals), 1e-9) > 0.20
+    ):
+        sequential_pass()
 
     # Concurrent pass: adaptive best-of-N. Two passes minimum; when the
     # two disagree by >20% (the signature of an interference burst
