@@ -196,6 +196,20 @@ class TestBpeEncode:
         }
         assert slow == fast
 
+    def test_fast_twin_non_long_doc_id(self, spark):
+        # the mapInPandas schema derives doc_id's type from the input
+        # (ADVICE r8: a string-keyed corpus must not crash the fast path)
+        merges = self._merges(spark)
+        d = spark.createDataFrame(
+            [(str(i), t) for i, t in self.DOCS], "doc_id string, text string"
+        )
+        slow = {r["doc_id"]: r["tokens"] for r in bpe_encode(d, merges).collect()}
+        fast = {
+            r["doc_id"]: r["tokens"] for r in bpe_encode_fast(d, merges).collect()
+        }
+        assert slow == fast
+        assert dict(bpe_encode_fast(d, merges).dtypes)["doc_id"] == "string"
+
     def test_roundtrip_concat_identity(self, spark):
         # tokens concatenate back to the original text (byte-level BPE
         # invariant: merges never drop or reorder characters)

@@ -493,6 +493,65 @@ class TestV2BtreeAnyDepth:
         if depth >= 2:
             assert len(got) > 20
 
+    def test_depth2_hand_computed_literal_offsets(self):
+        """A depth-2 tree serialized at HAND-COMPUTED literal byte
+        offsets, sharing NO formulas with the implementation or the
+        ``_build`` helper (ADVICE r8: a shared misreading of the spec's
+        child-pointer widths would pass the builder-parity test).
+
+        Spec arithmetic done by hand for node_size=64, rec_size=8
+        (overhead = 4 sig + 1 ver + 1 type + 4 checksum = 10):
+          leaf capacity            = (64-10)//8            = 6
+          depth-1 ptr width        = 8 addr + 1 nrec       = 9
+            (nrec field = min bytes for leaf cap 6 → 1)
+          depth-1 capacity         = (64-10-9)//(8+9)      = 2
+          depth-1 cum subtree max  = 6*(2+1)+2             = 20
+          depth-2 ptr width        = 8 addr + 1 nrec + 1 tot = 10
+            (tot field = min bytes for cum max 20 → 1)
+        So inside the depth-2 root: records start at node+6; the child
+        pointers start at node+6+nrec*8; each pointer is 10 bytes.
+        Inside a depth-1 node the pointers are 9 bytes (no total)."""
+        from w4h_etl_container_spark.sources.hdf5 import H5File
+
+        buf = bytearray(480)
+        # --- header @0: sig ver type | node_size u32 @6 | rec u16 @10
+        # | depth u16 @12 | split merge @14 | root addr u64 @16 | root
+        # nrec u16 @24
+        buf[0:6] = b"BTHD" + bytes([0, 5])
+        struct.pack_into("<I", buf, 6, 64)
+        struct.pack_into("<HH", buf, 10, 8, 2)
+        buf[14], buf[15] = 100, 40
+        struct.pack_into("<QH", buf, 16, 32, 1)
+        # node addresses (literals): root@32, A@96, B@160, leaves
+        # L0@224 L1@288 L2@352 L3@416. In-order record values:
+        # L0=0, A.rec=1, L1=2, root.rec=3, L2=4, B.rec=5, L3=6.
+        # --- root internal (depth 2, nrec=1) @32
+        buf[32:38] = b"BTIN" + bytes([0, 5])
+        struct.pack_into("<Q", buf, 38, 3)          # record @ node+6
+        struct.pack_into("<Q", buf, 46, 96)         # child A addr @ node+14
+        buf[54] = 1                                 # A direct nrec (1 byte)
+        buf[55] = 3                                 # A subtree total (1 byte)
+        struct.pack_into("<Q", buf, 56, 160)        # child B addr @ node+24
+        buf[64] = 1
+        buf[65] = 3
+        # --- depth-1 internals (nrec=1, 9-byte pointers) @96 and @160
+        for base, rec, l_left, l_right in ((96, 1, 224, 288), (160, 5, 352, 416)):
+            buf[base : base + 6] = b"BTIN" + bytes([0, 5])
+            struct.pack_into("<Q", buf, base + 6, rec)
+            struct.pack_into("<Q", buf, base + 14, l_left)
+            buf[base + 22] = 1                      # leaf direct nrec
+            struct.pack_into("<Q", buf, base + 23, l_right)
+            buf[base + 31] = 1
+        # --- leaves (nrec=1) with their in-order values
+        for base, val in ((224, 0), (288, 2), (352, 4), (416, 6)):
+            buf[base : base + 6] = b"BTLF" + bytes([0, 5])
+            struct.pack_into("<Q", buf, base + 6, val)
+
+        f = object.__new__(H5File)
+        f.buf = bytes(buf)
+        got = f._v2btree_records(0)
+        assert got == [struct.pack("<Q", v) for v in range(7)]
+
 
 class TestFilterMessageV2:
     """Version-2 filter-pipeline messages omit the Name Length field for

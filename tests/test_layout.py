@@ -168,6 +168,29 @@ class TestZorderBy:
         out = zorder_by(df, ["c", "d"], n_files=2)
         assert out.count() == 3
 
+    def test_non_castable_key_raises(self, spark):
+        # a string key whose min/max cast to double is NULL would
+        # silently bucket every row to 0 (ADVICE r8) — refuse instead
+        from w4h_etl_container_spark.operators.layout import zorder_by
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "c long, s string"
+        )
+        with pytest.raises(ValueError, match="double-castable"):
+            zorder_by(df, ["c", "s"], n_files=2)
+
+    def test_zkey_column_collision_survives(self, spark):
+        # an input that already carries a `_zkey` column must come out
+        # intact, not overwritten-then-dropped (ADVICE r8)
+        from w4h_etl_container_spark.operators.layout import zorder_by
+
+        df = spark.createDataFrame(
+            [(1, 2, 77), (3, 4, 88)], "x long, y long, _zkey long"
+        )
+        out = zorder_by(df, ["x", "y"], n_files=1)
+        assert set(out.columns) == {"x", "y", "_zkey"}
+        assert sorted(r["_zkey"] for r in out.collect()) == [77, 88]
+
 
 class TestHilbertKey:
     def test_reference_values(self, spark):

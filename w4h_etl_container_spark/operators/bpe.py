@@ -257,6 +257,9 @@ def bpe_encode_fast(
                 }
             )
 
+    # Derive doc_id's type from the input so a string/int32 corpus key
+    # works identically to the native bpe_encode twin (ADVICE r8).
+    id_type = d.schema["doc_id"].dataType.simpleString()
     return d.select("doc_id", text_col).mapInPandas(
-        batch, "doc_id long, tokens array<string>, n_tokens long"
+        batch, f"doc_id {id_type}, tokens array<string>, n_tokens long"
     )

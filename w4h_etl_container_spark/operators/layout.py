@@ -145,14 +145,25 @@ def zorder_by(
         raise ValueError(f"unknown curve {curve!r}")
     if curve == "hilbert" and len(cols) != 2:
         raise ValueError("hilbert curve layout is 2-d (pass exactly two columns)")
+    # try_cast, not cast: under ANSI semantics a non-numeric key would
+    # throw inside the stats job; NULL here feeds the explicit guard below
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+        F.count(F.lit(1)).alias("_n"),
+        *[F.min(F.col(c).try_cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).try_cast("double")).alias(f"_mx_{c}") for c in cols],
     ).collect()[0]
     levels = (1 << bits) - 1
     quantized = []
     for c in cols:
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if stats["_n"] > 0 and (mn is None or mx is None):
+            # A non-castable (date/string) or all-NULL key would silently
+            # quantize every row to bucket 0, losing pruning on that key.
+            raise ValueError(
+                f"zorder_by column {c!r} has no double-castable values "
+                "(non-numeric type or all NULL); cast/encode it to a "
+                "numeric bucket column first"
+            )
         if mn is None or mx is None or mx <= mn:
             quantized.append(F.lit(0))
             continue
@@ -167,10 +178,13 @@ def zorder_by(
         if curve == "hilbert"
         else morton_key(quantized, bits)
     )
-    keyed = df.withColumn("_zkey", key)
+    zkey = "_zkey"
+    while zkey in df.columns:
+        zkey = "_" + zkey
+    keyed = df.withColumn(zkey, key)
     parted = (
-        keyed.repartitionByRange(n_files, "_zkey")
+        keyed.repartitionByRange(n_files, zkey)
         if n_files is not None
-        else keyed.repartitionByRange("_zkey")
+        else keyed.repartitionByRange(zkey)
     )
-    return parted.sortWithinPartitions("_zkey").drop("_zkey")
+    return parted.sortWithinPartitions(zkey).drop(zkey)

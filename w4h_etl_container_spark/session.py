@@ -186,13 +186,25 @@ def read_events(spark: SparkSession, sf_dir: str):
     satisfy the contract, so oracles over the raw view agree)."""
     from pyspark.sql import functions as F
 
+    df = _events_ts_normalized(spark, sf_dir)
+    return df.where(F.col("ts").isNotNull())
+
+
+def _events_ts_normalized(spark: SparkSession, sf_dir: str):
+    """The raw events table with ``ts`` normalized to session-UTC
+    timestamp (the dtype dispatch documented on ``read_events``).
+    Shared by the clean view and the quarantine complement so the
+    clean ∪ quarantine = raw partition invariant can't drift if the
+    dispatch changes (ADVICE r8)."""
+    from pyspark.sql import functions as F
+
     df = read_table(spark, sf_dir, "events")
     ts_dtype = dict(df.dtypes).get("ts", "")
     if ts_dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_dtype != "timestamp":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df.where(F.col("ts").isNotNull())
+    return df
 
 
 def read_embeddings(spark: SparkSession, sf_dir: str):
@@ -223,16 +235,11 @@ def read_events_quarantine(spark: SparkSession, sf_dir: str):
     dtype dispatch) — the parquet boundary's quarantine view, mirroring
     the JSONL boundary's invariant that every input row lands in
     exactly ONE of (clean, quarantine). ``read_events(...)`` ∪ this
-    = the raw table, disjointly (pinned in tests)."""
+    = the raw table, disjointly (pinned in tests). Derives from the
+    same ``_events_ts_normalized`` view as the clean side."""
     from pyspark.sql import functions as F
 
-    df = read_table(spark, sf_dir, "events")
-    ts_dtype = dict(df.dtypes).get("ts", "")
-    if ts_dtype == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_dtype != "timestamp":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df.where(F.col("ts").isNull())
+    return _events_ts_normalized(spark, sf_dir).where(F.col("ts").isNull())
 
 
 def read_embeddings_quarantine(spark: SparkSession, sf_dir: str):
