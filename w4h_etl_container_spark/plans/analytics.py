@@ -1,0 +1,195 @@
+"""Event-sequence analytics over ``events`` (SURVEY.md §2.11 extension
+surface) — ordered-funnel matching and cohort retention, the two
+classic product-analytics operators every event warehouse ships
+(Mixpanel/Amplitude funnels; the cohort-week × age retention triangle).
+
+Both are declared library queries with full DuckDB hash oracles: every
+compared cell is an integer, a timestamp, or a date — no float crosses
+the engine boundary.
+
+Reference scope note: the reference pipeline (main.py) has no event
+analytics; these extend the engine the same way the corpus/vector
+operators do (BASELINE.json extension mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.plans.registry import register
+from w4h_etl_container_spark.session import read_events
+
+# The funnel definition: ordered steps a user must hit with strictly
+# increasing timestamps (a purchase BEFORE the signup does not count —
+# pinned in tests). The fixture's event_type domain is
+# {signup, view, click, purchase, error}.
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_sql() -> str:
+    steps = FUNNEL_STEPS
+    # user_id IS NOT NULL on both sides: a NULL user can never join
+    # through the oracle's USING chain, so the Spark side must not
+    # funnel-match one either (fixtures have no null users; hostile
+    # inputs must not diverge silently)
+    ctes = [
+        f"""s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{steps[0]}' AND user_id IS NOT NULL
+      GROUP BY user_id
+    )"""
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"""s{i + 1} AS (
+      SELECT e.user_id, min(e.ts) AS t{i + 1}
+      FROM events e JOIN s{i} USING (user_id)
+      WHERE e.event_type = '{steps[i]}' AND e.ts > s{i}.t{i}
+      GROUP BY e.user_id
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name, "
+        f"(SELECT COUNT(*) FROM s{i + 1}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"WITH {', '.join(ctes)}\n    {unions}"
+
+
+@register(
+    "q_funnel",
+    sql=_funnel_sql(),
+    survey_ids=("EXT-EVENTS",),
+    gate=False,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events: how many users progressed through
+    signup → view → click → purchase with STRICTLY increasing event
+    times (each step's match is the earliest occurrence after the
+    previous step's match — the standard greedy funnel semantics, which
+    is optimal: matching the earliest possible occurrence at every step
+    maximizes the number of later steps that can still match).
+
+    Spark shape: ONE groupBy(user_id) collects each step's (sorted)
+    timestamp array — per-user state is bounded by that user's own
+    event count, never corpus-wide — then the greedy walk is four
+    array expressions (array_min over a filtered array), and the
+    final step counts are a single 1-row aggregate unpivoted with
+    ``stack``. Total: one shuffle on user_id + one 1-row aggregate.
+    The oracle spells the same walk as a chain of per-step min joins.
+
+    Scale: at 10^10 users this is one hash aggregate on an even key
+    (user_id) with map-side partials on the collect_lists; no window,
+    no self-join, no per-step pass over the corpus (the naive
+    rendering is k sequential corpus joins — this does it in one)."""
+    ev = read_events(spark, sf_dir).where(
+        F.col("event_type").isin(*FUNNEL_STEPS) & F.col("user_id").isNotNull()
+    )
+    arrays = [
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+        ).alias(f"a{i + 1}")
+        for i, s in enumerate(FUNNEL_STEPS)
+    ]
+    per_user = ev.groupBy("user_id").agg(*arrays)
+    def _first_after(arr, prev):
+        # earliest occurrence of the step strictly after the previous
+        # step's matched time; NULL propagates (no prior match → no
+        # match here). One-param lambda — a second param would make
+        # Spark bind the (value, index) filter form.
+        return F.array_min(F.filter(arr, lambda x: x > prev))
+
+    exprs = [F.array_min(F.col("a1"))]
+    for i in range(1, len(FUNNEL_STEPS)):
+        exprs.append(_first_after(F.col(f"a{i + 1}"), exprs[-1]))
+    cols = [e.alias(f"t{i + 1}") for i, e in enumerate(exprs)]
+    reached = per_user.select(*cols)
+    totals = reached.agg(
+        *[F.count(f"t{i + 1}").alias(f"n{i + 1}") for i in range(len(FUNNEL_STEPS))]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', n{i + 1}" for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return totals.selectExpr(
+        f"stack({len(FUNNEL_STEPS)}, {stack_args}) AS (step, step_name, n_users)"
+    )
+
+
+@register(
+    "q_cohort_retention",
+    sql="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS INTEGER) AS age_weeks,
+             e.user_id
+      FROM events e JOIN first_seen f USING (user_id)
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_n FROM first_seen GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.age_weeks,
+           COUNT(*) AS n_active,
+           s.cohort_n,
+           (COUNT(*) * 10000) // s.cohort_n AS retention_bp
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.age_weeks, s.cohort_n
+    """,
+    survey_ids=("EXT-EVENTS",),
+    gate=False,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen ISO week,
+    tracked by how many distinct users from each cohort were active
+    ``age_weeks`` weeks later, with retention in exact basis points
+    (integer division — no float crosses the engine boundary).
+
+    Both engines truncate to Monday-start ISO weeks (Spark
+    ``date_trunc('week')`` and DuckDB agree), so the day difference is
+    always a multiple of 7 and the integer division is exact.
+
+    Scale: one min-aggregate per user (map-side combined), one
+    fact-side join on user_id (AQE-skew-safe even key), one DISTINCT
+    bounded by users × weeks, one tiny cohort-size broadcast. No
+    windows, no per-week passes."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("age_weeks"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    return (
+        activity.groupBy("cohort_week", "age_weeks")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "cohort_n",
+            F.expr("n_active * 10000 div cohort_n").alias("retention_bp"),
+        )
+    )

@@ -74,6 +74,8 @@ def _import_plans() -> None:
         multimodalops,
         corpus,
         curation,
+        analytics,
+        retrieval,
     )
 
 
