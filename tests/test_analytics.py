@@ -255,3 +255,50 @@ class TestBm25:
         plan = load_library()["q_bm25"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestCentroidPrune:
+    def test_keep_counts_and_rank_shape(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.registry import load_library
+        from w4h_etl_container_spark.plans.vectors import CENTROID_KEEP
+
+        rows = load_library()["q_centroid_prune"].fn(spark, sf_dir).collect()
+        assert rows
+        per_label = {}
+        for r in rows:
+            per_label.setdefault(r["label"], []).append(r)
+        for label, rs in per_label.items():
+            ranks = sorted(r["rnk"] for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            kept = [r for r in rs if r["kept"]]
+            assert len(kept) == min(CENTROID_KEEP, len(rs))
+            # kept = the FARTHEST from centroid: every kept cos_e6 is <=
+            # every dropped cos_e6 (ties broken by rank, so compare via rnk)
+            max_kept_rnk = max(r["rnk"] for r in kept)
+            assert max_kept_rnk == len(kept)
+
+    def test_vector_at_centroid_ranks_last(self, spark):
+        # crafted cluster: three unit vectors and one AT the centroid
+        # direction; the centroid-coincident vector has the highest
+        # cosine and must be the prune candidate (highest rnk)
+        import w4h_etl_container_spark.plans.vectors as V
+
+        base = [0.0] * V.DIM
+        def vec(i, x):
+            v = list(base); v[0] = x[0]; v[1] = x[1]; return (i, v, 0)
+
+        rows = [
+            vec(1, (1.0, 0.2)),
+            vec(2, (1.0, -0.2)),
+            vec(3, (1.0, 0.0)),   # ≈ the centroid direction
+        ]
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            ).write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+            out = V.q_centroid_prune(spark, td).collect()
+        by_id = {r["vec_id"]: r for r in out}
+        assert by_id[3]["rnk"] == 3  # most centroid-like = last kept rank
+        assert by_id[3]["cos_e6"] >= by_id[1]["cos_e6"]
+        assert by_id[3]["cos_e6"] >= by_id[2]["cos_e6"]

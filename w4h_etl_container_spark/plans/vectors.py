@@ -539,3 +539,121 @@ def ivf_probe_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_e6").desc(), F.col("cand_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Centroid-distance pruning (the SemDeDup kernel over pre-assigned
+# clusters: rank every vector by similarity to its cluster centroid)
+# ---------------------------------------------------------------------------
+CENTROID_KEEP = 10  # per-label diversity keep (rank by FARTHEST first)
+
+
+def _cd(j: int) -> str:
+    """DuckDB rendering of centroid component j: the exact-integer e6
+    component sum divided in double — bit-identical to the Spark side's
+    ``s_j / (n · 1e6)`` expression (same IEEE ops, same order)."""
+    return f"(CAST(c.s{j} AS DOUBLE) / (CAST(c.n AS DOUBLE) * 1000000.0))"
+
+
+def _centroid_prune_sql() -> str:
+    e6sums = ",\n             ".join(
+        f"CAST(SUM({_e6(_elem('duck', 'embedding', j + 1))}) AS BIGINT) AS s{j + 1}"
+        for j in range(DIM)
+    )
+    dot = str(
+        tree_sum(
+            [_S(f"({_elem('duck', 'e.embedding', j + 1)} * {_cd(j + 1)})") for j in range(DIM)]
+        )
+    )
+    normc_sq = str(tree_sum([_S(f"({_cd(j + 1)} * {_cd(j + 1)})") for j in range(DIM)]))
+    cos = f"({dot}) / ({_norm('duck', 'e.embedding')} * SQRT({normc_sq}))"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), cent AS (
+      SELECT label, COUNT(*) AS n,
+             {e6sums}
+      FROM emb GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label, {_e6(cos)} AS cos_e6
+      FROM emb e JOIN cent c USING (label)
+    )
+    SELECT vec_id, label, cos_e6, rnk, (rnk <= {CENTROID_KEEP}) AS kept
+    FROM (
+      SELECT vec_id, label, cos_e6,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cos_e6 ASC NULLS FIRST, vec_id) AS rnk
+      FROM scored
+    )
+    """
+
+
+@register(
+    "q_centroid_prune",
+    sql=_centroid_prune_sql(),
+    survey_ids=("EXT-SIM", "EXT-DEDUP"),
+    gate=False,
+)
+def q_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's per-cluster kernel (Abbas et al. 2023): inside each
+    cluster (the fixture's ``label`` plays the k-means assignment —
+    production pipelines feed ``q_ivf_assign``'s cells here), rank every
+    vector by cosine to the cluster CENTROID and keep the
+    ``CENTROID_KEEP`` farthest-from-centroid examples per cluster — the
+    diversity-keep that removes semantically redundant near-centroid
+    mass from a training corpus.
+
+    Exactness: centroid components are exact integers first — each
+    vector component e6-quantizes to a micro-unit BIGINT and the
+    per-(label, dim) SUM is integer — so the double centroid value
+    ``s_j / (n·1e6)`` is ONE deterministic IEEE division in both
+    engines; the cosine then runs through the shared tree-sum contract
+    (Arrow kernel ↔ generated SQL), and the compared cell is BIGINT.
+
+    Scale shape: ONE groupBy(label) aggregate with 64 integer sums
+    (map-side combined, no explode — the per-dim sum IS the partial
+    state); the centroid table is cluster-count × 65 cells — broadcast
+    at any corpus size; the scoring pass is embarrassingly parallel
+    (per-row kernel against the broadcast centroid); the per-cluster
+    rank is a window on the cluster key (for corpus-scale clusters the
+    bounded-state ``deterministic_topk_per_group`` swaps in — same
+    contract as q_cosine_topk's rank)."""
+    emb = read_embeddings(spark, sf_dir)
+
+    def elem_e6(j: int):
+        xd = F.element_at(F.col("embedding"), j + 1).cast("double") * F.lit(1000000.0)
+        # abs(x) < 2^63 is false for NaN and ±Inf — same guard as the
+        # SQL _e6 rendering, NULL for any non-finite component
+        return F.when(
+            F.abs(xd) < F.lit(9.223372036854775e18),
+            F.floor(xd + F.lit(0.5)).cast("long"),
+        )
+
+    cent = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(elem_e6(j)).alias(f"s{j + 1}") for j in range(DIM)],
+    )
+    cvec = F.array(
+        *[
+            F.col(f"s{j + 1}").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000.0))
+            for j in range(DIM)
+        ]
+    ).alias("cvec")
+    cent_arr = cent.select("label", cvec)
+    scored = (
+        emb.join(F.broadcast(cent_arr), "label")
+        .select(
+            "vec_id",
+            "label",
+            _cosine_e6_udf(
+                "embedding", "cvec", _norm_udf("embedding"), _norm_udf("cvec")
+            ).alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_e6").asc_nulls_first(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("kept", F.col("rnk") <= F.lit(CENTROID_KEEP))
+        .select("vec_id", "label", "cos_e6", "rnk", "kept")
+    )
