@@ -65,6 +65,9 @@ DOC_ONLY_QUERIES = [
     "q_bigram_logprob",
     "q_source_kl",
     "q_incremental_dedup",
+    "q_bm25",
+    "q_normalize",
+    "q_source_mix",
 ]
 
 

@@ -42,6 +42,9 @@ EVENT_QUERIES = [
     "q_thermal_indices",
     "q_win_funcs",
     "q_win_offset",
+    "q_win_range",
+    "q_funnel",
+    "q_cohort_retention",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

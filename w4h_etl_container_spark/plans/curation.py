@@ -1037,3 +1037,157 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate exact-integer (order-free, engine-neutral); plan = one
     count aggregate + one token join + one per-doc aggregate."""
     return unigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed source mixing (the multinomial-sampling weights
+# of XLM-R / GPT-3 §2.2: w_i ∝ p_i^α with α = 0.5 up-weights the tail
+# so small high-quality domains aren't drowned by web crawl)
+# ---------------------------------------------------------------------------
+MIX_ALPHA_IS_HALF = True  # α = 0.5 — exactly sqrt, which IEEE-754 rounds
+# correctly in every conforming engine (unlike pow(x, 0.3), which has no
+# correctness guarantee and would need the e6-per-distinct-value contract)
+
+
+def _source_mix_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ), total AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per_source
+    ), weighted AS (
+      SELECT source, n_docs, n_tokens,
+             (n_tokens * 1000000) // tot AS p_e6,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+      FROM per_source, total
+    ), norm AS (
+      SELECT CAST(SUM(w_e6) AS BIGINT) AS sum_w FROM weighted
+    )
+    SELECT source, n_docs, n_tokens, p_e6, w_e6,
+           (w_e6 * 10000) // sum_w AS q_bp
+    FROM weighted, norm
+    """
+
+
+@register(
+    "q_source_mix",
+    sql=_source_mix_sql(),
+    survey_ids=("EXT-TEXT",),
+    gate=False,
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights per source: token share p, α=0.5
+    temperature-smoothed weight w ∝ √p, and the renormalized sampling
+    probability in basis points — the table a corpus-mixing job feeds
+    to ``token_budget_sample`` to set per-source budgets.
+
+    Exactness: p_e6 and q_bp are pure integer arithmetic; the ONE
+    float step (√p) is IEEE-correctly-rounded in both engines (α=0.5
+    is chosen for exactly this — an arbitrary exponent would need the
+    per-distinct-value e6 lookup contract), then e6-rounded before the
+    integer renormalization, so the basis points are order-free.
+
+    Scale: one projection + one map-side-combined aggregate per
+    source, two 1-row scalars — nothing wider than the source
+    dimension ever shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.where(F.length(F.trim("text")) > 0).select(
+        "source", F.size(_tokens()).cast("long").alias("n_tok")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("tot"))
+    weighted = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 div tot").alias("p_e6"),
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("tot").cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_e6"),
+    )
+    norm = weighted.agg(F.sum("w_e6").alias("sum_w"))
+    return weighted.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p_e6",
+        "w_e6",
+        F.expr("w_e6 * 10000 div sum_w").alias("q_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (the pre-dedup canonical form: control strip,
+# typographic quote/dash folding, ASCII case folding, whitespace
+# collapse — C4/RefinedWeb normalize before fingerprinting so that
+# byte-level noise doesn't defeat exact dedup)
+# ---------------------------------------------------------------------------
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_QUOTES_FROM = "“”‘’–—"
+_QUOTES_TO = "\"\"''--"
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _normalize_sql() -> str:
+    # the exact same four steps, same order; ASCII-only case fold via
+    # translate keeps the oracle exact where lower() would hit
+    # locale-dependent unicode case law (İ, ß) between JVM and utf8proc
+    step = f"regexp_replace(text, '{_CTRL_RE}', '', 'g')"
+    step = f"translate({step}, '{_QUOTES_FROM}', '{_QUOTES_TO.replace(chr(39), chr(39) * 2)}')"
+    step = f"translate({step}, '{_UPPER}', '{_LOWER}')"
+    step = f"trim(regexp_replace({step}, '\\s+', ' ', 'g'))"
+    return f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           CAST(length({step}) AS BIGINT) AS n_norm,
+           CAST(len(regexp_extract_all(text, '\\s{{2,}}')) AS BIGINT) AS n_ws_runs,
+           md5({step}) AS norm_md5
+    FROM documents WHERE text IS NOT NULL
+    """
+
+
+@register(
+    "q_normalize",
+    sql=_normalize_sql(),
+    survey_ids=("EXT-TEXT",),
+    gate=False,
+)
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization per document: strip C0/DEL control
+    characters (tab/newline survive into the whitespace collapse),
+    fold typographic quotes/dashes to ASCII, ASCII-only case fold
+    (``translate`` — full unicode ``lower()`` is locale law that JVM
+    and utf8proc disagree on for İ/ß-class characters), collapse
+    whitespace runs, trim. Emits before/after lengths, the collapsed
+    run count, and the md5 of the canonical form (the dedup key
+    ``q_dedup_exact`` would consume).
+
+    Scale: four codegen'd string projections, zero shuffles, zero
+    UDFs. The md5 is computed on the UTF-8 bytes in both engines."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    step = F.regexp_replace(F.col("text"), _CTRL_RE, "")
+    step = F.translate(step, _QUOTES_FROM, _QUOTES_TO)
+    step = F.translate(step, _UPPER, _LOWER)
+    step = F.trim(F.regexp_replace(step, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_raw"),
+        F.length(step).cast("long").alias("n_norm"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\s{2,}"), 0))
+        .cast("long")
+        .alias("n_ws_runs"),
+        F.md5(step.cast("binary")).alias("norm_md5"),
+    )

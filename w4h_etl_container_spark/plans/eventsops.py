@@ -237,3 +237,47 @@ def q_state_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.join(F.broadcast(live), "event_type").select(
         "user_id", "event_type", "n", "last_seen"
     )
+
+
+# ---------------------------------------------------------------------------
+# WIN-3 extension — time-RANGE moving frame (interval windows, not row
+# counts: the frame is "everything in the trailing hour", however many
+# rows that is — the rolling-metric shape rows-frames can't express)
+# ---------------------------------------------------------------------------
+@register(
+    "q_win_range",
+    sql="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ids=("WIN-3",),
+    gate=False,
+)
+def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour RANGE frame per user: count and decimal-exact
+    sum of everything within 3 600 s before each event (inclusive).
+    The frame is ordered on epoch MICROSECONDS (bigint) in both engines
+    — an epoch-seconds rendering would silently merge sub-second
+    neighbors into the frame boundary; range peers (equal timestamps)
+    are frame-mates in both engines by RANGE semantics.
+
+    Scale: one shuffle on user_id; the frame evaluates streaming per
+    partition with a sliding two-pointer over the sorted order — state
+    is bounded by the densest hour per user, never the partition."""
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
+    )
