@@ -302,3 +302,44 @@ class TestCentroidPrune:
         assert by_id[3]["rnk"] == 3  # most centroid-like = last kept rank
         assert by_id[3]["cos_e6"] >= by_id[1]["cos_e6"]
         assert by_id[3]["cos_e6"] >= by_id[2]["cos_e6"]
+
+
+class TestLeakFreeSplit:
+    def test_clusters_never_straddle_splits(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.registry import load_library
+
+        rows = load_library()["q_split_leakfree"].fn(spark, sf_dir).collect()
+        assert rows
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        # THE invariant: one split per cluster
+        assert all(len(s) == 1 for s in by_cluster.values())
+        splits = {s for ss in by_cluster.values() for s in ss}
+        assert splits <= {"train", "val", "test"}
+
+    def test_every_document_assigned_exactly_once(self, spark, sf_dir):
+        import duckdb
+
+        from w4h_etl_container_spark.plans.registry import load_library
+
+        rows = load_library()["q_split_leakfree"].fn(spark, sf_dir).collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids))
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+        assert len(ids) == n
+
+    def test_split_proportions_roughly_80_10_10(self, spark, sf_dir):
+        from collections import Counter
+
+        from w4h_etl_container_spark.plans.registry import load_library
+
+        rows = load_library()["q_split_leakfree"].fn(spark, sf_dir).collect()
+        c = Counter(r["split"] for r in rows)
+        total = sum(c.values())
+        # small-sample tolerance: the md5 bucket is uniform, the
+        # fixture is a few hundred docs
+        assert 0.6 < c["train"] / total < 0.95
+        assert c["val"] / total < 0.25 and c["test"] / total < 0.25

@@ -172,6 +172,11 @@ class TestKernelCodegen:
         "q_source_kl",
         # inherits q_langid's bounded language-dimension cross as a CTE
         "q_curated_corpus",
+        # two 1-row scalars (corpus token total, weight-sum normalizer)
+        "q_source_mix",
+        # 1-row (n_docs, avgdl) scalar against the query-term/doc-side
+        # joins, as in q_unigram_logprob
+        "q_bm25",
     }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):

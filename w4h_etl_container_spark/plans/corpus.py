@@ -782,3 +782,85 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_flags(d).select(
         *cols, *[f"fail_{n}" for n in QUALITY_RULES], "keep", "first_fail"
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP — leakage-free train/val/test splits (split by CLUSTER, not
+# document: near-duplicates must never straddle the split boundary, or
+# the held-out set leaks into training — Lee et al. 2022 measured the
+# eval inflation this causes)
+# ---------------------------------------------------------------------------
+_SPLIT_SALT = "split0"
+_TRAIN_BP, _VAL_BP = 8000, 9000  # 80 / 10 / 10 in bucket ten-thousandths
+
+
+def _split_sql() -> str:
+    cluster = "COALESCE(l.cluster_id, d.doc_id)"
+    bucket = _nib(f"md5('{_SPLIT_SALT}' || CAST({cluster} AS VARCHAR))", 6)
+    return f"""
+    WITH RECURSIVE {minhash_cands_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION SELECT doc_b, doc_a FROM cands
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    ),
+    labels AS (
+      SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    )
+    SELECT d.doc_id,
+           {cluster} AS cluster_id,
+           CASE WHEN {bucket} < {_TRAIN_BP * _M // 10000} THEN 'train'
+                WHEN {bucket} < {_VAL_BP * _M // 10000} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN labels l USING (doc_id)
+    """
+
+
+@register(
+    "q_split_leakfree",
+    sql=_split_sql(),
+    survey_ids=("EXT-DEDUP",),
+    gate=False,
+)
+def q_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 80/10/10 splits: every document is assigned to
+    train/val/test by the deterministic hash of its near-dup CLUSTER
+    label (the same MinHash-LSH candidates + connected components as
+    the gate's `q_dedup_survivors`), so a cluster lands in exactly one
+    split — near-duplicate leakage across the boundary is structurally
+    impossible, not merely improbable. Unpaired documents hash on
+    their own id (their cluster is themselves).
+
+    Oracle: the shared candidate CTEs + reachability closure produce
+    the identical (engine-neutral) cluster labels; the split is the
+    same md5-nibble bucket arithmetic as the sampling family.
+
+    Scale: the label table holds only LSH-paired docs (a small
+    fraction); the corpus-side join is left to AQE, which broadcasts
+    it from the checkpoint's exact size stats (the count-gated
+    discipline dedup_survivors uses — an unconditional broadcast hint
+    would OOM on a pathological all-duplicates corpus); the split
+    expression is one codegen'd projection — membership is
+    recomputable anywhere and stable under corpus growth for
+    unchanged clusters."""
+    from w4h_etl_container_spark.operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    labels = connected_components(
+        minhash_candidates(parallelize_compute(docs))
+    ).withColumnRenamed("doc_id", "ldoc")
+    joined = docs.join(labels, docs.doc_id == F.col("ldoc"), "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    b = _bucket(cluster, _SPLIT_SALT)
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(b < F.lit(_TRAIN_BP * _M // 10000), F.lit("train"))
+        .when(b < F.lit(_VAL_BP * _M // 10000), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
