@@ -33,7 +33,9 @@ def main() -> int:
     from w4h_etl_container_spark.session import get_spark, read_table, parallelize_compute
     from w4h_etl_container_spark.operators.bpe import bpe_train, word_counts
     from w4h_etl_container_spark.operators.components import dedup_survivors
+    from w4h_etl_container_spark.plans.corpus import q_split_leakfree
     from w4h_etl_container_spark.plans.curation import lang_id_ngram, span_dedup, unigram_logprob
+    from w4h_etl_container_spark.plans.retrieval import q_bm25
     from w4h_etl_container_spark.plans.textops import (
         minhash_candidates,
         ngram_jaccard_fast,
@@ -93,6 +95,12 @@ def main() -> int:
             # measured)
             "bpe_word_counts": lambda: word_counts(docs).foreach(lambda r: None),
             "bpe_train_5": lambda: bpe_train(word_counts(docs), 5),
+            # round-9 operators (documents-scale): BM25 rides the same
+            # (doc, token) count table; the split rides minhash + CC
+            "bm25": lambda: q_bm25(spark, sf_dir).foreach(lambda r: None),
+            "split_leakfree": lambda: q_split_leakfree(spark, sf_dir).foreach(
+                lambda r: None
+            ),
         }
 
     small, big = ops(base_dir), ops(big_dir)
