@@ -369,3 +369,82 @@ class TestStreamingCorpusDedup:
         got_set = {(r["fingerprint"], r["doc_id"]) for r in surv.collect()}
         want_set = {(r["fingerprint"], r["doc_id"]) for r in want.collect()}
         assert got_set == want_set
+
+
+class TestStreamingFunnel:
+    def test_funnel_state_matches_batch_on_ordered_replay(self, spark, tmp_path, events_batch):
+        """The incremental funnel, drained in two event-time-ordered
+        batches (two availableNow runs over one checkpoint), reaches the
+        SAME per-user step as the batch greedy walk over all data."""
+        from w4h_etl_container_spark.plans.analytics import FUNNEL_STEPS
+        from w4h_etl_container_spark.streaming.stateful import user_funnel
+
+        split_ts = events_batch.agg(
+            F.percentile_approx("ts", 0.5).alias("m")
+        ).collect()[0]["m"]
+        src = str(tmp_path / "fn-src")
+        ckpt = str(tmp_path / "fn-ckpt")
+        events_batch.where(F.col("ts") <= F.lit(split_ts)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        emitted: list = []
+
+        def drain():
+            stream = spark.readStream.schema(events_batch.schema).parquet(src)
+            q = (
+                user_funnel(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _eid: emitted.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()  # batch 1: everything up to the median ts
+        events_batch.where(F.col("ts") > F.lit(split_ts)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        drain()  # batch 2: the rest, strictly later in event time
+
+        got: dict = {}
+        for r in emitted:
+            got[r["user_id"]] = max(got.get(r["user_id"], 0), r["step_reached"])
+
+        # batch oracle: the q_funnel greedy walk, per user
+        ev = events_batch.where(
+            F.col("event_type").isin(*FUNNEL_STEPS) & F.col("user_id").isNotNull()
+        )
+        arrays = [
+            F.array_sort(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+            ).alias(f"a{i + 1}")
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+        per_user = ev.groupBy("user_id").agg(*arrays)
+
+        def first_after(arr, p):
+            return F.array_min(F.filter(arr, lambda x: x > p))
+
+        exprs = [F.array_min(F.col("a1"))]
+        for i in range(1, len(FUNNEL_STEPS)):
+            exprs.append(first_after(F.col(f"a{i + 1}"), exprs[-1]))
+        sel = per_user.select(
+            "user_id", *[e.alias(f"t{i + 1}") for i, e in enumerate(exprs)]
+        )
+        want = {}
+        for r in sel.collect():
+            want[r["user_id"]] = sum(
+                1 for i in range(len(FUNNEL_STEPS)) if r[f"t{i + 1}"] is not None
+            )
+        # users with zero funnel-step events never enter the stateful
+        # op's output only if they sent NO events at all; users whose
+        # events are all non-funnel types emit step 0 rows — align by
+        # defaulting the oracle to 0
+        for u in got:
+            assert got[u] == want.get(u, 0), u
+
+        assert set(want) <= set(got)  # every funnel-active user emitted

@@ -140,3 +140,72 @@ def user_running_stats_tws(events: DataFrame, ttl_ms: int | None = None) -> Data
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel state machine (the incremental twin of the batch
+# q_funnel): per-user progression through an ordered step list, state =
+# (step_reached, t_last), advanced greedily in event-time order
+# ---------------------------------------------------------------------------
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, step_reached int, t_last timestamp"
+FUNNEL_STATE_SCHEMA = "step_reached int, t_last timestamp"
+
+
+def _make_funnel_update(steps: tuple[str, ...], timeout_ms: int | None):
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        step, t_last = state.get if state.exists else (0, None)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            rows = pd.concat(frames)
+            rows = rows[rows["event_type"].isin(steps)].sort_values("ts")
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                if step >= len(steps):
+                    break
+                # strictly-after semantics, identical to the batch walk:
+                # step 0 needs no predecessor, later steps need ts > t_last
+                if et == steps[step] and (t_last is None or ts > t_last):
+                    step += 1
+                    t_last = ts
+        state.update((step, t_last))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "step_reached": step, "t_last": t_last}]
+        )
+
+    return _update
+
+
+def user_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Incremental funnel: the same greedy earliest-match walk as the
+    batch ``q_funnel`` (plans/analytics.py), held as two scalars of
+    per-user state across micro-batches. Events are sorted by event
+    time WITHIN each batch; arrivals that cross batch boundaries out of
+    event-time order cannot retro-advance an earlier step (the
+    documented streaming relaxation — a watermark-buffered variant
+    would hold per-step candidate times instead; the batch query is the
+    reconciliation oracle on ordered replays, pinned in tests).
+
+    State per user is (int, timestamp) regardless of event volume —
+    the store is bounded by user cardinality, and ``idle_timeout_ms``
+    bounds that by activity."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_update(steps, idle_timeout_ms),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
