@@ -343,3 +343,39 @@ class TestLeakFreeSplit:
         # fixture is a few hundred docs
         assert 0.6 < c["train"] / total < 0.95
         assert c["val"] / total < 0.25 and c["test"] / total < 0.25
+
+
+class TestBm25Boundary:
+    def test_idf_boundary_distance_exceeds_libm_band(self, spark, sf_dir):
+        """BM25 confines its transcendental (ln) to one e6-rounded value
+        per distinct query term — same contract as unigram_logprob.
+        Measure the minimum distance of idf(df)·1e6 + 0.5 to an integer
+        boundary over the actual fixture document frequencies of every
+        BM25 query term; a 2-ulp cross-engine libm band (~1e-8 here)
+        must sit orders of magnitude below it."""
+        import math
+
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+        from w4h_etl_container_spark.plans.textops import _tokens
+        from w4h_etl_container_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        toks = d.where(F.length(F.trim("text")) > 0).select(
+            "doc_id", F.explode(_tokens()).alias("token")
+        )
+        terms = {t for _, ts in BM25_QUERIES for t in ts}
+        rows = (
+            toks.distinct()
+            .where(F.col("token").isin(*terms))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+        n_docs = toks.select("doc_id").distinct().count()
+        assert rows, "no query term present in the fixture corpus"
+        min_dist = 1.0
+        for r in rows:
+            idf = math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+            x = idf * 1e6 + 0.5
+            min_dist = min(min_dist, abs(x - round(x)))
+        assert min_dist > 1e-4, min_dist  # band is ~1e-8; 4 orders of margin

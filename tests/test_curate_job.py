@@ -68,6 +68,14 @@ def test_curation_job_artifacts(spark, sf_dir, tmp_path):
     firsts = sum(v for k, v in qr.asDict().items() if k.startswith("n_first_"))
     assert firsts == qr["n_docs"] - qr["n_kept"]
 
+    # mixing weights: probabilities renormalize to ~10000 bp (floor
+    # division loses < 1 bp per source) and every source appears once
+    mix = spark.read.parquet(manifest["artifacts"]["source_mix"]).collect()
+    srcs = [r["source"] for r in mix]
+    assert len(srcs) == len(set(srcs))
+    total_bp = sum(r["q_bp"] for r in mix)
+    assert 10000 - len(mix) <= total_bp <= 10000
+
 
 def test_curation_job_rerun_deterministic(spark, sf_dir, tmp_path):
     out = str(tmp_path / "curated2")

@@ -16,6 +16,7 @@ verifiable without re-reading the data):
                     per-gate verdicts for auditability;
 * ``quality_report/`` — per-rule loss attribution (one fixed-width row);
 * ``source_kl/``  — the domain-mixing KL table;
+* ``source_mix/`` — the α=0.5 temperature mixing weights (round 9);
 * ``bpe_merges/`` — the trained tokenizer merge table.
 
 Every stage is individually oracle-checked (COVERAGE.md); this module
@@ -46,7 +47,11 @@ def run_curation(
     """Run the curation job; return the manifest dict (also written to
     ``out_dir/MANIFEST.json``)."""
     from w4h_etl_container_spark.operators.bpe import bpe_train, merges_df, word_counts
-    from w4h_etl_container_spark.plans.curation import q_curated_corpus, q_source_kl
+    from w4h_etl_container_spark.plans.curation import (
+        q_curated_corpus,
+        q_source_kl,
+        q_source_mix,
+    )
     from w4h_etl_container_spark.plans.textops import quality_report
 
     docs = read_table(spark, sf_dir, "documents")
@@ -75,6 +80,11 @@ def run_curation(
     kl_path = os.path.join(out_dir, "source_kl")
     q_source_kl(spark, sf_dir).write.mode("overwrite").parquet(kl_path)
 
+    # the α=0.5 temperature mixing table (q_source_mix) — the weights a
+    # downstream token_budget_sample consumes to set per-source budgets
+    mix_path = os.path.join(out_dir, "source_mix")
+    q_source_mix(spark, sf_dir).write.mode("overwrite").parquet(mix_path)
+
     merges_path = os.path.join(out_dir, "bpe_merges")
     merges = bpe_train(word_counts(docs), n_merges)
     merges_df(spark, merges).write.mode("overwrite").parquet(merges_path)
@@ -91,6 +101,7 @@ def run_curation(
             "decisions": dec_path,
             "quality_report": qr_path,
             "source_kl": kl_path,
+            "source_mix": mix_path,
             "bpe_merges": merges_path,
         },
     }
