@@ -379,3 +379,36 @@ class TestBm25Boundary:
             x = idf * 1e6 + 0.5
             min_dist = min(min_dist, abs(x - round(x)))
         assert min_dist > 1e-4, min_dist  # band is ~1e-8; 4 orders of margin
+
+
+class TestPivotAndGapfill:
+    def test_pivot_counts_sum_to_events(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.registry import load_library
+        from w4h_etl_container_spark.session import read_events
+
+        rows = load_library()["q_pivot"].fn(spark, sf_dir).collect()
+        total = sum(
+            sum(r[c] for c in r.asDict() if c.startswith("n_")) for r in rows
+        )
+        assert total == read_events(spark, sf_dir).count()
+
+    def test_gapfill_grid_is_dense_and_filled(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.registry import load_library
+
+        rows = load_library()["q_gapfill"].fn(spark, sf_dir).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for u, rs in by_user.items():
+            rs.sort(key=lambda r: r["hr"])
+            # dense hourly grid: consecutive rows are exactly 1 h apart
+            for a, b in zip(rs, rs[1:]):
+                assert (b["hr"] - a["hr"]).total_seconds() == 3600, u
+            # first row is an observation by construction; forward fill
+            # leaves no NULL v_filled anywhere
+            assert rs[0]["v_obs"] is not None
+            assert all(r["v_filled"] is not None for r in rs)
+            # every filled row inherits the previous v_filled
+            for a, b in zip(rs, rs[1:]):
+                if b["is_filled"]:
+                    assert b["v_filled"] == a["v_filled"], u

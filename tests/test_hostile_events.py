@@ -45,6 +45,8 @@ EVENT_QUERIES = [
     "q_win_range",
     "q_funnel",
     "q_cohort_retention",
+    "q_pivot",
+    "q_gapfill",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

@@ -14,7 +14,7 @@ operators do (BASELINE.json extension mandate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.plans.registry import register
@@ -192,4 +192,133 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_n",
             F.expr("n_active * 10000 div cohort_n").alias("retention_bp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PRJ/AGG extension — pivot (long→wide): the per-entity feature-vector
+# shape every BI layer and feature store emits
+# ---------------------------------------------------------------------------
+PIVOT_TYPES = ("signup", "view", "click", "purchase", "error")
+
+
+@register(
+    "q_pivot",
+    sql=f"""
+    SELECT user_id,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in PIVOT_TYPES
+           )},
+           {", ".join(
+               "CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = '"
+               + t
+               + "') AS DOUBLE) AS v_"
+               + t
+               for t in ("purchase", "error")
+           )}
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey_ids=("PRJ-5", "AGG-1"),
+    gate=False,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: one row per user, a count column per event type
+    and a decimal-exact value sum for the value-bearing types — the
+    per-entity feature vector (the closest legitimate analog of the
+    reference's PRJ-5 transpose in a relational engine: axes swap, but
+    over a DECLARED, bounded category domain).
+
+    The pivot values are declared literals (``PIVOT_TYPES``) in BOTH
+    engines — an inferred pivot (Spark's ``pivot(col)`` without values)
+    launches a distinct-scan job and makes the output schema
+    data-dependent, which breaks plan caching and the oracle's fixed
+    schema; at 100 TB you always know your category domain.
+
+    Scale: ONE hash aggregate with map-side partials — conditional
+    aggregation never widens the exchange (5+2 cells per user), and no
+    second job for value inference."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    counts = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in PIVOT_TYPES
+    ]
+    sums = [
+        F.sum(
+            F.when(F.col("event_type") == t, F.col("value").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias(f"v_{t}")
+        for t in ("purchase", "error")
+    ]
+    return ev.groupBy("user_id").agg(*counts, *sums)
+
+
+# ---------------------------------------------------------------------------
+# PRJ-6/WIN extension — resample to a dense hourly grid + forward fill
+# (the xarray reindex+ffill shape on relational rails: sensors and
+# telemetry never arrive on clean grids; training features need them)
+# ---------------------------------------------------------------------------
+@register(
+    "q_gapfill",
+    sql="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, max(value) AS v_obs
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    )
+    SELECT g.user_id, g.hr, o.v_obs,
+           last_value(o.v_obs IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           (o.v_obs IS NULL) AS is_filled
+    FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
+    """,
+    survey_ids=("PRJ-6", "WIN-3"),
+    gate=False,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample + forward fill per user: every user gets a
+    gap-free hour grid spanning their own [first, last] observation,
+    observed hours carry their (max) value, missing hours inherit the
+    most recent earlier value — the reference's align/reindex (PRJ-6)
+    composed with xarray-style ``ffill``, on relational rails.
+
+    Scale: the grid explode is bounded by each user's own time span
+    (``sequence`` is a per-row expression — no driver-side calendar
+    table, no cross join against a global grid); the fill is ONE
+    running window per user over the already-shuffled grid — the same
+    single-shuffle discipline as q_win_funcs. At 100 TB the grid join
+    co-partitions with the observation aggregate (same key), so AQE
+    plans it shuffle-free on the grid side."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.max("value").alias("v_obs"))
+    bounds = obs.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = grid.join(obs, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v_obs").isNull().alias("is_filled"),
     )
