@@ -412,3 +412,44 @@ class TestPivotAndGapfill:
             for a, b in zip(rs, rs[1:]):
                 if b["is_filled"]:
                     assert b["v_filled"] == a["v_filled"], u
+
+
+class TestHistogramAndCorr:
+    def test_histogram_counts_cover_all_values(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.registry import load_library
+        from w4h_etl_container_spark.session import read_events
+
+        rows = load_library()["q_histogram"].fn(spark, sf_dir).collect()
+        assert sum(r["n"] for r in rows) == read_events(spark, sf_dir).where(
+            F.col("value").isNotNull()
+        ).count()
+        for r in rows:
+            assert 0 <= r["bucket"] <= 19
+            assert r["lo_e6"] <= r["hi_e6"]
+
+    def test_corr_matches_numpy_on_same_quantization(self, spark, sf_dir):
+        import numpy as np
+
+        from w4h_etl_container_spark.plans.registry import load_library
+        from w4h_etl_container_spark.session import read_events
+
+        got = {
+            r["event_type"]: r["corr_e6"]
+            for r in load_library()["q_corr"].fn(spark, sf_dir).collect()
+        }
+        ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+        raw = ev.select(
+            "event_type",
+            F.floor(F.col("value") * 1000.0 + 0.5).cast("long").alias("x"),
+            F.hour("ts").cast("long").alias("y"),
+        ).collect()
+        by = {}
+        for r in raw:
+            by.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+        for t, v in by.items():
+            xs = np.array([a for a, _ in v], dtype=float)
+            ys = np.array([b for _, b in v], dtype=float)
+            want = round(float(np.corrcoef(xs, ys)[0, 1]) * 1e6)
+            # numpy's accumulation differs; the exact-integer route must
+            # land within 1 micro-unit of it
+            assert abs(got[t] - want) <= 1, (t, got[t], want)

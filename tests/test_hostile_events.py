@@ -47,6 +47,8 @@ EVENT_QUERIES = [
     "q_cohort_retention",
     "q_pivot",
     "q_gapfill",
+    "q_histogram",
+    "q_corr",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

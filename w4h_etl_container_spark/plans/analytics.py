@@ -322,3 +322,169 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v_obs", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v_obs").isNull().alias("is_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AGG extension — equi-width histogram + exact-integer correlation (the
+# distribution/diagnostic aggregates a feature pipeline logs per batch)
+# ---------------------------------------------------------------------------
+HIST_LO, HIST_HI, HIST_NB = 0.0, 500.0, 20
+
+
+@register(
+    "q_histogram",
+    sql=f"""
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR((value - {HIST_LO!r}) * {HIST_NB}
+                                     / ({HIST_HI!r} - {HIST_LO!r})), 0),
+                      {HIST_NB - 1}) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(FLOOR(min(value) * 1000000.0 + 0.5) AS BIGINT) AS lo_e6,
+           CAST(FLOOR(max(value) * 1000000.0 + 0.5) AS BIGINT) AS hi_e6
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, 2
+    """,
+    survey_ids=("AGG-6",),
+    gate=False,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``value`` per event type: 20 buckets over
+    a declared [0, 500) domain, out-of-range values clamped to the edge
+    buckets (the standard telemetry-histogram contract). The bucket
+    index is the same floor expression in both engines (pure IEEE
+    arithmetic on identical doubles — width_bucket is Spark-only, so
+    the portable rendering IS the operator); per-bucket min/max are
+    e6-exact.
+
+    Scale: one map-side-combined aggregate on a (type × 20)-bounded key
+    domain — the cheapest distribution diagnostic there is."""
+    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("value") - F.lit(HIST_LO))
+                * F.lit(HIST_NB)
+                / (F.lit(HIST_HI) - F.lit(HIST_LO))
+            ),
+            F.lit(0),
+        ),
+        F.lit(HIST_NB - 1),
+    ).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.min("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("lo_e6"),
+        F.floor(F.max("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("hi_e6"),
+    )
+
+
+@register(
+    "q_corr",
+    sql="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND abs(value) <= 500.0
+    ), sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT)
+           ELSE NULL END AS corr_e6
+    FROM sums
+    """,
+    survey_ids=("AGG-6", "SF-1"),
+    gate=False,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of value vs hour-of-day per event type, made
+    ORDER-FREE: the inputs quantize to integers (value in e3
+    milli-units, hour as-is), the five moment sums are exact integer
+    aggregates (no float accumulation order anywhere), and the final
+    correlation is a fixed-shape double expression over those exact
+    integers — bit-equal across engines, e6-rounded for the compare.
+    The native ``corr()`` aggregate would be the one-liner, but its
+    running float accumulation is partition-order-dependent — exactly
+    the nondeterminism a distributed diagnostic must not have.
+
+    Scale: one map-side-combined aggregate. Quantization is e3, not
+    e6, because the SQUARED sum must fit int64 under ANSI: with
+    |value| ≤ 500, x_e3² ≤ 2.5e11, so Σx² stays in-range to ~37 M
+    rows per group (e6 overflows at a few dozen rows — caught by the
+    ANSI overflow check, not silently); beyond that, quantize coarser
+    or widen the sums to DECIMAL(38,0). Pearson r is scale-invariant,
+    so the e3/e6 choice only sets the quantization error floor. The
+    [−500, 500] domain is ENFORCED as a filter in both engines (the
+    emitted n makes exclusions auditable): an out-of-domain value
+    would overflow Spark's int64 sum under ANSI while DuckDB's
+    hugeint silently absorbs it — the hostile sweep caught exactly
+    this divergence on a −1e9 probe value."""
+    ev = read_events(spark, sf_dir).where(
+        F.col("value").isNotNull() & (F.abs("value") <= F.lit(500.0))
+    )
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    sums = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    # guard arithmetic in exact DECIMAL: n·sxx in int64 overflows
+    # already at ~6k rows/group (the double rendering could flip a
+    # tiny-variance group's >0 across engines); DECIMAL(38,0) holds the
+    # full domain (n ≤ 3.7e7 → |n·sxx| ≤ 9e18·… < 1e38) exactly
+    dn = F.col("n").cast("decimal(12,0)")
+    varx = dn * F.col("sxx").cast("decimal(25,0)") - F.col("sx").cast(
+        "decimal(19,0)"
+    ) * F.col("sx").cast("decimal(19,0)")
+    vary = dn * F.col("syy").cast("decimal(25,0)") - F.col("sy").cast(
+        "decimal(19,0)"
+    ) * F.col("sy").cast("decimal(19,0)")
+    # a zero-variance side has no defined correlation: NULL in both
+    # engines (ANSI Spark would otherwise throw DIVIDE_BY_ZERO where
+    # DuckDB floats through — hostile-sweep finding)
+    return sums.select(
+        "event_type",
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+        ).alias("corr_e6"),
+    )
