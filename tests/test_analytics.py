@@ -453,3 +453,29 @@ class TestHistogramAndCorr:
             # numpy's accumulation differs; the exact-integer route must
             # land within 1 micro-unit of it
             assert abs(got[t] - want) <= 1, (t, got[t], want)
+
+
+class TestOutliers:
+    def test_hampel_flags_planted_outlier(self, spark):
+        import tempfile
+
+        import w4h_etl_container_spark.plans.analytics as A
+
+        rows = [(i, "click", float(100 + (i % 7)), None) for i in range(50)]
+        rows.append((99, "click", 10_000.0, None))  # the planted spike
+        import datetime as dt
+        data = [
+            (eid, dt.datetime(2024, 1, 1, 0, 0, eid % 60), 1, et, v, p)
+            for eid, et, v, p in rows
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                data,
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ).write.mode("overwrite").parquet(f"{td}/events.parquet")
+            out = A.q_outliers(spark, td).collect()
+        flagged = {r["event_id"] for r in out if r["is_outlier"]}
+        assert flagged == {99}
+        # the median is robust: it sits inside the bulk despite the spike
+        med = out[0]["med_e6"]
+        assert 100_000_000 <= med <= 107_000_000  # 100.0..107.0 in e6

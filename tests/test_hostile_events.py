@@ -49,6 +49,7 @@ EVENT_QUERIES = [
     "q_gapfill",
     "q_histogram",
     "q_corr",
+    "q_outliers",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

@@ -488,3 +488,80 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
         ).alias("corr_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AGG extension — robust outlier flags (median absolute deviation):
+# the data-quality gate that mean/stddev z-scores can't provide, since
+# outliers corrupt the very moments classic z-scores standardize by
+# ---------------------------------------------------------------------------
+_MAD_K = 3.0 * 1.4826  # 1.4826 ≈ 1/Φ⁻¹(3/4): MAD→σ under normality
+
+
+@register(
+    "q_outliers",
+    sql=f"""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS x_e3
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type, quantile_cont(x_e3, 0.5) AS m FROM q GROUP BY event_type
+    ), dev AS (
+      SELECT q.event_id, q.event_type, q.x_e3, med.m,
+             abs(CAST(q.x_e3 AS DOUBLE) - med.m) AS d
+      FROM q JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS md FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type, dev.x_e3,
+           CAST(FLOOR(dev.m * 1000.0 + 0.5) AS BIGINT) AS med_e6,
+           CAST(FLOOR(mad.md * 1000.0 + 0.5) AS BIGINT) AS mad_e6,
+           (dev.d > {_MAD_K!r} * mad.md) AS is_outlier
+    FROM dev JOIN mad USING (event_type)
+    """,
+    survey_ids=("AGG-6", "SF-5"),
+    gate=False,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags per event type: |x − median| > 3·1.4826·MAD
+    (the Hampel filter). Values quantize to e3 integers first, so both
+    engines take order statistics over EXACT integers; the continuous-
+    median interpolation is a half-sum of two ≤2⁵²-magnitude integers —
+    exact in double, bit-equal across engines — and every comparison
+    and emitted stat derives deterministically from those.
+
+    Scale: two grouped percentiles over a 5-key domain + one broadcast
+    join back. The in-group percentile buffer is the gate-documented
+    exact path at this cardinality; corpus-scale groups swap in
+    ``operators/percentiles.exact_percentile_refined`` (same contract,
+    bounded state) for the same two calls."""
+    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x_e3"),
+    )
+    med = q.groupBy("event_type").agg(
+        F.expr("percentile(x_e3, 0.5)").alias("m")
+    )
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "x_e3",
+        "m",
+        F.abs(F.col("x_e3").cast("double") - F.col("m")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("md")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "x_e3",
+        F.floor(F.col("m") * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("med_e6"),
+        F.floor(F.col("md") * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("mad_e6"),
+        (F.col("d") > F.lit(_MAD_K) * F.col("md")).alias("is_outlier"),
+    )
