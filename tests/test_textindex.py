@@ -1,0 +1,85 @@
+"""Materialized inverted text index (pipeline/textindex.py): the
+index-consistency property (BM25 from the index == BM25 from the
+corpus, row for row) and the layout property that makes the index an
+index (query-term scans prune postings files via min/max skipping)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory):
+    from w4h_etl_container_spark.pipeline.textindex import build_text_index
+
+    out = str(tmp_path_factory.mktemp("txtidx"))
+    manifest = build_text_index(spark, sf_dir, out, n_files=8)
+    return out, manifest
+
+
+def _file_ranges(path: str, col: str):
+    out = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+class TestTextIndex:
+    def test_bm25_from_index_identical_to_direct(self, spark, sf_dir, index_dir):
+        from w4h_etl_container_spark.pipeline.textindex import bm25_topk_from_index
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES, q_bm25
+
+        out, _ = index_dir
+        direct = {
+            (r["query_id"], r["doc_id"]): (r["bm25_e6"], r["rnk"])
+            for r in q_bm25(spark, sf_dir).collect()
+        }
+        via_index = {
+            (r["query_id"], r["doc_id"]): (r["bm25_e6"], r["rnk"])
+            for r in bm25_topk_from_index(spark, out, BM25_QUERIES).collect()
+        }
+        assert via_index == direct
+
+    def test_postings_files_prune_on_token(self, index_dir):
+        out, _ = index_dir
+        ranges = sorted(_file_ranges(os.path.join(out, "postings"), "token"))
+        assert len(ranges) >= 2
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # disjoint token ranges = file-level skip
+        # a single-term probe touches a strict subset of files
+        probe = ranges[0][1]
+        touching = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+        assert touching < len(ranges)
+
+    def test_manifest_counts_agree(self, spark, sf_dir, index_dir):
+        out, manifest = index_dir
+        dl = spark.read.parquet(os.path.join(out, "doc_lengths"))
+        assert dl.count() == manifest["n_docs"]
+        total = dl.groupBy().sum("dl").collect()[0][0]
+        assert total == manifest["total_tokens"]
+
+    def test_pushed_filter_reaches_postings_scan(self, spark, index_dir):
+        from w4h_etl_container_spark.pipeline.textindex import bm25_topk_from_index
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+
+        out, _ = index_dir
+        plan = (
+            bm25_topk_from_index(spark, out, BM25_QUERIES)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan and "In(token" in plan

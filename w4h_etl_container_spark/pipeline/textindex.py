@@ -1,0 +1,167 @@
+"""Materialized inverted text index — the artifact that turns BM25 from
+a corpus scan into a file-pruned lookup (SURVEY §2.11 / §4 extension:
+the same publish-an-artifact architecture as the curation job, applied
+to retrieval).
+
+``build_text_index`` writes three parquet artifacts under ``out_dir``:
+
+* ``postings/``   — (token, doc_id, k): the per-document term counts,
+                    laid out with ``cluster_by(token)`` so a scan
+                    filtered to a query's terms touches only the files
+                    whose token range can contain them (min/max
+                    skipping — verified on real footer metadata in
+                    tests);
+* ``doc_lengths/`` — (doc_id, dl);
+* ``stats/``       — one row: (n_docs, total_tokens).
+
+``bm25_topk_from_index`` then scores a query set WITHOUT touching the
+corpus: the postings read carries a pushed ``token IN (...)`` filter
+(pruned at file level by the clustered layout), document frequencies
+come from the pruned slice itself, and the arithmetic is expression-
+for-expression the one ``plans/retrieval.py::q_bm25`` declares — so the
+two paths are provably result-identical (pinned in tests), which is the
+index-consistency property a real engine must maintain.
+
+At 100 TB: the index build is the SAME one-explode + map-side-combined
+aggregate every text operator already pays, plus one range shuffle for
+the layout; the query path reads q·df(term) posting rows instead of the
+corpus — sub-linear in corpus size for any fixed query set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.operators.layout import cluster_by
+from w4h_etl_container_spark.plans.retrieval import BM25_B, BM25_K1, BM25_TOP_K
+from w4h_etl_container_spark.plans.textops import _tokens
+from w4h_etl_container_spark.session import read_table
+
+
+def build_text_index(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
+) -> dict:
+    """Build the inverted index artifacts; returns the manifest dict
+    (also written to ``out_dir/MANIFEST.json``)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    postings_path = os.path.join(out_dir, "postings")
+    cluster_by(tf, ["token", "doc_id"], n_files=n_files).write.mode(
+        "overwrite"
+    ).parquet(postings_path)
+
+    dl = tf.groupBy("doc_id").agg(F.sum("k").alias("dl"))
+    dl_path = os.path.join(out_dir, "doc_lengths")
+    dl.write.mode("overwrite").parquet(dl_path)
+
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    stats_path = os.path.join(out_dir, "stats")
+    stats.write.mode("overwrite").parquet(stats_path)
+
+    row = spark.read.parquet(stats_path).collect()[0]
+    manifest = {
+        "n_docs": row["n_docs"],
+        "total_tokens": row["total_tokens"],
+        "artifacts": {
+            "postings": postings_path,
+            "doc_lengths": dl_path,
+            "stats": stats_path,
+        },
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: tuple[tuple[int, tuple[str, ...]], ...],
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 top-k against the materialized index — result-identical to
+    the direct ``q_bm25`` plan (same expressions over the same numbers;
+    the only difference is WHERE the (doc, token, k) rows come from).
+
+    The postings scan is filtered to the query terms BEFORE anything
+    else — with the clustered layout that filter prunes at file level,
+    so the touched bytes scale with Σ df(term), not the corpus."""
+    from pyspark.sql import Window
+
+    terms = sorted({t for _, ts in queries for t in ts})
+    postings = spark.read.parquet(os.path.join(index_dir, "postings")).where(
+        F.col("token").isin(*terms)
+    )
+    dl = spark.read.parquet(os.path.join(index_dir, "doc_lengths"))
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).select(
+        "n_docs",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "query_id int, term string",
+    )
+    df_t = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qidf = (
+        qterms.join(df_t, qterms.term == df_t.token)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            F.floor(
+                F.log(
+                    (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_e6"),
+        )
+    )
+    tf_norm = (
+        F.col("k").cast("double") * F.lit(BM25_K1 + 1.0)
+    ) / (
+        F.col("k").cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    contrib = (
+        postings.join(F.broadcast(qidf), postings.token == qidf.term)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                (F.col("idf_e6").cast("double") / F.lit(1000000.0))
+                * tf_norm
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c_e6"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_e6").alias("bm25_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("query_id", "doc_id", "bm25_e6", "rnk")
+    )
