@@ -479,3 +479,38 @@ class TestOutliers:
         # the median is robust: it sits inside the bulk despite the spike
         med = out[0]["med_e6"]
         assert 100_000_000 <= med <= 107_000_000  # 100.0..107.0 in e6
+
+
+class TestTypoPairs:
+    def test_deletion_neighborhood_is_complete_for_d1(self, spark):
+        # crafted vocab exercising all three edit kinds: delete
+        # (cat/cart? no - cat/at), insert (cat/cart is d=1? c-a-r-t vs
+        # c-a-t = one insert), substitute (cat/car) - plus a d=2 decoy
+        # (cat/dog) that must NOT appear
+        import tempfile
+
+        import w4h_etl_container_spark.plans.textops as T
+
+        words = ["cat"] * 50 + ["at"] * 40 + ["cart"] * 30 + ["car"] * 20 + ["dog"] * 10
+        text = " ".join(words)
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(1, text, "en", "web", len(text))],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            rows = T.q_typo_pairs(spark, td).collect()
+        got = {frozenset((r["tok_a"], r["tok_b"])) for r in rows}
+        assert {"at", "cat"} in got       # insert/delete
+        assert {"car", "cat"} in got      # substitute
+        assert {"car", "cart"} in got     # insert at end
+        assert {"cat", "cart"} in got     # insert in middle
+        assert not any("dog" in p for p in got)
+        assert all(r["dist"] == 1 for r in rows)
+
+    def test_fixture_pairs_verified_by_levenshtein(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.registry import load_library
+
+        rows = load_library()["q_typo_pairs"].fn(spark, sf_dir).collect()
+        for r in rows:
+            assert r["dist"] <= 1
+            assert r["tok_a"] < r["tok_b"]

@@ -68,6 +68,7 @@ DOC_ONLY_QUERIES = [
     "q_bm25",
     "q_normalize",
     "q_source_mix",
+    "q_typo_pairs",
 ]
 
 

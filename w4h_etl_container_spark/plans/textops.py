@@ -1119,3 +1119,114 @@ def decontaminate(
     )
     clean = docs.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_anti")
     return clean, hits
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP/EXT-TEXT — typo-pair discovery over the vocabulary
+# (SymSpell / FastSS: edit-distance-1 neighbors via deletion-
+# neighborhood bucketing — no all-pairs levenshtein ever runs)
+# ---------------------------------------------------------------------------
+_TYPO_TOP = 500
+
+
+def _typo_sql(top_n: int = _TYPO_TOP) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks
+      WHERE token <> '' AND regexp_matches(token, '^[ -~]+$')
+      GROUP BY token
+    ), topk AS (
+      SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {top_n}
+    ), vars AS (
+      SELECT token, cnt, token AS variant FROM topk
+      UNION ALL
+      SELECT token, cnt, substr(token, 1, i - 1) || substr(token, i + 1) AS variant
+      FROM topk, LATERAL (
+        SELECT unnest(generate_series(1, length(token))) AS i
+      ) g
+    ), pairs AS (
+      SELECT DISTINCT a.token AS tok_a, b.token AS tok_b,
+             a.cnt AS cnt_a, b.cnt AS cnt_b
+      FROM vars a JOIN vars b ON a.variant = b.variant AND a.token < b.token
+    )
+    SELECT tok_a, tok_b,
+           CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist,
+           cnt_a, cnt_b
+    FROM pairs WHERE levenshtein(tok_a, tok_b) <= 1
+    """
+
+
+@register(
+    "q_typo_pairs",
+    sql=_typo_sql(),
+    survey_ids=("EXT-DEDUP", "EXT-TEXT"),
+    gate=False,
+)
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 token pairs over the top-``_TYPO_TOP`` vocabulary
+    — the SymSpell/FastSS shape: each token expands to its 1-deletion
+    neighborhood (the token itself + every single-character deletion);
+    two tokens are within edit distance 1 IFF they share a variant
+    (delete ↔ the shorter word's own form; insert ↔ symmetric;
+    substitute ↔ both delete at the same position), so the candidate
+    join is an equi-join on variant buckets and ``levenshtein`` runs
+    only on candidates, never all pairs. The normalization/dedup stage
+    consumes these pairs to fold typo forms into their canonical token.
+
+    Scale: variant generation is one HOF projection (vocab × mean
+    token length rows — VOCAB-bounded, not corpus-bounded); the bucket
+    self-join touches only same-variant groups; the verify is native
+    ``levenshtein`` in both engines. Domain: printable-ASCII tokens
+    only (enforced identically in both engines) — DuckDB's levenshtein
+    counts BYTES where Spark counts CHARACTERS, so a multibyte token
+    ('—', 'straße') scores 3 vs 1 across engines (hostile-sweep
+    finding); non-Latin scripts need an ICU-aware distance, and the
+    deletion bucketing above is already character-correct when one is
+    swapped in. A corpus-scale vocabulary shards the same plan by
+    variant hash."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.where(F.length(F.trim("text")) > 0).select(
+        F.explode(_tokens()).alias("token")
+    )
+    counts = (
+        toks.where(
+            (F.col("token") != "") & F.col("token").rlike("^[ -~]+$")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), "token").limit(_TYPO_TOP)
+    # array_union dedups (repeated deletions of a double letter collapse)
+    vars_ = topk.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.expr(
+                "array_union(array(token), "
+                "transform(sequence(1, length(token)), "
+                "i -> concat(substr(token, 1, i - 1), substr(token, i + 1))))"
+            )
+        ).alias("variant"),
+    )
+    a = vars_.select(
+        F.col("token").alias("tok_a"), F.col("cnt").alias("cnt_a"), "variant"
+    )
+    b = vars_.select(
+        F.col("token").alias("tok_b"), F.col("cnt").alias("cnt_b"), "variant"
+    )
+    pairs = (
+        a.join(b, "variant")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "cnt_a", "cnt_b")
+        .distinct()
+    )
+    return pairs.where(F.levenshtein("tok_a", "tok_b") <= 1).select(
+        "tok_a",
+        "tok_b",
+        F.levenshtein("tok_a", "tok_b").cast("long").alias("dist"),
+        "cnt_a",
+        "cnt_b",
+    )
