@@ -50,6 +50,7 @@ EVENT_QUERIES = [
     "q_histogram",
     "q_corr",
     "q_outliers",
+    "q_props_profile",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

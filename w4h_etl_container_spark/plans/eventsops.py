@@ -281,3 +281,64 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SF-11 extension — JSON payload schema profiling (the drift detector:
+# which keys exist, how often, and whether their values stay integral)
+# ---------------------------------------------------------------------------
+@register(
+    "q_props_profile",
+    sql="""
+    WITH val AS (
+      SELECT props FROM events
+      WHERE props IS NOT NULL AND json_valid(props) AND json_type(props) = 'OBJECT'
+    ), kv AS (
+      SELECT unnest(json_keys(props)) AS key, props FROM val
+    ), x AS (
+      SELECT key,
+             json_extract_string(props, '$.' || chr(34) || key || chr(34)) AS value
+      FROM kv
+    )
+    SELECT key,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE value IS NULL) AS n_null,
+           COUNT(*) FILTER (WHERE regexp_matches(value, '^-?[0-9]+$')) AS n_int,
+           COUNT(*) FILTER (WHERE value IS NOT NULL
+                            AND NOT regexp_matches(value, '^-?[0-9]+$')) AS n_other
+    FROM x GROUP BY key
+    """,
+    survey_ids=("SF-11",),
+    gate=False,
+)
+def q_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profile of the ``props`` JSON payload: per key, how many
+    valid-object rows carry it, and whether its values are integer
+    literals, explicit nulls, or something else — the drift detector a
+    pipeline runs when an upstream team "just adds a field".
+
+    Engine-neutral by construction: Spark parses to
+    ``map<string,string>`` (malformed/non-object rows parse to NULL,
+    exactly DuckDB's ``json_valid AND json_type='OBJECT'`` gate; JSON
+    scalars stringify identically for scalar values) and the
+    INT-likeness CLASSIFICATION is the only thing compared — never the
+    raw value strings, so nested-value re-serialization differences
+    (Spark keeps the raw substring, DuckDB minifies) can't diverge the
+    result. Domain: flat scalar values (the JSONL wire contract);
+    profiled keys must not contain quote characters (JSON-path
+    rendering).
+
+    Scale: one projection + one explode bounded by keys-per-row, one
+    map-side-combined aggregate on the (tiny) key domain."""
+    ev = read_events(spark, sf_dir)
+    m = ev.select(F.from_json("props", "map<string,string>").alias("m")).where(
+        F.col("m").isNotNull()
+    )
+    kv = m.select(F.explode("m").alias("key", "value"))
+    is_int = F.col("value").rlike("^-?[0-9]+$")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+        F.count(F.when(is_int, 1)).alias("n_int"),
+        F.count(F.when(F.col("value").isNotNull() & ~is_int, 1)).alias("n_other"),
+    )
