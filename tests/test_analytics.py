@@ -514,3 +514,55 @@ class TestTypoPairs:
         for r in rows:
             assert r["dist"] <= 1
             assert r["tok_a"] < r["tok_b"]
+
+
+class TestProductQuantization:
+    def test_crafted_vectors_encode_to_expected_codes(self, spark):
+        # vectors placed ON specific subcentroids must encode to those
+        # centroid ids (clear margins - no tie/ulp sensitivity)
+        import numpy as np
+
+        import w4h_etl_container_spark.plans.vectors as V
+        from w4h_etl_container_spark.functions.vectorkernels import pq_codebooks
+
+        cb = pq_codebooks(V.PQ_M, V.PQ_K, V.PQ_DSUB)
+        want_codes = [3, 7, 0, 15, 1, 9, 4, 12]
+        vec = np.concatenate([cb[s, want_codes[s]] for s in range(V.PQ_M)])
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(1, [float(x) for x in vec], 0)],
+                "vec_id long, embedding array<float>, label int",
+            ).write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+            rows = V.q_pq_codes(spark, td).collect()
+        code = rows[0]["code"]
+        got = [(code >> (s * V.PQ_BITS)) & 15 for s in range(V.PQ_M)]
+        # float32 storage perturbs the vector slightly; the planted
+        # centroid must still be nearest in every subspace
+        assert got == want_codes
+
+    def test_adc_ranks_self_first_for_exact_centroid_vector(self, spark):
+        # a query that IS a codebook point: its own code reconstructs it
+        # exactly, so ADC(self) == 0 and it must rank 1
+        import numpy as np
+
+        import w4h_etl_container_spark.plans.vectors as V
+        from w4h_etl_container_spark.functions.vectorkernels import pq_codebooks
+
+        cb = pq_codebooks(V.PQ_M, V.PQ_K, V.PQ_DSUB)
+        q = np.concatenate([cb[s, 2] for s in range(V.PQ_M)])
+        rng = np.random.default_rng(5)
+        rows = [(0, [float(x) for x in q], 0)] + [
+            (i, [float(x) for x in rng.normal(0, 1, 64)], 0) for i in range(1, 30)
+        ]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            ).write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+            out = V.q_pq_adc(spark, td).collect()
+        q0 = [r for r in out if r["query_id"] == 0]
+        top = min(q0, key=lambda r: r["rnk"])
+        assert top["cand_id"] == 0 and top["adc_e6"] == 0

@@ -132,6 +132,9 @@ EMB_QUERIES = [
     "q_ann_probe",
     "q_ivf_assign",
     "q_semantic_survivors",
+    "q_pq_codes",
+    "q_pq_adc",
+    "q_centroid_prune",
 ]
 
 

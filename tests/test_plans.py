@@ -177,6 +177,9 @@ class TestKernelCodegen:
         # 1-row (n_docs, avgdl) scalar against the query-term/doc-side
         # joins, as in q_unigram_logprob
         "q_bm25",
+        # bounded query-set broadcast against the code scan, exactly
+        # q_cosine_topk's declared-exact shape
+        "q_pq_adc",
     }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):

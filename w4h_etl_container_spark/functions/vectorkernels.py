@@ -249,3 +249,74 @@ def make_ivf_probe_udf(centroids: np.ndarray, nprobe: int):
         return pd.Series(list(order))
 
     return ivf_probe
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): m subvector
+# codebooks of k centroids; a d-dim float vector becomes m small codes
+# packed into ONE int64 (64 float32 dims → 32 bits here: 32× smaller)
+# ---------------------------------------------------------------------------
+def pq_codebooks(m: int, k: int, dsub: int) -> np.ndarray:
+    """Deterministic stand-in codebooks (m, k, dsub): component
+    (s, j, i) = sin(s·59 + j·17 + i·5). A real index trains each
+    subspace with k-means over a corpus sample (operators/ivfindex.py's
+    loop per subspace); encode/ADC below are unchanged. The SQL dialect
+    embeds the identical doubles as literals (repr round-trips)."""
+    return np.array(
+        [
+            [[math.sin(s * 59.0 + j * 17.0 + i * 5.0) for i in range(dsub)] for j in range(k)]
+            for s in range(m)
+        ],
+        dtype=np.float64,
+    )
+
+
+def make_pq_encode_udf(codebooks: np.ndarray, bits: int):
+    """Packed PQ code per vector: subspace s's nearest-centroid index
+    (squared L2, tree-ordered; ties → lowest index, numpy argmin's
+    first-occurrence rule = the oracle's list_position-of-min) occupies
+    bit window [s·bits, (s+1)·bits)."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf(LongType())
+    def pq_encode(e: pd.Series) -> pd.Series:
+        x = stackf64(e)
+        if x.shape[0] == 0:
+            return pd.Series([], dtype="int64")
+        packed = np.zeros(x.shape[0], dtype=np.int64)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            d = np.empty((x.shape[0], k), dtype=np.float64)
+            for j in range(k):
+                diff = xs - codebooks[s, j]
+                d[:, j] = tree_reduce(diff * diff)
+            packed |= np.argmin(d, axis=1).astype(np.int64) << (s * bits)
+        return pd.Series(packed)
+
+    return pq_encode
+
+
+def make_pq_adc_udf(codebooks: np.ndarray, bits: int):
+    """Asymmetric distance computation: query stays float, candidate is
+    its packed code; approx ||q − x||² = Σ_s ||q_sub − c[s, code_s]||²
+    in micro-units. Per-subspace partials AND the cross-subspace total
+    both follow the shared tree order, so the generated SQL replays the
+    identical doubles."""
+    m, k, dsub = codebooks.shape
+    mask = (1 << bits) - 1
+
+    @F.pandas_udf(LongType())
+    def pq_adc(qe: pd.Series, code: pd.Series) -> pd.Series:
+        q = stackf64(qe)
+        if q.shape[0] == 0:
+            return pd.Series([], dtype="int64")
+        c = code.to_numpy(dtype=np.int64)
+        partial = np.empty((q.shape[0], m), dtype=np.float64)
+        for s in range(m):
+            qs = q[:, s * dsub : (s + 1) * dsub]
+            cs = (c >> (s * bits)) & mask
+            diff = qs - codebooks[s][cs]
+            partial[:, s] = tree_reduce(diff * diff)
+        return pd.Series(e6(tree_reduce(partial)))
+
+    return pq_adc

@@ -657,3 +657,151 @@ def q_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.col("rnk") <= F.lit(CENTROID_KEEP))
         .select("vec_id", "label", "cos_e6", "rnk", "kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the compression half of IVF-PQ, Jégou et al.
+# 2011): 64 float32 dims → one 32-bit packed code (8 subspaces × 4-bit
+# centroid ids), searched by asymmetric distance (ADC) — query floats
+# against candidate codes, never decompressing the corpus
+# ---------------------------------------------------------------------------
+PQ_M, PQ_K, PQ_BITS = 8, 16, 4
+PQ_DSUB = DIM // PQ_M
+
+from w4h_etl_container_spark.functions.vectorkernels import (  # noqa: E402
+    make_pq_adc_udf,
+    make_pq_encode_udf,
+    pq_codebooks,
+)
+
+_PQ_CB = pq_codebooks(PQ_M, PQ_K, PQ_DSUB)
+_pq_encode_udf = make_pq_encode_udf(_PQ_CB, PQ_BITS)
+_pq_adc_udf = make_pq_adc_udf(_PQ_CB, PQ_BITS)
+
+
+def _pq_dist_sql(arr: str, s: int, j: int) -> str:
+    terms = []
+    for i in range(PQ_DSUB):
+        c = repr(float(_PQ_CB[s, j, i]))
+        e = _elem("duck", arr, s * PQ_DSUB + i + 1)
+        terms.append(_S(f"(({e} - {c}) * ({e} - {c}))"))
+    return str(tree_sum(terms))
+
+
+def _pq_dlist_sql(arr: str, s: int) -> str:
+    return "[" + ", ".join(_pq_dist_sql(arr, s, j) for j in range(PQ_K)) + "]"
+
+
+def _pq_codes_ctes() -> str:
+    """CTE chain ending at ``codes`` (vec_id, embedding, code) — shared
+    by both PQ oracles so encode semantics cannot drift."""
+    dlists = ",\n             ".join(
+        f"{_pq_dlist_sql('embedding', s)} AS ds_{s}" for s in range(PQ_M)
+    )
+    packed = " + ".join(
+        f"((list_position(ds_{s}, list_min(ds_{s})) - 1)::BIGINT << {s * PQ_BITS})"
+        for s in range(PQ_M)
+    )
+    return f"""emb AS (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), dlists AS (
+      SELECT vec_id, embedding,
+             {dlists}
+      FROM emb
+    ), codes AS (
+      SELECT vec_id, embedding, CAST({packed} AS BIGINT) AS code FROM dlists
+    )"""
+
+
+@register(
+    "q_pq_codes",
+    sql=f"""
+    WITH {_pq_codes_ctes()}
+    SELECT vec_id, code FROM codes
+    """,
+    survey_ids=("EXT-SIM",),
+    gate=False,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: each vector's 8 nearest-subcentroid indices packed
+    into one BIGINT (bit window s·4..s·4+3 = subspace s's code; ties →
+    lowest centroid index in both engines: numpy argmin's first
+    occurrence = the oracle's list_position-of-min). The compared cell
+    is the exact packed integer — any arithmetic drift in any of the
+    128 subspace distances flips a code and fails the hash.
+
+    Scale: one Arrow kernel projection — the 32× compression pass a
+    10^10-vector corpus runs once before serving ANN from codes."""
+    emb = read_embeddings(spark, sf_dir)
+    return emb.select("vec_id", _pq_encode_udf("embedding").alias("code"))
+
+
+def _pq_adc_expr(code_col: str) -> str:
+    parts = [
+        _S(
+            f"list_extract(t_{s}, (({code_col} >> {s * PQ_BITS}) & {(1 << PQ_BITS) - 1}) + 1)"
+        )
+        for s in range(PQ_M)
+    ]
+    return str(tree_sum(parts))
+
+
+@register(
+    "q_pq_adc",
+    sql=f"""
+    WITH {_pq_codes_ctes()}, q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < {N_QUERIES}
+    ), qt AS (
+      SELECT query_id,
+             {", ".join(f"{_pq_dlist_sql('qe', s)} AS t_{s}" for s in range(PQ_M))}
+      FROM q
+    ), scored AS (
+      SELECT qt.query_id, c.vec_id AS cand_id,
+             {_e6(_pq_adc_expr("c.code"))} AS adc_e6
+      FROM codes c, qt
+    )
+    SELECT query_id, cand_id, adc_e6, rnk FROM (
+      SELECT query_id, cand_id, adc_e6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_e6 ASC NULLS FIRST, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey_ids=("EXT-SIM",),
+    gate=False,
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes: approx ||q − x||² = Σ_s dt_s[code_s]
+    where dt_s is the query's 16-entry distance table for subspace s —
+    the corpus side is READ AS CODES (8 bytes/vector), never
+    reconstructed. Top-``TOP_K`` nearest per query, deterministic
+    tie-break.
+
+    Both engines replay the same tree-ordered arithmetic: per-subspace
+    partials and the cross-subspace total (kernel ``tree_reduce`` ↔
+    generated ``tree_sum`` SQL), so the e6 micro-unit distances are
+    bit-equal.
+
+    Scale: the query side broadcasts (tables are q × 8 × 16 doubles);
+    the candidate side scans codes only — at 10^10 vectors that is
+    80 GB instead of 2.5 TB of float32, and the kernel is a table
+    gather, not a dot product. The IVF cell filter (q_ann_probe)
+    composes in front to make it sub-linear as well."""
+    emb = read_embeddings(spark, sf_dir)
+    codes = emb.select(
+        F.col("vec_id").alias("cand_id"), _pq_encode_udf("embedding").alias("code")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "query_id", "cand_id", _pq_adc_udf("qe", "code").alias("adc_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc_nulls_first(), "cand_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "adc_e6", "rnk")
+    )
