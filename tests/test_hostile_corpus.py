@@ -134,6 +134,7 @@ EMB_QUERIES = [
     "q_semantic_survivors",
     "q_pq_codes",
     "q_pq_adc",
+    "q_ivfpq",
     "q_centroid_prune",
 ]
 

@@ -805,3 +805,82 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "cand_id", "adc_e6", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed production ANN: probe restriction + PQ-compressed scoring
+# (IVF-PQ's full read path — sub-linear in candidates AND 32× smaller
+# per candidate touched)
+# ---------------------------------------------------------------------------
+def _ivfpq_sql() -> str:
+    return f"""
+    WITH {_pq_codes_ctes()}, sig AS (
+      SELECT vec_id, embedding, code, {_bucket_expr('duck')} AS bucket FROM codes
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+      FROM sig WHERE vec_id < {N_QUERIES}
+    ), qt AS (
+      SELECT query_id, qb,
+             {", ".join(f"{_pq_dlist_sql('qe', s)} AS t_{s}" for s in range(PQ_M))}
+      FROM q
+    ), scored AS (
+      SELECT qt.query_id, c.vec_id AS cand_id,
+             {_e6(_pq_adc_expr("c.code"))} AS adc_e6
+      FROM sig c JOIN qt ON c.bucket = qt.qb AND c.vec_id <> qt.query_id
+    )
+    SELECT query_id, cand_id, adc_e6, rnk FROM (
+      SELECT query_id, cand_id, adc_e6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_e6 ASC NULLS FIRST, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "q_ivfpq",
+    sql=_ivfpq_sql(),
+    survey_ids=("EXT-SIM",),
+    gate=False,
+)
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN read path: each query probes ONLY its
+    own LSH cell (the q_ann_probe restriction — 1/2⁸ of the corpus in
+    expectation) and ranks the cell by ASYMMETRIC DISTANCE over PQ
+    codes (the q_pq_adc scoring) — candidates are touched as 8-byte
+    codes, never floats. Probe fraction × 32 compression is the whole
+    IVF-PQ economics, composed from the two oracle-checked halves; the
+    equi-join on the cell key keeps it co-locatable when the corpus is
+    repartitioned by bucket.
+
+    Scale: identical to q_ann_probe's join shape with the candidate
+    payload shrunk from 256 B of float32 to 8 B of code — the scan the
+    join feeds reads 32× fewer candidate bytes, which is the term that
+    dominates at 10^10 vectors."""
+    emb = read_embeddings(spark, sf_dir)
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        _pq_encode_udf("embedding").alias("code"),
+        _bucket_udf("embedding").alias("bucket"),
+    )
+    q = sig.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    c = sig.select(
+        F.col("vec_id").alias("cand_id"), F.col("code").alias("code"), "bucket"
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("cand_id") != F.col("query_id")),
+    ).select("query_id", "cand_id", _pq_adc_udf("qe", "code").alias("adc_e6"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc_nulls_first(), "cand_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "adc_e6", "rnk")
+    )
