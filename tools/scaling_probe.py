@@ -36,6 +36,7 @@ def main() -> int:
     from w4h_etl_container_spark.plans.corpus import q_split_leakfree
     from w4h_etl_container_spark.plans.curation import lang_id_ngram, span_dedup, unigram_logprob
     from w4h_etl_container_spark.plans.retrieval import q_bm25
+    from w4h_etl_container_spark.plans.textops import q_typo_pairs
     from w4h_etl_container_spark.plans.textops import (
         minhash_candidates,
         ngram_jaccard_fast,
@@ -96,9 +97,14 @@ def main() -> int:
             "bpe_word_counts": lambda: word_counts(docs).foreach(lambda r: None),
             "bpe_train_5": lambda: bpe_train(word_counts(docs), 5),
             # round-9 operators (documents-scale): BM25 rides the same
-            # (doc, token) count table; the split rides minhash + CC
+            # (doc, token) count table; the split rides minhash + CC;
+            # typo pairs are VOCAB-bounded after the count — the
+            # architecture claim is ~flat growth past the counting pass
             "bm25": lambda: q_bm25(spark, sf_dir).foreach(lambda r: None),
             "split_leakfree": lambda: q_split_leakfree(spark, sf_dir).foreach(
+                lambda r: None
+            ),
+            "typo_pairs": lambda: q_typo_pairs(spark, sf_dir).foreach(
                 lambda r: None
             ),
         }
