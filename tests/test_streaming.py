@@ -448,3 +448,68 @@ class TestStreamingFunnel:
             assert got[u] == want.get(u, 0), u
 
         assert set(want) <= set(got)  # every funnel-active user emitted
+
+
+class TestStreamStreamJoin:
+    def test_streaming_attribution_matches_batch(self, spark, tmp_path, events_batch):
+        """Stream-stream interval join under AvailableNow (two files)
+        produces exactly the batch join's row set — including pairs
+        whose click and purchase arrive in DIFFERENT micro-batches
+        (the state store holds the click until the watermark passes)."""
+        from w4h_etl_container_spark.streaming.joins import attribution_join
+
+        src = str(tmp_path / "ss-src")
+        events_batch.where(F.col("event_id") < 500).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        events_batch.where(F.col("event_id") >= 500).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        got_rows: list = []
+        q = (
+            attribution_join(stream)
+            .writeStream.foreachBatch(lambda df, _e: got_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ss-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r["purchase_id"], r["click_id"]) for r in got_rows}
+        want = {
+            (r["purchase_id"], r["click_id"])
+            for r in attribution_join(events_batch).collect()
+        }
+        assert got == want
+        assert len(got) == len(got_rows)  # no duplicate emissions
+        assert want  # non-trivial fixture
+
+    def test_unwatermarked_outer_stream_join_is_refused(self, spark, tmp_path, events_batch):
+        """For INNER stream-stream joins Spark accepts an unwatermarked
+        plan (state simply grows without bound — which is why
+        attribution_join always sets both watermarks + the interval
+        bound); for OUTER joins the engine refuses outright, since a
+        null-extended row can never be emitted without a watermark.
+        Pin the refusal so the contract stays load-bearing."""
+        import pytest as _pytest
+
+        src = str(tmp_path / "ub-src")
+        events_batch.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).parquet(src)
+        clicks = stream.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        purchases = stream.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+        )
+        joined = purchases.join(clicks, F.col("p_user") == F.col("c_user"), "left")
+        with _pytest.raises(Exception, match="[Ww]atermark|[Aa]ppend|[Oo]uter"):
+            q = (
+                joined.writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / "ub-ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
