@@ -51,6 +51,7 @@ EVENT_QUERIES = [
     "q_corr",
     "q_outliers",
     "q_props_profile",
+    "q_attribution",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

@@ -342,3 +342,46 @@ def q_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(is_int, 1)).alias("n_int"),
         F.count(F.when(F.col("value").isNotNull() & ~is_int, 1)).alias("n_other"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-4 extension — attribution interval join (the batch twin of
+# streaming/joins.py::attribution_join, which tests pin stream-parity
+# against; declared here so the semantics are ALSO hash-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "q_attribution",
+    sql="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           p.value AS amount,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+    survey_ids=("JOIN-4", "STR-5"),
+    gate=False,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: every (purchase, click-by-same-user-
+    within-the-preceding-hour) pair — the ad-tech touchpoint join. The
+    STREAMING rendering of this exact operator lives in
+    ``streaming/joins.py`` (watermark-bounded state) and is pinned
+    equal to this batch form across micro-batch boundaries in
+    test_streaming; this declared query pins the semantics against the
+    DuckDB oracle as well, closing the triangle.
+
+    Scale: an equi-join on user_id with a residual time-range
+    predicate — the range never becomes a nested loop because the
+    equi key carries the join; at 100 TB both sides co-partition on
+    user_id and the hour bound caps per-key match fan-out."""
+    from w4h_etl_container_spark.streaming.joins import attribution_join
+
+    return attribution_join(read_events(spark, sf_dir), window_seconds=3600)
