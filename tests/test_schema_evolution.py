@@ -1,0 +1,76 @@
+"""Schema evolution at the parquet boundary (session.read_table_evolved):
+a long-lived table accumulates files written by different pipeline
+generations; reads must see the union schema deterministically, with
+pre-evolution files NULL-filling the added columns."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def evolved_dir(spark, tmp_path):
+    d = str(tmp_path / "evolved")
+    # generation 1: no 'lang' column
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    # generation 2: 'lang' added
+    spark.createDataFrame(
+        [(3, "gamma doc", "en"), (4, "delta doc", "de")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+class TestSchemaEvolution:
+    def test_union_schema_with_null_fill(self, spark, evolved_dir):
+        from w4h_etl_container_spark.session import read_table_evolved
+
+        df = read_table_evolved(spark, evolved_dir)
+        assert set(df.columns) == {"doc_id", "text", "lang"}
+        rows = {r["doc_id"]: r["lang"] for r in df.collect()}
+        assert rows == {1: None, 2: None, 3: "en", 4: "de"}
+
+    def test_widening_also_fails_loudly(self, spark, tmp_path):
+        # Spark's parquet merge refuses ANY changed column type — even
+        # int32 → int64 widening (a drifted history needs an explicit
+        # migration rewrite, not a silent cast)
+        from w4h_etl_container_spark.session import read_table_evolved
+
+        d = str(tmp_path / "widen")
+        spark.createDataFrame([(1, 10)], "doc_id long, n int").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        spark.createDataFrame([(2, 2**40)], "doc_id long, n long").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS|[Mm]erg"):
+            read_table_evolved(spark, d).collect()
+
+    def test_incompatible_types_fail_loudly(self, spark, tmp_path):
+        from w4h_etl_container_spark.session import read_table_evolved
+
+        d = str(tmp_path / "clash")
+        spark.createDataFrame([(1, 5)], "doc_id long, v int").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        spark.createDataFrame([(2, "five")], "doc_id long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        with pytest.raises(Exception, match="[Mm]erge|[Ss]chema|incompatible|Failed"):
+            read_table_evolved(spark, d).collect()
+
+    def test_unmerged_read_drops_column_silently(self, spark, evolved_dir):
+        # the hazard read_table_evolved exists to prevent: a plain read
+        # takes ONE footer's schema — whether 'lang' survives depends on
+        # file order. Assert the union is NOT guaranteed without merge
+        # (either outcome may occur; what must hold is that the merged
+        # read is a superset of the plain read)
+        from w4h_etl_container_spark.session import read_table_evolved
+
+        plain_cols = set(spark.read.parquet(evolved_dir).columns)
+        merged_cols = set(read_table_evolved(spark, evolved_dir).columns)
+        assert plain_cols <= merged_cols
+        assert "lang" in merged_cols

@@ -293,3 +293,27 @@ def ingestion_audit(spark: SparkSession, sf_dir: str):
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def read_table_evolved(spark: SparkSession, path: str):
+    """Read a parquet dataset whose FILES may carry heterogeneous
+    schemas — the operational reality of a long-lived 100 TB table
+    (columns get added over ingestion generations).
+
+    ``mergeSchema`` makes Spark reconcile the union schema across ALL
+    file footers (older files' missing columns read as NULL) instead of
+    trusting one arbitrary footer — without it, whether a late-added
+    column is visible depends on WHICH file Spark samples, i.e. on
+    directory listing order: a silent, nondeterministic column drop
+    (pinned in tests/test_schema_evolution.py). The cost is one footer
+    read per file at planning time, which is why it's a separate entry
+    point rather than the default ``read_table`` (fixture tables are
+    single-generation by contract).
+
+    Type CHANGES across generations raise at read — Spark's parquet
+    merge accepts added/removed columns but refuses a changed column
+    type, including int32 → int64 widening (pinned in tests): the
+    correct loud failure for a drifted table history, where the fix
+    is an explicit migration rewrite, not a silent cast."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.option("mergeSchema", "true").parquet(path)
