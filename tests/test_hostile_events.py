@@ -52,6 +52,8 @@ EVENT_QUERIES = [
     "q_outliers",
     "q_props_profile",
     "q_attribution",
+    "q_transitions",
+    "q_rfm",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

@@ -565,3 +565,159 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("md") * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("mad_e6"),
         (F.col("d") > F.lit(_MAD_K) * F.col("md")).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-EVENTS — behavioral sequence + value segmentation: the Markov
+# transition matrix and RFM quintiles every product-analytics stack ships
+# ---------------------------------------------------------------------------
+@register(
+    "q_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), totals AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           (p.n * 10000) // t.row_n AS p_bp
+    FROM pairs p JOIN totals t USING (prev_type)
+    """,
+    survey_ids=("EXT-EVENTS", "WIN-3"),
+    gate=False,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: count of (previous type → next type) adjacencies in
+    (ts, event_id) order, with row-normalized probabilities in exact
+    basis points. The behavioral fingerprint sequence models train on.
+
+    Scale: one window (lag) on the user partition — the same single
+    shuffle every per-user operator here pays — then a map-side-combined
+    aggregate on the (types²)-bounded key domain; the row-total join is
+    a broadcast of ≤ |types| rows."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 10000 div row_n").alias("p_bp"),
+    )
+
+
+@register(
+    "q_rfm",
+    sql="""
+    WITH p AS (
+      SELECT user_id,
+             max(ts) AS last_purchase,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id
+    ), horizon AS (
+      SELECT max(ts) AS h FROM events
+    ), base AS (
+      SELECT user_id,
+             CAST(date_diff('second', last_purchase, h) AS BIGINT) AS recency_s,
+             frequency, monetary
+      FROM p, horizon
+    )
+    , cuts AS (
+      SELECT quantile_cont(CAST(recency_s AS DOUBLE), [0.2,0.4,0.6,0.8]) AS rc,
+             quantile_cont(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS fc,
+             quantile_cont(monetary, [0.2,0.4,0.6,0.8]) AS mc
+      FROM base
+    )
+    SELECT user_id, recency_s, frequency, monetary,
+           1 + CAST(CAST(recency_s AS DOUBLE) > rc[1] AS INT)
+             + CAST(CAST(recency_s AS DOUBLE) > rc[2] AS INT)
+             + CAST(CAST(recency_s AS DOUBLE) > rc[3] AS INT)
+             + CAST(CAST(recency_s AS DOUBLE) > rc[4] AS INT) AS r_bucket,
+           1 + CAST(CAST(frequency AS DOUBLE) > fc[1] AS INT)
+             + CAST(CAST(frequency AS DOUBLE) > fc[2] AS INT)
+             + CAST(CAST(frequency AS DOUBLE) > fc[3] AS INT)
+             + CAST(CAST(frequency AS DOUBLE) > fc[4] AS INT) AS f_bucket,
+           1 + CAST(monetary > mc[1] AS INT)
+             + CAST(monetary > mc[2] AS INT)
+             + CAST(monetary > mc[3] AS INT)
+             + CAST(monetary > mc[4] AS INT) AS m_bucket
+    FROM base, cuts
+    """,
+    survey_ids=("EXT-EVENTS", "WIN-3", "AGG-1"),
+    gate=False,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, seconds since their last
+    purchase (relative to the stream's own horizon — no wall clock, so
+    the result is deterministic), purchase count, decimal-exact spend,
+    and quintile buckets 1..5 per metric (5 = highest value of the
+    metric; consumers map to RFM convention). Buckets come from
+    QUANTILE CUTOFFS (the 20/40/60/80 percentiles) compared per row —
+    NOT a global NTILE window: the engine keeps its no-unpartitioned-
+    window discipline, ties at a cutoff share a bucket (quantile
+    semantics, deterministic in both engines via the established
+    percentile bit-parity), and the plan has no global sort anywhere.
+
+    Scale: one aggregate per user, one 1-row horizon broadcast, one
+    1-row cutoff aggregate broadcast back — every stage is
+    embarrassingly parallel; a 10^10-user table pays two tiny scalar
+    aggregates instead of a 10^10-row sort."""
+    ev = read_events(spark, sf_dir)
+    p = (
+        ev.where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("monetary"),
+        )
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    base = p.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        (F.unix_timestamp("h") - F.unix_timestamp("last_purchase"))
+        .cast("long")
+        .alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+    cuts = base.agg(
+        F.expr("percentile(CAST(recency_s AS DOUBLE), array(0.2,0.4,0.6,0.8))").alias("rc"),
+        F.expr("percentile(CAST(frequency AS DOUBLE), array(0.2,0.4,0.6,0.8))").alias("fc"),
+        F.expr("percentile(monetary, array(0.2,0.4,0.6,0.8))").alias("mc"),
+    )
+
+    def bucket(metric, cutlist):
+        b = F.lit(1)
+        for i in range(4):
+            b = b + (metric > F.element_at(F.col(cutlist), i + 1)).cast("int")
+        return b
+
+    return base.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        bucket(F.col("recency_s").cast("double"), "rc").alias("r_bucket"),
+        bucket(F.col("frequency").cast("double"), "fc").alias("f_bucket"),
+        bucket(F.col("monetary"), "mc").alias("m_bucket"),
+    )
