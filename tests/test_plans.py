@@ -180,6 +180,8 @@ class TestKernelCodegen:
         # bounded query-set broadcast against the code scan, exactly
         # q_cosine_topk's declared-exact shape
         "q_pq_adc",
+        # two 1-row scalars (stream horizon, quantile cutoffs)
+        "q_rfm",
     }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):
