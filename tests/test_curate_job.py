@@ -76,6 +76,16 @@ def test_curation_job_artifacts(spark, sf_dir, tmp_path):
     total_bp = sum(r["q_bp"] for r in mix)
     assert 10000 - len(mix) <= total_bp <= 10000
 
+    # splits: every input doc assigned exactly once, clusters never
+    # straddle the boundary
+    splits = spark.read.parquet(manifest["artifacts"]["splits"]).collect()
+    assert len(splits) == manifest["input_docs"]
+    assert len({r["doc_id"] for r in splits}) == len(splits)
+    per_cluster = {}
+    for r in splits:
+        per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in per_cluster.values())
+
 
 def test_curation_job_rerun_deterministic(spark, sf_dir, tmp_path):
     out = str(tmp_path / "curated2")

@@ -17,6 +17,8 @@ verifiable without re-reading the data):
 * ``quality_report/`` — per-rule loss attribution (one fixed-width row);
 * ``source_kl/``  — the domain-mixing KL table;
 * ``source_mix/`` — the α=0.5 temperature mixing weights (round 9);
+* ``splits/``     — leakage-free train/val/test assignment per doc
+                    (q_split_leakfree: hashed on the near-dup cluster);
 * ``bpe_merges/`` — the trained tokenizer merge table.
 
 Every stage is individually oracle-checked (COVERAGE.md); this module
@@ -85,6 +87,13 @@ def run_curation(
     mix_path = os.path.join(out_dir, "source_mix")
     q_source_mix(spark, sf_dir).write.mode("overwrite").parquet(mix_path)
 
+    # leakage-free splits: near-dup clusters never straddle the
+    # train/val/test boundary (plans/corpus.py::q_split_leakfree)
+    from w4h_etl_container_spark.plans.corpus import q_split_leakfree
+
+    splits_path = os.path.join(out_dir, "splits")
+    q_split_leakfree(spark, sf_dir).write.mode("overwrite").parquet(splits_path)
+
     merges_path = os.path.join(out_dir, "bpe_merges")
     merges = bpe_train(word_counts(docs), n_merges)
     merges_df(spark, merges).write.mode("overwrite").parquet(merges_path)
@@ -102,6 +111,7 @@ def run_curation(
             "quality_report": qr_path,
             "source_kl": kl_path,
             "source_mix": mix_path,
+            "splits": splits_path,
             "bpe_merges": merges_path,
         },
     }
