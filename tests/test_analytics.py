@@ -566,3 +566,46 @@ class TestProductQuantization:
         q0 = [r for r in out if r["query_id"] == 0]
         top = min(q0, key=lambda r: r["rnk"])
         assert top["cand_id"] == 0 and top["adc_e6"] == 0
+
+
+class TestPqTraining:
+    def test_distortion_monotone_and_beats_standins(self, spark, sf_dir):
+        import numpy as np
+
+        from w4h_etl_container_spark.functions.vectorkernels import (
+            make_pq_adc_udf,
+            make_pq_encode_udf,
+            pq_codebooks,
+        )
+        from w4h_etl_container_spark.operators.ivfindex import pq_train
+        from w4h_etl_container_spark.session import read_embeddings
+
+        emb = read_embeddings(spark, sf_dir)
+        trained, hist = pq_train(emb, m=8, k=16, iters=4)
+        assert trained.shape == (8, 16, 8)
+        # Lloyd's invariant: mean reconstruction error never increases
+        for a, b in zip(hist, hist[1:]):
+            assert b <= a + 1e-9, hist
+        # trained codebooks reconstruct the fixture better than the
+        # deterministic sin stand-ins (the documented production knob)
+        def mean_err(cb):
+            enc = make_pq_encode_udf(cb, 4)
+            adc = make_pq_adc_udf(cb, 4)
+            coded = emb.select("embedding", enc("embedding").alias("code"))
+            r = coded.select(adc("embedding", "code").alias("e")).agg(
+                F.avg(F.col("e").cast("double"))
+            ).collect()[0][0]
+            return r / 1e6
+
+        assert mean_err(trained) < mean_err(pq_codebooks(8, 16, 8))
+
+    def test_encode_udf_works_with_trained_codebooks(self, spark, sf_dir):
+        from w4h_etl_container_spark.functions.vectorkernels import make_pq_encode_udf
+        from w4h_etl_container_spark.operators.ivfindex import pq_train
+        from w4h_etl_container_spark.session import read_embeddings
+
+        emb = read_embeddings(spark, sf_dir)
+        trained, _ = pq_train(emb, m=8, k=16, iters=1)
+        enc = make_pq_encode_udf(trained, 4)
+        rows = emb.select(enc("embedding").alias("code")).collect()
+        assert all(0 <= r["code"] < (1 << 32) for r in rows)

@@ -93,3 +93,89 @@ def build_partitioned_index(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     centroid_id so each IVF cell is physically co-located — queries then
     probe only their nearest cells' partitions."""
     return assign(emb, centroids).repartition("centroid_id")
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook training (the production knob behind plans/vectors.py's
+# q_pq_codes/q_pq_adc, which declare DETERMINISTIC stand-in codebooks
+# so their oracles stay literal): per-subspace Lloyd's k-means, all
+# subspaces trained in ONE distributed pass per iteration
+# ---------------------------------------------------------------------------
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    sample_fraction: float | None = None,
+) -> tuple[np.ndarray, list[float]]:
+    """Train (m, k, dsub) PQ codebooks over the ``embedding`` column.
+    Returns the codebooks and the per-iteration mean reconstruction
+    error (summed over subspaces — Lloyd's guarantees it is monotone
+    non-increasing, pinned in tests).
+
+    Distributed shape per iteration: ONE Arrow kernel pass computes all
+    m subspace codes (reusing ``make_pq_encode_udf`` with the current
+    codebooks), then ONE skinny shuffle of (s, code, dim, value) rows —
+    64·n rows regardless of m — feeds the per-(s, code, dim) means;
+    only the m·k·dsub codebook matrix (a few KB) reaches the driver.
+    Empty codes keep their previous centroid. Init is deterministic:
+    the k smallest-vec_id vectors' subvectors per subspace."""
+    from w4h_etl_container_spark.functions.vectorkernels import (
+        make_pq_adc_udf,
+        make_pq_encode_udf,
+    )
+
+    data = emb.select("vec_id", "embedding")
+    if sample_fraction is not None:
+        data = data.sample(fraction=sample_fraction, seed=42)
+    data = data.cache()
+    try:
+        seed_rows = data.orderBy("vec_id").limit(k).select("embedding").collect()
+        seed = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+        d = seed.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        codebooks = np.stack(
+            [seed[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+        )  # (m, k, dsub)
+        bits = max(1, (k - 1).bit_length())
+        history: list[float] = []
+        for _ in range(iters):
+            enc = make_pq_encode_udf(codebooks, bits)
+            adc = make_pq_adc_udf(codebooks, bits)
+            coded = data.select(
+                "embedding", enc("embedding").alias("code")
+            ).cache()
+            err = (
+                coded.select(adc("embedding", "code").alias("e"))
+                .agg(F.avg(F.col("e").cast("double")).alias("m"))
+                .collect()[0]["m"]
+                / 1e6
+            )
+            history.append(float(err))
+            # one skinny exchange for ALL subspaces: (s, code_s, dim, x)
+            # shiftright() takes only a literal shift — render the
+            # variable-shift code extraction as a SQL expression
+            sub = coded.select(
+                F.posexplode("embedding").alias("pos", "v"), "code"
+            ).select(
+                F.expr(f"CAST(pos / {dsub} AS INT)").alias("s"),
+                (F.col("pos") % dsub).alias("i"),
+                F.expr(
+                    f"shiftright(code, CAST(pos / {dsub} AS INT) * {bits})"
+                    f" & {(1 << bits) - 1}"
+                ).alias("j"),
+                F.col("v").cast("double").alias("x"),
+            )
+            means = (
+                sub.groupBy("s", "j", "i").agg(F.avg("x").alias("mx")).collect()
+            )
+            coded.unpersist()
+            new_cb = codebooks.copy()
+            for r in means:
+                new_cb[r["s"], r["j"], r["i"]] = r["mx"]
+            codebooks = new_cb
+        return codebooks, history
+    finally:
+        data.unpersist()
