@@ -609,3 +609,32 @@ class TestPqTraining:
         enc = make_pq_encode_udf(trained, 4)
         rows = emb.select(enc("embedding").alias("code")).collect()
         assert all(0 <= r["code"] < (1 << 32) for r in rows)
+
+
+class TestObservedWrite:
+    def test_metrics_computed_in_write_pass(self, spark, sf_dir, tmp_path):
+        from w4h_etl_container_spark.operators.gates import observed_write
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir)
+        out = str(tmp_path / "obs")
+        m = observed_write(
+            ev,
+            out,
+            metrics={
+                "n_rows": F.count(F.lit(1)),
+                "n_users": F.approx_count_distinct("user_id"),
+                "max_ts": F.max("ts"),
+            },
+        )
+        written = spark.read.parquet(out)
+        assert m["n_rows"] == written.count()
+        assert m["max_ts"] == written.agg(F.max("ts")).collect()[0][0]
+        assert m["n_users"] > 0
+
+    def test_default_metric_is_row_count(self, spark, tmp_path):
+        from w4h_etl_container_spark.operators.gates import observed_write
+
+        df = spark.range(123)
+        m = observed_write(df, str(tmp_path / "r"))
+        assert m == {"n_rows": 123}

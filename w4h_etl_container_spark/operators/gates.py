@@ -51,3 +51,38 @@ def qualifying_periods(
         .where(F.col("n_hours") >= min_distinct_hours)
         .drop("n_hours")
     )
+
+
+def observed_write(
+    df,
+    path: str,
+    *,
+    metrics: dict | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write ``df`` to parquet and return metrics computed DURING the
+    write job itself (``DataFrame.observe`` — zero extra scans), instead
+    of the count-after-write pattern that re-reads the data.
+
+    ``metrics``: name → aggregate Column over the written rows; defaults
+    to ``{"n_rows": count(*)}``. Returns the resolved metric dict.
+
+    At 100 TB this is the difference between a manifest costing one
+    extra full scan per artifact and costing nothing: the observation
+    piggybacks on the write's own pass. (Metrics are exact for the
+    single-action batch case used here; under retries of a FAILED job
+    Spark recomputes the whole action, so the final values still
+    describe exactly the committed rows.)"""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return dict(obs.get)
