@@ -80,6 +80,11 @@ def test_curation_job_artifacts(spark, sf_dir, tmp_path):
     # straddle the boundary
     splits = spark.read.parquet(manifest["artifacts"]["splits"]).collect()
     assert len(splits) == manifest["input_docs"]
+    # observed per-artifact counts (computed inside the write jobs)
+    # agree with the written data
+    for name, n in manifest["artifact_rows"].items():
+        assert n == spark.read.parquet(manifest["artifacts"][name]).count(), name
+    assert manifest["artifact_rows"]["splits"] == manifest["input_docs"]
     assert len({r["doc_id"] for r in splits}) == len(splits)
     per_cluster = {}
     for r in splits:

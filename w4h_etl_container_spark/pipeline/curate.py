@@ -35,6 +35,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from w4h_etl_container_spark.operators.gates import observed_write
 from w4h_etl_container_spark.operators.layout import cluster_by
 from w4h_etl_container_spark.session import read_table
 
@@ -74,25 +75,35 @@ def run_curation(
         "overwrite"
     ).parquet(corpus_path)
 
+    # report/mix/split artifacts: row counts fold into each write job
+    # (observed_write) so the manifest's per-artifact counts cost zero
+    # extra scans
+    artifact_rows = {}
     qr_path = os.path.join(out_dir, "quality_report")
-    quality_report(docs.where(F.length("text") > 0)).write.mode(
-        "overwrite"
-    ).parquet(qr_path)
+    artifact_rows["quality_report"] = observed_write(
+        quality_report(docs.where(F.length("text") > 0)), qr_path
+    )["n_rows"]
 
     kl_path = os.path.join(out_dir, "source_kl")
-    q_source_kl(spark, sf_dir).write.mode("overwrite").parquet(kl_path)
+    artifact_rows["source_kl"] = observed_write(q_source_kl(spark, sf_dir), kl_path)[
+        "n_rows"
+    ]
 
     # the α=0.5 temperature mixing table (q_source_mix) — the weights a
     # downstream token_budget_sample consumes to set per-source budgets
     mix_path = os.path.join(out_dir, "source_mix")
-    q_source_mix(spark, sf_dir).write.mode("overwrite").parquet(mix_path)
+    artifact_rows["source_mix"] = observed_write(q_source_mix(spark, sf_dir), mix_path)[
+        "n_rows"
+    ]
 
     # leakage-free splits: near-dup clusters never straddle the
     # train/val/test boundary (plans/corpus.py::q_split_leakfree)
     from w4h_etl_container_spark.plans.corpus import q_split_leakfree
 
     splits_path = os.path.join(out_dir, "splits")
-    q_split_leakfree(spark, sf_dir).write.mode("overwrite").parquet(splits_path)
+    artifact_rows["splits"] = observed_write(
+        q_split_leakfree(spark, sf_dir), splits_path
+    )["n_rows"]
 
     merges_path = os.path.join(out_dir, "bpe_merges")
     merges = bpe_train(word_counts(docs), n_merges)
@@ -105,6 +116,7 @@ def run_curation(
             decisions.agg(F.sum(F.col("curated").cast("long"))).collect()[0][0] or 0
         ),
         "n_merges": len(merges),
+        "artifact_rows": {k: int(v) for k, v in sorted(artifact_rows.items())},
         "artifacts": {
             "corpus": corpus_path,
             "decisions": dec_path,
