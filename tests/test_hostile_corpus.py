@@ -69,6 +69,7 @@ DOC_ONLY_QUERIES = [
     "q_normalize",
     "q_source_mix",
     "q_typo_pairs",
+    "q_quality_deciles",
 ]
 
 

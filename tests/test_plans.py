@@ -182,6 +182,8 @@ class TestKernelCodegen:
         "q_pq_adc",
         # two 1-row scalars (stream horizon, quantile cutoffs)
         "q_rfm",
+        # the unigram scorer's corpus-total scalar + 1-row decile cutoffs
+        "q_quality_deciles",
     }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):

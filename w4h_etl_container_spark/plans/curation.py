@@ -1191,3 +1191,53 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ws_runs"),
         F.md5(step.cast("binary")).alias("norm_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality deciles: bucket documents by their LM quality score — the
+# table a filter-threshold or curriculum schedule is tuned against
+# ---------------------------------------------------------------------------
+def _quality_deciles_sql() -> str:
+    probs = ", ".join(str((i + 1) / 10.0) for i in range(9))
+    bucket = " + ".join(f"CAST(avg_lp > c[{i + 1}] AS INT)" for i in range(9))
+    return f"""
+    WITH u AS ({_unigram_sql()}),
+    cuts AS (
+      SELECT quantile_cont(avg_lp, [{probs}]) AS c FROM u
+    )
+    SELECT doc_id, n_tokens, sum_lp_e6, 1 + {bucket} AS q_decile
+    FROM u, cuts
+    """
+
+
+@register(
+    "q_quality_deciles",
+    sql=_quality_deciles_sql(),
+    survey_ids=("EXT-TEXT", "AGG-6"),
+    gate=False,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of the unigram quality score (`q_unigram_logprob`'s
+    avg log2-prob): decile 10 = most corpus-typical documents. Buckets
+    come from the nine decile CUTOFFS compared per row — the same
+    no-global-window discipline as q_rfm; ties at a cutoff share a
+    bucket. The compared cells are the exact integers (n_tokens,
+    sum_lp_e6) plus the bucket — avg_lp itself stays internal, so no
+    raw float crosses the engine boundary here at all.
+
+    Scale: the unigram scorer's existing shape + ONE 1-row cutoff
+    aggregate broadcast back; a filter threshold ("drop the bottom
+    decile") becomes a pushed-down comparison, not a sort."""
+    u = unigram_logprob(read_table(spark, sf_dir, "documents"))
+    cuts = u.agg(
+        F.expr(
+            "percentile(avg_lp, array(" + ", ".join(str((i + 1) / 10.0) for i in range(9)) + "))"
+        ).alias("c")
+    )
+    b = F.lit(1)
+    for i in range(9):
+        b = b + (F.col("avg_lp") > F.element_at(F.col("c"), i + 1)).cast("int")
+    return (
+        u.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "n_tokens", "sum_lp_e6", b.alias("q_decile"))
+    )
