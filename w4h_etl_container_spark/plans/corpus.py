@@ -864,3 +864,85 @@ def q_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP — cluster-size histogram: the dedup diagnostic that tells
+# you whether near-dup mass is long-tail pairs or boilerplate megaclusters
+# (which need the Kiveris edge-rewrite CC path and keep-policy review)
+# ---------------------------------------------------------------------------
+def _cluster_sizes_sql() -> str:
+    return f"""
+    WITH RECURSIVE {minhash_cands_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION SELECT doc_b, doc_a FROM cands
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    ),
+    labels AS (
+      SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY sz
+    ),
+    singles AS (
+      SELECT (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM labels) AS n1
+    )
+    SELECT cluster_size, n_clusters, cluster_size * n_clusters AS n_docs FROM hist
+    UNION ALL
+    SELECT 1 AS cluster_size, n1 AS n_clusters, n1 AS n_docs
+    FROM singles WHERE n1 > 0
+    """
+
+
+@register(
+    "q_cluster_sizes",
+    sql=_cluster_sizes_sql(),
+    survey_ids=("EXT-DEDUP", "AGG-6"),
+    gate=False,
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram over the gate's MinHash-LSH
+    candidate graph: how many clusters of each size exist (unpaired
+    documents count as size-1 clusters). Every paired cluster has
+    size ≥ 2 by construction, so the singleton row is exactly the
+    complement count — no overlap with the histogram rows.
+
+    Scale: the labels table (paired docs only) feeds two bounded
+    aggregates; the singleton count is two 1-row scalars. The shape a
+    pipeline watches: a fat tail here is the signal to switch the CC
+    engine to the Kiveris edge-rewrite variant and to review the
+    keep-one policy (a 10^6-member boilerplate cluster should usually
+    be dropped outright, not surviving-one'd)."""
+    from w4h_etl_container_spark.operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    labels = connected_components(minhash_candidates(parallelize_compute(docs)))
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("nt"))
+    n_labeled = labels.agg(F.count(F.lit(1)).alias("nl"))
+    singles = (
+        n_total.crossJoin(F.broadcast(n_labeled))
+        .select((F.col("nt") - F.col("nl")).alias("n1"))
+        .where(F.col("n1") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n1").alias("n_clusters"),
+            F.col("n1").alias("n_docs"),
+        )
+    )
+    return hist.union(singles)
