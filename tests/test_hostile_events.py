@@ -54,6 +54,10 @@ EVENT_QUERIES = [
     "q_attribution",
     "q_transitions",
     "q_rfm",
+    "q_kmv_distinct",
+    "q_heavy_hitters",
+    "q_scd2",
+    "q_salted_join",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

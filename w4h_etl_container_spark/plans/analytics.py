@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.plans.registry import register
-from w4h_etl_container_spark.session import read_events
+from w4h_etl_container_spark.session import read_events, read_table
 
 # The funnel definition: ordered steps a user must hit with strictly
 # increasing timestamps (a purchase BEFORE the signup does not count —
@@ -720,4 +720,106 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket(F.col("recency_s").cast("double"), "rc").alias("r_bucket"),
         bucket(F.col("frequency").cast("double"), "fc").alias("f_bucket"),
         bucket(F.col("monetary"), "mc").alias("m_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-BASKET — market-basket association pairs (support + lift)
+# ---------------------------------------------------------------------------
+ASSOC_MIN_SUPPORT = 5
+
+
+def _assoc_sql() -> str:
+    return f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    supp AS (SELECT p_brand, COUNT(*) AS brand_cnt FROM baskets GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, pair_cnt,
+           sa.brand_cnt AS cnt_a, sb.brand_cnt AS cnt_b,
+           (1000000 * (SELECT n_orders FROM n) * pair_cnt)
+             // (sa.brand_cnt * sb.brand_cnt) AS lift_e6
+    FROM pairs
+    JOIN supp sa ON sa.p_brand = brand_a
+    JOIN supp sb ON sb.p_brand = brand_b
+    WHERE pair_cnt >= {ASSOC_MIN_SUPPORT}
+    """
+
+
+@register(
+    "q_assoc_pairs",
+    sql=_assoc_sql(),
+    survey_ids=("EXT-BASKET", "JOIN-1"),
+    gate=False,
+)
+def q_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand grain: for every
+    brand pair co-occurring in ≥5 orders, its support count and lift
+    ``N·supp(a,b) / (supp(a)·supp(b))`` in e6 integer units.
+
+    Scale shape: the classic a-priori first rung. Baskets are the
+    DISTINCT (order, brand) projection — one shuffle with map-side
+    dedup, grain bounded by brands-per-order (≤25 here), never by
+    lineitem fan-in. The pair join is a SELF-join on the basket's own
+    order key: co-partitioned by construction (one exchange feeds both
+    sides), and each order contributes C(brands,2) ≤ 300 pairs — the
+    quadratic term is bounded per-key, so the join output stays linear
+    in orders at any corpus size. Brand supports are a 25-row broadcast.
+    Lift is computed entirely in BIGINT (e6 pre-scale, floor division)
+    so the cross-engine contract is exact integer equality, not float
+    proximity.
+
+    At 100 TB the only heavy operator is the baskets dedup — the same
+    single-shuffle cost as any distinct — and AQE's skew split handles
+    a pathological mega-order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    supp = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("brand_cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= ASSOC_MIN_SUPPORT)
+    )
+    sa = supp.select(
+        F.col("p_brand").alias("brand_a"), F.col("brand_cnt").alias("cnt_a")
+    )
+    sb = supp.select(
+        F.col("p_brand").alias("brand_b"), F.col("brand_cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                "(1000000L * n_orders * pair_cnt) div (cnt_a * cnt_b)"
+            ).alias("lift_e6"),
+        )
     )

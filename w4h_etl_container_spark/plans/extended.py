@@ -311,3 +311,65 @@ def q_percentile_exactscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("p")[0]).alias("p50"),
         r6(F.col("p")[1]).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SKEW — salted join: the skew-mitigation technique, parity-pinned
+# against the plain join it must be indistinguishable from
+# ---------------------------------------------------------------------------
+SALT_FANOUT = 16
+
+
+def _salted_join_sql() -> str:
+    return """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e6
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """
+
+
+@register(
+    "q_salted_join",
+    sql=_salted_join_sql(),
+    survey_ids=("EXT-SKEW", "JOIN-1"),
+    gate=False,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events⋈customer revenue-by-segment THROUGH a salted join — the
+    manual skew-mitigation pattern, declared so its one hard invariant
+    is hash-pinned: salting must be semantically invisible (the oracle
+    is the PLAIN join).
+
+    The fixture's events stream is maximally skewed (~150 distinct
+    users over any row count — every key is hot). A vanilla shuffle
+    join lands each hot key on ONE reducer; here the fact side gets a
+    deterministic salt (event_id mod 16) and the dim side replicates
+    ×16 via explode(sequence(...)), so the join key (user, salt)
+    spreads every hot key across 16 reducers. Trade: 16× the dim rows
+    shuffle (dims are small — that's why the dim side takes the
+    fan-out) for 16× the parallelism on the skewed side. AQE's
+    skew-split handles moderate skew without this; the manual salt is
+    for the pathological key that exceeds a single executor's spill
+    budget even post-split.
+
+    The value sum crosses the engine boundary as e6 integer units
+    (order-free BIGINT sum — float summation order would differ under
+    the salted regrouping, which is exactly the bug class the pin
+    exists to catch); NULL values drop from SUM identically."""
+    ev = read_events(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(SALT_FANOUT)).cast("int")
+    )
+    cust = read_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_FANOUT - 1)))
+    )
+    joined = ev.join(
+        cust,
+        (ev["user_id"] == cust["c_custkey"]) & (ev["salt"] == cust["salt"]),
+    )
+    e6 = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(e6).alias("sum_value_e6"),
+    )

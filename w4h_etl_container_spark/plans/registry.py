@@ -76,6 +76,9 @@ def _import_plans() -> None:
         curation,
         analytics,
         retrieval,
+        sketches,
+        graph,
+        quality,
     )
 
 
