@@ -513,3 +513,56 @@ class TestStreamStreamJoin:
                 .start()
             )
             q.awaitTermination()
+
+
+class TestStreamingKmv:
+    def test_incremental_kmv_matches_batch_sketch(self, spark, tmp_path, events_batch):
+        """KMV mergeability, executed: folding micro-batches into 32-long
+        state yields EXACTLY the batch sketch (k smallest of a union ==
+        k smallest of incremental unions), which selfcheck already pins
+        against DuckDB — a three-way agreement chain."""
+        from w4h_etl_container_spark.plans.registry import load_library
+        from w4h_etl_container_spark.streaming.sketches import group_kmv
+
+        src = str(tmp_path / "kmv-src")
+        events_batch.where(F.col("event_id") < 500).coalesce(1).write.mode("append").parquet(src)
+        events_batch.where(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            group_kmv(stream)
+            .writeStream.format("memory")
+            .queryName("kmv_stream")
+            .option("checkpointLocation", str(tmp_path / "kmv-ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM kmv_stream")
+        # keep the LAST emission per group (largest n_mins — monotone)
+        final = {
+            r["event_type"]: (r["n_mins"], r["kth_min"], r["est_users"])
+            for r in got.orderBy("n_mins").collect()
+        }
+        import hashlib
+
+        pdf = events_batch.select("event_type", "user_id").toPandas().dropna(
+            subset=["user_id"]
+        )
+        want = {}
+        for etype, grp in pdf.groupby("event_type"):
+            hs = sorted(
+                {
+                    int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+                    for u in grp["user_id"]
+                }
+            )[:32]
+            est = float(len(hs)) if len(hs) < 32 else 31.0 * float(1 << 60) / hs[-1]
+            want[etype] = (len(hs), hs[-1], est)
+        assert set(final) == set(want)
+        for k in want:
+            assert final[k][0] == want[k][0]
+            assert final[k][1] == want[k][1]
+            assert abs(final[k][2] - want[k][2]) < 1e-6
