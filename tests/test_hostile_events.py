@@ -58,6 +58,7 @@ EVENT_QUERIES = [
     "q_heavy_hitters",
     "q_scd2",
     "q_salted_join",
+    "q_sessionize",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

@@ -823,3 +823,115 @@ def q_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_e6"),
         )
     )
+
+
+# Sessionization gap: a new session starts when a user is idle longer
+# than this (the classic 30-minute web-analytics cut).
+SESSION_GAP_US = 1_800_000_000
+
+
+def _sessionize_sql() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    lagged AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_seq
+      FROM lagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           MIN(us) AS start_us,
+           (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_e6
+    FROM sess GROUP BY user_id, session_seq
+    """
+
+
+@register(
+    "q_sessionize",
+    sql=_sessionize_sql(),
+    survey_ids=("EXT-EVENTS", "WIN-3", "STR-5"),
+    gate=False,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the batch twin of the streaming
+    session-window query (q_stream_session): per user, a new session
+    starts at the first event and whenever the idle gap exceeds 30
+    minutes; each session reports its event count, distinct-type
+    count, start, duration, and e6-integer value sum.
+
+    Spark shape: ONE shuffle. Both window functions (the LAG gap flag
+    and the running SUM that numbers sessions) share the same
+    (user_id)×(us, event_id) partitioning and sort, so WindowExec
+    evaluates them in a single pass over one exchange; the session
+    roll-up then re-aggregates on (user_id, session_seq) — a key that
+    REFINES the window partition, so AQE-planned hash aggregation sees
+    perfectly partial-aggregable input (map-side combine collapses each
+    user's sessions locally; no second wide exchange of raw events).
+
+    Determinism: ordering ties on (us) break on the unique event_id;
+    all compared cells are integers (epoch micros, floor-rounded e6
+    value units), so cross-engine equality is exact. NULL users are
+    excluded on both sides — an "anonymous" mega-partition is a skew
+    hazard AND semantically one fake user's sessions.
+
+    Scale: user_id is a high-cardinality, naturally even key; per-user
+    state in WindowExec is one row of look-behind (LAG) plus a running
+    long — no buffering of the partition. At 100 TB this is the
+    cheapest correct sessionizer: exactly one sort-shuffle of the
+    event stream."""
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("us") - prev > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    seq = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_seq", seq)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("_end_us"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            ).alias("value_e6"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "n_types",
+            "start_us",
+            # integer floor-division in BIGINT — no double round-trip
+            F.expr("(_end_us - start_us) div 1000000").alias("duration_sec"),
+            "value_e6",
+        )
+    )
