@@ -184,6 +184,14 @@ class TestKernelCodegen:
         "q_rfm",
         # the unigram scorer's corpus-total scalar + 1-row decile cutoffs
         "q_quality_deciles",
+        # the 1-row broadcast Bloom bit-set (512 bytes) the probes read
+        "q_bloom_prune",
+        # two 1-row scalars (doc total, labeled total) → singleton row
+        "q_cluster_sizes",
+        # 1-row basket-total scalar feeding the lift denominator
+        "q_assoc_pairs",
+        # 1-row referential-violation scalars per constraint row
+        "q_dq_report",
     }
 
     def test_no_unbounded_join_strategies_anywhere(self, spark, sf_dir, reg):

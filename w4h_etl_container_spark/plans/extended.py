@@ -373,3 +373,148 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(e6).alias("sum_value_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SKEW / JOIN-3 — Bloom-filter join pruning: the broadcast bit-set
+# that replaces a shuffle semi-join at 100 TB, built deterministically
+# (md5 positions) so both engines compute the identical filter
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 4096  # m: filter size in bits (128 32-bit-packed words)
+BLOOM_K = 3  # hash functions per key
+_BLOOM_SEG = "MACHINERY"  # the selective dim predicate being pruned for
+
+
+def _bloom_pos_sql(key: str, j: str) -> str:
+    from w4h_etl_container_spark.plans.textops import _nib_sql
+
+    md5 = f"md5('b' || {j} || ':' || CAST({key} AS VARCHAR))"
+    return f"({_nib_sql(md5, 8)}) % {BLOOM_BITS}"
+
+
+def _bloom_prune_sql() -> str:
+    seeds = ", ".join(f"({j})" for j in range(BLOOM_K))
+    return f"""
+    WITH dim AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'
+    ),
+    bits AS (
+      SELECT {_bloom_pos_sql('dim.k', 's.j')} AS pos
+      FROM dim CROSS JOIN (VALUES {seeds}) s(j)
+    ),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS wbits
+      FROM bits GROUP BY 1
+    ),
+    probes AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority,
+             {_bloom_pos_sql('o.o_custkey', 's.j')} AS pos
+      FROM orders o CROSS JOIN (VALUES {seeds}) s(j)
+    ),
+    checked AS (
+      SELECT p.o_orderkey, p.o_custkey, p.o_orderpriority,
+             BOOL_AND(((COALESCE(w.wbits, 0) >> CAST(p.pos % 32 AS INTEGER)) & 1) = 1) AS pass
+      FROM probes p LEFT JOIN words w ON w.word = p.pos // 32
+      GROUP BY 1, 2, 3
+    )
+    SELECT c.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN c.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN c.pass AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM checked c LEFT JOIN dim d ON d.k = c.o_custkey
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_bloom_prune",
+    sql=_bloom_prune_sql(),
+    survey_ids=("EXT-SKEW", "JOIN-3", "EXT-SKETCH"),
+    gate=False,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, made deterministic and hash-pinned:
+    build a 4096-bit / 3-hash Bloom filter over the custkeys of one
+    market segment, probe every order against it as pure expressions
+    over a BROADCAST 1-row bit-set, and report per-priority how many
+    orders pass the filter vs truly match — the false-positive column
+    is the sketch's accuracy diagnostic (and ≥0 by the no-false-negative
+    guarantee, which the hostile/pytest pins rely on).
+
+    This is the manual rendering of what AQE's runtime bloom pruning
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects
+    automatically — declared here because at 100 TB it is THE join
+    technique worth pinning: the fact side never shuffles and never
+    fans out; membership is K expression probes against m/8 = 512
+    BYTES of broadcast state (vs a shuffle semi-join moving every
+    fact row). The filter build is one map-side-combinable bit_or
+    aggregate over |dim|·K positions, collapsed to ≤128 (word, bits)
+    rows, then folded into a single map literal.
+
+    Cross-engine contract: positions are md5-nibble integers (the
+    dedup family's idiom), words pack 32 bits in a BIGINT (bit 63
+    shifts overflow DuckDB), and every output cell is a BIGINT count.
+    Spark probes via try_element_at on the broadcast map (ANSI-safe
+    NULL for absent words → coalesce 0, same as the oracle's outer
+    join); the engines share the FILTER, not the plan."""
+    cust = read_table(spark, sf_dir, "customer")
+    dim = cust.where(F.col("c_mktsegment") == _BLOOM_SEG).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def pos(key: F.Column, j: int) -> F.Column:
+        seeded = F.concat(F.lit(f"b{j}:"), key.cast("string"))
+        return F.pmod(
+            F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long"),
+            F.lit(BLOOM_BITS),
+        )
+
+    bits = dim.select(
+        F.explode(F.array(*[pos(F.col("k"), j) for j in range(BLOOM_K)])).alias(
+            "pos"
+        )
+    )
+    words = bits.groupBy(F.expr("pos div 32").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))")
+        ).alias("wbits")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias(
+            "bloom"
+        )
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    probed = orders.crossJoin(F.broadcast(bloom))
+    # variable-amount shifts need the SQL form (the F.shiftright binding
+    # takes a Python int), so name the probe positions and test bits
+    # with one expr over them
+    flagged = probed.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        *[pos(F.col("o_custkey"), j).alias(f"p{j}") for j in range(BLOOM_K)],
+        F.col("bloom"),
+    )
+    pass_expr = " AND ".join(
+        f"((coalesce(try_element_at(bloom, p{j} div 32), 0L) "
+        f">> CAST(p{j} % 32 AS INT)) & 1) = 1"
+        for j in range(BLOOM_K)
+    )
+    flagged = flagged.withColumn("pass", F.expr(pass_expr))
+    truth = flagged.join(
+        F.broadcast(dim), flagged["o_custkey"] == dim["k"], "left"
+    )
+    return truth.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("pass") & F.col("k").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
