@@ -70,6 +70,7 @@ DOC_ONLY_QUERIES = [
     "q_source_mix",
     "q_typo_pairs",
     "q_quality_deciles",
+    "q_reservoir",
 ]
 
 

@@ -2068,3 +2068,56 @@ class TestIncrementalDedup:
         history2 = kept.select("fingerprint")
         second = incremental_dedup(batch, history2)
         assert second.where("keep").count() == 0
+
+
+class TestWeightedPrioritySample:
+    def test_two_level_matches_single_level(self, spark, sf_dir):
+        """The salted local top-k is a pure plan change: fanout=1
+        degenerates to the one-pass window sort, and the default
+        fanout must select identical (group, rank, key) rows."""
+        from w4h_etl_container_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "source", "doc_id", "n_chars"
+        )
+        one = {
+            (r["source"], r["rank"], r["doc_id"])
+            for r in weighted_priority_sample(
+                docs, 7, "source", "doc_id", "n_chars", fanout=1
+            ).collect()
+        }
+        many = {
+            (r["source"], r["rank"], r["doc_id"])
+            for r in weighted_priority_sample(
+                docs, 7, "source", "doc_id", "n_chars", fanout=64
+            ).collect()
+        }
+        assert many == one and len(one) > 0
+
+    def test_nonpositive_and_null_weights_never_selected(self, spark):
+        from w4h_etl_container_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1, 100), ("g", 2, 0), ("g", 3, -5), ("g", 4, None), ("g", 5, 1)],
+            "grp string, k long, w long",
+        )
+        got = weighted_priority_sample(df, 10, "grp", "k", "w")
+        assert {r["k"] for r in got.collect()} == {1, 5}
+
+    def test_weight_dominance(self, spark):
+        """A weight 10^9 above its peers draws priority ln(u)/w ≈ 0⁻ —
+        it must outrank every unit-weight row (the proportionality the
+        operator exists for, pinned on a deterministic fixture)."""
+        from w4h_etl_container_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        rows = [("g", i, 1) for i in range(1, 50)] + [("g", 99, 1_000_000_000)]
+        df = spark.createDataFrame(rows, "grp string, k long, w long")
+        top = weighted_priority_sample(df, 1, "grp", "k", "w").collect()
+        assert [r["k"] for r in top] == [99]

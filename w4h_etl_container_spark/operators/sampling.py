@@ -205,3 +205,74 @@ def token_budget_sample(
         .where(F.col("_before") < thr)
         .drop("_before")
     )
+
+
+# 60-bit hash domain for the A-ES priority draw (15 md5 nibbles), the
+# same domain the KMV sketch uses; (h+1)/2^60 ∈ (0, 1] so ln never
+# sees zero.
+_DOM60 = float(1 << 60)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    group: str,
+    key: str,
+    weight: str,
+    salt: str = "w0",
+    fanout: int = 64,
+) -> DataFrame:
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT replacement:
+    per group, the k rows with the largest priority ``u^(1/w)`` — drawn
+    deterministically (u from md5(salt:key), so the \"randomness\" is
+    reproducible and engine-neutral) — are selected with probability
+    proportional to ``weight``, exactly (Efraimidis & Spirakis 2006).
+    The hash-ordered samplers above are the uniform special case; this
+    is the one a curation pipeline uses to sample documents
+    proportional to length/quality score.
+
+    Ranking happens in log space (``ln(u)/w`` is monotone in
+    ``u^(1/w)`` for w > 0), pre-rounded to e9 integers on BOTH engines
+    so the cross-engine rank order compares identical integers —
+    ``ln`` is the one transcendental, and a 1-ulp libm divergence
+    would otherwise be a rank flip. Ties on the rounded priority break
+    on ``key``. Rows with weight ≤ 0 (or NULL) have zero inclusion
+    probability and are dropped up front.
+
+    Scale shape — two-level top-k, no full-group sort: rows first rank
+    inside (group, h mod ``fanout``) partitions, so each window task
+    sorts ~1/fanout of a group and keeps ≤ k; the global rank then
+    sorts only ≤ fanout·k survivors per group. The union of per-salt
+    top-ks provably contains the group top-k (any global winner is a
+    winner within its own salt bucket), so the two-level result is
+    EXACTLY the one-pass result — the identity the oracle pins."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_DOM60)
+    prio = F.floor(
+        F.log(u) / F.col(weight).cast("double") * F.lit(1e9) + F.lit(0.5)
+    ).alias("_prio")
+    keyed = (
+        df.where(F.col(weight) > 0)
+        .withColumn("_prio", prio)
+        .withColumn("_salt", F.pmod(h, F.lit(fanout)))
+    )
+    local = Window.partitionBy(group, "_salt").orderBy(
+        F.col("_prio").desc(), key
+    )
+    survivors = (
+        keyed.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= k)
+        .drop("_lrn", "_salt")
+    )
+    final = Window.partitionBy(group).orderBy(F.col("_prio").desc(), key)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .drop("_prio")
+    )

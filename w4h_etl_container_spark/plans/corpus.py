@@ -24,6 +24,7 @@ from w4h_etl_container_spark.operators.sampling import (
     _bucket,
     stratified_sample,
     token_budget_sample,
+    weighted_priority_sample,
 )
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.plans.textops import (
@@ -946,3 +947,61 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.union(singles)
+
+
+# ---------------------------------------------------------------------------
+# EXT-SAMPLE — A-ES weighted sampling: probability ∝ length, without
+# replacement, deterministic (the curation pipeline's "sample 20 docs
+# per source, longer docs proportionally more likely" primitive)
+# ---------------------------------------------------------------------------
+RESERVOIR_K = 20
+
+
+def _reservoir_sql() -> str:
+    from w4h_etl_container_spark.plans.textops import _nib_sql
+
+    h = _nib_sql("md5('w0:' || CAST(doc_id AS VARCHAR))", 15)
+    return f"""
+    WITH pri AS (
+      SELECT source, doc_id, n_chars,
+             FLOOR(LN((CAST(({h}) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5) AS prio
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY prio DESC, doc_id
+             ) AS rank
+      FROM pri
+    )
+    SELECT source, rank, doc_id, n_chars
+    FROM ranked WHERE rank <= {RESERVOIR_K}
+    """
+
+
+@register(
+    "q_reservoir",
+    sql=_reservoir_sql(),
+    survey_ids=("EXT-SAMPLE", "SRT-2"),
+    gate=False,
+)
+def q_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir-style sample: per source, the A-ES top-20
+    documents with inclusion probability proportional to ``n_chars``
+    (``operators.sampling.weighted_priority_sample``). The oracle is
+    the ONE-PASS rendering of the same priorities; the Spark side runs
+    the two-level (salted local top-k → global top-k) plan, so the
+    hash pin proves the distributed shape is selection-identical to
+    the reference semantics — the invariant that matters when fanout
+    tasks replace a per-group sort at 100 TB.
+
+    Output carries no float: the rounded e9 priority is a ranking
+    device on both sides, and the compared cells are (source, rank,
+    doc_id, n_chars) integers/strings."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return weighted_priority_sample(
+        docs, RESERVOIR_K, "source", "doc_id", "n_chars", salt="w0"
+    ).select("source", "rank", "doc_id", "n_chars")
