@@ -566,3 +566,55 @@ class TestStreamingKmv:
             assert final[k][0] == want[k][0]
             assert final[k][1] == want[k][1]
             assert abs(final[k][2] - want[k][2]) < 1e-6
+
+
+class TestStreamingCms:
+    def test_incremental_cms_matches_batch_cells(self, spark, tmp_path, events_batch):
+        """CMS mergeability, executed: summing micro-batch contributions
+        into the 4×64 state equals the one-shot batch sketch cell-for-
+        cell (counters only add), and every point estimate keeps the
+        ≥-true overestimate bound."""
+        from w4h_etl_container_spark.plans.sketches import CMS_D, CMS_W
+        from w4h_etl_container_spark.streaming.sketches import (
+            _cms_bucket_py,
+            cms_estimate,
+            group_cms,
+        )
+
+        src = str(tmp_path / "cms-src")
+        events_batch.where(F.col("event_id") < 500).coalesce(1).write.mode("append").parquet(src)
+        events_batch.where(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            group_cms(stream)
+            .writeStream.format("memory")
+            .queryName("cms_stream")
+            .option("checkpointLocation", str(tmp_path / "cms-ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM cms_stream")
+        final = {
+            r["event_type"]: (r["n_rows"], list(r["cells"]))
+            for r in got.orderBy("n_rows").collect()
+        }
+
+        pdf = events_batch.select("event_type", "user_id").toPandas().dropna(
+            subset=["user_id"]
+        )
+        for etype, grp in pdf.groupby("event_type"):
+            want = [0] * (CMS_D * CMS_W)
+            for u in grp["user_id"]:
+                for r in range(CMS_D):
+                    want[r * CMS_W + _cms_bucket_py(int(u), r)] += 1
+            n_rows, cells = final[etype]
+            assert n_rows == len(grp)
+            assert cells == want
+            # point-estimate bound on the group's true counts
+            true_counts = grp["user_id"].astype("int64").value_counts()
+            for u, cnt in true_counts.items():
+                assert cms_estimate(cells, int(u)) >= int(cnt)

@@ -93,3 +93,74 @@ def group_kmv(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental count-min: the frequency twin of the KMV accumulator.
+# Same geometry and hash contract as the batch q_heavy_hitters sketch
+# (plans/sketches.py CMS_D × CMS_W, md5('s{r}:user') bucket idiom), so
+# the streaming state, the batch cells, and the DuckDB oracle agree
+# cell-for-cell; counters only ever ADD, which is the mergeability
+# argument (sum of per-batch sketches == sketch of the union).
+# --------------------------------------------------------------------------
+
+CMS_OUTPUT_SCHEMA = "event_type string, n_rows bigint, cells array<bigint>"
+CMS_STATE_SCHEMA = "n_rows bigint, cells array<bigint>"
+
+
+def _cms_bucket_py(user: int, r: int) -> int:
+    from w4h_etl_container_spark.plans.sketches import CMS_W
+
+    return int(hashlib.md5(f"s{r}:{user}".encode()).hexdigest()[:8], 16) % CMS_W
+
+
+def cms_estimate(cells: list[int], user: int) -> int:
+    """Point-frequency estimate from a flattened d×w cell array: MIN
+    over the key's d counters (the classic ≥-true overestimate)."""
+    from w4h_etl_container_spark.plans.sketches import CMS_D, CMS_W
+
+    return min(cells[r * CMS_W + _cms_bucket_py(int(user), r)] for r in range(CMS_D))
+
+
+def _cms_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from w4h_etl_container_spark.plans.sketches import CMS_D, CMS_W
+
+    (etype,) = key
+    if state.exists:
+        n_rows, cells = state.get
+        cells = list(cells)
+    else:
+        n_rows, cells = 0, [0] * (CMS_D * CMS_W)
+    for pdf in pdfs:
+        users = pdf["user_id"].dropna()
+        n_rows += int(len(users))
+        # per-batch value_counts is the map-side combine: one bucket
+        # computation per DISTINCT user, weighted by its batch count
+        for user, cnt in users.value_counts().items():
+            for r in range(CMS_D):
+                cells[r * CMS_W + _cms_bucket_py(int(user), r)] += int(cnt)
+    state.update((n_rows, cells))
+    yield pd.DataFrame(
+        [{"event_type": etype, "n_rows": n_rows, "cells": cells}]
+    )
+
+
+def group_cms(events: DataFrame) -> DataFrame:
+    """Attach the incremental count-min accumulator to a streaming
+    events frame: one updated (n_rows, cells) row per group per
+    micro-batch. State is CMS_D·CMS_W longs per group — fixed forever,
+    the property that lets a 100 TB/day feed keep per-group frequency
+    sketches in a state store that never grows."""
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _cms_update,
+            outputStructType=CMS_OUTPUT_SCHEMA,
+            stateStructType=CMS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
