@@ -138,6 +138,7 @@ EMB_QUERIES = [
     "q_pq_adc",
     "q_ivfpq",
     "q_centroid_prune",
+    "q_covariance",
 ]
 
 

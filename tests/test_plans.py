@@ -141,6 +141,9 @@ class TestKernelCodegen:
         "q_media_features",
         "q_grouped_map",
         "q_quantize",
+        # PCA projection: (k×d) basis matmul is the same
+        # codegen-overflow class as the other vector kernels
+        "q_pca_project",
     }
 
     def test_no_python_udf_outside_arrow_allowlist(self, spark, sf_dir, reg):

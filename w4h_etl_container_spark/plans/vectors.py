@@ -884,3 +884,111 @@ def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "cand_id", "adc_e6", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SIM / AGG-6 — exact covariance moments: the d×d matrix PCA /
+# whitening / dimensionality-reduction starts from, as order-free
+# integer arithmetic (e3-quantized components so the SQUARED moments
+# stay deep inside BIGINT — the e6 idiom would overflow on the large-
+# component hostile vectors)
+# ---------------------------------------------------------------------------
+def _covariance_sql() -> str:
+    return """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS i,
+             CASE WHEN ABS(CAST(e AS DOUBLE) * 1000.0) < 9.223372036854775e18
+                  THEN CAST(FLOOR(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+             END AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    moments AS (
+      SELECT a.i AS i, b.i AS j,
+             COUNT(CASE WHEN a.q IS NOT NULL AND b.q IS NOT NULL THEN 1 END) AS n,
+             CAST(SUM(CASE WHEN a.q IS NOT NULL AND b.q IS NOT NULL
+                           THEN a.q * b.q END) AS BIGINT) AS sxy,
+             CAST(SUM(CASE WHEN a.q IS NOT NULL AND b.q IS NOT NULL
+                           THEN a.q END) AS BIGINT) AS sx,
+             CAST(SUM(CASE WHEN a.q IS NOT NULL AND b.q IS NOT NULL
+                           THEN b.q END) AS BIGINT) AS sy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2
+    )
+    SELECT i, j, n, sxy, sx, sy,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT)
+             AS cov_num
+    FROM moments
+    """
+
+
+@register(
+    "q_covariance",
+    sql=_covariance_sql(),
+    survey_ids=("EXT-SIM", "AGG-6"),
+    gate=False,
+)
+def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle covariance moments of the embedding matrix —
+    the input PCA (and whitening, and low-rank projection for ANN)
+    eigendecomposes. Components e3-quantize to integers (the declared
+    contract is "covariance of the e3-quantized matrix", exact, not
+    "≈ float covariance"); each pair cell ships (n, Σxy, Σx, Σy) plus
+    the centered numerator n·Σxy − Σx·Σy computed in DECIMAL(38,0) /
+    HUGEINT guard arithmetic — consumers divide by n² at whatever
+    float precision they want. Non-finite components NULL out (the
+    elem_e6 hygiene idiom) and drop PAIRWISE, so every cell is a
+    pairwise-complete moment set.
+
+    Spark shape: ZERO joins. One HOF builds the 2 080-struct upper
+    triangle per row, one explode feeds one hash aggregate whose
+    map-side combine collapses each partition to ≤ 2 080 rows — the
+    shuffle is d(d+1)/2 rows per partition regardless of corpus size,
+    the same partial-agg geometry the centroid trainer uses. The
+    oracle spells the identical moments as a subscript self-join
+    (engines share the ARITHMETIC, not the plan). At 100 TB with unit
+    vectors (|q| ≤ 10³ ⇒ |q·q| ≤ 10⁶) the int64 partials hold to
+    ~10¹² rows; the DECIMAL numerator is overflow-proof."""
+    from w4h_etl_container_spark.operators.pca import covariance_moments
+
+    return covariance_moments(read_embeddings(spark, sf_dir), DIM)
+
+
+PCA_K = 8
+
+
+@register(
+    "q_pca_project",
+    sql=None,  # eigendecomposition is not SQL-expressible — rows-only;
+    # the moment INPUT is hash-pinned via q_covariance and the basis
+    # invariants (orthonormality, descending variance, sign pin,
+    # reconstruction) are pytest-pinned in tests/test_pca.py
+    survey_ids=("EXT-SIM", "UDF-6"),
+    gate=False,
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction end-to-end: fit the top-8 basis
+    from the hash-pinned covariance moments (bounded driver eigh of
+    the 64×64 matrix), then project every embedding through the Arrow
+    kernel — vec_id plus the e6-rounded first two scores, the compact
+    declared surface of ``operators.pca``.
+
+    Scale: fit reads ONE O(d²)-cell aggregate; projection is per-row
+    against a broadcast (k×d) basis — no shuffle at all after the fit."""
+    from w4h_etl_container_spark.operators.pca import fit_pca, pca_project
+
+    emb = read_embeddings(spark, sf_dir)
+    model = fit_pca(emb, DIM, PCA_K)
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        F.floor(
+            F.element_at(F.col("reduced"), 1).cast("double") * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).alias("pc1_e6"),
+        F.floor(
+            F.element_at(F.col("reduced"), 2).cast("double") * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).alias("pc2_e6"),
+    )
