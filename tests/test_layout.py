@@ -290,3 +290,57 @@ class TestHilbertLayout:
         df = spark.range(10).selectExpr("id as a", "id as b", "id as c")
         with _pytest.raises(ValueError):
             zorder_by(df, ["a", "b", "c"], curve="hilbert")
+
+
+class TestPruningReport:
+    def test_clustered_table_prunes_and_counts_are_exact(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.layout import cluster_by, pruning_report
+
+        df = spark.range(50_000).select((F.col("id") % 1000).alias("k"), "id")
+        out = str(tmp_path / "clustered")
+        cluster_by(df, ["k"], n_files=16).write.parquet(out)
+        rep = pruning_report(out, "k", 100, 149)
+        # a 5% band over a range-clustered 16-file table: most files skip
+        assert rep["files"] == 16
+        assert rep["files_skipped"] >= 12
+        # exactness: surviving row groups must hold every matching row
+        survivors = rep["rows"] - rep["rows_skipped"]
+        matching = df.where(F.col("k").between(100, 149)).count()
+        assert survivors >= matching
+        # and skipped rows truly contain no matches (re-read the skipped
+        # files and assert) — the audit must never claim a false skip
+        import os
+
+        skipped_files = [
+            os.path.join(out, n) for n, all_skip, _ in rep["per_file"] if all_skip
+        ]
+        if skipped_files:
+            got = (
+                spark.read.parquet(*skipped_files)
+                .where(F.col("k").between(100, 149))
+                .count()
+            )
+            assert got == 0
+
+    def test_unclustered_control_prunes_nothing(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.operators.layout import pruning_report
+
+        df = spark.range(50_000).select((F.col("id") % 1000).alias("k"), "id")
+        out = str(tmp_path / "shuffled")
+        df.repartition(16).write.parquet(out)  # hash layout: every file spans k
+        rep = pruning_report(out, "k", 100, 149)
+        assert rep["files_skipped"] == 0 and rep["rows_skipped"] == 0
+
+    def test_missing_column_raises(self, spark, tmp_path):
+        from w4h_etl_container_spark.operators.layout import pruning_report
+
+        out = str(tmp_path / "t")
+        spark.range(10).write.parquet(out)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pruning_report(out, "nope", 0, 1)

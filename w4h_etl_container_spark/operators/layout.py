@@ -188,3 +188,69 @@ def zorder_by(
         else keyed.repartitionByRange(zkey)
     )
     return parted.sortWithinPartitions(zkey).drop(zkey)
+
+
+def pruning_report(path: str, col: str, lo, hi) -> dict:
+    """Zone-map audit: read every data file's per-row-group min/max
+    statistics for ``col`` (pyarrow footer reads — metadata only, no
+    data pages) and report what a range scan ``lo <= col <= hi`` would
+    skip. This is the measurement half of the layout operators above:
+    ``cluster_by``/``zorder_by`` claim pruning power; this proves it on
+    the actual written table, file by file, the way an operator would
+    audit a 100 TB table before deciding whether a re-layout pays.
+
+    Returns ``{"files": n, "files_skipped": n, "row_groups": n,
+    "row_groups_skipped": n, "rows": n, "rows_skipped": n,
+    "per_file": [(name, skipped_bool_all_groups, rows_skipped), ...]}``.
+    A unit is skippable iff its [min, max] is disjoint from [lo, hi] —
+    exactly parquet's stats-filter rule; units with missing stats are
+    conservatively unprunable (same as every reader)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    report = {
+        "files": 0,
+        "files_skipped": 0,
+        "row_groups": 0,
+        "row_groups_skipped": 0,
+        "rows": 0,
+        "rows_skipped": 0,
+        "per_file": [],
+    }
+    for name in files:
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        try:
+            ci = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+        except ValueError:
+            raise ValueError(f"column {col!r} not in {name}") from None
+        report["files"] += 1
+        file_rows_skipped = 0
+        file_groups_skipped = 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(ci).statistics
+            report["row_groups"] += 1
+            report["rows"] += rg.num_rows
+            skip = (
+                st is not None
+                and st.has_min_max
+                and (st.min > hi or st.max < lo)
+            )
+            if skip:
+                report["row_groups_skipped"] += 1
+                report["rows_skipped"] += rg.num_rows
+                file_rows_skipped += rg.num_rows
+                file_groups_skipped += 1
+        all_skipped = (
+            md.num_row_groups > 0 and file_groups_skipped == md.num_row_groups
+        )
+        if all_skipped:
+            report["files_skipped"] += 1
+        report["per_file"].append((name, all_skipped, file_rows_skipped))
+    return report
