@@ -59,6 +59,7 @@ EVENT_QUERIES = [
     "q_scd2",
     "q_salted_join",
     "q_sessionize",
+    "q_kmv_setops",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

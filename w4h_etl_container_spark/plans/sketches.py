@@ -211,3 +211,157 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "true_cnt")
         .agg(F.min("cell_cnt").alias("cms_cnt"))
     )
+
+
+def _kmv_est_sql(n: str, kth: str) -> str:
+    return (
+        f"CASE WHEN {n} < {KMV_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {KMV_K - 1}.0 * {_DOMAIN!r} / CAST({kth} AS DOUBLE) END"
+    )
+
+
+def _kmv_setops_sql() -> str:
+    h = _nib_sql("md5(CAST(user_id AS VARCHAR))", 15)
+    r6 = lambda x: f"FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    ea, eb = _kmv_est_sql("sa.n", "sa.kth"), _kmv_est_sql("sb.n", "sb.kth")
+    eu = _kmv_est_sql("us.nu", "us.kthu")
+    return f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {h} AS hh
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, hh,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+      FROM hashes
+    ),
+    mins AS (SELECT event_type, hh FROM ranked WHERE rn <= {KMV_K}),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n, MAX(hh) AS kth FROM mins GROUP BY 1
+    ),
+    upool AS (
+      SELECT DISTINCT a.event_type AS ta, b.event_type AS tb, u.hh
+      FROM stats a JOIN stats b ON a.event_type < b.event_type
+      JOIN mins u ON u.event_type IN (a.event_type, b.event_type)
+    ),
+    uranked AS (
+      SELECT ta, tb, hh,
+             ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hh) AS rn
+      FROM upool
+    ),
+    ustats AS (
+      SELECT ta, tb, COUNT(*) AS nu, MAX(hh) AS kthu
+      FROM uranked WHERE rn <= {KMV_K} GROUP BY 1, 2
+    ),
+    du AS (
+      SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cnt
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT us.ta AS type_a, us.tb AS type_b,
+           sa.n AS n_a, sb.n AS n_b, us.nu AS n_union,
+           {r6(ea)} AS est_a, {r6(eb)} AS est_b, {r6(eu)} AS est_union,
+           {r6(f"({ea}) + ({eb}) - ({eu})")} AS est_inter,
+           COALESCE(i.cnt, 0) AS exact_inter
+    FROM ustats us
+    JOIN stats sa ON sa.event_type = us.ta
+    JOIN stats sb ON sb.event_type = us.tb
+    LEFT JOIN inter i ON i.ta = us.ta AND i.tb = us.tb
+    """
+
+
+@register(
+    "q_kmv_setops",
+    sql=_kmv_setops_sql(),
+    survey_ids=("EXT-SKETCH", "SET-3", "JOIN-1"),
+    gate=False,
+)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the join-size estimator: for every
+    event-type pair, estimate the distinct-user union (k smallest of
+    the merged min-sets is itself a valid KMV sketch of A∪B — the
+    mergeability theorem) and the intersection by inclusion–exclusion,
+    next to the exact overlap as the accuracy diagnostic. This is how
+    a planner prices an equi-join between two 100 TB streams from
+    2×K longs of state, without scanning either side.
+
+    Spark shape: per-type min-sets collapse to ≤ K·|types| rows, then
+    ALL pair math (array_union → sort → slice K) runs on broadcast-
+    tiny arrays — the only corpus-scale operators are the same
+    (type, hash) DISTINCT the gate sketch already pays for and the
+    exact-diagnostic self-join of the distinct (type, user)
+    projection. Estimates cross the engine boundary as r6 doubles
+    built from IEEE-identical arithmetic (exact (K−1)·2⁶⁰ mantissa,
+    one division), combined in fixed left-to-right order."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = ev.select("event_type", h.alias("hh")).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("hh"))
+    mins = hashes.withColumn("rn", rn).where(F.col("rn") <= KMV_K)
+    msets = mins.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("hh")).alias("mins"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("hh").alias("kth"),
+    )
+    a = msets.select(
+        F.col("event_type").alias("type_a"),
+        F.col("mins").alias("mins_a"),
+        F.col("n").alias("n_a"),
+        F.col("kth").alias("kth_a"),
+    )
+    b = msets.select(
+        F.col("event_type").alias("type_b"),
+        F.col("mins").alias("mins_b"),
+        F.col("n").alias("n_b"),
+        F.col("kth").alias("kth_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("mins_a"), F.col("mins_b"))),
+        1,
+        KMV_K,
+    )
+    pairs = (
+        pairs.withColumn("u", u)
+        .withColumn("n_union", F.size("u").cast("long"))
+        .withColumn("kthu", F.element_at(F.col("u"), F.size("u")))
+    )
+
+    def est(n: F.Column, kth: F.Column) -> F.Column:
+        return F.when(n < KMV_K, n.cast("double")).otherwise(
+            F.lit(float(KMV_K - 1)) * F.lit(_DOMAIN) / kth.cast("double")
+        )
+
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    ea, eb = est(F.col("n_a"), F.col("kth_a")), est(F.col("n_b"), F.col("kth_b"))
+    eu = est(F.col("n_union"), F.col("kthu"))
+
+    du = ev.select("event_type", "user_id").distinct()
+    da = du.select(F.col("event_type").alias("type_a"), "user_id")
+    db = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        da.join(db, (da["user_id"] == db["user_id"]) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_union",
+            r6(ea).alias("est_a"),
+            r6(eb).alias("est_b"),
+            r6(eu).alias("est_union"),
+            r6(ea + eb - eu).alias("est_inter"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("exact_inter"),
+        )
+    )
