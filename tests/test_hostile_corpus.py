@@ -139,6 +139,7 @@ EMB_QUERIES = [
     "q_ivfpq",
     "q_centroid_prune",
     "q_covariance",
+    "q_rand_proj",
 ]
 
 

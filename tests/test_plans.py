@@ -144,6 +144,8 @@ class TestKernelCodegen:
         # PCA projection: (k×d) basis matmul is the same
         # codegen-overflow class as the other vector kernels
         "q_pca_project",
+        # JL dense projection: 8 tree-ordered 64-term dots per row
+        "q_rand_proj",
     }
 
     def test_no_python_udf_outside_arrow_allowlist(self, spark, sf_dir, reg):

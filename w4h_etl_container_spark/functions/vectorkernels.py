@@ -320,3 +320,29 @@ def make_pq_adc_udf(codebooks: np.ndarray, bits: int):
         return pd.Series(e6(tree_reduce(partial)))
 
     return pq_adc
+
+
+def make_project_udf(planes: np.ndarray):
+    """Dense random projection (Johnson–Lindenstrauss): e6-quantized
+    dot products against each plane, in ``tree_reduce`` order so the
+    generated-SQL oracle replays the identical doubles. Output is one
+    nullable-int64 column per plane (the e6 hygiene guard NULLs
+    non-finite inputs)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(f"r{p}_e6", LongType()) for p in range(planes.shape[0])]
+    )
+
+    @F.pandas_udf(schema)
+    def project(emb: pd.Series) -> pd.DataFrame:
+        a = stackf64(emb)
+        out = {}
+        for p in range(planes.shape[0]):
+            if len(a) == 0:
+                out[f"r{p}_e6"] = pd.array([], dtype="Int64")
+            else:
+                out[f"r{p}_e6"] = e6(tree_reduce(a * planes[p]))
+        return pd.DataFrame(out)
+
+    return project

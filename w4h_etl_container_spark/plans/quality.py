@@ -212,3 +212,79 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-DQ — table content digest: order-free per-bucket fingerprints so
+# two copies of a 100 TB table can be compared by exchanging 64 rows
+# (replication / migration / backfill audit) instead of re-reading
+# either side twice
+# ---------------------------------------------------------------------------
+DIGEST_BUCKETS = 64
+
+
+def _digest_row_sql() -> str:
+    from w4h_etl_container_spark.plans.textops import _nib_sql
+
+    row = (
+        "COALESCE(CAST(l_orderkey AS VARCHAR), '∅') || ':' || "
+        "COALESCE(CAST(l_linenumber AS VARCHAR), '∅') || ':' || "
+        "COALESCE(CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), '∅') || ':' || "
+        "COALESCE(l_returnflag, '∅')"
+    )
+    return _nib_sql(f"md5({row})", 15)
+
+
+def _table_digest_sql() -> str:
+    return f"""
+    SELECT l_orderkey % {DIGEST_BUCKETS} AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(bit_xor({_digest_row_sql()}) AS BIGINT) AS digest
+    FROM lineitem
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_table_digest",
+    sql=_table_digest_sql(),
+    survey_ids=("EXT-DQ", "AGG-1"),
+    gate=False,
+)
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy content digest of ``lineitem``: each row collapses
+    to a 60-bit md5 fingerprint of its canonicalized key+payload
+    rendering (NULLs spelled explicitly — concat_ws's silent null-skip
+    would make ('a',NULL,'b') and ('a','b') collide), XOR-folded per
+    orderkey bucket. XOR is commutative/associative ⇒ the digest is
+    partition-order-free and incrementally maintainable (a row's
+    insert and delete cancel), which is why replica comparison,
+    backfill verification, and CDC reconciliation all reduce to
+    diffing these 64 (bucket, n_rows, digest) rows — any single-cell
+    corruption flips its bucket's digest with probability 1−2⁻⁶⁰.
+
+    Shape: ONE map-side-combinable aggregate over the scan; the
+    shuffle carries ≤ 64 rows per partition. The same plan at 100 TB
+    is bounded by the scan, which is the floor for any audit."""
+    li = read_table(spark, sf_dir, "lineitem")
+    nul = F.lit("∅")
+    row = F.concat_ws(
+        ":",
+        F.coalesce(F.col("l_orderkey").cast("string"), nul),
+        F.coalesce(F.col("l_linenumber").cast("string"), nul),
+        F.coalesce(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            nul,
+        ),
+        F.coalesce(F.col("l_returnflag"), nul),
+    )
+    fp = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (
+        li.groupBy(F.pmod(F.col("l_orderkey"), F.lit(DIGEST_BUCKETS)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(fp).alias("digest"),
+        )
+    )

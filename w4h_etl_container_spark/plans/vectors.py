@@ -992,3 +992,52 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).alias("pc2_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SIM — dense random projection (Johnson–Lindenstrauss): the
+# oracle-exact dimensionality reduction (PCA's q_pca_project is
+# rows-only because eigh isn't SQL; RP's basis is a closed-form
+# constant, so every projected value is hash-pinned)
+# ---------------------------------------------------------------------------
+def _rand_proj_sql() -> str:
+    cols = []
+    for p in range(N_PLANES):
+        dot = str(
+            tree_sum(
+                [
+                    _S(f"({_elem('duck', 'embedding', j + 1)} * {_plane(p, j)!r})")
+                    for j in range(DIM)
+                ]
+            )
+        )
+        cols.append(f"{_e6(f'({dot})')} AS r{p}_e6")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@register(
+    "q_rand_proj",
+    sql=_rand_proj_sql(),
+    survey_ids=("EXT-SIM", "UDF-6"),
+    gate=False,
+)
+def q_rand_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dense projection: every vector × the
+    8×64 sin-plane matrix (the SAME matrix whose sign bits drive the
+    LSH buckets — q_ann_lsh is literally the 1-bit quantization of
+    this query), e6-quantized per component. The cheap 64→8 reduction
+    in front of a distance-heavy stage: at 100 TB you project once,
+    then every downstream pairwise computation costs d/8.
+
+    Exactness: the Arrow kernel replays ``tree_sum``'s balanced
+    addition order (vectorkernels.tree_reduce), so both engines build
+    identical doubles before the shared floor(·1e6+0.5) guard —
+    the same contract every cosine in this module rides. Per-row,
+    zero shuffles."""
+    from w4h_etl_container_spark.functions.vectorkernels import make_project_udf
+
+    emb = read_embeddings(spark, sf_dir)
+    proj = make_project_udf(_PLANES)
+    return emb.select("vec_id", proj("embedding").alias("r")).select(
+        "vec_id", *[F.col(f"r.r{p}_e6").alias(f"r{p}_e6") for p in range(N_PLANES)]
+    )
