@@ -71,6 +71,7 @@ DOC_ONLY_QUERIES = [
     "q_typo_pairs",
     "q_quality_deciles",
     "q_reservoir",
+    "q_simhash_pairs",
 ]
 
 

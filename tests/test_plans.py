@@ -195,6 +195,9 @@ class TestKernelCodegen:
         "q_cluster_sizes",
         # 1-row basket-total scalar feeding the lift denominator
         "q_assoc_pairs",
+        # bounded type-dimension pair cross: both sides are per-type
+        # sketch summaries (≤ |event types| rows), as in q_langid
+        "q_kmv_setops",
         # 1-row referential-violation scalars per constraint row
         "q_dq_report",
     }

@@ -1230,3 +1230,140 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt_a",
         "cnt_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRING (Manku/Charikar): banded hamming join over a
+# 32-bit signature — completes the sketch family: q_simhash builds
+# fingerprints, this finds the pairs
+# ---------------------------------------------------------------------------
+SIMHASH_PAIR_BITS = 32
+SIMHASH_BANDS = 4  # 4 × 8-bit bands ⇒ every hd ≤ 3 pair shares a band
+SIMHASH_MAX_HD = SIMHASH_BANDS - 1
+
+
+def _simhash_pairs_sql() -> str:
+    hv = " + ".join(
+        f"(instr('{_HEXD}', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    bits = ",\n             ".join(
+        f"SUM(CASE WHEN FLOOR(hv / {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_PAIR_BITS)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_PAIR_BITS)
+    )
+    seeds = ", ".join(f"({b})" for b in range(SIMHASH_BANDS))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id, ({hv}) AS hv FROM words
+    ), bitsums AS (
+      SELECT doc_id, {bits}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, CAST({pack} AS BIGINT) AS sig FROM bitsums
+    ), banded AS (
+      SELECT s.doc_id, s.sig, b.b AS band,
+             (s.sig >> (8 * b.b)) & 255 AS val
+      FROM sigs s CROSS JOIN (VALUES {seeds}) b(b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hd
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HD}
+    """
+
+
+@register(
+    "q_simhash_pairs",
+    sql=_simhash_pairs_sql(),
+    survey_ids=("EXT-DEDUP",),
+    gate=False,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS (Manku, Jain & Das Sarma 2007, the
+    Google crawl-dedup shape): 32-bit signatures (the ±1 bit-vote
+    scheme of q_simhash, widened so banding has room), split into 4
+    8-bit bands; two documents are CANDIDATES iff some band matches
+    exactly (pigeonhole: ≤ 3 differing bits cannot touch all 4 bands,
+    so every hamming ≤ 3 pair IS captured — the banded join is a pure
+    plan optimization, not a recall trade), then the exact hamming
+    filter keeps true near-dups. The oracle spells the identical
+    banding, so even the candidate structure is engine-pinned.
+
+    Scale: the join key is (band, 8-bit value) — 1 024 buckets per
+    band level; bucket size is n/256 per band, so the pair expansion
+    is Σ C(bucket, 2) — quadratic only WITHIN buckets, the same
+    bounded-bucket argument as MinHash-LSH (production widens to
+    64-bit signatures / 16-bit bands exactly as q_simhash documents).
+    One explode(4) + one self-equi-join + one distinct — no all-pairs
+    anywhere."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    hv = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    hashed = words.select("doc_id", hv.alias("hv"))
+    bitcols = [
+        F.sum(
+            F.when(
+                F.floor(F.col("hv") / (1 << b)) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_PAIR_BITS)
+    ]
+    bitsums = hashed.groupBy("doc_id").agg(*bitcols)
+    pack = None
+    for b in range(SIMHASH_PAIR_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        pack = term if pack is None else pack + term
+    sigs = bitsums.select("doc_id", pack.alias("sig"))
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "val",
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "val",
+    )
+    cands = (
+        a.join(b2, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hd = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return cands.select("doc_a", "doc_b", hd.alias("hd")).where(
+        F.col("hd") <= SIMHASH_MAX_HD
+    )
