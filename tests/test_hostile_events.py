@@ -60,6 +60,7 @@ EVENT_QUERIES = [
     "q_salted_join",
     "q_sessionize",
     "q_kmv_setops",
+    "q_rate_anomaly",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

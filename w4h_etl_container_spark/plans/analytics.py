@@ -935,3 +935,113 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-EVENTS / WIN-3 — trailing-window rate anomaly: the ops alarm a
+# 100 TB feed runs continuously ("is this hour's volume > 3σ off its
+# trailing day?"), in exact integer arithmetic so the flag itself is
+# engine-pinned
+# ---------------------------------------------------------------------------
+ANOMALY_LOOKBACK_H = 24
+ANOMALY_MIN_HOURS = 12  # insufficient history → verdict NULL, not false
+
+
+def _rate_anomaly_sql() -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             COUNT(*) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, hour_idx, n_events,
+             COUNT(*) OVER w AS w_hours,
+             COALESCE(SUM(n_events) OVER w, 0) AS s_prev,
+             COALESCE(SUM(n_events * n_events) OVER w, 0) AS ssq_prev
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                   RANGE BETWEEN {ANOMALY_LOOKBACK_H} PRECEDING
+                             AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_idx, n_events, w_hours,
+           CAST(s_prev AS BIGINT) AS s_prev,
+           CAST(ssq_prev AS BIGINT) AS ssq_prev,
+           CASE WHEN w_hours < {ANOMALY_MIN_HOURS} THEN -1
+                WHEN (CAST(w_hours AS HUGEINT) * n_events - s_prev)
+                       * (CAST(w_hours AS HUGEINT) * n_events - s_prev)
+                     > 9 * (CAST(w_hours AS HUGEINT) * ssq_prev
+                            - CAST(s_prev AS HUGEINT) * s_prev)
+                THEN 1 ELSE 0
+           END AS verdict
+    FROM framed
+    """
+
+
+@register(
+    "q_rate_anomaly",
+    sql=_rate_anomaly_sql(),
+    survey_ids=("EXT-EVENTS", "WIN-3", "AGG-6"),
+    gate=False,
+)
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomaly flags: an hour is anomalous when its
+    count sits more than 3σ from the mean of its own type's trailing
+    24 closed hours (the current hour EXCLUDED — a spike must not
+    inflate the baseline it is judged against). The z-test runs
+    denominator-free as one integer inequality —
+    (w·x − s)² > 9·(w·ssq − s²), the cross-multiplied form of
+    (x−μ)²/σ² > 9 — so no division, no float, no cross-engine
+    rounding: the FLAG is exact, in DECIMAL(38,0)/HUGEINT guard
+    arithmetic that holds to 10⁹-events-per-hour feeds. Hours with
+    under {ANOMALY_MIN_HOURS}h of history verdict -1 (unknown) —
+    a non-null three-state integer (1/0/-1), never a tri-state bool.
+
+    Shape: one hash aggregate (events → hourly counts, map-side
+    combined) then one RANGE window on the integer hour index —
+    bounded two-pointer state per type, shuffle carries hourly rows
+    (8 760 per type-year), not events. The same plan at 100 TB is
+    bounded by the first aggregate's scan."""
+    ev = read_events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-ANOMALY_LOOKBACK_H, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hour_idx",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("w_hours"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s_prev"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+        ).alias("ssq_prev"),
+    )
+    d38 = "decimal(38,0)"
+    dev = F.col("w_hours").cast(d38) * F.col("n_events") - F.col("s_prev")
+    spread = F.col("w_hours").cast(d38) * F.col("ssq_prev") - F.col(
+        "s_prev"
+    ).cast(d38) * F.col("s_prev")
+    return framed.select(
+        "event_type",
+        "hour_idx",
+        "n_events",
+        "w_hours",
+        "s_prev",
+        "ssq_prev",
+        F.when(F.col("w_hours") < ANOMALY_MIN_HOURS, F.lit(-1))
+        .when(dev * dev > F.lit(9).cast(d38) * spread, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("verdict"),
+    )
