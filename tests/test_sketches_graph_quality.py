@@ -314,3 +314,77 @@ class TestAssocAndSalt:
     def test_salted_plan_joins_on_salt(self, spark, sf_dir):
         plan = LIB["q_salted_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "salt" in plan
+
+
+class TestTableDigest:
+    def test_identical_tables_diff_empty(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.quality import digest_diff
+
+        d1 = LIB["q_table_digest"].fn(spark, sf_dir)
+        d2 = LIB["q_table_digest"].fn(spark, sf_dir)
+        assert digest_diff(d1, d2).count() == 0
+
+    def test_single_cell_corruption_flips_exactly_its_bucket(self, spark, sf_dir, tmp_path):
+        """The anti-entropy property the operator exists for: corrupt
+        ONE row's payload in a copy and the diff names exactly that
+        row's bucket — every other bucket still matches."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.quality import digest_diff
+
+        d = str(tmp_path / "corrupt-sf")
+        os.makedirs(d)
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        # flip one row's returnflag (the payload column in the digest)
+        victim = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+        corrupted = li.withColumn(
+            "l_returnflag",
+            F.when(
+                (F.col("l_orderkey") == victim["l_orderkey"])
+                & (F.col("l_linenumber") == victim["l_linenumber"]),
+                F.lit("CORRUPT"),
+            ).otherwise(F.col("l_returnflag")),
+        )
+        corrupted.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+        good = LIB["q_table_digest"].fn(spark, sf_dir)
+        bad = LIB["q_table_digest"].fn(spark, d)
+        diff = digest_diff(good, bad).collect()
+        assert len(diff) == 1
+        assert diff[0]["bucket"] == victim["l_orderkey"] % 64
+        # row COUNTS agree — only the digest sees the corruption
+        assert diff[0]["n_rows_mine"] == diff[0]["n_rows_theirs"]
+
+    def test_generic_digest_matches_declared_query(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.quality import table_digest
+        from w4h_etl_container_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        nul = F.lit("∅")
+        row = F.concat_ws(
+            ":",
+            F.coalesce(F.col("l_orderkey").cast("string"), nul),
+            F.coalesce(F.col("l_linenumber").cast("string"), nul),
+            F.coalesce(
+                F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                nul,
+            ),
+            F.coalesce(F.col("l_returnflag"), nul),
+        )
+        got = {
+            r["bucket"]: (r["n_rows"], r["digest"])
+            for r in table_digest(li, F.col("l_orderkey"), row).collect()
+        }
+        want = {
+            r["bucket"]: (r["n_rows"], r["digest"])
+            for r in LIB["q_table_digest"].fn(spark, sf_dir).collect()
+        }
+        assert got == want

@@ -288,3 +288,42 @@ def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor(fp).alias("digest"),
         )
     )
+
+
+def table_digest(df: DataFrame, key: F.Column, row_repr: F.Column, buckets: int = DIGEST_BUCKETS) -> DataFrame:
+    """Generic rendering of q_table_digest for ANY relation: bucket on
+    ``key`` (pmod), fingerprint each row as the 60-bit md5 of
+    ``row_repr`` (caller canonicalizes — spell NULLs explicitly), XOR-
+    fold per bucket. See q_table_digest for the anti-entropy contract."""
+    fp = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    return df.groupBy(F.pmod(key, F.lit(buckets)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(fp).alias("digest"),
+    )
+
+
+def digest_diff(mine: DataFrame, theirs: DataFrame) -> DataFrame:
+    """Compare two digest frames (bucket, n_rows, digest) — the 64-row
+    exchange that replaces a full-table comparison: returns one row per
+    bucket that disagrees, with both sides' counts/digests (NULL where
+    a bucket exists on one side only). Empty result ⇔ the tables'
+    canonicalized contents are equal bucket-for-bucket (up to the
+    2⁻⁶⁰ XOR collision bound). At 100 TB each side computes its 64
+    rows locally and ships ONLY those — this join never sees data."""
+    a = mine.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_mine"),
+        F.col("digest").alias("digest_mine"),
+    )
+    b = theirs.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_theirs"),
+        F.col("digest").alias("digest_theirs"),
+    )
+    j = a.join(b, "bucket", "full_outer")
+    return j.where(
+        ~(
+            F.col("n_rows_mine").eqNullSafe(F.col("n_rows_theirs"))
+            & F.col("digest_mine").eqNullSafe(F.col("digest_theirs"))
+        )
+    )
