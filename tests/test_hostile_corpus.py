@@ -72,6 +72,7 @@ DOC_ONLY_QUERIES = [
     "q_quality_deciles",
     "q_reservoir",
     "q_simhash_pairs",
+    "q_dedup_rate",
 ]
 
 

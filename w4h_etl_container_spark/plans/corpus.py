@@ -1005,3 +1005,77 @@ def q_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(
         docs, RESERVOIR_K, "source", "doc_id", "n_chars", salt="w0"
     ).select("source", "rank", "doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP — per-source dedup-rate diagnostics: the curation dashboard
+# row that tells you WHICH feed is shipping boilerplate (a source with
+# keep_bp ≪ peers is a crawler bug or a mirror, not more data)
+# ---------------------------------------------------------------------------
+def _dedup_rate_sql() -> str:
+    return f"""
+    WITH RECURSIVE {minhash_cands_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION SELECT doc_b, doc_a FROM cands
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    ),
+    losers AS (
+      SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> MIN(r)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(((COUNT(*) - SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+                 * 10000) // COUNT(*) AS BIGINT) AS keep_bp
+    FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_dedup_rate",
+    sql=_dedup_rate_sql(),
+    survey_ids=("EXT-DEDUP", "AGG-1"),
+    gate=False,
+)
+def q_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup rate by source: documents, near-dup losers (the
+    q_dedup_survivors complement — same MinHash-LSH candidates, same
+    min-label components, so the oracle shares the survivor CTEs), and
+    the kept fraction in exact basis points (integer division — no
+    float crosses the boundary).
+
+    Scale: the loser table holds only duplicate-cluster members minus
+    one — broadcast-size against any real corpus (and count-gated in
+    the shared components operator); the corpus scan aggregates once
+    on source. This is q_dedup_survivors' cost profile with a 20-row
+    output."""
+    from w4h_etl_container_spark.operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    labels = connected_components(
+        minhash_candidates(parallelize_compute(docs))
+    )
+    losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    j = docs.join(
+        F.broadcast(losers.withColumn("_lost", F.lit(1))), "doc_id", "left"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_lost"), F.lit(0))).alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            F.expr("((n_docs - n_removed) * 10000) div n_docs").alias("keep_bp"),
+        )
+    )
