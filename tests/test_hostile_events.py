@@ -101,12 +101,19 @@ def hostile_ev_dir(tmp_path_factory) -> str:
         # NULL identically in both engines — probed parity-clean across
         # all 19 queries, kept here so that stays true
         (eid + 8, base + pd.Timedelta(hours=5), None, "view", 4.0, '{"k": 10}'),
+        # null event_id: the salted join derives the fact-side salt from
+        # event_id — a NULL salt must not silently drop the row (ADVICE r9)
+        (None, base + pd.Timedelta(hours=6), 1, "purchase", 6.0, '{"k": 11}'),
     ]
     pdf = pd.DataFrame(
         rows + hostile,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    # keep event_id/user_id physically int64-with-null (the production
+    # schema), not the float64 pandas degrades object columns with None to
+    pdf["event_id"] = pdf["event_id"].astype("Int64")
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
     pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
     # dimension/fact side tables some event queries join against
     import shutil

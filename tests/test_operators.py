@@ -2121,3 +2121,30 @@ class TestWeightedPrioritySample:
         df = spark.createDataFrame(rows, "grp string, k long, w long")
         top = weighted_priority_sample(df, 1, "grp", "k", "w").collect()
         assert [r["k"] for r in top] == [99]
+
+    @pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+    def test_ln_rounding_boundary_margin(self, sf):
+        """ADVICE r9: the one transcendental in the A-ES priority —
+        round(ln(u)·1e6) per distinct key — must sit measurably far
+        from every rounding boundary on the fixtures' ACTUAL hash
+        values, so a few-ulp JVM-vs-libm ln divergence (≤ ~1e-8 grid
+        units at |ln(u)| ≤ 41.6 and e6 scale) cannot flip the rounded
+        integer on any engine. Measured margins: 5.1e-4 (sf0.001/0.01),
+        6.8e-5 (sf0.1) — ≥ 10³× the divergence. The per-row division
+        by weight is exact integer arithmetic and has no boundary."""
+        import hashlib
+        import math
+
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            f"SELECT doc_id FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+            " WHERE n_chars > 0"
+        ).fetchall()
+        assert rows
+        min_margin = 1.0
+        for (doc_id,) in rows:
+            h = int(hashlib.md5(f"w0:{doc_id}".encode()).hexdigest()[:15], 16)
+            x = math.log((h + 1) / float(1 << 60)) * 1e6 + 0.5
+            min_margin = min(min_margin, abs(x - round(x)))
+        assert min_margin > 1e-5, min_margin

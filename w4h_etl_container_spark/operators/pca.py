@@ -88,12 +88,15 @@ def covariance_moments(emb: DataFrame, dim: int) -> DataFrame:
             "sxy",
             "sx",
             "sy",
+            # stays DECIMAL(38,0): with unit-norm e3-quantized components
+            # the n·Σxy term crosses int64 (~9.2e18) at roughly 3e6 rows
+            # per cell, so narrowing to BIGINT here would throw under ANSI
+            # far below corpus scale (ADVICE r9). Consumers divide by n²
+            # as double; 38 digits hold to ~10²⁶ rows per cell.
             (
                 F.col("n").cast(d38) * F.col("sxy").cast(d38)
                 - F.col("sx").cast(d38) * F.col("sy").cast(d38)
-            )
-            .cast("long")
-            .alias("cov_num"),
+            ).alias("cov_num"),
         )
     )
 

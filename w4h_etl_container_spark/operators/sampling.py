@@ -232,12 +232,21 @@ def weighted_priority_sample(
     proportional to length/quality score.
 
     Ranking happens in log space (``ln(u)/w`` is monotone in
-    ``u^(1/w)`` for w > 0), pre-rounded to e9 integers on BOTH engines
-    so the cross-engine rank order compares identical integers —
-    ``ln`` is the one transcendental, and a 1-ulp libm divergence
-    would otherwise be a rank flip. Ties on the rounded priority break
-    on ``key``. Rows with weight ≤ 0 (or NULL) have zero inclusion
-    probability and are dropped up front.
+    ``u^(1/w)`` for w > 0). The one transcendental, ``ln(u)``, is
+    rounded ONCE per distinct key to an e6 integer ``L`` — the same
+    per-distinct-value rounding contract BM25 and the unigram LM use —
+    and the per-row priority is then EXACT integer arithmetic:
+    ``-((-L) * 1e9 div w)`` (positive operands, so truncating and
+    flooring division agree across engines). Rounding a per-row
+    ``ln(u)/w`` directly would put the boundary on a value of
+    magnitude up to ~4e10, where a 1-ulp JVM-vs-libm divergence is
+    ~1e-5 of a grid unit per row and flips a rank with probability
+    growing in corpus size (ADVICE r9); with the boundary on ``ln(u)``
+    alone (|ln(u)| ≤ 41.6 ⇒ divergence ≤ ~1e-8 grid units at e6) the
+    fixture's measured minimum margin is >6e-5 — a >10³× safety
+    factor, pinned by TestWeightedPrioritySample's margin test. Ties
+    on the priority break on ``key``. Rows with weight ≤ 0 (or NULL)
+    have zero inclusion probability and are dropped up front.
 
     Scale shape — two-level top-k, no full-group sort: rows first rank
     inside (group, h mod ``fanout``) partitions, so each window task
@@ -254,12 +263,19 @@ def weighted_priority_sample(
         10,
     ).cast("long")
     u = (h.cast("double") + F.lit(1.0)) / F.lit(_DOM60)
-    prio = F.floor(
-        F.log(u) / F.col(weight).cast("double") * F.lit(1e9) + F.lit(0.5)
-    ).alias("_prio")
+    # L = round(ln(u)·1e6): the only transcendental rounding, on a value
+    # of bounded magnitude (|L| < 4.2e7, so (-L)·1e9 < 4.2e16 ≪ int64)
+    lq = F.floor(F.log(u) * F.lit(1e6) + F.lit(0.5)).cast("long")
     keyed = (
         df.where(F.col(weight) > 0)
-        .withColumn("_prio", prio)
+        .withColumn("_lq", lq)
+        .withColumn(
+            "_prio",
+            -F.expr(
+                f"((-_lq) * 1000000000L) div CAST(`{weight}` AS BIGINT)"
+            ),
+        )
+        .drop("_lq")
         .withColumn("_salt", F.pmod(h, F.lit(fanout)))
     )
     local = Window.partitionBy(group, "_salt").orderBy(

@@ -160,7 +160,7 @@ def search_index(
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_e6").asc_nulls_first(), "cand_id"
+        F.col("adc_e6").asc_nulls_last(), "cand_id"
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))

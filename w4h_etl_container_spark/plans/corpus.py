@@ -962,11 +962,17 @@ def _reservoir_sql() -> str:
 
     h = _nib_sql("md5('w0:' || CAST(doc_id AS VARCHAR))", 15)
     return f"""
-    WITH pri AS (
+    WITH lq AS (
       SELECT source, doc_id, n_chars,
-             FLOOR(LN((CAST(({h}) AS DOUBLE) + 1.0) / 1152921504606846976.0)
-                   / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5) AS prio
+             CAST(FLOOR(
+               LN((CAST(({h}) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+               * 1000000.0 + 0.5) AS BIGINT) AS L
       FROM documents WHERE n_chars > 0
+    ),
+    pri AS (
+      SELECT source, doc_id, n_chars,
+             -(((-L) * 1000000000) // CAST(n_chars AS BIGINT)) AS prio
+      FROM lq
     ),
     ranked AS (
       SELECT source, doc_id, n_chars,
@@ -996,7 +1002,9 @@ def q_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference semantics — the invariant that matters when fanout
     tasks replace a per-group sort at 100 TB.
 
-    Output carries no float: the rounded e9 priority is a ranking
+    Output carries no float: the priority (e6-rounded ln(u), then
+    exact integer division by weight — see the operator docstring for
+    the boundary-margin contract) is a ranking
     device on both sides, and the compared cells are (source, rank,
     doc_id, n_chars) integers/strings."""
     docs = read_table(spark, sf_dir, "documents").select(

@@ -359,7 +359,14 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the salted regrouping, which is exactly the bug class the pin
     exists to catch); NULL values drop from SUM identically."""
     ev = read_events(spark, sf_dir).withColumn(
-        "salt", F.pmod(F.col("event_id"), F.lit(SALT_FANOUT)).cast("int")
+        # coalesce: a NULL event_id must salt to a real bucket (0), not a
+        # NULL salt that the equi-join would silently drop — salting is
+        # semantically invisible, so null-key rows join exactly as in the
+        # plain-join oracle.
+        "salt",
+        F.coalesce(
+            F.pmod(F.col("event_id"), F.lit(SALT_FANOUT)), F.lit(0)
+        ).cast("int"),
     )
     cust = read_table(spark, sf_dir, "customer").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_FANOUT - 1)))

@@ -763,7 +763,7 @@ def _pq_adc_expr(code_col: str) -> str:
     SELECT query_id, cand_id, adc_e6, rnk FROM (
       SELECT query_id, cand_id, adc_e6,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adc_e6 ASC NULLS FIRST, cand_id) AS rnk
+                                ORDER BY adc_e6 ASC NULLS LAST, cand_id) AS rnk
       FROM scored
     ) WHERE rnk <= {TOP_K}
     """,
@@ -798,7 +798,7 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cand_id", _pq_adc_udf("qe", "code").alias("adc_e6")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_e6").asc_nulls_first(), "cand_id"
+        F.col("adc_e6").asc_nulls_last(), "cand_id"
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -831,7 +831,7 @@ def _ivfpq_sql() -> str:
     SELECT query_id, cand_id, adc_e6, rnk FROM (
       SELECT query_id, cand_id, adc_e6,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adc_e6 ASC NULLS FIRST, cand_id) AS rnk
+                                ORDER BY adc_e6 ASC NULLS LAST, cand_id) AS rnk
       FROM scored
     ) WHERE rnk <= {TOP_K}
     """
@@ -877,7 +877,7 @@ def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") == F.col("qb")) & (F.col("cand_id") != F.col("query_id")),
     ).select("query_id", "cand_id", _pq_adc_udf("qe", "code").alias("adc_e6"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_e6").asc_nulls_first(), "cand_id"
+        F.col("adc_e6").asc_nulls_last(), "cand_id"
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -917,8 +917,8 @@ def _covariance_sql() -> str:
       GROUP BY 1, 2
     )
     SELECT i, j, n, sxy, sx, sy,
-           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT)
-             AS cov_num
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS DECIMAL(38,0)) AS cov_num
     FROM moments
     """
 
