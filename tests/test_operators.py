@@ -1298,11 +1298,15 @@ class TestSourceCuration:
         assert len(got) > 1
 
 
-class TestAnnRecall:
+class TestLshProbeRecall:
     def test_recall_measured_and_sane(self, spark, sf_dir):
-        from w4h_etl_container_spark.plans.vectors import N_QUERIES, TOP_K, ann_recall
+        from w4h_etl_container_spark.plans.vectors import (
+            N_QUERIES,
+            TOP_K,
+            lsh_probe_recall,
+        )
 
-        rows = ann_recall(spark, sf_dir).collect()
+        rows = lsh_probe_recall(spark, sf_dir).collect()
         assert len(rows) == N_QUERIES
         for r in rows:
             assert 0 <= r["n_hits"] <= TOP_K

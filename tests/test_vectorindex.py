@@ -82,7 +82,7 @@ class TestVectorIndex:
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_e6").asc_nulls_first(), "cand_id"
+            F.col("adc_e6").asc_nulls_last(), "cand_id"
         )
         want = {
             (r["query_id"], r["rnk"]): (r["cand_id"], r["adc_e6"])
@@ -126,3 +126,89 @@ class TestVectorIndex:
         m1 = build_vector_index(spark, sf_dir, out, n_centroids=4, iters=1)
         m2 = build_vector_index(spark, sf_dir, out, n_centroids=4, iters=1)
         assert m1 == m2
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """Planted-neighborhood fixture + a trained 16-cell index over it
+    (k=64 PQ codebooks — 6-bit codes, enough capacity to resolve the
+    planted geometry; the declared q_pq_* queries keep their literal
+    4-bit stand-ins and are untouched by this test)."""
+    from w4h_etl_container_spark.pipeline.vectorindex import build_vector_index
+    from w4h_etl_container_spark.testing import write_planted_embeddings
+
+    d = str(tmp_path_factory.mktemp("planted"))
+    truth = write_planted_embeddings(d, n_clusters=16, per_cluster=30)
+    out = str(tmp_path_factory.mktemp("planted_index"))
+    man = build_vector_index(spark, d, out, n_centroids=16, m=8, k=64, iters=3)
+    return d, out, man, truth
+
+
+class TestAnnRecall:
+    """The r9 verdict's #1 task: retrieval QUALITY of the trained
+    end-to-end index, measured as recall@10 against exact brute force
+    on ground truth that exists by construction."""
+
+    def test_recall_at_small_nprobe(self, spark, planted):
+        from w4h_etl_container_spark.plans.vectors import ann_recall
+
+        d, out, man, truth = planted
+        curve = ann_recall(
+            spark, d, out, nprobes=(1, 2, 16), n_queries=8, top_k=10,
+            rerank=40,
+        )
+        by_np = {r["nprobe"]: r for r in curve}
+        # the promise: high recall probing FAR fewer cells than exist
+        assert by_np[1]["recall"] >= 0.9, curve
+        assert by_np[2]["recall"] >= 0.9, curve
+        # full probe + exact re-rank must be perfect: every true
+        # neighbor is in some cell, and the re-rank is exact L2
+        assert by_np[16]["recall"] == 1.0, curve
+        # monotone: a larger probe set is a superset of cells
+        rs = [r["recall"] for r in curve]
+        assert rs == sorted(rs), curve
+
+    def test_adc_only_recall(self, spark, planted):
+        """Raw ADC ranking (no exact re-rank): the planted NEAR/FAR
+        margin dwarfs PQ reconstruction error, so even approximate
+        distances must recover the true neighbors — this isolates
+        codebook quality from cell coverage."""
+        from w4h_etl_container_spark.plans.vectors import ann_recall
+
+        d, out, man, truth = planted
+        curve = ann_recall(
+            spark, d, out, nprobes=(2,), n_queries=8, top_k=10, rerank=None
+        )
+        assert curve[0]["recall"] >= 0.9, curve
+
+    def test_exact_topk_is_the_planted_truth(self, spark, planted):
+        """The brute-force yardstick itself recovers the construction's
+        known neighbor sets — recall is measured against a verified
+        ground truth, not against another approximation."""
+        from w4h_etl_container_spark.plans.vectors import exact_topk
+
+        d, out, man, truth = planted
+        got = exact_topk(spark, d, n_queries=8, top_k=10).collect()
+        by_q: dict[int, set] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        for q in range(8):
+            assert by_q[q] == set(truth["true_neighbors"][q])
+
+    def test_trained_cells_recover_planted_clusters(self, spark, planted):
+        """The trained coarse quantizer's cells coincide with the
+        planted clusters (anchor-seeded Lloyd's on well-separated
+        blobs) — the geometric reason the nprobe=1 recall holds."""
+        d, out, man, truth = planted
+        cells = spark.read.parquet(man["artifacts"]["cells"])
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "label"
+        )
+        joined = cells.join(emb, "vec_id")
+        n_pure = (
+            joined.groupBy("label")
+            .agg(F.count_distinct("centroid_id").alias("k"))
+            .where(F.col("k") == 1)
+            .count()
+        )
+        assert n_pure == 16

@@ -128,6 +128,24 @@ def make_cosine_e6_udf():
     return cosine_e6
 
 
+def make_dist2_e6_udf():
+    """Exact pairwise squared L2 distance ||a − b||² in micro-units —
+    the ground-truth metric ADC approximates (same ``tree_reduce``
+    summation order as the assign/encode/ADC kernels, so exact and
+    approximate distances live on one deterministic arithmetic
+    contract). Non-finite inputs NULL out via the e6 guard."""
+
+    @F.pandas_udf(LongType())
+    def dist2_e6(ae: pd.Series, be: pd.Series) -> pd.Series:
+        a, b = stackf64(ae), stackf64(be)
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        d = a - b
+        return pd.Series(e6(tree_reduce(d * d)))
+
+    return dist2_e6
+
+
 def make_bucket_udf(planes: np.ndarray):
     """Random-hyperplane LSH signature: sign bit per plane packed into a
     bucket id in [0, 2^n_planes)."""

@@ -121,10 +121,22 @@ def search_index(
     n_queries: int = 8,
     nprobe: int = 2,
     top_k: int = 5,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k from the published artifacts: probe the query's
     ``nprobe`` nearest cells (partition-pruned read of ``cells/``),
-    rank by ADC over the stored codes. Self-matches excluded."""
+    rank by ADC over the stored codes. Self-matches excluded.
+
+    ``rerank=R`` adds the IVFADC+R refinement (Jégou et al. 2011 §V):
+    the ADC pass shortlists R candidates per query, which join back to
+    their raw vectors (an equi-join on vec_id over R·n_queries rows —
+    a point-lookup's worth of float reads, not a corpus scan) and the
+    final top_k ranks by EXACT squared L2. This is the production
+    serving path: ADC's 8-byte-code scan does the corpus-scale
+    winnowing, exact distances fix its quantization-error rank flips,
+    and recall is then bounded by cell coverage (nprobe) alone — the
+    property ``plans.vectors.ann_recall`` measures. Output gains the
+    exact ``dist2_e6`` next to the shortlist's ``adc_e6``."""
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
     m, k, bits = man["pq"]["m"], man["pq"]["k"], man["pq"]["bits"]
@@ -162,8 +174,40 @@ def search_index(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_e6").asc_nulls_last(), "cand_id"
     )
+    if rerank is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= top_k)
+            .select("query_id", "cand_id", "adc_e6", "rnk")
+        )
+    from w4h_etl_container_spark.functions.vectorkernels import make_dist2_e6_udf
+
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(w))
+        .where(F.col("arnk") <= max(rerank, top_k))
+        .drop("arnk")
+    )
+    raw = read_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    qvec = read_embeddings(spark, sf_dir).where(
+        F.col("vec_id") < n_queries
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    exact = (
+        shortlist.join(raw, "cand_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "adc_e6",
+            make_dist2_e6_udf()("qe", "ce").alias("dist2_e6"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist2_e6").asc_nulls_last(), "cand_id"
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        exact.withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= top_k)
-        .select("query_id", "cand_id", "adc_e6", "rnk")
+        .select("query_id", "cand_id", "adc_e6", "dist2_e6", "rnk")
     )

@@ -445,11 +445,12 @@ def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Recall measurement: the ANN quality metric, computed by the engine itself
 # ---------------------------------------------------------------------------
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of the sub-linear probe path (q_ann_probe) against the
-    exact baseline (q_cosine_topk), per query vector — the number every
-    ANN deployment tunes against (probe fraction vs recall; multi-probe
-    and IVF nprobe move the same tradeoff).
+def lsh_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the sub-linear LSH probe path (q_ann_probe) against
+    the exact baseline (q_cosine_topk), per query vector — the number
+    every ANN deployment tunes against (probe fraction vs recall;
+    multi-probe and IVF nprobe move the same tradeoff — the TRAINED
+    index's curve is ``ann_recall`` at the bottom of this module).
 
     Engine shape: both sides are the engine's own declared plans; the
     comparison is one broadcast semi-join on (query_id, cand_id) and a
@@ -1041,3 +1042,110 @@ def q_rand_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", proj("embedding").alias("r")).select(
         "vec_id", *[F.col(f"r.r{p}_e6").alias(f"r{p}_e6") for p in range(N_PLANES)]
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SIM — ANN retrieval-quality measurement: recall@k vs nprobe of
+# the TRAINED index against exact brute force (the claim the r9 verdict
+# flagged as never demonstrated: the mechanism was oracle-checked, the
+# retrieval QUALITY was not). Not a declared query — recall is a
+# measurement over a (fixture, index) pair, published via
+# tools/ann_recall_curve.py into PERF.md and pinned in
+# tests/test_vectorindex.py on the planted-neighborhood fixture.
+# ---------------------------------------------------------------------------
+def exact_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int, top_k: int
+) -> DataFrame:
+    """Ground truth: exact squared-L2 top-k per query by brute force —
+    every (query, candidate) pair scored with the same tree-ordered
+    arithmetic ADC approximates. One broadcast of n_queries vectors
+    against a full corpus scan: THE baseline ANN exists to avoid, and
+    therefore the yardstick recall is defined against."""
+    from w4h_etl_container_spark.functions.vectorkernels import make_dist2_e6_udf
+
+    emb = read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+        .join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            make_dist2_e6_udf()("qe", "ce").alias("dist2_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2_e6").asc_nulls_last(), "cand_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("query_id", "cand_id", "dist2_e6", "rnk")
+    )
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    nprobes: tuple = (1, 2, 4),
+    n_queries: int = N_QUERIES,
+    top_k: int = 10,
+    rerank: int | None = None,
+) -> list:
+    """Measured recall@``top_k`` of the published IVF-PQ index at each
+    ``nprobe``: |index top-k ∩ exact top-k| / (n_queries·top_k).
+
+    ``rerank=R`` measures the IVFADC+R serving path (ADC shortlist of
+    R, exact re-rank — see ``pipeline.vectorindex.search_index``);
+    ``None`` measures raw ADC ranking, which bounds how much of the
+    residual error is PQ quantization rather than cell coverage.
+
+    Driver-side loop over len(nprobes) Spark jobs — bounded work, like
+    the Lloyd iterations. The exact ground truth is computed ONCE and
+    cached across the sweep. Returns [{"nprobe", "rerank", "hits",
+    "possible", "recall"}...].
+
+    The candidate SET grows monotonically with nprobe, but measured
+    recall need not: the ADC cut (top_k, or the rerank shortlist) is
+    FIXED-size, so extra probed cells can push ADC-confusable
+    candidates ahead of true neighbors. On structured data the margin
+    dominates quantization error and the curve is flat-high (planted
+    fixture: 1.0 everywhere); on structureless data the curve can
+    DECREASE in nprobe (measured on the driver fixture — see PERF.md)
+    because exact top-k there is concentration noise that 8-byte codes
+    cannot resolve. That contrast is the point of measuring both."""
+    from w4h_etl_container_spark.pipeline.vectorindex import search_index
+
+    truth = exact_topk(spark, sf_dir, n_queries, top_k).select(
+        "query_id", "cand_id"
+    )
+    truth.cache()
+    try:
+        possible = truth.count()
+        out = []
+        for nprobe in nprobes:
+            got = search_index(
+                spark,
+                sf_dir,
+                index_dir,
+                n_queries=n_queries,
+                nprobe=nprobe,
+                top_k=top_k,
+                rerank=rerank,
+            ).select("query_id", "cand_id")
+            hits = got.join(truth, ["query_id", "cand_id"]).count()
+            out.append(
+                {
+                    "nprobe": nprobe,
+                    "rerank": rerank,
+                    "hits": hits,
+                    "possible": possible,
+                    "recall": hits / possible if possible else 0.0,
+                }
+            )
+        return out
+    finally:
+        truth.unpersist()
