@@ -107,7 +107,28 @@ def user_running_stats_tws(events: DataFrame, ttl_ms: int | None = None) -> Data
     (``spark.sql.streaming.stateStore.providerClass``) and the protobuf
     runtime for the state-server protocol — standard on Spark 4
     clusters, absent in this container, so execution parity skips here
-    while plan-build/schema is always asserted."""
+    while plan-build/schema is always asserted; execution parity of the
+    PROCESSOR code itself runs unconditionally through the in-memory
+    handle harness in tests — see ``make_running_stats_processor``."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_running_stats_processor(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_running_stats_processor(ttl_ms: int | None = None):
+    """The ``transformWithStateInPandas`` StatefulProcessor behind
+    ``user_running_stats_tws``, exposed as a factory so its EXECUTION
+    can be pinned without the protobuf state-server transport: the
+    processor touches the handle only through ``getValueState`` and the
+    ValueState ``exists/get/update`` triple, so an in-memory handle
+    drives every line of init/handleInputRows/close across real
+    micro-batch frames (tests/test_streaming.py's harness), asserting
+    emission parity against the ``applyInPandasWithState`` operator and
+    the batch aggregate. On a protobuf-equipped Spark 4 cluster the
+    same instance runs unmodified under the real transport."""
     StatefulProcessor, _ = _twx_classes()
 
     class RunningStats(StatefulProcessor):
@@ -134,12 +155,7 @@ def user_running_stats_tws(events: DataFrame, ttl_ms: int | None = None) -> Data
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningStats(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
+    return RunningStats()
 
 
 # ---------------------------------------------------------------------------
