@@ -296,6 +296,56 @@ class TestMinHashParameterization:
         wide = {tuple(r) for r in minhash_candidates(d, 8, 8).collect()}
         assert narrow <= wide
 
+    def test_int_slots_equal_hex_slice_mins(self, spark, sf_dir):
+        """r10: minhash_candidates derives its 16-bit signature slots
+        from conv()-parsed digest words instead of 4-char hex-string
+        mins. The two are the same value by construction (numeric min
+        over a fixed-width hex slice == lexicographic min) — pinned
+        here per doc per slot against the oracle's literal
+        min(substr(md5, 4i+1, 4)) rendering, so the bucket grouping the
+        pairs come from provably cannot drift from the SQL oracle's."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.plans.textops import _shingle_sets
+        from w4h_etl_container_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        hashed = _shingle_sets(d).select("doc_id", F.md5("sh").alias("h"))
+        hex_sigs = {
+            r["doc_id"]: tuple(int(r[f"h{i}"], 16) for i in range(8))
+            for r in hashed.groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.substring("h", 4 * i + 1, 4)).alias(f"h{i}")
+                    for i in range(8)
+                ]
+            )
+            .collect()
+        }
+        words = hashed.select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", 8 * g + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"w{g}")
+                for g in range(4)
+            ],
+        )
+        aggs = []
+        for i in range(8):
+            g, hi = divmod(i, 2)
+            slot = (
+                F.shiftright(F.col(f"w{g}"), 16)
+                if hi == 0
+                else F.col(f"w{g}") % 65536
+            )
+            aggs.append(F.min(slot.cast("int")).alias(f"h{i}"))
+        int_sigs = {
+            r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+            for r in words.groupBy("doc_id").agg(*aggs).collect()
+        }
+        assert int_sigs == hex_sigs and len(int_sigs) > 0
+
 
 class TestMinHashFastPath:
     def test_recall_parity_on_planted_near_dups(self, spark):

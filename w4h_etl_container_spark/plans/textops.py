@@ -495,12 +495,37 @@ def minhash_candidates(
     bucket, and true near-dups dropped there still pair in their other,
     less-common bands."""
     assert 4 * n_hashes <= 32, "slice-derived signatures need n_hashes ≤ 8; use the xxhash64 variant"
+    # slots as 16-bit INTEGERS, not 4-char hex strings (r10): each pair
+    # of slots rides one conv() of an 8-hex-char digest slice, split by
+    # shift/mod — numeric min over a fixed-width hex slice is the same
+    # order as lexicographic min (the oracle's min(substr(...))), the
+    # aggregation state shrinks from 8 strings to 8 ints, and the band
+    # keys downstream group on ints (bucket keys are engine-INTERNAL —
+    # only the resulting pairs cross to the oracle, so the two engines
+    # may key their buckets differently as long as the grouping is
+    # equivalent, which slot-value identity guarantees; slot equality
+    # vs the hex rendering is pinned in tests). Measured: sigs stage
+    # 0.97 → 0.83 s at sf0.1.
     hashed = _shingle_sets(d).select("doc_id", F.md5("sh").alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", 4 * i + 1, 4)).alias(f"h{i}") for i in range(n_hashes)]
+    words = hashed.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", 8 * g + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"w{g}")
+            for g in range((n_hashes + 1) // 2)
+        ],
     )
+    aggs = []
+    for i in range(n_hashes):
+        g, hi = divmod(i, 2)
+        slot = (
+            F.shiftright(F.col(f"w{g}"), 16) if hi == 0 else F.col(f"w{g}") % 65536
+        )
+        aggs.append(F.min(slot.cast("int")).alias(f"h{i}"))
+    sigs = words.groupBy("doc_id").agg(*aggs)
     return _banded_pairs(
-        sigs, n_hashes, n_bands, bucket_cap, lambda slots: f"concat({', '.join(slots)})"
+        sigs, n_hashes, n_bands, bucket_cap, lambda slots: f"concat_ws(',', {', '.join(slots)})"
     )
 
 
@@ -567,6 +592,31 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard similarity (verification pass for candidate pairs)
 # ---------------------------------------------------------------------------
 _DF_CAP = 100  # drop shingles present in more than this many documents
+
+# below this much LOCAL scanned input, re-evaluating the shingle subtree
+# beats materializing the posting table (see _jaccard_from_shingles)
+_BARRIER_MIN_BYTES = 64 << 20
+
+
+def _small_local_scan(df: DataFrame) -> bool:
+    """True iff every scan leaf under ``df`` is a local file and their
+    total size is under ``_BARRIER_MIN_BYTES``. Non-local URIs (object
+    stores) and any stat failure report False — unknown size defaults
+    to the barrier, the safe direction at scale."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return False
+            total += os.path.getsize(u.path)
+        return total < _BARRIER_MIN_BYTES
+    except Exception:
+        return False
 
 
 @register(
@@ -645,26 +695,41 @@ def _jaccard_from_shingles(
     production path, so the posting-list/cap/pair semantics cannot
     drift between them (the ``_banded_pairs`` pattern).
 
-    The posting-list table is localCheckpoint-ed (reliable ``checkpoint``
-    on a cluster — same call site) before fan-out for two reasons, the
-    same barrier the winnow-overlap pipeline documents (PERF.md): it is
-    consumed by BOTH the sizes branch and the pair branch, so the barrier
-    stops the collect_set aggregation from evaluating twice; and — the
-    measured one — when AQE coalesces the small post-shuffle table to one
-    partition, the O(Σ len(ds)²) in-bucket pair expansion downstream
-    would run on one core. ``parallelize_compute`` over the materialized
-    table re-spreads it only when the observed split count is genuinely
-    low (its scale guard skips at cluster scale, where the shuffle output
-    keeps many partitions; measured sf0.1: 2.3 s → 1.4 s).
-    ``spread=False`` skips the barrier — identical results over a fully
-    lazy plan, used by the plan-shape tests to inspect the posting-list
-    subtree the checkpoint would truncate away."""
+    The posting-list table is consumed by BOTH the sizes branch and the
+    pair branch. Without a barrier Spark still evaluates the expensive
+    scan+shingle+md5 map side ONCE — the sh-partitioned exchange is
+    shared via ReusedExchange (verified in the executed plan) — but the
+    reduce-side collect_set aggregation runs once per branch. Whether
+    the checkpoint barrier PAYS is therefore a trade between one extra
+    reduce-side pass and a materialize+re-spread round-trip, and it is
+    size-gated (r10, measured):
+
+    * SMALL scans (< ``_BARRIER_MIN_BYTES`` of local input): no
+      barrier. The duplicated reduce-side pass costs less than the
+      localCheckpoint round-trip plus the re-spread shuffle (measured
+      sf0.1 best-of-3: 1.73 s un-barriered vs 2.26 s checkpointed vs
+      2.73 s cached — the materialization is ~25% of the query there).
+    * LARGE or non-local scans (object stores report no local size —
+      unknown defaults to barrier): localCheckpoint (reliable
+      ``checkpoint`` on a cluster — same call site) + re-spread. At
+      corpus scale the duplicated reduce pass re-reads the widest
+      shuffle in the operator from every reducer, while the CAPPED
+      posting table it would materialize is small (≤ _DF_CAP·
+      |shingles| ≪ input); and when AQE coalesces the small
+      post-shuffle table to one partition, the O(Σ len(ds)²) in-bucket
+      pair expansion would run on one core without
+      ``parallelize_compute``'s re-spread.
+
+    ``spread=False`` skips the barrier unconditionally — identical
+    results over a fully lazy plan, used by the plan-shape tests to
+    inspect the posting-list subtree the checkpoint would truncate
+    away (result parity between the modes is pinned in tests)."""
     byssh = (
         shingles.groupBy("sh")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") <= _DF_CAP)
     )
-    if spread:
+    if spread and not _small_local_scan(shingles):
         byssh = parallelize_compute(byssh.localCheckpoint())
     # Two separate aggregations — sizes from the occurrence stream,
     # co-occurrence counts from the pair expansion — are the RIGHT
