@@ -520,3 +520,143 @@ class TestSpanSpans:
             .collect()[0]["t"]
         )
         assert spans == text
+
+
+class TestSharedRuns:
+    """Variable-length exact substring dedup (r9 verdict task #4):
+    chain-of-k-grams extents, the q_span_dedup boundary, and DuckDB
+    parity on crafted corpora."""
+
+    def _runs(self, spark, rows, **kw):
+        from w4h_etl_container_spark.plans.curation import shared_runs
+
+        return sorted(
+            tuple(r)
+            for r in shared_runs(
+                spark.createDataFrame(rows, "doc_id long, text string"), **kw
+            ).collect()
+        )
+
+    def test_fifty_token_passage_exact_extent(self, spark):
+        """Two documents sharing a grid-aligned 50-token passage: the
+        10-word span rule fires (removes the later doc's 5 duplicated
+        grid cells) AND the chain detector reports the same passage as
+        ONE row with span_len exactly 50 — the verdict's 'already
+        caught, now measured' case."""
+        from w4h_etl_container_spark.plans.curation import span_dedup
+
+        passage = " ".join(f"p{i}" for i in range(50))
+        pre = " ".join(f"x{i}" for i in range(10))  # grid-aligned offset
+        post = " ".join(f"y{i}" for i in range(11))
+        rows = [
+            (1, f"{pre} {passage}"),  # passage at tokens 10..59
+            (2, f"{passage} {post}"),  # passage at tokens 0..49
+        ]
+        assert self._runs(spark, rows) == [(1, 2, 10, 0, 50)]
+        sd = {r["doc_id"]: r["n_removed"] for r in span_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()}
+        assert sd == {1: 0, 2: 5}  # doc 1 wins first-occurrence per cell
+
+    def test_misaligned_passage_only_chain_detector_sees_it(self, spark):
+        """The SAME 50-token passage at a non-multiple-of-10 offset: the
+        C4 grid rule goes completely blind (no two grid cells coincide),
+        while the chain detector still reports the exact extent — the
+        gap this operator exists to close."""
+        from w4h_etl_container_spark.plans.curation import span_dedup
+
+        passage = " ".join(f"p{i}" for i in range(50))
+        pre = " ".join(f"x{i}" for i in range(7))
+        post = " ".join(f"y{i}" for i in range(11))
+        rows = [
+            (1, f"{pre} {passage}"),  # passage at tokens 7..56
+            (2, f"{passage} {post}"),  # passage at tokens 0..49
+        ]
+        assert self._runs(spark, rows) == [(1, 2, 7, 0, 50)]
+        sd = {r["doc_id"]: r["n_removed"] for r in span_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()}
+        assert sd == {1: 0, 2: 0}
+
+    def test_nine_token_overlap_boundary_both_sides(self, spark):
+        """The r9 verdict's boundary pin: a 9-token shared run is
+        INVISIBLE to the 10-word span grid (no span removed on either
+        doc) but measured exactly (span_len=9) by the chain detector
+        when min_run allows — and suppressed by the declared query's
+        min_run=20 threshold, pinning the reporting cut from both
+        sides."""
+        from w4h_etl_container_spark.plans.curation import span_dedup
+
+        nine = " ".join(f"s{i}" for i in range(9))
+        fill1 = " ".join(f"u{i}" for i in range(12))
+        fill2 = " ".join(f"v{i}" for i in range(12))
+        rows = [(1, f"{fill1} {nine}"), (2, f"{nine} {fill2}")]
+        # 10-word span dedup: blind (the 9 shared tokens never fill a
+        # 10-word grid cell in either document)
+        sd = {r["doc_id"]: r["n_removed"] for r in span_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()}
+        assert sd == {1: 0, 2: 0}
+        # chain detector at min_run=9: exact extent
+        assert self._runs(spark, rows, min_run=9) == [(1, 2, 12, 0, 9)]
+        # declared threshold (20): suppressed
+        assert self._runs(spark, rows) == []
+        # resolution floor: a run shorter than k is invisible even at
+        # min_run=1 (no k-gram covers it)
+        seven = " ".join(f"s{i}" for i in range(7))
+        rows7 = [(1, f"{fill1} {seven}"), (2, f"{seven} {fill2}")]
+        assert self._runs(spark, rows7, min_run=1) == []
+
+    def test_two_separate_runs_split_islands(self, spark):
+        """Two distinct shared passages in one pair (different offsets /
+        a gap in the chain) come out as TWO rows with exact extents."""
+        p1 = " ".join(f"a{i}" for i in range(22))
+        p2 = " ".join(f"b{i}" for i in range(25))
+        mid1 = " ".join(f"m{i}" for i in range(9))
+        mid2 = " ".join(f"n{i}" for i in range(5))
+        rows = [
+            (1, f"{p1} {mid1} {p2}"),
+            (2, f"{p2} {mid2} {p1}"),
+        ]
+        # doc1: p1@0, p2@31; doc2: p2@0, p1@30
+        assert self._runs(spark, rows) == [(1, 2, 0, 30, 22), (1, 2, 31, 0, 25)]
+
+    def test_identical_docs_full_length_run(self, spark):
+        text = " ".join(f"t{i}" for i in range(40))
+        rows = [(1, text), (2, text)]
+        assert self._runs(spark, rows) == [(1, 2, 0, 0, 40)]
+
+    def test_hostile_inputs(self, spark):
+        """Repeated-token documents (every k-gram identical — the
+        bucket-cap path), sub-k documents, and empty text neither crash
+        nor emit spurious runs."""
+        rows = [
+            (1, "z " * 30),  # 30 identical tokens
+            (2, "z " * 30 + "q"),  # overlapping repeated run + tail
+            (3, "a b c"),  # < k tokens
+            (4, ""),  # empty
+            (5, "one two three four five six seven eight nine"),
+        ]
+        got = self._runs(spark, rows, min_run=20)
+        # docs 1 and 2 share the 30-token 'z' run; the all-equal k-gram
+        # bucket makes EVERY offset chain, so maximal islands exist per
+        # offset — the longest (offset 0) must be the exact 30
+        assert (1, 2, 0, 0, 30) in got
+        assert all(r[0] != r[1] for r in got)
+        assert not any(3 in r[:2] or 4 in r[:2] or 5 in r[:2] for r in got)
+
+    def test_duckdb_parity_on_crafted_corpus(self, spark):
+        from w4h_etl_container_spark.plans.curation import (
+            _shared_runs_sql,
+            shared_runs,
+        )
+
+        p = " ".join(f"c{i}" for i in range(33))
+        rows = [
+            (1, f"{p} tail1 tail2"),
+            (2, f"lead0 {p}"),
+            (3, "z " * 25),
+            (4, "z " * 26),
+            (5, " ".join(f"d{i}" for i in range(30))),
+        ]
+        _parity(shared_runs(_docs(spark, rows)), _duck(rows, _shared_runs_sql()))
