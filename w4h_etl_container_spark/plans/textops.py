@@ -1251,7 +1251,15 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finding); non-Latin scripts need an ICU-aware distance, and the
     deletion bucketing above is already character-correct when one is
     swapped in. A corpus-scale vocabulary shards the same plan by
-    variant hash."""
+    variant hash.
+
+    Fixture honesty (r10): the driver fixture's ENTIRE vocabulary is
+    31 tokens with zero distance-1 pairs (proven exhaustively via the
+    same deletion buckets), so this query returns 0 rows at every
+    driver SF by fixture construction, not by bug — the non-trivial
+    path runs end-to-end (planted pairs surfaced + oracle hash parity)
+    on ``testing.write_planted_documents`` in
+    tests/test_analytics.py::TestTypoPairs."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.where(F.length(F.trim("text")) > 0).select(
         F.explode(_tokens()).alias("token")

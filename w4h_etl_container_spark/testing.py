@@ -96,3 +96,69 @@ def write_planted_embeddings(
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
     return {"anchors": anchors, "true_neighbors": truth, "n": n_total}
+
+
+def write_planted_documents(
+    out_dir: str,
+    n_docs: int = 200,
+    typo_every: int = 4,
+    seed: int = 11,
+) -> dict:
+    """Write ``documents.parquet`` with PLANTED distance-1 vocabulary
+    neighbors — the driver fixture's 31-token vocabulary provably
+    contains none (checked exhaustively via deletion buckets), so
+    q_typo_pairs is vacuous at every driver scale factor; this fixture
+    makes the DECLARED query's non-trivial path executable end-to-end.
+
+    Vocabulary: 40 base words plus, for every 4th word, a planted typo
+    form (one char dropped / substituted / appended — each an exact
+    edit-distance-1 neighbor). Every document mixes base words with
+    occasional typo forms, so both forms clear any frequency cutoff.
+    Schema matches the driver fixture: doc_id int64, text, lang,
+    source, n_chars.
+
+    Returns {"typo_pairs": [(base, typo)...], "n_docs": n}.
+    """
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    base = [f"word{i:02d}x" for i in range(40)]
+    typos: list[tuple[str, str]] = []
+    for i in range(0, 40, typo_every):
+        w = base[i]
+        kind = i // typo_every % 3
+        if kind == 0:
+            t = w[:3] + w[4:]  # deletion
+        elif kind == 1:
+            t = w[:3] + "q" + w[4:]  # substitution
+        else:
+            t = w + "q"  # insertion
+        typos.append((w, t))
+    typo_of = dict(typos)
+
+    rows = []
+    for d in range(n_docs):
+        words = []
+        for _ in range(rng.randrange(30, 60)):
+            w = rng.choice(base)
+            if w in typo_of and rng.random() < 0.3:
+                w = typo_of[w]
+            words.append(w)
+        text = " ".join(words)
+        rows.append((d, text, "en", f"src{d % 4}", len(text)))
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
+    return {"typo_pairs": typos, "n_docs": n_docs}
