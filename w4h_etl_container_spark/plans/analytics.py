@@ -61,7 +61,6 @@ def _funnel_sql() -> str:
     "q_funnel",
     sql=_funnel_sql(),
     survey_ids=("EXT-EVENTS",),
-    gate=False,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over events: how many users progressed through
@@ -864,7 +863,6 @@ def _sessionize_sql() -> str:
     "q_sessionize",
     sql=_sessionize_sql(),
     survey_ids=("EXT-EVENTS", "WIN-3", "STR-5"),
-    gate=False,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization — the batch twin of the streaming

@@ -825,7 +825,6 @@ def _split_sql() -> str:
     "q_split_leakfree",
     sql=_split_sql(),
     survey_ids=("EXT-DEDUP",),
-    gate=False,
 )
 def q_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free 80/10/10 splits: every document is assigned to

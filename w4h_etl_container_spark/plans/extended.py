@@ -32,6 +32,7 @@ from w4h_etl_container_spark.session import parallelize_compute, read_embeddings
     GROUP BY p.p_partkey, p.p_size
     """,
     survey_ids=("JOIN-4",),
+    gate=False,
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-4 (SURVEY §2.3, engine-provided): range join — each (filtered)

@@ -31,9 +31,14 @@ QUERIES: dict[str, Query] = {}
 
 # Library tier: fully-implemented declared queries kept OFF the driver's
 # gate (the gate caps at 50 rows; overlapping relational shapes ceded
-# their slots to the round-4 corpus-pipeline operators). Library queries
-# keep their oracle SQL and stay pinned by the pytest plan-shape and
-# selfcheck-library suites — same code path, one registry flag.
+# their slots to the round-4 corpus-pipeline operators, and round 10
+# rotated five more relational shapes out — q_set_union, q_flt_semi,
+# q_join_range, q_agg_gate, q_win_offset, each with a gate twin
+# covering its shape — so the driver hash-checks the round-9 additions
+# q_funnel, q_sessionize, q_bm25, q_kmv_distinct, q_split_leakfree).
+# Library queries keep their oracle SQL and stay pinned by the pytest
+# plan-shape and selfcheck-library suites — same code path, one
+# registry flag.
 LIBRARY: dict[str, Query] = {}
 
 

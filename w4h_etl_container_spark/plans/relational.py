@@ -142,6 +142,7 @@ def q_prj_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
     survey_ids=("FLT-1", "JOIN-3"),
+    gate=False,
 )
 def q_flt_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-1 (reference near-land gate ``main.py:291-292``): emit only rows
@@ -509,6 +510,7 @@ def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(DISTINCT date_part('hour', ts)) >= 20
     """,
     survey_ids=("AGG-4",),
+    gate=False,
 )
 def q_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGG-4 (reference ``len(data.time) >= 24`` gate, ``main.py:403-404``):
@@ -608,6 +610,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     survey_ids=("WIN-2",),
+    gate=False,
 )
 def q_win_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WIN-2 (reference ``time − time[0]`` → integer hours,
@@ -730,6 +733,7 @@ def q_srt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_linestatus = 'O'
     """,
     survey_ids=("SET-1",),
+    gate=False,
 )
 def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET-1 (reference ``xr.concat`` along time, ``main.py:115-131``):

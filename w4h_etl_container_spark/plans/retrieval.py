@@ -94,7 +94,6 @@ def _bm25_sql() -> str:
     "q_bm25",
     sql=_bm25_sql(),
     survey_ids=("EXT-TEXT", "EXT-SIM"),
-    gate=False,
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval for a broadcast query set (module

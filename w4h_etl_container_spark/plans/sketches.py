@@ -78,7 +78,6 @@ def _kmv_sql() -> str:
     "q_kmv_distinct",
     sql=_kmv_sql(),
     survey_ids=("EXT-SKETCH", "AGG-2"),
-    gate=False,
 )
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user sketch per event_type, with the exact count
