@@ -660,3 +660,84 @@ class TestSharedRuns:
             (5, " ".join(f"d{i}" for i in range(30))),
         ]
         _parity(shared_runs(_docs(spark, rows)), _duck(rows, _shared_runs_sql()))
+
+
+class TestRunDedup:
+    """The removal ACTION over shared_runs (Lee et al. 2022 §4) and the
+    xxhash64 production twin of the detector."""
+
+    def _dd(self, spark, rows, **kw):
+        from w4h_etl_container_spark.plans.curation import run_dedup
+
+        return {
+            r["doc_id"]: r
+            for r in run_dedup(
+                spark.createDataFrame(rows, "doc_id long, text string"), **kw
+            ).collect()
+        }
+
+    def test_first_occurrence_kept_later_clipped(self, spark):
+        p = " ".join(f"p{i}" for i in range(25))
+        rows = [
+            (1, f"{p} tail1 tail2"),
+            (2, f"lead0 {p} endx"),
+            (3, "solo words only here"),
+        ]
+        out = self._dd(spark, rows)
+        assert out[1]["n_removed"] == 0
+        assert out[1]["clean_text"] == f"{p} tail1 tail2"
+        assert out[2]["n_removed"] == 25
+        assert out[2]["clean_text"] == "lead0 endx"
+        assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == rows[2][1]
+        # exact token accounting everywhere
+        for r in out.values():
+            n_kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+            assert r["n_tokens"] == r["n_removed"] + n_kept
+
+    def test_overlapping_runs_remove_union(self, spark):
+        """Two runs overlapping in the later doc: coverage is the UNION
+        of intervals (no double-count, no gap)."""
+        a = [f"a{i}" for i in range(30)]
+        # doc 3 contains a[0:22] then a[10:30] back to back: both are
+        # runs vs docs 1 and 2; union covers all 42 tokens
+        rows = [
+            (1, " ".join(a[:22])),
+            (2, " ".join(a[10:])),
+            (3, " ".join(a[:22] + a[10:])),
+        ]
+        out = self._dd(spark, rows)
+        assert out[1]["n_removed"] == 0
+        # doc 2's 20 tokens duplicate doc 1's tail? no - a[10:22] (12
+        # tokens) is shared with doc 1, below min_run=20: doc 2 intact
+        assert out[2]["n_removed"] == 0
+        assert out[3]["n_removed"] == 42 and out[3]["clean_text"] == ""
+
+    def test_fully_dedicated_doc_empty_text(self, spark):
+        t = " ".join(f"z{i}" for i in range(21))
+        out = self._dd(spark, [(1, t), (2, t)])
+        assert out[1]["n_removed"] == 0
+        assert out[2]["n_removed"] == 21 and out[2]["clean_text"] == ""
+
+    def test_duckdb_parity_crafted(self, spark):
+        from w4h_etl_container_spark.plans.curation import _run_dedup_sql, run_dedup
+
+        p = " ".join(f"c{i}" for i in range(33))
+        rows = [
+            (1, f"{p} t1 t2"),
+            (2, f"l0 {p}"),
+            (3, p),
+            (4, "short text"),
+        ]
+        _parity(run_dedup(_docs(spark, rows)), _duck(rows, _run_dedup_sql()))
+
+    def test_fast_twin_row_identical(self, spark, sf_dir):
+        from w4h_etl_container_spark.plans.curation import (
+            shared_runs,
+            shared_runs_fast,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        slow = sorted(tuple(r) for r in shared_runs(d).collect())
+        fast = sorted(tuple(r) for r in shared_runs_fast(d).collect())
+        assert slow == fast and len(slow) > 0

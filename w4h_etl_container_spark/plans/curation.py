@@ -1296,16 +1296,41 @@ def shared_runs(
     by the shorter document's length, no global window anywhere. The
     widest exchange ships (long, long, int, int) pair anchors, linear
     in the number of genuinely-shared grams."""
+    return _runs_from_grams(_run_grams(d, k), k, cap, min_run)
+
+
+def shared_runs_fast(
+    d: DataFrame, k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_RUN
+) -> DataFrame:
+    """The PRODUCTION rendering of ``shared_runs``: xxhash64 k-gram
+    keys (JVM-native, no hex detour — the ``dedup_exact_fast`` trade)
+    over the same back end, so bucket/chain/island semantics cannot
+    drift from the oracle-checked path. Result parity with
+    ``shared_runs`` is pinned in tests (identical rows — the outputs
+    carry no hash, only positions and extents)."""
+    return _runs_from_grams(_run_grams(d, k, fast=True), k, cap, min_run)
+
+
+def _run_grams(d: DataFrame, k: int, fast: bool = False) -> DataFrame:
+    """(doc_id, pos, gh): every token k-gram's 0-based position and
+    64-bit-int hash — md5-nibble (engine-neutral, oracle path) or
+    xxhash64 (production path)."""
+    gram = f"array_join(slice(ws, i, {k}), ' ')"
+    h = (
+        f"xxhash64({gram})"
+        if fast
+        else f"conv(substring(md5({gram}), 1, 15), 16, 10)"
+    )
     toks = d.select("doc_id", _tokens().alias("ws")).where(F.size("ws") >= k)
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(ws) - {k} + 1), i ->"
-                f" conv(substring(md5(array_join(slice(ws, i, {k}), ' ')), 1, 15), 16, 10))"
-            )
+            F.expr(f"transform(sequence(1, size(ws) - {k} + 1), i -> {h})")
         ).alias("pos", "ghs"),
     ).select("doc_id", "pos", F.col("ghs").cast("long").alias("gh"))
+
+
+def _runs_from_grams(grams: DataFrame, k: int, cap: int, min_run: int) -> DataFrame:
     buckets = (
         grams.groupBy("gh")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "pos"))).alias("occ"))
@@ -1348,12 +1373,17 @@ def shared_runs(
     )
 
 
-def _shared_runs_sql(k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_RUN) -> str:
+def _shared_runs_ctes(
+    k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_RUN
+) -> str:
+    """WITH-body fragment ending at the ``found`` CTE (doc_a, doc_b,
+    start_a, start_b, span_len) — shared by the q_shared_runs oracle
+    and the q_run_dedup oracle so their chain semantics cannot drift
+    (the minhash_cands_ctes pattern)."""
     from w4h_etl_container_spark.plans.textops import _nib_sql
 
     gh = _nib_sql(f"md5(array_to_string(ws[i:i+{k - 1}], ' '))", 15)
-    return f"""
-    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+    return f"""toks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
     grams AS (
       SELECT doc_id, i - 1 AS pos, ({gh}) AS gh
       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - {k} + 1)) AS i) t
@@ -1376,9 +1406,17 @@ def _shared_runs_sql(k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_R
       SELECT doc_a, doc_b, offs, island,
              MIN(pos_a) AS start_a, COUNT(*) + {k} - 1 AS span_len
       FROM isl GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc_a, doc_b, start_a, start_a - offs AS start_b, span_len
-    FROM runs WHERE span_len >= {min_run}
+    ),
+    found AS (
+      SELECT doc_a, doc_b, start_a, start_a - offs AS start_b, span_len
+      FROM runs WHERE span_len >= {min_run}
+    )"""
+
+
+def _shared_runs_sql(k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_RUN) -> str:
+    return f"""
+    WITH {_shared_runs_ctes(k, cap, min_run)}
+    SELECT doc_a, doc_b, start_a, start_b, span_len FROM found
     """
 
 
@@ -1400,3 +1438,103 @@ def q_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary semantics (k-resolution visibility, grid-vs-exact
     extents) are pinned in tests/test_curation.py on crafted corpora."""
     return shared_runs(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-DEDUP — the REMOVAL action over shared_runs (Lee et al. 2022 §4:
+# delete all but one occurrence of each duplicated substring): clip the
+# later document's copy of every reported run and rebuild its text
+# ---------------------------------------------------------------------------
+def run_dedup(
+    d: DataFrame, k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_RUN
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text): every document with
+    the token ranges covered by LATER-document copies of shared runs
+    removed (first occurrence wins — doc_a < doc_b keeps doc_a whole,
+    the span-dedup convention), text rebuilt from surviving tokens.
+
+    Coverage, not interval algebra: a token is removed iff ANY reported
+    run covers it, so overlapping intervals need no merge pass — the
+    per-document interval list (bounded by candidate volume, which the
+    bucket cap bounds) rides a collect_list into ONE array column and
+    an ``exists()`` HOF tests each position during the rebuild. One
+    extra exchange beyond shared_runs (the per-doc interval groupBy);
+    the rebuild itself is embarrassingly parallel."""
+    runs = shared_runs(d, k, cap, min_run)
+    ivs = (
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_len")).alias("e"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    toks = d.select("doc_id", _tokens().alias("ws"))
+    return (
+        toks.join(ivs, "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(sequence(0, size(ws) - 1), p ->"
+                " ivs IS NULL OR NOT exists(ivs, iv -> p >= iv.s AND p < iv.e))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            (F.size("ws") - F.size("kept")).cast("long").alias("n_removed"),
+            # Spark's arr[i] is 0-based (the oracle's ws[i] is 1-based)
+            F.array_join(
+                F.expr("transform(kept, p -> ws[p])"), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
+def _run_dedup_sql(
+    k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_RUN
+) -> str:
+    return f"""
+    WITH {_shared_runs_ctes(k, cap, min_run)},
+    rem AS (
+      SELECT DISTINCT doc_b AS doc_id, start_b AS s, start_b + span_len AS e
+      FROM found
+    ),
+    ivmap AS (
+      SELECT doc_id, list(s ORDER BY s, e) AS ss, list(e ORDER BY s, e) AS ee
+      FROM rem GROUP BY doc_id
+    ),
+    alltoks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(list_transform(kept, i -> ws[i]), ' '), '')
+             AS clean_text
+    FROM (
+      SELECT a.doc_id, ws,
+             list_filter(range(1, len(ws) + 1), i ->
+               ss IS NULL OR len(list_filter(range(1, len(ss) + 1),
+                             j -> i - 1 >= ss[j] AND i - 1 < ee[j])) = 0) AS kept
+      FROM alltoks a LEFT JOIN ivmap m ON a.doc_id = m.doc_id
+    ) x
+    """
+
+
+@register(
+    "q_run_dedup",
+    sql=_run_dedup_sql(),
+    survey_ids=("EXT-DEDUP",),
+    gate=False,
+)
+def q_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup as an ACTION (``run_dedup``): documents with
+    later-occurrence copies of every ≥20-token shared run clipped and
+    text rebuilt — Lee et al. 2022's removal step composed onto
+    q_shared_runs' detection (same chain CTEs in the oracle, so the
+    two declared queries cannot drift). Spark rebuild is one
+    exists()-guarded HOF per document against a broadcastable per-doc
+    interval list; every document survives with exact token
+    accounting (n_tokens = n_removed + |rebuilt|, pinned in tests)."""
+    return run_dedup(read_table(spark, sf_dir, "documents"))
