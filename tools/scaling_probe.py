@@ -34,7 +34,13 @@ def main() -> int:
     from w4h_etl_container_spark.operators.bpe import bpe_train, word_counts
     from w4h_etl_container_spark.operators.components import dedup_survivors
     from w4h_etl_container_spark.plans.corpus import q_split_leakfree
-    from w4h_etl_container_spark.plans.curation import lang_id_ngram, span_dedup, unigram_logprob
+    from w4h_etl_container_spark.plans.curation import (
+        lang_id_ngram,
+        run_dedup,
+        shared_runs_fast,
+        span_dedup,
+        unigram_logprob,
+    )
     from w4h_etl_container_spark.plans.retrieval import q_bm25
     from w4h_etl_container_spark.plans.textops import q_typo_pairs
     from w4h_etl_container_spark.plans.textops import (
@@ -107,6 +113,13 @@ def main() -> int:
             "typo_pairs": lambda: q_typo_pairs(spark, sf_dir).foreach(
                 lambda r: None
             ),
+            # round-10 operators: the substring-dedup chain family —
+            # bucket-capped k-gram inverted index, so growth must stay
+            # in the linear band like the other posting-list operators
+            "shared_runs_fast": lambda: shared_runs_fast(docs).foreach(
+                lambda r: None
+            ),
+            "run_dedup": lambda: run_dedup(docs).foreach(lambda r: None),
         }
 
     small, big = ops(base_dir), ops(big_dir)
