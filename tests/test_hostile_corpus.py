@@ -184,11 +184,24 @@ def duck_emb(hostile_emb_dir):
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_hostile_embeddings_parity(spark, hostile_emb_dir, duck_emb, name):
+    import decimal
+
     q = load_library()[name]
     sdf = q.fn(spark, hostile_emb_dir).toPandas()
     ddf = duck_emb.execute(q.sql).fetchdf()
     cols = sorted(sdf.columns)
     assert cols == sorted(ddf.columns), (cols, sorted(ddf.columns))
+    # DECIMAL(38,0) columns (q_covariance's cov_num): Spark's toPandas
+    # keeps exact decimal.Decimal objects while DuckDB's fetchdf narrows
+    # to float64 — same values, representations diverge past 2^53.
+    # Normalize Decimals to float on the Spark side, exactly as the
+    # driver's canonicalizer does (repr(float(Decimal))).
+    for c in cols:
+        col = sdf[c].dropna()
+        if sdf[c].dtype == object and len(col) and isinstance(
+            col.iloc[0], decimal.Decimal
+        ):
+            sdf[c] = sdf[c].astype("float64")
     s = sdf[cols].sort_values(cols).reset_index(drop=True)
     d = ddf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, d, check_dtype=False)

@@ -264,13 +264,29 @@ class TestRound2PlanShapes:
         assert "collect_set" in p
         # the only joins are the two tiny sizes lookups at the end
         assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 2
-        # the gate rendering itself: no hints, same two joins, and the
-        # posting-list barrier present (checkpointed scan)
+        # the gate rendering itself: no hints, same two joins. The
+        # posting-list barrier is SIZE-GATED (r10): on the small local
+        # fixture the plan must NOT checkpoint — the shared map side
+        # rides ONE ReusedExchange instead — and forcing the threshold
+        # to 0 must bring the checkpointed-scan barrier back (the
+        # corpus-scale / non-local branch).
+        import w4h_etl_container_spark.plans.textops as T
+
         df = reg["q_ngram_jaccard"].fn(spark, sf_dir)
         gp = plan_of(df)
         assert "ResolvedHint" not in optimized_of(df)
         assert gp.count("SortMergeJoin") + gp.count("BroadcastHashJoin") <= 2
-        assert "ExistingRDD" in gp or "LogicalRDD" in optimized_of(df)
+        assert "ExistingRDD" not in gp and "LogicalRDD" not in optimized_of(df)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed
+        old = T._BARRIER_MIN_BYTES
+        T._BARRIER_MIN_BYTES = 0
+        try:
+            big = reg["q_ngram_jaccard"].fn(spark, sf_dir)
+            assert "ExistingRDD" in plan_of(big) or "LogicalRDD" in optimized_of(big)
+        finally:
+            T._BARRIER_MIN_BYTES = old
 
 
 class TestRound4PlanShapes:
