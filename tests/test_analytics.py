@@ -676,3 +676,98 @@ class TestObservedWrite:
         df = spark.range(123)
         m = observed_write(df, str(tmp_path / "r"))
         assert m == {"n_rows": 123}
+
+
+class TestRrfFusion:
+    def test_rrf_arithmetic_and_arm_flags(self, spark, sf_dir):
+        """RRF points are exact integer division (1e9 div (60 + rank));
+        a doc surfaced by BOTH arms must carry the sum of its per-arm
+        points and outrank any doc with a single equal-rank arm."""
+        from w4h_etl_container_spark.plans.retrieval import (
+            RRF_K,
+            RRF_SCALE,
+            q_bm25,
+            q_rrf_fusion,
+        )
+
+        lex = {
+            (r["query_id"], r["doc_id"]): r["rnk"]
+            for r in q_bm25(spark, sf_dir).collect()
+        }
+        out = q_rrf_fusion(spark, sf_dir).collect()
+        assert out
+        for r in out:
+            pts = 0
+            key = (r["query_id"], r["doc_id"])
+            if r["in_lexical"]:
+                pts += RRF_SCALE // (RRF_K + lex[key])
+            assert r["in_lexical"] == (key in lex)
+            if r["in_vector"]:
+                # vector rank is recoverable from the residual points
+                resid = r["rrf_e9"] - pts
+                vr = round(RRF_SCALE / resid) - RRF_K
+                assert 1 <= vr
+                assert RRF_SCALE // (RRF_K + vr) == resid
+            else:
+                assert r["rrf_e9"] == pts
+        # per query: ranks are 1..k dense and rrf_e9 non-increasing
+        by_q: dict = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["rnk"], r["rrf_e9"]))
+        for q, rows in by_q.items():
+            rows.sort()
+            assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+            vals = [v for _, v in rows]
+            assert vals == sorted(vals, reverse=True)
+
+    def test_both_arms_beat_single_arm_at_same_rank(self, spark):
+        """Crafted corpus: the same content is the clear winner of both
+        arms for the planted query term, so it must fuse to rank 1 with
+        both flags set."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        from w4h_etl_container_spark.plans.retrieval import (
+            BM25_QUERIES,
+            q_rrf_fusion,
+        )
+
+        qid, terms = BM25_QUERIES[0]
+        rng = np.random.default_rng(3)
+        texts = []
+        n = 40
+        for d in range(n):
+            body = " ".join(f"f{rng.integers(0, 200)}" for _ in range(40))
+            if d == 7:
+                body = (" ".join(terms) + " ") * 10 + body  # lexical winner
+            texts.append(body)
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array(range(n), type=pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * n),
+                    "source": pa.array(["s"] * n),
+                    "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+                }),
+                os.path.join(td, "documents.parquet"),
+            )
+            # embeddings: doc 7 is also the nearest vector to query qid
+            vecs = rng.standard_normal((n, 64)).astype(np.float32) * 5
+            vecs[7] = vecs[qid] + rng.normal(0, 0.01, 64).astype(np.float32)
+            pq.write_table(
+                pa.table({
+                    "vec_id": pa.array(range(n), type=pa.int64()),
+                    "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                    "label": pa.array([0] * n, type=pa.int32()),
+                }),
+                os.path.join(td, "embeddings.parquet"),
+            )
+            rows = [
+                r for r in q_rrf_fusion(spark, td).collect()
+                if r["query_id"] == qid
+            ]
+        top = min(rows, key=lambda r: r["rnk"])
+        assert top["doc_id"] == 7 and top["in_lexical"] and top["in_vector"]

@@ -185,6 +185,9 @@ class TestKernelCodegen:
         # bounded query-set broadcast against the code scan, exactly
         # q_cosine_topk's declared-exact shape
         "q_pq_adc",
+        # inherits BOTH arms' bounded broadcasts: q_bm25's 1-row
+        # (n_docs, avgdl) scalar and q_cosine_topk's bounded query set
+        "q_rrf_fusion",
         # two 1-row scalars (stream horizon, quantile cutoffs)
         "q_rfm",
         # the unigram scorer's corpus-total scalar + 1-row decile cutoffs

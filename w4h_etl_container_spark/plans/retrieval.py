@@ -38,7 +38,11 @@ BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 )
 
 
-def _bm25_sql() -> str:
+def _bm25_ctes() -> str:
+    """WITH-body fragment ending at the ``bm25_ranked`` CTE
+    (query_id, doc_id, bm25_e6, rnk ≤ BM25_TOP_K) — shared by the
+    q_bm25 oracle and the q_rrf_fusion oracle so the lexical arm's
+    scoring cannot drift between them."""
     qrows = ", ".join(
         f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
     )
@@ -49,8 +53,7 @@ def _bm25_sql() -> str:
         f"(CAST(k AS DOUBLE) + {BM25_K1!r} * "
         f"({1.0 - BM25_B!r} + {BM25_B!r} * (CAST(dl AS DOUBLE) / avgdl)))"
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest({_TOKENS_SQL}) AS token
       FROM documents WHERE length(trim(text)) > 0
     ), tf AS (
@@ -76,17 +79,23 @@ def _bm25_sql() -> str:
       FROM tf
       JOIN qidf qi ON qi.term = tf.token
       JOIN dl USING (doc_id), scalars
-    ), scored AS (
+    ), bm25_scored AS (
       SELECT query_id, doc_id, CAST(SUM(c_e6) AS BIGINT) AS bm25_e6
       FROM contrib GROUP BY query_id, doc_id
-    ), ranked AS (
-      SELECT query_id, doc_id, bm25_e6,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY bm25_e6 DESC, doc_id) AS rnk
-      FROM scored
-    )
-    SELECT query_id, doc_id, bm25_e6, rnk
-    FROM ranked WHERE rnk <= {BM25_TOP_K}
+    ), bm25_ranked AS (
+      SELECT query_id, doc_id, bm25_e6, rnk FROM (
+        SELECT query_id, doc_id, bm25_e6,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_e6 DESC, doc_id) AS rnk
+        FROM bm25_scored
+      ) WHERE rnk <= {BM25_TOP_K}
+    )"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+    WITH {_bm25_ctes()}
+    SELECT query_id, doc_id, bm25_e6, rnk FROM bm25_ranked
     """
 
 
@@ -179,4 +188,155 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= BM25_TOP_K)
         .select("query_id", "doc_id", "bm25_e6", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SIM / EXT-TEXT — hybrid retrieval fusion: reciprocal-rank fusion
+# (Cormack, Clarke & Buettcher, SIGIR 2009) of the lexical BM25 arm and
+# the exact-cosine vector arm — the standard RAG hybrid-retrieval shape
+# ---------------------------------------------------------------------------
+RRF_K = 60  # the SIGIR-2009 damping constant
+RRF_SCALE = 1_000_000_000  # contribution = RRF_SCALE div (RRF_K + rank)
+RRF_TOP = 10
+
+
+def _rrf_fusion_sql() -> str:
+    from w4h_etl_container_spark.plans.vectors import _dot, _e6, _norm
+
+    qids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    dot = _dot("duck", "q.embedding", "c.embedding")
+    cos6 = _e6(f"(({dot}) / (q.nrm * c.nrm))")
+    return f"""
+    WITH {_bm25_ctes()},
+    normed AS (
+      SELECT vec_id, embedding, {_norm("duck", "embedding")} AS nrm
+      FROM embeddings
+    ),
+    vec_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id, {cos6} AS cosine_e6
+      FROM normed q JOIN normed c
+        ON q.vec_id IN ({qids}) AND c.vec_id <> q.vec_id
+    ),
+    vec_ranked AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_e6 DESC, doc_id) AS rnk
+        FROM vec_scored
+      ) WHERE rnk <= {RRF_TOP}
+    ),
+    contribs AS (
+      SELECT query_id, doc_id,
+             {RRF_SCALE} // ({RRF_K} + rnk) AS pts, 1 AS lex, 0 AS vec
+      FROM bm25_ranked
+      UNION ALL
+      SELECT query_id, doc_id,
+             {RRF_SCALE} // ({RRF_K} + rnk) AS pts, 0 AS lex, 1 AS vec
+      FROM vec_ranked
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(pts) AS BIGINT) AS rrf_e9,
+             (SUM(lex) > 0) AS in_lexical,
+             (SUM(vec) > 0) AS in_vector
+      FROM contribs GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_e9, in_lexical, in_vector, rnk FROM (
+      SELECT query_id, doc_id, rrf_e9, in_lexical, in_vector,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_e9 DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {RRF_TOP}
+    """
+
+
+@register(
+    "q_rrf_fusion",
+    sql=_rrf_fusion_sql(),
+    survey_ids=("EXT-SIM", "EXT-TEXT"),
+    gate=False,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm
+    (q_bm25's exact top-10) and the exact-cosine vector arm over the
+    same query ids (``embeddings.vec_id`` is the embedding of
+    ``documents.doc_id`` — the fixtures share one id space). Fusion is
+    rank-only (RRF's point): per arm a doc earns
+    ``RRF_SCALE div (60 + rank)`` — INTEGER division of integer rank,
+    exact and engine-neutral, no float reciprocal — and arms sum.
+    Output marks which arm(s) surfaced each doc; ties break on doc_id.
+
+    Scale shape: fusion consumes arm OUTPUTS (≤ queries × top_k rows
+    each — bounded regardless of corpus size), so the whole operator
+    costs one tiny union + groupBy on top of whatever the arms cost;
+    the arms themselves are the declared scale paths (BM25's broadcast
+    probe / the ANN index for the vector arm in production — the exact
+    cosine arm here is the declared-exact baseline, same contract as
+    q_cosine_topk)."""
+    from w4h_etl_container_spark.functions.vectorkernels import (
+        make_cosine_e6_udf,
+        make_norm_udf,
+    )
+    from w4h_etl_container_spark.session import read_embeddings
+
+    lex = q_bm25(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").alias("lex_rnk")
+    )
+
+    qids = [qid for qid, _ in BM25_QUERIES]
+    emb = read_embeddings(spark, sf_dir)
+    norm_udf = make_norm_udf()
+    normed = emb.select("vec_id", "embedding", norm_udf("embedding").alias("nrm"))
+    qv = normed.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos_udf = make_cosine_e6_udf()
+    vec_scored = (
+        normed.join(
+            F.broadcast(qv), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cos_udf("qe", "embedding", "qn", "nrm").alias("cosine_e6"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), "doc_id"
+    )
+    vec = (
+        vec_scored.withColumn("vec_rnk", F.row_number().over(wv))
+        .where(F.col("vec_rnk") <= RRF_TOP)
+        .select("query_id", "doc_id", "vec_rnk")
+    )
+
+    pts = lambda rnk: F.expr(f"{RRF_SCALE}L div ({RRF_K} + {rnk})")  # noqa: E731
+    contribs = lex.select(
+        "query_id",
+        "doc_id",
+        pts("lex_rnk").alias("pts"),
+        F.lit(1).alias("lex"),
+        F.lit(0).alias("vec"),
+    ).unionByName(
+        vec.select(
+            "query_id",
+            "doc_id",
+            pts("vec_rnk").alias("pts"),
+            F.lit(0).alias("lex"),
+            F.lit(1).alias("vec"),
+        )
+    )
+    fused = contribs.groupBy("query_id", "doc_id").agg(
+        F.sum("pts").cast("long").alias("rrf_e9"),
+        (F.sum("lex") > 0).alias("in_lexical"),
+        (F.sum("vec") > 0).alias("in_vector"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e9").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= RRF_TOP)
+        .select("query_id", "doc_id", "rrf_e9", "in_lexical", "in_vector", "rnk")
     )
