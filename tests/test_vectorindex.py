@@ -212,3 +212,98 @@ class TestAnnRecall:
             .count()
         )
         assert n_pure == 16
+
+
+class TestIndexAppend:
+    def test_append_matches_full_rebuild_encoding(self, spark, tmp_path):
+        """Appending a batch with the index's frozen model must leave
+        cells/ row-identical to encoding the union corpus with the SAME
+        model — and the appended files land inside existing
+        centroid_id= partitions (probe pruning intact)."""
+        import os
+
+        from w4h_etl_container_spark.functions.vectorkernels import (
+            make_ivf_assign_udf,
+            make_pq_encode_udf,
+        )
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            _df_to_matrix,
+            append_to_index,
+            audit_index,
+            build_vector_index,
+        )
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "base")
+        write_planted_embeddings(d, n_clusters=8, per_cluster=20, seed=3)
+        out = str(tmp_path / "idx")
+        man = build_vector_index(spark, d, out, n_centroids=8, m=8, k=16, iters=2)
+        n0 = man["n_vectors"]
+
+        # the new batch: fresh ids, vectors near existing clusters
+        d2 = str(tmp_path / "newbatch")
+        write_planted_embeddings(d2, n_clusters=8, per_cluster=5, seed=9)
+        new = (
+            spark.read.parquet(f"{d2}/embeddings.parquet")
+            .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        )
+        man2 = append_to_index(spark, out, new)
+        assert man2["n_vectors"] == n0 + 40
+        assert man2["appends"] == [{"n": 40}]
+
+        audit = audit_index(spark, out)
+        assert audit["consistent"], audit
+
+        # row-identity vs encoding the union with the frozen model
+        cents = _df_to_matrix(
+            spark.read.parquet(man["artifacts"]["centroids"]), "centroid", (8, 64)
+        )
+        cbs = _df_to_matrix(
+            spark.read.parquet(man["artifacts"]["codebooks"]), "codebook", (8, 16, 8)
+        )
+        union = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).unionByName(new)
+        want = {
+            (r["vec_id"], r["centroid_id"], r["code"])
+            for r in union.select(
+                "vec_id",
+                make_ivf_assign_udf(cents)("embedding")["centroid_id"].alias(
+                    "centroid_id"
+                ),
+                make_pq_encode_udf(cbs, 4)("embedding").alias("code"),
+            ).collect()
+        }
+        got = {
+            (r["vec_id"], r["centroid_id"], r["code"])
+            for r in spark.read.parquet(man["artifacts"]["cells"]).collect()
+        }
+        assert got == want
+        # no new partition directories beyond the trained cells
+        dirs = {
+            e for e in os.listdir(man["artifacts"]["cells"])
+            if e.startswith("centroid_id=")
+        }
+        assert dirs <= {f"centroid_id={c}" for c in range(8)}
+
+    def test_replayed_append_is_loud_in_audit(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            append_to_index,
+            audit_index,
+            build_vector_index,
+        )
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "base2")
+        write_planted_embeddings(d, n_clusters=4, per_cluster=10, seed=5)
+        out = str(tmp_path / "idx2")
+        build_vector_index(spark, d, out, n_centroids=4, m=8, k=16, iters=1)
+        new = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+        ).limit(5)
+        append_to_index(spark, out, new)
+        assert audit_index(spark, out)["consistent"]
+        append_to_index(spark, out, new)  # the replay
+        audit = audit_index(spark, out)
+        assert not audit["consistent"]
+        assert audit["cells_n"] == audit["distinct_vec_ids"] + 5

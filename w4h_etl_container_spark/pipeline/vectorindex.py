@@ -211,3 +211,79 @@ def search_index(
         .where(F.col("rnk") <= top_k)
         .select("query_id", "cand_id", "adc_e6", "dist2_e6", "rnk")
     )
+
+
+def append_to_index(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> dict:
+    """Incrementally add vectors to a published index WITHOUT
+    retraining: assign each new vector to its cell with the index's
+    OWN centroids and encode it with the index's OWN codebooks (the
+    standard IVF maintenance contract — the model is frozen between
+    rebuilds, so old and new codes stay mutually comparable under
+    ADC), then append to ``cells/`` — new parquet files land inside
+    the existing ``centroid_id=`` partition directories, so probes
+    stay partition-pruned with zero rewrite of existing data.
+
+    At 10^10 vectors this is the ingestion path: a rebuild re-encodes
+    the corpus (two kernel passes); an append touches only the new
+    batch. Drift caveat (documented, audited): appended vectors were
+    not in the training sample, so distortion degrades as the
+    distribution moves — MANIFEST records per-append counts so an
+    operator can schedule retrains; ``audit_index`` checks
+    manifest-vs-cells consistency and vec_id uniqueness (appends are
+    at-least-once only if the caller replays a batch — the audit
+    makes that loud rather than silent).
+
+    Returns the updated manifest."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    m, k, bits = man["pq"]["m"], man["pq"]["k"], man["pq"]["bits"]
+    d = man["dim"]
+    centroids = _df_to_matrix(
+        spark.read.parquet(man["artifacts"]["centroids"]),
+        "centroid",
+        (man["n_centroids"], d),
+    )
+    codebooks = _df_to_matrix(
+        spark.read.parquet(man["artifacts"]["codebooks"]), "codebook", (m, k, d // m)
+    )
+    assign_udf = make_ivf_assign_udf(centroids)
+    encode_udf = make_pq_encode_udf(codebooks, bits)
+    batch = new_vectors.select(
+        "vec_id",
+        assign_udf("embedding")["centroid_id"].alias("centroid_id"),
+        encode_udf("embedding").alias("code"),
+    )
+    n_new = batch.count()
+    batch.write.mode("append").partitionBy("centroid_id").parquet(
+        man["artifacts"]["cells"]
+    )
+    man["n_vectors"] = man["n_vectors"] + n_new
+    man.setdefault("appends", []).append({"n": n_new})
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    return man
+
+
+def audit_index(spark: SparkSession, index_dir: str) -> dict:
+    """Index consistency audit: manifest count vs cells rows vs
+    distinct vec_ids — one aggregate over the cells table. A replayed
+    append or a torn write shows up as n_cells ≠ n_distinct or
+    n_cells ≠ manifest n_vectors."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    row = (
+        spark.read.parquet(man["artifacts"]["cells"])
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count_distinct("vec_id").alias("n_distinct"),
+        )
+        .collect()[0]
+    )
+    return {
+        "manifest_n": man["n_vectors"],
+        "cells_n": row["n_cells"],
+        "distinct_vec_ids": row["n_distinct"],
+        "consistent": man["n_vectors"] == row["n_cells"] == row["n_distinct"],
+    }

@@ -68,6 +68,7 @@ def write_planted_embeddings(
 
     n_total = n_clusters * per_cluster
     mates = per_cluster - 1
+    n_near = min(n_near, mates)  # small clusters: every mate is NEAR
     vecs = np.empty((n_total, dim), dtype=np.float32)
     labels = np.empty(n_total, dtype=np.int32)
     anchors: list[int] = []
