@@ -254,3 +254,68 @@ def pruning_report(path: str, col: str, lo, hi) -> dict:
             report["files_skipped"] += 1
         report["per_file"].append((name, all_skipped, file_rows_skipped))
     return report
+
+
+def compact_table(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance job every
+    long-lived 100 TB dataset needs (streaming sinks and incremental
+    appends accumulate KB-scale files; at 10⁶ files the NameNode/
+    object-store LIST and the per-file open dominate scan time long
+    before the bytes do).
+
+    Sizing is computed from the INPUT's real on-disk bytes (the same
+    footer-level honesty as ``pruning_report``): n_out =
+    ⌈total_bytes / target_bytes⌉ output files via a round-robin
+    ``repartition(n_out)`` — one full shuffle, the price of the
+    rewrite, producing uniformly-sized files regardless of input skew.
+    ``sort_within_by`` optionally restores WITHIN-FILE ordering on the
+    way through (``sortWithinPartitions`` — no extra exchange beyond
+    the repartition), which orders row groups inside each multi-group
+    file; round-robin files still each span the whole key domain, so
+    for FILE-level zone-map pruning compose with
+    ``cluster_by``/``zorder_by`` instead (range partitioning — sized
+    by key distribution rather than uniformly, the opposite trade).
+
+    Writes to ``out_dir`` (overwrite): compaction is a REWRITE job —
+    publish-then-swap is the caller's transaction (the same
+    staging-directory contract as the curation job), never an
+    in-place mutation of a live table. Returns a manifest dict with
+    before/after file counts and row-count equality (verified here,
+    not assumed)."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(in_dir)
+    files = df.inputFiles()
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
+        total += os.path.getsize(p)
+    n_out = max(1, math.ceil(total / target_bytes))
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(out_dir)
+
+    n_in = df.count()
+    written = spark.read.parquet(out_dir)
+    n_written = written.count()
+    if n_in != n_written:
+        raise RuntimeError(
+            f"compact_table row-count mismatch: {n_in} in vs {n_written} out"
+        )
+    return {
+        "files_in": len(files),
+        "files_out": len(written.inputFiles()),
+        "bytes_in": total,
+        "target_bytes": target_bytes,
+        "rows": n_in,
+    }
