@@ -73,6 +73,8 @@ DOC_ONLY_QUERIES = [
     "q_reservoir",
     "q_simhash_pairs",
     "q_dedup_rate",
+    "q_shared_runs",
+    "q_run_dedup",
 ]
 
 

@@ -1461,6 +1461,10 @@ def run_dedup(
     extra exchange beyond shared_runs (the per-doc interval groupBy);
     the rebuild itself is embarrassingly parallel."""
     runs = shared_runs(d, k, cap, min_run)
+    # NULL text normalizes to an empty token list (n_tokens 0, clean ''),
+    # so every input document appears in the output exactly once —
+    # hostile-corpus contract, mirrored by the oracle's COALESCE
+    ws = F.coalesce(_tokens(), F.array().cast("array<string>"))
     ivs = (
         runs.select(
             F.col("doc_b").alias("doc_id"),
@@ -1471,13 +1475,17 @@ def run_dedup(
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
-    toks = d.select("doc_id", _tokens().alias("ws"))
+    toks = d.select("doc_id", ws.alias("ws"))
     return (
         toks.join(ivs, "doc_id", "left")
         .withColumn(
             "kept",
+            # filter's two-arg lambda gives (element, 0-based index) —
+            # no positional ws[p] access, so the empty array needs no
+            # special case (sequence(0, size-1) would DESCEND on an
+            # empty ws: sequence(0, -1) = [0, -1] — hostile finding)
             F.expr(
-                "filter(sequence(0, size(ws) - 1), p ->"
+                "filter(ws, (x, p) ->"
                 " ivs IS NULL OR NOT exists(ivs, iv -> p >= iv.s AND p < iv.e))"
             ),
         )
@@ -1485,10 +1493,7 @@ def run_dedup(
             "doc_id",
             F.size("ws").cast("long").alias("n_tokens"),
             (F.size("ws") - F.size("kept")).cast("long").alias("n_removed"),
-            # Spark's arr[i] is 0-based (the oracle's ws[i] is 1-based)
-            F.array_join(
-                F.expr("transform(kept, p -> ws[p])"), " "
-            ).alias("clean_text"),
+            F.array_join("kept", " ").alias("clean_text"),
         )
     )
 
@@ -1506,7 +1511,7 @@ def _run_dedup_sql(
       SELECT doc_id, list(s ORDER BY s, e) AS ss, list(e ORDER BY s, e) AS ee
       FROM rem GROUP BY doc_id
     ),
-    alltoks AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents)
+    alltoks AS (SELECT doc_id, COALESCE({_TOKENS_SQL}, []) AS ws FROM documents)
     SELECT doc_id,
            CAST(len(ws) AS BIGINT) AS n_tokens,
            CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
