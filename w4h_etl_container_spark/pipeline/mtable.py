@@ -1,0 +1,203 @@
+"""Manifest table ("mtable") — minimal copy-on-write table format for
+mutable datasets: MERGE (upsert) that rewrites ONLY the data files
+containing matched keys, snapshot-isolated readers, time travel, and
+vacuum. The lakehouse mechanics (Delta/Iceberg's core loop) rendered
+in ~150 lines on plain parquet + a JSON manifest, because the engine's
+100 TB story needs a mutation path that does not rewrite the table:
+
+* a TABLE is a directory of immutable parquet data files plus
+  ``_manifests/v{N}.json`` listing the files of version N and
+  ``_latest`` naming the current version (written via atomic rename,
+  so a reader resolves one consistent file list — snapshot isolation
+  for free on a POSIX dir; on object stores the pointer write is the
+  usual single-key atomic PUT);
+* MERGE = footer-level pruning (per-file min/max of the merge key —
+  the ``pruning_report`` honesty) intersected with the update batch's
+  EXACT key set → read only matched files → anti-join out old rows →
+  union the update batch → write new files → publish manifest N+1
+  re-listing untouched files verbatim. Untouched bytes are never
+  read, never rewritten;
+* old versions stay readable (time travel) until ``vacuum`` deletes
+  files unreferenced by any retained manifest.
+
+Single-writer by contract (the reference pipeline's lock-document
+protocol — ``pipeline/state.py`` — is the coordination layer when
+multiple jobs may write). No reference analog; extension mandated by
+BASELINE.json's operational surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_LATEST = "_latest"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version}.json")
+
+
+def _write_manifest(table_dir: str, version: int, files: list[str], meta: dict) -> None:
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    man = {"version": version, "files": sorted(files), **meta}
+    path = _manifest_path(table_dir, version)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+    # the pointer flip is the commit: readers that resolved the old
+    # pointer keep a consistent old file list (those files still exist)
+    ptr_tmp = os.path.join(table_dir, f".{_LATEST}.tmp-{uuid.uuid4().hex}")
+    with open(ptr_tmp, "w") as f:
+        f.write(str(version))
+    os.rename(ptr_tmp, os.path.join(table_dir, _LATEST))
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        with open(os.path.join(table_dir, _LATEST)) as f:
+            version = int(f.read().strip())
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _new_data_files(table_dir: str, df: DataFrame) -> list[str]:
+    """Write ``df`` as fresh immutable data files under a unique
+    subdirectory; return their paths (relative to ``table_dir``)."""
+    sub = f"data-{uuid.uuid4().hex}"
+    out = os.path.join(table_dir, sub)
+    df.write.parquet(out)
+    return [
+        os.path.join(sub, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+
+
+def mtable_create(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
+    """Create version 0 from ``df``."""
+    os.makedirs(table_dir, exist_ok=True)
+    files = _new_data_files(table_dir, df)
+    _write_manifest(table_dir, 0, files, {"op": "create"})
+    return read_manifest(table_dir)
+
+
+def mtable_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read one VERSION's consistent file list (latest by default).
+    Time travel = pass an older version; its files are immutable, so
+    the read is reproducible until a vacuum drops that version."""
+    man = read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, f) for f in man["files"]]
+    if not paths:
+        raise ValueError(f"mtable at {table_dir} v{man['version']} lists no files")
+    return spark.read.parquet(*paths)
+
+
+def _file_key_ranges(table_dir: str, files: list[str], key: str) -> dict:
+    """{file: (min, max)} of ``key`` from parquet footer statistics —
+    metadata-only, no data read."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(key)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        out[rel] = (min(mins), max(maxs)) if mins else None
+    return out
+
+
+def mtable_merge(
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: str
+) -> dict:
+    """MERGE (upsert) ``updates`` by ``key``: rows whose key exists are
+    replaced, new keys are inserted. Copy-on-write limited to MATCHED
+    files: candidate files come from footer min/max ∩ the batch's key
+    set (exact keys, collected — an update batch is bounded by
+    contract; corpus-scale restatements are a rewrite job, not a
+    merge), only those files are read/anti-joined/rewritten, every
+    untouched file is re-listed verbatim in the next manifest.
+
+    Returns the new manifest (also records files_rewritten /
+    files_untouched so the no-table-rewrite property is observable)."""
+    man = read_manifest(table_dir)
+    keys = [r[0] for r in updates.select(key).distinct().collect()]
+    if not keys:
+        raise ValueError("mtable_merge: empty update batch")
+    kmin, kmax = min(keys), max(keys)
+    kset = set(keys)
+    ranges = _file_key_ranges(table_dir, man["files"], key)
+    matched = [
+        f
+        for f, rng in ranges.items()
+        if rng is None
+        or (rng[0] <= kmax and kmin <= rng[1] and any(rng[0] <= k <= rng[1] for k in kset))
+    ]
+    untouched = [f for f in man["files"] if f not in set(matched)]
+
+    new_files: list[str] = []
+    if matched:
+        old = spark.read.parquet(*[os.path.join(table_dir, f) for f in matched])
+        survivors = old.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_anti"
+        )
+        combined = survivors.unionByName(updates)
+    else:
+        combined = updates
+    new_files = _new_data_files(table_dir, combined)
+
+    version = man["version"] + 1
+    _write_manifest(
+        table_dir,
+        version,
+        untouched + new_files,
+        {
+            "op": "merge",
+            "files_rewritten": len(matched),
+            "files_untouched": len(untouched),
+            "n_update_keys": len(kset),
+        },
+    )
+    return read_manifest(table_dir)
+
+
+def mtable_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
+    """Delete data files unreferenced by the ``retain_versions`` most
+    recent manifests (and drop the older manifests). Time travel
+    shrinks to the retained window; the current version is always
+    retained."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+    keep_versions = versions[-max(1, retain_versions):]
+    referenced: set[str] = set()
+    for v in keep_versions:
+        referenced |= set(read_manifest(table_dir, v)["files"])
+    removed = []
+    for entry in os.listdir(table_dir):
+        sub = os.path.join(table_dir, entry)
+        if not (entry.startswith("data-") and os.path.isdir(sub)):
+            continue
+        for f in os.listdir(sub):
+            rel = os.path.join(entry, f)
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(table_dir, rel))
+                removed.append(rel)
+    for v in versions:
+        if v not in keep_versions:
+            os.remove(_manifest_path(table_dir, v))
+    return {"removed_files": sorted(removed), "retained_versions": keep_versions}
