@@ -115,3 +115,46 @@ class TestMtableMerge:
         empty = spark.createDataFrame([], "k long, v long, tag string")
         with pytest.raises(ValueError, match="empty update batch"):
             mtable_merge(spark, table, empty, "k")
+
+
+class TestMtableDeleteAndCompact:
+    def test_delete_targets_only_matched_files(self, spark, table):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        man0 = read_manifest(table)
+        keys = spark.createDataFrame([(10,), (11,)], "k long")
+        man1 = mtable_delete(spark, table, keys, "k")
+        assert man1["files_rewritten"] == 1
+        assert len(set(man0["files"]) & set(man1["files"])) == len(man0["files"]) - 1
+        got = mtable_read(spark, table)
+        assert got.count() == 998
+        assert got.where(F.col("k").isin(10, 11)).count() == 0
+        # delete is idempotent: a second run commits and changes nothing
+        man2 = mtable_delete(spark, table, keys, "k")
+        assert mtable_read(spark, table).count() == 998
+        assert man2["version"] == man1["version"] + 1
+
+    def test_compact_is_a_version_and_preserves_rows(self, spark, table):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_merge,
+        )
+
+        # churn: a few merges leave extra small files behind
+        for i in range(3):
+            mtable_merge(
+                spark,
+                table,
+                spark.createDataFrame(
+                    [(i * 100 + 1, -i, "u")], "k long, v long, tag string"
+                ),
+                "k",
+            )
+        man_before = read_manifest(table)
+        man = mtable_compact(spark, table, target_bytes=1 << 20)
+        assert man["op"] == "compact"
+        assert man["files_out"] <= len(man_before["files"])
+        assert mtable_read(spark, table).count() == 1000
+        # pre-compaction version still time-travels
+        old = mtable_read(spark, table, version=man_before["version"])
+        assert old.count() == 1000

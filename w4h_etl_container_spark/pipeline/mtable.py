@@ -201,3 +201,94 @@ def mtable_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
         if v not in keep_versions:
             os.remove(_manifest_path(table_dir, v))
     return {"removed_files": sorted(removed), "retained_versions": keep_versions}
+
+
+def mtable_delete(
+    spark: SparkSession, table_dir: str, keys: DataFrame, key: str
+) -> dict:
+    """DELETE by key set — the MERGE machinery minus the insert: only
+    files whose footer range intersects the key set are read and
+    rewritten without the deleted rows; everything else is re-listed
+    verbatim. A key that matches nothing still commits a (no-op-ish)
+    version — deletes are idempotent by construction."""
+    man = read_manifest(table_dir)
+    kvals = [r[0] for r in keys.select(key).distinct().collect()]
+    if not kvals:
+        raise ValueError("mtable_delete: empty key set")
+    kmin, kmax = min(kvals), max(kvals)
+    kset = set(kvals)
+    ranges = _file_key_ranges(table_dir, man["files"], key)
+    matched = [
+        f
+        for f, rng in ranges.items()
+        if rng is None
+        or (rng[0] <= kmax and kmin <= rng[1] and any(rng[0] <= k <= rng[1] for k in kset))
+    ]
+    untouched = [f for f in man["files"] if f not in set(matched)]
+    new_files: list[str] = []
+    if matched:
+        old = spark.read.parquet(*[os.path.join(table_dir, f) for f in matched])
+        survivors = old.join(
+            F.broadcast(keys.select(key).distinct()), key, "left_anti"
+        )
+        if survivors.limit(1).count():
+            new_files = _new_data_files(table_dir, survivors)
+    version = man["version"] + 1
+    _write_manifest(
+        table_dir,
+        version,
+        untouched + new_files,
+        {
+            "op": "delete",
+            "files_rewritten": len(matched),
+            "files_untouched": len(untouched),
+            "n_delete_keys": len(kset),
+        },
+    )
+    return read_manifest(table_dir)
+
+
+def mtable_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 << 20,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Compaction as a VERSION: rewrite the current snapshot's files
+    into ⌈total/target⌉ uniformly-sized files (operators.layout.
+    compact_table's sizing rule) and publish them as version N+1 —
+    readers on version N are untouched, and time travel across the
+    compaction keeps working until vacuum. This is how a manifest
+    table absorbs the small files MERGE/append churn produces without
+    ever blocking reads."""
+    import math
+
+    man = read_manifest(table_dir)
+    total = sum(
+        os.path.getsize(os.path.join(table_dir, f)) for f in man["files"]
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = mtable_read(spark, table_dir).repartition(n_out)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    new_files = _new_data_files(table_dir, df)
+    version = man["version"] + 1
+    _write_manifest(
+        table_dir,
+        version,
+        new_files,
+        {
+            "op": "compact",
+            "files_in": len(man["files"]),
+            "files_out": len(new_files),
+            "bytes_in": total,
+        },
+    )
+    new_man = read_manifest(table_dir)
+    n_old = mtable_read(spark, table_dir, version=man["version"]).count()
+    n_new = mtable_read(spark, table_dir).count()
+    if n_old != n_new:
+        raise RuntimeError(
+            f"mtable_compact row-count mismatch: {n_old} vs {n_new}"
+        )
+    return new_man
