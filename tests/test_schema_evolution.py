@@ -74,3 +74,61 @@ class TestSchemaEvolution:
         merged_cols = set(read_table_evolved(spark, evolved_dir).columns)
         assert plain_cols <= merged_cols
         assert "lang" in merged_cols
+
+
+class TestMigrateTable:
+    """migrate_table: the explicit rewrite read_table_evolved's
+    type-change refusal prescribes — declared casts, loud lossiness."""
+
+    def _drifted(self, spark, tmp_path):
+        """Two generations: v is int32 in gen A, string in gen B (the
+        drift mergeSchema refuses), and gen B adds a column."""
+        d = str(tmp_path / "drifted")
+        import os
+
+        os.makedirs(d)
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k long, v int"
+        ).coalesce(1).write.parquet(str(tmp_path / "genA"))
+        spark.createDataFrame(
+            [(3, "30", "x"), (4, "oops", "y")], "k long, v string, extra string"
+        ).coalesce(1).write.parquet(str(tmp_path / "genB"))
+        import shutil
+
+        i = 0
+        for g in ("genA", "genB"):
+            for f in os.listdir(str(tmp_path / g)):
+                if f.endswith(".parquet"):
+                    shutil.copy(str(tmp_path / g / f), os.path.join(d, f"part-{i}.parquet"))
+                    i += 1
+        return d
+
+    def test_merged_read_refuses_then_migration_fixes(self, spark, tmp_path):
+        from w4h_etl_container_spark.session import migrate_table, read_table_evolved
+
+        d = self._drifted(spark, tmp_path)
+        with pytest.raises(Exception):
+            read_table_evolved(spark, d).collect()
+        out = str(tmp_path / "migrated")
+        # "oops" cannot cast to bigint → strict refuses with the count
+        with pytest.raises(ValueError, match="lossy"):
+            migrate_table(spark, d, out, {"v": "bigint"})
+        # opt in to the lossy cast
+        man = migrate_table(spark, d, out, {"v": "bigint"}, strict=False)
+        assert man["rows"] == 4 and man["lossy_nulls"] == {"v": 1}
+        back = spark.read.parquet(out)
+        got = {r["k"]: (r["v"], r["extra"]) for r in back.collect()}
+        assert got == {1: (10, None), 2: (20, None), 3: (30, "x"), 4: (None, "y")}
+        # and the migrated table now merges cleanly
+        assert read_table_evolved(spark, out).count() == 4
+
+    def test_lossless_migration_strict_passes(self, spark, tmp_path):
+        from w4h_etl_container_spark.session import migrate_table
+
+        d = self._drifted(spark, tmp_path)
+        out = str(tmp_path / "m2")
+        # cast to string loses nothing in either generation
+        man = migrate_table(spark, d, out, {"v": "string"})
+        assert man["lossy_nulls"] == {"v": 0}
+        vs = {r["v"] for r in spark.read.parquet(out).collect()}
+        assert vs == {"10", "20", "30", "oops"}

@@ -317,3 +317,88 @@ def read_table_evolved(spark: SparkSession, path: str):
     is an explicit migration rewrite, not a silent cast."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def migrate_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    cast_map: dict[str, str],
+    strict: bool = True,
+) -> dict:
+    """The explicit migration rewrite ``read_table_evolved``'s refusal
+    prescribes: when a table's generations drifted a column's TYPE, the
+    fix is a one-time rewrite under a DECLARED cast map, not a silent
+    coerce at read time.
+
+    Each file generation is read with ITS OWN footer schema (per-file
+    listing, no mergeSchema — the type conflict that made the merged
+    read refuse is exactly why), ``cast_map`` columns are cast with
+    ``try_cast``; under ``strict=True`` (default) any value a cast
+    NULLs that wasn't NULL before raises with the per-column count —
+    a lossy migration must be opted into, never discovered later.
+    Generations are unioned by name (missing columns NULL-fill, the
+    add-only evolution mergeSchema already accepts) and rewritten to
+    ``out_path`` (publish-then-swap, as every rewrite job here).
+
+    Returns {"rows", "files_in", "lossy_nulls": {col: n}} — counts an
+    audit can log."""
+    import os
+
+    from pyspark.sql import functions as F
+    from functools import reduce
+
+    files = [
+        os.path.join(in_path, f)
+        for f in sorted(os.listdir(in_path))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"migrate_table: no parquet files under {in_path}")
+
+    # group files by their OWN schema so each generation reads natively
+    gens: dict[str, list[str]] = {}
+    for f in files:
+        sch = spark.read.parquet(f).schema.json()
+        gens.setdefault(sch, []).append(f)
+
+    all_cols: list[str] = []
+    parts = []
+    for paths in gens.values():
+        df = spark.read.parquet(*paths)
+        for c in df.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+        parts.append(df)
+
+    lossy = {c: 0 for c in cast_map}
+    casted = []
+    for df in parts:
+        cols = []
+        for c in all_cols:
+            if c not in df.columns:
+                cols.append(F.lit(None).alias(c))
+            elif c in cast_map:
+                cols.append(F.col(c).try_cast(cast_map[c]).alias(c))
+            else:
+                cols.append(F.col(c))
+        out = df.select(*cols)
+        for c in cast_map:
+            if c in df.columns:
+                n = df.where(
+                    F.col(c).isNotNull()
+                    & F.col(c).try_cast(cast_map[c]).isNull()
+                ).count()
+                lossy[c] += n
+        casted.append(out)
+
+    if strict and any(lossy.values()):
+        raise ValueError(
+            f"migrate_table: lossy casts under strict=True: "
+            f"{ {c: n for c, n in lossy.items() if n} } — rerun with "
+            f"strict=False to accept NULLing those values"
+        )
+    merged = reduce(lambda a, b: a.unionByName(b), casted)
+    merged.write.mode("overwrite").parquet(out_path)
+    n = spark.read.parquet(out_path).count()
+    return {"rows": n, "files_in": len(files), "lossy_nulls": lossy}
