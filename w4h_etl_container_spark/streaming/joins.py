@@ -73,3 +73,30 @@ def attribution_join(
         "click_id",
         "click_ts",
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on_stream: str, on_dim: str) -> DataFrame:
+    """Stream-static enrichment — the OTHER standard streaming join:
+    a live event stream joined against a batch dimension table
+    (user → segment, document → source metadata). No state store is
+    involved at all: Spark re-plans the static side per micro-batch,
+    so the join is stateless, needs no watermark, and the static side
+    broadcasts when small exactly as in batch.
+
+    Semantics contract (pinned in tests): a parquet dimension's FILE
+    LISTING is captured in the DataFrame's file index when the
+    DataFrame is CREATED — new dimension files are invisible through
+    that object even across query restarts and even after
+    ``refreshByPath`` (both measured in tests). The
+    slowly-changing-dim refresh pattern is therefore RE-CREATING the
+    dim DataFrame (and this join) before the next drain — or a
+    per-batch re-read inside ``foreachBatch`` for continuously-running
+    queries. Inner join: events without a dimension row drop, the
+    batch join's own convention — left-join to keep them.
+
+    At 100 TB/day: the stream side never shuffles for this join when
+    the dim broadcasts; a corpus-scale dimension belongs in a
+    stream-stream join or a keyed state store instead."""
+    ev = events.withColumnRenamed(on_stream, "_k") if on_stream != "_k" else events
+    d = dim.withColumnRenamed(on_dim, "_k") if on_dim != "_k" else dim
+    return ev.join(F.broadcast(d), "_k").withColumnRenamed("_k", on_stream)
