@@ -158,3 +158,72 @@ class TestMtableDeleteAndCompact:
         # pre-compaction version still time-travels
         old = mtable_read(spark, table, version=man_before["version"])
         assert old.count() == 1000
+
+
+class TestMtableStreamingSink:
+    def test_exactly_once_append_through_stream(self, spark, tmp_path, sf_dir):
+        """Drive a real AvailableNow file stream into an mtable via the
+        epoch-deduped sink: table contents equal the batch input, a
+        re-trigger with no new files commits nothing, and a manually
+        REPLAYED epoch is a no-op (the crash-recovery contract)."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_sink
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+        src = str(tmp_path / "snk-src")
+        ev.where(F.col("event_id") < 500).coalesce(1).write.mode("append").parquet(src)
+        ev.where(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+        tdir = str(tmp_path / "snk-table")
+        ckpt = str(tmp_path / "snk-ckpt")
+        sink = mtable_sink(spark, tdir)
+
+        def drain():
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        man = read_manifest(tdir)
+        assert len(man["epochs"]) >= 2  # two micro-batches committed
+        assert mtable_read(spark, tdir).count() == ev.count()
+        v_after = man["version"]
+
+        # re-trigger with nothing new: no further version
+        drain()
+        assert read_manifest(tdir)["version"] == v_after
+
+        # simulate the crash-recovery replay: re-deliver the LAST epoch
+        last_epoch = man["epochs"][-1]
+        sink(ev.limit(7), last_epoch)
+        assert read_manifest(tdir)["version"] == v_after
+        assert mtable_read(spark, tdir).count() == ev.count()
+
+        # a genuinely new epoch commits
+        sink(ev.limit(7), last_epoch + 1000)
+        assert read_manifest(tdir)["version"] == v_after + 1
+        assert mtable_read(spark, tdir).count() == ev.count() + 7
+
+    def test_merge_mode_sink_upserts_by_key(self, spark, tmp_path):
+        """key= sink mode: replayed epochs skipped AND batches upsert —
+        the streaming CDC-apply shape."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_sink
+
+        tdir = str(tmp_path / "snk2")
+        sink = mtable_sink(spark, tdir, key="k")
+        sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+        sink(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), 1)
+        got = {r["k"]: r["v"] for r in mtable_read(spark, tdir).collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+        # replay of epoch 1: nothing changes
+        sink(spark.createDataFrame([(2, "XXX")], "k long, v string"), 1)
+        got = {r["k"]: r["v"] for r in mtable_read(spark, tdir).collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+        man = read_manifest(tdir)
+        assert man["epochs"] == [0, 1]

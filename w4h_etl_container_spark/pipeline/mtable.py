@@ -292,3 +292,64 @@ def mtable_compact(
             f"mtable_compact row-count mismatch: {n_old} vs {n_new}"
         )
     return new_man
+
+
+def mtable_sink(spark: SparkSession, table_dir: str, key: str | None = None):
+    """Exactly-once streaming sink into an mtable: a ``foreachBatch``
+    function that APPENDS each micro-batch (or MERGES it by ``key``)
+    as one table version, with Spark's documented idempotent-sink
+    contract implemented on the manifest — every commit records the
+    epoch id it came from, and a REPLAYED epoch (post-crash recovery
+    re-delivers the last uncommitted batch) is recognized and skipped,
+    so at-least-once delivery × idempotent commit = exactly-once table
+    contents.
+
+    The epoch check and the version publish are the same single-writer
+    manifest transaction (atomic pointer rename), so a crash BETWEEN
+    data-file write and manifest publish leaves orphan files (invisible
+    to every reader; vacuum's job) and the replay commits cleanly —
+    the standard write-ahead-of-publish recovery story.
+
+    Usage::
+
+        q = stream.writeStream.foreachBatch(
+            mtable_sink(spark, table_dir, key="doc_id")
+        ).option("checkpointLocation", ckpt).start()
+    """
+
+    def _commit(df: DataFrame, epoch_id: int) -> None:
+        try:
+            man = read_manifest(table_dir)
+        except FileNotFoundError:
+            man = None
+        if man is not None and epoch_id in set(man.get("epochs", [])):
+            return  # replayed micro-batch: already committed
+        if man is None:
+            files = _new_data_files(table_dir, df)
+            _write_manifest(
+                table_dir, 0, files, {"op": "stream-append", "epochs": [epoch_id]}
+            )
+            return
+        epochs = man.get("epochs", []) + [epoch_id]
+        if key is None:
+            files = man["files"] + _new_data_files(table_dir, df)
+            meta = {"op": "stream-append", "epochs": epochs}
+            _write_manifest(table_dir, man["version"] + 1, files, meta)
+        else:
+            new_man = mtable_merge(spark, table_dir, df, key)
+            # annotate the merge commit with its epoch lineage (merge
+            # wrote version N+1; rewrite its manifest with epochs —
+            # same version, same files, one more atomic publish)
+            _write_manifest(
+                table_dir,
+                new_man["version"],
+                new_man["files"],
+                {
+                    k: v
+                    for k, v in new_man.items()
+                    if k not in ("version", "files")
+                }
+                | {"epochs": epochs},
+            )
+
+    return _commit
