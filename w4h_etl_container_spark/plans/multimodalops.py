@@ -95,3 +95,107 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_frames"), F.lit(0)).cast("long").alias("n_frames"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-MEDIA — container-header metadata sniffing, oracle-checked by
+# CONSTRUCTION: the Spark side PARSES real container bytes (PNG IHDR /
+# GIF header / RIFF-WAVE fmt chunk) planted in front of the payload
+# with doc_id-derived dimensions; the oracle computes those planted
+# values from the same doc_id arithmetic — hash parity proves the
+# byte parser exactly inverts the construction.
+# ---------------------------------------------------------------------------
+def _planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = (F.col("doc_id") % 1000 + 1).cast("int")
+    h = (F.col("doc_id") % 700 + 2).cast("int")
+    sr = (F.col("doc_id") % 100 * 50 + 8000).cast("int")
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    hex8 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    # little-endian 16/32-bit hex renderings for GIF / WAV fields
+    le16 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("int")), 2, "0")
+    )
+    le32 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c % 256), 2, "0"),
+        F.lpad(F.hex((c / 256).cast("int") % 256), 2, "0"),
+        F.lpad(F.hex((c / 65536).cast("int") % 256), 2, "0"),
+        F.lpad(F.hex((c / 16777216).cast("int") % 256), 2, "0"),
+    )
+    png = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        hex8(w),
+        hex8(h),
+        F.lit("08020000" + "00" + "00000000"),
+    )
+    gif = F.concat(F.lit(F.lit("474946383961").cast("string")), le16(w), le16(h), F.lit("000000"))
+    wav = F.concat(
+        F.lit("52494646" + "24000000" + "57415645" + "666D7420" + "10000000" + "0100"),
+        le16(ch),
+        le32(sr),
+        F.lit("0000000000000000"),
+    )
+    header_hex = (
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, gif)
+        .when(F.col("doc_id") % 4 == 2, wav)
+        .otherwise(F.lit(""))
+    )
+    mime = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("image/gif"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("audio/wav"))
+        .otherwise(F.lit("text/plain"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mime.alias("mime"),
+        F.concat(F.unhex(header_hex), F.encode("text", "UTF-8")).alias("payload"),
+    )
+
+
+@register(
+    "q_media_metadata",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                WHEN 2 THEN 'audio/wav' ELSE 'text/plain' END AS mime,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id % 1000 + 1 END AS DOUBLE) AS width,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id % 700 + 2 END AS DOUBLE) AS height,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 100 * 50 + 8000 END AS DOUBLE) AS sample_rate_hz,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 2 + 1 END AS DOUBLE) AS channels
+    FROM documents WHERE text IS NOT NULL
+    """,
+    survey_ids=("EXT-MEDIA",),
+    gate=False,
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header metadata over binary media columns
+    (``multimodal.media.media_metadata`` — REAL struct parsing of the
+    public PNG/GIF/RIFF layouts, the part of "decode" that needs no
+    codec library). The media table plants genuine headers with
+    doc_id-derived dimensions in front of the text bytes; the oracle
+    states those planted values arithmetically, so the hash pin proves
+    the byte-level parser inverts the construction exactly — including
+    the text/plain quarter, which must sniff as 'unknown' rather than
+    hallucinate a format. Scale: one mapInPandas pass, payload bytes
+    never enter the JVM row format."""
+    from w4h_etl_container_spark.multimodal.media import media_metadata
+
+    # nullable numeric columns cross the oracle boundary as DOUBLE —
+    # the driver canonicalizes DuckDB results through pandas, which
+    # widens nullable INTEGER to float64 (the engine-wide convention)
+    m = media_metadata(_planted_media(spark, sf_dir))
+    return m.select(
+        "media_id",
+        "mime",
+        "format",
+        F.col("width").cast("double").alias("width"),
+        F.col("height").cast("double").alias("height"),
+        F.col("sample_rate_hz").cast("double").alias("sample_rate_hz"),
+        F.col("channels").cast("double").alias("channels"),
+    )
