@@ -75,6 +75,7 @@ DOC_ONLY_QUERIES = [
     "q_dedup_rate",
     "q_shared_runs",
     "q_run_dedup",
+    "q_media_metadata",
 ]
 
 
