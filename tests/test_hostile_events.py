@@ -61,6 +61,7 @@ EVENT_QUERIES = [
     "q_sessionize",
     "q_kmv_setops",
     "q_rate_anomaly",
+    "q_key_skew",
 ]
 
 TYPES = ["click", "view", "purchase", "error", "signup"]

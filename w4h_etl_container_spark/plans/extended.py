@@ -526,3 +526,61 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pass") & F.col("k").isNull(), 1).otherwise(0)
         ).alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SKEW — join/shuffle key-skew diagnostics: the numbers an operator
+# looks at BEFORE choosing salting / AQE skew-split / broadcast for a
+# key (q_salted_join is the mitigation; this is the measurement)
+# ---------------------------------------------------------------------------
+@register(
+    "q_key_skew",
+    sql="""
+    WITH per_key AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cnt_sq,
+           CAST(FLOOR(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS top_share_e6
+    FROM per_key
+    GROUP BY event_type
+    """,
+    survey_ids=("EXT-SKEW", "AGG-1"),
+    gate=False,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type) skew profile of the ``user_id`` shuffle key:
+    key count, row count, the hottest key's row count and share
+    (e6-rounded), and the EXACT integer concentration numerator
+    Σcnt² — consumers divide by n_rows² for the Herfindahl index at
+    whatever precision they want (the same emit-exact-integers
+    discipline as cov_num). On the fixture this reads ~150 keys at
+    top_share ≈ 1/150: every key hot — exactly the regime
+    q_salted_join exists for, now measurable instead of assumed.
+
+    Scale: two map-side-combined aggregates back to back; the second
+    groups the FIRST's output (≤ |types|·|keys| rows of four
+    integers). The diagnostic itself can never skew: its reduce keys
+    are event types."""
+    ev = read_events(spark, sf_dir)
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_key.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_cnt_sq"),
+        F.floor(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("top_share_e6"),
+    )
