@@ -227,3 +227,63 @@ class TestMtableStreamingSink:
         assert got == {1: "a", 2: "B", 3: "c"}
         man = read_manifest(tdir)
         assert man["epochs"] == [0, 1]
+
+
+class TestMtableModelCheck:
+    def test_random_op_sequences_match_dict_model(self, spark, tmp_path):
+        """Model-based check: random merge/delete/compact sequences
+        against a plain dict reference — after EVERY op the table's
+        full contents equal the model, and version history stays
+        readable. Seeded (deterministic), three sequences of six ops."""
+        import random
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_create,
+            mtable_delete,
+            mtable_merge,
+            mtable_read,
+        )
+
+        for seed in (1, 2, 3):
+            rng = random.Random(seed)
+            d = str(tmp_path / f"model{seed}")
+            init = {k: rng.randrange(1000) for k in range(0, 40)}
+            mtable_create(
+                spark,
+                spark.createDataFrame(sorted(init.items()), "k long, v long"),
+                d,
+            )
+            model = dict(init)
+            for step in range(6):
+                op = rng.choice(["merge", "merge", "delete", "compact"])
+                if op == "merge":
+                    batch = {
+                        rng.randrange(0, 60): rng.randrange(1000)
+                        for _ in range(rng.randrange(1, 6))
+                    }
+                    mtable_merge(
+                        spark,
+                        d,
+                        spark.createDataFrame(
+                            sorted(batch.items()), "k long, v long"
+                        ),
+                        "k",
+                    )
+                    model.update(batch)
+                elif op == "delete":
+                    ks = [rng.randrange(0, 60) for _ in range(rng.randrange(1, 4))]
+                    mtable_delete(
+                        spark,
+                        d,
+                        spark.createDataFrame([(k,) for k in ks], "k long"),
+                        "k",
+                    )
+                    for k in ks:
+                        model.pop(k, None)
+                else:
+                    mtable_compact(spark, d, target_bytes=1 << 20)
+                got = {
+                    r["k"]: r["v"] for r in mtable_read(spark, d).collect()
+                }
+                assert got == model, (seed, step, op)
