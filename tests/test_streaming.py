@@ -871,3 +871,84 @@ class TestStreamStaticEnrichment:
         }
         assert new_rows == {(2, "NEW")}
         assert got2.count() == 10
+
+
+class TestWatermarkDropAccounting:
+    def test_late_rows_counted_and_absent(self, spark, tmp_path):
+        """Two micro-batches: batch 2 carries events 3 DAYS older than
+        batch 1 (far beyond the 1-day watermark). Those rows must be
+        (a) absent from the aggregation output and (b) visible in
+        watermark_drop_count — silent loss made auditable."""
+        import datetime as dt
+
+        from w4h_etl_container_spark.streaming.windows import (
+            tumbling_counts,
+            watermark_drop_count,
+        )
+
+        src = str(tmp_path / "late-src")
+        fresh = [
+            (i, dt.datetime(2024, 1, 10, h), 1, "click", 1.0, None)
+            for i, h in enumerate(range(0, 20))
+        ]
+        # four late events in four DISTINCT 6h windows (hours 0/6/12/18)
+        # → four state-operator input rows dropped; the same events in
+        # one window would count as ONE (the unit caveat, pinned below)
+        late = [
+            (100 + i, dt.datetime(2024, 1, 6, h), 1, "click", 1.0, None)
+            for i, h in enumerate((0, 6, 12, 18))
+        ]
+        late_one_window = [
+            (200 + i, dt.datetime(2024, 1, 5, 2, m), 1, "click", 1.0, None)
+            for i, m in enumerate((0, 10, 20, 30))
+        ]
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        sch = spark.createDataFrame([], schema).schema
+        out_dir = str(tmp_path / "late-out")
+        ckpt = str(tmp_path / "late-ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(sch).parquet(src)
+            q = (
+                tumbling_counts(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return q
+
+        # drain 1: the fresh data advances the persisted watermark to
+        # Jan 9 19:00 (max event time − 1 day)
+        spark.createDataFrame(fresh, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q1 = drain()
+        assert watermark_drop_count(q1) == 0
+
+        # drain 2: Jan 6 events arrive 3 days behind the checkpointed
+        # watermark — dropped, counted, and absent from the output
+        spark.createDataFrame(late, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q2 = drain()
+        assert watermark_drop_count(q2) == 4  # four distinct windows
+        emitted_days = {
+            r["ws"].day for r in spark.read.parquet(out_dir).collect()
+        }
+        assert 6 not in emitted_days
+
+        # drain 3: four late events in ONE window → ONE dropped
+        # state-operator row (the unit caveat, measured)
+        spark.createDataFrame(late_one_window, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q3 = drain()
+        assert watermark_drop_count(q3) == 1
+        emitted_days = {
+            r["ws"].day for r in spark.read.parquet(out_dir).collect()
+        }
+        assert 5 not in emitted_days and 6 not in emitted_days

@@ -83,3 +83,31 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def watermark_drop_count(query) -> int:
+    """Rows silently discarded as too-late across a (finished or
+    running) streaming query's progress history — the
+    ``numRowsDroppedByWatermark`` counters summed over every state
+    operator of every micro-batch in ``recentProgress``.
+
+    Why it exists: the watermark contract DROPS late data without any
+    error, which is correct streaming semantics and a silent data-loss
+    bug from an auditing standpoint — the same every-row-lands-
+    somewhere concern the ingestion quarantine answers for batch. A
+    pipeline run logs this number next to its output counts; non-zero
+    means upstream event-time disorder exceeded the configured bound
+    and the watermark (or the feed) needs attention.
+
+    Unit caveat (measured, pinned in tests): the counter is in
+    STATE-OPERATOR INPUT rows, which for a windowed aggregation sit
+    AFTER the map-side partial aggregate — four late events in one
+    window count as ONE dropped row; four late events in four windows
+    count as four. It is a did-we-lose-anything signal (zero ⇔ no
+    loss), not a raw-event tally; pair it with an input count when the
+    magnitude matters."""
+    total = 0
+    for prog in query.recentProgress:
+        for op in (prog.get("stateOperators") or []):
+            total += int(op.get("numRowsDroppedByWatermark") or 0)
+    return total
