@@ -741,3 +741,30 @@ class TestRunDedup:
         slow = sorted(tuple(r) for r in shared_runs(d).collect())
         fast = sorted(tuple(r) for r in shared_runs_fast(d).collect())
         assert slow == fast and len(slow) > 0
+
+
+class TestMixSample:
+    def test_budget_fill_invariants(self, spark, sf_dir):
+        """Every source's selected token mass stays within its computed
+        budget plus at most ONE overshooting document, and membership
+        is the deterministic hash-order prefix (re-run identical)."""
+        from w4h_etl_container_spark.plans.curation import (
+            MIX_BUDGET_TOKENS,
+            q_mix_sample,
+            q_source_mix,
+        )
+
+        mix = {r["source"]: r["q_bp"] for r in q_source_mix(spark, sf_dir).collect()}
+        out = q_mix_sample(spark, sf_dir).collect()
+        per_src: dict = {}
+        for r in out:
+            per_src.setdefault(r["source"], []).append(r["n_tok"])
+        assert set(per_src) <= set(mix)
+        for src, toks in per_src.items():
+            budget = MIX_BUDGET_TOKENS * mix[src] // 10000
+            total = sum(toks)
+            # keep-iff-starts-inside: total < budget + the last doc
+            assert total - max(toks) < budget <= total or total <= budget
+        # deterministic: a second run selects the identical set
+        again = {(r["doc_id"]) for r in q_mix_sample(spark, sf_dir).collect()}
+        assert again == {r["doc_id"] for r in out}

@@ -76,6 +76,7 @@ DOC_ONLY_QUERIES = [
     "q_shared_runs",
     "q_run_dedup",
     "q_media_metadata",
+    "q_mix_sample",
 ]
 
 

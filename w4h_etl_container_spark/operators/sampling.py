@@ -292,3 +292,34 @@ def weighted_priority_sample(
         .where(F.col("rank") <= k)
         .drop("_prio")
     )
+
+
+def token_budget_sample_dynamic(
+    df: DataFrame,
+    budgets: DataFrame,
+    stratum: str,
+    key: str,
+    weight: str,
+    salt: str = "s0",
+) -> DataFrame:
+    """``token_budget_sample`` with budgets as DATA instead of a
+    literal dict — the composition point for computed mixing weights
+    (q_source_mix's basis points → per-stratum token budgets). The
+    budgets table is stratum-dimensional (broadcast); everything else
+    is the same one-window-per-stratum plan, and the same
+    keep-iff-starts-inside-budget rule with its ≤1-document overshoot
+    and budget-nesting properties. Strata absent from ``budgets``
+    keep nothing (inner join semantics — the dict form's NULL
+    threshold behaves identically)."""
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(_bucket(F.col(key), salt), key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(weight)).over(w), F.lit(0))
+    return (
+        df.withColumn("_before", before)
+        .join(F.broadcast(budgets), stratum)
+        .where(F.col("_before") < F.col("budget"))
+        .drop("_before", "budget")
+    )

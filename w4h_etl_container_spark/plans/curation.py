@@ -1543,3 +1543,99 @@ def q_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval list; every document survives with exact token
     accounting (n_tokens = n_removed + |rebuilt|, pinned in tests)."""
     return run_dedup(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-SAMPLE / EXT-TEXT — mix EXECUTION: the temperature-smoothed
+# weights (q_source_mix) applied as per-source token budgets and
+# filled deterministically (token_budget_sample_dynamic) — the
+# composed "build me a 20k-token corpus at the α=0.5 mix" step
+# ---------------------------------------------------------------------------
+MIX_BUDGET_TOKENS = 20_000
+
+
+def _mix_sample_sql(total: int = MIX_BUDGET_TOKENS) -> str:
+    bucket = _nib_at("md5('s0' || CAST(doc_id AS VARCHAR))", 1, 6)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), per_source AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ), total AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per_source
+    ), weighted AS (
+      SELECT source,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+      FROM per_source, total
+    ), norm AS (
+      SELECT CAST(SUM(w_e6) AS BIGINT) AS sum_w FROM weighted
+    ), budgets AS (
+      SELECT source, ({total} * ((w_e6 * 10000) // sum_w)) // 10000 AS budget
+      FROM weighted, norm
+    ), cum AS (
+      SELECT t.doc_id, t.source, t.n_tok,
+             COALESCE(SUM(t.n_tok) OVER (
+               PARTITION BY t.source ORDER BY ({bucket}), t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS before
+      FROM toks t
+    )
+    SELECT c.doc_id, c.source, c.n_tok
+    FROM cum c JOIN budgets b ON c.source = b.source
+    WHERE c.before < b.budget
+    """
+
+
+@register(
+    "q_mix_sample",
+    sql=_mix_sample_sql(),
+    survey_ids=("EXT-SAMPLE", "EXT-TEXT"),
+    gate=False,
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing EXECUTION end-to-end: per-source α=0.5 smoothed
+    weights → basis points → integer token budgets out of
+    ``MIX_BUDGET_TOKENS`` → deterministic hash-order budget fill
+    (``token_budget_sample_dynamic``). The output IS the mixed
+    training subset: membership a pure function of (salt, doc_id,
+    corpus statistics), each source overshooting its budget by at
+    most one document — the q_source_mix table made actionable
+    instead of advisory.
+
+    Scale: the weights side is two source-dimensional aggregates and
+    two 1-row scalars (all broadcast); the fill is one window sum per
+    source — exactly q_budget_sample's shape with the budget CASE map
+    replaced by a broadcast join on computed budgets."""
+    from w4h_etl_container_spark.operators.sampling import (
+        token_budget_sample_dynamic,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", "source", F.size(_tokens()).cast("long").alias("n_tok")
+    )
+    per_source = toks.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    total = per_source.agg(F.sum("n_tokens").alias("tot"))
+    weighted = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("tot").cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_e6"),
+    )
+    norm = weighted.agg(F.sum("w_e6").alias("sum_w"))
+    budgets = weighted.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.expr(
+            f"({MIX_BUDGET_TOKENS} * (w_e6 * 10000 div sum_w)) div 10000"
+        ).alias("budget"),
+    )
+    return token_budget_sample_dynamic(
+        toks, budgets, "source", "doc_id", "n_tok"
+    ).select("doc_id", "source", "n_tok")
