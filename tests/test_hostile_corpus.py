@@ -77,6 +77,7 @@ DOC_ONLY_QUERIES = [
     "q_run_dedup",
     "q_media_metadata",
     "q_mix_sample",
+    "q_contrastive_pairs",
 ]
 
 

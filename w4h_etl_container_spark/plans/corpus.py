@@ -1086,3 +1086,103 @@ def q_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("((n_docs - n_removed) * 10000) div n_docs").alias("keep_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-SAMPLE / EXT-DEDUP — contrastive pair generation: the
+# (anchor, partner, label) training table an embedding model consumes.
+# Positives = the MinHash near-dup candidates (lexically close pairs);
+# negatives = one deterministic pseudo-random partner per anchor via a
+# bucket-representative rendezvous — no global sort, no RNG state.
+# ---------------------------------------------------------------------------
+_NEG_NB = 256  # rendezvous buckets for negative partner selection
+_NEG_OFF = 7  # fixed bucket offset: partner comes from a DIFFERENT bucket
+
+
+def _contrastive_sql() -> str:
+    md5_expr = "md5('c0' || CAST(doc_id AS VARCHAR))"
+    b = f"({_nib(md5_expr, 6)}) % {_NEG_NB}"
+    return f"""
+    WITH RECURSIVE {minhash_cands_ctes()},
+    bucketed AS (
+      SELECT doc_id, ({b}) AS bkt FROM documents
+    ),
+    reps AS (
+      SELECT bkt, MIN(doc_id) AS rep FROM bucketed GROUP BY bkt
+    ),
+    anchors AS (
+      SELECT DISTINCT doc_a AS anchor FROM cands
+    ),
+    negs AS (
+      SELECT a.anchor, r.rep AS partner
+      FROM anchors a
+      JOIN bucketed ba ON ba.doc_id = a.anchor
+      JOIN reps r ON r.bkt = (ba.bkt + {_NEG_OFF}) % {_NEG_NB}
+      WHERE r.rep <> a.anchor
+    )
+    SELECT doc_a AS anchor, doc_b AS partner, 1 AS label FROM cands
+    UNION ALL
+    SELECT anchor, partner, 0 AS label FROM negs
+    """
+
+
+@register(
+    "q_contrastive_pairs",
+    sql=_contrastive_sql(),
+    survey_ids=("EXT-SAMPLE", "EXT-DEDUP"),
+    gate=False,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, partner, label) contrastive training pairs: label 1 =
+    the oracle-shared MinHash candidate pairs (lexical near-dups — the
+    standard weak-supervision positive); label 0 = one deterministic
+    negative per anchor, chosen by bucket rendezvous: docs hash into
+    256 buckets, each bucket's min-doc_id is its representative, and
+    an anchor's negative is the representative of (its bucket + 7)
+    mod 256 — a different bucket by construction, so the partner is a
+    pseudo-random unrelated document with zero RNG state (reproducible
+    from the recipe, the sampling-family discipline). Accidental hard
+    negatives (a representative that happens to be similar) are the
+    usual contrastive-learning noise and are filterable by joining
+    back to cands.
+
+    Scale: positives are the existing bucket-capped candidate
+    machinery; negatives cost one 256-row aggregate broadcast twice —
+    no global sort, no per-row randomness, nothing wider than the
+    anchor set shuffles."""
+    from w4h_etl_container_spark.plans.textops import minhash_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(parallelize_compute(docs))
+    bucketed = docs.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("c0"), F.col("doc_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _NEG_NB
+        ).alias("bkt"),
+    )
+    reps = bucketed.groupBy("bkt").agg(F.min("doc_id").alias("rep"))
+    anchors = cands.select(F.col("doc_a").alias("anchor")).distinct()
+    negs = (
+        anchors.join(bucketed, anchors.anchor == bucketed.doc_id)
+        .select("anchor", ((F.col("bkt") + _NEG_OFF) % _NEG_NB).alias("nbkt"))
+        .join(F.broadcast(reps), F.col("nbkt") == F.col("bkt"))
+        .where(F.col("rep") != F.col("anchor"))
+        .select("anchor", F.col("rep").alias("partner"))
+    )
+    pos = cands.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("partner"),
+        F.lit(1).alias("label"),
+    )
+    return pos.unionByName(
+        negs.select("anchor", "partner", F.lit(0).alias("label"))
+    )
