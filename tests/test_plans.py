@@ -179,6 +179,8 @@ class TestKernelCodegen:
         "q_curated_corpus",
         # two 1-row scalars (corpus token total, weight-sum normalizer)
         "q_source_mix",
+        # inherits q_source_mix's two 1-row scalars on the budgets side
+        "q_mix_sample",
         # 1-row (n_docs, avgdl) scalar against the query-term/doc-side
         # joins, as in q_unigram_logprob
         "q_bm25",
