@@ -287,3 +287,65 @@ class TestMtableModelCheck:
                     r["k"]: r["v"] for r in mtable_read(spark, d).collect()
                 }
                 assert got == model, (seed, step, op)
+
+
+class TestMtableMergeAgg:
+    def test_incremental_refresh_equals_full_recompute(self, spark, tmp_path, sf_dir):
+        """Maintain a per-user (n, total, mx) profile table through two
+        event-batch deltas; after each refresh the table equals the
+        full-history aggregate recomputed from scratch — the
+        materialized-view invariant, via footer-pruned touches only."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge_agg,
+            mtable_read,
+        )
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+
+        def agg(df):
+            return df.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("value").alias("total"),
+                F.max("value").alias("mx"),
+            )
+
+        b1 = ev.where(F.col("event_id") % 3 == 0)
+        b2 = ev.where(F.col("event_id") % 3 == 1)
+        b3 = ev.where(F.col("event_id") % 3 == 2)
+
+        d = str(tmp_path / "profiles")
+        mtable_create(spark, agg(b1), d)
+        mtable_merge_agg(
+            spark, d, agg(b2), "user_id", {"n": "sum", "total": "sum", "mx": "max"}
+        )
+        mtable_merge_agg(
+            spark, d, agg(b3), "user_id", {"n": "sum", "total": "sum", "mx": "max"}
+        )
+        got = {
+            r["user_id"]: (r["n"], round(r["total"], 6), r["mx"])
+            for r in mtable_read(spark, d).collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], round(r["total"], 6), r["mx"])
+            for r in agg(ev).collect()
+        }
+        # float addition order differs between incremental and one-shot
+        # sums — compare totals at 1e-6 (counts and maxes are exact)
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u][0] == want[u][0] and got[u][2] == want[u][2]
+            assert abs(got[u][1] - want[u][1]) < 1e-6
+
+    def test_unsupported_combine_refused(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge_agg,
+        )
+
+        d = str(tmp_path / "bad")
+        df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+        mtable_create(spark, df, d)
+        with pytest.raises(ValueError, match="unsupported combine"):
+            mtable_merge_agg(spark, d, df, "k", {"v": "avg"})

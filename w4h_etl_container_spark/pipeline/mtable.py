@@ -353,3 +353,76 @@ def mtable_sink(spark: SparkSession, table_dir: str, key: str | None = None):
             )
 
     return _commit
+
+
+_COMBINE_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
+def mtable_merge_agg(
+    spark: SparkSession,
+    table_dir: str,
+    delta: DataFrame,
+    key: str,
+    combine: dict[str, str],
+) -> dict:
+    """Incremental AGGREGATE maintenance — the materialized-view
+    refresh: the table holds per-``key`` aggregates, ``delta`` holds
+    the new batch's partial aggregates for the same columns, and the
+    commit COMBINES matched keys instead of replacing them
+    (``combine``: column → 'sum' | 'max' | 'min' — the decomposable
+    aggregates; avg ships as sum+count, distinct as a KMV column).
+
+    Same copy-on-write discipline as ``mtable_merge``: footer pruning
+    picks the files whose key ranges intersect the delta, ONLY those
+    are read; their matched rows re-aggregate together with the delta
+    (one groupBy over matched-rows ∪ delta — both are per-key
+    aggregates, so the combined groupBy is exact for decomposable
+    functions), unmatched rows pass through, new keys insert. At
+    100 TB this is how a per-entity profile table absorbs a day's
+    events without rescanning history: the delta is aggregated
+    upstream (map-side, corpus-scale), the table touch is
+    footer-pruned."""
+    for col, fn in combine.items():
+        if fn not in _COMBINE_FNS:
+            raise ValueError(f"unsupported combine fn {fn!r} for {col!r}")
+    man = read_manifest(table_dir)
+    keys = [r[0] for r in delta.select(key).distinct().collect()]
+    if not keys:
+        raise ValueError("mtable_merge_agg: empty delta")
+    kmin, kmax = min(keys), max(keys)
+    kset = set(keys)
+    ranges = _file_key_ranges(table_dir, man["files"], key)
+    matched = [
+        f
+        for f, rng in ranges.items()
+        if rng is None
+        or (rng[0] <= kmax and kmin <= rng[1] and any(rng[0] <= k <= rng[1] for k in kset))
+    ]
+    untouched = [f for f in man["files"] if f not in set(matched)]
+
+    cols = [key] + sorted(combine)
+    delta_sel = delta.select(*cols)
+    if matched:
+        old = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in matched]
+        ).select(*cols)
+        pool = old.unionByName(delta_sel)
+    else:
+        pool = delta_sel
+    combined = pool.groupBy(key).agg(
+        *[_COMBINE_FNS[fn](c).alias(c) for c, fn in sorted(combine.items())]
+    )
+    new_files = _new_data_files(table_dir, combined.select(*cols))
+    version = man["version"] + 1
+    _write_manifest(
+        table_dir,
+        version,
+        untouched + new_files,
+        {
+            "op": "merge-agg",
+            "files_rewritten": len(matched),
+            "files_untouched": len(untouched),
+            "n_delta_keys": len(kset),
+        },
+    )
+    return read_manifest(table_dir)
