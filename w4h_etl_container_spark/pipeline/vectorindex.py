@@ -256,6 +256,8 @@ def append_to_index(
         encode_udf("embedding").alias("code"),
     )
     n_new = batch.count()
+    if n_new == 0:
+        raise ValueError("append_to_index: empty vector batch")
     batch.write.mode("append").partitionBy("centroid_id").parquet(
         man["artifacts"]["cells"]
     )
