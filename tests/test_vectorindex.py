@@ -307,3 +307,48 @@ class TestIndexAppend:
         audit = audit_index(spark, out)
         assert not audit["consistent"]
         assert audit["cells_n"] == audit["distinct_vec_ids"] + 5
+
+
+class TestRerankHostileVectors:
+    def test_nonfinite_candidate_sorts_last_in_both_stages(self, spark, tmp_path):
+        """ADVICE r9 follow-through for the NEW rerank path: a candidate
+        whose embedding contains a non-finite component yields NULL
+        distance in BOTH the ADC shortlist and the exact re-rank — it
+        must never displace a genuine neighbor at either stage."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            build_vector_index,
+            search_index,
+        )
+
+        d = str(tmp_path / "hostile")
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((30, 64)).astype(np.float32)
+        vecs[7] = vecs[0] + rng.normal(0, 0.01, 64).astype(np.float32)  # true nn of 0
+        bad = vecs[9].copy()
+        bad[3] = np.inf  # the hostile candidate
+        vecs[9] = bad
+        import os
+
+        os.makedirs(d)
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(range(30), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": pa.array([0] * 30, type=pa.int32()),
+            }),
+            os.path.join(d, "embeddings.parquet"),
+        )
+        out = str(tmp_path / "hidx")
+        build_vector_index(spark, d, out, n_centroids=1, m=8, k=16, iters=1)
+        got = search_index(
+            spark, d, out, n_queries=1, nprobe=1, top_k=29, rerank=29
+        ).collect()
+        by_rank = sorted(got, key=lambda r: r["rnk"])
+        # the true neighbor leads; the hostile vector is ranked LAST
+        assert by_rank[0]["cand_id"] == 7
+        assert by_rank[-1]["cand_id"] == 9
+        assert by_rank[-1]["dist2_e6"] is None
