@@ -10,6 +10,8 @@ import os
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 
 @pytest.fixture(scope="module")
 def index_dir(spark, sf_dir, tmp_path_factory):
@@ -83,3 +85,72 @@ class TestTextIndex:
             .toString()
         )
         assert "PushedFilters: [" in plan and "In(token" in plan
+
+
+class TestTextIndexAppend:
+    def test_append_equals_rebuild_through_query_path(self, spark, tmp_path, sf_dir):
+        """Index half the corpus, append the other half: BM25 through
+        the appended index is row-identical to BM25 through an index
+        rebuilt from the full corpus — idf/avgdl pick up the new stats,
+        postings prune across both file generations."""
+        import os
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.textindex import (
+            append_to_text_index,
+            audit_text_index,
+            bm25_topk_from_index,
+            build_text_index,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        half_dir = str(tmp_path / "half")
+        os.makedirs(half_dir)
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            str(tmp_path / "halfpq")
+        )
+        for f in os.listdir(str(tmp_path / "halfpq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "halfpq" / f),
+                    os.path.join(half_dir, "documents.parquet"),
+                )
+        idx = str(tmp_path / "idx")
+        build_text_index(spark, half_dir, idx)
+        append_to_text_index(
+            spark, idx, docs.where(F.col("doc_id") % 2 == 1)
+        )
+        assert audit_text_index(spark, idx)["consistent"]
+
+        full_idx = str(tmp_path / "fullidx")
+        build_text_index(spark, sf_dir, full_idx)
+
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+
+        got = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(spark, full_idx, BM25_QUERIES).collect()
+        )
+        assert got == want and got
+
+    def test_replayed_batch_is_loud(self, spark, tmp_path, sf_dir):
+        from w4h_etl_container_spark.pipeline.textindex import (
+            append_to_text_index,
+            audit_text_index,
+            build_text_index,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        idx = str(tmp_path / "idx2")
+        build_text_index(spark, sf_dir, idx)
+        batch = docs.limit(5)
+        append_to_text_index(spark, idx, batch)
+        audit = audit_text_index(spark, idx)
+        assert not audit["consistent"]  # replay: duplicate doc_ids
+        assert audit["doc_lengths_rows"] == audit["distinct_doc_ids"] + 5

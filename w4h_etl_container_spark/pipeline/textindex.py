@@ -165,3 +165,77 @@ def bm25_topk_from_index(
         .where(F.col("rnk") <= top_k)
         .select("query_id", "doc_id", "bm25_e6", "rnk")
     )
+
+
+def append_to_text_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame, n_files: int = 2
+) -> dict:
+    """Incrementally index a new document batch: the batch's term
+    counts land as ADDITIONAL token-clustered posting files (file-level
+    pruning still holds — every file, old or new, carries its own
+    token min/max; a probe simply touches the new generation's
+    matching files too), doc_lengths appends, and the 1-row stats
+    table is REWRITTEN with the updated (n_docs, total_tokens) —
+    BM25's idf/avgdl terms read stats at query time, so scores
+    reflect the grown corpus immediately, exactly as a full rebuild
+    would (pinned in tests: append == rebuild-from-union,
+    row-identical through the query path).
+
+    Contract: new doc_ids must be fresh — a replayed batch would
+    double its postings; ``audit_text_index`` makes that loud
+    (doc_lengths doc_id uniqueness + stats consistency), the same
+    at-least-once posture as the vector index's append."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    toks = new_docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    dl = tf.groupBy("doc_id").agg(F.sum("k").alias("dl"))
+    dl.cache()
+    try:
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        if not row["n"]:
+            raise ValueError("append_to_text_index: empty document batch")
+        cluster_by(tf, ["token", "doc_id"], n_files=n_files).write.mode(
+            "append"
+        ).parquet(man["artifacts"]["postings"])
+        dl.write.mode("append").parquet(man["artifacts"]["doc_lengths"])
+        man["n_docs"] += row["n"]
+        man["total_tokens"] += row["t"]
+        spark.createDataFrame(
+            [(man["n_docs"], man["total_tokens"])], "n_docs long, total_tokens long"
+        ).write.mode("overwrite").parquet(man["artifacts"]["stats"])
+        man.setdefault("appends", []).append({"n_docs": row["n"]})
+        with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+        return man
+    finally:
+        dl.unpersist()
+
+
+def audit_text_index(spark: SparkSession, index_dir: str) -> dict:
+    """One-pass consistency audit: manifest counts vs doc_lengths rows
+    vs distinct doc_ids vs recomputed token total. A replayed append
+    (duplicate doc_ids) or a torn stats write shows up here."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    dl = spark.read.parquet(man["artifacts"]["doc_lengths"])
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("nd"),
+        F.sum("dl").alias("t"),
+    ).collect()[0]
+    srow = spark.read.parquet(man["artifacts"]["stats"]).collect()[0]
+    return {
+        "manifest_docs": man["n_docs"],
+        "doc_lengths_rows": row["n"],
+        "distinct_doc_ids": row["nd"],
+        "manifest_tokens": man["total_tokens"],
+        "recomputed_tokens": row["t"],
+        "stats_docs": srow["n_docs"],
+        "consistent": man["n_docs"] == row["n"] == row["nd"] == srow["n_docs"]
+        and man["total_tokens"] == row["t"] == srow["total_tokens"],
+    }
