@@ -349,3 +349,29 @@ class TestMtableMergeAgg:
         mtable_create(spark, df, d)
         with pytest.raises(ValueError, match="unsupported combine"):
             mtable_merge_agg(spark, d, df, "k", {"v": "avg"})
+
+
+class TestMtableCrashRecovery:
+    def test_orphan_data_files_invisible_and_vacuumed(self, spark, table):
+        """Simulate a crash BETWEEN data-file write and manifest
+        publish: the orphan generation is invisible to every reader
+        (manifest-resolved file lists only) and vacuum reclaims it."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_vacuum
+
+        n0 = mtable_read(spark, table).count()
+        # the "crash": files written, no manifest published
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        orphans = M._new_data_files(
+            table,
+            spark.createDataFrame([(9999, 1, "ghost")], "k long, v long, tag string"),
+        )
+        assert orphans
+        # readers: unchanged
+        assert mtable_read(spark, table).count() == n0
+        got = mtable_read(spark, table).where(F.col("k") == 9999).count()
+        assert got == 0
+        # vacuum reclaims the orphan files
+        out = mtable_vacuum(table, retain_versions=1)
+        assert set(orphans) <= set(out["removed_files"])
+        assert mtable_read(spark, table).count() == n0
