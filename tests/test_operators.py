@@ -2202,3 +2202,82 @@ class TestWeightedPrioritySample:
             x = math.log((h + 1) / float(1 << 60)) * 1e6 + 0.5
             min_margin = min(min_margin, abs(x - round(x)))
         assert min_margin > 1e-5, min_margin
+
+
+class TestFuzzyJoin:
+    def test_planted_typo_entities_match_bruteforce(self, spark):
+        """Two record sets with planted distance-1 key variants: the
+        deletion-neighborhood join must equal the brute-force
+        levenshtein cross-product filter exactly (including NO match
+        for distance-2 keys), with one row per matching pair."""
+        from w4h_etl_container_spark.operators.entity import fuzzy_join
+
+        left = spark.createDataFrame(
+            [
+                (1, "acme corp"),
+                (2, "globex"),
+                (3, "initech"),
+                (4, "stark industries"),
+                (5, "wayne"),
+            ],
+            "lid long, name string",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, "acme corp"),     # exact
+                (11, "acme crop"),     # d=2 (transposition) — NO match
+                (12, "globexx"),       # insertion, d=1
+                (13, "intech"),        # deletion, d=1
+                (14, "stork industries"),  # substitution, d=1
+                (15, "unrelated"),
+            ],
+            "rid long, rname string",
+        )
+        got = {
+            (r["lid"], r["rid"], r["dist"])
+            for r in fuzzy_join(left, right, "name", "rname").collect()
+        }
+        # brute force reference
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[-1]
+
+        lrows = [(1, "acme corp"), (2, "globex"), (3, "initech"),
+                 (4, "stark industries"), (5, "wayne")]
+        rrows = [(10, "acme corp"), (11, "acme crop"), (12, "globexx"),
+                 (13, "intech"), (14, "stork industries"), (15, "unrelated")]
+        want = {
+            (li, ri, lev(ln, rn))
+            for (li, ln), (ri, rn) in itertools.product(lrows, rrows)
+            if lev(ln, rn) <= 1
+        }
+        assert got == want
+        assert (1, 10, 0) in got and (2, 12, 1) in got
+        assert not any(r == 11 for _, r, _ in got)  # d=2 stays out
+
+    def test_duplicate_variants_yield_one_row_per_pair(self, spark):
+        """Keys with repeated letters share several identical deletion
+        variants — the pair must still surface exactly once."""
+        from w4h_etl_container_spark.operators.entity import fuzzy_join
+
+        left = spark.createDataFrame([(1, "aabb")], "lid long, k string")
+        right = spark.createDataFrame([(2, "abb")], "rid long, rk string")
+        rows = fuzzy_join(left, right, "k", "rk").collect()
+        assert len(rows) == 1 and rows[0]["dist"] == 1
+
+    def test_equi_join_plan_no_cross_product(self, spark):
+        from w4h_etl_container_spark.operators.entity import fuzzy_join
+
+        left = spark.createDataFrame([(1, "abc")], "lid long, k string")
+        right = spark.createDataFrame([(2, "abd")], "rid long, rk string")
+        plan = fuzzy_join(left, right, "k", "rk")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
