@@ -375,3 +375,37 @@ class TestMtableCrashRecovery:
         out = mtable_vacuum(table, retain_versions=1)
         assert set(orphans) <= set(out["removed_files"])
         assert mtable_read(spark, table).count() == n0
+
+
+class TestMtableStringKeys:
+    def test_merge_on_string_key_prunes_and_upserts(self, spark, tmp_path):
+        """Footer stats for string keys surface as bytes — the range
+        pruning must still work (decoded comparison) and the merge must
+        stay file-targeted on a string-clustered table."""
+        from w4h_etl_container_spark.operators.layout import cluster_by
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge,
+            mtable_read,
+        )
+
+        rows = [(f"user{i:04d}", i) for i in range(400)]
+        df = cluster_by(
+            spark.createDataFrame(rows, "uid string, v long"), ["uid"], n_files=8
+        )
+        d = str(tmp_path / "stab")
+        mtable_create(spark, df, d)
+        man = mtable_merge(
+            spark,
+            d,
+            spark.createDataFrame(
+                [("user0001", -1), ("user9999", -2)], "uid string, v long"
+            ),
+            "uid",
+        )
+        # pruning engaged: most files untouched
+        assert man["files_rewritten"] <= 2
+        assert man["files_untouched"] >= 6
+        got = {r["uid"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got["user0001"] == -1 and got["user9999"] == -2
+        assert len(got) == 401

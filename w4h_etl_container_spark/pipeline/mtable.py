@@ -103,20 +103,31 @@ def mtable_read(
 
 def _file_key_ranges(table_dir: str, files: list[str], key: str) -> dict:
     """{file: (min, max)} of ``key`` from parquet footer statistics —
-    metadata-only, no data read."""
+    metadata-only, no data read. A file whose stats are absent or not
+    comparable to the key's Python type reports ``None``, which every
+    consumer treats as MATCHED (conservative: unprunable files are
+    read, never skipped — the pruning_report failure direction).
+    String-key stats surface as ``bytes`` from the footer and are
+    decoded so ``<=`` against Python strings is well-typed."""
     import pyarrow.parquet as pq
+
+    def _norm(v):
+        return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else v
 
     out = {}
     for rel in files:
         md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
         idx = md.schema.to_arrow_schema().get_field_index(key)
         mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is not None and st.has_min_max:
-                mins.append(st.min)
-                maxs.append(st.max)
-        out[rel] = (min(mins), max(maxs)) if mins else None
+        try:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(_norm(st.min))
+                    maxs.append(_norm(st.max))
+            out[rel] = (min(mins), max(maxs)) if mins else None
+        except TypeError:
+            out[rel] = None
     return out
 
 
