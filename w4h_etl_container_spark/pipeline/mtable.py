@@ -315,11 +315,16 @@ def mtable_sink(spark: SparkSession, table_dir: str, key: str | None = None):
     so at-least-once delivery × idempotent commit = exactly-once table
     contents.
 
-    The epoch check and the version publish are the same single-writer
-    manifest transaction (atomic pointer rename), so a crash BETWEEN
-    data-file write and manifest publish leaves orphan files (invisible
-    to every reader; vacuum's job) and the replay commits cleanly —
-    the standard write-ahead-of-publish recovery story.
+    The epoch check and the version publish are one single-writer
+    manifest transaction (atomic pointer rename) in append mode, so a
+    crash BETWEEN data-file write and manifest publish leaves orphan
+    files (invisible to every reader; vacuum's job) and the replay
+    commits cleanly — the standard write-ahead-of-publish recovery
+    story. Merge mode annotates the merge's manifest with the epoch in
+    a second atomic publish; a crash in that window makes the replay
+    re-apply the SAME keyed upsert, which is idempotent by replace
+    semantics — contents stay exactly-once either way, at the cost of
+    one redundant (harmless) version on that recovery path.
 
     Usage::
 
