@@ -1285,9 +1285,15 @@ def shared_runs(
     Exactness contract: spans of length ≥ k are reported with EXACT
     extents (the chain sees every position of the run); shared spans
     shorter than k are invisible (no k-gram covers them) — k is the
-    detection resolution, min_run the reporting threshold. Hash
-    collisions (~n²·2⁻⁶¹ at 60 bits) are the usual negligible,
-    engine-identical caveat.
+    detection resolution, min_run the reporting threshold. The
+    occupancy cap has a second-order effect the cap always has in
+    this family, stated for honesty: a gram shared by > cap documents
+    drops, so a run CONTAINING boilerplate grams loses those chain
+    links and reports as fragments (or, under min_run, not at all) —
+    boilerplate-heavy passages are q_span_dedup/q_dedup_exact
+    territory; this operator's domain is the pairwise-rare shared
+    passage. Hash collisions (~n²·2⁻⁶¹ at 60 bits) are the usual
+    negligible, engine-identical caveat.
 
     Scale shape: the inverted index is ONE groupBy on int64 keys with
     map-side combine; posting lists are cap-bounded so the pair
