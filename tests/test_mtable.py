@@ -409,3 +409,24 @@ class TestMtableStringKeys:
         got = {r["uid"]: r["v"] for r in mtable_read(spark, d).collect()}
         assert got["user0001"] == -1 and got["user9999"] == -2
         assert len(got) == 401
+
+
+class TestMtableAggSink:
+    def test_streaming_aggregate_view_with_replay_safety(self, spark, tmp_path):
+        """combine-mode sink: per-batch deltas fold into a stored
+        per-key aggregate; a replayed epoch must NOT double-add (the
+        epoch rides merge_agg's own atomic publish)."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_sink
+
+        d = str(tmp_path / "aggsink")
+        sink = mtable_sink(spark, d, key="k", combine={"n": "sum", "mx": "max"})
+        sink(spark.createDataFrame([(1, 2, 10.0), (2, 1, 5.0)], "k long, n long, mx double"), 0)
+        sink(spark.createDataFrame([(1, 3, 7.0), (3, 1, 1.0)], "k long, n long, mx double"), 1)
+        got = {r["k"]: (r["n"], r["mx"]) for r in mtable_read(spark, d).collect()}
+        assert got == {1: (5, 10.0), 2: (1, 5.0), 3: (1, 1.0)}
+        # replay epoch 1: totals unchanged (NOT double-added)
+        sink(spark.createDataFrame([(1, 3, 7.0), (3, 1, 1.0)], "k long, n long, mx double"), 1)
+        got = {r["k"]: (r["n"], r["mx"]) for r in mtable_read(spark, d).collect()}
+        assert got == {1: (5, 10.0), 2: (1, 5.0), 3: (1, 1.0)}
+        man = read_manifest(d)
+        assert man["epochs"] == [0, 1]

@@ -305,7 +305,12 @@ def mtable_compact(
     return new_man
 
 
-def mtable_sink(spark: SparkSession, table_dir: str, key: str | None = None):
+def mtable_sink(
+    spark: SparkSession,
+    table_dir: str,
+    key: str | None = None,
+    combine: dict[str, str] | None = None,
+):
     """Exactly-once streaming sink into an mtable: a ``foreachBatch``
     function that APPENDS each micro-batch (or MERGES it by ``key``)
     as one table version, with Spark's documented idempotent-sink
@@ -347,7 +352,16 @@ def mtable_sink(spark: SparkSession, table_dir: str, key: str | None = None):
             )
             return
         epochs = man.get("epochs", []) + [epoch_id]
-        if key is None:
+        if combine is not None:
+            # aggregate mode: the additive combine is NOT idempotent, so
+            # the epoch record MUST ride the same atomic publish as the
+            # data (extra_meta) — no replay window at all
+            if key is None:
+                raise ValueError("mtable_sink: combine mode needs key=")
+            mtable_merge_agg(
+                spark, table_dir, df, key, combine, extra_meta={"epochs": epochs}
+            )
+        elif key is None:
             files = man["files"] + _new_data_files(table_dir, df)
             meta = {"op": "stream-append", "epochs": epochs}
             _write_manifest(table_dir, man["version"] + 1, files, meta)
@@ -380,6 +394,7 @@ def mtable_merge_agg(
     delta: DataFrame,
     key: str,
     combine: dict[str, str],
+    extra_meta: dict | None = None,
 ) -> dict:
     """Incremental AGGREGATE maintenance — the materialized-view
     refresh: the table holds per-``key`` aggregates, ``delta`` holds
@@ -439,6 +454,7 @@ def mtable_merge_agg(
             "files_rewritten": len(matched),
             "files_untouched": len(untouched),
             "n_delta_keys": len(kset),
+            **(extra_meta or {}),
         },
     )
     return read_manifest(table_dir)
