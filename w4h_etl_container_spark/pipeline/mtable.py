@@ -20,6 +20,16 @@ in ~150 lines on plain parquet + a JSON manifest, because the engine's
 * old versions stay readable (time travel) until ``vacuum`` deletes
   files unreferenced by any retained manifest.
 
+Surface: ``mtable_create`` / ``mtable_read`` (versioned) /
+``mtable_merge`` (keyed upsert) / ``mtable_delete`` /
+``mtable_merge_agg`` (incremental aggregate maintenance — the
+materialized-view refresh) / ``mtable_compact`` (compaction as a
+version) / ``mtable_vacuum`` / ``mtable_sink`` (exactly-once
+foreachBatch append / keyed merge / replay-safe additive combine).
+Keys may be numeric or string (footer stats decode; uncomparable
+stats conservatively match). Model-checked against a dict reference
+and crash-tested (orphan generations reader-invisible, vacuumed).
+
 Single-writer by contract (the reference pipeline's lock-document
 protocol — ``pipeline/state.py`` — is the coordination layer when
 multiple jobs may write). No reference analog; extension mandated by
