@@ -154,3 +154,74 @@ class TestTextIndexAppend:
         audit = audit_text_index(spark, idx)
         assert not audit["consistent"]  # replay: duplicate doc_ids
         assert audit["doc_lengths_rows"] == audit["distinct_doc_ids"] + 5
+
+
+class TestIndexedHybridRetrieval:
+    def test_lexical_arm_identical_and_fusion_arithmetic_exact(
+        self, spark, tmp_path, sf_dir, index_dir
+    ):
+        """The composed serving path: its lexical arm must equal the
+        declared q_bm25 rows exactly (index consistency), and every
+        fused score must recompute from the two arm rank tables via
+        the integer RRF formula — so the composition adds no
+        arithmetic of its own."""
+        from w4h_etl_container_spark.pipeline.textindex import (
+            bm25_topk_from_index,
+            rrf_fusion_indexed,
+        )
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            build_vector_index,
+            search_index,
+        )
+        from w4h_etl_container_spark.plans.retrieval import (
+            BM25_QUERIES,
+            q_bm25,
+        )
+
+        tidx, _ = index_dir
+        vidx = str(tmp_path / "vidx")
+        build_vector_index(spark, sf_dir, vidx, n_centroids=4, iters=2)
+
+        fused = rrf_fusion_indexed(spark, sf_dir, tidx, vidx).collect()
+        assert fused
+
+        lex = {
+            (r["query_id"], r["doc_id"]): r["rnk"]
+            for r in q_bm25(spark, sf_dir).collect()
+        }
+        lex_idx = {
+            (r["query_id"], r["doc_id"]): r["rnk"]
+            for r in bm25_topk_from_index(
+                spark, tidx, BM25_QUERIES
+            ).collect()
+        }
+        assert lex == lex_idx  # index consistency through the arm
+
+        # vector arm ranks, recomputed independently
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as FF
+
+        qids = [q for q, _ in BM25_QUERIES]
+        raw = search_index(
+            spark, sf_dir, vidx, n_queries=max(qids) + 1, nprobe=2,
+            top_k=10, rerank=40,
+        ).where(FF.col("query_id").isin(qids))
+        wv = W.partitionBy("query_id").orderBy(
+            FF.col("dist2_e6").asc_nulls_last(), "cand_id"
+        )
+        vec = {
+            (r["query_id"], r["cand_id"]): r["vr"]
+            for r in raw.withColumn("vr", FF.row_number().over(wv))
+            .where(FF.col("vr") <= 10)
+            .collect()
+        }
+        for r in fused:
+            key = (r["query_id"], r["doc_id"])
+            want = 0
+            if r["in_lexical"]:
+                want += 1_000_000_000 // (60 + lex[key])
+            if r["in_vector"]:
+                want += 1_000_000_000 // (60 + vec[key])
+            assert r["rrf_e9"] == want, (key, r["rrf_e9"], want)
+            assert r["in_lexical"] == (key in lex)
+            assert r["in_vector"] == (key in vec)

@@ -239,3 +239,84 @@ def audit_text_index(spark: SparkSession, index_dir: str) -> dict:
         "consistent": man["n_docs"] == row["n"] == row["nd"] == srow["n_docs"]
         and man["total_tokens"] == row["t"] == srow["total_tokens"],
     }
+
+
+def rrf_fusion_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    text_index_dir: str,
+    vector_index_dir: str,
+    queries=None,
+    top_k: int = BM25_TOP_K,
+    nprobe: int = 2,
+    rerank: int | None = 40,
+    rrf_k: int = 60,
+    rrf_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """The PRODUCTION hybrid-retrieval serving path: reciprocal-rank
+    fusion over MATERIALIZED artifacts — the lexical arm reads the
+    token-clustered inverted index (``bm25_topk_from_index``, pinned
+    row-identical to the declared q_bm25) and the vector arm probes
+    the IVF-PQ index with exact re-rank
+    (``pipeline.vectorindex.search_index``, the IVFADC+R path whose
+    recall curve PERF.md measures). Fusion arithmetic is the declared
+    q_rrf_fusion contract verbatim: integer points
+    ``rrf_scale div (rrf_k + rank)`` per arm, summed, doc_id
+    tie-break — so the composed path differs from the declared query
+    ONLY by where each arm's candidates come from (index probes vs
+    corpus scans), which is the entire point of the artifacts.
+
+    At 100 TB: the lexical arm reads Σ df(term) pruned posting rows,
+    the vector arm reads nprobe/k of the corpus as 8-byte codes plus
+    an R-row exact re-rank — neither arm scans the corpus, and the
+    fusion itself touches ≤ 2·queries·top_k rows."""
+    from pyspark.sql import Window
+
+    from w4h_etl_container_spark.pipeline.vectorindex import search_index
+    from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+
+    queries = BM25_QUERIES if queries is None else queries
+    lex = bm25_topk_from_index(spark, text_index_dir, queries, top_k).select(
+        "query_id", "doc_id", F.col("rnk").alias("lex_rnk")
+    )
+    qids = [qid for qid, _ in queries]
+    vec_raw = search_index(
+        spark,
+        sf_dir,
+        vector_index_dir,
+        n_queries=max(qids) + 1,
+        nprobe=nprobe,
+        top_k=top_k,
+        rerank=rerank,
+    ).where(F.col("query_id").isin(qids))
+    # search_index ranks within its own query set; re-rank within ours
+    order_col = "dist2_e6" if rerank is not None else "adc_e6"
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col(order_col).asc_nulls_last(), "cand_id"
+    )
+    vec = (
+        vec_raw.withColumn("vec_rnk", F.row_number().over(wv))
+        .where(F.col("vec_rnk") <= top_k)
+        .select("query_id", F.col("cand_id").alias("doc_id"), "vec_rnk")
+    )
+    pts = lambda rnk: F.expr(f"{rrf_scale}L div ({rrf_k} + {rnk})")  # noqa: E731
+    contribs = lex.select(
+        "query_id", "doc_id", pts("lex_rnk").alias("pts"),
+        F.lit(1).alias("lex"), F.lit(0).alias("vec"),
+    ).unionByName(
+        vec.select(
+            "query_id", "doc_id", pts("vec_rnk").alias("pts"),
+            F.lit(0).alias("lex"), F.lit(1).alias("vec"),
+        )
+    )
+    fused = contribs.groupBy("query_id", "doc_id").agg(
+        F.sum("pts").cast("long").alias("rrf_e9"),
+        (F.sum("lex") > 0).alias("in_lexical"),
+        (F.sum("vec") > 0).alias("in_vector"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e9").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= top_k)
+        .select("query_id", "doc_id", "rrf_e9", "in_lexical", "in_vector", "rnk")
+    )
