@@ -174,3 +174,58 @@ class TestMediaMetadataSniffing:
         out = media_metadata(synthesize_media(spark, n=16)).collect()
         assert len(out) == 16
         assert all(r["format"] == "unknown" for r in out)
+
+
+class TestMediaByteNearDup:
+    def test_planted_byte_edits_pair_up(self, spark):
+        """Asset B = asset A with a few bytes patched mid-stream; asset
+        C = truncated A; asset D = unrelated bytes. A–B and A–C must
+        pair (long shared byte runs survive), D must pair with
+        nothing."""
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import media_near_dup
+
+        rng = np.random.default_rng(13)
+        a = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        b = bytearray(a)
+        b[2000:2004] = b"\x00\x01\x02\x03"  # 4 patched bytes
+        c = a[:2500]  # truncation
+        d = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        rows = [
+            (1, "application/octet-stream", bytearray(a)),
+            (2, "application/octet-stream", b),
+            (3, "application/octet-stream", bytearray(c)),
+            (4, "application/octet-stream", bytearray(d)),
+            (5, "application/octet-stream", None),  # hostile: no bytes
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, mime string, payload binary"
+        )
+        got = {
+            (r["media_a"], r["media_b"])
+            for r in media_near_dup(media).collect()
+        }
+        assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+        assert not any(4 in p or 5 in p for p in got)
+
+    def test_locality_guarantee_and_determinism(self):
+        """Pure-python check of the kernel: payloads sharing a run of
+        ≥ k + w − 1 bytes share ≥ 1 fingerprint (SIGMOD-2003 bound),
+        and the fingerprint set is identical across calls."""
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            _BYTE_K,
+            _BYTE_W,
+            _winnow_bytes,
+        )
+
+        rng = np.random.default_rng(7)
+        shared = rng.integers(0, 256, _BYTE_K + _BYTE_W - 1, dtype=np.uint8).tobytes()
+        p1 = rng.integers(0, 256, 100, dtype=np.uint8).tobytes() + shared
+        p2 = shared + rng.integers(0, 256, 80, dtype=np.uint8).tobytes()
+        f1, f2 = set(_winnow_bytes(p1)), set(_winnow_bytes(p2))
+        assert f1 & f2
+        assert _winnow_bytes(p1) == _winnow_bytes(p1)
+        assert _winnow_bytes(None) == [] and _winnow_bytes(b"short") == []

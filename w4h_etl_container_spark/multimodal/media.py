@@ -298,3 +298,95 @@ def media_metadata(media: DataFrame) -> DataFrame:
     return media.select("media_id", "mime", "payload").mapInPandas(
         kernel, schema=_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary near-dup: winnowing fingerprints over raw PAYLOAD BYTES — the
+# dedup family extended to the modality you cannot tokenize. No decode:
+# re-encoded/metadata-tweaked copies differ everywhere (that's
+# perceptual hashing's job, needs codecs); byte winnowing catches the
+# dominant real-world case — identical or locally-edited byte streams
+# (same asset re-uploaded, truncated, or with bytes patched).
+# ---------------------------------------------------------------------------
+_BYTE_K = 16  # byte k-gram length
+_BYTE_W = 8  # winnowing window (shared runs ≥ k+w−1 = 23 bytes guaranteed)
+_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("fp", LongType(), False),
+    ]
+)
+
+
+def _winnow_bytes(payload: bytes, k: int = _BYTE_K, w: int = _BYTE_W) -> list:
+    """Winnowing (SIGMOD 2003) over bytes with a polynomial rolling
+    hash in uint64 — pure integer arithmetic, deterministic across
+    platforms. Returns the sorted distinct window-minimum hashes."""
+    if payload is None or len(payload) < k + w - 1:
+        return []
+    b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.uint64)
+    # polynomial base = the FNV prime 1099511628211; k-gram hash h_i = Σ_j b[i+j]·base^(k−1−j), all in wrap-around
+    # uint64 — fully vectorized (windowed view × power vector), no
+    # per-byte Python loop in the Arrow kernel's hot path
+    # powers mod 2^64 via Python ints (wrap-around is the DEFINED
+    # arithmetic here; computing in numpy would emit overflow warnings
+    # for what is intentional modular math)
+    powvec = np.array(
+        [pow(1099511628211, k - 1 - j, 1 << 64) for j in range(k)],
+        dtype=np.uint64,
+    )
+    windows_b = np.lib.stride_tricks.sliding_window_view(b, k)
+    hs = (windows_b * powvec).sum(axis=1, dtype=np.uint64)
+    mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+    # int64 view for Spark LongType (bit pattern preserved)
+    return sorted(set(mins.astype(np.int64).tolist()))
+
+
+def byte_fingerprints(media: DataFrame, k: int = _BYTE_K, w: int = _BYTE_W) -> DataFrame:
+    """(media_id, fp) winnowing fingerprints of each payload — one
+    mapInPandas pass; a shared byte run of length ≥ k + w − 1 between
+    two payloads guarantees ≥ 1 shared fingerprint (the SIGMOD-2003
+    locality guarantee, now over bytes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fp in _winnow_bytes(payload, k, w):
+                    rows.append((media_id, fp))
+            yield pd.DataFrame(rows, columns=["media_id", "fp"])
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=_FP_SCHEMA)
+
+
+def media_near_dup(
+    media: DataFrame, df_cap: int = 100, min_common: int = 2
+) -> DataFrame:
+    """(media_a, media_b, n_common): asset pairs sharing ≥ ``min_common``
+    byte fingerprints — the binary-modality near-dup candidate table.
+    Same inverted-index discipline as every dedup operator: per-fp
+    posting lists with occupancy capped at ``df_cap`` (a fingerprint
+    shared by everything is container boilerplate — headers, codec
+    tables — not content), in-list pair expansion, one aggregate."""
+    fps = byte_fingerprints(media)
+    posting = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("media_id")).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= df_cap))
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(0, size(ms) - 2), i ->
+                  transform(sequence(i + 1, size(ms) - 1), j ->
+                    struct(ms[i] AS media_a, ms[j] AS media_b))))
+                """
+            )
+        ).alias("p")
+    ).select("p.media_a", "p.media_b")
+    return (
+        pairs.groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
