@@ -430,3 +430,244 @@ class TestMtableAggSink:
         assert got == {1: (5, 10.0), 2: (1, 5.0), 3: (1, 1.0)}
         man = read_manifest(d)
         assert man["epochs"] == [0, 1]
+
+
+class TestMtableJoinPath:
+    """Round-11: the driver-side exact-key collect is count-gated; wide
+    batches take a join-based file-match path that never ships keys to
+    the driver. The two paths must agree exactly."""
+
+    def _fresh(self, spark, tmp_path, name):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        df = cluster_by(
+            spark.range(0, 1000).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("orig").alias("tag"),
+            ),
+            ["k"],
+            n_files=10,
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, df, d)
+        return d
+
+    def test_join_path_matches_collect_path(self, spark, tmp_path):
+        """Same wide-ish batch merged through BOTH strategies lands the
+        same table content, the same files rewritten, and the manifest
+        records which path ran."""
+        updates = spark.range(0, 1000, 7).select(  # 143 keys across all files
+            F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("upd").alias("tag")
+        ).unionByName(
+            spark.createDataFrame([(5000, -2, "new")], "k long, v long, tag string")
+        )
+        da = self._fresh(spark, tmp_path, "collectpath")
+        db = self._fresh(spark, tmp_path, "joinpath")
+        man_a = mtable_merge(spark, da, updates, "k")  # default cap: collect
+        man_b = mtable_merge(spark, db, updates, "k", max_collect_keys=0)  # force join
+        assert man_a["key_match_path"] == "collect"
+        assert man_b["key_match_path"] == "join"
+        assert man_a["files_rewritten"] == man_b["files_rewritten"]
+        assert man_a["files_untouched"] == man_b["files_untouched"]
+        got_a = {r["k"]: (r["v"], r["tag"]) for r in mtable_read(spark, da).collect()}
+        got_b = {r["k"]: (r["v"], r["tag"]) for r in mtable_read(spark, db).collect()}
+        assert got_a == got_b and got_a[7] == (-1, "upd") and got_a[5000] == (-2, "new")
+        assert len(got_a) == 1001
+
+    def test_join_path_still_prunes(self, spark, tmp_path):
+        """The join path must keep the copy-on-write property: a batch
+        confined to one clustered file's range rewrites ONE file."""
+        d = self._fresh(spark, tmp_path, "joinprune")
+        man0 = read_manifest(d)
+        updates = spark.createDataFrame(
+            [(10, -1, "upd"), (11, -2, "upd")], "k long, v long, tag string"
+        )
+        man1 = mtable_merge(spark, d, updates, "k", max_collect_keys=0)
+        assert man1["key_match_path"] == "join"
+        assert man1["files_rewritten"] == 1
+        assert man1["files_untouched"] == len(man0["files"]) - 1
+
+    def test_delete_join_path_matches(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        keys = spark.range(0, 1000, 13).select(F.col("id").alias("k"))
+        da = self._fresh(spark, tmp_path, "delcollect")
+        db = self._fresh(spark, tmp_path, "deljoin")
+        mtable_delete(spark, da, keys, "k")
+        man_b = mtable_delete(spark, db, keys, "k", max_collect_keys=0)
+        assert man_b["key_match_path"] == "join"
+        a = sorted(r["k"] for r in mtable_read(spark, da).collect())
+        b = sorted(r["k"] for r in mtable_read(spark, db).collect())
+        assert a == b and len(a) == 1000 - len(range(0, 1000, 13))
+
+
+class TestMtableWriterConflict:
+    """Round-11: manifest compare-and-swap — two interleaved writers
+    produce one winner and one loud ConcurrentWriteError, never a
+    silently lost update."""
+
+    def test_stale_plan_refused(self, spark, table):
+        from w4h_etl_container_spark.pipeline.mtable import ConcurrentWriteError
+
+        man0 = read_manifest(table)  # both writers plan against v0
+        upd_a = spark.createDataFrame([(1, -1, "A")], "k long, v long, tag string")
+        upd_b = spark.createDataFrame([(2, -2, "B")], "k long, v long, tag string")
+        mtable_merge(spark, table, upd_a, "k", expected_version=man0["version"])
+        with pytest.raises(ConcurrentWriteError, match="another writer"):
+            mtable_merge(spark, table, upd_b, "k", expected_version=man0["version"])
+        # winner's update is live; loser wrote nothing
+        got = {r["k"]: r["tag"] for r in mtable_read(spark, table).collect()}
+        assert got[1] == "A" and got[2] == "orig"
+        assert read_manifest(table)["version"] == 1
+
+    def test_version_slot_cas_one_winner(self, spark, table):
+        """The commit-time race itself: two writers that both try to
+        publish the SAME version number — exclusive manifest creation
+        admits exactly one."""
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        M._write_manifest(table, 1, read_manifest(table)["files"], {"op": "a"})
+        with pytest.raises(M.ConcurrentWriteError, match="already"):
+            M._write_manifest(table, 1, [], {"op": "b"})
+        # the winner's manifest content is intact, pointer sane
+        man = read_manifest(table)
+        assert man["version"] == 1 and man["op"] == "a" and man["files"]
+
+
+class TestMtableVacuumAnchoring:
+    """Round-11 (ADVICE): vacuum retention anchors on the _latest
+    POINTER, not the highest manifest present — a crash between
+    manifest write and pointer flip must never let vacuum delete the
+    live version's files."""
+
+    def test_orphan_manifest_above_pointer_never_anchors(self, spark, table):
+        import json as _json
+        import os as _os
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        upd = spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string")
+        mtable_merge(spark, table, upd, "k")  # live = v1
+        live = read_manifest(table)
+        # crash simulation: manifest v2 exists (listing ONLY fresh orphan
+        # files), but the pointer never flipped — still says v1
+        orphan_files = M._new_data_files(
+            table, spark.createDataFrame([(9, 9, "ghost")], "k long, v long, tag string")
+        )
+        with open(M._manifest_path(table, 2), "w") as f:
+            _json.dump({"version": 2, "files": orphan_files, "op": "crash"}, f)
+        assert M._current_version(table) == 1
+        out = mtable_vacuum(table, retain_versions=1)
+        # the POINTED-TO version survives whole and still reads
+        assert 1 in out["retained_versions"]
+        assert mtable_read(spark, table).count() == 1000
+        assert {r["v"] for r in mtable_read(spark, table).where(F.col("k") == 1).collect()} == {-1}
+        # the orphan manifest and its files are gone
+        assert not _os.path.exists(M._manifest_path(table, 2))
+        assert set(orphan_files) <= set(out["removed_files"])
+
+    def test_unparseable_orphan_tolerated(self, spark, table):
+        import os as _os
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        with open(M._manifest_path(table, 1), "w") as f:
+            f.write('{"version": 1, "files": [')  # half-written crash debris
+        out = mtable_vacuum(table, retain_versions=1)
+        assert out["retained_versions"] == [0]
+        assert not _os.path.exists(M._manifest_path(table, 1))
+        assert mtable_read(spark, table).count() == 1000
+
+
+class TestMtableFooterTrust:
+    """Round-11 (ADVICE): a file range built from PARTIAL row-group
+    stats is not a range — any stats-less row group, or a file missing
+    the key column, makes the file unprunable (matched, read, never
+    skipped)."""
+
+    def test_statless_row_group_is_unprunable(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from w4h_etl_container_spark.pipeline.mtable import _file_key_ranges
+
+        d = tmp_path / "ft"
+        d.mkdir()
+        t = pa.table({"k": [1, 2, 3], "v": [10, 20, 30]})
+        pq.write_table(t, d / "with_stats.parquet")
+        pq.write_table(t, d / "no_stats.parquet", write_statistics=False)
+        rng = _file_key_ranges(str(tmp_path), ["ft/with_stats.parquet", "ft/no_stats.parquet"], "k")
+        assert rng["ft/with_stats.parquet"] == (1, 3)
+        assert rng["ft/no_stats.parquet"] is None  # conservative: matched
+
+    def test_missing_key_column_is_unprunable(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from w4h_etl_container_spark.pipeline.mtable import _file_key_ranges
+
+        d = tmp_path / "mk"
+        d.mkdir()
+        pq.write_table(pa.table({"other": [1]}), d / "drifted.parquet")
+        rng = _file_key_ranges(str(tmp_path), ["mk/drifted.parquet"], "k")
+        assert rng["mk/drifted.parquet"] is None  # no IndexError, matched
+
+    def test_merge_reads_statless_file(self, spark, tmp_path):
+        """End-to-end: a key living ONLY in a stats-less file must be
+        replaced by the merge, not duplicated next to the upsert."""
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create, mtable_merge, mtable_read,
+        )
+
+        d = str(tmp_path / "statless")
+        mtable_create(
+            spark, spark.createDataFrame([(1, 10, "orig")], "k long, v long, tag string"), d
+        )
+        # splice in a stats-less data file holding key 2
+        sub = _os.path.join(d, "data-statless")
+        _os.makedirs(sub)
+        pq.write_table(
+            pa.table({"k": pa.array([2], pa.int64()), "v": pa.array([20], pa.int64()),
+                      "tag": ["orig"]}),
+            _os.path.join(sub, "part.parquet"),
+            write_statistics=False,
+        )
+        man = M.read_manifest(d)
+        M._write_manifest(d, 1, man["files"] + ["data-statless/part.parquet"], {"op": "splice"})
+        upd = spark.createDataFrame([(2, -2, "upd")], "k long, v long, tag string")
+        mtable_merge(spark, d, upd, "k")
+        got = {r["k"]: (r["v"], r["tag"]) for r in mtable_read(spark, d).collect()}
+        assert got == {1: (10, "orig"), 2: (-2, "upd")}  # no duplicate key 2
+
+
+class TestMtableSinkEmptyBatch:
+    def test_empty_micro_batch_is_noop(self, spark, tmp_path):
+        """Spark delivers empty micro-batches (no-data ticks, watermark
+        advances, recovery); the sink must not abort the query on them
+        in any mode."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_sink
+
+        d = str(tmp_path / "emptysink")
+        empty = spark.createDataFrame([], "k long, n long")
+        # before the table exists: no manifest is created
+        sink = mtable_sink(spark, d, key="k", combine={"n": "sum"})
+        sink(empty, 0)
+        with pytest.raises(FileNotFoundError):
+            read_manifest(d)
+        # after content exists: version and epochs unchanged
+        sink(spark.createDataFrame([(1, 5)], "k long, n long"), 1)
+        man1 = read_manifest(d)
+        sink(empty, 2)
+        assert read_manifest(d) == man1
+        # merge mode too
+        sink_m = mtable_sink(spark, d, key="k")
+        sink_m(empty, 3)
+        assert read_manifest(d) == man1

@@ -163,6 +163,42 @@ class TestMediaMetadataSniffing:
         assert sniff_header(b"")[0] == "unknown"
         assert sniff_header(None)[0] == "unknown"
 
+    def test_all_sofn_markers_carry_dimensions(self):
+        """ADVICE r10: every SOFn variant (lossless C3, differential
+        C5-C7, arithmetic C9-CB/CD-CF) carries dimensions at the same
+        offsets — only DHT (C4), JPG-ext (C8) and DAC (CC) don't."""
+        from w4h_etl_container_spark.multimodal.media import sniff_header
+
+        def jpeg_with(sof_marker, w, h):
+            app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+            sof = (
+                bytes([0xFF, sof_marker])
+                + (11).to_bytes(2, "big")
+                + bytes([8])
+                + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big")
+                + bytes([1, 0x11, 0])
+            )
+            return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+        for m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                  0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            assert sniff_header(jpeg_with(m, 21, 34)) == ("jpeg", 21, 34, None, None), hex(m)
+
+    def test_jpeg_walk_stops_at_sos(self):
+        """A DHT-then-SOS stream with NO SOF must terminate at SOS and
+        report unknown dimensions — never stride into entropy-coded
+        data (whose bytes could alias a segment header)."""
+        from w4h_etl_container_spark.multimodal.media import sniff_header
+
+        dht = b"\xff\xc4" + (4).to_bytes(2, "big") + bytes(2)
+        sos = b"\xff\xda" + (4).to_bytes(2, "big") + bytes(2)
+        # entropy bytes crafted to LOOK like a giant SOF0 if mis-walked
+        entropy = b"\xff\xc0\xff\xff" + bytes(8)
+        assert sniff_header(b"\xff\xd8" + dht + sos + entropy + b"\xff\xd9") == (
+            "jpeg", None, None, None, None,
+        )
+
     def test_synthesized_corpus_is_unknown_format(self, spark):
         """The fixture's pseudo-payloads are random bytes — the sniffer
         must say so rather than hallucinate a format."""

@@ -2203,6 +2203,48 @@ class TestWeightedPrioritySample:
             min_margin = min(min_margin, abs(x - round(x)))
         assert min_margin > 1e-5, min_margin
 
+    def test_fractional_weights_rank_proportionally(self, spark):
+        """ADVICE r10: quality scores in (0, 1) must keep their
+        proportional-to-weight inclusion instead of truncating to a
+        zero divisor. The e6-grid path's full ranking must equal the
+        exact float A-ES ranking ln(u)/w on a planted fixture."""
+        import hashlib
+        import math
+
+        from w4h_etl_container_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        rows = [("g", i, [0.9, 0.5, 0.1, 0.05, 1.9, 3.25][i % 6]) for i in range(24)]
+        df = spark.createDataFrame(rows, "grp string, k long, w double")
+        got = [
+            r["k"]
+            for r in weighted_priority_sample(df, 24, "grp", "k", "w")
+            .orderBy("rank")
+            .collect()
+        ]
+        def prio(key, w):
+            h = int(hashlib.md5(f"w0:{key}".encode()).hexdigest()[:15], 16)
+            return math.log((h + 1) / float(1 << 60)) / w
+        want = [k for _, k, w in sorted(rows, key=lambda r: (-prio(r[1], r[2]), r[1]))]
+        assert got == want and len(got) == 24
+
+    def test_fractional_weight_dominance_and_grid_zero(self, spark):
+        from w4h_etl_container_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        rows = [("g", i, 0.001) for i in range(1, 30)] + [
+            ("g", 99, 0.999),      # dominant quality score
+            ("g", 100, 4e-7),      # below the e6 grid: dropped
+            ("g", 101, 0.0),
+        ]
+        df = spark.createDataFrame(rows, "grp string, k long, w double")
+        all_ranked = weighted_priority_sample(df, 50, "grp", "k", "w").collect()
+        assert {r["k"] for r in all_ranked} == set(range(1, 30)) | {99}
+        top = min(all_ranked, key=lambda r: r["rank"])
+        assert top["k"] == 99
+
 
 class TestFuzzyJoin:
     def test_planted_typo_entities_match_bruteforce(self, spark):

@@ -352,3 +352,123 @@ class TestRerankHostileVectors:
         assert by_rank[0]["cand_id"] == 7
         assert by_rank[-1]["cand_id"] == 9
         assert by_rank[-1]["dist2_e6"] is None
+
+
+class TestIndexDeletes:
+    """Round-11: ANN index deletes — tombstone phase makes a deleted
+    vec_id immediately unservable; the compaction phase physically
+    rewrites only affected centroid_id= partitions. audit_index stays
+    consistent through the whole cycle."""
+
+    def _build(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import build_vector_index
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "delbase")
+        write_planted_embeddings(d, n_clusters=8, per_cluster=20, seed=11)
+        out = str(tmp_path / "delidx")
+        build_vector_index(spark, d, out, n_centroids=8, m=8, k=16, iters=2)
+        return d, out
+
+    def test_delete_search_audit_cycle(self, spark, tmp_path):
+        import os
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            audit_index,
+            compact_index_deletes,
+            delete_from_index,
+            search_index,
+        )
+
+        d, out = self._build(spark, tmp_path)
+        before = search_index(spark, d, out, n_queries=4, nprobe=8, top_k=5)
+        victims = sorted({r["cand_id"] for r in before.collect()})[:6]
+        assert victims
+        a0 = audit_index(spark, out)
+        assert a0["consistent"] and a0["n_tombstones"] == 0
+
+        man = delete_from_index(
+            spark, out, spark.createDataFrame([(v,) for v in victims], "vec_id long")
+        )
+        assert man["n_vectors"] == a0["manifest_n"] - len(victims)
+        # tombstoned: never served, audit still consistent (live counts)
+        after = search_index(spark, d, out, n_queries=4, nprobe=8, top_k=5)
+        served = {r["cand_id"] for r in after.collect()}
+        assert served.isdisjoint(victims)
+        a1 = audit_index(spark, out)
+        assert a1["consistent"] and a1["n_tombstones"] == len(victims)
+        assert a1["cells_n"] == a0["cells_n"] - len(victims)
+
+        # rerank serving path also never returns a deleted id
+        rr = search_index(spark, d, out, n_queries=4, nprobe=8, top_k=5, rerank=10)
+        assert {r["cand_id"] for r in rr.collect()}.isdisjoint(victims)
+
+        # physical compaction: same results, tombstones gone
+        man2 = compact_index_deletes(spark, out)
+        assert man2["n_tombstones"] == 0
+        assert not os.path.exists(os.path.join(out, "tombstones"))
+        post = search_index(spark, d, out, n_queries=4, nprobe=8, top_k=5)
+        assert sorted(map(tuple, post.collect())) == sorted(map(tuple, after.collect()))
+        a2 = audit_index(spark, out)
+        assert a2["consistent"] and a2["cells_n"] == a1["cells_n"]
+
+    def test_compaction_rewrites_only_affected_partitions(self, spark, tmp_path):
+        """Files in partitions untouched by the delete keep their
+        inode-level mtimes (the mtable copy-on-write property on the
+        IVF layout); a fully-emptied partition directory disappears."""
+        import json as _json
+        import os
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            compact_index_deletes,
+            delete_from_index,
+        )
+
+        d, out = self._build(spark, tmp_path)
+        with open(os.path.join(out, "MANIFEST.json")) as f:
+            cells_path = _json.load(f)["artifacts"]["cells"]
+        cells = spark.read.parquet(cells_path)
+        by_cell = {
+            r["centroid_id"]: r["n"]
+            for r in cells.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+        }
+        # empty one whole cell, leave every other partition untouched
+        victim_cid = min(by_cell, key=by_cell.get)
+        victims = cells.where(F.col("centroid_id") == victim_cid).select("vec_id")
+        n_victims = victims.count()
+        def _mtimes():
+            t = {}
+            for entry in os.listdir(cells_path):
+                sub = os.path.join(cells_path, entry)
+                if entry.startswith("centroid_id=") and os.path.isdir(sub):
+                    for fn in os.listdir(sub):
+                        if fn.endswith(".parquet"):
+                            rel = os.path.join(entry, fn)
+                            t[rel] = os.stat(os.path.join(cells_path, rel)).st_mtime_ns
+            return t
+        t0 = _mtimes()
+        delete_from_index(spark, out, victims)
+        man = compact_index_deletes(spark, out)
+        assert man["compactions"][-1]["partitions_rewritten"] == 1
+        assert not os.path.isdir(os.path.join(cells_path, f"centroid_id={victim_cid}"))
+        t1 = _mtimes()
+        untouched = {k: v for k, v in t0.items() if not k.startswith(f"centroid_id={victim_cid}")}
+        assert untouched == t1  # byte-identical survivors, inode-level
+        assert spark.read.parquet(cells_path).count() == sum(by_cell.values()) - n_victims
+
+    def test_delete_of_absent_ids_refused_and_append_guard(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            append_to_index,
+            delete_from_index,
+        )
+
+        d, out = self._build(spark, tmp_path)
+        with pytest.raises(ValueError, match="no live vec_ids"):
+            delete_from_index(
+                spark, out, spark.createDataFrame([(10**9,)], "vec_id long")
+            )
+        # deleting then re-appending the same id without compaction is loud
+        delete_from_index(spark, out, spark.createDataFrame([(0,)], "vec_id long"))
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").where(F.col("vec_id") == 0)
+        with pytest.raises(ValueError, match="tombstoned"):
+            append_to_index(spark, out, emb)

@@ -239,8 +239,18 @@ def sniff_header(payload: bytes | None) -> tuple:
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
+                if marker in (0xDA, 0xD9):
+                    # SOS/EOI: entropy-coded data (or end) follows — the
+                    # segment walk must stop, never stride into it
+                    break
                 seglen = int.from_bytes(b[i + 2 : i + 4], "big")
-                if marker in (0xC0, 0xC1, 0xC2) and i + 9 <= len(b):
+                # every SOFn variant carries dimensions at the same
+                # offsets: C0-CF except C4 (DHT), C8 (JPG ext), CC (DAC)
+                if (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)
+                    and i + 9 <= len(b)
+                ):
                     h = int.from_bytes(b[i + 5 : i + 7], "big")
                     w = int.from_bytes(b[i + 7 : i + 9], "big")
                     return ("jpeg", w, h, None, None)

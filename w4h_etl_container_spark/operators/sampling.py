@@ -248,6 +248,15 @@ def weighted_priority_sample(
     on the priority break on ``key``. Rows with weight ≤ 0 (or NULL)
     have zero inclusion probability and are dropped up front.
 
+    Weight typing (ADVICE r10): an INTEGRAL weight column divides the
+    e9-scaled numerator directly (full resolution — the token/char
+    counts every current caller passes). A FRACTIONAL weight column is
+    pre-scaled to the e6 integer grid (``round(w·1e6)`` as divisor,
+    e11-scaled numerator so int64 never overflows: |L|·1e11 ≤ 4.2e18),
+    so quality scores in (0, 1) keep their proportional inclusion
+    instead of truncating to a zero divisor; weights < 5e-7 round to
+    grid zero and are dropped with the ≤ 0 rows.
+
     Scale shape — two-level top-k, no full-group sort: rows first rank
     inside (group, h mod ``fanout``) partitions, so each window task
     sorts ~1/fanout of a group and keeps ≤ k; the global rank then
@@ -266,15 +275,20 @@ def weighted_priority_sample(
     # L = round(ln(u)·1e6): the only transcendental rounding, on a value
     # of bounded magnitude (|L| < 4.2e7, so (-L)·1e9 < 4.2e16 ≪ int64)
     lq = F.floor(F.log(u) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    keyed = (
-        df.where(F.col(weight) > 0)
-        .withColumn("_lq", lq)
-        .withColumn(
-            "_prio",
-            -F.expr(
-                f"((-_lq) * 1000000000L) div CAST(`{weight}` AS BIGINT)"
-            ),
+    integral = dict(df.dtypes).get(weight) in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    if integral:
+        prio = -F.expr(f"((-_lq) * 1000000000L) div CAST(`{weight}` AS BIGINT)")
+        kept = df.where(F.col(weight) > 0)
+    else:
+        prio = -F.expr(
+            f"((-_lq) * 100000000000L) div CAST(round(`{weight}` * 1000000) AS BIGINT)"
         )
+        kept = df.where(F.expr(f"round(`{weight}` * 1000000)") > 0)
+    keyed = (
+        kept.withColumn("_lq", lq)
+        .withColumn("_prio", prio)
         .drop("_lq")
         .withColumn("_salt", F.pmod(h, F.lit(fanout)))
     )

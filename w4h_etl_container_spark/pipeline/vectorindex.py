@@ -161,7 +161,7 @@ def search_index(
             F.explode(probe_udf("embedding")).alias("centroid_id"),
         )
     )
-    cells = spark.read.parquet(man["artifacts"]["cells"]).select(
+    cells = _live_cells(spark, index_dir, man).select(
         F.col("vec_id").alias("cand_id"), "code", "centroid_id"
     )
     scored = (
@@ -258,6 +258,16 @@ def append_to_index(
     n_new = batch.count()
     if n_new == 0:
         raise ValueError("append_to_index: empty vector batch")
+    if man.get("n_tombstones", 0) > 0:
+        # a tombstone would silently hide a re-appended id — refuse
+        # loudly; compact_index_deletes first, then re-append
+        tomb = spark.read.parquet(_tombstone_path(index_dir)).select("vec_id")
+        n_dead = batch.join(F.broadcast(tomb), "vec_id", "left_semi").count()
+        if n_dead:
+            raise ValueError(
+                f"append_to_index: {n_dead} vec_ids in the batch are "
+                "tombstoned; run compact_index_deletes before re-appending"
+            )
     batch.write.mode("append").partitionBy("centroid_id").parquet(
         man["artifacts"]["cells"]
     )
@@ -268,15 +278,123 @@ def append_to_index(
     return man
 
 
+def _tombstone_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def _live_cells(spark: SparkSession, index_dir: str, man: dict):
+    """The cells table minus tombstoned vec_ids — the single read path
+    every consumer (search, audit, compaction) goes through, so a
+    deleted vector can never leak back into a result. The tombstone
+    set is delete-batch-sized (broadcast anti-join); when no deletes
+    are pending the read is the plain partition-pruned scan."""
+    cells = spark.read.parquet(man["artifacts"]["cells"])
+    if man.get("n_tombstones", 0) > 0:
+        tomb = spark.read.parquet(_tombstone_path(index_dir)).select("vec_id")
+        cells = cells.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return cells
+
+
+def delete_from_index(
+    spark: SparkSession, index_dir: str, vec_ids: DataFrame
+) -> dict:
+    """DELETE vectors from a published index — the mtable DELETE
+    discipline composed with the IVF layout. Phase 1 (this call) is a
+    TOMBSTONE append: O(batch) work, zero touch of the cell files;
+    ``search_index`` / ``audit_index`` anti-join the tombstones so a
+    deleted vec_id is immediately unservable. Phase 2
+    (``compact_index_deletes``) physically rewrites ONLY the affected
+    ``centroid_id=`` partitions and clears the tombstones — exactly
+    the copy-on-write footprint mtable_delete has on its matched
+    files. Ids not present (or already dead) are idempotent no-ops;
+    the manifest's n_vectors tracks LIVE vectors throughout.
+
+    At 10^10 vectors: deletes are a streamed tombstone append; the
+    partition rewrite amortizes over many delete batches and touches
+    nprobe-style slices of the corpus, never the whole index."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    # only ids that are actually live become tombstones (idempotence)
+    live = _live_cells(spark, index_dir, man).select("vec_id")
+    dead = vec_ids.select("vec_id").distinct().join(live, "vec_id", "left_semi")
+    n_dead = dead.count()
+    if n_dead == 0:
+        raise ValueError("delete_from_index: no live vec_ids in the delete batch")
+    dead.write.mode("append").parquet(_tombstone_path(index_dir))
+    man["n_vectors"] = man["n_vectors"] - n_dead
+    man["n_tombstones"] = man.get("n_tombstones", 0) + n_dead
+    man.setdefault("deletes", []).append({"n": n_dead})
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    return man
+
+
+def compact_index_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Physically purge tombstoned vectors: rewrite ONLY the
+    ``centroid_id=`` partitions that contain a tombstoned row (dynamic
+    partition overwrite — untouched cells' files are never read or
+    rewritten), drop partition directories the purge fully emptied,
+    then clear the tombstone set. ``audit_index`` is consistent before
+    and after; ``search_index`` results are identical across the
+    compaction (the anti-join and the rewrite remove the same rows)."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    if man.get("n_tombstones", 0) == 0:
+        return man  # nothing pending
+    cells_path = man["artifacts"]["cells"]
+    cells = spark.read.parquet(cells_path)
+    tomb = spark.read.parquet(_tombstone_path(index_dir)).select("vec_id")
+    affected = sorted(
+        r["centroid_id"]
+        for r in cells.join(F.broadcast(tomb), "vec_id", "left_semi")
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    survivors = (
+        cells.where(F.col("centroid_id").isin(affected))
+        .join(F.broadcast(tomb), "vec_id", "left_anti")
+        .select("vec_id", "code", "centroid_id")
+    )
+    kept_cids = {
+        r["centroid_id"]
+        for r in survivors.select("centroid_id").distinct().collect()
+    }
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(cells_path)
+    )
+    # dynamic overwrite can't clear a partition that produced NO rows —
+    # fully-emptied cells are removed directly (same POSIX-artifact
+    # contract as the mtable layout)
+    import shutil
+
+    for cid in affected:
+        if cid not in kept_cids:
+            sub = os.path.join(cells_path, f"centroid_id={cid}")
+            if os.path.isdir(sub):
+                shutil.rmtree(sub)
+    shutil.rmtree(_tombstone_path(index_dir))
+    man["n_tombstones"] = 0
+    man.setdefault("compactions", []).append({"partitions_rewritten": len(affected)})
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    return man
+
+
 def audit_index(spark: SparkSession, index_dir: str) -> dict:
-    """Index consistency audit: manifest count vs cells rows vs
-    distinct vec_ids — one aggregate over the cells table. A replayed
-    append or a torn write shows up as n_cells ≠ n_distinct or
-    n_cells ≠ manifest n_vectors."""
+    """Index consistency audit: manifest LIVE count vs live cells rows
+    vs distinct vec_ids — one aggregate over the (tombstone-filtered)
+    cells table. A replayed append or a torn write shows up as
+    n_cells ≠ n_distinct or n_cells ≠ manifest n_vectors; a pending
+    delete batch is visible as n_tombstones > 0 but never breaks
+    consistency (the audit counts what search can serve)."""
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
     row = (
-        spark.read.parquet(man["artifacts"]["cells"])
+        _live_cells(spark, index_dir, man)
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.count_distinct("vec_id").alias("n_distinct"),
@@ -287,5 +405,6 @@ def audit_index(spark: SparkSession, index_dir: str) -> dict:
         "manifest_n": man["n_vectors"],
         "cells_n": row["n_cells"],
         "distinct_vec_ids": row["n_distinct"],
+        "n_tombstones": man.get("n_tombstones", 0),
         "consistent": man["n_vectors"] == row["n_cells"] == row["n_distinct"],
     }

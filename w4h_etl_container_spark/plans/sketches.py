@@ -115,10 +115,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
     ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(_DOMAIN) / F.col("kth_min").cast("double"))
     r6 = F.floor(est * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    # alias both sides: they share lineage (one events scan), and an
+    # unaliased eqNullSafe on same-named columns resolves both legs to
+    # the SAME attribute (Spark's "trivially true equals" warning)
+    m, x = mins.alias("kmv_m"), exact.alias("kmv_x")
     return (
-        mins.join(exact, mins["event_type"].eqNullSafe(exact["event_type"]))
+        m.join(x, F.col("kmv_m.event_type").eqNullSafe(F.col("kmv_x.event_type")))
         .select(
-            mins["event_type"],
+            F.col("kmv_m.event_type").alias("event_type"),
             "n_mins",
             "kth_min",
             r6.alias("est_users"),
