@@ -265,3 +265,114 @@ class TestMediaByteNearDup:
         assert f1 & f2
         assert _winnow_bytes(p1) == _winnow_bytes(p1)
         assert _winnow_bytes(None) == [] and _winnow_bytes(b"short") == []
+
+
+class TestRealDecode:
+    """Round-11: real content decode for the codec-free formats —
+    uncompressed 24-bit BMP pixels and RIFF/WAVE integer PCM — pinned
+    against independently-constructed numpy references (struct-packed
+    in the test, not by the code under test)."""
+
+    @staticmethod
+    def _bmp(px, top_down=False):
+        import struct
+
+        h, w, _ = px.shape
+        stride = (w * 3 + 3) & ~3
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        rows = b"".join(px[r].tobytes() + b"\x00" * (stride - w * 3) for r in order)
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h if not top_down else -h,
+                          1, 24, 0, len(rows), 2835, 2835, 0, 0)
+            + rows
+        )
+
+    @staticmethod
+    def _wav(samples, bits=16, sr=8000, ch=1):
+        import struct
+
+        import numpy as np
+
+        data = (samples.astype("<i2") if bits == 16 else samples.astype(np.uint8)).tobytes()
+        ba = ch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def test_bmp_roundtrip_including_padding_and_orientation(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import decode_bmp
+
+        rng = np.random.default_rng(7)
+        for w in (1, 2, 3, 4, 5):  # every padding residue
+            px = rng.integers(0, 256, size=(4, w, 3), dtype=np.uint8)
+            assert (decode_bmp(self._bmp(px)) == px).all(), w
+            assert (decode_bmp(self._bmp(px, top_down=True)) == px).all(), w
+
+    def test_bmp_hostile_bytes_refused(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import decode_bmp
+
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        good = self._bmp(px)
+        assert decode_bmp(good[:-3]) is None        # truncated pixel data
+        assert decode_bmp(b"garbage bytes") is None
+        assert decode_bmp(None) is None
+        bad_bpp = bytearray(good); bad_bpp[28] = 8   # 8-bit: not supported
+        assert decode_bmp(bytes(bad_bpp)) is None
+        rle = bytearray(good); rle[30] = 1           # compressed: refused
+        assert decode_bmp(bytes(rle)) is None
+
+    def test_wav_pcm_signed_and_8bit(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import decode_wav_pcm
+
+        s16 = np.array([-32768, -1, 0, 1, 32767, -1234], dtype=np.int64)
+        out, sr, ch = decode_wav_pcm(self._wav(s16))
+        assert (out == s16).all() and sr == 8000 and ch == 1
+        s8 = np.array([0, 128, 255], dtype=np.int64)
+        out8, _, _ = decode_wav_pcm(self._wav(s8, bits=8))
+        assert (out8 == s8).all()
+        assert decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVE") is None
+        # float PCM (format tag 3) refused, not misread
+        import struct
+        f32 = (b"RIFF" + struct.pack("<I", 40) + b"WAVE" + b"fmt "
+               + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+               + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+        assert decode_wav_pcm(f32) is None
+
+    def test_decode_stats_kernel_matches_numpy(self, spark):
+        """media_decode_stats over a mixed batch == per-asset numpy
+        stats, including the exact integer mean_e6 on SIGNED data."""
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import media_decode_stats
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+        s16 = np.array([-5, 7, 12, -1, 0], dtype=np.int64)
+        rows = [
+            (1, "image/bmp", bytearray(self._bmp(px))),
+            (2, "audio/wav", bytearray(self._wav(s16))),
+            (3, "text/plain", bytearray(b"not media")),
+            (4, "image/bmp", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, mime string, payload binary"
+        )
+        got = {r["media_id"]: r.asDict() for r in media_decode_stats(df).collect()}
+        v = px.reshape(-1).astype(np.int64)
+        assert got[1]["kind"] == "image" and got[1]["n_values"] == v.size
+        assert got[1]["v_min"] == v.min() and got[1]["v_max"] == v.max()
+        assert got[1]["v_sum"] == v.sum()
+        assert got[1]["mean_e6"] == (int(v.sum()) * 10**6) // v.size
+        assert got[2]["kind"] == "audio" and got[2]["v_sum"] == int(s16.sum())
+        assert got[2]["mean_e6"] == (int(s16.sum()) * 10**6) // s16.size  # floor, signed
+        assert got[3]["kind"] is None and got[3]["n_values"] is None
+        assert got[4]["kind"] is None and got[4]["n_values"] is None

@@ -472,3 +472,66 @@ class TestIndexDeletes:
         emb = spark.read.parquet(f"{d}/embeddings.parquet").where(F.col("vec_id") == 0)
         with pytest.raises(ValueError, match="tombstoned"):
             append_to_index(spark, out, emb)
+
+
+class TestFilteredSearch:
+    """Round-11: metadata-filtered ANN — allowed_ids pre-filters the
+    cell scan, so the top-k is exact over the allowed set (never the
+    fewer-than-k trap of post-filtering an unfiltered top-k)."""
+
+    def test_filtered_equals_bruteforce_on_allowed_set(self, spark, tmp_path):
+        import numpy as np
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            build_vector_index,
+            search_index,
+        )
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "fbase")
+        write_planted_embeddings(d, n_clusters=6, per_cluster=15, seed=5)
+        out = str(tmp_path / "fidx")
+        build_vector_index(spark, d, out, n_centroids=6, m=8, k=16, iters=2)
+
+        emb = {r["vec_id"]: np.array(r["embedding"]) for r in
+               spark.read.parquet(f"{d}/embeddings.parquet").collect()}
+        allowed = sorted(v for v in emb if v % 3 == 0)
+        allowed_df = spark.createDataFrame([(v,) for v in allowed], "vec_id long")
+
+        got = search_index(
+            spark, d, out, n_queries=4, nprobe=6, top_k=4,
+            rerank=len(emb), allowed_ids=allowed_df,
+        )
+        res = {}
+        for r in got.collect():
+            res.setdefault(r["query_id"], []).append((r["rnk"], r["cand_id"]))
+        for qid in range(4):
+            q = emb[qid]
+            cands = [(float(((q - emb[v]) ** 2).sum()), v)
+                     for v in allowed if v != qid]
+            want = [v for _, v in sorted(cands)[:4]]
+            gotq = [v for _, v in sorted(res[qid])]
+            assert gotq == want, qid
+            assert set(gotq) <= set(allowed)
+
+    def test_filter_composes_with_tombstones(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            build_vector_index,
+            delete_from_index,
+            search_index,
+        )
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "ftbase")
+        write_planted_embeddings(d, n_clusters=4, per_cluster=10, seed=8)
+        out = str(tmp_path / "ftidx")
+        build_vector_index(spark, d, out, n_centroids=4, m=8, k=16, iters=1)
+        allowed = spark.range(0, 40).select(F.col("id").alias("vec_id"))
+        first = search_index(spark, d, out, n_queries=2, nprobe=4, top_k=3,
+                             allowed_ids=allowed).collect()
+        victim = first[0]["cand_id"]
+        delete_from_index(spark, out,
+                          spark.createDataFrame([(victim,)], "vec_id long"))
+        after = search_index(spark, d, out, n_queries=2, nprobe=4, top_k=3,
+                             allowed_ids=allowed).collect()
+        assert victim not in {r["cand_id"] for r in after}

@@ -1,0 +1,176 @@
+"""Standing 10× volume-crossover bench — the per-round artifact behind
+PERF.md's fixed-cost-floor argument.
+
+The sf0.1 bench fixtures are small enough (600 KB text / 600 k events)
+that Spark's per-query fixed floor (~0.2-0.5 s of scheduling, codegen
+and exchange setup) dominates several corpus-operator ratios, while
+DuckDB's embedded floor is ~1-10 ms. The scale claim is that those
+ratios FALL with volume because Spark's marginal cost is the one that
+parallelizes. This job measures that claim every round instead of
+leaving it as prose: the heaviest declared queries run on BOTH engines
+at 1× (sf0.1) and at a synthesized 10× corpus, same boot, best-of-2,
+and the artifact records whether each ratio moved the right way.
+
+10× synthesis (deterministic, structure-preserving):
+* documents — perturb-duplicated with fresh doc_ids and salted leading
+  tokens (dedup structure stays non-trivial; no artificial n² pair
+  blowup);
+* events — user-space translated copies (per-user event counts and
+  funnel structure preserved; group cardinality grows 10×);
+* embeddings — rotation-perturbed copies (norms preserved, cosine
+  alignment broken, so near-dup pair structure does not explode
+  quadratically across copies).
+
+Usage: python tools/bench10x.py [round_tag]   (default r11)
+Writes BENCH_10X_<round_tag>.json at the repo root and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+BIG = "/tmp/bench10x_corpus"
+COPIES = 10
+
+# The heaviest declared queries by BENCH_r10 wall time that read the
+# standard tables (q_daily_highlow is excluded: it runs on the weather
+# pipeline's own grid fixture, which has no volume knob here).
+QUERIES = [
+    "q_split_leakfree",
+    "q_dedup_survivors",
+    "q_ngram_jaccard",
+    "q_percentile",
+    "q_embed_neardup",
+    "q_winnow",
+    "q_funnel",
+    "q_minhash_lsh",
+    "q_bm25",
+    "q_text_profile",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def synthesize(con) -> None:
+    os.makedirs(BIG, exist_ok=True)
+    if not os.path.exists(f"{BIG}/documents.parquet"):
+        docs = " UNION ALL ".join(
+            f"SELECT doc_id + {i * 1_000_000} AS doc_id, "
+            f"CASE WHEN {i} = 0 THEN text ELSE 'v{i} ' || text END AS text, "
+            f"lang, source, n_chars FROM _docs"
+            for i in range(COPIES)
+        )
+        con.execute(f"CREATE VIEW _docs AS SELECT * FROM '{BASE}/documents.parquet'")
+        con.execute(f"COPY ({docs}) TO '{BIG}/documents.parquet' (FORMAT PARQUET)")
+    if not os.path.exists(f"{BIG}/events.parquet"):
+        evs = " UNION ALL ".join(
+            f"SELECT event_id + {i * 100_000_000} AS event_id, ts, "
+            f"CASE WHEN user_id IS NULL THEN NULL ELSE user_id + {i * 10_000_000} END AS user_id, "
+            f"event_type, value, props FROM _evs"
+            for i in range(COPIES)
+        )
+        con.execute(f"CREATE VIEW _evs AS SELECT * FROM '{BASE}/events.parquet'")
+        con.execute(f"COPY ({evs}) TO '{BIG}/events.parquet' (FORMAT PARQUET)")
+    if not os.path.exists(f"{BIG}/embeddings.parquet"):
+        embs = " UNION ALL ".join(
+            f"SELECT vec_id + {i * 1_000_000} AS vec_id, "
+            + (
+                "embedding"
+                if i == 0
+                else f"embedding[{i + 1}:len(embedding)] || embedding[1:{i}] AS embedding"
+            )
+            + " FROM _embs"
+            for i in range(COPIES)
+        )
+        con.execute(f"CREATE VIEW _embs AS SELECT * FROM '{BASE}/embeddings.parquet'")
+        con.execute(f"COPY ({embs}) TO '{BIG}/embeddings.parquet' (FORMAT PARQUET)")
+    # untouched tables ride along so read_table resolves every name
+    for t in TABLES:
+        dst = f"{BIG}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+
+def best_of(fn, n=2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    import duckdb
+
+    from w4h_etl_container_spark.plans.registry import load_library
+    from w4h_etl_container_spark.session import get_spark
+
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r11"
+    spark = get_spark("bench10x")
+    con = duckdb.connect()
+    synthesize(con)
+
+    registry = load_library()
+    out: dict = {"factor": COPIES, "base": BASE, "queries": {}}
+    for scale, sf_dir in (("1x", BASE), ("10x", BIG)):
+        dcon = duckdb.connect()
+        for t in TABLES:
+            dcon.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in QUERIES:
+            q = registry[name]
+            rec = out["queries"].setdefault(name, {})
+            rec[f"spark_{scale}"] = best_of(
+                lambda: q.fn(spark, sf_dir).foreach(lambda r: None)
+            )
+            print(
+                f"# {name}@{scale}: spark {rec[f'spark_{scale}']}s",
+                file=sys.stderr, flush=True,
+            )
+            if q.sql is not None:
+                rec[f"duck_{scale}"] = best_of(lambda: dcon.sql(q.sql).fetchall())
+                rec[f"ratio_{scale}"] = round(
+                    rec[f"spark_{scale}"] / max(rec[f"duck_{scale}"], 1e-9), 2
+                )
+                print(
+                    f"# {name}@{scale}: duck {rec[f'duck_{scale}']}s "
+                    f"ratio {rec[f'ratio_{scale}']}",
+                    file=sys.stderr, flush=True,
+                )
+        dcon.close()
+
+    falling = {
+        n: (r.get("ratio_1x"), r.get("ratio_10x"))
+        for n, r in out["queries"].items()
+        if r.get("ratio_1x") is not None
+    }
+    out["ratio_monotone_falling"] = {
+        n: (a is not None and b is not None and b <= a) for n, (a, b) in falling.items()
+    }
+    out["spark_total_10x"] = round(
+        sum(r["spark_10x"] for r in out["queries"].values()), 3
+    )
+    out["duck_total_10x"] = round(
+        sum(r.get("duck_10x", 0.0) for r in out["queries"].values()), 3
+    )
+    path = os.path.join(REPO, f"BENCH_10X_{tag}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -7,8 +7,14 @@ compressed; metadata predicates prune scans without touching bytes).
 
 Processing runs through ``mapInPandas`` — Arrow ships (metadata, bytes)
 batches to Python, the kernel works per batch, output schema is explicit.
-Real decoders (PIL/ffmpeg) aren't in this container, so the decode kernel
-is a clearly-marked deterministic stub: tests exercise the full Spark
+
+Decode coverage (round 11): the codec-FREE formats decode for real —
+uncompressed 24-bit BMP pixel rows (``decode_bmp``) and RIFF/WAVE
+integer PCM samples (``decode_wav_pcm``), feeding exact per-asset value
+statistics (``media_decode_stats``, construction-oracled as
+``q_media_decode``). Compressed codecs (PNG deflate, JPEG DCT, MP4)
+need libraries not in this container, so their decode kernel remains a
+clearly-marked deterministic stub: tests exercise the full Spark
 plumbing (schema, batching, partition sizing, UDF signatures) and a
 deployment swaps ``_decode_bytes`` for the real library call.
 """
@@ -399,4 +405,163 @@ def media_near_dup(
         pairs.groupBy("media_a", "media_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real content decode — the two container formats whose payloads need no
+# codec library: uncompressed 24-bit BI_RGB BMP (raw pixel rows) and
+# RIFF/WAVE PCM (raw integer samples). These close the multimodal
+# story's last stub for the formats where "decode" is pure public
+# struct layout; compressed formats (PNG deflate, JPEG DCT, MP4) keep
+# the documented NotImplementedError decoder contract.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes | None) -> "np.ndarray | None":
+    """Decode an UNCOMPRESSED 24-bit BI_RGB BMP to an (h, w, 3) uint8
+    array in BGR channel order (the on-disk order). Handles bottom-up
+    (positive height — rows stored last-to-first) and top-down
+    (negative height) layouts and the 4-byte row padding. Returns None
+    for anything that is not a well-formed uncompressed 24-bit BMP
+    (wrong magic, other bit depths, RLE/compressed, truncated pixel
+    data) — hostile bytes are the normal case in a crawled corpus."""
+    try:
+        if payload is None or len(payload) < 54:
+            return None
+        b = bytes(payload)
+        if b[:2] != b"BM":
+            return None
+        data_off = int.from_bytes(b[10:14], "little")
+        bih_size = int.from_bytes(b[14:18], "little")
+        if bih_size < 40:
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        compression = int.from_bytes(b[30:34], "little")
+        if w <= 0 or h == 0 or bpp != 24 or compression != 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        row_bytes = w * 3
+        stride = (row_bytes + 3) & ~3
+        need = data_off + stride * h
+        if data_off < 54 or len(b) < need:
+            return None
+        raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+        return rows if top_down else rows[::-1]
+    except Exception:
+        return None
+
+
+def decode_wav_pcm(payload: bytes | None):
+    """Decode RIFF/WAVE integer PCM (format tag 1; 8- or 16-bit) to
+    ``(samples int64 ndarray, sample_rate, channels)``. 8-bit WAV is
+    unsigned (0..255), 16-bit is signed little-endian — both per the
+    public RIFF spec. Multi-channel data stays interleaved (stats over
+    all channels). Returns None for non-PCM, other bit depths, or
+    malformed/truncated chunks."""
+    try:
+        if payload is None or len(payload) < 44:
+            return None
+        b = bytes(payload)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i = 12
+        fmt = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            body = b[i + 8 : i + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                tag = int.from_bytes(body[0:2], "little")
+                ch = int.from_bytes(body[2:4], "little")
+                sr = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                if tag != 1 or ch < 1 or bits not in (8, 16):
+                    return None
+                fmt = (ch, sr, bits)
+            elif cid == b"data":
+                if fmt is None or len(body) < clen:
+                    return None
+                ch, sr, bits = fmt
+                if bits == 8:
+                    samples = np.frombuffer(body, dtype=np.uint8)
+                else:
+                    samples = np.frombuffer(
+                        body[: clen & ~1], dtype="<i2"
+                    )
+                return samples.astype(np.int64), sr, ch
+            i += 8 + clen + (clen & 1)
+        return None
+    except Exception:
+        return None
+
+
+_DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("kind", StringType(), True),
+        StructField("n_values", LongType(), True),
+        StructField("v_min", LongType(), True),
+        StructField("v_max", LongType(), True),
+        StructField("v_sum", LongType(), True),
+        StructField("mean_e6", LongType(), True),
+    ]
+)
+
+
+def media_decode_stats(media: DataFrame) -> DataFrame:
+    """END-TO-END content decode → per-asset value statistics in one
+    ``mapInPandas`` pass: BMP payloads decode to pixels (all channels
+    pooled), WAV PCM payloads to samples, everything else reports NULL
+    stats with kind=NULL (sniffed-but-undecodable formats are data, not
+    errors). Stats are integer-exact: v_sum is the exact value sum and
+    mean_e6 = v_sum·10⁶ // n (floor division; identical to SQL ``//``
+    for the non-negative sums the oracle constructs, and pinned against
+    numpy on signed fixtures in pytest).
+
+    Scale shape: identical to ``extract_features`` — embarrassingly
+    parallel Arrow batches, payload bytes never enter the JVM row
+    format, output is 8 narrow columns per asset."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                vals = kind = None
+                px = decode_bmp(payload)
+                if px is not None:
+                    kind, vals = "image", px.reshape(-1).astype(np.int64)
+                else:
+                    wav = decode_wav_pcm(payload)
+                    if wav is not None:
+                        kind, vals = "audio", wav[0]
+                if vals is None or len(vals) == 0:
+                    rows.append((media_id, mime, kind, None, None, None, None, None))
+                    continue
+                n = int(len(vals))
+                s = int(vals.sum())
+                rows.append(
+                    (
+                        media_id, mime, kind, n,
+                        int(vals.min()), int(vals.max()), s,
+                        (s * 1_000_000) // n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mime", "kind", "n_values",
+                    "v_min", "v_max", "v_sum", "mean_e6",
+                ],
+            )
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        kernel, schema=_DECODE_STATS_SCHEMA
     )

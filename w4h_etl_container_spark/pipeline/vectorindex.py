@@ -122,10 +122,21 @@ def search_index(
     nprobe: int = 2,
     top_k: int = 5,
     rerank: int | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k from the published artifacts: probe the query's
     ``nprobe`` nearest cells (partition-pruned read of ``cells/``),
     rank by ADC over the stored codes. Self-matches excluded.
+
+    ``allowed_ids`` (a DataFrame with a ``vec_id`` column) turns this
+    into FILTERED ANN — the production shape where a metadata
+    predicate (language, license, date range) restricts the candidate
+    pool: the filter applies as a semi-join on the cell scan BEFORE
+    any distance work, so excluded vectors cost nothing downstream and
+    the top-k is exact over the allowed set within the probed cells
+    (pre-filtering, not post-filtering — a post-filter of an
+    unfiltered top-k can return fewer than k). Broadcast when small;
+    a corpus-scale allow-set shuffles on vec_id like any semi-join.
 
     ``rerank=R`` adds the IVFADC+R refinement (Jégou et al. 2011 §V):
     the ADC pass shortlists R candidates per query, which join back to
@@ -161,7 +172,12 @@ def search_index(
             F.explode(probe_udf("embedding")).alias("centroid_id"),
         )
     )
-    cells = _live_cells(spark, index_dir, man).select(
+    live = _live_cells(spark, index_dir, man)
+    if allowed_ids is not None:
+        live = live.join(
+            allowed_ids.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
+    cells = live.select(
         F.col("vec_id").alias("cand_id"), "code", "centroid_id"
     )
     scored = (

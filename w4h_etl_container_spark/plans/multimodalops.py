@@ -199,3 +199,120 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_rate_hz").cast("double").alias("sample_rate_hz"),
         F.col("channels").cast("double").alias("channels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-MEDIA — REAL content decode, oracle-checked by construction
+# (round 11): the Spark side DECODES genuine uncompressed 24-bit BMP
+# pixel rows and RIFF/WAVE 16-bit PCM samples planted with
+# doc_id-derived values; the oracle states the resulting value
+# statistics arithmetically. Hash parity proves the byte-level decoder
+# (row padding, bottom-up layout, chunk walk, LE integer fields)
+# exactly inverts the construction — the multimodal promise no longer
+# stops at the container header for the codec-free formats.
+# ---------------------------------------------------------------------------
+def _decodable_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    le16 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("int") % 256), 2, "0")
+    )
+    le32 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c % 256), 2, "0"),
+        F.lpad(F.hex((c / 256).cast("int") % 256), 2, "0"),
+        F.lpad(F.hex((c / 65536).cast("int") % 256), 2, "0"),
+        F.lpad(F.hex((c / 16777216).cast("int") % 256), 2, "0"),
+    )
+    hx2 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
+
+    # BMP: w×h solid-color 24-bit bottom-up with real 4-byte row padding
+    w = (F.col("doc_id") % 5 + 1).cast("int")
+    h = (F.col("doc_id") % 3 + 1).cast("int")
+    bb = (F.col("doc_id") % 256).cast("int")
+    gg = (F.col("doc_id") * 7 % 256).cast("int")
+    rr = (F.col("doc_id") * 13 % 256).cast("int")
+    pad = (4 - (w * 3) % 4) % 4
+    img = (w * 3 + pad) * h
+    row_hex = F.concat(F.repeat(F.concat(hx2(bb), hx2(gg), hx2(rr)), w), F.repeat(F.lit("00"), pad))
+    bmp = F.concat(
+        F.lit("424D"), le32(img + 54), F.lit("00000000"), le32(F.lit(54).cast("int")),
+        le32(F.lit(40).cast("int")), le32(w), le32(h),
+        F.lit("0100"), F.lit("1800"), le32(F.lit(0).cast("int")), le32(img),
+        F.lit("130B0000" * 2), le32(F.lit(0).cast("int")), le32(F.lit(0).cast("int")),
+        F.repeat(row_hex, h),
+    )
+    # WAV: n constant 16-bit mono samples of amplitude a at 8 kHz
+    n = (F.col("doc_id") % 50 + 4).cast("int")
+    a = (F.col("doc_id") % 2000).cast("int")
+    wav = F.concat(
+        F.lit("52494646"), le32(n * 2 + 36), F.lit("57415645"),
+        F.lit("666D7420"), le32(F.lit(16).cast("int")), F.lit("0100"), F.lit("0100"),
+        le32(F.lit(8000).cast("int")), le32(F.lit(16000).cast("int")),
+        F.lit("0200"), F.lit("1000"),
+        F.lit("64617461"), le32(n * 2), F.repeat(le16(a), n),
+    )
+    sel = F.col("doc_id") % 3
+    payload_hex = F.when(sel == 0, bmp).when(sel == 1, wav)
+    mime = (
+        F.when(sel == 0, F.lit("image/bmp"))
+        .when(sel == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("text/plain"))
+    )
+    payload = F.when(sel == 2, F.encode("text", "UTF-8")).otherwise(F.unhex(payload_hex))
+    return docs.select(
+        F.col("doc_id").alias("media_id"), mime.alias("mime"), payload.alias("payload")
+    )
+
+
+@register(
+    "q_media_decode",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                ELSE 'text/plain' END AS mime,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' END AS kind,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN (doc_id % 5 + 1) * (doc_id % 3 + 1) * 3
+                WHEN 1 THEN doc_id % 50 + 4 END AS DOUBLE) AS n_values,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN LEAST(doc_id % 256, doc_id * 7 % 256, doc_id * 13 % 256)
+                WHEN 1 THEN doc_id % 2000 END AS DOUBLE) AS v_min,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN GREATEST(doc_id % 256, doc_id * 7 % 256, doc_id * 13 % 256)
+                WHEN 1 THEN doc_id % 2000 END AS DOUBLE) AS v_max,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN (doc_id % 5 + 1) * (doc_id % 3 + 1)
+                            * (doc_id % 256 + doc_id * 7 % 256 + doc_id * 13 % 256)
+                WHEN 1 THEN (doc_id % 50 + 4) * (doc_id % 2000) END AS DOUBLE) AS v_sum,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN ((doc_id % 256 + doc_id * 7 % 256 + doc_id * 13 % 256)
+                             * 1000000) // 3
+                WHEN 1 THEN (doc_id % 2000) * 1000000 END AS DOUBLE) AS mean_e6
+    FROM documents WHERE text IS NOT NULL
+    """,
+    survey_ids=("EXT-MEDIA",),
+    gate=False,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real content decode end-to-end (``multimodal.media.
+    media_decode_stats``): planted uncompressed-BMP assets decode to
+    their pixel values (row padding stripped, bottom-up layout
+    unwound), planted PCM WAVs to their 16-bit samples, and the
+    text/plain third reports NULL stats (undecodable is data, not an
+    error). The oracle computes every statistic from the same doc_id
+    arithmetic used to plant the bytes — so hash parity proves the
+    decoder inverts the construction exactly. Integer-exact stats:
+    mean_e6 = v_sum·10⁶ // n (floor division; operands non-negative by
+    construction, so DuckDB ``//`` and Python ``//`` agree). Nullable
+    numerics cross the oracle boundary as DOUBLE (the engine-wide
+    pandas-widening convention). Scale: one mapInPandas pass."""
+    from w4h_etl_container_spark.multimodal.media import media_decode_stats
+
+    s = media_decode_stats(_decodable_media(spark, sf_dir))
+    return s.select(
+        "media_id",
+        "mime",
+        "kind",
+        *[F.col(c).cast("double").alias(c) for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")],
+    )
