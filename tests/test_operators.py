@@ -2323,3 +2323,51 @@ class TestFuzzyJoin:
         plan = fuzzy_join(left, right, "k", "rk")._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestEmbedNeardupBucketCap:
+    """Round-11 (BENCH_10X finding): the banded-LSH candidate stage is
+    occupancy-capped — a bucket above the cap contributes NO pairs (its
+    members can still pair via their other band), bounding in-bucket
+    pair expansion that otherwise grows quadratically with corpus
+    volume on a fixed bucket domain."""
+
+    def _emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(8, 64)).astype("float64")
+        rows = [(i, [float(x) for x in base[i]], 0) for i in range(8)]
+        # ids 100..103 share id 0's embedding exactly: every band
+        # colocates them (+ id 0) in one 5-member bucket
+        rows += [(100 + j, [float(x) for x in base[0]], 1) for j in range(4)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_cap_drops_dense_bucket_pairs(self, spark):
+        from w4h_etl_container_spark.plans.vectors import embed_neardup_pairs
+
+        emb = self._emb(spark)
+        wide = embed_neardup_pairs(emb, bucket_cap=64)
+        dup_pairs_wide = {
+            (r["vec_a"], r["vec_b"])
+            for r in wide.where(F.col("cosine_e6") >= 999999).collect()
+        }
+        assert len(dup_pairs_wide) == 10  # C(5,2) among {0,100..103}
+        capped = embed_neardup_pairs(emb, bucket_cap=4)
+        dup_pairs_capped = {
+            (r["vec_a"], r["vec_b"])
+            for r in capped.where(F.col("cosine_e6") >= 999999).collect()
+        }
+        # the 5-member duplicate bucket exceeds cap=4 in BOTH bands
+        # (identical embeddings share every band key): all dropped
+        assert dup_pairs_capped == set()
+
+    def test_pairs_are_unique_and_ordered(self, spark):
+        from w4h_etl_container_spark.plans.vectors import embed_neardup_pairs
+
+        got = embed_neardup_pairs(self._emb(spark)).collect()
+        keys = [(r["vec_a"], r["vec_b"]) for r in got]
+        assert len(keys) == len(set(keys))          # verify once per pair
+        assert all(a < b for a, b in keys)          # canonical order

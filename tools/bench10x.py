@@ -73,14 +73,29 @@ def synthesize(con) -> None:
         con.execute(f"CREATE VIEW _docs AS SELECT * FROM '{BASE}/documents.parquet'")
         con.execute(f"COPY ({docs}) TO '{BIG}/documents.parquet' (FORMAT PARQUET)")
     if not os.path.exists(f"{BIG}/events.parquet"):
+        # value perturbed per copy: distinct-value cardinality must grow
+        # with volume or the percentile contest hands the embedded
+        # engine a low-cardinality fast path the real world doesn't
         evs = " UNION ALL ".join(
             f"SELECT event_id + {i * 100_000_000} AS event_id, ts, "
             f"CASE WHEN user_id IS NULL THEN NULL ELSE user_id + {i * 10_000_000} END AS user_id, "
-            f"event_type, value, props FROM _evs"
+            f"event_type, value + {i} * 0.0001220703125 AS value, props FROM _evs"
             for i in range(COPIES)
         )
         con.execute(f"CREATE VIEW _evs AS SELECT * FROM '{BASE}/events.parquet'")
         con.execute(f"COPY ({evs}) TO '{BIG}/events.parquet' (FORMAT PARQUET)")
+    if not os.path.exists(f"{BIG}/lineitem.parquet"):
+        # q_percentile's table: key-space translated, price perturbed a
+        # distinct exact-binary epsilon per copy so value cardinality
+        # grows with volume (duplicated values hand exact-quantile
+        # engines a low-cardinality fast path)
+        lis = " UNION ALL ".join(
+            f"SELECT * REPLACE (l_orderkey + {i * 100_000_000} AS l_orderkey, "
+            f"l_extendedprice + {i} * 0.0001220703125 AS l_extendedprice) FROM _li"
+            for i in range(COPIES)
+        )
+        con.execute(f"CREATE VIEW _li AS SELECT * FROM '{BASE}/lineitem.parquet'")
+        con.execute(f"COPY ({lis}) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)")
     if not os.path.exists(f"{BIG}/embeddings.parquet"):
         embs = " UNION ALL ".join(
             f"SELECT vec_id + {i * 1_000_000} AS vec_id, "

@@ -584,3 +584,60 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-ENTITY (round 11) — fuzzy equi-join promoted into the oracle-
+# checked surface. The operator (operators/entity.fuzzy_join) renders
+# edit-distance-1 matching as a DELETION-VARIANT equi-join (SymSpell/
+# FastSS); the oracle is the thing the operator exists to avoid — the
+# cross product with a levenshtein filter — which DuckDB can afford at
+# fixture scale. Hash parity therefore proves the deletion-neighborhood
+# candidate generation is COMPLETE for d ≤ 1 on real keys (exact
+# copies, planted single-deletions, distance-2 non-matches, and the
+# incidental substitution-distance-1 neighbors among sequential ids).
+# ---------------------------------------------------------------------------
+_FJ_LKEY = "concat('k', lpad(CAST(doc_id AS STRING), 6, '0'))"
+_FJ_LKEY_DUCK = "'k' || lpad(CAST(doc_id AS VARCHAR), 6, '0')"
+
+
+def _fj_rkey(key: str) -> str:
+    """Engine-shared rendering of the right key: doc_id % 3 == 0 → one
+    planted deletion at position doc_id % 6 + 2; == 1 → exact copy;
+    == 2 → +2 appended chars (distance 2: must NOT match)."""
+    p = "(doc_id % 6 + 2)"
+    return (
+        f"CASE CAST(doc_id % 3 AS INTEGER) "
+        f"WHEN 0 THEN concat(substr({key}, 1, CAST({p} AS INTEGER) - 1), "
+        f"substr({key}, CAST({p} AS INTEGER) + 1)) "
+        f"WHEN 1 THEN {key} "
+        f"ELSE concat({key}, 'zz') END"
+    )
+
+
+@register(
+    "q_fuzzy_join",
+    sql=f"""
+    WITH l AS (
+      SELECT doc_id AS lid, {_FJ_LKEY_DUCK} AS lkey FROM documents
+    ), r AS (
+      SELECT doc_id AS rid, {_fj_rkey(_FJ_LKEY_DUCK)} AS rkey FROM documents
+    )
+    SELECT lid, rid, CAST(levenshtein(lkey, rkey) AS BIGINT) AS dist
+    FROM l JOIN r ON levenshtein(lkey, rkey) <= 1
+    """,
+    survey_ids=("EXT-ENTITY",),
+    gate=False,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 entity join, candidates from deletion variants
+    only (never the cross product the oracle spells). Scale: the
+    variant explode multiplies rows by ~key length, the candidate join
+    is an ordinary hash equi-join on the variant string (AQE-skew-
+    splittable), exact levenshtein runs on candidates alone."""
+    from w4h_etl_container_spark.operators.entity import fuzzy_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    left = docs.selectExpr("doc_id AS lid", f"{_FJ_LKEY} AS lkey")
+    right = docs.selectExpr("doc_id AS rid", f"{_fj_rkey(_FJ_LKEY)} AS rkey")
+    return fuzzy_join(left, right, "lkey", "rkey").select("lid", "rid", "dist")

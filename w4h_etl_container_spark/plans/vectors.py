@@ -226,16 +226,28 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (LSH candidates → exact verify)
 # ---------------------------------------------------------------------------
+# Band-bucket occupancy cap — the same discipline as the MinHash
+# family's _BUCKET_CAP, adopted in round 11 after the standing 10×
+# bench (BENCH_10X_r11) caught the uncapped plan going quadratic on
+# BOTH engines: with a fixed 2^PLANES_PER_BAND bucket domain, bucket
+# occupancy grows linearly with the corpus and in-bucket pairs grow
+# QUADRATICALLY (measured: Spark 2.3 s → 134 s, DuckDB 2.4 s → 69 s at
+# 10× embeddings). A capped bucket's members can still pair in their
+# other band; production additionally scales PLANES_PER_BAND with the
+# corpus so occupancy stays constant (module doc).
+NEARDUP_BUCKET_CAP = 64
+
+
 def _neardup_ctes() -> str:
     """WITH-body fragment ending at the ``verified`` CTE (vec_a, vec_b,
     cosine_e6) — shared by the q_embed_neardup oracle and the
     q_semantic_survivors oracle so the banded-LSH candidate semantics
-    cannot drift between them (the minhash_cands_ctes pattern)."""
+    (including the occupancy cap) cannot drift between them (the
+    minhash_cands_ctes pattern)."""
     dot = _dot("duck", "a.embedding", "b.embedding")
     cos6 = _e6(f"(({dot}) / (a.nrm * b.nrm))")
-    band_joins = "\n      UNION\n".join(
-        f"      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
-        f"      FROM sig a JOIN sig b ON a.b{b} = b.b{b} AND a.vec_id < b.vec_id"
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {b} AS band, b{b} AS bkey FROM sig"
         for b in range(N_BANDS)
     )
     band_cols = ", ".join(f"{_band_bucket_expr('duck', b)} AS b{b}" for b in range(N_BANDS))
@@ -243,8 +255,15 @@ def _neardup_ctes() -> str:
       SELECT vec_id, embedding, {band_cols},
              {_norm('duck', 'embedding')} AS nrm
       FROM embeddings
+    ), bands AS (
+{band_selects}
+    ), buckets AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {NEARDUP_BUCKET_CAP}
     ), pairs AS (
-{band_joins}
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+      JOIN buckets k ON a.band = k.band AND a.bkey = k.bkey
     ), verified AS (
       SELECT p.vec_a, p.vec_b, {cos6} AS cosine_e6
       FROM pairs p
@@ -260,39 +279,60 @@ def _neardup_sql() -> str:
     """
 
 
-def embed_neardup_pairs(emb: DataFrame) -> DataFrame:
+def embed_neardup_pairs(
+    emb: DataFrame, bucket_cap: int = NEARDUP_BUCKET_CAP
+) -> DataFrame:
     """(vec_a, vec_b, cosine_e6) — banded-LSH candidate pairs with exact
     cosine verification (the q_embed_neardup plan body, shared with the
-    semantic-survivors composition)."""
+    semantic-survivors composition).
+
+    Round-11 shape (post-BENCH_10X): the MinHash family's
+    ``_banded_pairs`` discipline — signatures ``stack`` into
+    (band, bkey) rows, per-bucket sorted doc sets with occupancy in
+    [2, ``NEARDUP_BUCKET_CAP``], packed int64 in-bucket pair expansion,
+    distinct, then the exact verify joins the UNIQUE pairs back to the
+    (embedding, norm) columns. The previous per-band SELF-join had no
+    occupancy bound: with a fixed bucket domain, pairs grow
+    quadratically in corpus size (caught by the standing 10× bench at
+    58× wall growth). Capped buckets also bound the widest shuffle —
+    nothing wider than cap·(cap−1)/2 pairs leaves any single bucket.
+    Contract: vec_ids fit 31 bits (textops._PAIR_EXPAND packing)."""
+    from w4h_etl_container_spark.plans.textops import _PAIR_EXPAND, _unpack_pairs
+
     sig = emb.select(
         "vec_id",
         "embedding",
         *[udf("embedding").alias(f"b{i}") for i, udf in enumerate(_band_udfs)],
         _norm_udf("embedding").alias("nrm"),
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    bands = [
-        a.join(
-            b, (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-        ).select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
+    stack_args = ", ".join(f"{i}L, b{i}" for i in range(N_BANDS))
+    bands = sig.selectExpr(
+        "vec_id", f"stack({N_BANDS}, {stack_args}) AS (band, bkey)"
+    )
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
+    )
+    pairs = _unpack_pairs(
+        buckets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("pk")).distinct()
+    ).withColumnsRenamed({"doc_a": "vec_a", "doc_b": "vec_b"})
+    av = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    bv = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .select(
+            "vec_a", "vec_b", _cosine_e6_udf("ea", "eb", "na", "nb").alias("cosine_e6")
         )
-        for i in range(N_BANDS)
-    ]
-    pairs = bands[0]
-    for extra in bands[1:]:
-        pairs = pairs.union(extra)
-    # pair-key dedup (payload columns are identical across band copies);
-    # exact verify runs once per unique candidate pair
-    pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
-    return pairs.select(
-        "vec_a", "vec_b", _cosine_e6_udf("ea", "eb", "na", "nb").alias("cosine_e6")
     )
 
 
