@@ -671,3 +671,47 @@ class TestMtableSinkEmptyBatch:
         sink_m = mtable_sink(spark, d, key="k")
         sink_m(empty, 3)
         assert read_manifest(d) == man1
+
+
+class TestMtableCloneAndDupKeys:
+    def test_duplicate_update_keys_refused(self, spark, table):
+        """An upsert batch with two rows for one key has no
+        well-defined winner — refused loudly (the Delta/Iceberg
+        'multiple source rows matched' contract)."""
+        dup = spark.createDataFrame(
+            [(5, -1, "a"), (5, -2, "b"), (6, -3, "c")],
+            "k long, v long, tag string",
+        )
+        with pytest.raises(ValueError, match="duplicate key rows"):
+            mtable_merge(spark, table, dup, "k")
+        # nothing committed
+        assert read_manifest(table)["version"] == 0
+
+    def test_shallow_clone_is_zero_copy_and_diverges(self, spark, table, tmp_path):
+        import os as _os
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_clone,
+            mtable_vacuum,
+        )
+
+        dst = str(tmp_path / "clone")
+        man = mtable_clone(table, dst)
+        assert man["op"] == "clone" and man["cloned_version"] == 0
+        # zero-copy: the clone dir holds no data files at all
+        assert not any(e.startswith("data-") for e in _os.listdir(dst))
+        src_rows = {r["k"]: r["v"] for r in mtable_read(spark, table).collect()}
+        assert {r["k"]: r["v"] for r in mtable_read(spark, dst).collect()} == src_rows
+
+        # writes to the clone land under the CLONE and never touch src
+        upd = spark.createDataFrame([(3, -7, "clone")], "k long, v long, tag string")
+        mtable_merge(spark, dst, upd, "k")
+        assert {r["v"] for r in mtable_read(spark, dst).where(F.col("k") == 3).collect()} == {-7}
+        assert {r["v"] for r in mtable_read(spark, table).where(F.col("k") == 3).collect()} == {30}
+
+        # vacuuming the CLONE only deletes files under the clone dir;
+        # the shared base files survive and src still reads
+        out = mtable_vacuum(dst, retain_versions=1)
+        assert all(not f.startswith("/") or dst in f for f in out["removed_files"])
+        assert mtable_read(spark, table).count() == 1000
+        assert mtable_read(spark, dst).count() == 1000

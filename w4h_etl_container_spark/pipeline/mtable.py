@@ -332,6 +332,17 @@ def mtable_merge(
         spark, table_dir, man, updates, key, max_collect_keys,
         "mtable_merge: empty update batch",
     )
+    n_rows = updates.count()
+    if n_rows != n_keys:
+        # a batch with duplicate keys has no well-defined upsert (which
+        # row wins?) — the Delta/Iceberg "multiple source rows matched"
+        # refusal; dedupe upstream or pre-aggregate via mtable_merge_agg
+        kdf.unpersist()
+        raise ValueError(
+            f"mtable_merge: update batch has {n_rows - n_keys} duplicate "
+            f"key rows ({n_rows} rows, {n_keys} distinct {key!r}); an "
+            "upsert needs one row per key"
+        )
     try:
         if matched:
             old = spark.read.parquet(*[os.path.join(table_dir, f) for f in matched])
@@ -503,8 +514,13 @@ def mtable_sink(
     combine: dict[str, str] | None = None,
 ):
     """Exactly-once streaming sink into an mtable: a ``foreachBatch``
-    function that APPENDS each micro-batch (or MERGES it by ``key``)
-    as one table version, with Spark's documented idempotent-sink
+    function that APPENDS each micro-batch (or MERGES it by ``key`` —
+    the batch must be key-UNIQUE: dedupe upstream with
+    ``dropDuplicates``/a stateful last-write-wins, because a batch
+    carrying two rows for one key has no well-defined upsert and
+    ``mtable_merge`` refuses it loudly rather than committing an
+    arbitrary winner) as one table version, with Spark's documented
+    idempotent-sink
     contract implemented on the manifest — every commit records the
     epoch id it came from, and a REPLAYED epoch (post-crash recovery
     re-delivers the last uncommitted batch) is recognized and skipped,
@@ -653,3 +669,35 @@ def mtable_merge_agg(
         },
     )
     return read_manifest(table_dir)
+
+
+def mtable_clone(src_dir: str, dst_dir: str) -> dict:
+    """ZERO-COPY shallow clone (Delta CLONE's core move): publish a new
+    table at ``dst_dir`` whose version 0 references the SOURCE's
+    current data files by absolute path — no bytes move, the clone is
+    O(manifest). Writes to the clone land new files under the clone's
+    own directory (copy-on-write applies per table), so the two tables
+    diverge independently from a shared immutable base.
+
+    Contract (the standard shallow-clone caveat, made loud here): the
+    clone depends on the source's files; ``mtable_vacuum`` only ever
+    deletes files under its OWN table directory, so vacuuming the
+    CLONE never touches shared bytes — but vacuuming the SOURCE can
+    orphan a clone that still references pre-clone versions' files.
+    The clone manifest records ``cloned_from`` so an operator can
+    audit the dependency; promote to a full copy (read + rewrite) to
+    sever it."""
+    man = read_manifest(src_dir)
+    os.makedirs(dst_dir, exist_ok=True)
+    abs_files = [os.path.abspath(os.path.join(src_dir, f)) for f in man["files"]]
+    _write_manifest(
+        dst_dir,
+        0,
+        abs_files,
+        {
+            "op": "clone",
+            "cloned_from": os.path.abspath(src_dir),
+            "cloned_version": man["version"],
+        },
+    )
+    return read_manifest(dst_dir)
