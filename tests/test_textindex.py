@@ -225,3 +225,96 @@ class TestIndexedHybridRetrieval:
             assert r["rrf_e9"] == want, (key, r["rrf_e9"], want)
             assert r["in_lexical"] == (key in lex)
             assert r["in_vector"] == (key in vec)
+
+
+class TestTextIndexDeletes:
+    """Round-11: document deletes on the inverted index — tombstones
+    make a deleted doc immediately unscorable AND shift the corpus
+    statistics (idf/avgdl) exactly as a rebuild on the survivors
+    would; compaction physically purges and restores fresh clustering."""
+
+    def test_delete_equals_rebuild_through_query_path(self, spark, tmp_path, sf_dir):
+        import os
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.textindex import (
+            audit_text_index,
+            bm25_topk_from_index,
+            build_text_index,
+            compact_text_index_deletes,
+            delete_from_text_index,
+        )
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        idx = str(tmp_path / "idx")
+        build_text_index(spark, sf_dir, idx)
+        before = bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        # delete every doc the queries currently retrieve, plus a swath
+        victims = sorted({r["doc_id"] for r in before})[:8]
+        man = delete_from_text_index(
+            spark, idx,
+            spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        )
+        assert man["n_tombstones"] == len(victims)
+        a1 = audit_text_index(spark, idx)
+        assert a1["consistent"] and a1["n_tombstones"] == len(victims)
+
+        got = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        )
+        assert not ({r[1] for r in got} & set(victims))
+
+        # ground truth: rebuild on the surviving documents only —
+        # scores must match EXACTLY (df, n_docs, avgdl all shifted)
+        surv_dir = str(tmp_path / "surv")
+        os.makedirs(surv_dir)
+        docs.where(~F.col("doc_id").isin(victims)).coalesce(1).write.parquet(
+            str(tmp_path / "survpq")
+        )
+        for f in os.listdir(str(tmp_path / "survpq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "survpq" / f),
+                    os.path.join(surv_dir, "documents.parquet"),
+                )
+        rebuilt = str(tmp_path / "rebuilt")
+        build_text_index(spark, surv_dir, rebuilt)
+        want = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(spark, rebuilt, BM25_QUERIES).collect()
+        )
+        assert got == want and got
+
+        # compaction: same results, tombstones gone, audit green
+        man2 = compact_text_index_deletes(spark, idx)
+        assert man2["n_tombstones"] == 0
+        assert not os.path.exists(os.path.join(idx, "tombstones"))
+        post = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        )
+        assert post == want
+        a2 = audit_text_index(spark, idx)
+        assert a2["consistent"] and a2["n_tombstones"] == 0
+
+    def test_absent_ids_refused_and_append_guard(self, spark, tmp_path, sf_dir):
+        from w4h_etl_container_spark.pipeline.textindex import (
+            append_to_text_index,
+            build_text_index,
+            delete_from_text_index,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        idx = str(tmp_path / "gidx")
+        build_text_index(spark, sf_dir, idx)
+        with pytest.raises(ValueError, match="no live doc_ids"):
+            delete_from_text_index(
+                spark, idx, spark.createDataFrame([(10**9,)], "doc_id long")
+            )
+        delete_from_text_index(
+            spark, idx, spark.createDataFrame([(0,)], "doc_id long")
+        )
+        back = read_table(spark, sf_dir, "documents").where(F.col("doc_id") == 0)
+        with pytest.raises(ValueError, match="tombstoned"):
+            append_to_text_index(spark, idx, back)

@@ -101,6 +101,7 @@ def bm25_topk_from_index(
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).where(
         F.col("token").isin(*terms)
     )
+    postings = _without_tombstones(spark, index_dir, postings)
     dl = spark.read.parquet(os.path.join(index_dir, "doc_lengths"))
     stats = spark.read.parquet(os.path.join(index_dir, "stats")).select(
         "n_docs",
@@ -167,6 +168,109 @@ def bm25_topk_from_index(
     )
 
 
+def _tombstone_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def _has_tombstones(index_dir: str) -> bool:
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        return json.load(f).get("n_tombstones", 0) > 0
+
+
+def _without_tombstones(spark: SparkSession, index_dir: str, df: DataFrame) -> DataFrame:
+    """Anti-join ``df`` (any doc_id-keyed artifact slice) against the
+    pending tombstone set — the single filter every read path goes
+    through, so a deleted document can never score. The tombstone set
+    is delete-batch-sized (broadcast); with none pending this is the
+    plain read."""
+    if not _has_tombstones(index_dir):
+        return df
+    tomb = spark.read.parquet(_tombstone_path(index_dir)).select("doc_id")
+    return df.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+
+def delete_from_text_index(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame
+) -> dict:
+    """DELETE documents from a published inverted index — the vector
+    index's tombstone discipline, plus the twist lexical scoring
+    demands: corpus statistics participate in every BM25 score (idf's
+    n_docs, tf-normalization's avgdl), so the delete REWRITES the
+    1-row stats artifact with the post-delete (n_docs, total_tokens)
+    in the same call. Scores therefore reflect the shrunken corpus
+    immediately and exactly — pinned in tests against a full rebuild
+    on the surviving documents. Document frequencies come from the
+    tombstone-filtered postings slice at query time, so they shrink
+    consistently too.
+
+    O(batch) + one pruned doc_lengths aggregate; no posting file is
+    touched (``compact_text_index_deletes`` is the physical purge).
+    Ids not present or already dead are idempotent no-ops."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    dl = spark.read.parquet(man["artifacts"]["doc_lengths"])
+    live = _without_tombstones(spark, index_dir, dl)
+    dead = live.join(
+        F.broadcast(doc_ids.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    row = dead.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).collect()[0]
+    if not row["n"]:
+        raise ValueError("delete_from_text_index: no live doc_ids in the batch")
+    dead.select("doc_id").write.mode("append").parquet(_tombstone_path(index_dir))
+    man["n_docs"] -= row["n"]
+    man["total_tokens"] -= row["t"]
+    man["n_tombstones"] = man.get("n_tombstones", 0) + row["n"]
+    spark.createDataFrame(
+        [(man["n_docs"], man["total_tokens"])], "n_docs long, total_tokens long"
+    ).write.mode("overwrite").parquet(man["artifacts"]["stats"])
+    man.setdefault("deletes", []).append({"n_docs": row["n"]})
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    return man
+
+
+def compact_text_index_deletes(
+    spark: SparkSession, index_dir: str, n_files: int = 8
+) -> dict:
+    """Physically purge tombstoned documents. Unlike the vector index
+    (cell-partitioned on the probe key, so deletes rewrite only
+    affected partitions), postings are clustered by TOKEN while
+    deletes are keyed by DOCUMENT — every posting file can hold a
+    deleted doc's rows, so the purge is a full postings rewrite
+    (re-clustered, so file-level token pruning is restored fresh).
+    That asymmetry is inherent to inverted layouts (Lucene pays it as
+    segment merges); the tombstone phase is what keeps individual
+    deletes O(batch)."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    if man.get("n_tombstones", 0) == 0:
+        return man
+    import shutil
+    import uuid as _uuid
+
+    tomb = spark.read.parquet(_tombstone_path(index_dir)).select("doc_id")
+    for art, cluster in (("postings", True), ("doc_lengths", False)):
+        path = man["artifacts"][art]
+        survivors = spark.read.parquet(path).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        tmp = path + f".compact-{_uuid.uuid4().hex}"
+        if cluster:
+            cluster_by(survivors, ["token", "doc_id"], n_files=n_files).write.parquet(tmp)
+        else:
+            survivors.write.parquet(tmp)
+        old = path + f".old-{_uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    shutil.rmtree(_tombstone_path(index_dir))
+    man["n_tombstones"] = 0
+    man.setdefault("compactions", []).append({"op": "purge-deletes"})
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    return man
+
+
 def append_to_text_index(
     spark: SparkSession, index_dir: str, new_docs: DataFrame, n_files: int = 2
 ) -> dict:
@@ -199,6 +303,17 @@ def append_to_text_index(
         ).collect()[0]
         if not row["n"]:
             raise ValueError("append_to_text_index: empty document batch")
+        if _has_tombstones(index_dir):
+            # a tombstone would silently hide a re-indexed doc — refuse
+            # loudly; compact_text_index_deletes first, then re-append
+            tomb = spark.read.parquet(_tombstone_path(index_dir)).select("doc_id")
+            n_dead = dl.join(F.broadcast(tomb), "doc_id", "left_semi").count()
+            if n_dead:
+                raise ValueError(
+                    f"append_to_text_index: {n_dead} doc_ids in the batch "
+                    "are tombstoned; run compact_text_index_deletes before "
+                    "re-indexing them"
+                )
         cluster_by(tf, ["token", "doc_id"], n_files=n_files).write.mode(
             "append"
         ).parquet(man["artifacts"]["postings"])
@@ -217,12 +332,17 @@ def append_to_text_index(
 
 
 def audit_text_index(spark: SparkSession, index_dir: str) -> dict:
-    """One-pass consistency audit: manifest counts vs doc_lengths rows
+    """One-pass consistency audit: manifest counts vs LIVE doc_lengths
+    rows (tombstone-filtered — the audit counts what queries can score)
     vs distinct doc_ids vs recomputed token total. A replayed append
-    (duplicate doc_ids) or a torn stats write shows up here."""
+    (duplicate doc_ids) or a torn stats write shows up here; a pending
+    delete batch is visible as n_tombstones > 0 but never breaks
+    consistency."""
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
-    dl = spark.read.parquet(man["artifacts"]["doc_lengths"])
+    dl = _without_tombstones(
+        spark, index_dir, spark.read.parquet(man["artifacts"]["doc_lengths"])
+    )
     row = dl.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("doc_id").alias("nd"),
@@ -236,6 +356,7 @@ def audit_text_index(spark: SparkSession, index_dir: str) -> dict:
         "manifest_tokens": man["total_tokens"],
         "recomputed_tokens": row["t"],
         "stats_docs": srow["n_docs"],
+        "n_tombstones": man.get("n_tombstones", 0),
         "consistent": man["n_docs"] == row["n"] == row["nd"] == srow["n_docs"]
         and man["total_tokens"] == row["t"] == srow["total_tokens"],
     }
