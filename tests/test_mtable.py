@@ -715,3 +715,313 @@ class TestMtableCloneAndDupKeys:
         assert all(not f.startswith("/") or dst in f for f in out["removed_files"])
         assert mtable_read(spark, table).count() == 1000
         assert mtable_read(spark, dst).count() == 1000
+
+
+class TestMtableCompositeKeys:
+    """Round-12: composite merge/delete keys (the repo's own DQ report
+    records lineitem's key as (orderkey, linenumber) — a single-column
+    mtable cannot upsert its own fact table). Pruning applies each key
+    column's range as a conjunction; the anti-join, duplicate refusal,
+    and merge_agg groupBy run on the full tuple."""
+
+    def _fresh(self, spark, tmp_path, name):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        # (g, i) composite key, clustered on the leading column: g has
+        # disjoint per-file ranges, i repeats within every g
+        df = cluster_by(
+            spark.range(0, 1000).select(
+                (F.col("id") / 100).cast("long").alias("g"),
+                (F.col("id") % 100).alias("i"),
+                (F.col("id") * 10).alias("v"),
+            ),
+            ["g", "i"],
+            n_files=10,
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, df, d)
+        return d
+
+    def test_composite_merge_both_paths_match_full_rewrite(self, spark, tmp_path):
+        updates = spark.createDataFrame(
+            [(2, 5, -1), (2, 6, -2), (99, 0, -3)], "g long, i long, v long"
+        )
+        model = {(g, i): g * 100 + i for g in range(10) for i in range(100)}
+        model = {k: v * 10 for k, v in model.items()}
+        model.update({(2, 5): -1, (2, 6): -2, (99, 0): -3})
+        for name, cap in (("ck-collect", 100_000), ("ck-join", 0)):
+            d = self._fresh(spark, tmp_path, name)
+            man = mtable_merge(
+                spark, d, updates, ["g", "i"], max_collect_keys=cap
+            )
+            assert man["keys"] == ["g", "i"]
+            assert man["key_match_path"] == ("collect" if cap else "join")
+            got = {
+                (r["g"], r["i"]): r["v"]
+                for r in mtable_read(spark, d).collect()
+            }
+            assert got == model, name
+
+    def test_leading_column_pruning_on_composite_key(self, spark, tmp_path):
+        """Both update tuples live in one g-clustered file's range —
+        copy-on-write must stay file-targeted on the LEADING column
+        even though the second column's per-file range is wide."""
+        updates = spark.createDataFrame(
+            [(3, 10, -1), (3, 11, -2)], "g long, i long, v long"
+        )
+        for name, cap in (("ck-prune-c", 100_000), ("ck-prune-j", 0)):
+            d = self._fresh(spark, tmp_path, name)
+            man0 = read_manifest(d)
+            man = mtable_merge(
+                spark, d, updates, ["g", "i"], max_collect_keys=cap
+            )
+            assert man["files_rewritten"] <= 2
+            assert man["files_untouched"] >= len(man0["files"]) - 2
+
+    def test_composite_delete_and_merge_agg(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+            mtable_merge_agg,
+        )
+
+        d = self._fresh(spark, tmp_path, "ck-del")
+        mtable_delete(
+            spark,
+            d,
+            spark.createDataFrame([(0, 0), (5, 99)], "g long, i long"),
+            ["g", "i"],
+        )
+        got = {(r["g"], r["i"]) for r in mtable_read(spark, d).collect()}
+        assert (0, 0) not in got and (5, 99) not in got
+        assert len(got) == 998 and (0, 1) in got
+
+        # composite-keyed aggregate maintenance
+        da = str(tmp_path / "ck-agg")
+        mtable_create(
+            spark,
+            spark.createDataFrame(
+                [(1, 1, 10, 5.0), (1, 2, 3, 1.0)], "a long, b long, n long, mx double"
+            ),
+            da,
+        )
+        mtable_merge_agg(
+            spark,
+            da,
+            spark.createDataFrame(
+                [(1, 1, 4, 9.0), (2, 1, 1, 2.0)], "a long, b long, n long, mx double"
+            ),
+            ["a", "b"],
+            {"n": "sum", "mx": "max"},
+        )
+        got = {
+            (r["a"], r["b"]): (r["n"], r["mx"])
+            for r in mtable_read(spark, da).collect()
+        }
+        assert got == {(1, 1): (14, 9.0), (1, 2): (3, 1.0), (2, 1): (1, 2.0)}
+
+    def test_duplicate_tuple_refused_distinct_tuples_pass(self, spark, tmp_path):
+        d = self._fresh(spark, tmp_path, "ck-dup")
+        dup = spark.createDataFrame(
+            [(1, 1, -1), (1, 1, -2)], "g long, i long, v long"
+        )
+        with pytest.raises(ValueError, match="duplicate key rows"):
+            mtable_merge(spark, d, dup, ["g", "i"])
+        # same values crossed over are DISTINCT tuples — accepted
+        crossed = spark.createDataFrame(
+            [(1, 2, -1), (2, 1, -2)], "g long, i long, v long"
+        )
+        mtable_merge(spark, d, crossed, ["g", "i"])
+        got = {
+            (r["g"], r["i"]): r["v"] for r in mtable_read(spark, d).collect()
+        }
+        assert got[(1, 2)] == -1 and got[(2, 1)] == -2
+
+    def test_null_key_refused_on_both_paths(self, spark, tmp_path):
+        d = self._fresh(spark, tmp_path, "ck-null")
+        bad = spark.createDataFrame(
+            [(1, None, -1), (2, 3, -2)], "g long, i long, v long"
+        )
+        for cap in (100_000, 0):
+            with pytest.raises(ValueError, match="NULL value in merge"):
+                mtable_merge(spark, d, bad, ["g", "i"], max_collect_keys=cap)
+        assert read_manifest(d)["version"] == 0  # nothing committed
+
+
+class TestMtableManifestStats:
+    """Round-12: per-file column ranges persist in the manifest at
+    commit time, so planning a merge against an established table
+    performs ZERO data-file footer reads — driver I/O per commit is
+    O(new files), not O(table files)."""
+
+    def test_merge_plans_with_zero_managed_footer_reads(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        df = cluster_by(
+            spark.range(0, 1000).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            ["k"],
+            n_files=10,
+        )
+        d = str(tmp_path / "stats")
+        man0 = M.mtable_create(spark, df, d)
+        assert set(man0["file_stats"]) == set(man0["files"])
+
+        calls: list[str] = []
+        orig = M._footer_stats
+
+        def counting(path):
+            calls.append(path)
+            return orig(path)
+
+        monkeypatch.setattr(M, "_footer_stats", counting)
+        upd = spark.createDataFrame([(10, -1), (990, -2)], "k long, v long")
+        man1 = M.mtable_merge(spark, d, upd, "k")
+        new_files = set(man1["files"]) - set(man0["files"])
+        # every footer read was for a NEW file; no managed file re-read
+        assert set(calls) == {os.path.join(d, f) for f in new_files}
+        assert len(calls) == len(new_files)
+
+    def test_manifest_ranges_equal_fresh_footer_ranges(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "statseq")
+        M.mtable_create(
+            spark,
+            spark.createDataFrame(
+                [(1, "aa", 1.5), (9, "zz", -2.5)], "k long, s string, x double"
+            ).coalesce(1),
+            d,
+        )
+        man = read_manifest(d)
+        for f, persisted in man["file_stats"].items():
+            assert persisted == M._footer_stats(os.path.join(d, f))
+        # and the ranges are the true data ranges
+        st = next(
+            s for s in man["file_stats"].values() if s.get("k") is not None
+        )
+        assert st["k"] == [1, 9] and st["s"] == ["aa", "zz"]
+        assert st["x"] == [-2.5, 1.5]
+
+    def test_legacy_manifest_without_stats_self_heals(self, spark, tmp_path):
+        """A manifest lacking file_stats (pre-round-12 table) plans via
+        footer fallback and the NEXT commit persists stats for every
+        file it re-lists."""
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "legacy")
+        man0 = M.mtable_create(
+            spark,
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            d,
+        )
+        # strip the stats, as a pre-upgrade manifest would be
+        M._write_manifest(
+            d, 1, man0["files"], {"op": "legacy"}, overwrite=True
+        )
+        assert "file_stats" not in read_manifest(d)
+        man2 = M.mtable_merge(
+            spark, d, spark.createDataFrame([(1, -1)], "k long, v long"), "k"
+        )
+        assert set(man2["file_stats"]) == set(man2["files"])
+
+
+class TestMtableOptimisticRetry:
+    """Round-12: retries=N turns a CAS loser into the Delta-style
+    optimistic loop — replan against the new snapshot, re-attempt with
+    bounded backoff. Both writers commit, serialized; a wedged slot
+    (orphan manifest the pointer never absorbs) is detected and fails
+    over to the mtable_repair message instead of looping forever."""
+
+    def test_both_interleaved_writers_commit(self, spark, table, monkeypatch):
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        upd_a = spark.createDataFrame([(1, -1, "A")], "k long, v long, tag string")
+        upd_b = spark.createDataFrame([(2, -2, "B")], "k long, v long, tag string")
+        orig = M._new_data_files
+        fired = {"done": False}
+
+        def hook(table_dir, df):
+            # writer A commits a full merge while writer B is between
+            # planning and publish — the textbook interleave
+            if not fired["done"]:
+                fired["done"] = True
+                M.mtable_merge(spark, table_dir, upd_a, "k")
+            return orig(table_dir, df)
+
+        monkeypatch.setattr(M, "_new_data_files", hook)
+        man = M.mtable_merge(spark, table, upd_b, "k", retries=2)
+        assert man["version"] == 2  # A took v1, B retried into v2
+        got = {r["k"]: r["tag"] for r in mtable_read(spark, table).collect()}
+        assert got[1] == "A" and got[2] == "B"  # BOTH updates live
+
+    def test_retry_order_independent_contents(self, spark, tmp_path, monkeypatch):
+        """Final contents equal sequential application in either order
+        (disjoint keys, so the orders agree)."""
+        from w4h_etl_container_spark.operators.layout import cluster_by
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        base = [(k, 0) for k in range(20)]
+        upd_a = spark.createDataFrame([(3, -1)], "k long, v long")
+        upd_b = spark.createDataFrame([(7, -2)], "k long, v long")
+        want = dict(base)
+        want.update({3: -1, 7: -2})
+
+        def run(first, second, name):
+            d = str(tmp_path / name)
+            M.mtable_create(
+                spark,
+                cluster_by(
+                    spark.createDataFrame(base, "k long, v long"), ["k"], n_files=4
+                ),
+                d,
+            )
+            orig = M._new_data_files
+            fired = {"done": False}
+
+            def hook(table_dir, df):
+                if not fired["done"]:
+                    fired["done"] = True
+                    M.mtable_merge(spark, table_dir, first, "k")
+                return orig(table_dir, df)
+
+            monkeypatch.setattr(M, "_new_data_files", hook)
+            M.mtable_merge(spark, d, second, "k", retries=3)
+            monkeypatch.undo()
+            return {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+
+        assert run(upd_a, upd_b, "ord-ab") == want
+        assert run(upd_b, upd_a, "ord-ba") == want
+
+    def test_wedged_slot_fails_over_to_repair(self, spark, table):
+        import json as _json
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        # crash debris: manifest v1 exists, pointer still at v0
+        with open(M._manifest_path(table, 1), "w") as f:
+            _json.dump({"version": 1, "files": [], "op": "crash"}, f)
+        upd = spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string")
+        with pytest.raises(M.ConcurrentWriteError, match="mtable_repair"):
+            M.mtable_merge(spark, table, upd, "k", retries=3)
+        out = M.mtable_repair(table)
+        assert out == {"pointer": 0, "reclaimed_versions": [1]}
+        # slot reclaimed: the same merge now commits
+        man = M.mtable_merge(spark, table, upd, "k")
+        assert man["version"] == 1
+        assert {
+            r["v"] for r in mtable_read(spark, table).where(F.col("k") == 1).collect()
+        } == {-1}
+
+    def test_repair_noop_and_pin_vs_retries_refused(self, spark, table):
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        assert M.mtable_repair(table) == {"pointer": 0, "reclaimed_versions": []}
+        upd = spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string")
+        with pytest.raises(ValueError, match="cannot be combined"):
+            M.mtable_merge(spark, table, upd, "k", expected_version=0, retries=2)

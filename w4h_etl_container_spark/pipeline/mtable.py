@@ -2,8 +2,9 @@
 mutable datasets: MERGE (upsert) that rewrites ONLY the data files
 containing matched keys, snapshot-isolated readers, time travel, and
 vacuum. The lakehouse mechanics (Delta/Iceberg's core loop) rendered
-in ~200 lines on plain parquet + a JSON manifest, because the engine's
-100 TB story needs a mutation path that does not rewrite the table:
+in a few hundred lines on plain parquet + a JSON manifest, because the
+engine's 100 TB story needs a mutation path that does not rewrite the
+table:
 
 * a TABLE is a directory of immutable parquet data files plus
   ``_manifests/v{N}.json`` listing the files of version N and
@@ -11,59 +12,88 @@ in ~200 lines on plain parquet + a JSON manifest, because the engine's
   so a reader resolves one consistent file list — snapshot isolation
   for free on a POSIX dir; on object stores the pointer write is the
   usual single-key atomic PUT);
-* MERGE = footer-level pruning (per-file min/max of the merge key —
-  the ``pruning_report`` honesty) intersected with the update batch's
-  key set → read only matched files → anti-join out old rows →
-  union the update batch → write new files → publish manifest N+1
+* MERGE = per-file key-range pruning intersected with the update
+  batch's key set → read only matched files → anti-join out old rows
+  → union the update batch → write new files → publish manifest N+1
   re-listing untouched files verbatim. Untouched bytes are never
-  read, never rewritten;
+  read, never rewritten. Merge keys may be COMPOSITE
+  (``key=["orderkey", "linenumber"]``): pruning applies each key
+  column's range as a conjunction (a file is skipped only when NO
+  batch key tuple can fall inside its per-column bounding box), and
+  the anti-join/refusal/groupBy all run on the full key tuple;
+* per-file column ranges are PERSISTED IN THE MANIFEST at commit time
+  (``file_stats`` — the Delta/Iceberg per-file stats move), so merge
+  planning never re-reads data-file footers for files already under
+  management: the driver cost of planning is O(new files) footer
+  reads per commit, not O(table files). Files without persisted stats
+  (legacy manifests, hand-spliced files) fall back to a one-time
+  footer read whose result is persisted by the next commit
+  (self-healing);
 * the batch↔file intersection is COUNT-GATED: a bounded key set
   (≤ ``max_collect_keys`` distinct keys) collects to the driver for
-  exact per-file membership pruning; anything wider NEVER collects —
-  matched files come from joining the footer-range table (one tiny
-  row per file, broadcast) against the distinct-key DataFrame, and
-  the driver only ever holds the matched FILE list. This is the
-  join-based file matching Delta/Iceberg use for corpus-scale CDC
-  deltas: merge key volume never bounds driver memory;
+  exact per-file membership pruning (sorted tuples + leading-column
+  bisect — O(files · log keys), never O(files · keys)); anything
+  wider NEVER collects — matched files come from joining the
+  footer-range table (one tiny row per file, broadcast) against the
+  distinct-key DataFrame, and the driver only ever holds the matched
+  FILE list. Key volume never bounds driver memory. NULL key values
+  are refused up front on both paths (a NULL never equi-matches, so a
+  NULL-keyed upsert row is a contradiction, not a merge);
 * old versions stay readable (time travel) until ``vacuum`` deletes
   files unreferenced by any retained manifest;
 * commits are manifest COMPARE-AND-SWAP'd: version N+1 is claimed by
   atomic exclusive file creation (``os.link`` of a fully-written
   temp), so two interleaved writers racing the same parent produce
   exactly one winner and one loud ``ConcurrentWriteError`` — never a
-  silently lost update. Callers holding a planning snapshot can also
-  pin ``expected_version`` to fail fast on a stale plan.
+  silently lost update. ``retries=N`` turns the loser into the
+  standard optimistic-concurrency loop (Delta's commit protocol):
+  re-read the new snapshot, replan matched files, re-attempt with
+  bounded backoff — both writers commit, serialized. Callers holding
+  a planning snapshot can instead pin ``expected_version`` to fail
+  fast on a stale plan (pinning and auto-retry are mutually
+  exclusive by construction);
+* a writer crash BETWEEN the manifest link and the pointer flip
+  leaves an orphan manifest above the pointer; readers never see it,
+  vacuum never anchors on it, and every subsequent writer's CAS
+  collides with it — ``mtable_repair`` reclaims the debris (run it
+  under the cooperative writer lock; the error message names it).
 
 Surface: ``mtable_create`` / ``mtable_read`` (versioned) /
 ``mtable_merge`` (keyed upsert) / ``mtable_delete`` /
 ``mtable_merge_agg`` (incremental aggregate maintenance — the
 materialized-view refresh) / ``mtable_compact`` (compaction as a
-version) / ``mtable_vacuum`` / ``mtable_sink`` (exactly-once
-foreachBatch append / keyed merge / replay-safe additive combine).
-Keys may be numeric or string (footer stats decode; a file with ANY
-stats-less row group, or missing the key column entirely, reports an
-unbounded range and is conservatively matched — unprunable files are
+version) / ``mtable_vacuum`` / ``mtable_repair`` / ``mtable_sink``
+(exactly-once foreachBatch append / keyed merge / replay-safe
+additive combine). Keys may be numeric or string, single or
+composite (footer stats decode; a file with ANY stats-less row
+group, or missing a key column entirely, reports an unbounded range
+for that column and is conservatively matched — unprunable files are
 read, never skipped). Model-checked against a dict reference and
 crash-tested: orphan DATA generations are reader-invisible and
-vacuumed; an orphan MANIFEST above the ``_latest`` pointer (crash
-between manifest write and pointer flip) never anchors vacuum
-retention — the retention window is pinned to the pointer, so the
-live version can never be vacuumed out from under its own pointer.
+vacuumed; an orphan MANIFEST above the ``_latest`` pointer never
+anchors vacuum retention — the retention window is pinned to the
+pointer, so the live version can never be vacuumed out from under
+its own pointer.
 
 Coordination: the state-store lock (``pipeline/state.py``) remains
 the cooperative layer; the manifest CAS turns its correctness from an
-assumption into a checked invariant. No reference analog; extension
-mandated by BASELINE.json's operational surface.
+assumption into a checked invariant. ``mtable_vacuum`` and
+``mtable_repair`` mutate shared state non-transactionally and must
+run under that lock whenever writers may be live. No reference
+analog; extension mandated by BASELINE.json's operational surface.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+from bisect import bisect_left, bisect_right
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
@@ -73,11 +103,33 @@ _LATEST = "_latest"
 #: path (driver memory bounded by FILE count, never key count).
 DEFAULT_MAX_COLLECT_KEYS = 100_000
 
+#: Per-file column stats persisted in the manifest cover at most this
+#: many leading parquet leaf columns (Delta's dataSkippingNumIndexedCols
+#: default); columns beyond it fall back to footer reads when used as
+#: merge keys.
+MAX_STATS_COLS = 32
+
+#: String stats longer than this are not persisted (a truncated max is
+#: NOT an upper bound — rather than implement truncate-and-increment,
+#: long-string columns are simply unprunable).
+_MAX_STAT_STR = 64
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer planned to
     publish (manifest CAS lost) or moved the table past the snapshot
     this writer planned against (``expected_version`` stale)."""
+
+
+def _as_keys(key: str | list[str] | tuple[str, ...]) -> list[str]:
+    """Normalize the key spec: a single column name or a composite key
+    column list. Order matters — the FIRST column drives bisect range
+    pruning on the collect path, so list the highest-selectivity /
+    clustering column first (the same advice as Iceberg sort orders)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys or len(set(keys)) != len(keys):
+        raise ValueError(f"mtable: invalid key spec {key!r}")
+    return keys
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -89,6 +141,7 @@ def _write_manifest(
     version: int,
     files: list[str],
     meta: dict,
+    file_stats: dict | None = None,
     overwrite: bool = False,
 ) -> None:
     """Publish manifest ``version`` then flip the ``_latest`` pointer.
@@ -100,13 +153,20 @@ def _write_manifest(
     winner's commit (compare-and-swap on the version slot). A crash
     after the link but before the pointer rename leaves an orphan
     manifest ABOVE the pointer; readers never see it (they resolve the
-    pointer) and vacuum drops it without anchoring retention on it.
+    pointer), vacuum drops it without anchoring retention on it, and
+    ``mtable_repair`` reclaims it so later writers stop colliding.
+
+    ``file_stats`` maps file → {column: [min, max] | None} (None =
+    column present but unprunable); persisted so planning never
+    re-reads managed files' footers.
 
     ``overwrite=True`` is the self-annotation escape hatch (the
     streaming sink re-stamping its OWN just-committed version with
     epoch lineage) — never used to publish new content."""
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     man = {"version": version, "files": sorted(files), **meta}
+    if file_stats is not None:
+        man["file_stats"] = file_stats
     path = _manifest_path(table_dir, version)
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -118,10 +178,25 @@ def _write_manifest(
             os.link(tmp, path)
         except FileExistsError:
             os.remove(tmp)
+            try:
+                ptr = _current_version(table_dir)
+            except FileNotFoundError:
+                ptr = None
+            if ptr is not None and version > ptr:
+                raise ConcurrentWriteError(
+                    f"mtable at {table_dir}: version {version} exists but the "
+                    f"table pointer is at v{ptr} — either another writer is "
+                    "mid-commit (retry after it flips the pointer) or a "
+                    "writer crashed between manifest link and pointer flip, "
+                    "leaving orphan crash debris that wedges every CAS at "
+                    "this slot; run mtable_repair(table_dir) under the "
+                    "cooperative writer lock to reclaim it"
+                ) from None
             raise ConcurrentWriteError(
                 f"mtable at {table_dir}: version {version} was already "
                 "committed by another writer (manifest CAS lost); replan "
-                "from the current snapshot and retry"
+                "from the current snapshot and retry (or pass retries=N "
+                "to let the merge replan automatically)"
             ) from None
         os.remove(tmp)
     # the pointer flip is the commit: readers that resolved the old
@@ -144,6 +219,34 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def mtable_repair(table_dir: str) -> dict:
+    """Reclaim orphan manifests ABOVE the ``_latest`` pointer — the
+    debris a writer crash between manifest link and pointer flip
+    leaves behind. The debris wedges the version-slot CAS (every
+    subsequent writer plans against the pointer, claims pointer+1,
+    and collides with the orphan forever), so this is the recovery
+    path the ``ConcurrentWriteError`` message names.
+
+    MUST run under the cooperative writer lock (``pipeline/state.py``):
+    a manifest above the pointer is indistinguishable from a LIVE
+    writer's just-linked, not-yet-pointed commit, and reclaiming that
+    would destroy a healthy in-flight transaction. Under the lock no
+    writer is in that window, so anything above the pointer is debris
+    by construction. Orphan DATA files the debris referenced stay on
+    disk, reader-invisible, until ``mtable_vacuum``."""
+    ptr = _current_version(table_dir)
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    reclaimed = []
+    for f in os.listdir(mdir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        v = int(f[1:-5])
+        if v > ptr:
+            os.remove(os.path.join(mdir, f))
+            reclaimed.append(v)
+    return {"pointer": ptr, "reclaimed_versions": sorted(reclaimed)}
+
+
 def _new_data_files(table_dir: str, df: DataFrame) -> list[str]:
     """Write ``df`` as fresh immutable data files under a unique
     subdirectory; return their paths (relative to ``table_dir``)."""
@@ -157,68 +260,111 @@ def _new_data_files(table_dir: str, df: DataFrame) -> list[str]:
     ]
 
 
-def mtable_create(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
-    """Create version 0 from ``df``."""
-    os.makedirs(table_dir, exist_ok=True)
-    files = _new_data_files(table_dir, df)
-    _write_manifest(table_dir, 0, files, {"op": "create"})
-    return read_manifest(table_dir)
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] from one parquet file's footer — the
+    single footer-touching function (tests shim it to count driver
+    footer I/O). Covers the first ``MAX_STATS_COLS`` leaf columns.
+    A column maps to ``None`` (= UNPRUNABLE on that column: matched,
+    read, never skipped) whenever its bounds cannot be trusted to
+    cover every row:
 
-
-def mtable_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
-) -> DataFrame:
-    """Read one VERSION's consistent file list (latest by default).
-    Time travel = pass an older version; its files are immutable, so
-    the read is reproducible until a vacuum drops that version."""
-    man = read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f) for f in man["files"]]
-    if not paths:
-        raise ValueError(f"mtable at {table_dir} v{man['version']} lists no files")
-    return spark.read.parquet(*paths)
-
-
-def _file_key_ranges(table_dir: str, files: list[str], key: str) -> dict:
-    """{file: (min, max)} of ``key`` from parquet footer statistics —
-    metadata-only, no data read. A file reports ``None`` (= UNPRUNABLE,
-    treated as MATCHED by every consumer: unprunable files are read,
-    never skipped — the pruning_report failure direction) whenever its
-    bounds cannot be trusted to cover every row:
-
-    * the key column is absent from the file's schema (field index
-      < 0 — schema drift);
     * ANY row group lacks min/max statistics (a key present only in a
       stats-less row group must not be pruned away — partial stats
       are not a valid file range);
-    * stats are not comparable to the key's Python type.
+    * stats are not JSON-round-trippable scalars (dates, decimals,
+      NaN floats) or are over-long strings (a truncated max is not an
+      upper bound);
+    * the file has no row groups at all.
 
-    String-key stats surface as ``bytes`` from the footer and are
-    decoded so ``<=`` against Python strings is well-typed."""
+    String stats surface as ``bytes`` from the footer and are decoded
+    so ``<=`` against Python strings is well-typed."""
     import pyarrow.parquet as pq
 
     def _norm(v):
-        return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else v
+        if isinstance(v, bytes):
+            v = v.decode("utf-8", "surrogateescape")
+        if isinstance(v, bool) or isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return v if v == v else None  # NaN is not a bound
+        if isinstance(v, str):
+            return v if len(v) <= _MAX_STAT_STR else None
+        return None
 
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    for idx in range(min(md.num_columns, MAX_STATS_COLS)):
+        name = md.schema.column(idx).name
+        mins, maxs = [], []
+        ok = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = _norm(st.min), _norm(st.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            mins.append(lo)
+            maxs.append(hi)
+        try:
+            out[name] = [min(mins), max(maxs)] if ok else None
+        except TypeError:  # cross-row-group incomparable types
+            out[name] = None
+    return out
+
+
+def _file_key_ranges(table_dir: str, files: list[str], key: str) -> dict:
+    """Single-column compatibility view over ``_footer_stats``:
+    {file: (min, max) | None}. Planning goes through the
+    manifest-persisted stats (``_ranges_for_plan``); this direct
+    footer read survives for audits/tests of the trust rules."""
     out = {}
     for rel in files:
-        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(key)
-        if idx < 0:
-            out[rel] = None
-            continue
-        mins, maxs = [], []
-        complete = md.num_row_groups > 0
-        try:
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    complete = False
-                    break
-                mins.append(_norm(st.min))
-                maxs.append(_norm(st.max))
-            out[rel] = (min(mins), max(maxs)) if complete else None
-        except TypeError:
-            out[rel] = None
+        st = _footer_stats(os.path.join(table_dir, rel)).get(key)
+        out[rel] = tuple(st) if st is not None else None
+    return out
+
+
+def _stats_for(
+    table_dir: str, files: list[str], parent: dict | None = None
+) -> dict:
+    """file → column-stats for every file in ``files``, reusing the
+    parent manifest's persisted entry when present (data files are
+    immutable, so persisted stats never go stale) and reading the
+    footer only for files not yet under stats management (fresh
+    writes, legacy manifests, hand-spliced files). This is what makes
+    per-commit driver I/O O(new files), not O(table files)."""
+    parent = parent or {}
+    out = {}
+    for rel in files:
+        st = parent.get(rel)
+        out[rel] = st if st is not None else _footer_stats(
+            os.path.join(table_dir, rel)
+        )
+    return out
+
+
+def _ranges_for_plan(table_dir: str, man: dict, keys: list[str]) -> dict:
+    """{file: {key_col: (min, max)}} for planning — manifest-persisted
+    stats first, footer fallback for files whose entry is missing or
+    lacks a key column (absent ≠ untrusted: JSON ``null`` means the
+    column was inspected and is unprunable — no re-read; a MISSING
+    column means stats were never computed — read the footer once).
+    A file whose dict comes back empty is unprunable outright."""
+    persisted = man.get("file_stats", {})
+    out = {}
+    for rel in man["files"]:
+        st = persisted.get(rel)
+        if st is None or any(c not in st for c in keys):
+            st = _footer_stats(os.path.join(table_dir, rel))
+        box = {}
+        for c in keys:
+            rng = st.get(c)
+            if rng is not None:
+                box[c] = (rng[0], rng[1])
+        out[rel] = box
     return out
 
 
@@ -227,12 +373,12 @@ def _plan_matched_files(
     table_dir: str,
     man: dict,
     batch: DataFrame,
-    key: str,
+    keys: list[str],
     max_collect_keys: int,
     empty_msg: str,
 ):
     """Shared MERGE/DELETE planning: which data files can contain any
-    of the batch's keys?
+    of the batch's key tuples?
 
     Returns ``(matched, untouched, n_keys, key_df, path)`` where
     ``key_df`` is the persisted distinct-key DataFrame (caller reuses
@@ -240,46 +386,84 @@ def _plan_matched_files(
     strategy taken ('collect' | 'join') in the manifest for
     observability.
 
+    NULL keys are refused up front: a NULL never equi-matches, so the
+    collect path would crash on it while the join path would silently
+    never replace the row — rejecting loudly keeps both strategies
+    behaviorally identical.
+
     Count-gated: one cheap ``distinct().count()`` decides. At or under
     ``max_collect_keys`` the exact key set collects for per-file
-    membership tests (tightest pruning). Above it, nothing key-shaped
-    ever reaches the driver: the footer-range table (one row per data
-    file — thousands of rows for a 100 TB table, always broadcastable)
-    joins against the key DataFrame on range containment, and only the
-    distinct matched FILE names collect (bounded by file count). Files
-    with untrusted stats (``None`` range) are matched unconditionally
-    on both paths."""
-    kdf = batch.select(key).distinct().persist()
+    membership tests — sorted key tuples, leading-column bisect into
+    each file's box, conjunction check on the slice (O(files · log
+    keys + hits), never O(files · keys)). Above it, nothing key-shaped
+    ever reaches the driver: the per-file range table (one row per
+    data file — thousands of rows for a 100 TB table, always
+    broadcastable) joins against the key DataFrame on per-column range
+    containment (conjunction; a column with no trusted range
+    constrains nothing), and only the distinct matched FILE names
+    collect (bounded by file count). Files with no trusted stats on
+    any key column are matched unconditionally on both paths."""
+    kdf = batch.select(*keys).distinct().persist()
     n_keys = kdf.count()
     if n_keys == 0:
         kdf.unpersist()
         raise ValueError(empty_msg)
-    ranges = _file_key_ranges(table_dir, man["files"], key)
-    unprunable = [f for f, rng in ranges.items() if rng is None]
-    bounded = {f: rng for f, rng in ranges.items() if rng is not None}
+    null_cond = F.lit(False)
+    for c in keys:
+        null_cond = null_cond | F.col(c).isNull()
+    if kdf.where(null_cond).limit(1).count():
+        kdf.unpersist()
+        raise ValueError(
+            f"mtable: NULL value in merge/delete key column(s) {keys} — "
+            "a NULL key never equi-matches any table row; filter or "
+            "repair the batch upstream"
+        )
+    ranges = _ranges_for_plan(table_dir, man, keys)
+    unprunable = [f for f, box in ranges.items() if not box]
+    bounded = {f: box for f, box in ranges.items() if box}
     if n_keys <= max_collect_keys:
         path = "collect"
-        keys = [r[0] for r in kdf.collect()]
-        kmin, kmax = min(keys), max(keys)
-        kset = set(keys)
-        hits = [
-            f
-            for f, (lo, hi) in bounded.items()
-            if lo <= kmax and kmin <= hi and any(lo <= k <= hi for k in kset)
-        ]
+        tuples = sorted(tuple(r[c] for c in keys) for r in kdf.collect())
+        firsts = [t[0] for t in tuples]
+        hits = []
+        for f, box in bounded.items():
+            b0 = box.get(keys[0])
+            if b0 is not None:
+                cand = tuples[
+                    bisect_left(firsts, b0[0]):bisect_right(firsts, b0[1])
+                ]
+            else:
+                cand = tuples
+            if any(
+                all(
+                    box[c][0] <= t[ci] <= box[c][1]
+                    for ci, c in enumerate(keys)
+                    if c in box
+                )
+                for t in cand
+            ):
+                hits.append(f)
     elif bounded:
         path = "join"
-        rng_df = spark.createDataFrame(
-            [(f, lo, hi) for f, (lo, hi) in bounded.items()],
-            ["_mt_file", "_mt_min", "_mt_max"],
-        )
-        kcol = F.col(key)
+        fields = [T.StructField("_mt_file", T.StringType())]
+        for i, kf in enumerate(kdf.schema.fields):
+            fields.append(T.StructField(f"_mt_min_{i}", kf.dataType))
+            fields.append(T.StructField(f"_mt_max_{i}", kf.dataType))
+        rows = []
+        for f, box in bounded.items():
+            row = [f]
+            for c in keys:
+                lo, hi = box.get(c, (None, None))
+                row += [lo, hi]
+            rows.append(tuple(row))
+        rng_df = spark.createDataFrame(rows, T.StructType(fields))
+        cond = F.lit(True)
+        for i, c in enumerate(keys):
+            lo, hi = F.col(f"_mt_min_{i}"), F.col(f"_mt_max_{i}")
+            cond = cond & (lo.isNull() | ((F.col(c) >= lo) & (F.col(c) <= hi)))
         hits = sorted(
             r[0]
-            for r in kdf.join(
-                F.broadcast(rng_df),
-                (kcol >= F.col("_mt_min")) & (kcol <= F.col("_mt_max")),
-            )
+            for r in kdf.join(F.broadcast(rng_df), cond)
             .select("_mt_file")
             .distinct()
             .collect()
@@ -302,79 +486,168 @@ def _check_expected(man: dict, expected_version: int | None, table_dir: str) -> 
         )
 
 
+def _retrying(fn, table_dir: str, retries: int, expected_version: int | None):
+    """Optimistic-concurrency commit loop (Delta's retry protocol):
+    ``fn`` plans against the CURRENT snapshot and attempts one commit;
+    on ``ConcurrentWriteError`` we back off (bounded exponential),
+    verify the table actually MOVED (a collision with an orphan
+    manifest that the pointer never absorbs is crash debris — retrying
+    would loop forever; fail over to the ``mtable_repair`` message
+    instead), and replan from scratch. Snapshot-pinned callers
+    (``expected_version``) opted out of replanning by definition, so
+    pinning with retries is refused up front."""
+    if retries and expected_version is not None:
+        raise ValueError(
+            "mtable: expected_version pins one snapshot; it cannot be "
+            "combined with retries (auto-retry replans against a NEW "
+            "snapshot, which is exactly what the pin forbids)"
+        )
+    attempt = 0
+    while True:
+        ptr_before = _current_version(table_dir)
+        try:
+            return fn()
+        except ConcurrentWriteError:
+            if attempt >= retries:
+                raise
+            attempt += 1
+            time.sleep(min(0.05 * (2 ** attempt), 1.0))
+            if (
+                _current_version(table_dir) == ptr_before
+                and os.path.exists(_manifest_path(table_dir, ptr_before + 1))
+            ):
+                raise ConcurrentWriteError(
+                    f"mtable at {table_dir}: CAS collision at "
+                    f"v{ptr_before + 1} but the pointer has not moved — "
+                    "orphan crash debris is wedging the version slot; "
+                    "run mtable_repair(table_dir) under the cooperative "
+                    "writer lock, then retry"
+                ) from None
+
+
+def mtable_create(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
+    """Create version 0 from ``df``."""
+    os.makedirs(table_dir, exist_ok=True)
+    files = _new_data_files(table_dir, df)
+    _write_manifest(
+        table_dir, 0, files, {"op": "create"},
+        file_stats=_stats_for(table_dir, files),
+    )
+    return read_manifest(table_dir)
+
+
+def mtable_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read one VERSION's consistent file list (latest by default).
+    Time travel = pass an older version; its files are immutable, so
+    the read is reproducible until a vacuum drops that version."""
+    man = read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, f) for f in man["files"]]
+    if not paths:
+        raise ValueError(f"mtable at {table_dir} v{man['version']} lists no files")
+    return spark.read.parquet(*paths)
+
+
 def mtable_merge(
     spark: SparkSession,
     table_dir: str,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
     max_collect_keys: int = DEFAULT_MAX_COLLECT_KEYS,
     expected_version: int | None = None,
+    retries: int = 0,
 ) -> dict:
-    """MERGE (upsert) ``updates`` by ``key``: rows whose key exists are
-    replaced, new keys are inserted. Copy-on-write limited to MATCHED
-    files (see ``_plan_matched_files`` — count-gated exact-key pruning
-    under ``max_collect_keys`` distinct keys, driver-safe join-based
-    file matching above it; key volume never bounds driver memory),
-    only those files are read/anti-joined/rewritten, every untouched
-    file is re-listed verbatim in the next manifest.
+    """MERGE (upsert) ``updates`` by ``key`` (single column or
+    composite list): rows whose key tuple exists are replaced, new
+    tuples are inserted. Copy-on-write limited to MATCHED files (see
+    ``_plan_matched_files`` — count-gated exact-key pruning under
+    ``max_collect_keys`` distinct keys, driver-safe join-based file
+    matching above it; key volume never bounds driver memory), only
+    those files are read/anti-joined/rewritten, every untouched file
+    is re-listed verbatim — stats included — in the next manifest.
+
+    ``updates`` is persisted for the duration of the merge: the
+    duplicate-key refusal, the planning scan, and the final union all
+    read ONE materialization, so a nondeterministic source (sample,
+    re-read stream) cannot pass the check with one set of rows and
+    commit another.
 
     ``expected_version`` pins the snapshot this merge was planned
-    against: the commit raises ``ConcurrentWriteError`` if another
-    writer moved the table (and the manifest CAS catches the
-    commit-time race even without it — one winner, one loud loser).
+    against (fail fast on a stale plan); ``retries=N`` instead
+    re-plans and re-attempts on commit collision — the optimistic
+    loop. The manifest CAS catches the commit-time race either way:
+    one winner, one loud loser.
 
     Returns the new manifest (also records files_rewritten /
     files_untouched / key_match_path so the no-table-rewrite property
     and the chosen pruning strategy are observable)."""
-    man = read_manifest(table_dir)
-    _check_expected(man, expected_version, table_dir)
-    matched, untouched, n_keys, kdf, path = _plan_matched_files(
-        spark, table_dir, man, updates, key, max_collect_keys,
-        "mtable_merge: empty update batch",
-    )
-    n_rows = updates.count()
-    if n_rows != n_keys:
-        # a batch with duplicate keys has no well-defined upsert (which
-        # row wins?) — the Delta/Iceberg "multiple source rows matched"
-        # refusal; dedupe upstream or pre-aggregate via mtable_merge_agg
-        kdf.unpersist()
-        raise ValueError(
-            f"mtable_merge: update batch has {n_rows - n_keys} duplicate "
-            f"key rows ({n_rows} rows, {n_keys} distinct {key!r}); an "
-            "upsert needs one row per key"
-        )
-    try:
-        if matched:
-            old = spark.read.parquet(*[os.path.join(table_dir, f) for f in matched])
-            anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
-            combined = old.join(anti, key, "left_anti").unionByName(updates)
-        else:
-            combined = updates
-        new_files = _new_data_files(table_dir, combined)
-    finally:
-        kdf.unpersist()
+    keys = _as_keys(key)
 
-    version = man["version"] + 1
-    _write_manifest(
-        table_dir,
-        version,
-        untouched + new_files,
-        {
-            "op": "merge",
-            "parent": man["version"],
-            "files_rewritten": len(matched),
-            "files_untouched": len(untouched),
-            "n_update_keys": n_keys,
-            "key_match_path": path,
-        },
-    )
-    return read_manifest(table_dir)
+    def _once() -> dict:
+        man = read_manifest(table_dir)
+        _check_expected(man, expected_version, table_dir)
+        updates.persist()
+        try:
+            matched, untouched, n_keys, kdf, path = _plan_matched_files(
+                spark, table_dir, man, updates, keys, max_collect_keys,
+                "mtable_merge: empty update batch",
+            )
+            try:
+                n_rows = updates.count()
+                if n_rows != n_keys:
+                    # a batch with duplicate key tuples has no
+                    # well-defined upsert (which row wins?) — the
+                    # Delta/Iceberg "multiple source rows matched"
+                    # refusal; dedupe upstream or pre-aggregate via
+                    # mtable_merge_agg
+                    raise ValueError(
+                        f"mtable_merge: update batch has {n_rows - n_keys} "
+                        f"duplicate key rows ({n_rows} rows, {n_keys} "
+                        f"distinct {keys}); an upsert needs one row per key"
+                    )
+                if matched:
+                    old = spark.read.parquet(
+                        *[os.path.join(table_dir, f) for f in matched]
+                    )
+                    anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
+                    combined = old.join(anti, keys, "left_anti").unionByName(updates)
+                else:
+                    combined = updates
+                new_files = _new_data_files(table_dir, combined)
+            finally:
+                kdf.unpersist()
+        finally:
+            updates.unpersist()
+        _write_manifest(
+            table_dir,
+            man["version"] + 1,
+            untouched + new_files,
+            {
+                "op": "merge",
+                "parent": man["version"],
+                "keys": keys,
+                "files_rewritten": len(matched),
+                "files_untouched": len(untouched),
+                "n_update_keys": n_keys,
+                "key_match_path": path,
+            },
+            file_stats=_stats_for(
+                table_dir, untouched + new_files, man.get("file_stats")
+            ),
+        )
+        return read_manifest(table_dir)
+
+    return _retrying(_once, table_dir, retries, expected_version)
 
 
 def mtable_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     """Delete data files unreferenced by the ``retain_versions`` most
     recent COMMITTED manifests, and drop manifests outside that window.
-    Time travel shrinks to the retained window.
+    Time travel shrinks to the retained window. Run under the
+    cooperative writer lock when writers may be live — a vacuum racing
+    a writer's link-to-pointer-flip window would otherwise delete the
+    about-to-be-pointed-at manifest.
 
     Retention is anchored on the ``_latest`` POINTER, never on the
     highest manifest file present: a crash between manifest write and
@@ -417,47 +690,59 @@ def mtable_delete(
     spark: SparkSession,
     table_dir: str,
     keys: DataFrame,
-    key: str,
+    key: str | list[str],
     max_collect_keys: int = DEFAULT_MAX_COLLECT_KEYS,
     expected_version: int | None = None,
+    retries: int = 0,
 ) -> dict:
-    """DELETE by key set — the MERGE machinery minus the insert: only
-    files whose footer range intersects the key set are read and
-    rewritten without the deleted rows; everything else is re-listed
-    verbatim. Same count-gated planning and CAS commit as
+    """DELETE by key set (single or composite ``key``) — the MERGE
+    machinery minus the insert: only files whose per-column ranges
+    intersect the key set are read and rewritten without the deleted
+    rows; everything else is re-listed verbatim. Same count-gated
+    planning, CAS commit, and optional optimistic retry as
     ``mtable_merge``. A key that matches nothing still commits a
     (no-op-ish) version — deletes are idempotent by construction."""
-    man = read_manifest(table_dir)
-    _check_expected(man, expected_version, table_dir)
-    matched, untouched, n_keys, kdf, path = _plan_matched_files(
-        spark, table_dir, man, keys, key, max_collect_keys,
-        "mtable_delete: empty key set",
-    )
-    new_files: list[str] = []
-    try:
-        if matched:
-            old = spark.read.parquet(*[os.path.join(table_dir, f) for f in matched])
-            anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
-            survivors = old.join(anti, key, "left_anti")
-            if survivors.limit(1).count():
-                new_files = _new_data_files(table_dir, survivors)
-    finally:
-        kdf.unpersist()
-    version = man["version"] + 1
-    _write_manifest(
-        table_dir,
-        version,
-        untouched + new_files,
-        {
-            "op": "delete",
-            "parent": man["version"],
-            "files_rewritten": len(matched),
-            "files_untouched": len(untouched),
-            "n_delete_keys": n_keys,
-            "key_match_path": path,
-        },
-    )
-    return read_manifest(table_dir)
+    kcols = _as_keys(key)
+
+    def _once() -> dict:
+        man = read_manifest(table_dir)
+        _check_expected(man, expected_version, table_dir)
+        matched, untouched, n_keys, kdf, path = _plan_matched_files(
+            spark, table_dir, man, keys, kcols, max_collect_keys,
+            "mtable_delete: empty key set",
+        )
+        new_files: list[str] = []
+        try:
+            if matched:
+                old = spark.read.parquet(
+                    *[os.path.join(table_dir, f) for f in matched]
+                )
+                anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
+                survivors = old.join(anti, kcols, "left_anti")
+                if survivors.limit(1).count():
+                    new_files = _new_data_files(table_dir, survivors)
+        finally:
+            kdf.unpersist()
+        _write_manifest(
+            table_dir,
+            man["version"] + 1,
+            untouched + new_files,
+            {
+                "op": "delete",
+                "parent": man["version"],
+                "keys": kcols,
+                "files_rewritten": len(matched),
+                "files_untouched": len(untouched),
+                "n_delete_keys": n_keys,
+                "key_match_path": path,
+            },
+            file_stats=_stats_for(
+                table_dir, untouched + new_files, man.get("file_stats")
+            ),
+        )
+        return read_manifest(table_dir)
+
+    return _retrying(_once, table_dir, retries, expected_version)
 
 
 def mtable_compact(
@@ -496,6 +781,7 @@ def mtable_compact(
             "files_out": len(new_files),
             "bytes_in": total,
         },
+        file_stats=_stats_for(table_dir, new_files),
     )
     new_man = read_manifest(table_dir)
     n_old = mtable_read(spark, table_dir, version=man["version"]).count()
@@ -510,7 +796,7 @@ def mtable_compact(
 def mtable_sink(
     spark: SparkSession,
     table_dir: str,
-    key: str | None = None,
+    key: str | list[str] | None = None,
     combine: dict[str, str] | None = None,
 ):
     """Exactly-once streaming sink into an mtable: a ``foreachBatch``
@@ -560,7 +846,8 @@ def mtable_sink(
         if man is None:
             files = _new_data_files(table_dir, df)
             _write_manifest(
-                table_dir, 0, files, {"op": "stream-append", "epochs": [epoch_id]}
+                table_dir, 0, files, {"op": "stream-append", "epochs": [epoch_id]},
+                file_stats=_stats_for(table_dir, files),
             )
             return
         epochs = man.get("epochs", []) + [epoch_id]
@@ -574,9 +861,13 @@ def mtable_sink(
                 spark, table_dir, df, key, combine, extra_meta={"epochs": epochs}
             )
         elif key is None:
-            files = man["files"] + _new_data_files(table_dir, df)
+            new_files = _new_data_files(table_dir, df)
+            files = man["files"] + new_files
             meta = {"op": "stream-append", "epochs": epochs}
-            _write_manifest(table_dir, man["version"] + 1, files, meta)
+            _write_manifest(
+                table_dir, man["version"] + 1, files, meta,
+                file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+            )
         else:
             new_man = mtable_merge(spark, table_dir, df, key)
             # annotate the merge commit with its epoch lineage (merge
@@ -589,9 +880,10 @@ def mtable_sink(
                 {
                     k: v
                     for k, v in new_man.items()
-                    if k not in ("version", "files")
+                    if k not in ("version", "files", "file_stats")
                 }
                 | {"epochs": epochs},
+                file_stats=new_man.get("file_stats"),
                 overwrite=True,
             )
 
@@ -605,79 +897,93 @@ def mtable_merge_agg(
     spark: SparkSession,
     table_dir: str,
     delta: DataFrame,
-    key: str,
+    key: str | list[str],
     combine: dict[str, str],
     extra_meta: dict | None = None,
     max_collect_keys: int = DEFAULT_MAX_COLLECT_KEYS,
     expected_version: int | None = None,
+    retries: int = 0,
 ) -> dict:
     """Incremental AGGREGATE maintenance — the materialized-view
-    refresh: the table holds per-``key`` aggregates, ``delta`` holds
-    the new batch's partial aggregates for the same columns, and the
-    commit COMBINES matched keys instead of replacing them
-    (``combine``: column → 'sum' | 'max' | 'min' — the decomposable
-    aggregates; avg ships as sum+count, distinct as a KMV column).
+    refresh: the table holds per-``key`` (single or composite)
+    aggregates, ``delta`` holds the new batch's partial aggregates for
+    the same columns, and the commit COMBINES matched keys instead of
+    replacing them (``combine``: column → 'sum' | 'max' | 'min' — the
+    decomposable aggregates; avg ships as sum+count, distinct as a KMV
+    column).
 
-    Same copy-on-write discipline, count-gated file matching, and CAS
-    commit as ``mtable_merge``: footer pruning picks the files whose
-    key ranges intersect the delta, ONLY those are read; their matched
-    rows re-aggregate together with the delta (one groupBy over
-    matched-rows ∪ delta — both are per-key aggregates, so the
-    combined groupBy is exact for decomposable functions), unmatched
-    rows pass through, new keys insert. At 100 TB this is how a
-    per-entity profile table absorbs a day's events without rescanning
-    history: the delta is aggregated upstream (map-side, corpus-scale),
-    the table touch is footer-pruned, and a corpus-scale delta key set
-    never collects to the driver."""
+    Same copy-on-write discipline, count-gated file matching, CAS
+    commit, and optional optimistic retry as ``mtable_merge``:
+    range pruning picks the files whose key boxes intersect the delta,
+    ONLY those are read; their matched rows re-aggregate together with
+    the delta (one groupBy over matched-rows ∪ delta — both are
+    per-key aggregates, so the combined groupBy is exact for
+    decomposable functions), unmatched rows pass through, new keys
+    insert. At 100 TB this is how a per-entity profile table absorbs a
+    day's events without rescanning history: the delta is aggregated
+    upstream (map-side, corpus-scale), the table touch is range-pruned
+    via manifest stats, and a corpus-scale delta key set never
+    collects to the driver."""
     for col, fn in combine.items():
         if fn not in _COMBINE_FNS:
             raise ValueError(f"unsupported combine fn {fn!r} for {col!r}")
-    man = read_manifest(table_dir)
-    _check_expected(man, expected_version, table_dir)
-    matched, untouched, n_keys, kdf, path = _plan_matched_files(
-        spark, table_dir, man, delta, key, max_collect_keys,
-        "mtable_merge_agg: empty delta",
-    )
-    kdf.unpersist()  # merge_agg re-aggregates whole matched files; no anti-join
+    kcols = _as_keys(key)
 
-    cols = [key] + sorted(combine)
-    delta_sel = delta.select(*cols)
-    if matched:
-        old = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in matched]
-        ).select(*cols)
-        pool = old.unionByName(delta_sel)
-    else:
-        pool = delta_sel
-    combined = pool.groupBy(key).agg(
-        *[_COMBINE_FNS[fn](c).alias(c) for c, fn in sorted(combine.items())]
-    )
-    new_files = _new_data_files(table_dir, combined.select(*cols))
-    version = man["version"] + 1
-    _write_manifest(
-        table_dir,
-        version,
-        untouched + new_files,
-        {
-            "op": "merge-agg",
-            "parent": man["version"],
-            "files_rewritten": len(matched),
-            "files_untouched": len(untouched),
-            "n_delta_keys": n_keys,
-            "key_match_path": path,
-            **(extra_meta or {}),
-        },
-    )
-    return read_manifest(table_dir)
+    def _once() -> dict:
+        man = read_manifest(table_dir)
+        _check_expected(man, expected_version, table_dir)
+        matched, untouched, n_keys, kdf, path = _plan_matched_files(
+            spark, table_dir, man, delta, kcols, max_collect_keys,
+            "mtable_merge_agg: empty delta",
+        )
+        kdf.unpersist()  # merge_agg re-aggregates whole matched files; no anti-join
+
+        cols = kcols + sorted(combine)
+        delta_sel = delta.select(*cols)
+        if matched:
+            old = spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in matched]
+            ).select(*cols)
+            pool = old.unionByName(delta_sel)
+        else:
+            pool = delta_sel
+        combined = pool.groupBy(*kcols).agg(
+            *[_COMBINE_FNS[fn](c).alias(c) for c, fn in sorted(combine.items())]
+        )
+        new_files = _new_data_files(table_dir, combined.select(*cols))
+        _write_manifest(
+            table_dir,
+            man["version"] + 1,
+            untouched + new_files,
+            {
+                "op": "merge-agg",
+                "parent": man["version"],
+                "keys": kcols,
+                "files_rewritten": len(matched),
+                "files_untouched": len(untouched),
+                "n_delta_keys": n_keys,
+                "key_match_path": path,
+                **(extra_meta or {}),
+            },
+            file_stats=_stats_for(
+                table_dir, untouched + new_files, man.get("file_stats")
+            ),
+        )
+        return read_manifest(table_dir)
+
+    return _retrying(_once, table_dir, retries, expected_version)
 
 
 def mtable_clone(src_dir: str, dst_dir: str) -> dict:
     """ZERO-COPY shallow clone (Delta CLONE's core move): publish a new
     table at ``dst_dir`` whose version 0 references the SOURCE's
     current data files by absolute path — no bytes move, the clone is
-    O(manifest). Writes to the clone land new files under the clone's
-    own directory (copy-on-write applies per table), so the two tables
-    diverge independently from a shared immutable base.
+    O(manifest); the source's persisted per-file stats carry over
+    under the translated paths, so the clone's first merge plans
+    without any footer reads either. Writes to the clone land new
+    files under the clone's own directory (copy-on-write applies per
+    table), so the two tables diverge independently from a shared
+    immutable base.
 
     Contract (the standard shallow-clone caveat, made loud here): the
     clone depends on the source's files; ``mtable_vacuum`` only ever
@@ -689,7 +995,13 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
     sever it."""
     man = read_manifest(src_dir)
     os.makedirs(dst_dir, exist_ok=True)
-    abs_files = [os.path.abspath(os.path.join(src_dir, f)) for f in man["files"]]
+    src_stats = man.get("file_stats", {})
+
+    def _abs(f: str) -> str:
+        return os.path.abspath(os.path.join(src_dir, f))
+
+    abs_files = [_abs(f) for f in man["files"]]
+    abs_stats = {_abs(f): st for f, st in src_stats.items()}
     _write_manifest(
         dst_dir,
         0,
@@ -699,5 +1011,6 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
             "cloned_from": os.path.abspath(src_dir),
             "cloned_version": man["version"],
         },
+        file_stats=abs_stats,
     )
     return read_manifest(dst_dir)
