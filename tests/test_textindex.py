@@ -5,6 +5,7 @@ index (query-term scans prune postings files via min/max skipping)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyarrow.parquet as pq
@@ -298,7 +299,10 @@ class TestTextIndexDeletes:
         a2 = audit_text_index(spark, idx)
         assert a2["consistent"] and a2["n_tombstones"] == 0
 
-    def test_absent_ids_refused_and_append_guard(self, spark, tmp_path, sf_dir):
+    def test_dead_batch_noop_and_append_guard(self, spark, tmp_path, sf_dir):
+        """Round-12 (ADVICE): a batch of absent/already-dead ids is a
+        TRUE idempotent no-op — the crashed-then-retried delete whose
+        first attempt committed must succeed silently, not raise."""
         from w4h_etl_container_spark.pipeline.textindex import (
             append_to_text_index,
             build_text_index,
@@ -308,13 +312,104 @@ class TestTextIndexDeletes:
 
         idx = str(tmp_path / "gidx")
         build_text_index(spark, sf_dir, idx)
-        with pytest.raises(ValueError, match="no live doc_ids"):
-            delete_from_text_index(
-                spark, idx, spark.createDataFrame([(10**9,)], "doc_id long")
-            )
-        delete_from_text_index(
+        man0 = json.load(open(os.path.join(idx, "MANIFEST.json")))
+        # absent ids: manifest unchanged, nothing raised
+        out = delete_from_text_index(
+            spark, idx, spark.createDataFrame([(10**9,)], "doc_id long")
+        )
+        assert out == man0
+        assert json.load(open(os.path.join(idx, "MANIFEST.json"))) == man0
+
+        man1 = delete_from_text_index(
             spark, idx, spark.createDataFrame([(0,)], "doc_id long")
         )
+        # replay of the SAME batch (post-commit retry): no-op, no drift
+        man2 = delete_from_text_index(
+            spark, idx, spark.createDataFrame([(0,)], "doc_id long")
+        )
+        assert man2 == man1
+        assert man2["n_tombstones"] == 1
         back = read_table(spark, sf_dir, "documents").where(F.col("doc_id") == 0)
         with pytest.raises(ValueError, match="tombstoned"):
             append_to_text_index(spark, idx, back)
+
+    def test_crash_debris_tombstone_file_is_invisible(self, spark, tmp_path, sf_dir):
+        """Round-12 (ADVICE): the delete's commit point is the atomic
+        manifest rename. A tombstone file written WITHOUT a manifest
+        reference (crash between the two) filters nothing and shifts
+        no stats — readers see the exact pre-delete index — and the
+        retried delete commits cleanly without double-counting."""
+        from w4h_etl_container_spark.pipeline.textindex import (
+            audit_text_index,
+            bm25_topk_from_index,
+            build_text_index,
+            delete_from_text_index,
+        )
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+
+        idx = str(tmp_path / "cidx")
+        build_text_index(spark, sf_dir, idx)
+        man0 = json.load(open(os.path.join(idx, "MANIFEST.json")))
+        before = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        )
+        victim = before[0][1]
+        # the "crash": tombstone rows on disk, manifest never flipped
+        spark.createDataFrame([(victim,)], "doc_id long").write.parquet(
+            os.path.join(idx, "tombstones", "batch-debris")
+        )
+        assert sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        ) == before  # debris invisible: scores identical
+        a = audit_text_index(spark, idx)
+        assert a["consistent"] and a["n_tombstones"] == 0
+
+        # the retry: commits once, exactly
+        man1 = delete_from_text_index(
+            spark, idx, spark.createDataFrame([(victim,)], "doc_id long")
+        )
+        assert man1["n_tombstones"] == 1
+        assert man1["n_docs"] == man0["n_docs"] - 1
+        assert len(man1["tombstone_files"]) == 1
+        assert "batch-debris" not in man1["tombstone_files"][0]
+        got = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        )
+        assert victim not in {r[1] for r in got}
+        assert audit_text_index(spark, idx)["consistent"]
+
+    def test_stale_stats_cache_never_serves(self, spark, tmp_path, sf_dir):
+        """Round-12 (ADVICE): scoring derives (n_docs, avgdl) from the
+        manifest, so a crash AFTER the manifest commit but BEFORE the
+        stats-parquet refresh degrades nothing — the cache is flagged
+        stale by the audit, scores match a full rebuild regardless."""
+        from w4h_etl_container_spark.pipeline.textindex import (
+            audit_text_index,
+            bm25_topk_from_index,
+            build_text_index,
+            delete_from_text_index,
+        )
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+
+        idx = str(tmp_path / "sidx")
+        build_text_index(spark, sf_dir, idx)
+        man0 = json.load(open(os.path.join(idx, "MANIFEST.json")))
+        before = bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        victim = sorted({r["doc_id"] for r in before})[0]
+        delete_from_text_index(
+            spark, idx, spark.createDataFrame([(victim,)], "doc_id long")
+        )
+        scored = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        )
+        # simulate the crash window: restore the PRE-delete stats cache
+        spark.createDataFrame(
+            [(man0["n_docs"], man0["total_tokens"])],
+            "n_docs long, total_tokens long",
+        ).write.mode("overwrite").parquet(os.path.join(idx, "stats"))
+        a = audit_text_index(spark, idx)
+        assert a["consistent"] and not a["stats_cache_fresh"]
+        # scores are identical: nothing reads the stale cache
+        assert sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        ) == scored

@@ -456,22 +456,176 @@ class TestIndexDeletes:
         assert untouched == t1  # byte-identical survivors, inode-level
         assert spark.read.parquet(cells_path).count() == sum(by_cell.values()) - n_victims
 
-    def test_delete_of_absent_ids_refused_and_append_guard(self, spark, tmp_path):
+    def test_dead_batch_noop_and_append_guard(self, spark, tmp_path):
+        """Round-12 (ADVICE): a batch of absent/already-dead ids is a
+        TRUE idempotent no-op — a crashed-then-retried delete whose
+        first attempt committed succeeds silently, never raises."""
+        import json as _json
+        import os
+
         from w4h_etl_container_spark.pipeline.vectorindex import (
             append_to_index,
             delete_from_index,
         )
 
         d, out = self._build(spark, tmp_path)
-        with pytest.raises(ValueError, match="no live vec_ids"):
-            delete_from_index(
-                spark, out, spark.createDataFrame([(10**9,)], "vec_id long")
-            )
+        man0 = _json.load(open(os.path.join(out, "MANIFEST.json")))
+        got = delete_from_index(
+            spark, out, spark.createDataFrame([(10**9,)], "vec_id long")
+        )
+        assert got == man0  # absent ids: manifest unchanged
+        man1 = delete_from_index(
+            spark, out, spark.createDataFrame([(0,)], "vec_id long")
+        )
+        # replay of the SAME batch post-commit: no-op, no drift
+        man2 = delete_from_index(
+            spark, out, spark.createDataFrame([(0,)], "vec_id long")
+        )
+        assert man2 == man1 and man2["n_tombstones"] == 1
         # deleting then re-appending the same id without compaction is loud
-        delete_from_index(spark, out, spark.createDataFrame([(0,)], "vec_id long"))
         emb = spark.read.parquet(f"{d}/embeddings.parquet").where(F.col("vec_id") == 0)
         with pytest.raises(ValueError, match="tombstoned"):
             append_to_index(spark, out, emb)
+
+    def test_crash_debris_tombstone_file_is_invisible(self, spark, tmp_path):
+        """Round-12: the delete's commit point is the atomic manifest
+        rename — a tombstone batch dir with no manifest reference
+        (crash between write and rename) filters nothing, and the
+        retried delete commits exactly once."""
+        import os
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            audit_index,
+            delete_from_index,
+            search_index,
+        )
+
+        d, out = self._build(spark, tmp_path)
+        before = sorted(
+            map(tuple, search_index(spark, d, out, n_queries=4, nprobe=8, top_k=5).collect())
+        )
+        victim = before[0][1]
+        spark.createDataFrame([(victim,)], "vec_id long").write.parquet(
+            os.path.join(out, "tombstones", "batch-debris")
+        )
+        assert sorted(
+            map(tuple, search_index(spark, d, out, n_queries=4, nprobe=8, top_k=5).collect())
+        ) == before  # debris invisible
+        a = audit_index(spark, out)
+        assert a["consistent"] and a["n_tombstones"] == 0
+        man = delete_from_index(
+            spark, out, spark.createDataFrame([(victim,)], "vec_id long")
+        )
+        assert man["n_tombstones"] == 1
+        assert len(man["tombstone_files"]) == 1
+        assert "batch-debris" not in man["tombstone_files"][0]
+        served = {
+            r["cand_id"]
+            for r in search_index(spark, d, out, n_queries=4, nprobe=8, top_k=5).collect()
+        }
+        assert victim not in served
+        assert audit_index(spark, out)["consistent"]
+
+
+class TestIndexDriftAccounting:
+    """Round-12: frozen-model appends degrade recall silently as the
+    data distribution moves — the audit compares live per-cell
+    occupancy against the manifest's training-time baseline (total
+    variation distance) and flips needs_retrain when appended batches
+    concentrate into few cells; a rebuild resets the baseline."""
+
+    def _build(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import build_vector_index
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "drbase")
+        write_planted_embeddings(d, n_clusters=8, per_cluster=20, seed=21)
+        out = str(tmp_path / "dridx")
+        build_vector_index(spark, d, out, n_centroids=8, m=8, k=16, iters=3)
+        return d, out
+
+    def test_same_distribution_append_stays_green(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            append_to_index,
+            audit_index,
+        )
+
+        d, out = self._build(spark, tmp_path)
+        a0 = audit_index(spark, out)
+        assert a0["occupancy_tv"] == 0.0 and not a0["needs_retrain"]
+        # a same-distribution batch: the corpus itself under fresh ids
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        clone = emb.select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+        )
+        append_to_index(spark, out, clone)
+        a1 = audit_index(spark, out)
+        assert a1["consistent"]
+        assert a1["occupancy_tv"] < 0.05 and not a1["needs_retrain"]
+
+    def test_drifted_append_flips_needs_retrain_and_rebuild_clears(
+        self, spark, tmp_path
+    ):
+        import numpy as np
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            append_to_index,
+            audit_index,
+            build_vector_index,
+        )
+        from w4h_etl_container_spark.plans.vectors import ann_recall
+
+        d, out = self._build(spark, tmp_path)
+        # drift: a whole new batch concentrated at ONE existing
+        # point's neighborhood — the frozen model funnels all of it
+        # into one cell
+        anchor = np.array(
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .where(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]
+        )
+        rng = np.random.default_rng(33)
+        drifted = [
+            (int(200_000 + i), (anchor + rng.normal(0, 0.01, anchor.shape)).tolist())
+            for i in range(160)
+        ]
+        append_to_index(
+            spark,
+            out,
+            spark.createDataFrame(drifted, "vec_id long, embedding array<double>"),
+        )
+        a1 = audit_index(spark, out)
+        assert a1["consistent"]  # counts are fine — that's the point
+        assert a1["occupancy_tv"] > 0.25 and a1["needs_retrain"]
+
+        # retrain on the drifted corpus: baseline resets, recall is
+        # re-measured on the planted structure
+        import os
+        import shutil
+
+        d2 = str(tmp_path / "drifted-corpus")
+        os.makedirs(d2)
+        spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).unionByName(
+            spark.createDataFrame(drifted, "vec_id long, embedding array<double>")
+        ).coalesce(1).write.parquet(str(tmp_path / "dcpq"))
+        for f in os.listdir(str(tmp_path / "dcpq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "dcpq" / f),
+                    os.path.join(d2, "embeddings.parquet"),
+                )
+        out2 = str(tmp_path / "dridx2")
+        build_vector_index(spark, d2, out2, n_centroids=8, m=8, k=16, iters=3)
+        a2 = audit_index(spark, out2)
+        assert a2["occupancy_tv"] == 0.0 and not a2["needs_retrain"]
+        # shortlist wider than the 160-clone tie plateau: near-identical
+        # vectors share PQ codes, so only the exact re-rank can order them
+        rec = ann_recall(
+            spark, d2, out2, nprobes=(8,), n_queries=4, top_k=5, rerank=200
+        )
+        assert rec[-1]["recall"] == 1.0  # full-probe recall restored
 
 
 class TestFilteredSearch:

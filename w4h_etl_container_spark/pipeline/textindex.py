@@ -42,6 +42,36 @@ from w4h_etl_container_spark.plans.textops import _tokens
 from w4h_etl_container_spark.session import read_table
 
 
+def _write_index_manifest(index_dir: str, man: dict) -> None:
+    """Atomically publish MANIFEST.json (tmp + rename): the manifest is
+    the index's VISIBILITY SWITCH (tombstone gating) and its stats
+    authority (n_docs / total_tokens feed idf and avgdl), so a torn
+    half-written manifest must be impossible."""
+    import uuid as _uuid
+
+    path = os.path.join(index_dir, "MANIFEST.json")
+    tmp = path + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+
+
+def _stats_df(spark: SparkSession, man: dict) -> DataFrame:
+    """The 1-row (n_docs, avgdl) input to BM25 scoring, derived from
+    the MANIFEST — the single atomically-written artifact — never from
+    the stats parquet. The parquet stats file remains as a derived
+    cache (rebuilt by build/compact, refreshed after deletes/appends),
+    so a crash between the manifest commit and the cache refresh can
+    never serve stale idf/avgdl: scores always reflect exactly the
+    corpus the manifest declares."""
+    return spark.createDataFrame(
+        [(man["n_docs"], man["total_tokens"])], "n_docs long, total_tokens long"
+    ).select(
+        "n_docs",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+
+
 def build_text_index(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
 ) -> dict:
@@ -77,8 +107,7 @@ def build_text_index(
             "stats": stats_path,
         },
     }
-    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_index_manifest(out_dir, manifest)
     return manifest
 
 
@@ -97,16 +126,15 @@ def bm25_topk_from_index(
     so the touched bytes scale with Σ df(term), not the corpus."""
     from pyspark.sql import Window
 
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
     terms = sorted({t for _, ts in queries for t in ts})
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).where(
         F.col("token").isin(*terms)
     )
-    postings = _without_tombstones(spark, index_dir, postings)
+    postings = _without_tombstones(spark, index_dir, postings, man)
     dl = spark.read.parquet(os.path.join(index_dir, "doc_lengths"))
-    stats = spark.read.parquet(os.path.join(index_dir, "stats")).select(
-        "n_docs",
-        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avgdl"),
-    )
+    stats = _stats_df(spark, man)
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts],
         "query_id int, term string",
@@ -172,20 +200,37 @@ def _tombstone_path(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
 
-def _has_tombstones(index_dir: str) -> bool:
-    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
-        return json.load(f).get("n_tombstones", 0) > 0
+def _tombstones_df(
+    spark: SparkSession, index_dir: str, man: dict
+) -> DataFrame | None:
+    """The ACKNOWLEDGED tombstone set: only files the manifest lists.
+    A crashed delete's unreferenced tombstone file (written, never
+    committed) is invisible — exactly the mtable orphan-data rule —
+    so visibility and the manifest's corpus stats can never disagree."""
+    files = man.get("tombstone_files", [])
+    if not files:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(index_dir, f) for f in files]
+    ).select("doc_id")
 
 
-def _without_tombstones(spark: SparkSession, index_dir: str, df: DataFrame) -> DataFrame:
+def _without_tombstones(
+    spark: SparkSession, index_dir: str, df: DataFrame, man: dict | None = None
+) -> DataFrame:
     """Anti-join ``df`` (any doc_id-keyed artifact slice) against the
     pending tombstone set — the single filter every read path goes
-    through, so a deleted document can never score. The tombstone set
-    is delete-batch-sized (broadcast); with none pending this is the
-    plain read."""
-    if not _has_tombstones(index_dir):
+    through, so a deleted document can never score. The MANIFEST gates
+    visibility (see ``_tombstones_df``): debris from a crashed delete
+    filters nothing, matching the stats the manifest still declares.
+    The tombstone set is delete-batch-sized (broadcast); with none
+    pending this is the plain read."""
+    if man is None:
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            man = json.load(f)
+    tomb = _tombstones_df(spark, index_dir, man)
+    if tomb is None:
         return df
-    tomb = spark.read.parquet(_tombstone_path(index_dir)).select("doc_id")
     return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
@@ -195,37 +240,58 @@ def delete_from_text_index(
     """DELETE documents from a published inverted index — the vector
     index's tombstone discipline, plus the twist lexical scoring
     demands: corpus statistics participate in every BM25 score (idf's
-    n_docs, tf-normalization's avgdl), so the delete REWRITES the
-    1-row stats artifact with the post-delete (n_docs, total_tokens)
-    in the same call. Scores therefore reflect the shrunken corpus
-    immediately and exactly — pinned in tests against a full rebuild
-    on the surviving documents. Document frequencies come from the
-    tombstone-filtered postings slice at query time, so they shrink
-    consistently too.
+    n_docs, tf-normalization's avgdl), so the delete shifts
+    (n_docs, total_tokens) in the same commit. Scores therefore
+    reflect the shrunken corpus immediately and exactly — pinned in
+    tests against a full rebuild on the surviving documents. Document
+    frequencies come from the tombstone-filtered postings slice at
+    query time, so they shrink consistently too.
+
+    Crash-atomic in ONE artifact — the write-ahead-of-publish story:
+    (1) the dead ids land in a FRESH tombstone file set under
+    ``tombstones/`` that nothing references yet (a crash here leaves
+    invisible debris, and a retry writes its own fresh set — no
+    double-count possible); (2) the atomic manifest rename flips
+    visibility (``tombstone_files`` gains the new set) AND the corpus
+    stats together — scoring derives (n_docs, avgdl) from the
+    manifest, see ``_stats_df``; (3) the stats parquet refreshes as a
+    derived cache (a crash before it changes nothing readers use). A
+    crash at any point leaves either the exact pre-delete index or
+    the exact post-delete index, never a mix.
 
     O(batch) + one pruned doc_lengths aggregate; no posting file is
     touched (``compact_text_index_deletes`` is the physical purge).
-    Ids not present or already dead are idempotent no-ops."""
+    Ids not present (or already dead) are idempotent no-ops; a batch
+    with NO live ids returns the manifest unchanged (true idempotent
+    replay, matching ``mtable_delete``)."""
+    import uuid as _uuid
+
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
     dl = spark.read.parquet(man["artifacts"]["doc_lengths"])
-    live = _without_tombstones(spark, index_dir, dl)
+    live = _without_tombstones(spark, index_dir, dl, man)
     dead = live.join(
         F.broadcast(doc_ids.select("doc_id").distinct()), "doc_id", "left_semi"
-    )
-    row = dead.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).collect()[0]
-    if not row["n"]:
-        raise ValueError("delete_from_text_index: no live doc_ids in the batch")
-    dead.select("doc_id").write.mode("append").parquet(_tombstone_path(index_dir))
+    ).persist()
+    try:
+        row = dead.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        if not row["n"]:
+            return man  # nothing live to delete: idempotent no-op
+        batch_rel = os.path.join("tombstones", f"batch-{_uuid.uuid4().hex}")
+        dead.select("doc_id").write.parquet(os.path.join(index_dir, batch_rel))
+    finally:
+        dead.unpersist()
     man["n_docs"] -= row["n"]
     man["total_tokens"] -= row["t"]
     man["n_tombstones"] = man.get("n_tombstones", 0) + row["n"]
+    man.setdefault("tombstone_files", []).append(batch_rel)
+    man.setdefault("deletes", []).append({"n_docs": row["n"]})
+    _write_index_manifest(index_dir, man)  # THE commit point
     spark.createDataFrame(
         [(man["n_docs"], man["total_tokens"])], "n_docs long, total_tokens long"
     ).write.mode("overwrite").parquet(man["artifacts"]["stats"])
-    man.setdefault("deletes", []).append({"n_docs": row["n"]})
-    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
-        json.dump(man, f, indent=1, sort_keys=True)
     return man
 
 
@@ -248,7 +314,7 @@ def compact_text_index_deletes(
     import shutil
     import uuid as _uuid
 
-    tomb = spark.read.parquet(_tombstone_path(index_dir)).select("doc_id")
+    tomb = _tombstones_df(spark, index_dir, man)
     for art, cluster in (("postings", True), ("doc_lengths", False)):
         path = man["artifacts"][art]
         survivors = spark.read.parquet(path).join(
@@ -263,11 +329,14 @@ def compact_text_index_deletes(
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
-    shutil.rmtree(_tombstone_path(index_dir))
     man["n_tombstones"] = 0
+    man["tombstone_files"] = []
     man.setdefault("compactions", []).append({"op": "purge-deletes"})
-    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
-        json.dump(man, f, indent=1, sort_keys=True)
+    _write_index_manifest(index_dir, man)
+    # drop the whole tombstones/ tree AFTER the commit — this also
+    # sweeps any unreferenced debris a crashed delete left behind
+    if os.path.isdir(_tombstone_path(index_dir)):
+        shutil.rmtree(_tombstone_path(index_dir))
     return man
 
 
@@ -303,10 +372,10 @@ def append_to_text_index(
         ).collect()[0]
         if not row["n"]:
             raise ValueError("append_to_text_index: empty document batch")
-        if _has_tombstones(index_dir):
+        tomb = _tombstones_df(spark, index_dir, man)
+        if tomb is not None:
             # a tombstone would silently hide a re-indexed doc — refuse
             # loudly; compact_text_index_deletes first, then re-append
-            tomb = spark.read.parquet(_tombstone_path(index_dir)).select("doc_id")
             n_dead = dl.join(F.broadcast(tomb), "doc_id", "left_semi").count()
             if n_dead:
                 raise ValueError(
@@ -320,12 +389,11 @@ def append_to_text_index(
         dl.write.mode("append").parquet(man["artifacts"]["doc_lengths"])
         man["n_docs"] += row["n"]
         man["total_tokens"] += row["t"]
+        man.setdefault("appends", []).append({"n_docs": row["n"]})
+        _write_index_manifest(index_dir, man)
         spark.createDataFrame(
             [(man["n_docs"], man["total_tokens"])], "n_docs long, total_tokens long"
         ).write.mode("overwrite").parquet(man["artifacts"]["stats"])
-        man.setdefault("appends", []).append({"n_docs": row["n"]})
-        with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
-            json.dump(man, f, indent=1, sort_keys=True)
         return man
     finally:
         dl.unpersist()
@@ -335,13 +403,16 @@ def audit_text_index(spark: SparkSession, index_dir: str) -> dict:
     """One-pass consistency audit: manifest counts vs LIVE doc_lengths
     rows (tombstone-filtered — the audit counts what queries can score)
     vs distinct doc_ids vs recomputed token total. A replayed append
-    (duplicate doc_ids) or a torn stats write shows up here; a pending
-    delete batch is visible as n_tombstones > 0 but never breaks
-    consistency."""
+    (duplicate doc_ids) shows up here; a pending delete batch is
+    visible as n_tombstones > 0 but never breaks consistency. The
+    stats parquet is a derived CACHE (scoring reads the manifest, see
+    ``_stats_df``), so its freshness is reported separately — a stale
+    cache (crash between manifest commit and cache refresh) degrades
+    nothing and never flips ``consistent``."""
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
     dl = _without_tombstones(
-        spark, index_dir, spark.read.parquet(man["artifacts"]["doc_lengths"])
+        spark, index_dir, spark.read.parquet(man["artifacts"]["doc_lengths"]), man
     )
     row = dl.agg(
         F.count(F.lit(1)).alias("n"),
@@ -357,8 +428,10 @@ def audit_text_index(spark: SparkSession, index_dir: str) -> dict:
         "recomputed_tokens": row["t"],
         "stats_docs": srow["n_docs"],
         "n_tombstones": man.get("n_tombstones", 0),
-        "consistent": man["n_docs"] == row["n"] == row["nd"] == srow["n_docs"]
-        and man["total_tokens"] == row["t"] == srow["total_tokens"],
+        "stats_cache_fresh": srow["n_docs"] == man["n_docs"]
+        and srow["total_tokens"] == man["total_tokens"],
+        "consistent": man["n_docs"] == row["n"] == row["nd"]
+        and man["total_tokens"] == row["t"],
     }
 
 

@@ -48,6 +48,19 @@ from w4h_etl_container_spark.operators.ivfindex import pq_train, train_ivf_centr
 from w4h_etl_container_spark.session import read_embeddings
 
 
+def _write_index_manifest(index_dir: str, man: dict) -> None:
+    """Atomically publish MANIFEST.json (tmp + rename): the manifest
+    gates tombstone visibility and carries the live count, so a torn
+    half-written manifest must be impossible."""
+    import uuid as _uuid
+
+    path = os.path.join(index_dir, "MANIFEST.json")
+    tmp = path + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+
+
 def _matrix_to_df(spark: SparkSession, name: str, arr: np.ndarray) -> DataFrame:
     rows = [
         (int(i), int(j), float(v))
@@ -96,8 +109,21 @@ def build_vector_index(
         "overwrite"
     ).parquet(cb_path)
 
+    # training-time cell occupancy: the drift baseline audit_index
+    # compares live occupancy against (a frozen model assigns drifted
+    # data into ever-fewer cells — the silent recall killer of
+    # append_to_index; see audit_index's needs_retrain)
+    occupancy = {
+        str(r["centroid_id"]): r["n"]
+        for r in spark.read.parquet(cells_path)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
     manifest = {
         "n_vectors": emb.count(),
+        "training_occupancy": occupancy,
         "n_centroids": n_centroids,
         "pq": {"m": m, "k": k, "bits": bits},
         "dim": int(centroids.shape[1]),
@@ -109,8 +135,7 @@ def build_vector_index(
             "codebooks": cb_path,
         },
     }
-    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_index_manifest(out_dir, manifest)
     return manifest
 
 
@@ -274,10 +299,10 @@ def append_to_index(
     n_new = batch.count()
     if n_new == 0:
         raise ValueError("append_to_index: empty vector batch")
-    if man.get("n_tombstones", 0) > 0:
+    tomb = _tombstones_df(spark, index_dir, man)
+    if tomb is not None:
         # a tombstone would silently hide a re-appended id — refuse
         # loudly; compact_index_deletes first, then re-append
-        tomb = spark.read.parquet(_tombstone_path(index_dir)).select("vec_id")
         n_dead = batch.join(F.broadcast(tomb), "vec_id", "left_semi").count()
         if n_dead:
             raise ValueError(
@@ -289,13 +314,28 @@ def append_to_index(
     )
     man["n_vectors"] = man["n_vectors"] + n_new
     man.setdefault("appends", []).append({"n": n_new})
-    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
-        json.dump(man, f, indent=1, sort_keys=True)
+    _write_index_manifest(index_dir, man)
     return man
 
 
 def _tombstone_path(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
+
+
+def _tombstones_df(
+    spark: SparkSession, index_dir: str, man: dict
+) -> DataFrame | None:
+    """The ACKNOWLEDGED tombstone set: only files the manifest lists
+    (``tombstone_files``). A crashed delete's unreferenced batch dir
+    (written, never committed) is invisible — the mtable orphan-data
+    rule — so visibility and the manifest's live count can never
+    disagree."""
+    files = man.get("tombstone_files", [])
+    if not files:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(index_dir, f) for f in files]
+    ).select("vec_id")
 
 
 def _live_cells(spark: SparkSession, index_dir: str, man: dict):
@@ -305,8 +345,8 @@ def _live_cells(spark: SparkSession, index_dir: str, man: dict):
     set is delete-batch-sized (broadcast anti-join); when no deletes
     are pending the read is the plain partition-pruned scan."""
     cells = spark.read.parquet(man["artifacts"]["cells"])
-    if man.get("n_tombstones", 0) > 0:
-        tomb = spark.read.parquet(_tombstone_path(index_dir)).select("vec_id")
+    tomb = _tombstones_df(spark, index_dir, man)
+    if tomb is not None:
         cells = cells.join(F.broadcast(tomb), "vec_id", "left_anti")
     return cells
 
@@ -322,12 +362,23 @@ def delete_from_index(
     (``compact_index_deletes``) physically rewrites ONLY the affected
     ``centroid_id=`` partitions and clears the tombstones — exactly
     the copy-on-write footprint mtable_delete has on its matched
-    files. Ids not present (or already dead) are idempotent no-ops;
-    the manifest's n_vectors tracks LIVE vectors throughout.
+    files. Ids not present (or already dead) are idempotent no-ops; a
+    batch with NO live ids returns the manifest unchanged (true
+    idempotent replay, matching ``mtable_delete`` — a crashed-then-
+    retried delete whose first attempt committed succeeds silently).
+    The manifest's n_vectors tracks LIVE vectors throughout.
+
+    Crash-atomic: the dead ids land in a FRESH batch dir under
+    ``tombstones/`` that nothing references, then the atomic manifest
+    rename flips visibility (``tombstone_files``) and the live count
+    together — a crash between the two leaves invisible debris that
+    the next compaction sweeps, never a half-applied delete.
 
     At 10^10 vectors: deletes are a streamed tombstone append; the
     partition rewrite amortizes over many delete batches and touches
     nprobe-style slices of the corpus, never the whole index."""
+    import uuid as _uuid
+
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
     # only ids that are actually live become tombstones (idempotence)
@@ -335,13 +386,14 @@ def delete_from_index(
     dead = vec_ids.select("vec_id").distinct().join(live, "vec_id", "left_semi")
     n_dead = dead.count()
     if n_dead == 0:
-        raise ValueError("delete_from_index: no live vec_ids in the delete batch")
-    dead.write.mode("append").parquet(_tombstone_path(index_dir))
+        return man  # nothing live to delete: idempotent no-op
+    batch_rel = os.path.join("tombstones", f"batch-{_uuid.uuid4().hex}")
+    dead.write.parquet(os.path.join(index_dir, batch_rel))
     man["n_vectors"] = man["n_vectors"] - n_dead
     man["n_tombstones"] = man.get("n_tombstones", 0) + n_dead
+    man.setdefault("tombstone_files", []).append(batch_rel)
     man.setdefault("deletes", []).append({"n": n_dead})
-    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
-        json.dump(man, f, indent=1, sort_keys=True)
+    _write_index_manifest(index_dir, man)  # THE commit point
     return man
 
 
@@ -359,7 +411,7 @@ def compact_index_deletes(spark: SparkSession, index_dir: str) -> dict:
         return man  # nothing pending
     cells_path = man["artifacts"]["cells"]
     cells = spark.read.parquet(cells_path)
-    tomb = spark.read.parquet(_tombstone_path(index_dir)).select("vec_id")
+    tomb = _tombstones_df(spark, index_dir, man)
     affected = sorted(
         r["centroid_id"]
         for r in cells.join(F.broadcast(tomb), "vec_id", "left_semi")
@@ -392,35 +444,70 @@ def compact_index_deletes(spark: SparkSession, index_dir: str) -> dict:
             sub = os.path.join(cells_path, f"centroid_id={cid}")
             if os.path.isdir(sub):
                 shutil.rmtree(sub)
-    shutil.rmtree(_tombstone_path(index_dir))
     man["n_tombstones"] = 0
+    man["tombstone_files"] = []
     man.setdefault("compactions", []).append({"partitions_rewritten": len(affected)})
-    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
-        json.dump(man, f, indent=1, sort_keys=True)
+    _write_index_manifest(index_dir, man)
+    # drop the whole tombstones/ tree AFTER the commit — this also
+    # sweeps any unreferenced debris a crashed delete left behind
+    if os.path.isdir(_tombstone_path(index_dir)):
+        shutil.rmtree(_tombstone_path(index_dir))
     return man
 
 
-def audit_index(spark: SparkSession, index_dir: str) -> dict:
-    """Index consistency audit: manifest LIVE count vs live cells rows
-    vs distinct vec_ids — one aggregate over the (tombstone-filtered)
-    cells table. A replayed append or a torn write shows up as
+def audit_index(
+    spark: SparkSession, index_dir: str, drift_tv_threshold: float = 0.25
+) -> dict:
+    """Index consistency + DRIFT audit, one pass over the
+    (tombstone-filtered) cells table.
+
+    Consistency: manifest LIVE count vs live cells rows vs distinct
+    vec_ids. A replayed append or a torn write shows up as
     n_cells ≠ n_distinct or n_cells ≠ manifest n_vectors; a pending
     delete batch is visible as n_tombstones > 0 but never breaks
-    consistency (the audit counts what search can serve)."""
+    consistency (the audit counts what search can serve).
+
+    Drift: ``append_to_index`` encodes with the FROZEN training-time
+    model, so a distribution shift concentrates appended vectors into
+    ever-fewer cells — recall degrades silently while every
+    consistency check stays green (the documented failure mode of
+    frozen-model appends). The audit makes it loud: the live per-cell
+    occupancy distribution is compared against the manifest's
+    ``training_occupancy`` baseline by total-variation distance
+    (``occupancy_tv`` = half the L1 gap between the two probability
+    vectors, 0 = identical, 1 = disjoint); ``needs_retrain`` flips
+    when it exceeds ``drift_tv_threshold``. A rebuild
+    (``build_vector_index``) resets the baseline. Legacy manifests
+    without a baseline report ``occupancy_tv=None`` and never flip."""
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
-    row = (
+    per_cell = (
         _live_cells(spark, index_dir, man)
+        .groupBy("centroid_id")
         .agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.count_distinct("vec_id").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("vec_id").alias("nd"),
         )
-        .collect()[0]
+        .collect()
     )
+    n_cells = sum(r["n"] for r in per_cell)
+    n_distinct = sum(r["nd"] for r in per_cell)
+    baseline = man.get("training_occupancy")
+    tv = None
+    if baseline and n_cells:
+        base_total = sum(baseline.values())
+        live = {str(r["centroid_id"]): r["n"] for r in per_cell}
+        cids = set(baseline) | set(live)
+        tv = 0.5 * sum(
+            abs(live.get(c, 0) / n_cells - baseline.get(c, 0) / base_total)
+            for c in cids
+        )
     return {
         "manifest_n": man["n_vectors"],
-        "cells_n": row["n_cells"],
-        "distinct_vec_ids": row["n_distinct"],
+        "cells_n": n_cells,
+        "distinct_vec_ids": n_distinct,
         "n_tombstones": man.get("n_tombstones", 0),
-        "consistent": man["n_vectors"] == row["n_cells"] == row["n_distinct"],
+        "occupancy_tv": tv,
+        "needs_retrain": tv is not None and tv > drift_tv_threshold,
+        "consistent": man["n_vectors"] == n_cells == n_distinct,
     }
