@@ -8,12 +8,14 @@ compressed; metadata predicates prune scans without touching bytes).
 Processing runs through ``mapInPandas`` — Arrow ships (metadata, bytes)
 batches to Python, the kernel works per batch, output schema is explicit.
 
-Decode coverage (round 11): the codec-FREE formats decode for real —
-uncompressed 24-bit BMP pixel rows (``decode_bmp``) and RIFF/WAVE
-integer PCM samples (``decode_wav_pcm``), feeding exact per-asset value
-statistics (``media_decode_stats``, construction-oracled as
-``q_media_decode``). Compressed codecs (PNG deflate, JPEG DCT, MP4)
-need libraries not in this container, so their decode kernel remains a
+Decode coverage (round 12): the codec-free-ish formats decode for
+real — uncompressed 24-bit BMP pixel rows (``decode_bmp``), RIFF/WAVE
+integer PCM samples (``decode_wav_pcm``), and non-interlaced 8-bit
+PNG via stdlib zlib inflate + the five scanline filters
+(``decode_png``) — feeding exact per-asset value statistics
+(``media_decode_stats``, construction-oracled as ``q_media_decode`` /
+``q_png_decode``). Codec-LIBRARY formats (JPEG DCT, MP4) need
+libraries not in this container, so their decode kernel remains a
 clearly-marked deterministic stub: tests exercise the full Spark
 plumbing (schema, batching, partition sizing, UDF signatures) and a
 deployment swaps ``_decode_bytes`` for the real library call.
@@ -500,6 +502,168 @@ def decode_wav_pcm(payload: bytes | None):
         return None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(payload: bytes | None) -> "np.ndarray | None":
+    """Decode a NON-INTERLACED 8-bit-per-sample PNG (grayscale, RGB,
+    gray+alpha, or RGBA — color types 0/2/4/6) to an (h, w, channels)
+    uint8 array, using only stdlib ``zlib`` for the IDAT inflate and
+    the five public scanline filters (None/Sub/Up/Average/Paeth, RFC
+    2083 §6) implemented directly. Palette (type 3), 16-bit, and
+    Adam7-interlaced images return None — as does anything malformed,
+    truncated, or with a bad filter byte: hostile bytes are the normal
+    case in a crawled corpus.
+
+    Filter inversion notes: all arithmetic is mod 256 (uint8 wrap);
+    Average's predictor is floor((left + up) / 2) computed WITHOUT
+    wrapping (the 9-bit intermediate the spec mandates); Paeth's
+    tie-break order is left, up, up-left. Up is vectorized per
+    scanline; Sub/Average/Paeth carry a serial left-dependence, walked
+    per pixel (decode cost is linear either way)."""
+    import zlib
+
+    try:
+        if payload is None or len(payload) < len(_PNG_MAGIC) + 25:
+            return None
+        b = bytes(payload)
+        if b[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+            return None
+        i = len(_PNG_MAGIC)
+        w = h = nch = None
+        idat = []
+        while i + 8 <= len(b):
+            clen = int.from_bytes(b[i : i + 4], "big")
+            ctype = b[i + 4 : i + 8]
+            body = b[i + 8 : i + 8 + clen]
+            if len(body) < clen:
+                return None
+            if ctype == b"IHDR":
+                if clen != 13:
+                    return None
+                w = int.from_bytes(body[0:4], "big")
+                h = int.from_bytes(body[4:8], "big")
+                bit_depth, color_type = body[8], body[9]
+                compression, filter_method, interlace = body[10], body[11], body[12]
+                if (
+                    bit_depth != 8
+                    or color_type not in _PNG_CHANNELS
+                    or compression != 0
+                    or filter_method != 0
+                    or interlace != 0
+                    or w <= 0
+                    or h <= 0
+                ):
+                    return None
+                nch = _PNG_CHANNELS[color_type]
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            i += 12 + clen  # length + type + body + crc
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * nch
+        if len(raw) != h * (1 + stride):
+            return None
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            base = y * (1 + stride)
+            ftype = raw[base]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=base + 1
+            ).copy()
+            if ftype == 0:  # None
+                cur = line
+            elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+                cur = line + prev
+            elif ftype == 1:  # Sub
+                cur = line
+                for x in range(nch, stride):
+                    cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
+            elif ftype == 3:  # Average
+                cur = line
+                for x in range(stride):
+                    left = int(cur[x - nch]) if x >= nch else 0
+                    cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                cur = line
+                for x in range(stride):
+                    a = int(cur[x - nch]) if x >= nch else 0
+                    up = int(prev[x])
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+            else:
+                return None
+            out[y] = cur
+            prev = out[y]
+        return out.reshape(h, w, nch)
+    except Exception:
+        return None
+
+
+def encode_png(img: "np.ndarray", filters: list | None = None) -> bytes:
+    """Minimal PNG writer — the exact inverse of ``decode_png``
+    (non-interlaced, 8-bit; channels 1/2/3/4 → color types 0/4/2/6).
+    ``filters`` picks each scanline's filter type (default all 0/None);
+    the forward equations are RFC 2083 §6 verbatim. Used by the
+    construction oracles (plant known pixels, decode them back) and as
+    the codec-free image sink."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stride = w * c
+    flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, stride).astype(np.int64)
+    filters = [0] * h if filters is None else list(filters)
+    out = bytearray()
+    for y, f in enumerate(filters):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        left = np.concatenate([np.zeros(c, dtype=np.int64), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, dtype=np.int64), prev[:-c]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"encode_png: invalid filter type {f}")
+        out.append(f)
+        out.extend((enc % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
 _DECODE_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -536,6 +700,8 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
             ):
                 vals = kind = None
                 px = decode_bmp(payload)
+                if px is None:
+                    px = decode_png(payload)
                 if px is not None:
                     kind, vals = "image", px.reshape(-1).astype(np.int64)
                 else:

@@ -316,3 +316,100 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         *[F.col(c).cast("double").alias(c) for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")],
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-MEDIA — PNG decode, oracle-checked by construction (round 12):
+# the constructor plants solid-color non-interlaced 8-bit RGB PNGs
+# (real zlib deflate, rotating scanline filters) with doc_id-derived
+# dimensions and channel values; the Spark side inflates + unfilters
+# them back to pixels (multimodal.media.decode_png) and the oracle
+# states the pixel statistics arithmetically. Hash parity proves the
+# decoder inverts deflate + all five filter equations exactly.
+# ---------------------------------------------------------------------------
+def _planted_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        from w4h_etl_container_spark.multimodal.media import encode_png
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                if did % 4 == 3:
+                    # undecodable arm: text bytes sniff as nothing
+                    rows.append((did, "text/plain", bytearray(str(text).encode())))
+                    continue
+                w, h = did % 4 + 1, did % 3 + 1
+                rgb = (did % 256, did * 3 % 256, did * 11 % 256)
+                img = np.tile(
+                    np.array(rgb, dtype=np.uint8), (h, w, 1)
+                )
+                filters = [(did + y) % 5 for y in range(h)]
+                rows.append(
+                    (did, "image/png", bytearray(encode_png(img, filters)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "payload"])
+
+    return docs.mapInPandas(
+        kernel, "media_id long, mime string, payload binary"
+    )
+
+
+@register(
+    "q_png_decode",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 4 = 3 THEN 'text/plain'
+                ELSE 'image/png' END AS mime,
+           CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'image' END AS kind,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE (doc_id % 4 + 1) * (doc_id % 3 + 1) * 3 END AS DOUBLE) AS n_values,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE LEAST(doc_id % 256, doc_id * 3 % 256, doc_id * 11 % 256) END AS DOUBLE) AS v_min,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE GREATEST(doc_id % 256, doc_id * 3 % 256, doc_id * 11 % 256) END AS DOUBLE) AS v_max,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE (doc_id % 4 + 1) * (doc_id % 3 + 1)
+                     * (doc_id % 256 + doc_id * 3 % 256 + doc_id * 11 % 256) END AS DOUBLE) AS v_sum,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE ((doc_id % 256 + doc_id * 3 % 256 + doc_id * 11 % 256)
+                      * 1000000) // 3 END AS DOUBLE) AS mean_e6
+    FROM documents WHERE text IS NOT NULL
+    """,
+    survey_ids=("EXT-MEDIA",),
+    gate=False,
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode end-to-end (``multimodal.media.decode_png`` via
+    ``media_decode_stats``): planted solid-color RGB PNGs — genuine
+    zlib-deflated IDAT streams whose scanlines rotate through ALL FIVE
+    filter types by row — decode back to their pixel values; the
+    text/plain quarter reports NULL stats (undecodable is data, not an
+    error). The oracle computes every statistic from the same doc_id
+    arithmetic used to plant the pixels, so hash parity proves the
+    decoder inverts the construction (inflate, chunk walk, filter
+    inversion) exactly. mean_e6 reduces to the per-pixel channel mean
+    because the image is solid: v_sum·10⁶ // n = (r+g+b)·10⁶ // 3,
+    floor division on non-negative operands (DuckDB ``//`` ≡ Python
+    ``//``). Nullable numerics cross the oracle boundary as DOUBLE.
+    Scale: one mapInPandas construct pass + one decode pass; payload
+    bytes never enter the JVM row format."""
+    from w4h_etl_container_spark.multimodal.media import media_decode_stats
+
+    s = media_decode_stats(_planted_png_media(spark, sf_dir))
+    return s.select(
+        "media_id",
+        "mime",
+        "kind",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")
+        ],
+    )
