@@ -2320,9 +2320,76 @@ class TestFuzzyJoin:
 
         left = spark.createDataFrame([(1, "abc")], "lid long, k string")
         right = spark.createDataFrame([(2, "abd")], "rid long, rk string")
-        plan = fuzzy_join(left, right, "k", "rk")._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        for d in (1, 2):
+            plan = (
+                fuzzy_join(left, right, "k", "rk", max_dist=d)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_max_dist_2_matches_bruteforce(self, spark):
+        """Round-12: order-2 deletion neighborhoods (SymSpell's d=2
+        extension). Planted variants covering every distance-2 edit
+        composition — two substitutions, substitution+insertion,
+        transposition (= 2 in plain levenshtein), double insertion,
+        double deletion — must match brute force exactly; distance-3
+        keys stay out."""
+        from w4h_etl_container_spark.operators.entity import fuzzy_join
+
+        lrows = [
+            (1, "acme corp"), (2, "globex"), (3, "initech"), (4, "wayne"), (5, "ab"),
+        ]
+        rrows = [
+            (10, "acme corp"),    # d=0
+            (11, "acme crop"),    # transposition: plain-lev d=2
+            (12, "globexxx"),     # double insertion, d=2
+            (13, "gl0bex"),       # substitution, d=1
+            (14, "ini"),          # 4 deletions, d=4 — OUT
+            (15, "initex"),       # delete + substitute, d=2
+            (16, "wyne"),         # deletion, d=1
+            (17, "wynee"),        # delete + insert, d=2
+            (18, "wayne enterprises"),  # d=12 — OUT
+            (19, "ba"),           # transposition of "ab", d=2
+            (20, "x"),            # vs "ab": d=2 (sub + delete)
+        ]
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[-1]
+
+        import itertools
+
+        left = spark.createDataFrame(lrows, "lid long, name string")
+        right = spark.createDataFrame(rrows, "rid long, rname string")
+        got = {
+            (r["lid"], r["rid"], r["dist"])
+            for r in fuzzy_join(left, right, "name", "rname", max_dist=2).collect()
+        }
+        want = {
+            (li, ri, lev(ln, rn))
+            for (li, ln), (ri, rn) in itertools.product(lrows, rrows)
+            if lev(ln, rn) <= 2
+        }
+        assert got == want
+        assert (1, 11, 2) in got and (2, 12, 2) in got and (5, 19, 2) in got
+        assert (5, 20, 2) in got and (4, 17, 2) in got
+        assert not any(r in (14, 18) for _, r, _ in got)
+
+    def test_max_dist_3_refused(self, spark):
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.operators.entity import fuzzy_join
+
+        left = spark.createDataFrame([(1, "abc")], "lid long, k string")
+        with _pytest.raises(ValueError, match="max_dist must be 1 or 2"):
+            fuzzy_join(left, left, "k", "k", max_dist=3)
 
 
 class TestEmbedNeardupBucketCap:
