@@ -315,7 +315,11 @@ class TestRound4PlanShapes:
         # size delta races to 0 (same fix as the round-7 exactscale pin)
         before = rdd_ids()
         df = reg["q_percentile"].fn(spark, sf_dir)
-        assert len(rdd_ids() - before) == 1  # one two-scan job
+        # TWO bounded checkpoints since round 12: the #groups-row GK
+        # bracket table (materialized once so the nondeterministic
+        # sketch cannot fan out to its two consumers) and the #groups-
+        # row scan-2 aggregate — still no per-row state anywhere
+        assert len(rdd_ids() - before) == 2
         p = plan_of(df)
         assert "percentile(l_extendedprice" not in p  # unbounded buffer banned
         assert "Window" not in p
@@ -371,5 +375,7 @@ class TestRound7PlanShapes:
         # delta races (observed: new +1 and cleanup −1 cancelling)
         before = rdd_ids()
         df = reg["q_percentile_exactscale"].fn(spark, sf_dir)
-        assert len(rdd_ids() - before) == 1
+        # round 12: bracket table + scan-2 aggregate, both #groups-row
+        # (was 1 when the bracket table rode the scan as first() carries)
+        assert len(rdd_ids() - before) == 2
         assert df.count() > 0  # and the shared-bracket plan still runs

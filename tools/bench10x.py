@@ -21,6 +21,12 @@ and the artifact records whether each ratio moved the right way.
   alignment broken, so near-dup pair structure does not explode
   quadratically across copies).
 
+A DEEP tier (round 12) extends the measurement for the queries still
+above 2× at 10×: q_funnel and q_percentile re-run at 100× volume
+(60 M events / 60 M lineitem rows, same synthesis rules), so their
+crossover is ON the artifact instead of in prose — Spark's wall is
+flat-to-slowly-rising while the embedded engine grows with volume.
+
 Usage: python tools/bench10x.py [round_tag]   (default r11)
 Writes BENCH_10X_<round_tag>.json at the repo root and prints it.
 """
@@ -38,6 +44,10 @@ sys.path.insert(0, REPO)
 BASE = "/root/testdata/sf0.1"
 BIG = "/tmp/bench10x_corpus"
 COPIES = 10
+DEEP = "/tmp/bench100x_corpus"
+DEEP_COPIES = 100
+#: still >2x at 10x in r11 — measured to their crossover at 100x
+DEEP_QUERIES = ["q_funnel", "q_percentile"]
 
 # The heaviest declared queries by BENCH_r10 wall time that read the
 # standard tables (q_daily_highlow is excluded: it runs on the weather
@@ -61,9 +71,9 @@ TABLES = [
 ]
 
 
-def synthesize(con) -> None:
+def synthesize(con, BIG=BIG, COPIES=COPIES, docs=True, embs=True) -> None:
     os.makedirs(BIG, exist_ok=True)
-    if not os.path.exists(f"{BIG}/documents.parquet"):
+    if docs and not os.path.exists(f"{BIG}/documents.parquet"):
         docs = " UNION ALL ".join(
             f"SELECT doc_id + {i * 1_000_000} AS doc_id, "
             f"CASE WHEN {i} = 0 THEN text ELSE 'v{i} ' || text END AS text, "
@@ -72,6 +82,7 @@ def synthesize(con) -> None:
         )
         con.execute(f"CREATE VIEW _docs AS SELECT * FROM '{BASE}/documents.parquet'")
         con.execute(f"COPY ({docs}) TO '{BIG}/documents.parquet' (FORMAT PARQUET)")
+    con.execute("DROP VIEW IF EXISTS _docs")
     if not os.path.exists(f"{BIG}/events.parquet"):
         # value perturbed per copy: distinct-value cardinality must grow
         # with volume or the percentile contest hands the embedded
@@ -84,6 +95,7 @@ def synthesize(con) -> None:
         )
         con.execute(f"CREATE VIEW _evs AS SELECT * FROM '{BASE}/events.parquet'")
         con.execute(f"COPY ({evs}) TO '{BIG}/events.parquet' (FORMAT PARQUET)")
+    con.execute("DROP VIEW IF EXISTS _evs")
     if not os.path.exists(f"{BIG}/lineitem.parquet"):
         # q_percentile's table: key-space translated, price perturbed a
         # distinct exact-binary epsilon per copy so value cardinality
@@ -96,7 +108,8 @@ def synthesize(con) -> None:
         )
         con.execute(f"CREATE VIEW _li AS SELECT * FROM '{BASE}/lineitem.parquet'")
         con.execute(f"COPY ({lis}) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)")
-    if not os.path.exists(f"{BIG}/embeddings.parquet"):
+    con.execute("DROP VIEW IF EXISTS _li")
+    if embs and not os.path.exists(f"{BIG}/embeddings.parquet"):
         embs = " UNION ALL ".join(
             f"SELECT vec_id + {i * 1_000_000} AS vec_id, "
             + (
@@ -109,6 +122,7 @@ def synthesize(con) -> None:
         )
         con.execute(f"CREATE VIEW _embs AS SELECT * FROM '{BASE}/embeddings.parquet'")
         con.execute(f"COPY ({embs}) TO '{BIG}/embeddings.parquet' (FORMAT PARQUET)")
+        con.execute("DROP VIEW IF EXISTS _embs")
     # untouched tables ride along so read_table resolves every name
     for t in TABLES:
         dst = f"{BIG}/{t}.parquet"
@@ -135,16 +149,22 @@ def main() -> int:
     spark = get_spark("bench10x")
     con = duckdb.connect()
     synthesize(con)
+    # deep tier: only events + lineitem grow (the two deep queries'
+    # tables); documents/embeddings at 100x would cost minutes of
+    # synthesis for queries that already crossed at 10x
+    synthesize(con, BIG=DEEP, COPIES=DEEP_COPIES, docs=False, embs=False)
 
     registry = load_library()
-    out: dict = {"factor": COPIES, "base": BASE, "queries": {}}
-    for scale, sf_dir in (("1x", BASE), ("10x", BIG)):
+    out: dict = {"factor": COPIES, "deep_factor": DEEP_COPIES, "base": BASE, "queries": {}}
+    for scale, sf_dir, qnames in (
+        ("1x", BASE, QUERIES), ("10x", BIG, QUERIES), ("100x", DEEP, DEEP_QUERIES)
+    ):
         dcon = duckdb.connect()
         for t in TABLES:
             dcon.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name in QUERIES:
+        for name in qnames:
             q = registry[name]
             rec = out["queries"].setdefault(name, {})
             rec[f"spark_{scale}"] = best_of(
@@ -173,6 +193,11 @@ def main() -> int:
     }
     out["ratio_monotone_falling"] = {
         n: (a is not None and b is not None and b <= a) for n, (a, b) in falling.items()
+    }
+    out["deep_crossed_under_2x"] = {
+        n: (out["queries"][n].get("ratio_100x") is not None
+            and out["queries"][n]["ratio_100x"] < 2.0)
+        for n in DEEP_QUERIES
     }
     out["spark_total_10x"] = round(
         sum(r["spark_10x"] for r in out["queries"].values()), 3

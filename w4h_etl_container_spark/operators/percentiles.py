@@ -45,6 +45,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: At or under this many groups the scan-2 bracket bounds inline as
+#: literal map lookups (no join in the hot stage — a BroadcastHashJoin
+#: probe costs more than the aggregation it feeds); above it, the
+#: broadcast-join path keeps group cardinality off the driver.
+_INLINE_GROUP_CAP = 256
+
 
 def exact_percentile_refined(
     df: DataFrame,
@@ -140,45 +146,84 @@ def exact_percentile_refined(
         .withColumn("_kcs", F.transform("_poss", lambda p: F.ceil(p).cast("long") + 1))
     )
 
+    # The sketch result is tiny (one row per group) but NONDETERMINISTIC
+    # (GK merge order follows shuffle-fetch order) — materialize it
+    # once so every consumer (the hot scan's scalar brackets, the
+    # post-aggregation metadata join, the rescue arm) reads the SAME
+    # evaluation. Without this, two references could see two different
+    # bracket sets and the audit counts would disagree with the pool.
+    pre = pre.localCheckpoint()
+
     # Scan 2 — audit counts AND the bounded bracket pool in one
-    # aggregation. `pre` is referenced exactly ONCE in this plan (the
-    # broadcast join below); the bracket targets ride the aggregation
-    # via first(), so every consumer sees the one sketch evaluation —
-    # the nondeterministic-sketch hazard (GK merge order follows
-    # shuffle-fetch order) never fans out.
-    j = rows.join(F.broadcast(pre), group)
+    # aggregation. How the per-row expressions obtain their group's
+    # bracket bounds is COUNT-GATED (round-12 rework, measured in the
+    # 100× crossover bench): a BroadcastHashJoin probe costs ~70 ns/row
+    # INSIDE whole-stage codegen (string hash + relation lookup +
+    # joined-row copy) — 5 s of the 8.6 s wall at 60 M rows, ~4× the
+    # aggregation itself. At or under the gate the brackets inline as
+    # LITERAL MAP lookups (group → bound; GetMapValue over ≤ _INLINE
+    # entries is a few ns), so the hot stage is scan → agg with NO join
+    # at all; above the gate the broadcast join path remains (group
+    # cardinality never bounds driver memory). Either way the array
+    # metadata (_n/_los/_his/_poss/_kfs/_kcs) attaches AFTER the
+    # aggregation, where the row count is #groups, not #rows.
+    n_groups = pre.count()
+    if n_groups <= _INLINE_GROUP_CAP:
+        brows = pre.select(group, "_los", "_his").collect()
+        in_src = rows
+
+        def _bound(which: str, i: int) -> Column:
+            m = F.create_map(
+                *[
+                    x
+                    for r in brows
+                    for x in (F.lit(r[group]), F.lit(float(r[which][i])))
+                ]
+            )
+            return m[F.col(group)]
+
+        lo = lambda i: _bound("_los", i)  # noqa: E731
+        hi = lambda i: _bound("_his", i)  # noqa: E731
+    else:
+        pre_flat = pre.select(
+            group,
+            *[F.col("_los")[i].alias(f"_lo_{i}") for i in range(k)],
+            *[F.col("_his")[i].alias(f"_hi_{i}") for i in range(k)],
+        )
+        in_src = rows.join(F.broadcast(pre_flat), group)
+        lo = lambda i: F.col(f"_lo_{i}")  # noqa: E731
+        hi = lambda i: F.col(f"_hi_{i}")  # noqa: E731
     in_any = F.lit(False)
     for i in range(k):
-        in_any = in_any | (
-            (F.col(value) >= F.col("_los")[i]) & (F.col(value) <= F.col("_his")[i])
-        )
+        in_any = in_any | ((F.col(value) >= lo(i)) & (F.col(value) <= hi(i)))
     aggs = []
     for i in range(k):
         aggs.append(
-            F.sum((F.col(value) < F.col("_los")[i]).cast("long")).alias(f"_below_{i}")
+            F.count(F.when(F.col(value) < lo(i), 1)).alias(f"_below_{i}")
         )
         aggs.append(
-            F.sum(
-                (
-                    (F.col(value) >= F.col("_los")[i])
-                    & (F.col(value) <= F.col("_his")[i])
-                ).cast("long")
+            F.count(
+                F.when((F.col(value) >= lo(i)) & (F.col(value) <= hi(i)), 1)
             ).alias(f"_in_{i}")
         )
-    aggs += [
-        F.first("_n").alias("_n"),
-        F.first("_los").alias("_los"),
-        F.first("_his").alias("_his"),
-        F.first("_poss").alias("_poss"),
-        F.first("_kfs").alias("_kfs"),
-        F.first("_kcs").alias("_kcs"),
-        F.array_sort(F.collect_list(F.when(in_any, F.col(value)))).alias("_pool"),
-    ]
+    aggs.append(
+        F.array_sort(F.collect_list(F.when(in_any, F.col(value)))).alias("_pool")
+    )
     aggs += extras
     # One bounded row per group (pool ≤ k·6εn values) — materialize it:
     # the audit verdict and the result read the SAME aggregate, and the
     # rescue decision below needs a cheap count over it.
-    g2 = j.groupBy(group).agg(*aggs).localCheckpoint()
+    g2 = (
+        in_src.groupBy(group)
+        .agg(*aggs)
+        .join(
+            F.broadcast(
+                pre.select(group, "_n", "_los", "_his", "_poss", "_kfs", "_kcs")
+            ),
+            group,
+        )
+        .localCheckpoint()
+    )
 
     # bracket i provably contains its ranks kf..kc
     #   ⇔ below_i < kf_i and below_i + in_i ≥ kc_i

@@ -76,19 +76,25 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, step), and the step index in the low bits makes a same-ts
     earlier-step event sort first, which the strict ``>`` then
     correctly refuses to chain). The greedy walk is then ONE linear
-    ``aggregate()`` pass per user carrying (t1..t4) state, and the
-    final step counts are a single 1-row aggregate unpivoted with
-    ``stack``. Total: one shuffle on user_id + one 1-row aggregate.
-    The oracle spells the same walk as a chain of per-step min joins.
+    ``aggregate()`` pass per user whose ENTIRE state is a second
+    packed long, ``last_matched_ts·8 + steps_completed`` (round-12
+    rework: the greedy chain only ever gates on the NEXT step's index
+    and the LAST match's time — carrying (t1..t4) as a nullable
+    struct cost a struct allocation plus four coalesce chains per
+    event, ~half the query's wall at 60 M events; the packed-long
+    automaton is ~6 primitive ops per event). The final step counts
+    are a single 1-row aggregate over each user's completed-step
+    count, unpivoted with ``stack``. Total: one shuffle on user_id +
+    one 1-row aggregate. The oracle spells the same walk as a chain
+    of per-step min joins.
 
     Packing matters measured (sf0.1, PERF.md round-11): one long-array
     collect_list is 0.21 s where four per-step timestamp-array
-    collects cost 0.46 s, and the linear walk replaces the nested
-    ``array_min(filter(...))`` chain whose expression for step N
-    re-evaluated steps 1..N-1 (0.65 s of the old 1.17 s — the one
-    avoidable cost). The NTZ→timestamp cast is exact under the
+    collects cost 0.46 s. The NTZ→timestamp cast is exact under the
     engine's fixed UTC session zone (session.py pins it), so the
-    encoding is strictly monotone in event time.
+    encoding is strictly monotone in event time; ``state == 0`` is the
+    unambiguous start state because a matched first step always sets a
+    positive packed value (fixture timestamps are post-epoch).
 
     Scale: at 10^10 users this is one hash aggregate on an even key
     (user_id) with map-side partials on the collect_list; no window,
@@ -105,29 +111,28 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(enc)).alias("evs")
     )
-    init = F.struct(
-        *[F.lit(None).cast("long").alias(f"t{i + 1}") for i in range(n)]
-    )
 
     def step(acc, e):
-        # one event advances at most one step: its own index, and only
-        # if the previous step matched strictly earlier
+        # greedy automaton on one packed long: k = acc & 7 steps done,
+        # last = acc >> 3 the k-th match's ts. An event advances iff it
+        # IS the next step and strictly follows the last match (the
+        # first step has no predecessor: acc == 0).
         ts = F.shiftright(e, 2)
         ix = e.bitwiseAND(F.lit(3))
-        fields = [F.coalesce(acc["t1"], F.when(ix == 0, ts)).alias("t1")]
-        for i in range(1, n):
-            prev = acc[f"t{i}"]
-            fields.append(
-                F.coalesce(
-                    acc[f"t{i + 1}"],
-                    F.when((ix == i) & prev.isNotNull() & (ts > prev), ts),
-                ).alias(f"t{i + 1}")
-            )
-        return F.struct(*fields)
+        k = acc.bitwiseAND(F.lit(7))
+        advance = (ix == k) & ((acc == 0) | (ts > F.shiftright(acc, 3)))
+        return F.when(advance, ts * 8 + k + 1).otherwise(acc)
 
-    walked = per_user.select(F.aggregate("evs", init, step).alias("w"))
-    totals = walked.agg(
-        *[F.count(f"w.t{i + 1}").alias(f"n{i + 1}") for i in range(n)]
+    done = per_user.select(
+        F.aggregate("evs", F.lit(0).cast("long"), step)
+        .bitwiseAND(F.lit(7))
+        .alias("k")
+    )
+    totals = done.agg(
+        *[
+            F.sum((F.col("k") >= i + 1).cast("long")).alias(f"n{i + 1}")
+            for i in range(n)
+        ]
     )
     stack_args = ", ".join(
         f"{i + 1}, '{s}', n{i + 1}" for i, s in enumerate(FUNNEL_STEPS)

@@ -1,0 +1,129 @@
+"""Lakehouse-layer declared queries — the manifest table
+(pipeline/mtable.py) put under the same DuckDB hash oracle as every
+relational operator, instead of living on pytest alone.
+
+Each query materializes a REAL mtable in a throwaway directory (create
+→ mutate → read back), so what the oracle certifies is the full
+copy-on-write cycle: footer/manifest-stats pruning picked the right
+files, the anti-join replaced exactly the matched keys, the union
+inserted the new ones, and the committed snapshot reads back
+row-for-row what a plain SQL rendering of the same upsert states.
+The composite-key variant runs on lineitem's REAL primary key
+(l_orderkey, l_linenumber) — the table the repo's own DQ report said a
+single-column mtable could not upsert (round-11 verdict, closed in
+round 12).
+
+Scale note: the queries are self-contained cycles at fixture scale;
+the 100 TB behavior (driver I/O O(new files) via manifest-persisted
+stats, count-gated key collection, CAS commit) is pinned by
+tests/test_mtable.py — here the ORACLE pins the semantics.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.plans.registry import register
+from w4h_etl_container_spark.session import read_table
+
+
+@register(
+    "q_mtable_merge",
+    sql="""
+    SELECT l_orderkey AS okey, l_linenumber AS lineno,
+           CASE WHEN l_orderkey % 53 = 0 THEN -5.0
+                ELSE l_quantity END AS qty
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey + 100000000 AS okey, l_linenumber AS lineno,
+           99.0 AS qty
+    FROM lineitem WHERE l_orderkey % 211 = 0 AND l_linenumber = 1
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
+)
+def q_mtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE-KEY MERGE through the manifest table, end to end:
+    lineitem (keyed by its real (l_orderkey, l_linenumber) primary key)
+    becomes an mtable; an update batch rewrites the quantity of every
+    line whose order key divides 53 and inserts one synthetic line per
+    211th order; the committed snapshot reads back. The oracle states
+    the same upsert as CASE + UNION ALL — hash parity proves replaced
+    rows were replaced (not duplicated), untouched rows survived, and
+    inserts landed exactly once, through the real create→plan→
+    anti-join→commit cycle (manifest-persisted per-file stats prune
+    the planning; the collect path's leading-column bisect runs on
+    l_orderkey). Copy-on-write at fixture scale; driver-safety pinned
+    in tests/test_mtable.py."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    updates = li.where(F.col("okey") % 53 == 0).select(
+        "okey", "lineno", F.lit(-5.0).alias("qty")
+    ).unionByName(
+        li.where((F.col("okey") % 211 == 0) & (F.col("lineno") == 1)).select(
+            (F.col("okey") + 100_000_000).alias("okey"),
+            "lineno",
+            F.lit(99.0).alias("qty"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="q-mtable-merge-")
+    try:
+        mtable_create(spark, li, d)
+        mtable_merge(spark, d, updates, ["okey", "lineno"])
+        # materialize before the directory disappears: the returned
+        # frame must not lazily re-read vacuumed files
+        rows = mtable_read(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "okey long, lineno long, qty double")
+
+
+@register(
+    "q_mtable_delete",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
+)
+def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed DELETE through the manifest table: customer becomes an
+    mtable, every 7th key deletes, the committed snapshot reads back —
+    the oracle is the survivor filter. Hash parity proves the range-
+    pruned rewrite removed exactly the keyed rows from matched files
+    and re-listed every untouched file's rows verbatim."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_delete,
+        mtable_read,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    victims = cust.where(F.col("ckey") % 7 == 0).select("ckey")
+    d = tempfile.mkdtemp(prefix="q-mtable-delete-")
+    try:
+        mtable_create(spark, cust, d)
+        mtable_delete(spark, d, victims, "ckey")
+        rows = mtable_read(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "ckey long, seg string, bal double")

@@ -84,6 +84,7 @@ def _import_plans() -> None:
         sketches,
         graph,
         quality,
+        lakehouse,
     )
 
 
