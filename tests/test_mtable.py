@@ -1025,3 +1025,115 @@ class TestMtableOptimisticRetry:
         upd = spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string")
         with pytest.raises(ValueError, match="cannot be combined"):
             M.mtable_merge(spark, table, upd, "k", expected_version=0, retries=2)
+
+
+class TestMtableChanges:
+    """Round-12: row-level change feed from the copy-on-write file
+    diff — reads only churned files, classifies insert/update/delete
+    on the key tuple, cancels to nothing across a pure compaction."""
+
+    def _changes(self, spark, d, v0, v1, key="k"):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+
+        out = {}
+        for r in mtable_changes(spark, d, v0, v1, key=key).collect():
+            kk = r["k"] if isinstance(key, str) else tuple(r[c] for c in key)
+            out[kk] = (r["_change_type"], r["v"])
+        return out
+
+    def test_merge_and_delete_feed_matches_model(self, spark, tmp_path):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+            mtable_merge,
+        )
+
+        d = str(tmp_path / "cdc")
+        base = cluster_by(
+            spark.range(0, 200).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            ["k"],
+            n_files=4,
+        )
+        mtable_create(spark, base, d)
+        mtable_merge(
+            spark,
+            d,
+            spark.createDataFrame([(5, -1), (300, -2)], "k long, v long"),
+            "k",
+        )  # v1: update k=5, insert k=300
+        got01 = self._changes(spark, d, 0, 1)
+        assert got01 == {5: ("update", -1), 300: ("insert", -2)}
+
+        mtable_delete(
+            spark, d, spark.createDataFrame([(7,), (300,)], "k long"), "k"
+        )  # v2: delete 7 and 300
+        got12 = self._changes(spark, d, 1, 2)
+        assert got12 == {7: ("delete", 70), 300: ("delete", -2)}
+
+        # spanning feed v0→v2: k=5 updated, 7 deleted; 300's
+        # insert+delete nets to nothing visible? No — the file diff is
+        # between SNAPSHOTS: 300 is in neither v0 nor v2, so it
+        # correctly does not appear at all
+        got02 = self._changes(spark, d, 0, 2)
+        assert got02 == {5: ("update", -1), 7: ("delete", 70)}
+
+    def test_compaction_cancels_to_zero_changes(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_create,
+            mtable_changes,
+        )
+
+        d = str(tmp_path / "cdc-compact")
+        mtable_create(
+            spark,
+            spark.range(0, 100).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            ),
+            d,
+        )
+        mtable_compact(spark, d, target_bytes=1 << 20)
+        assert mtable_changes(spark, d, 0, 1, key="k").count() == 0
+
+    def test_composite_key_feed(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge,
+            mtable_changes,
+        )
+
+        d = str(tmp_path / "cdc-comp")
+        mtable_create(
+            spark,
+            spark.createDataFrame(
+                [(1, 1, 10), (1, 2, 20), (2, 1, 30)], "a long, b long, v long"
+            ),
+            d,
+        )
+        mtable_merge(
+            spark,
+            d,
+            spark.createDataFrame([(1, 2, -1), (3, 1, -2)], "a long, b long, v long"),
+            ["a", "b"],
+        )
+        got = {
+            (r["a"], r["b"]): (r["_change_type"], r["v"])
+            for r in mtable_changes(spark, d, 0, 1, key=["a", "b"]).collect()
+        }
+        assert got == {(1, 2): ("update", -1), (3, 1): ("insert", -2)}
+
+    def test_identical_versions_refused(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_changes,
+        )
+
+        d = str(tmp_path / "cdc-same")
+        mtable_create(
+            spark, spark.createDataFrame([(1, 1)], "k long, v long"), d
+        )
+        with pytest.raises(ValueError, match="identical files"):
+            mtable_changes(spark, d, 0, 0, key="k")

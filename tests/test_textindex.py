@@ -413,3 +413,94 @@ class TestTextIndexDeletes:
         assert sorted(
             tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
         ) == scored
+
+
+class TestTextIndexSync:
+    """Round-12: CDC from a documents mtable into the serving index —
+    apply the version-diff change feed (deletes/updates tombstone +
+    purge, inserts/update-post-images append) and land row-identical
+    to a full rebuild on the new snapshot, through the BM25 query
+    path."""
+
+    def test_sync_equals_rebuild_through_query_path(self, spark, tmp_path, sf_dir):
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+            mtable_merge,
+            mtable_read,
+        )
+        from w4h_etl_container_spark.pipeline.textindex import (
+            audit_text_index,
+            bm25_topk_from_index,
+            build_text_index,
+            sync_text_index,
+        )
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        ).select("doc_id", "text")
+        tdir = str(tmp_path / "docs-table")
+        mtable_create(spark, docs, tdir)
+        # the index over snapshot v0 (the mtable's own content)
+        v0dir = str(tmp_path / "v0docs")
+        os.makedirs(v0dir)
+        mtable_read(spark, tdir).coalesce(1).write.parquet(str(tmp_path / "v0pq"))
+        for f in os.listdir(str(tmp_path / "v0pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "v0pq" / f), os.path.join(v0dir, "documents.parquet")
+                )
+        idx = str(tmp_path / "syncidx")
+        build_text_index(spark, v0dir, idx)
+
+        # churn: rewrite two docs' texts, insert two fresh docs,
+        # delete two docs the queries can see
+        before = bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        seen = sorted({r["doc_id"] for r in before})
+        upd_ids, del_ids = seen[:2], seen[2:4]
+        updates = docs.where(F.col("doc_id").isin(upd_ids)).select(
+            "doc_id", F.concat(F.lit("fresh rewrite of "), "text").alias("text")
+        ).unionByName(
+            spark.createDataFrame(
+                [
+                    (10_000_001, "brand new document about regional supply"),
+                    (10_000_002, "another new document mentioning nation keys"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+        mtable_merge(spark, tdir, updates, "doc_id")  # v1
+        mtable_delete(
+            spark, tdir,
+            spark.createDataFrame([(i,) for i in del_ids], "doc_id long"),
+            "doc_id",
+        )  # v2
+
+        out = sync_text_index(spark, idx, tdir, 0, 2)
+        assert out["inserted"] == 2 and out["updated"] == 2 and out["deleted"] == 2
+        assert audit_text_index(spark, idx)["consistent"]
+
+        # ground truth: rebuild from the v2 snapshot
+        v2dir = str(tmp_path / "v2docs")
+        os.makedirs(v2dir)
+        mtable_read(spark, tdir).coalesce(1).write.parquet(str(tmp_path / "v2pq"))
+        for f in os.listdir(str(tmp_path / "v2pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "v2pq" / f), os.path.join(v2dir, "documents.parquet")
+                )
+        rebuilt = str(tmp_path / "rebuiltidx")
+        build_text_index(spark, v2dir, rebuilt)
+        got = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, BM25_QUERIES).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(spark, rebuilt, BM25_QUERIES).collect()
+        )
+        assert got == want and got
+        assert not ({r[1] for r in got} & set(del_ids))

@@ -974,6 +974,75 @@ def mtable_merge_agg(
     return _retrying(_once, table_dir, retries, expected_version)
 
 
+def mtable_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | list[str] = None,
+) -> DataFrame:
+    """Row-level CHANGE FEED between two committed versions — Delta's
+    Change Data Feed shape, derived for free from the copy-on-write
+    file diff: only files ADDED or REMOVED between the two manifests
+    are read (a rewritten file's untouched rows appear in both sides
+    and cancel in the multiset difference), so the scan cost is
+    O(churned files), never O(table). Output: every table column plus
+    ``_change_type`` ∈ ('insert', 'update', 'delete') — updates carry
+    the POST-image, deletes the last pre-image.
+
+    Classification on the ``key`` tuple (the table's merge key —
+    change feeds are defined for key-unique tables, the same invariant
+    ``mtable_merge`` enforces): a changed row whose key also appears
+    among the removed rows is an update; a changed row with a fresh
+    key is an insert; a removed key with no replacement is a delete.
+
+    Degenerate diffs behave correctly by construction: a pure
+    compaction rewrites every file but changes no rows — the
+    difference cancels to zero changes (at the cost of reading the
+    compacted snapshot; version across compactions accordingly). Both
+    versions must still be retained (vacuum shrinks the feed's reach,
+    exactly as it shrinks time travel)."""
+    keys = _as_keys(key)
+    man_a = read_manifest(table_dir, from_version)
+    man_b = read_manifest(table_dir, to_version)
+    added = sorted(set(man_b["files"]) - set(man_a["files"]))
+    removed = sorted(set(man_a["files"]) - set(man_b["files"]))
+
+    def _read(files: list[str]) -> DataFrame:
+        if files:
+            return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+        # empty side: zero rows with the OTHER side's schema
+        other = removed if files is added else added
+        return spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in other]
+        ).limit(0)
+
+    if not added and not removed:
+        raise ValueError(
+            f"mtable_changes: v{man_a['version']} and v{man_b['version']} "
+            "list identical files (no commit between them?)"
+        )
+    new_rows = _read(added)
+    old_rows = _read(removed)
+    upserts = new_rows.exceptAll(old_rows)
+    dropped = old_rows.exceptAll(new_rows)
+    old_keys = dropped.select(*keys).distinct()
+    new_keys = upserts.select(*keys).distinct()
+    cols = new_rows.columns
+    ups = upserts.join(
+        old_keys.withColumn("_mt_was", F.lit(1)), keys, "left"
+    ).select(
+        *cols,
+        F.when(F.col("_mt_was").isNotNull(), F.lit("update"))
+        .otherwise(F.lit("insert"))
+        .alias("_change_type"),
+    )
+    dels = dropped.join(new_keys, keys, "left_anti").select(
+        *cols, F.lit("delete").alias("_change_type")
+    )
+    return ups.unionByName(dels)
+
+
 def mtable_clone(src_dir: str, dst_dir: str) -> dict:
     """ZERO-COPY shallow clone (Delta CLONE's core move): publish a new
     table at ``dst_dir`` whose version 0 references the SOURCE's

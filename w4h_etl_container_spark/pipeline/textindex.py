@@ -399,6 +399,62 @@ def append_to_text_index(
         dl.unpersist()
 
 
+def sync_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> dict:
+    """CDC from a documents MTABLE into the serving index: apply the
+    row-level change feed between two table versions
+    (``pipeline.mtable.mtable_changes`` — O(churned files), keyed on
+    ``doc_id``) so the index converges to the table's new snapshot
+    WITHOUT re-indexing the corpus. Deletes and update pre-images
+    tombstone (stats shift exactly); a purge compaction clears the
+    tombstones (appending a tombstoned doc_id is refused by contract —
+    an update IS delete + re-add, so the purge runs whenever updates
+    or deletes exist, the Lucene segment-merge cost this layout pays
+    by design); inserts and update post-images append as a fresh
+    posting generation. Pinned in tests: sync == full rebuild on the
+    new snapshot, row-identical through the BM25 query path.
+
+    At corpus scale: the churn-sized delete/append batches are the
+    cheap part; the purge is the postings rewrite every inverted
+    layout amortizes (skip updates/deletes → tombstones pend, query
+    path stays exact, purge later). Returns
+    {inserted, updated, deleted} counts."""
+    from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+
+    ch = mtable_changes(
+        spark, table_dir, from_version, to_version, key="doc_id"
+    ).persist()
+    try:
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        dead = ch.where(F.col("_change_type").isin("delete", "update"))
+        if counts.get("delete", 0) or counts.get("update", 0):
+            delete_from_text_index(spark, index_dir, dead.select("doc_id"))
+            compact_text_index_deletes(spark, index_dir)
+        fresh = ch.where(
+            F.col("_change_type").isin("insert", "update")
+            & (F.length(F.trim("text")) > 0)  # empty docs are never indexed
+        )
+        if fresh.limit(1).count():
+            append_to_text_index(
+                spark, index_dir, fresh.select("doc_id", "text")
+            )
+    finally:
+        ch.unpersist()
+    return {
+        "inserted": counts.get("insert", 0),
+        "updated": counts.get("update", 0),
+        "deleted": counts.get("delete", 0),
+    }
+
+
 def audit_text_index(spark: SparkSession, index_dir: str) -> dict:
     """One-pass consistency audit: manifest counts vs LIVE doc_lengths
     rows (tombstone-filtered — the audit counts what queries can score)

@@ -34,42 +34,47 @@ from w4h_etl_container_spark.session import read_table
 @register(
     "q_mtable_merge",
     sql="""
-    SELECT l_orderkey AS okey, l_linenumber AS lineno,
-           CASE WHEN l_orderkey % 53 = 0 THEN -5.0
-                ELSE l_quantity END AS qty
-    FROM lineitem
+    WITH base AS (
+      SELECT l_orderkey AS okey, l_linenumber AS lineno,
+             SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT okey, lineno,
+           CASE WHEN okey % 53 = 0 THEN -5.0 ELSE qty END AS qty
+    FROM base
     UNION ALL
-    SELECT l_orderkey + 100000000 AS okey, l_linenumber AS lineno,
-           99.0 AS qty
-    FROM lineitem WHERE l_orderkey % 211 = 0 AND l_linenumber = 1
+    SELECT okey + 100000000 AS okey, lineno, 99.0 AS qty
+    FROM base WHERE okey % 211 = 0 AND lineno = 1
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
     gate=False,
 )
 def q_mtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPOSITE-KEY MERGE through the manifest table, end to end:
-    lineitem (keyed by its real (l_orderkey, l_linenumber) primary key)
-    becomes an mtable; an update batch rewrites the quantity of every
-    line whose order key divides 53 and inserts one synthetic line per
-    211th order; the committed snapshot reads back. The oracle states
-    the same upsert as CASE + UNION ALL — hash parity proves replaced
-    rows were replaced (not duplicated), untouched rows survived, and
+    """COMPOSITE-KEY MERGE through the manifest table, end to end: a
+    key-unique per-(l_orderkey, l_linenumber) quantity rollup (the
+    fixture's lineitem repeats ~24% of key pairs, so the upsert
+    invariant demands the rollup — quantities are integral doubles,
+    making the sum order-independent and oracle-exact) becomes an
+    mtable; an update batch rewrites the quantity of every line whose
+    order key divides 53 and inserts one synthetic line per 211th
+    order; the committed snapshot reads back. The oracle states the
+    same upsert as CASE + UNION ALL — hash parity proves replaced rows
+    were replaced (not duplicated), untouched rows survived, and
     inserts landed exactly once, through the real create→plan→
     anti-join→commit cycle (manifest-persisted per-file stats prune
     the planning; the collect path's leading-column bisect runs on
-    l_orderkey). Copy-on-write at fixture scale; driver-safety pinned
-    in tests/test_mtable.py."""
+    okey). Copy-on-write at fixture scale; driver-safety pinned in
+    tests/test_mtable.py."""
     from w4h_etl_container_spark.pipeline.mtable import (
         mtable_create,
         mtable_merge,
         mtable_read,
     )
 
-    li = read_table(spark, sf_dir, "lineitem").select(
+    li = read_table(spark, sf_dir, "lineitem").groupBy(
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lineno"),
-        F.col("l_quantity").cast("double").alias("qty"),
-    )
+    ).agg(F.sum(F.col("l_quantity").cast("double")).alias("qty"))
     updates = li.where(F.col("okey") % 53 == 0).select(
         "okey", "lineno", F.lit(-5.0).alias("qty")
     ).unionByName(
