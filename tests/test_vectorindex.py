@@ -689,3 +689,107 @@ class TestFilteredSearch:
         after = search_index(spark, d, out, n_queries=2, nprobe=4, top_k=3,
                              allowed_ids=allowed).collect()
         assert victim not in {r["cand_id"] for r in after}
+
+
+class TestVectorIndexSync:
+    """Round-12: CDC from an embeddings mtable into the ANN index —
+    after applying a version diff, the live cells equal the new
+    snapshot assigned+encoded under the index's FROZEN training-time
+    model (the exact frozen-maintenance contract)."""
+
+    def test_sync_converges_to_frozen_model_encoding(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        import numpy as np
+
+        from w4h_etl_container_spark.functions.vectorkernels import (
+            make_ivf_assign_udf,
+            make_pq_encode_udf,
+        )
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+            mtable_merge,
+            mtable_read,
+        )
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            _df_to_matrix,
+            audit_index,
+            build_vector_index,
+            search_index,
+            sync_vector_index,
+        )
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "vsbase")
+        write_planted_embeddings(d, n_clusters=6, per_cluster=15, seed=9)
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        tdir = str(tmp_path / "vs-table")
+        mtable_create(spark, emb, tdir)
+        out = str(tmp_path / "vs-idx")
+        build_vector_index(spark, d, out, n_centroids=6, m=8, k=16, iters=2)
+
+        # churn: move two vectors to new positions, insert two fresh
+        # ones, delete two
+        rng = np.random.default_rng(4)
+        dim = len(emb.first()["embedding"])
+        upd = [(0, rng.normal(0, 1, dim).tolist()),
+               (1, rng.normal(0, 1, dim).tolist()),
+               (900, rng.normal(0, 1, dim).tolist()),
+               (901, rng.normal(0, 1, dim).tolist())]
+        mtable_merge(
+            spark, tdir,
+            spark.createDataFrame(upd, "vec_id long, embedding array<double>"),
+            "vec_id",
+        )  # v1
+        mtable_delete(
+            spark, tdir,
+            spark.createDataFrame([(2,), (3,)], "vec_id long"),
+            "vec_id",
+        )  # v2
+
+        res = sync_vector_index(spark, out, tdir, 0, 2)
+        assert res == {"inserted": 2, "updated": 2, "deleted": 2}
+        a = audit_index(spark, out)
+        assert a["consistent"] and a["n_tombstones"] == 0
+
+        # exact frozen-model contract: live cells == snapshot encoded
+        # with the index's own artifacts
+        with open(os.path.join(out, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        m, k, bits = man["pq"]["m"], man["pq"]["k"], man["pq"]["bits"]
+        cents = _df_to_matrix(
+            spark.read.parquet(man["artifacts"]["centroids"]),
+            "centroid", (man["n_centroids"], man["dim"]),
+        )
+        cbs = _df_to_matrix(
+            spark.read.parquet(man["artifacts"]["codebooks"]),
+            "codebook", (m, k, man["dim"] // m),
+        )
+        def _c(v):
+            return tuple(v) if isinstance(v, (list, bytearray, bytes)) else v
+
+        want = {
+            (r["vec_id"], r["centroid_id"], _c(r["code"]))
+            for r in mtable_read(spark, tdir).select(
+                "vec_id",
+                make_ivf_assign_udf(cents)("embedding")["centroid_id"].alias(
+                    "centroid_id"
+                ),
+                make_pq_encode_udf(cbs, bits)("embedding").alias("code"),
+            ).collect()
+        }
+        got = {
+            (r["vec_id"], r["centroid_id"], _c(r["code"]))
+            for r in spark.read.parquet(man["artifacts"]["cells"]).collect()
+        }
+        assert got == want
+        # deleted ids unservable, inserted servable
+        served = {
+            r["cand_id"]
+            for r in search_index(spark, d, out, n_queries=4, nprobe=6, top_k=20).collect()
+        }
+        assert served.isdisjoint({2, 3})

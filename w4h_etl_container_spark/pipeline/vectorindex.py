@@ -455,6 +455,66 @@ def compact_index_deletes(spark: SparkSession, index_dir: str) -> dict:
     return man
 
 
+def sync_vector_index(
+    spark: SparkSession,
+    index_dir: str,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> dict:
+    """CDC from an embeddings MTABLE into the ANN index: apply the
+    row-level change feed between two table versions
+    (``pipeline.mtable.mtable_changes`` — O(churned files), keyed on
+    ``vec_id``). Deletes and update pre-images tombstone; a purge
+    compaction clears them (re-appending a tombstoned id is refused
+    by contract — an update IS delete + re-add, and the compaction
+    rewrites ONLY the affected ``centroid_id=`` partitions, the
+    cheap half of this layout's maintenance); inserts and update
+    post-images encode with the index's FROZEN model and append
+    inside the existing partitions. The index therefore converges to
+    exactly what frozen-model maintenance defines: live cells equal
+    the new snapshot assigned+encoded under the training-time
+    centroids/codebooks (pinned in tests). Model drift from the
+    appended batch is ``audit_index``'s ``needs_retrain`` job, not
+    this one's. Returns {inserted, updated, deleted} counts."""
+    from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+
+    ch = mtable_changes(
+        spark, table_dir, from_version, to_version, key="vec_id"
+    ).persist()
+    try:
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if counts.get("delete", 0) or counts.get("update", 0):
+            delete_from_index(
+                spark,
+                index_dir,
+                ch.where(F.col("_change_type").isin("delete", "update")).select(
+                    "vec_id"
+                ),
+            )
+            compact_index_deletes(spark, index_dir)
+        if counts.get("insert", 0) or counts.get("update", 0):
+            append_to_index(
+                spark,
+                index_dir,
+                ch.where(F.col("_change_type").isin("insert", "update")).select(
+                    "vec_id", "embedding"
+                ),
+            )
+    finally:
+        ch.unpersist()
+    return {
+        "inserted": counts.get("insert", 0),
+        "updated": counts.get("update", 0),
+        "deleted": counts.get("delete", 0),
+    }
+
+
 def audit_index(
     spark: SparkSession, index_dir: str, drift_tv_threshold: float = 0.25
 ) -> dict:
