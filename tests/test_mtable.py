@@ -1137,3 +1137,105 @@ class TestMtableChanges:
         )
         with pytest.raises(ValueError, match="identical files"):
             mtable_changes(spark, d, 0, 0, key="k")
+
+
+class TestMtableSchemaEvolution:
+    """Round-12: schema evolution on merge — the manifest records the
+    table schema, evolution ADDS columns (pre-evolution files
+    null-fill through the schema-declared read, O(1) driver cost),
+    differing batch schemas are refused loudly by default, and a type
+    change is refused always."""
+
+    def _base(self, spark, tmp_path, name):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+
+        df = cluster_by(
+            spark.range(0, 100).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            ["k"],
+            n_files=4,
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, df, d)
+        return d
+
+    def test_differing_schema_refused_by_default(self, spark, tmp_path):
+        d = self._base(spark, tmp_path, "se-refuse")
+        upd = spark.createDataFrame([(1, -1, "x")], "k long, v long, extra string")
+        with pytest.raises(ValueError, match="schema_evolution=True"):
+            mtable_merge(spark, d, upd, "k")
+        assert read_manifest(d)["version"] == 0
+
+    def test_type_change_always_refused(self, spark, tmp_path):
+        d = self._base(spark, tmp_path, "se-type")
+        upd = spark.createDataFrame([(1, "ten")], "k long, v string")
+        with pytest.raises(ValueError, match="column TYPES"):
+            mtable_merge(spark, d, upd, "k", schema_evolution=True)
+
+    def test_added_column_null_fills_without_rewriting(self, spark, tmp_path):
+        d = self._base(spark, tmp_path, "se-add")
+        man0 = read_manifest(d)
+        stats0 = _stat(d, man0["files"])
+        upd = spark.createDataFrame(
+            [(1, -1, "tagged"), (500, -2, "new-row")],
+            "k long, v long, extra string",
+        )
+        man1 = mtable_merge(spark, d, upd, "k", schema_evolution=True)
+        # untouched files byte-identical (inode-level): evolution did
+        # NOT rewrite the table
+        survivors = set(man0["files"]) & set(man1["files"])
+        assert survivors and _stat(d, survivors) == {
+            f: stats0[f] for f in survivors
+        }
+        got = {
+            r["k"]: (r["v"], r["extra"])
+            for r in mtable_read(spark, d).collect()
+        }
+        assert got[1] == (-1, "tagged") and got[500] == (-2, "new-row")
+        assert got[2] == (20, None)  # pre-evolution row null-fills
+        assert len(got) == 101
+
+        # a follow-up merge with the ORIGINAL (now-narrow) schema:
+        # refused by default, null-fills the new column with evolution
+        upd2 = spark.createDataFrame([(2, -3)], "k long, v long")
+        with pytest.raises(ValueError, match="absent table columns"):
+            mtable_merge(spark, d, upd2, "k")
+        mtable_merge(spark, d, upd2, "k", schema_evolution=True)
+        got2 = {
+            r["k"]: (r["v"], r["extra"])
+            for r in mtable_read(spark, d).collect()
+        }
+        assert got2[2] == (-3, None) and got2[1] == (-1, "tagged")
+
+    def test_evolution_survives_delete_compact_and_feeds_changes(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_compact,
+            mtable_delete,
+        )
+
+        d = self._base(spark, tmp_path, "se-carry")
+        mtable_merge(
+            spark,
+            d,
+            spark.createDataFrame([(1, -1, 9.5)], "k long, v long, score double"),
+            "k",
+            schema_evolution=True,
+        )  # v1
+        mtable_delete(
+            spark, d, spark.createDataFrame([(2,)], "k long"), "k"
+        )  # v2
+        mtable_compact(spark, d, target_bytes=1 << 20)  # v3
+        man = read_manifest(d)
+        assert "score" in man["schema_json"]  # schema carried through
+        got = {r["k"]: r["score"] for r in mtable_read(spark, d).collect()}
+        assert got[1] == 9.5 and got[3] is None and 2 not in got
+        # change feed across the evolution window aligns columns
+        ch = {
+            (r["k"], r["_change_type"]): r["score"]
+            for r in mtable_changes(spark, d, 0, 2, key="k").collect()
+        }
+        assert ch[(1, "update")] == 9.5 and (2, "delete") in ch

@@ -477,6 +477,15 @@ def _plan_matched_files(
     return matched, untouched, n_keys, kdf, path
 
 
+def _carry_schema(man: dict, meta: dict) -> dict:
+    """Propagate the recorded table schema through a commit that does
+    not change it (delete/compact/merge_agg/append) — otherwise one
+    such commit would silently drop an evolved schema."""
+    if man.get("schema_json"):
+        meta["schema_json"] = man["schema_json"]
+    return meta
+
+
 def _check_expected(man: dict, expected_version: int | None, table_dir: str) -> None:
     if expected_version is not None and man["version"] != expected_version:
         raise ConcurrentWriteError(
@@ -530,23 +539,88 @@ def mtable_create(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
     os.makedirs(table_dir, exist_ok=True)
     files = _new_data_files(table_dir, df)
     _write_manifest(
-        table_dir, 0, files, {"op": "create"},
+        table_dir, 0, files,
+        {"op": "create", "schema_json": df.schema.json()},
         file_stats=_stats_for(table_dir, files),
     )
     return read_manifest(table_dir)
 
 
+def _read_files(
+    spark: SparkSession, table_dir: str, files: list[str], man: dict
+) -> DataFrame:
+    """Read a file subset UNDER THE TABLE SCHEMA the manifest records:
+    after a schema evolution, pre-evolution files lack the new columns
+    and the parquet reader null-fills them against the declared schema
+    — O(1) on the driver, unlike ``mergeSchema`` (which re-reads every
+    footer at planning, the exact cost the persisted file stats
+    eliminated). Legacy manifests without a recorded schema read
+    plain."""
+    paths = [os.path.join(table_dir, f) for f in files]
+    sj = man.get("schema_json")
+    if sj is None:
+        return spark.read.parquet(*paths)
+    return spark.read.schema(T.StructType.fromJson(json.loads(sj))).parquet(*paths)
+
+
 def mtable_read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Read one VERSION's consistent file list (latest by default).
-    Time travel = pass an older version; its files are immutable, so
-    the read is reproducible until a vacuum drops that version."""
+    """Read one VERSION's consistent file list (latest by default),
+    under that version's recorded schema (see ``_read_files``). Time
+    travel = pass an older version; its files are immutable, so the
+    read is reproducible until a vacuum drops that version."""
     man = read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f) for f in man["files"]]
-    if not paths:
+    if not man["files"]:
         raise ValueError(f"mtable at {table_dir} v{man['version']} lists no files")
-    return spark.read.parquet(*paths)
+    return _read_files(spark, table_dir, man["files"], man)
+
+
+def _evolve_schema(
+    table_schema: T.StructType | None,
+    updates: DataFrame,
+    schema_evolution: bool,
+    op: str,
+) -> str | None:
+    """Reconcile the update batch's schema against the table's.
+    Identical column sets (order-insensitive, exact type match) pass
+    through. With ``schema_evolution=True``, NEW update columns append
+    to the table schema (pre-evolution rows/files null-fill through
+    the schema-declared read) and update-batch-MISSING table columns
+    null-fill on the replaced rows (replace semantics: the batch row
+    is the whole new row). Type changes are always refused — implicit
+    cast drift is how tables rot. Returns the evolved schema json (or
+    None if the table has no recorded schema — legacy manifests don't
+    evolve)."""
+    if table_schema is None:
+        return None
+    tmap = {f.name: f.dataType for f in table_schema.fields}
+    umap = {f.name: f.dataType for f in updates.schema.fields}
+    clash = sorted(
+        n for n in tmap.keys() & umap.keys() if tmap[n] != umap[n]
+    )
+    if clash:
+        raise ValueError(
+            f"{op}: update batch changes column TYPES {clash} "
+            f"(table vs batch: "
+            f"{[(n, tmap[n].simpleString(), umap[n].simpleString()) for n in clash]}); "
+            "schema evolution adds columns, never mutates types — migrate "
+            "explicitly (session.migrate_table)"
+        )
+    new = [n for n in updates.columns if n not in tmap]
+    missing = sorted(tmap.keys() - umap.keys())
+    if (new or missing) and not schema_evolution:
+        raise ValueError(
+            f"{op}: update batch schema differs from the table "
+            f"(new columns {new}, absent table columns {missing}); pass "
+            "schema_evolution=True to add the new columns (pre-evolution "
+            "rows read as NULL) and null-fill the absent ones on replaced "
+            "rows"
+        )
+    fields = list(table_schema.fields) + [
+        updates.schema[n] for n in new
+    ]
+    return T.StructType(fields).json()
 
 
 def mtable_merge(
@@ -557,6 +631,7 @@ def mtable_merge(
     max_collect_keys: int = DEFAULT_MAX_COLLECT_KEYS,
     expected_version: int | None = None,
     retries: int = 0,
+    schema_evolution: bool = False,
 ) -> dict:
     """MERGE (upsert) ``updates`` by ``key`` (single column or
     composite list): rows whose key tuple exists are replaced, new
@@ -566,6 +641,15 @@ def mtable_merge(
     matching above it; key volume never bounds driver memory), only
     those files are read/anti-joined/rewritten, every untouched file
     is re-listed verbatim — stats included — in the next manifest.
+
+    ``schema_evolution=True`` lets the batch ADD columns (the Delta
+    mergeSchema move): the manifest's recorded schema grows, readers
+    null-fill pre-evolution files through the schema-declared read
+    (O(1) driver cost — no mergeSchema footer sweep), untouched files
+    are not rewritten, and batch-missing table columns null-fill on
+    the replaced rows. A differing batch schema is otherwise refused
+    loudly, and a column TYPE change is refused always (see
+    ``_evolve_schema``).
 
     ``updates`` is persisted for the duration of the merge: the
     duplicate-key refusal, the planning scan, and the final union all
@@ -587,6 +671,14 @@ def mtable_merge(
     def _once() -> dict:
         man = read_manifest(table_dir)
         _check_expected(man, expected_version, table_dir)
+        tschema = (
+            T.StructType.fromJson(json.loads(man["schema_json"]))
+            if man.get("schema_json")
+            else None
+        )
+        evolved_json = _evolve_schema(
+            tschema, updates, schema_evolution, "mtable_merge"
+        )
         updates.persist()
         try:
             matched, untouched, n_keys, kdf, path = _plan_matched_files(
@@ -607,31 +699,50 @@ def mtable_merge(
                         f"distinct {keys}); an upsert needs one row per key"
                     )
                 if matched:
-                    old = spark.read.parquet(
-                        *[os.path.join(table_dir, f) for f in matched]
-                    )
+                    # matched files read under the TABLE schema, so an
+                    # already-evolved table merges old-schema files
+                    # without tripping the union
+                    old = _read_files(spark, table_dir, matched, man)
                     anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
-                    combined = old.join(anti, keys, "left_anti").unionByName(updates)
+                    combined = old.join(anti, keys, "left_anti").unionByName(
+                        updates, allowMissingColumns=schema_evolution
+                    )
                 else:
                     combined = updates
+                    if evolved_json is not None:
+                        # align an insert-only batch to the full evolved
+                        # schema (absent table columns become NULL)
+                        full = T.StructType.fromJson(json.loads(evolved_json))
+                        have = set(updates.columns)
+                        combined = updates.select(
+                            *[
+                                F.col(f.name)
+                                if f.name in have
+                                else F.lit(None).cast(f.dataType).alias(f.name)
+                                for f in full.fields
+                            ]
+                        )
                 new_files = _new_data_files(table_dir, combined)
             finally:
                 kdf.unpersist()
         finally:
             updates.unpersist()
+        meta = {
+            "op": "merge",
+            "parent": man["version"],
+            "keys": keys,
+            "files_rewritten": len(matched),
+            "files_untouched": len(untouched),
+            "n_update_keys": n_keys,
+            "key_match_path": path,
+        }
+        if evolved_json is not None:
+            meta["schema_json"] = evolved_json
         _write_manifest(
             table_dir,
             man["version"] + 1,
             untouched + new_files,
-            {
-                "op": "merge",
-                "parent": man["version"],
-                "keys": keys,
-                "files_rewritten": len(matched),
-                "files_untouched": len(untouched),
-                "n_update_keys": n_keys,
-                "key_match_path": path,
-            },
+            meta,
             file_stats=_stats_for(
                 table_dir, untouched + new_files, man.get("file_stats")
             ),
@@ -714,9 +825,7 @@ def mtable_delete(
         new_files: list[str] = []
         try:
             if matched:
-                old = spark.read.parquet(
-                    *[os.path.join(table_dir, f) for f in matched]
-                )
+                old = _read_files(spark, table_dir, matched, man)
                 anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
                 survivors = old.join(anti, kcols, "left_anti")
                 if survivors.limit(1).count():
@@ -727,7 +836,7 @@ def mtable_delete(
             table_dir,
             man["version"] + 1,
             untouched + new_files,
-            {
+            _carry_schema(man, {
                 "op": "delete",
                 "parent": man["version"],
                 "keys": kcols,
@@ -735,7 +844,7 @@ def mtable_delete(
                 "files_untouched": len(untouched),
                 "n_delete_keys": n_keys,
                 "key_match_path": path,
-            },
+            }),
             file_stats=_stats_for(
                 table_dir, untouched + new_files, man.get("file_stats")
             ),
@@ -774,13 +883,13 @@ def mtable_compact(
         table_dir,
         version,
         new_files,
-        {
+        _carry_schema(man, {
             "op": "compact",
             "parent": man["version"],
             "files_in": len(man["files"]),
             "files_out": len(new_files),
             "bytes_in": total,
-        },
+        }),
         file_stats=_stats_for(table_dir, new_files),
     )
     new_man = read_manifest(table_dir)
@@ -846,7 +955,9 @@ def mtable_sink(
         if man is None:
             files = _new_data_files(table_dir, df)
             _write_manifest(
-                table_dir, 0, files, {"op": "stream-append", "epochs": [epoch_id]},
+                table_dir, 0, files,
+                {"op": "stream-append", "epochs": [epoch_id],
+                 "schema_json": df.schema.json()},
                 file_stats=_stats_for(table_dir, files),
             )
             return
@@ -863,7 +974,7 @@ def mtable_sink(
         elif key is None:
             new_files = _new_data_files(table_dir, df)
             files = man["files"] + new_files
-            meta = {"op": "stream-append", "epochs": epochs}
+            meta = _carry_schema(man, {"op": "stream-append", "epochs": epochs})
             _write_manifest(
                 table_dir, man["version"] + 1, files, meta,
                 file_stats=_stats_for(table_dir, files, man.get("file_stats")),
@@ -941,9 +1052,7 @@ def mtable_merge_agg(
         cols = kcols + sorted(combine)
         delta_sel = delta.select(*cols)
         if matched:
-            old = spark.read.parquet(
-                *[os.path.join(table_dir, f) for f in matched]
-            ).select(*cols)
+            old = _read_files(spark, table_dir, matched, man).select(*cols)
             pool = old.unionByName(delta_sel)
         else:
             pool = delta_sel
@@ -955,7 +1064,7 @@ def mtable_merge_agg(
             table_dir,
             man["version"] + 1,
             untouched + new_files,
-            {
+            _carry_schema(man, {
                 "op": "merge-agg",
                 "parent": man["version"],
                 "keys": kcols,
@@ -964,7 +1073,7 @@ def mtable_merge_agg(
                 "n_delta_keys": n_keys,
                 "key_match_path": path,
                 **(extra_meta or {}),
-            },
+            }),
             file_stats=_stats_for(
                 table_dir, untouched + new_files, man.get("file_stats")
             ),
@@ -1009,13 +1118,13 @@ def mtable_changes(
     removed = sorted(set(man_a["files"]) - set(man_b["files"]))
 
     def _read(files: list[str]) -> DataFrame:
+        # both sides read under the NEWER manifest's schema so a diff
+        # across a schema evolution aligns columns (old rows null-fill)
         if files:
-            return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+            return _read_files(spark, table_dir, files, man_b)
         # empty side: zero rows with the OTHER side's schema
         other = removed if files is added else added
-        return spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in other]
-        ).limit(0)
+        return _read_files(spark, table_dir, other, man_b).limit(0)
 
     if not added and not removed:
         raise ValueError(
@@ -1075,11 +1184,11 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
         dst_dir,
         0,
         abs_files,
-        {
+        _carry_schema(man, {
             "op": "clone",
             "cloned_from": os.path.abspath(src_dir),
             "cloned_version": man["version"],
-        },
+        }),
         file_stats=abs_stats,
     )
     return read_manifest(dst_dir)
