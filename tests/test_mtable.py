@@ -1135,7 +1135,7 @@ class TestMtableChanges:
         mtable_create(
             spark, spark.createDataFrame([(1, 1)], "k long, v long"), d
         )
-        with pytest.raises(ValueError, match="identical files"):
+        with pytest.raises(ValueError, match="two distinct committed versions"):
             mtable_changes(spark, d, 0, 0, key="k")
 
 

@@ -504,3 +504,72 @@ class TestTextIndexSync:
         )
         assert got == want and got
         assert not ({r[1] for r in got} & set(del_ids))
+
+    def test_sync_resumes_from_recorded_watermark(self, spark, tmp_path, sf_dir):
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge,
+            mtable_read,
+        )
+        from w4h_etl_container_spark.pipeline.textindex import (
+            bm25_topk_from_index,
+            build_text_index,
+            sync_text_index,
+        )
+        from w4h_etl_container_spark.plans.retrieval import BM25_QUERIES
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        ).select("doc_id", "text")
+        tdir = str(tmp_path / "rw-table")
+        mtable_create(spark, docs, tdir)
+        v0dir = str(tmp_path / "rw-v0")
+        os.makedirs(v0dir)
+        mtable_read(spark, tdir).coalesce(1).write.parquet(str(tmp_path / "rw-pq"))
+        for f in os.listdir(str(tmp_path / "rw-pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "rw-pq" / f), os.path.join(v0dir, "documents.parquet")
+                )
+        idx = str(tmp_path / "rw-idx")
+        build_text_index(spark, v0dir, idx)
+
+        # first sync must name its baseline; watermark unknown
+        with pytest.raises(ValueError, match="from_version explicitly"):
+            sync_text_index(spark, idx, tdir)
+        mtable_merge(
+            spark, tdir,
+            spark.createDataFrame(
+                [(20_000_001, "resumable watermark document one")],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+        )  # v1
+        out1 = sync_text_index(spark, idx, tdir, from_version=0)
+        assert out1 == {"inserted": 1, "updated": 0, "deleted": 0, "table_version": 1}
+
+        # second commit; the sync RESUMES without being told from where
+        mtable_merge(
+            spark, tdir,
+            spark.createDataFrame(
+                [(20_000_002, "resumable watermark document two")],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+        )  # v2
+        out2 = sync_text_index(spark, idx, tdir)
+        assert out2 == {"inserted": 1, "updated": 0, "deleted": 0, "table_version": 2}
+        # nothing new: no-op
+        assert sync_text_index(spark, idx, tdir) == {
+            "inserted": 0, "updated": 0, "deleted": 0, "table_version": 2
+        }
+        served = {
+            r["doc_id"]
+            for r in bm25_topk_from_index(
+                spark, idx, ((0, ("resumable", "watermark")),), top_k=5
+            ).collect()
+        }
+        assert {20_000_001, 20_000_002} <= served

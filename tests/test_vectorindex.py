@@ -740,9 +740,14 @@ class TestVectorIndexSync:
                (1, rng.normal(0, 1, dim).tolist()),
                (900, rng.normal(0, 1, dim).tolist()),
                (901, rng.normal(0, 1, dim).tolist())]
+        # match the table's stored element type exactly — the round-12
+        # schema check refuses silent float/double coercion
+        etype = dict(
+            (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+        )["embedding"]
         mtable_merge(
             spark, tdir,
-            spark.createDataFrame(upd, "vec_id long, embedding array<double>"),
+            spark.createDataFrame(upd, f"vec_id long, embedding {etype}"),
             "vec_id",
         )  # v1
         mtable_delete(
@@ -752,7 +757,7 @@ class TestVectorIndexSync:
         )  # v2
 
         res = sync_vector_index(spark, out, tdir, 0, 2)
-        assert res == {"inserted": 2, "updated": 2, "deleted": 2}
+        assert res == {"inserted": 2, "updated": 2, "deleted": 2, "table_version": 2}
         a = audit_index(spark, out)
         assert a["consistent"] and a["n_tombstones"] == 0
 

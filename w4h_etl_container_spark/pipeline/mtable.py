@@ -1126,11 +1126,17 @@ def mtable_changes(
         other = removed if files is added else added
         return _read_files(spark, table_dir, other, man_b).limit(0)
 
-    if not added and not removed:
+    if man_a["version"] == man_b["version"]:
         raise ValueError(
-            f"mtable_changes: v{man_a['version']} and v{man_b['version']} "
-            "list identical files (no commit between them?)"
+            f"mtable_changes: both endpoints are v{man_a['version']} — "
+            "a change feed needs two distinct committed versions"
         )
+    if not added and not removed:
+        # committed-but-changed-nothing window (e.g. a delete that
+        # matched no rows): a legitimately EMPTY feed, not an error
+        return _read_files(spark, table_dir, man_b["files"], man_b).limit(
+            0
+        ).withColumn("_change_type", F.lit(""))
     new_rows = _read(added)
     old_rows = _read(removed)
     upserts = new_rows.exceptAll(old_rows)

@@ -403,7 +403,7 @@ def sync_text_index(
     spark: SparkSession,
     index_dir: str,
     table_dir: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
 ) -> dict:
     """CDC from a documents MTABLE into the serving index: apply the
@@ -422,12 +422,35 @@ def sync_text_index(
     At corpus scale: the churn-sized delete/append batches are the
     cheap part; the purge is the postings rewrite every inverted
     layout amortizes (skip updates/deletes → tombstones pend, query
-    path stays exact, purge later). Returns
-    {inserted, updated, deleted} counts."""
-    from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+    path stays exact, purge later).
 
+    RESUMABLE: every sync records its endpoint as
+    ``synced_table_version`` in the index manifest, so
+    ``from_version=None`` resumes from the last sync (the first sync
+    after an index built outside this loop must pass it explicitly —
+    the index cannot know which table snapshot it was built from). A
+    sync with nothing new is a no-op. Returns
+    {inserted, updated, deleted, table_version} counts."""
+    from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+    from w4h_etl_container_spark.pipeline.mtable import (
+        read_manifest as _table_manifest,
+    )
+
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        iman = json.load(f)
+    if from_version is None:
+        from_version = iman.get("synced_table_version")
+        if from_version is None:
+            raise ValueError(
+                "sync_text_index: no synced_table_version recorded yet — "
+                "pass from_version explicitly on the first sync (the table "
+                "snapshot this index was built from)"
+            )
+    to_v = _table_manifest(table_dir, to_version)["version"]
+    if to_v == from_version:
+        return {"inserted": 0, "updated": 0, "deleted": 0, "table_version": to_v}
     ch = mtable_changes(
-        spark, table_dir, from_version, to_version, key="doc_id"
+        spark, table_dir, from_version, to_v, key="doc_id"
     ).persist()
     try:
         counts = {
@@ -448,10 +471,18 @@ def sync_text_index(
             )
     finally:
         ch.unpersist()
+    # record the watermark on the FRESH manifest (the delete/append
+    # calls above republished it)
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        iman = json.load(f)
+    iman["synced_table_version"] = to_v
+    iman["synced_table_dir"] = os.path.abspath(table_dir)
+    _write_index_manifest(index_dir, iman)
     return {
         "inserted": counts.get("insert", 0),
         "updated": counts.get("update", 0),
         "deleted": counts.get("delete", 0),
+        "table_version": to_v,
     }
 
 

@@ -459,7 +459,7 @@ def sync_vector_index(
     spark: SparkSession,
     index_dir: str,
     table_dir: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
 ) -> dict:
     """CDC from an embeddings MTABLE into the ANN index: apply the
@@ -476,11 +476,29 @@ def sync_vector_index(
     the new snapshot assigned+encoded under the training-time
     centroids/codebooks (pinned in tests). Model drift from the
     appended batch is ``audit_index``'s ``needs_retrain`` job, not
-    this one's. Returns {inserted, updated, deleted} counts."""
+    this one's. RESUMABLE like ``sync_text_index``: each sync records
+    ``synced_table_version`` in the index manifest and
+    ``from_version=None`` resumes from it (explicit on the first
+    sync). Returns {inserted, updated, deleted, table_version}."""
     from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+    from w4h_etl_container_spark.pipeline.mtable import (
+        read_manifest as _table_manifest,
+    )
 
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        iman = json.load(f)
+    if from_version is None:
+        from_version = iman.get("synced_table_version")
+        if from_version is None:
+            raise ValueError(
+                "sync_vector_index: no synced_table_version recorded yet — "
+                "pass from_version explicitly on the first sync"
+            )
+    to_v = _table_manifest(table_dir, to_version)["version"]
+    if to_v == from_version:
+        return {"inserted": 0, "updated": 0, "deleted": 0, "table_version": to_v}
     ch = mtable_changes(
-        spark, table_dir, from_version, to_version, key="vec_id"
+        spark, table_dir, from_version, to_v, key="vec_id"
     ).persist()
     try:
         counts = {
@@ -508,10 +526,16 @@ def sync_vector_index(
             )
     finally:
         ch.unpersist()
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        iman = json.load(f)
+    iman["synced_table_version"] = to_v
+    iman["synced_table_dir"] = os.path.abspath(table_dir)
+    _write_index_manifest(index_dir, iman)
     return {
         "inserted": counts.get("insert", 0),
         "updated": counts.get("update", 0),
         "deleted": counts.get("delete", 0),
+        "table_version": to_v,
     }
 
 
