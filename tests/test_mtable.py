@@ -1239,3 +1239,55 @@ class TestMtableSchemaEvolution:
             for r in mtable_changes(spark, d, 0, 2, key="k").collect()
         }
         assert ch[(1, "update")] == 9.5 and (2, "delete") in ch
+
+
+class TestMtableZorderPruning:
+    """Round-12: composite-key manifest stats × the Z-order layout —
+    per-file bounding BOXES tighten on every z-ordered column, so a
+    mutation keyed on the TRAILING dimension alone still prunes, where
+    linear clustering (sorted by (x, y)) matches every file."""
+
+    def _table(self, spark, tmp_path, name, layout):
+        from w4h_etl_container_spark.operators.layout import cluster_by, zorder_by
+
+        df = spark.range(0, 32 * 32).select(
+            (F.col("id") % 32).alias("x"),
+            (F.col("id") / 32).cast("long").alias("y"),
+            (F.col("id") * 7).alias("v"),
+        )
+        laid = (
+            zorder_by(df, ["x", "y"], n_files=16, bits=5)
+            if layout == "z"
+            else cluster_by(df, ["x", "y"], n_files=16)
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, laid, d)
+        return d
+
+    def test_trailing_key_delete_prunes_only_under_zorder(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        dz = self._table(spark, tmp_path, "zo", "z")
+        dl = self._table(spark, tmp_path, "lin", "lin")
+        ys = spark.createDataFrame([(3,)], "y long")
+        mz = mtable_delete(spark, dz, ys, "y")
+        ml = mtable_delete(spark, dl, ys, "y")
+        # z-order: y=3's box intersects ~the top-left curve cells;
+        # linear (x,y) clustering: every file spans all y
+        assert mz["files_rewritten"] < ml["files_rewritten"]
+        assert mz["files_rewritten"] <= len(read_manifest(dz, 0)["files"]) // 2
+        for d in (dz, dl):
+            got = mtable_read(spark, d)
+            assert got.count() == 32 * 31
+            assert got.where(F.col("y") == 3).count() == 0
+
+    def test_point_merge_on_composite_key_touches_few_files(self, spark, tmp_path):
+        dz = self._table(spark, tmp_path, "zo2", "z")
+        man0 = read_manifest(dz)
+        upd = spark.createDataFrame([(5, 5, -1), (5, 6, -2)], "x long, y long, v long")
+        man1 = mtable_merge(spark, dz, upd, ["x", "y"])
+        assert man1["files_rewritten"] <= 2
+        assert man1["files_untouched"] >= len(man0["files"]) - 2
+        got = {(r["x"], r["y"]): r["v"] for r in mtable_read(spark, dz).collect()}
+        assert got[(5, 5)] == -1 and got[(5, 6)] == -2
+        assert len(got) == 32 * 32

@@ -132,3 +132,67 @@ def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "ckey long, seg string, bal double")
+
+
+@register(
+    "q_mtable_changes",
+    sql="""
+    SELECT c_custkey AS ckey,
+           -1.0 AS bal,
+           'update' AS _change_type
+    FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 13 <> 0
+    UNION ALL
+    SELECT c_custkey AS ckey,
+           CAST(c_acctbal AS DOUBLE) AS bal,
+           'delete' AS _change_type
+    FROM customer WHERE c_custkey % 13 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000 AS ckey,
+           99.0 AS bal,
+           'insert' AS _change_type
+    FROM customer WHERE c_custkey % 101 = 0
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
+)
+def q_mtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE FEED across two real commits, hash-checked: a
+    customer-keyed mtable takes (v1) an upsert — balances of every 11th
+    key rewritten, one insert per 101st key — then (v2) a delete of
+    every 13th ORIGINAL key; ``mtable_changes(0, 2)`` must report
+    exactly the SQL-stated facts: updates are the 11-divisible keys
+    that survived the delete (post-image −1), deletes carry the
+    PRE-image balance from version 0 (an updated-then-deleted key —
+    11·13 divisors — reports its v0 value: the intermediate v1 file is
+    in neither endpoint and therefore invisible, the snapshot-diff
+    semantics), inserts are the fresh 101st keys. The feed reads only
+    churned files; rewritten-but-unchanged rows cancel in the multiset
+    difference and never appear."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_changes,
+        mtable_create,
+        mtable_delete,
+        mtable_merge,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    updates = cust.where(F.col("ckey") % 11 == 0).select(
+        "ckey", F.lit(-1.0).alias("bal")
+    ).unionByName(
+        cust.where(F.col("ckey") % 101 == 0).select(
+            (F.col("ckey") + 10_000_000).alias("ckey"), F.lit(99.0).alias("bal")
+        )
+    )
+    dels = cust.where(F.col("ckey") % 13 == 0).select("ckey")
+    d = tempfile.mkdtemp(prefix="q-mtable-changes-")
+    try:
+        mtable_create(spark, cust, d)
+        mtable_merge(spark, d, updates, "ckey")
+        mtable_delete(spark, d, dels, "ckey")
+        rows = mtable_changes(spark, d, 0, 2, key="ckey").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "ckey long, bal double, _change_type string")
