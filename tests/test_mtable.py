@@ -1291,3 +1291,50 @@ class TestMtableZorderPruning:
         got = {(r["x"], r["y"]): r["v"] for r in mtable_read(spark, dz).collect()}
         assert got[(5, 5)] == -1 and got[(5, 6)] == -2
         assert len(got) == 32 * 32
+
+
+class TestMtableKmvCombine:
+    def test_incremental_kmv_equals_rebuild_exactly(self, spark, tmp_path, sf_dir):
+        """'kmv' combine: an mtable-maintained per-type distinct-user
+        sketch refreshed through two deltas equals the sketch computed
+        from scratch on the full history — EXACT array equality (K
+        smallest distinct values form a semilattice), not just a close
+        estimate."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _KMV_K,
+            mtable_create,
+            mtable_merge_agg,
+        )
+        from w4h_etl_container_spark.session import read_events
+
+        ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+        hashed = ev.select(
+            "event_type",
+            F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(1 << 60)).alias("hh"),
+        )
+
+        def sketch(df):
+            return df.groupBy("event_type").agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.collect_list("hh"))),
+                    1,
+                    _KMV_K,
+                ).alias("kmv")
+            )
+
+        b1 = hashed.where(F.col("hh") % 3 == 0)
+        b2 = hashed.where(F.col("hh") % 3 == 1)
+        b3 = hashed.where(F.col("hh") % 3 == 2)
+        d = str(tmp_path / "kmvagg")
+        mtable_create(spark, sketch(b1), d)
+        mtable_merge_agg(spark, d, sketch(b2), "event_type", {"kmv": "kmv"})
+        mtable_merge_agg(spark, d, sketch(b3), "event_type", {"kmv": "kmv"})
+        got = {
+            r["event_type"]: tuple(r["kmv"])
+            for r in mtable_read(spark, d).collect()
+        }
+        want = {
+            r["event_type"]: tuple(r["kmv"]) for r in sketch(hashed).collect()
+        }
+        assert got == want and got
+        assert all(len(v) <= 32 for v in got.values())

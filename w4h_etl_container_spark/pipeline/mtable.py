@@ -1003,6 +1003,27 @@ def mtable_sink(
 
 _COMBINE_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
 
+#: KMV sketch width for the 'kmv' combine — matches plans.sketches.KMV_K
+#: so mtable-maintained sketches estimate with the same formula.
+_KMV_K = 32
+
+
+def _combine_expr(col: str, fn: str) -> F.Column:
+    """The per-column combine aggregate. 'sum'/'max'/'min' are the
+    decomposable scalars; 'kmv' maintains a MERGEABLE k-minimum-values
+    DISTINCT sketch (column = array of the ≤K smallest distinct
+    hashes): the union's K smallest distinct values — associative,
+    commutative, idempotent, so incremental maintenance equals a
+    from-scratch rebuild exactly (not just approximately). Estimate
+    cardinality with plans.sketches' (K−1)·domain/kth_min formula."""
+    if fn == "kmv":
+        return F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))),
+            1,
+            _KMV_K,
+        ).alias(col)
+    return _COMBINE_FNS[fn](col).alias(col)
+
 
 def mtable_merge_agg(
     spark: SparkSession,
@@ -1019,9 +1040,9 @@ def mtable_merge_agg(
     refresh: the table holds per-``key`` (single or composite)
     aggregates, ``delta`` holds the new batch's partial aggregates for
     the same columns, and the commit COMBINES matched keys instead of
-    replacing them (``combine``: column → 'sum' | 'max' | 'min' — the
-    decomposable aggregates; avg ships as sum+count, distinct as a KMV
-    column).
+    replacing them (``combine``: column → 'sum' | 'max' | 'min' | 'kmv' — the
+    decomposable aggregates plus the mergeable k-minimum-values
+    DISTINCT sketch, see ``_combine_expr``; avg ships as sum+count).
 
     Same copy-on-write discipline, count-gated file matching, CAS
     commit, and optional optimistic retry as ``mtable_merge``:
@@ -1036,7 +1057,7 @@ def mtable_merge_agg(
     via manifest stats, and a corpus-scale delta key set never
     collects to the driver."""
     for col, fn in combine.items():
-        if fn not in _COMBINE_FNS:
+        if fn not in _COMBINE_FNS and fn != "kmv":
             raise ValueError(f"unsupported combine fn {fn!r} for {col!r}")
     kcols = _as_keys(key)
 
@@ -1057,7 +1078,7 @@ def mtable_merge_agg(
         else:
             pool = delta_sel
         combined = pool.groupBy(*kcols).agg(
-            *[_COMBINE_FNS[fn](c).alias(c) for c, fn in sorted(combine.items())]
+            *[_combine_expr(c, fn) for c, fn in sorted(combine.items())]
         )
         new_files = _new_data_files(table_dir, combined.select(*cols))
         _write_manifest(
