@@ -1338,3 +1338,78 @@ class TestMtableKmvCombine:
         }
         assert got == want and got
         assert all(len(v) <= 32 for v in got.values())
+
+
+class TestMtableChangesModelCheck:
+    def test_feed_matches_model_diff_at_every_version(self, spark, tmp_path):
+        """Model-based CDC check: random merge/delete sequences against
+        a dict reference — after EVERY commit, mtable_changes(v-1, v)
+        must classify exactly the model's diff (inserts/updates/
+        deletes with the right values), and the cumulative feed
+        (0, latest) must equal the model's net diff vs the initial
+        state. Seeded, two sequences of five ops."""
+        import random
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_create,
+            mtable_delete,
+            mtable_merge,
+        )
+
+        for seed in (4, 5):
+            rng = random.Random(seed)
+            d = str(tmp_path / f"cdcmodel{seed}")
+            init = {k: rng.randrange(1000) for k in range(0, 30)}
+            mtable_create(
+                spark,
+                spark.createDataFrame(sorted(init.items()), "k long, v long"),
+                d,
+            )
+            model = dict(init)
+            snaps = [dict(model)]
+            for step in range(5):
+                if rng.random() < 0.6:
+                    batch = {
+                        rng.randrange(0, 45): rng.randrange(1000)
+                        for _ in range(rng.randrange(1, 5))
+                    }
+                    mtable_merge(
+                        spark, d,
+                        spark.createDataFrame(sorted(batch.items()), "k long, v long"),
+                        "k",
+                    )
+                    model.update(batch)
+                else:
+                    ks = {rng.randrange(0, 45) for _ in range(rng.randrange(1, 4))}
+                    mtable_delete(
+                        spark, d,
+                        spark.createDataFrame([(k,) for k in sorted(ks)], "k long"),
+                        "k",
+                    )
+                    for k in ks:
+                        model.pop(k, None)
+                snaps.append(dict(model))
+
+                def diff(a, b):
+                    out = {}
+                    for k in b.keys() - a.keys():
+                        out[k] = ("insert", b[k])
+                    for k in a.keys() - b.keys():
+                        out[k] = ("delete", a[k])
+                    for k in a.keys() & b.keys():
+                        if a[k] != b[k]:
+                            out[k] = ("update", b[k])
+                    return out
+
+                v = step + 1
+                got = {
+                    r["k"]: (r["_change_type"], r["v"])
+                    for r in mtable_changes(spark, d, v - 1, v, key="k").collect()
+                }
+                assert got == diff(snaps[v - 1], snaps[v]), (seed, step)
+                got0 = {
+                    r["k"]: (r["_change_type"], r["v"])
+                    for r in mtable_changes(spark, d, 0, v, key="k").collect()
+                }
+                assert got0 == diff(snaps[0], snaps[v]), (seed, step, "cumulative")
