@@ -1413,3 +1413,81 @@ class TestMtableChangesModelCheck:
                     for r in mtable_changes(spark, d, 0, v, key="k").collect()
                 }
                 assert got0 == diff(snaps[0], snaps[v]), (seed, step, "cumulative")
+
+
+class TestMtableTableOps:
+    """Round-12: operational surface — history, timestamp time travel,
+    dry-run vacuum, recluster-as-a-version."""
+
+    def test_history_and_as_of_read(self, spark, tmp_path):
+        import time as _time
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_history,
+            version_as_of,
+        )
+
+        d = str(tmp_path / "ops")
+        mtable_create(
+            spark, spark.createDataFrame([(1, 10)], "k long, v long"), d
+        )
+        t_between = _time.time()
+        _time.sleep(0.05)
+        mtable_merge(
+            spark, d, spark.createDataFrame([(1, -1)], "k long, v long"), "k"
+        )
+        hist = mtable_history(d)
+        assert [h["version"] for h in hist] == [1, 0]
+        assert hist[0]["op"] == "merge" and hist[1]["op"] == "create"
+        assert hist[0]["committed_at"] > hist[1]["committed_at"]
+        assert all("files" not in h and "n_files" in h for h in hist)
+
+        assert version_as_of(d, t_between) == 0
+        assert version_as_of(d, _time.time()) == 1
+        got0 = {r["k"]: r["v"] for r in mtable_read(spark, d, as_of=t_between).collect()}
+        assert got0 == {1: 10}
+        with pytest.raises(ValueError, match="no retained version"):
+            version_as_of(d, hist[1]["committed_at"] - 10)
+        with pytest.raises(ValueError, match="not both"):
+            mtable_read(spark, d, version=0, as_of=t_between)
+
+    def test_vacuum_dry_run_touches_nothing(self, spark, table):
+        upd = spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string")
+        mtable_merge(spark, table, upd, "k")
+        dry = mtable_vacuum(table, retain_versions=1, dry_run=True)
+        assert dry["dry_run"] and dry["removed_files"] and dry["dropped_manifests"] == [0]
+        # nothing actually removed: v0 still reads
+        assert mtable_read(spark, table, version=0).count() == 1000
+        wet = mtable_vacuum(table, retain_versions=1)
+        assert wet["removed_files"] == dry["removed_files"]
+        assert wet["dropped_manifests"] == [0]
+        with pytest.raises(FileNotFoundError):
+            read_manifest(table, 0)
+
+    def test_recluster_as_a_version_restores_pruning(self, spark, tmp_path):
+        """A table churned into bad layout (every file spans the key
+        domain) stops pruning; OPTIMIZE-style reclustering compaction
+        restores file-targeted merges — and time travel still works
+        across it."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_compact
+
+        d = str(tmp_path / "recluster")
+        # deliberately interleaved layout: round-robin partitioning
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).repartition(8)
+        mtable_create(spark, df, d)
+        upd = spark.createDataFrame([(10, -1), (11, -2)], "k long, v long")
+        man_bad = mtable_merge(spark, d, upd, "k")
+        assert man_bad["files_rewritten"] >= 6  # no pruning possible
+
+        man_c = mtable_compact(spark, d, target_bytes=1 << 12, cluster=["k"])
+        assert man_c["clustered_by"] == ["k"] and man_c["files_out"] >= 4
+        man_good = mtable_merge(
+            spark, d, spark.createDataFrame([(20, -3), (21, -4)], "k long, v long"), "k"
+        )
+        assert man_good["files_rewritten"] <= 2  # pruning restored
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[10] == -1 and got[20] == -3 and len(got) == 1000
+        # pre-recluster version still time-travels
+        assert mtable_read(spark, d, version=man_bad["version"]).count() == 1000

@@ -164,7 +164,12 @@ def _write_manifest(
     streaming sink re-stamping its OWN just-committed version with
     epoch lineage) — never used to publish new content."""
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
-    man = {"version": version, "files": sorted(files), **meta}
+    man = {
+        "version": version,
+        "files": sorted(files),
+        "committed_at": round(time.time(), 3),
+        **meta,
+    }
     if file_stats is not None:
         man["file_stats"] = file_stats
     path = _manifest_path(table_dir, version)
@@ -217,6 +222,50 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
         version = _current_version(table_dir)
     with open(_manifest_path(table_dir, version)) as f:
         return json.load(f)
+
+
+def mtable_history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY: every retained committed version's metadata
+    (op, parent, commit time, rewrite counts — everything but the file
+    list and stats), newest first. Orphan manifests above the pointer
+    are crash debris and excluded."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    current = _current_version(table_dir)
+    out = []
+    for f in sorted(os.listdir(mdir), reverse=True):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        v = int(f[1:-5])
+        if v > current:
+            continue
+        man = read_manifest(table_dir, v)
+        out.append(
+            {
+                k: val
+                for k, val in man.items()
+                if k not in ("files", "file_stats", "schema_json")
+            }
+            | {"n_files": len(man["files"])}
+        )
+    return out
+
+
+def version_as_of(table_dir: str, ts: float) -> int:
+    """Resolve the newest committed version whose commit time is ≤
+    ``ts`` (epoch seconds) — time-travel by timestamp. Raises if the
+    retained history starts after ``ts`` (vacuum shrinks the window,
+    exactly as it shrinks version-addressed travel). Legacy manifests
+    without a commit time are treated as older than any timestamp."""
+    best = None
+    for man in mtable_history(table_dir):
+        if man.get("committed_at", float("-inf")) <= ts:
+            best = man["version"] if best is None else max(best, man["version"])
+    if best is None:
+        raise ValueError(
+            f"mtable at {table_dir}: no retained version committed at or "
+            f"before {ts} (earliest retained is newer — vacuumed away?)"
+        )
+    return best
 
 
 def mtable_repair(table_dir: str) -> dict:
@@ -564,12 +613,21 @@ def _read_files(
 
 
 def mtable_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read one VERSION's consistent file list (latest by default),
     under that version's recorded schema (see ``_read_files``). Time
-    travel = pass an older version; its files are immutable, so the
-    read is reproducible until a vacuum drops that version."""
+    travel = pass an older ``version``, or ``as_of`` (epoch seconds —
+    resolves the newest version committed at or before it); its files
+    are immutable, so the read is reproducible until a vacuum drops
+    that version."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("mtable_read: pass version OR as_of, not both")
+        version = version_as_of(table_dir, as_of)
     man = read_manifest(table_dir, version)
     if not man["files"]:
         raise ValueError(f"mtable at {table_dir} v{man['version']} lists no files")
@@ -752,9 +810,14 @@ def mtable_merge(
     return _retrying(_once, table_dir, retries, expected_version)
 
 
-def mtable_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
+def mtable_vacuum(
+    table_dir: str, retain_versions: int = 1, dry_run: bool = False
+) -> dict:
     """Delete data files unreferenced by the ``retain_versions`` most
     recent COMMITTED manifests, and drop manifests outside that window.
+    ``dry_run=True`` reports what WOULD be removed without touching
+    anything — run it first; vacuum is the one irreversible operation
+    in the format.
     Time travel shrinks to the retained window. Run under the
     cooperative writer lock when writers may be live — a vacuum racing
     a writer's link-to-pointer-flip window would otherwise delete the
@@ -789,12 +852,19 @@ def mtable_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
         for f in os.listdir(sub):
             rel = os.path.join(entry, f)
             if f.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(table_dir, rel))
+                if not dry_run:
+                    os.remove(os.path.join(table_dir, rel))
                 removed.append(rel)
-    for v in versions:
-        if v not in keep_versions:
+    dropped_manifests = [v for v in versions if v not in keep_versions]
+    if not dry_run:
+        for v in dropped_manifests:
             os.remove(_manifest_path(table_dir, v))
-    return {"removed_files": sorted(removed), "retained_versions": keep_versions}
+    return {
+        "removed_files": sorted(removed),
+        "retained_versions": keep_versions,
+        "dropped_manifests": dropped_manifests,
+        "dry_run": dry_run,
+    }
 
 
 def mtable_delete(
@@ -859,6 +929,8 @@ def mtable_compact(
     table_dir: str,
     target_bytes: int = 128 << 20,
     sort_within_by: list[str] | None = None,
+    cluster: list[str] | None = None,
+    zorder: list[str] | None = None,
 ) -> dict:
     """Compaction as a VERSION: rewrite the current snapshot's files
     into ⌈total/target⌉ uniformly-sized files (operators.layout.
@@ -869,14 +941,30 @@ def mtable_compact(
     ever blocking reads."""
     import math
 
+    if cluster and zorder:
+        raise ValueError("mtable_compact: pass cluster= OR zorder=, not both")
     man = read_manifest(table_dir)
     total = sum(
         os.path.getsize(os.path.join(table_dir, f)) for f in man["files"]
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    df = mtable_read(spark, table_dir).repartition(n_out)
-    if sort_within_by:
-        df = df.sortWithinPartitions(*sort_within_by)
+    if cluster or zorder:
+        # RECLUSTER as a version (Delta OPTIMIZE [ZORDER BY]): the
+        # rewrite is the moment layout is cheapest to fix, and the
+        # fresh files' manifest stats immediately tighten merge/delete
+        # pruning on the clustered keys
+        from w4h_etl_container_spark.operators.layout import cluster_by, zorder_by
+
+        src = mtable_read(spark, table_dir)
+        df = (
+            cluster_by(src, cluster, n_files=n_out)
+            if cluster
+            else zorder_by(src, zorder, n_files=n_out)
+        )
+    else:
+        df = mtable_read(spark, table_dir).repartition(n_out)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
     new_files = _new_data_files(table_dir, df)
     version = man["version"] + 1
     _write_manifest(
@@ -889,6 +977,8 @@ def mtable_compact(
             "files_in": len(man["files"]),
             "files_out": len(new_files),
             "bytes_in": total,
+            **({"clustered_by": cluster} if cluster else {}),
+            **({"zordered_by": zorder} if zorder else {}),
         }),
         file_stats=_stats_for(table_dir, new_files),
     )
