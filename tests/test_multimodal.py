@@ -521,3 +521,105 @@ class TestPngDecode:
         assert got["kind"] == "image" and got["n_values"] == v.size
         assert got["v_min"] == v.min() and got["v_max"] == v.max()
         assert got["v_sum"] == v.sum()
+
+
+class TestGifDecode:
+    """Round-12: GIF87a/89a first-frame decode — pure public byte
+    layout + variable-width LZW (no codec library). The encoder uses
+    giflib's emit-then-bump width ordering; a HAND-derived LZW byte
+    string pins the bit packing and the width-transition timing
+    independently of both."""
+
+    def test_hand_derived_lzw_stream(self):
+        """Pixels [1,1,0,2], min_code_size=2: codes
+        CLEAR(4)@3, 1@3, 1@3, 0@3 (bump after: slot 8 == 2^3), 2@4,
+        EOI(5)@4 — LSB-first packing gives exactly 4C 20 05."""
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            _lzw_decode,
+            decode_gif,
+            encode_gif,
+        )
+
+        assert bytes(_lzw_decode(bytes([0x4C, 0x20, 0x05]), 2, 4)) == bytes(
+            [1, 1, 0, 2]
+        )
+        # and the encoder reproduces those exact bytes inside a full GIF
+        pal = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+        )
+        gif = encode_gif(np.array([[1, 1], [0, 2]], dtype=np.uint8), pal)
+        assert bytes([0x4C, 0x20, 0x05]) in gif
+        got = decode_gif(gif)
+        assert got is not None
+        assert (got == pal[np.array([[1, 1], [0, 2]])]).all()
+
+    def test_roundtrip_including_width_growth(self):
+        """Large random index images force the LZW table through
+        several width transitions (up to 9+ bits) — decode must invert
+        encode exactly."""
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import decode_gif, encode_gif
+
+        rng = np.random.default_rng(13)
+        for h, w, n_colors in [(1, 1, 2), (8, 8, 4), (40, 60, 16), (64, 64, 256)]:
+            pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+            idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+            got = decode_gif(encode_gif(idx, pal))
+            assert got is not None and got.shape == (h, w, 3), (h, w, n_colors)
+            assert (got == pal[idx]).all(), (h, w, n_colors)
+        # solid image (maximal LZW run compression)
+        idx = np.full((32, 32), 3, dtype=np.uint8)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+    def test_extensions_skipped_and_hostile_refused(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import decode_gif, encode_gif
+
+        pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+        idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+        gif = encode_gif(idx, pal)
+        # splice a Graphic Control Extension before the image block
+        at = gif.index(b"\x2c")
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        with_ext = gif[:at] + gce + gif[at:]
+        assert (decode_gif(with_ext) == pal[idx]).all()
+
+        assert decode_gif(None) is None
+        assert decode_gif(b"GIF89a") is None
+        assert decode_gif(b"not a gif at all....") is None
+        assert decode_gif(gif[: len(gif) - 4]) is None  # truncated data
+        interlaced = bytearray(gif)
+        interlaced[gif.index(b"\x2c") + 9] |= 0x40
+        assert decode_gif(bytes(interlaced)) is None  # Adam-style refused
+        # corrupt LZW stream: flip bytes inside the data sub-block
+        broken = bytearray(gif)
+        pos = gif.index(b"\x2c") + 11
+        broken[pos + 1] = 0xFF
+        out = decode_gif(bytes(broken))  # never raises: None or a frame
+        assert out is None or out.shape == (2, 2, 3)
+
+    def test_decode_stats_kernel_handles_gif(self, spark):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            encode_gif,
+            media_decode_stats,
+        )
+
+        rng = np.random.default_rng(17)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (6, 9), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, "image/gif", bytearray(encode_gif(idx, pal)))],
+            "media_id long, mime string, payload binary",
+        )
+        got = media_decode_stats(df).collect()[0]
+        v = pal[idx].reshape(-1).astype(np.int64)
+        assert got["kind"] == "image" and got["n_values"] == v.size
+        assert got["v_min"] == v.min() and got["v_max"] == v.max()
+        assert got["v_sum"] == v.sum()

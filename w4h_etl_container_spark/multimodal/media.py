@@ -608,6 +608,209 @@ def decode_png(payload: bytes | None) -> "np.ndarray | None":
         return None
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> "bytearray | None":
+    """GIF-flavor LZW decode (variable code width, LSB-first bit
+    packing, CLEAR/EOI control codes — GIF89a spec appendix F).
+    Returns the index stream, or None on any malformed input (bad
+    code, width overflow past 12 bits without CLEAR, truncation)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out if len(out) == max_pixels else None
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out += entry
+            if len(out) > max_pixels:
+                return None
+            if prev is not None:
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out if len(out) == max_pixels else None
+
+
+def decode_gif(payload: bytes | None) -> "np.ndarray | None":
+    """Decode the FIRST frame of a non-interlaced GIF87a/GIF89a to an
+    (h, w, 3) uint8 RGB array — pure public byte layout + the LZW
+    variable-width code stream (``_lzw_decode``), no codec library.
+    Extensions (GCE, comments, application blocks) are skipped;
+    interlaced images, missing color tables, partial-canvas frames,
+    and any malformed/truncated structure return None — hostile bytes
+    are the normal case in a crawled corpus."""
+    try:
+        if payload is None or len(payload) < 14:
+            return None
+        b = bytes(payload)
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        if w <= 0 or h <= 0:
+            return None
+        packed = b[10]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = b[i : i + n]
+            if len(gct) < n:
+                return None
+            i += n
+        while i < len(b):
+            block = b[i]
+            if block == 0x3B:  # trailer
+                return None  # no image block seen
+            if block == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+                continue
+            if block != 0x2C:  # image descriptor expected
+                return None
+            left = int.from_bytes(b[i + 1 : i + 3], "little")
+            top = int.from_bytes(b[i + 3 : i + 5], "little")
+            iw = int.from_bytes(b[i + 5 : i + 7], "little")
+            ih = int.from_bytes(b[i + 7 : i + 9], "little")
+            ipacked = b[i + 9]
+            i += 10
+            if ipacked & 0x40:  # interlaced: refused
+                return None
+            if left or top or iw != w or ih != h:
+                return None  # partial-canvas frame: refused
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = b[i : i + n]
+                if len(ct) < n:
+                    return None
+                i += n
+            if ct is None:
+                return None
+            min_code = b[i]
+            i += 1
+            if not 2 <= min_code <= 11:
+                return None
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                n = b[i]
+                chunk = b[i + 1 : i + 1 + n]
+                if len(chunk) < n:
+                    return None
+                data += chunk
+                i += 1 + n
+            if i >= len(b):
+                return None
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if idx is None:
+                return None
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            indices = np.frombuffer(bytes(idx), dtype=np.uint8)
+            if indices.max(initial=0) >= pal.shape[0]:
+                return None
+            return pal[indices].reshape(ih, iw, 3)
+        return None
+    except Exception:
+        return None
+
+
+def encode_gif(indices: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """Minimal GIF89a writer — the inverse of ``decode_gif`` for one
+    non-interlaced full-canvas frame: ``indices`` (h, w) uint8 into
+    ``palette`` (n, 3) uint8. LZW code widths follow the giflib
+    ordering (emit at the CURRENT width, then bump when the next free
+    slot reaches 2^width — one code later than the naive rule; the
+    decoder's slot assignment lags the encoder's by exactly that one
+    step). Used by construction oracles and as the codec-free
+    palettized-image sink."""
+    import struct
+
+    h, w = indices.shape
+    n_colors = palette.shape[0]
+    ct_bits = max(1, (max(2, n_colors) - 1).bit_length())
+    ct = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+    ct[:n_colors] = palette
+    min_code = max(2, ct_bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    bits = bytearray()
+    acc = [0, 0]  # value, nbits
+
+    out_codes = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            out_codes.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    width = min_code + 1
+    next_code = eoi + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    emit(clear, width)
+    cur = b""
+    for px in indices.reshape(-1).tolist():
+        ext = cur + bytes([px])
+        if ext in table:
+            cur = ext
+            continue
+        emit(table[cur], width)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code < 4096:
+            table[ext] = next_code
+            next_code += 1
+        cur = bytes([px])
+    emit(table[cur], width)
+    if next_code == (1 << width) and width < 12:
+        width += 1
+    emit(eoi, width)
+    if acc[1]:
+        out_codes.append(acc[0] & 0xFF)
+
+    sub = bytearray()
+    for i in range(0, len(out_codes), 255):
+        chunk = out_codes[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((ct_bits - 1) & 7), 0, 0)
+        + ct.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
 def encode_png(img: "np.ndarray", filters: list | None = None) -> bytes:
     """Minimal PNG writer — the exact inverse of ``decode_png``
     (non-interlaced, 8-bit; channels 1/2/3/4 → color types 0/4/2/6).
@@ -702,6 +905,8 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
                 px = decode_bmp(payload)
                 if px is None:
                     px = decode_png(payload)
+                if px is None:
+                    px = decode_gif(payload)
                 if px is not None:
                     kind, vals = "image", px.reshape(-1).astype(np.int64)
                 else:

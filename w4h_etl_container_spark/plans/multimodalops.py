@@ -413,3 +413,83 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")
         ],
     )
+
+
+def _planted_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                if did % 3 == 2:
+                    rows.append((did, "text/plain", bytearray(str(text).encode())))
+                    continue
+                w, h = did % 5 + 1, did % 4 + 1
+                pal = np.array(
+                    [[did % 256, did * 5 % 256, did * 9 % 256]], dtype=np.uint8
+                )
+                idx = np.zeros((h, w), dtype=np.uint8)
+                rows.append((did, "image/gif", bytearray(encode_gif(idx, pal))))
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "payload"])
+
+    return docs.mapInPandas(kernel, "media_id long, mime string, payload binary")
+
+
+@register(
+    "q_gif_decode",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 2 THEN 'text/plain'
+                ELSE 'image/gif' END AS mime,
+           CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 'image' END AS kind,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE (doc_id % 5 + 1) * (doc_id % 4 + 1) * 3 END AS DOUBLE) AS n_values,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE LEAST(doc_id % 256, doc_id * 5 % 256, doc_id * 9 % 256) END AS DOUBLE) AS v_min,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE GREATEST(doc_id % 256, doc_id * 5 % 256, doc_id * 9 % 256) END AS DOUBLE) AS v_max,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE (doc_id % 5 + 1) * (doc_id % 4 + 1)
+                     * (doc_id % 256 + doc_id * 5 % 256 + doc_id * 9 % 256) END AS DOUBLE) AS v_sum,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE ((doc_id % 256 + doc_id * 5 % 256 + doc_id * 9 % 256)
+                      * 1000000) // 3 END AS DOUBLE) AS mean_e6
+    FROM documents WHERE text IS NOT NULL
+    """,
+    survey_ids=("EXT-MEDIA",),
+    gate=False,
+)
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode end-to-end (``multimodal.media.decode_gif`` via
+    ``media_decode_stats``): planted solid-color palettized GIFs —
+    genuine variable-width LZW code streams through the full container
+    walk — decode back to their pixel values; the text/plain third
+    reports NULL stats. The oracle computes every statistic from the
+    same doc_id arithmetic used to plant the palette, so hash parity
+    proves the decoder inverts the construction (LZW bit unpacking,
+    width transitions, palette mapping) exactly. mean_e6 reduces to
+    (r+g+b)·10⁶ // 3 on the solid image (floor division on
+    non-negative operands). One mapInPandas construct pass + one
+    decode pass; payload bytes never enter the JVM row format."""
+    from w4h_etl_container_spark.multimodal.media import media_decode_stats
+
+    s = media_decode_stats(_planted_gif_media(spark, sf_dir))
+    return s.select(
+        "media_id",
+        "mime",
+        "kind",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")
+        ],
+    )
