@@ -573,3 +573,93 @@ class TestTextIndexSync:
             ).collect()
         }
         assert {20_000_001, 20_000_002} <= served
+
+
+class TestStreamingTableToIndex:
+    def test_stream_merge_then_sync_serves_latest(self, spark, tmp_path, sf_dir):
+        """The full serving loop a real deployment runs: a document
+        stream lands in the mtable through the exactly-once merge sink
+        (two micro-batches, the second REWRITING a doc), then the CDC
+        sync carries the table's net change into the BM25 index —
+        which must serve exactly what a rebuild on the final snapshot
+        serves."""
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_read,
+            mtable_sink,
+            read_manifest,
+        )
+        from w4h_etl_container_spark.pipeline.textindex import (
+            bm25_topk_from_index,
+            build_text_index,
+            sync_text_index,
+        )
+        from w4h_etl_container_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        ).select("doc_id", "text")
+        tdir = str(tmp_path / "st-table")
+        mtable_create(spark, docs, tdir)
+
+        # index over the initial snapshot (v0)
+        v0dir = str(tmp_path / "st-v0")
+        os.makedirs(v0dir)
+        mtable_read(spark, tdir).coalesce(1).write.parquet(str(tmp_path / "st-pq"))
+        for f in os.listdir(str(tmp_path / "st-pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "st-pq" / f), os.path.join(v0dir, "documents.parquet")
+                )
+        idx = str(tmp_path / "st-idx")
+        build_text_index(spark, v0dir, idx)
+
+        # the stream: two micro-batch files — an insert, then a rewrite
+        src = str(tmp_path / "st-src")
+        spark.createDataFrame(
+            [(30_000_001, "streamed document about nation regions")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(30_000_001, "streamed document rewritten entirely different")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        ckpt = str(tmp_path / "st-ckpt")
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(mtable_sink(spark, tdir, key="doc_id"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        v_now = read_manifest(tdir)["version"]
+        assert v_now >= 2  # two merge commits landed
+
+        out = sync_text_index(spark, idx, tdir, from_version=0)
+        assert out["table_version"] == v_now
+        assert out["inserted"] == 1 and out["deleted"] == 0
+        # ground truth: rebuild on the final snapshot
+        v2dir = str(tmp_path / "st-v2")
+        os.makedirs(v2dir)
+        mtable_read(spark, tdir).coalesce(1).write.parquet(str(tmp_path / "st-pq2"))
+        for f in os.listdir(str(tmp_path / "st-pq2")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "st-pq2" / f), os.path.join(v2dir, "documents.parquet")
+                )
+        rebuilt = str(tmp_path / "st-rebuilt")
+        build_text_index(spark, v2dir, rebuilt)
+        probe = ((0, ("streamed", "rewritten")),)
+        got = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, idx, probe, top_k=5).collect()
+        )
+        want = sorted(
+            tuple(r) for r in bm25_topk_from_index(spark, rebuilt, probe, top_k=5).collect()
+        )
+        assert got == want
+        assert 30_000_001 in {r[1] for r in got}
