@@ -1491,3 +1491,53 @@ class TestMtableTableOps:
         assert got[10] == -1 and got[20] == -3 and len(got) == 1000
         # pre-recluster version still time-travels
         assert mtable_read(spark, d, version=man_bad["version"]).count() == 1000
+
+
+class TestMtableRestore:
+    def test_restore_is_a_zero_rewrite_commit(self, spark, table):
+        """Roll back a bad merge: the restore commit re-lists v0's
+        files verbatim (inode-level — no data moved), the bad version
+        stays time-travelable, and the change feed across the restore
+        reports the UNDO."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_restore,
+        )
+
+        man0 = read_manifest(table)
+        stats0 = _stat(table, man0["files"])
+        bad = spark.createDataFrame(
+            [(5, -666, "oops")], "k long, v long, tag string"
+        )
+        mtable_merge(spark, table, bad, "k")  # v1: the mistake
+        man2 = mtable_restore(table, 0)
+        assert man2["version"] == 2 and man2["op"] == "restore"
+        assert man2["restored_from"] == 0
+        assert man2["files"] == man0["files"]
+        assert man2["file_stats"] == man0["file_stats"]
+        assert _stat(table, man2["files"]) == stats0  # zero rewrites
+        got = {r["k"]: r["v"] for r in mtable_read(spark, table).collect()}
+        assert got[5] == 50 and len(got) == 1000  # the mistake is gone
+        # the mistake remains visible to time travel
+        assert {
+            r["v"] for r in mtable_read(spark, table, version=1).where(F.col("k") == 5).collect()
+        } == {-666}
+        # the feed across the restore is the undo
+        ch = {
+            r["k"]: (r["_change_type"], r["v"])
+            for r in mtable_changes(spark, table, 1, 2, key="k").collect()
+        }
+        assert ch == {5: ("update", 50)}
+        # and merges continue normally after a restore
+        mtable_merge(
+            spark, table,
+            spark.createDataFrame([(7, -7, "ok")], "k long, v long, tag string"),
+            "k",
+        )
+        assert read_manifest(table)["version"] == 3
+
+    def test_restore_to_current_refused(self, spark, table):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_restore
+
+        with pytest.raises(ValueError, match="already at v0"):
+            mtable_restore(table, 0)

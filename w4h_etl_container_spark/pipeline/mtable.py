@@ -58,13 +58,17 @@ table:
   collides with it — ``mtable_repair`` reclaims the debris (run it
   under the cooperative writer lock; the error message names it).
 
-Surface: ``mtable_create`` / ``mtable_read`` (versioned) /
-``mtable_merge`` (keyed upsert) / ``mtable_delete`` /
-``mtable_merge_agg`` (incremental aggregate maintenance — the
-materialized-view refresh) / ``mtable_compact`` (compaction as a
-version) / ``mtable_vacuum`` / ``mtable_repair`` / ``mtable_sink``
-(exactly-once foreachBatch append / keyed merge / replay-safe
-additive combine). Keys may be numeric or string, single or
+Surface: ``mtable_create`` / ``mtable_read`` (versioned, or
+``as_of`` a timestamp) / ``mtable_merge`` (keyed upsert, optional
+schema evolution) / ``mtable_delete`` / ``mtable_merge_agg``
+(incremental aggregate maintenance — the materialized-view refresh;
+sum/max/min plus the mergeable 'kmv' distinct sketch) /
+``mtable_changes`` (row-level change feed from the file diff) /
+``mtable_compact`` (compaction — optionally RECLUSTERING — as a
+version) / ``mtable_restore`` (rollback as a commit) /
+``mtable_history`` / ``mtable_vacuum`` (with dry run) /
+``mtable_repair`` / ``mtable_sink`` (exactly-once foreachBatch
+append / keyed merge / replay-safe additive combine). Keys may be numeric or string, single or
 composite (footer stats decode; a file with ANY stats-less row
 group, or missing a key column entirely, reports an unbounded range
 for that column and is conservatively matched — unprunable files are
@@ -1192,6 +1196,42 @@ def mtable_merge_agg(
         return read_manifest(table_dir)
 
     return _retrying(_once, table_dir, retries, expected_version)
+
+
+def mtable_restore(
+    table_dir: str, version: int, expected_version: int | None = None
+) -> dict:
+    """RESTORE the table to an earlier retained version AS A NEW
+    COMMIT (Delta RESTORE): manifest N+1 re-lists version V's files
+    verbatim — schema, per-file stats and all — so the rollback is
+    O(manifest), never a data rewrite, and the mistake being rolled
+    back stays in history (time travel forward and backward across the
+    restore both work until vacuum). CAS-protected like every commit;
+    restoring to the CURRENT version is refused (a no-op commit that
+    could mask a fat-fingered version number)."""
+    man = read_manifest(table_dir)
+    _check_expected(man, expected_version, table_dir)
+    if version == man["version"]:
+        raise ValueError(
+            f"mtable_restore: table is already at v{version} — nothing "
+            "to restore (pass the version to roll back TO, not the bad one)"
+        )
+    target = read_manifest(table_dir, version)
+    meta = {
+        "op": "restore",
+        "parent": man["version"],
+        "restored_from": version,
+    }
+    if target.get("schema_json"):
+        meta["schema_json"] = target["schema_json"]
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        target["files"],
+        meta,
+        file_stats=target.get("file_stats"),
+    )
+    return read_manifest(table_dir)
 
 
 def mtable_changes(
