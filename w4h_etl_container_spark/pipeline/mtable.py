@@ -171,7 +171,9 @@ def _write_manifest(
     man = {
         "version": version,
         "files": sorted(files),
-        "committed_at": round(time.time(), 3),
+        # floored to the ms, never rounded UP: an as_of reader asking
+        # for "now" must always see a commit that finished before now
+        "committed_at": int(time.time() * 1000) / 1000.0,
         **meta,
     }
     if file_stats is not None:
