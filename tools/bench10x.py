@@ -48,6 +48,12 @@ DEEP = "/tmp/bench100x_corpus"
 DEEP_COPIES = 100
 #: still >2x at 10x in r11 — measured to their crossover at 100x
 DEEP_QUERIES = ["q_funnel", "q_percentile"]
+#: still >2x at 100x in r12 (q_funnel 3.78x) — measured one decade
+#: further; events-only synthesis (the funnel's sole input), other
+#: tables symlinked from the 100x tier
+DEEPER = "/tmp/bench1000x_corpus"
+DEEPER_COPIES = 1000
+DEEPER_QUERIES = ["q_funnel"]
 
 # The heaviest declared queries by BENCH_r10 wall time that read the
 # standard tables (q_daily_highlow is excluded: it runs on the weather
@@ -130,6 +136,32 @@ def synthesize(con, BIG=BIG, COPIES=COPIES, docs=True, embs=True) -> None:
             os.symlink(f"{BASE}/{t}.parquet", dst)
 
 
+def synthesize_deeper(con) -> None:
+    """1000x events tier = 10 user/key-translated copies of the 100x
+    tier (same perturbation discipline: user-space translation keeps
+    per-user event counts and funnel structure; value nudged a distinct
+    exact-binary epsilon per copy). Only events grows — the sole table
+    the deeper queries read; everything else symlinks to the 100x tier
+    so read_table resolves every name."""
+    os.makedirs(DEEPER, exist_ok=True)
+    if not os.path.exists(f"{DEEPER}/events.parquet"):
+        evs = " UNION ALL ".join(
+            f"SELECT event_id + {i * 10_000_000_000} AS event_id, ts, "
+            f"CASE WHEN user_id IS NULL THEN NULL ELSE user_id + {i * 1_000_000_000} END AS user_id, "
+            f"event_type, value + {i} * 0.0000152587890625 AS value, props FROM _evs100"
+            for i in range(DEEPER_COPIES // DEEP_COPIES)
+        )
+        con.execute(
+            f"CREATE VIEW _evs100 AS SELECT * FROM '{DEEP}/events.parquet'"
+        )
+        con.execute(f"COPY ({evs}) TO '{DEEPER}/events.parquet' (FORMAT PARQUET)")
+        con.execute("DROP VIEW _evs100")
+    for t in TABLES:
+        dst = f"{DEEPER}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{DEEP}/{t}.parquet", dst)
+
+
 def best_of(fn, n=2) -> float:
     best = float("inf")
     for _ in range(n):
@@ -153,11 +185,21 @@ def main() -> int:
     # tables); documents/embeddings at 100x would cost minutes of
     # synthesis for queries that already crossed at 10x
     synthesize(con, BIG=DEEP, COPIES=DEEP_COPIES, docs=False, embs=False)
+    synthesize_deeper(con)
 
     registry = load_library()
-    out: dict = {"factor": COPIES, "deep_factor": DEEP_COPIES, "base": BASE, "queries": {}}
+    out: dict = {
+        "factor": COPIES,
+        "deep_factor": DEEP_COPIES,
+        "deeper_factor": DEEPER_COPIES,
+        "base": BASE,
+        "queries": {},
+    }
     for scale, sf_dir, qnames in (
-        ("1x", BASE, QUERIES), ("10x", BIG, QUERIES), ("100x", DEEP, DEEP_QUERIES)
+        ("1x", BASE, QUERIES),
+        ("10x", BIG, QUERIES),
+        ("100x", DEEP, DEEP_QUERIES),
+        ("1000x", DEEPER, DEEPER_QUERIES),
     ):
         dcon = duckdb.connect()
         for t in TABLES:
@@ -198,6 +240,11 @@ def main() -> int:
         n: (out["queries"][n].get("ratio_100x") is not None
             and out["queries"][n]["ratio_100x"] < 2.0)
         for n in DEEP_QUERIES
+    }
+    out["deeper_crossed_under_2x"] = {
+        n: (out["queries"][n].get("ratio_1000x") is not None
+            and out["queries"][n]["ratio_1000x"] < 2.0)
+        for n in DEEPER_QUERIES
     }
     out["spark_total_10x"] = round(
         sum(r["spark_10x"] for r in out["queries"].values()), 3
