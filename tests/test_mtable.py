@@ -1541,3 +1541,217 @@ class TestMtableRestore:
 
         with pytest.raises(ValueError, match="already at v0"):
             mtable_restore(table, 0)
+
+
+class TestMtableDeletionVectors:
+    """Merge-on-read deletes (mode='mor'): a delete writes a tiny
+    positional deletion vector instead of rewriting matched files —
+    verified at the os.stat level (zero data files rewritten) and by
+    read-equivalence against the copy-on-write path on the same
+    table."""
+
+    def _mk(self, spark, tmp_path, name="mor"):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+
+        df = cluster_by(
+            spark.range(0, 1000).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("orig").alias("tag"),
+            ),
+            ["k"],
+            n_files=10,
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, df, d)
+        return d
+
+    def test_mor_delete_rewrites_zero_data_files(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d = self._mk(spark, tmp_path)
+        man0 = read_manifest(d)
+        before = _stat(d, man0["files"])
+        kdf = spark.createDataFrame([(123,)], "k long")
+        man1 = mtable_delete(spark, d, kdf, "k", mode="mor")
+        # the 1-row-delete pin: file list unchanged, every data file
+        # byte-identical, exactly one DV file added
+        assert man1["files"] == man0["files"]
+        assert man1["files_rewritten"] == 0
+        assert _stat(d, man0["files"]) == before
+        dvs = {dv for lst in man1["dv"].values() for dv in lst}
+        assert len(dvs) == 1 and next(iter(dvs)).startswith("dv-")
+        assert man1["n_deleted"] == 1
+        got = {r["k"] for r in mtable_read(spark, d).collect()}
+        assert 123 not in got and len(got) == 999
+
+    def test_mor_read_equals_cow_read(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d_mor = self._mk(spark, tmp_path, "a")
+        d_cow = self._mk(spark, tmp_path, "b")
+        kdf = spark.createDataFrame([(5,), (777,), (42,), (4242,)], "k long")
+        mtable_delete(spark, d_mor, kdf, "k", mode="mor")
+        mtable_delete(spark, d_cow, kdf, "k", mode="cow")
+        a = sorted(map(tuple, mtable_read(spark, d_mor).collect()))
+        b = sorted(map(tuple, mtable_read(spark, d_cow).collect()))
+        assert a == b and len(a) == 997
+
+    def test_mor_delete_idempotent_no_second_dv(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d = self._mk(spark, tmp_path)
+        kdf = spark.createDataFrame([(7,), (8,)], "k long")
+        man1 = mtable_delete(spark, d, kdf, "k", mode="mor")
+        man2 = mtable_delete(spark, d, kdf, "k", mode="mor")
+        # second delete of the same keys: positions resolve against the
+        # DV-filtered read -> zero doomed rows -> no new DV artifact
+        assert man2["n_deleted"] == 0
+        assert man2["dv"] == man1["dv"]
+        assert mtable_read(spark, d).count() == 998
+
+    def test_compact_materializes_and_clears_dvs(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_delete,
+            mtable_vacuum,
+        )
+
+        d = self._mk(spark, tmp_path)
+        kdf = spark.createDataFrame([(k,) for k in range(0, 100, 7)], "k long")
+        mtable_delete(spark, d, kdf, "k", mode="mor")
+        want = sorted(map(tuple, mtable_read(spark, d).collect()))
+        man = mtable_compact(spark, d)
+        assert "dv" not in man
+        assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
+        # vacuum now reclaims the orphaned DV file
+        rep = mtable_vacuum(d, retain_versions=1)
+        assert any(f.startswith("dv-") for f in rep["removed_files"])
+        assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
+
+    def test_merge_after_mor_does_not_resurrect(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d = self._mk(spark, tmp_path)
+        mtable_delete(
+            spark, d, spark.createDataFrame([(50,), (51,)], "k long"), "k",
+            mode="mor",
+        )
+        # merge touches key 52 -> its file (which also held 50, 51) is
+        # rewritten from the DV-filtered read; 50/51 must stay gone and
+        # the rewritten file's DV entry must be dropped from the manifest
+        upd = spark.createDataFrame([(52, -1, "upd")], "k long, v long, tag string")
+        man = mtable_merge(spark, d, upd, "k")
+        got = {r["k"]: r["tag"] for r in mtable_read(spark, d).collect()}
+        assert 50 not in got and 51 not in got and got[52] == "upd"
+        for f in man.get("dv", {}):
+            assert f in man["files"]
+        # double-application guard: the dead rows' positions now belong
+        # to fresh rows in the new file; total row count is exact
+        assert mtable_read(spark, d).count() == 998
+
+    def test_time_travel_and_restore_across_mor(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_restore,
+        )
+
+        d = self._mk(spark, tmp_path)
+        kdf = spark.createDataFrame([(10,), (20,)], "k long")
+        mtable_delete(spark, d, kdf, "k", mode="mor")
+        assert mtable_read(spark, d, version=0).count() == 1000
+        assert mtable_read(spark, d, version=1).count() == 998
+        mtable_restore(d, 0)
+        assert mtable_read(spark, d).count() == 1000
+
+    def test_changes_feed_sees_mor_deletes_and_restores(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_delete,
+            mtable_restore,
+        )
+
+        d = self._mk(spark, tmp_path)
+        kdf = spark.createDataFrame([(10,), (20,)], "k long")
+        mtable_delete(spark, d, kdf, "k", mode="mor")
+        ch = {
+            (r["k"], r["_change_type"])
+            for r in mtable_changes(spark, d, 0, 1, key="k").collect()
+        }
+        assert ch == {(10, "delete"), (20, "delete")}
+        mtable_restore(d, 0)
+        back = {
+            (r["k"], r["_change_type"])
+            for r in mtable_changes(spark, d, 1, 2, key="k").collect()
+        }
+        assert back == {(10, "insert"), (20, "insert")}
+
+    def test_vacuum_retains_referenced_dvs(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_vacuum,
+        )
+
+        d = self._mk(spark, tmp_path)
+        kdf = spark.createDataFrame([(3,)], "k long")
+        mtable_delete(spark, d, kdf, "k", mode="mor")
+        rep = mtable_vacuum(d, retain_versions=1)
+        assert not any(f.startswith("dv-") for f in rep["removed_files"])
+        assert mtable_read(spark, d).count() == 999
+
+    def test_merge_agg_on_shadowed_table(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+            mtable_merge_agg,
+        )
+
+        d = str(tmp_path / "agg")
+        base = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, total long"
+        )
+        mtable_create(spark, base, d)
+        mtable_delete(
+            spark, d, spark.createDataFrame([(2,)], "k long"), "k", mode="mor"
+        )
+        delta = spark.createDataFrame([(1, 5), (2, 7)], "k long, total long")
+        mtable_merge_agg(spark, d, delta, "k", {"total": "sum"})
+        got = {r["k"]: r["total"] for r in mtable_read(spark, d).collect()}
+        # key 2 was MOR-deleted: the delta re-inserts it from zero (the
+        # dead row must NOT contribute its old 20)
+        assert got == {1: 15, 2: 7, 3: 30}
+
+    def test_clone_carries_dvs(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_clone,
+            mtable_delete,
+        )
+
+        src = self._mk(spark, tmp_path, "src")
+        mtable_delete(
+            spark, src, spark.createDataFrame([(1,), (2,)], "k long"), "k",
+            mode="mor",
+        )
+        dst = str(tmp_path / "dst")
+        mtable_clone(src, dst)
+        assert mtable_read(spark, dst).count() == 998
+        got = {r["k"] for r in mtable_read(spark, dst).collect()}
+        assert 1 not in got and 2 not in got
+
+    def test_mor_composite_key(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+        )
+
+        d = str(tmp_path / "comp")
+        df = spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "b"), (2, 1, "c"), (2, 2, "d")],
+            "a long, b long, val string",
+        )
+        mtable_create(spark, df, d)
+        kdf = spark.createDataFrame([(1, 2), (2, 1)], "a long, b long")
+        man = mtable_delete(spark, d, kdf, ["a", "b"], mode="mor")
+        assert man["n_deleted"] == 2 and man["files_rewritten"] == 0
+        got = {(r["a"], r["b"]) for r in mtable_read(spark, d).collect()}
+        assert got == {(1, 1), (2, 2)}

@@ -676,3 +676,57 @@ class TestDecoderFuzz:
             assert w is None or len(w) == 3
             fmt = sniff_header(buf)  # must not raise
             assert isinstance(fmt, tuple) and len(fmt) == 5
+
+    def test_zlib_bomb_and_forged_dims_bounded(self):
+        """A small crafted payload must not be able to force a large
+        allocation: (a) a forged IHDR declaring a huge image is
+        refused before the inflate; (b) an IDAT that inflates past the
+        declared geometry (bomb) is cut off at expect+1 bytes and
+        rejected. Both paths return None quickly instead of allocating
+        hundreds of MB per executor task."""
+        import struct
+        import time
+        import zlib
+
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import decode_png
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        def png(w, h, idat_raw):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(idat_raw))
+                + chunk(b"IEND", b"")
+            )
+
+        # (a) forged dimensions: 65536 x 65536 RGB = 12 GiB declared,
+        # from a ~100-byte payload — must refuse up front
+        bomb_dims = png(65536, 65536, b"\x00" * 64)
+        t0 = time.time()
+        assert decode_png(bomb_dims) is None
+        assert time.time() - t0 < 1.0
+
+        # (b) honest small dims, bomb IDAT: 64 MB of zeros compress to
+        # ~64 KB; the bounded inflate must stop at expect+1
+        bomb_idat = png(4, 4, b"\x00" * (64 << 20))
+        t0 = time.time()
+        assert decode_png(bomb_idat) is None
+        assert time.time() - t0 < 1.0
+
+        # control: a legitimate image still decodes
+        rng = np.random.default_rng(7)
+        from w4h_etl_container_spark.multimodal.media import encode_png
+
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        out = decode_png(encode_png(img, [0, 1, 2, 3, 4]))
+        assert out is not None and (out == img).all()

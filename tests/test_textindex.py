@@ -663,3 +663,107 @@ class TestStreamingTableToIndex:
         )
         assert got == want
         assert 30_000_001 in {r[1] for r in got}
+
+
+class TestSyncWatermarkAtomicity:
+    """Round-13 (advice fix): the sync watermark rides the LAST
+    mutation's atomic manifest publish instead of a separate trailing
+    write — a crash can no longer leave an applied append with an
+    un-advanced watermark (the state whose replay double-appended
+    postings)."""
+
+    def _table_and_index(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+        from w4h_etl_container_spark.pipeline.textindex import build_text_index
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} about topic {i % 3}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        tdir = str(tmp_path / "t")
+        mtable_create(spark, docs, tdir)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        docs.coalesce(1).write.parquet(str(tmp_path / "pq"))
+        import shutil
+        for f in os.listdir(str(tmp_path / "pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "pq" / f), os.path.join(src, "documents.parquet")
+                )
+        idx = str(tmp_path / "idx")
+        build_text_index(spark, src, idx)
+        return tdir, idx
+
+    def test_watermark_rides_append_publish(self, spark, tmp_path):
+        import json as _json
+
+        from w4h_etl_container_spark.pipeline.mtable import mtable_merge
+        from w4h_etl_container_spark.pipeline.textindex import sync_text_index
+
+        tdir, idx = self._table_and_index(spark, tmp_path)
+        mtable_merge(
+            spark, tdir,
+            spark.createDataFrame(
+                [(100, "a brand new doc"), (101, "another brand new doc")],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+        )
+        sync_text_index(spark, idx, tdir, from_version=0)
+        # ONE read of the manifest shows the append AND the watermark
+        # together — they were published in the same atomic rename
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        assert man["synced_table_version"] == 1
+        assert man.get("appends") and man["n_docs"] == 22
+
+    def test_crash_before_any_publish_replays_clean(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import json as _json
+
+        from w4h_etl_container_spark.pipeline import textindex as ti
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_merge,
+        )
+
+        tdir, idx = self._table_and_index(spark, tmp_path)
+        mtable_merge(
+            spark, tdir,
+            spark.createDataFrame(
+                [(5, "rewritten five"), (200, "fresh two hundred")],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+        )
+        mtable_delete(
+            spark, tdir, spark.createDataFrame([(7,)], "doc_id long"), "doc_id"
+        )
+        # crash the FIRST manifest publish inside the sync (the delete
+        # commit): nothing is visible, the watermark stays at 0
+        real = ti._write_index_manifest
+        calls = {"n": 0}
+
+        def boom(index_dir, man):
+            calls["n"] += 1
+            raise OSError("injected crash at the delete commit point")
+
+        monkeypatch.setattr(ti, "_write_index_manifest", boom)
+        with pytest.raises(OSError):
+            ti.sync_text_index(spark, idx, tdir, from_version=0)
+        monkeypatch.setattr(ti, "_write_index_manifest", real)
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        assert "synced_table_version" not in man  # watermark un-advanced
+        # resume: the full sync replays (its applied prefix was nothing
+        # visible) and converges — doc 7 gone, 5 rewritten, 200 added
+        out = ti.sync_text_index(spark, idx, tdir, from_version=0)
+        assert out == {
+            "inserted": 1, "updated": 1, "deleted": 1, "table_version": 2,
+        }
+        assert ti.audit_text_index(spark, idx)["consistent"]
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        assert man["synced_table_version"] == 2

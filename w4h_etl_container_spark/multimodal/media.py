@@ -514,7 +514,11 @@ def decode_png(payload: bytes | None) -> "np.ndarray | None":
     2083 §6) implemented directly. Palette (type 3), 16-bit, and
     Adam7-interlaced images return None — as does anything malformed,
     truncated, or with a bad filter byte: hostile bytes are the normal
-    case in a crawled corpus.
+    case in a crawled corpus. The inflate is BOUNDED by the declared
+    geometry (decompressobj with max_length = h·(1+stride)+1, plus a
+    64M-pixel cap checked before any allocation), so a zlib bomb or a
+    forged IHDR can cost at most the declared image's bytes per task,
+    never an unbounded allocation.
 
     Filter inversion notes: all arithmetic is mod 256 (uint8 wrap);
     Average's predictor is floor((left + up) / 2) computed WITHOUT
@@ -564,9 +568,19 @@ def decode_png(payload: bytes | None) -> "np.ndarray | None":
             i += 12 + clen  # length + type + body + crc
         if w is None or not idat:
             return None
-        raw = zlib.decompress(b"".join(idat))
         stride = w * nch
-        if len(raw) != h * (1 + stride):
+        expect = h * (1 + stride)
+        # hostile bytes are the normal case in a crawled corpus: refuse
+        # absurd declared dimensions BEFORE inflating (a 4-byte header
+        # field can declare a 2^31-pixel image), and bound the inflate
+        # to the declared size + 1 sentinel byte so a zlib bomb can
+        # allocate at most expect+1 bytes per task, never GBs — any
+        # overflow or shortfall is a malformed payload, return None
+        if w * h > 64 << 20 or expect > 512 << 20:
+            return None
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
+        if len(raw) != expect or d.unconsumed_tail:
             return None
         out = np.empty((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.uint8)

@@ -58,9 +58,20 @@ table:
   collides with it — ``mtable_repair`` reclaims the debris (run it
   under the cooperative writer lock; the error message names it).
 
+* DELETE ships both lakehouse strategies: copy-on-write (rewrite the
+  matched files) and MERGE-ON-READ (``mode='mor'`` — the Delta
+  deletion-vector / Iceberg v2 positional-delete pattern): the doomed
+  rows' (file basename, row index) pairs land in one tiny DV parquet,
+  the manifest maps each shadowed data file to its DV files, and every
+  reader anti-joins the shadow out via the parquet reader's hidden
+  ``_metadata`` column. A 1-row delete writes O(1 row), never a file;
+  ``mtable_compact`` materializes the shadow and clears the DVs;
+  vacuum reclaims DV files with the same referenced-set rule as data
+  files.
+
 Surface: ``mtable_create`` / ``mtable_read`` (versioned, or
 ``as_of`` a timestamp) / ``mtable_merge`` (keyed upsert, optional
-schema evolution) / ``mtable_delete`` / ``mtable_merge_agg``
+schema evolution) / ``mtable_delete`` (cow | mor) / ``mtable_merge_agg``
 (incremental aggregate maintenance — the materialized-view refresh;
 sum/max/min plus the mergeable 'kmv' distinct sketch) /
 ``mtable_changes`` (row-level change feed from the file diff) /
@@ -146,6 +157,7 @@ def _write_manifest(
     files: list[str],
     meta: dict,
     file_stats: dict | None = None,
+    dv: dict | None = None,
     overwrite: bool = False,
 ) -> None:
     """Publish manifest ``version`` then flip the ``_latest`` pointer.
@@ -164,6 +176,11 @@ def _write_manifest(
     column present but unprunable); persisted so planning never
     re-reads managed files' footers.
 
+    ``dv`` maps data file → [deletion-vector file, ...] (merge-on-read
+    deletes); only non-empty entries are persisted, and a version with
+    no shadowed files omits the key entirely so pre-DV readers of the
+    manifest JSON see the exact old shape.
+
     ``overwrite=True`` is the self-annotation escape hatch (the
     streaming sink re-stamping its OWN just-committed version with
     epoch lineage) — never used to publish new content."""
@@ -178,6 +195,8 @@ def _write_manifest(
     }
     if file_stats is not None:
         man["file_stats"] = file_stats
+    if dv:
+        man["dv"] = {f: sorted(v) for f, v in sorted(dv.items()) if v}
     path = _manifest_path(table_dir, version)
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -238,10 +257,17 @@ def mtable_history(table_dir: str) -> list[dict]:
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     current = _current_version(table_dir)
     out = []
-    for f in sorted(os.listdir(mdir), reverse=True):
-        if not (f.startswith("v") and f.endswith(".json")):
-            continue
-        v = int(f[1:-5])
+    # numeric sort, not filename sort: lexicographic order breaks the
+    # documented newest-first contract from ten versions up (v9 > v10)
+    versions = sorted(
+        (
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ),
+        reverse=True,
+    )
+    for v in versions:
         if v > current:
             continue
         man = read_manifest(table_dir, v)
@@ -532,6 +558,17 @@ def _plan_matched_files(
     return matched, untouched, n_keys, kdf, path
 
 
+def _carry_dv(man: dict, files: list[str]) -> dict:
+    """The parent manifest's DV entries restricted to ``files`` (the
+    next version's survivors): a rewritten or dropped data file takes
+    its deletion vectors with it — its replacement was materialized
+    from the DV-filtered read, so carrying the old shadow forward
+    would double-delete fresh rows at recycled positions."""
+    dvmap = man.get("dv") or {}
+    keep = set(files)
+    return {f: list(v) for f, v in dvmap.items() if f in keep}
+
+
 def _carry_schema(man: dict, meta: dict) -> dict:
     """Propagate the recorded table schema through a commit that does
     not change it (delete/compact/merge_agg/append) — otherwise one
@@ -601,8 +638,79 @@ def mtable_create(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
     return read_manifest(table_dir)
 
 
+def _new_dv_file(table_dir: str, df: DataFrame) -> str:
+    """Write one deletion-vector parquet (``file`` = data-file
+    basename, ``pos`` = row index within that file) under a unique
+    ``dv-`` subdirectory; return its table-relative path. One small
+    file per delete commit — the DV is the whole point of merge-on-
+    read (a delete's write cost is O(deleted rows), not O(matched
+    files' bytes)), so it never needs parallel write bandwidth."""
+    sub = f"dv-{uuid.uuid4().hex}"
+    out = os.path.join(table_dir, sub)
+    df.coalesce(1).write.parquet(out)
+    names = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    return os.path.join(sub, names[0])
+
+
+def _dv_paths(man: dict, files: list[str]) -> list[str]:
+    """Deletion-vector files shadowing any of ``files`` under this
+    manifest (deduped: one DV file can carry positions for several
+    data files)."""
+    dvmap = man.get("dv") or {}
+    return sorted({d for f in files for d in dvmap.get(f, [])})
+
+
+def _read_dv(spark: SparkSession, table_dir: str, dv_files: list[str]) -> DataFrame:
+    return spark.read.schema("file string, pos long").parquet(
+        *[os.path.join(table_dir, d) for d in dv_files]
+    )
+
+
+def _scan_with_pos(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    man: dict,
+    dv_man: dict | None = None,
+) -> DataFrame:
+    """Schema-declared scan of ``files`` carrying ``_mt_file`` (data-
+    file basename) and ``_mt_pos`` (row index within the file) from
+    the parquet reader's hidden ``_metadata`` column, with any
+    deletion vectors recorded for those files (in ``dv_man``, default
+    the same manifest) already anti-joined out. Basenames are the DV
+    join key: every data file's name embeds a write-job UUID, so they
+    never collide across the table's subdirectories. The metadata
+    columns must be projected ON the scan (they don't survive a
+    join), which is why this helper exists instead of a post-hoc
+    ``withColumn``."""
+    paths = [os.path.join(table_dir, f) for f in files]
+    sj = man.get("schema_json")
+    reader = (
+        spark.read.schema(T.StructType.fromJson(json.loads(sj)))
+        if sj is not None
+        else spark.read
+    )
+    df = reader.parquet(*paths).select(
+        "*",
+        F.col("_metadata.file_name").alias("_mt_file"),
+        F.col("_metadata.row_index").alias("_mt_pos"),
+    )
+    dv_files = _dv_paths(dv_man if dv_man is not None else man, files)
+    if dv_files:
+        dead = _read_dv(spark, table_dir, dv_files).withColumnsRenamed(
+            {"file": "_mt_file", "pos": "_mt_pos"}
+        )
+        # DVs are tiny by design (O(deleted rows since last compaction))
+        df = df.join(F.broadcast(dead), ["_mt_file", "_mt_pos"], "left_anti")
+    return df
+
+
 def _read_files(
-    spark: SparkSession, table_dir: str, files: list[str], man: dict
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    man: dict,
+    dv_man: dict | None = None,
 ) -> DataFrame:
     """Read a file subset UNDER THE TABLE SCHEMA the manifest records:
     after a schema evolution, pre-evolution files lack the new columns
@@ -610,7 +718,13 @@ def _read_files(
     — O(1) on the driver, unlike ``mergeSchema`` (which re-reads every
     footer at planning, the exact cost the persisted file stats
     eliminated). Legacy manifests without a recorded schema read
-    plain."""
+    plain. Files shadowed by deletion vectors (merge-on-read deletes)
+    read through the position anti-join; tables without DVs keep the
+    bare scan — zero plan overhead on the common path."""
+    if _dv_paths(dv_man if dv_man is not None else man, files):
+        return _scan_with_pos(spark, table_dir, files, man, dv_man).drop(
+            "_mt_file", "_mt_pos"
+        )
     paths = [os.path.join(table_dir, f) for f in files]
     sj = man.get("schema_json")
     if sj is None:
@@ -810,6 +924,7 @@ def mtable_merge(
             file_stats=_stats_for(
                 table_dir, untouched + new_files, man.get("file_stats")
             ),
+            dv=_carry_dv(man, untouched),
         )
         return read_manifest(table_dir)
 
@@ -849,11 +964,19 @@ def mtable_vacuum(
         keep_versions.append(current)
     referenced: set[str] = set()
     for v in keep_versions:
-        referenced |= set(read_manifest(table_dir, v)["files"])
+        man_v = read_manifest(table_dir, v)
+        referenced |= set(man_v["files"])
+        # deletion-vector files live exactly as long as a retained
+        # version still shadows a data file with them
+        for dvs in (man_v.get("dv") or {}).values():
+            referenced |= set(dvs)
     removed = []
     for entry in os.listdir(table_dir):
         sub = os.path.join(table_dir, entry)
-        if not (entry.startswith("data-") and os.path.isdir(sub)):
+        if not (
+            (entry.startswith("data-") or entry.startswith("dv-"))
+            and os.path.isdir(sub)
+        ):
             continue
         for f in os.listdir(sub):
             rel = os.path.join(entry, f)
@@ -881,14 +1004,39 @@ def mtable_delete(
     max_collect_keys: int = DEFAULT_MAX_COLLECT_KEYS,
     expected_version: int | None = None,
     retries: int = 0,
+    mode: str = "cow",
 ) -> dict:
-    """DELETE by key set (single or composite ``key``) — the MERGE
-    machinery minus the insert: only files whose per-column ranges
-    intersect the key set are read and rewritten without the deleted
-    rows; everything else is re-listed verbatim. Same count-gated
-    planning, CAS commit, and optional optimistic retry as
-    ``mtable_merge``. A key that matches nothing still commits a
-    (no-op-ish) version — deletes are idempotent by construction."""
+    """DELETE by key set (single or composite ``key``), with the two
+    standard lakehouse strategies:
+
+    * ``mode='cow'`` (copy-on-write, the default): the MERGE machinery
+      minus the insert — only files whose per-column ranges intersect
+      the key set are read and rewritten without the deleted rows;
+      everything else is re-listed verbatim. Read-optimal, but a 1-row
+      delete rewrites its whole matched file.
+    * ``mode='mor'`` (merge-on-read, the Delta deletion-vector /
+      Iceberg v2 positional-delete move): NO data file is rewritten —
+      the matched files are scanned once to resolve the doomed rows'
+      (file, row-position) pairs, those pairs land in one tiny
+      deletion-vector parquet, and the manifest maps each shadowed
+      data file to its DV files. Every reader (``mtable_read``, merge
+      planning, change feed, compaction, clone) anti-joins the DV out
+      on (file basename, row index) via the parquet reader's
+      ``_metadata`` column. Write cost is O(deleted rows) — at 100 TB
+      a daily trickle-delete stops rewriting ~1 GB files to kill
+      single rows. ``mtable_compact`` materializes the deletes and
+      clears the DVs; vacuum reclaims DV files exactly like data
+      files once no retained version references them.
+
+    Re-deleting an already-deleted key is a no-op in both modes (MOR
+    resolves positions against the DV-filtered read, so the same row
+    never enters two DVs and a fully-shadowed match writes no DV at
+    all). Same count-gated planning, CAS commit, and optional
+    optimistic retry as ``mtable_merge``. A key that matches nothing
+    still commits a (no-op-ish) version — deletes are idempotent by
+    construction."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mtable_delete: unknown mode {mode!r} (cow|mor)")
     kcols = _as_keys(key)
 
     def _once() -> dict:
@@ -899,8 +1047,30 @@ def mtable_delete(
             "mtable_delete: empty key set",
         )
         new_files: list[str] = []
+        n_deleted = None
+        dv = _carry_dv(man, man["files"] if mode == "mor" else untouched)
         try:
-            if matched:
+            if matched and mode == "mor":
+                scan = _scan_with_pos(spark, table_dir, matched, man)
+                semi = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
+                doomed = (
+                    scan.join(semi, kcols, "left_semi")
+                    .select(
+                        F.col("_mt_file").alias("file"),
+                        F.col("_mt_pos").alias("pos"),
+                    )
+                    .persist()
+                )
+                try:
+                    n_deleted = doomed.count()
+                    if n_deleted:
+                        dv_rel = _new_dv_file(table_dir, doomed)
+                        base_to_rel = {os.path.basename(f): f for f in matched}
+                        for r in doomed.select("file").distinct().collect():
+                            dv.setdefault(base_to_rel[r["file"]], []).append(dv_rel)
+                finally:
+                    doomed.unpersist()
+            elif matched:
                 old = _read_files(spark, table_dir, matched, man)
                 anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
                 survivors = old.join(anti, kcols, "left_anti")
@@ -908,22 +1078,24 @@ def mtable_delete(
                     new_files = _new_data_files(table_dir, survivors)
         finally:
             kdf.unpersist()
+        files = (man["files"] if mode == "mor" else untouched) + new_files
         _write_manifest(
             table_dir,
             man["version"] + 1,
-            untouched + new_files,
+            files,
             _carry_schema(man, {
                 "op": "delete",
                 "parent": man["version"],
                 "keys": kcols,
-                "files_rewritten": len(matched),
+                "mode": mode,
+                "files_rewritten": 0 if mode == "mor" else len(matched),
                 "files_untouched": len(untouched),
                 "n_delete_keys": n_keys,
                 "key_match_path": path,
+                **({"n_deleted": n_deleted} if n_deleted is not None else {}),
             }),
-            file_stats=_stats_for(
-                table_dir, untouched + new_files, man.get("file_stats")
-            ),
+            file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+            dv=dv,
         )
         return read_manifest(table_dir)
 
@@ -1074,6 +1246,7 @@ def mtable_sink(
             _write_manifest(
                 table_dir, man["version"] + 1, files, meta,
                 file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+                dv=_carry_dv(man, man["files"]),
             )
         else:
             new_man = mtable_merge(spark, table_dir, df, key)
@@ -1087,10 +1260,11 @@ def mtable_sink(
                 {
                     k: v
                     for k, v in new_man.items()
-                    if k not in ("version", "files", "file_stats")
+                    if k not in ("version", "files", "file_stats", "dv")
                 }
                 | {"epochs": epochs},
                 file_stats=new_man.get("file_stats"),
+                dv=new_man.get("dv"),
                 overwrite=True,
             )
 
@@ -1194,6 +1368,7 @@ def mtable_merge_agg(
             file_stats=_stats_for(
                 table_dir, untouched + new_files, man.get("file_stats")
             ),
+            dv=_carry_dv(man, untouched),
         )
         return read_manifest(table_dir)
 
@@ -1232,6 +1407,7 @@ def mtable_restore(
         target["files"],
         meta,
         file_stats=target.get("file_stats"),
+        dv=target.get("dv"),
     )
     return read_manifest(table_dir)
 
@@ -1241,7 +1417,8 @@ def mtable_changes(
     table_dir: str,
     from_version: int,
     to_version: int | None = None,
-    key: str | list[str] = None,
+    *,
+    key: str | list[str],
 ) -> DataFrame:
     """Row-level CHANGE FEED between two committed versions — Delta's
     Change Data Feed shape, derived for free from the copy-on-write
@@ -1250,7 +1427,12 @@ def mtable_changes(
     and cancel in the multiset difference), so the scan cost is
     O(churned files), never O(table). Output: every table column plus
     ``_change_type`` ∈ ('insert', 'update', 'delete') — updates carry
-    the POST-image, deletes the last pre-image.
+    the POST-image, deletes the last pre-image. Merge-on-read deletes
+    (which change no file list, only the manifest's DV map) surface
+    the same way: common files whose deletion-vector set differs are
+    scanned once, newly-shadowed positions emit their pre-image as
+    deletes, un-shadowed positions (a restore across a MOR delete)
+    emit inserts.
 
     Classification on the ``key`` tuple (the table's merge key —
     change feeds are defined for key-unique tables, the same invariant
@@ -1269,29 +1451,74 @@ def mtable_changes(
     man_b = read_manifest(table_dir, to_version)
     added = sorted(set(man_b["files"]) - set(man_a["files"]))
     removed = sorted(set(man_a["files"]) - set(man_b["files"]))
+    # merge-on-read deletes change no file list — the diff lives in
+    # the DV map: common files whose shadow set differs contribute
+    # newly-dead rows (deletes) and un-shadowed rows (restore-side
+    # inserts), resolved by position against ONE raw scan of exactly
+    # those files — still O(churned files)
+    dv_a_map = man_a.get("dv") or {}
+    dv_b_map = man_b.get("dv") or {}
+    dv_changed = sorted(
+        f
+        for f in set(man_a["files"]) & set(man_b["files"])
+        if sorted(dv_a_map.get(f, [])) != sorted(dv_b_map.get(f, []))
+    )
 
-    def _read(files: list[str]) -> DataFrame:
+    def _read(files: list[str], dv_side: dict) -> DataFrame:
         # both sides read under the NEWER manifest's schema so a diff
         # across a schema evolution aligns columns (old rows null-fill)
+        # — but each side under its OWN deletion vectors (a row already
+        # dead in the old version must not resurface as a delete)
         if files:
-            return _read_files(spark, table_dir, files, man_b)
+            return _read_files(spark, table_dir, files, man_b, dv_man=dv_side)
         # empty side: zero rows with the OTHER side's schema
         other = removed if files is added else added
-        return _read_files(spark, table_dir, other, man_b).limit(0)
+        src = other if other else man_b["files"]
+        return _read_files(spark, table_dir, src, man_b).limit(0)
 
     if man_a["version"] == man_b["version"]:
         raise ValueError(
             f"mtable_changes: both endpoints are v{man_a['version']} — "
             "a change feed needs two distinct committed versions"
         )
-    if not added and not removed:
+    if not added and not removed and not dv_changed:
         # committed-but-changed-nothing window (e.g. a delete that
         # matched no rows): a legitimately EMPTY feed, not an error
         return _read_files(spark, table_dir, man_b["files"], man_b).limit(
             0
         ).withColumn("_change_type", F.lit(""))
-    new_rows = _read(added)
-    old_rows = _read(removed)
+    new_rows = _read(added, man_b)
+    old_rows = _read(removed, man_a)
+    if dv_changed:
+        bases = sorted(os.path.basename(f) for f in dv_changed)
+
+        def _dv_rows(m: dict) -> DataFrame | None:
+            dvf = _dv_paths(m, dv_changed)
+            if not dvf:
+                return None
+            return _read_dv(spark, table_dir, dvf).where(
+                F.col("file").isin(bases)
+            )
+
+        ra, rb = _dv_rows(man_a), _dv_rows(man_b)
+        scan = _scan_with_pos(spark, table_dir, dv_changed, man_b, dv_man={})
+        data_cols = [c for c in scan.columns if c not in ("_mt_file", "_mt_pos")]
+
+        def _pick(rows: DataFrame) -> DataFrame:
+            return scan.join(
+                F.broadcast(
+                    rows.withColumnsRenamed({"file": "_mt_file", "pos": "_mt_pos"})
+                ),
+                ["_mt_file", "_mt_pos"],
+                "left_semi",
+            ).select(*data_cols)
+
+        if rb is not None:
+            newly_dead = rb if ra is None else rb.exceptAll(ra)
+            old_rows = old_rows.unionByName(_pick(newly_dead))
+        if ra is not None:
+            resurrected = ra if rb is None else ra.exceptAll(rb)
+            new_rows = new_rows.unionByName(_pick(resurrected))
     upserts = new_rows.exceptAll(old_rows)
     dropped = old_rows.exceptAll(new_rows)
     old_keys = dropped.select(*keys).distinct()
@@ -1339,6 +1566,10 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
 
     abs_files = [_abs(f) for f in man["files"]]
     abs_stats = {_abs(f): st for f, st in src_stats.items()}
+    abs_dv = {
+        _abs(f): [_abs(d) for d in dvs]
+        for f, dvs in (man.get("dv") or {}).items()
+    }
     _write_manifest(
         dst_dir,
         0,
@@ -1349,5 +1580,6 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
             "cloned_version": man["version"],
         }),
         file_stats=abs_stats,
+        dv=abs_dv,
     )
     return read_manifest(dst_dir)

@@ -235,7 +235,10 @@ def _without_tombstones(
 
 
 def delete_from_text_index(
-    spark: SparkSession, index_dir: str, doc_ids: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: DataFrame,
+    extra_meta: dict | None = None,
 ) -> dict:
     """DELETE documents from a published inverted index — the vector
     index's tombstone discipline, plus the twist lexical scoring
@@ -288,6 +291,7 @@ def delete_from_text_index(
     man["n_tombstones"] = man.get("n_tombstones", 0) + row["n"]
     man.setdefault("tombstone_files", []).append(batch_rel)
     man.setdefault("deletes", []).append({"n_docs": row["n"]})
+    man.update(extra_meta or {})
     _write_index_manifest(index_dir, man)  # THE commit point
     spark.createDataFrame(
         [(man["n_docs"], man["total_tokens"])], "n_docs long, total_tokens long"
@@ -296,7 +300,10 @@ def delete_from_text_index(
 
 
 def compact_text_index_deletes(
-    spark: SparkSession, index_dir: str, n_files: int = 8
+    spark: SparkSession,
+    index_dir: str,
+    n_files: int = 8,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Physically purge tombstoned documents. Unlike the vector index
     (cell-partitioned on the probe key, so deletes rewrite only
@@ -332,6 +339,7 @@ def compact_text_index_deletes(
     man["n_tombstones"] = 0
     man["tombstone_files"] = []
     man.setdefault("compactions", []).append({"op": "purge-deletes"})
+    man.update(extra_meta or {})
     _write_index_manifest(index_dir, man)
     # drop the whole tombstones/ tree AFTER the commit — this also
     # sweeps any unreferenced debris a crashed delete left behind
@@ -341,7 +349,11 @@ def compact_text_index_deletes(
 
 
 def append_to_text_index(
-    spark: SparkSession, index_dir: str, new_docs: DataFrame, n_files: int = 2
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    n_files: int = 2,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Incrementally index a new document batch: the batch's term
     counts land as ADDITIONAL token-clustered posting files (file-level
@@ -390,6 +402,7 @@ def append_to_text_index(
         man["n_docs"] += row["n"]
         man["total_tokens"] += row["t"]
         man.setdefault("appends", []).append({"n_docs": row["n"]})
+        man.update(extra_meta or {})
         _write_index_manifest(index_dir, man)
         spark.createDataFrame(
             [(man["n_docs"], man["total_tokens"])], "n_docs long, total_tokens long"
@@ -425,7 +438,12 @@ def sync_text_index(
     path stays exact, purge later).
 
     RESUMABLE: every sync records its endpoint as
-    ``synced_table_version`` in the index manifest, so
+    ``synced_table_version`` in the index manifest — folded into the
+    SAME atomic manifest publish as the last mutation it applies
+    (extra_meta on the final delete/compact/append), so a crash at any
+    point leaves either an un-advanced watermark with only idempotent
+    deletes applied (replay converges) or the fully-applied sync with
+    its watermark — never an applied append the resume would re-append.
     ``from_version=None`` resumes from the last sync (the first sync
     after an index built outside this loop must pass it explicitly —
     the index cannot know which table snapshot it was built from). A
@@ -449,6 +467,17 @@ def sync_text_index(
     to_v = _table_manifest(table_dir, to_version)["version"]
     if to_v == from_version:
         return {"inserted": 0, "updated": 0, "deleted": 0, "table_version": to_v}
+    # the watermark rides the LAST mutation's atomic manifest publish
+    # (extra_meta): a crash anywhere inside the sync leaves the
+    # watermark at the OLD version with at most a prefix of the
+    # mutations applied — the replayed prefix is deletes/compaction
+    # (idempotent no-ops) — never an applied-append with an
+    # un-advanced watermark, which is the window that double-appended
+    # postings before round 13
+    wm = {
+        "synced_table_version": to_v,
+        "synced_table_dir": os.path.abspath(table_dir),
+    }
     ch = mtable_changes(
         spark, table_dir, from_version, to_v, key="doc_id"
     ).persist()
@@ -458,26 +487,30 @@ def sync_text_index(
             for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         dead = ch.where(F.col("_change_type").isin("delete", "update"))
-        if counts.get("delete", 0) or counts.get("update", 0):
-            delete_from_text_index(spark, index_dir, dead.select("doc_id"))
-            compact_text_index_deletes(spark, index_dir)
         fresh = ch.where(
             F.col("_change_type").isin("insert", "update")
             & (F.length(F.trim("text")) > 0)  # empty docs are never indexed
         )
-        if fresh.limit(1).count():
+        has_fresh = bool(fresh.limit(1).count())
+        if counts.get("delete", 0) or counts.get("update", 0):
+            delete_from_text_index(spark, index_dir, dead.select("doc_id"))
+            compact_text_index_deletes(
+                spark, index_dir, extra_meta=None if has_fresh else wm
+            )
+        if has_fresh:
             append_to_text_index(
-                spark, index_dir, fresh.select("doc_id", "text")
+                spark, index_dir, fresh.select("doc_id", "text"),
+                extra_meta=wm,
             )
     finally:
         ch.unpersist()
-    # record the watermark on the FRESH manifest (the delete/append
-    # calls above republished it)
-    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
-        iman = json.load(f)
-    iman["synced_table_version"] = to_v
-    iman["synced_table_dir"] = os.path.abspath(table_dir)
-    _write_index_manifest(index_dir, iman)
+    if not has_fresh and not (counts.get("delete", 0) or counts.get("update", 0)):
+        # empty feed across a committed-but-rowless window: nothing was
+        # applied, so a standalone watermark bump is replay-safe
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            iman = json.load(f)
+        iman.update(wm)
+        _write_index_manifest(index_dir, iman)
     return {
         "inserted": counts.get("insert", 0),
         "updated": counts.get("update", 0),

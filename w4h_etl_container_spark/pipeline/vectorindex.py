@@ -255,7 +255,10 @@ def search_index(
 
 
 def append_to_index(
-    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Incrementally add vectors to a published index WITHOUT
     retraining: assign each new vector to its cell with the index's
@@ -314,6 +317,7 @@ def append_to_index(
     )
     man["n_vectors"] = man["n_vectors"] + n_new
     man.setdefault("appends", []).append({"n": n_new})
+    man.update(extra_meta or {})
     _write_index_manifest(index_dir, man)
     return man
 
@@ -352,7 +356,10 @@ def _live_cells(spark: SparkSession, index_dir: str, man: dict):
 
 
 def delete_from_index(
-    spark: SparkSession, index_dir: str, vec_ids: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    vec_ids: DataFrame,
+    extra_meta: dict | None = None,
 ) -> dict:
     """DELETE vectors from a published index — the mtable DELETE
     discipline composed with the IVF layout. Phase 1 (this call) is a
@@ -393,11 +400,14 @@ def delete_from_index(
     man["n_tombstones"] = man.get("n_tombstones", 0) + n_dead
     man.setdefault("tombstone_files", []).append(batch_rel)
     man.setdefault("deletes", []).append({"n": n_dead})
+    man.update(extra_meta or {})
     _write_index_manifest(index_dir, man)  # THE commit point
     return man
 
 
-def compact_index_deletes(spark: SparkSession, index_dir: str) -> dict:
+def compact_index_deletes(
+    spark: SparkSession, index_dir: str, extra_meta: dict | None = None
+) -> dict:
     """Physically purge tombstoned vectors: rewrite ONLY the
     ``centroid_id=`` partitions that contain a tombstoned row (dynamic
     partition overwrite — untouched cells' files are never read or
@@ -447,6 +457,7 @@ def compact_index_deletes(spark: SparkSession, index_dir: str) -> dict:
     man["n_tombstones"] = 0
     man["tombstone_files"] = []
     man.setdefault("compactions", []).append({"partitions_rewritten": len(affected)})
+    man.update(extra_meta or {})
     _write_index_manifest(index_dir, man)
     # drop the whole tombstones/ tree AFTER the commit — this also
     # sweeps any unreferenced debris a crashed delete left behind
@@ -497,6 +508,14 @@ def sync_vector_index(
     to_v = _table_manifest(table_dir, to_version)["version"]
     if to_v == from_version:
         return {"inserted": 0, "updated": 0, "deleted": 0, "table_version": to_v}
+    # the watermark rides the LAST mutation's atomic manifest publish
+    # (see sync_text_index): the replayable crash prefix is then only
+    # the idempotent delete/compact half — never an applied append the
+    # resume would re-append
+    wm = {
+        "synced_table_version": to_v,
+        "synced_table_dir": os.path.abspath(table_dir),
+    }
     ch = mtable_changes(
         spark, table_dir, from_version, to_v, key="vec_id"
     ).persist()
@@ -507,7 +526,9 @@ def sync_vector_index(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        if counts.get("delete", 0) or counts.get("update", 0):
+        has_dead = bool(counts.get("delete", 0) or counts.get("update", 0))
+        has_fresh = bool(counts.get("insert", 0) or counts.get("update", 0))
+        if has_dead:
             delete_from_index(
                 spark,
                 index_dir,
@@ -515,22 +536,26 @@ def sync_vector_index(
                     "vec_id"
                 ),
             )
-            compact_index_deletes(spark, index_dir)
-        if counts.get("insert", 0) or counts.get("update", 0):
+            compact_index_deletes(
+                spark, index_dir, extra_meta=None if has_fresh else wm
+            )
+        if has_fresh:
             append_to_index(
                 spark,
                 index_dir,
                 ch.where(F.col("_change_type").isin("insert", "update")).select(
                     "vec_id", "embedding"
                 ),
+                extra_meta=wm,
             )
     finally:
         ch.unpersist()
-    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
-        iman = json.load(f)
-    iman["synced_table_version"] = to_v
-    iman["synced_table_dir"] = os.path.abspath(table_dir)
-    _write_index_manifest(index_dir, iman)
+    if not has_dead and not has_fresh:
+        # empty feed: nothing applied, standalone bump is replay-safe
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            iman = json.load(f)
+        iman.update(wm)
+        _write_index_manifest(index_dir, iman)
     return {
         "inserted": counts.get("insert", 0),
         "updated": counts.get("update", 0),
@@ -565,17 +590,20 @@ def audit_index(
     without a baseline report ``occupancy_tv=None`` and never flip."""
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         man = json.load(f)
+    live = _live_cells(spark, index_dir, man)
     per_cell = (
-        _live_cells(spark, index_dir, man)
-        .groupBy("centroid_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("vec_id").alias("nd"),
-        )
+        live.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     n_cells = sum(r["n"] for r in per_cell)
-    n_distinct = sum(r["nd"] for r in per_cell)
+    # GLOBAL distinct, not a sum of per-cell distincts: a vec_id
+    # replayed into a DIFFERENT cell (re-appended after its embedding
+    # moved under a frozen model) is unique within each cell but
+    # duplicated across them — exactly the corruption this audit
+    # exists to catch; the per-cell sum would count it twice and keep
+    # 'consistent' green
+    n_distinct = live.select(F.count_distinct("vec_id")).collect()[0][0]
     baseline = man.get("training_occupancy")
     tv = None
     if baseline and n_cells:

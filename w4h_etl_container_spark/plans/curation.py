@@ -1430,7 +1430,6 @@ def _shared_runs_sql(k: int = _RUN_K, cap: int = _RUN_CAP, min_run: int = _MIN_R
     "q_shared_runs",
     sql=_shared_runs_sql(),
     survey_ids=("EXT-DEDUP",),
-    gate=False,
 )
 def q_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length exact substring dedup over `documents`

@@ -123,6 +123,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     """,
     survey_ids=("STR-5",),
+    gate=False,
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STR-5 (SURVEY §2.9): session windows with a 2-hour inactivity gap,

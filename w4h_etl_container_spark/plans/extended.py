@@ -627,7 +627,6 @@ def _fj_rkey(key: str) -> str:
     FROM l JOIN r ON levenshtein(lkey, rkey) <= 1
     """,
     survey_ids=("EXT-ENTITY",),
-    gate=False,
 )
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 entity join, candidates from deletion variants

@@ -47,7 +47,6 @@ from w4h_etl_container_spark.session import read_table
     FROM base WHERE okey % 211 = 0 AND lineno = 1
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
-    gate=False,
 )
 def q_mtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSITE-KEY MERGE through the manifest table, end to end: a
@@ -135,6 +134,57 @@ def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mtable_delete_mor",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 11 <> 0
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+)
+def q_mtable_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete through the manifest table (deletion
+    vectors): customer becomes an mtable, every 7th key then every
+    11th key deletes with ``mode='mor'`` — two LAYERED deletion
+    vectors, ZERO data files rewritten (asserted on the manifests: the
+    file list is byte-for-byte the create's) — and the committed
+    snapshot reads back through the position anti-join. The oracle is
+    the two-survivor filter; hash parity proves the DV read path
+    deletes exactly the keyed rows and nothing else, across stacked
+    shadows on the same files."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_delete,
+        mtable_read,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = tempfile.mkdtemp(prefix="q-mtable-delete-mor-")
+    try:
+        man0 = mtable_create(spark, cust, d)
+        man1 = mtable_delete(
+            spark, d, cust.where(F.col("ckey") % 7 == 0).select("ckey"),
+            "ckey", mode="mor",
+        )
+        man2 = mtable_delete(
+            spark, d, cust.where(F.col("ckey") % 11 == 0).select("ckey"),
+            "ckey", mode="mor",
+        )
+        if not (man0["files"] == man1["files"] == man2["files"]):
+            raise AssertionError(
+                "merge-on-read delete must not touch the data file list"
+            )
+        rows = mtable_read(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "ckey long, seg string, bal double")
+
+
+@register(
     "q_mtable_changes",
     sql="""
     SELECT c_custkey AS ckey,
@@ -153,7 +203,6 @@ def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer WHERE c_custkey % 101 = 0
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
-    gate=False,
 )
 def q_mtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CHANGE FEED across two real commits, hash-checked: a

@@ -384,7 +384,6 @@ def _planted_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE text IS NOT NULL
     """,
     survey_ids=("EXT-MEDIA",),
-    gate=False,
 )
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PNG decode end-to-end (``multimodal.media.decode_png`` via
@@ -467,7 +466,6 @@ def _planted_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE text IS NOT NULL
     """,
     survey_ids=("EXT-MEDIA",),
-    gate=False,
 )
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real GIF decode end-to-end (``multimodal.media.decode_gif`` via

@@ -31,14 +31,16 @@ QUERIES: dict[str, Query] = {}
 
 # Library tier: fully-implemented declared queries kept OFF the driver's
 # gate (the gate caps at 50 rows; overlapping relational shapes ceded
-# their slots to the round-4 corpus-pipeline operators, and round 10
-# rotated five more relational shapes out — q_set_union, q_flt_semi,
-# q_join_range, q_agg_gate, q_win_offset, each with a gate twin
-# covering its shape — so the driver hash-checks the round-9 additions
-# q_funnel, q_sessionize, q_bm25, q_kmv_distinct, q_split_leakfree).
-# Library queries keep their oracle SQL and stay pinned by the pytest
-# plan-shape and selfcheck-library suites — same code path, one
-# registry flag.
+# their slots to the round-4 corpus-pipeline operators; round 10
+# rotated five relational shapes out for the round-9 additions; round
+# 13 rotated seven floor-class twins out — q_agg_daily, q_agg_distinct,
+# q_join_merge, q_win_funcs, q_top_customers, q_sf_datetime,
+# q_stream_session, each with a gate twin still covering its SURVEY
+# shape — so the driver hash-checks the newest, least-soaked code:
+# q_mtable_merge, q_mtable_changes, q_mtable_delete_mor, q_png_decode,
+# q_gif_decode, q_fuzzy_join, q_shared_runs). Library queries keep
+# their oracle SQL and stay pinned by the pytest plan-shape and
+# selfcheck-library suites — same code path, one registry flag.
 LIBRARY: dict[str, Query] = {}
 
 

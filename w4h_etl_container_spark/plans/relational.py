@@ -252,6 +252,7 @@ def q_flt_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name, n_name
     """,
     survey_ids=("JOIN-1", "AGG-1"),
+    gate=False,
 )
 def q_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-1 (reference ``xr.merge`` coordinate align, ``main.py:93-103``)
@@ -419,6 +420,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, CAST(ts AS DATE)
     """,
     survey_ids=("AGG-1",),
+    gate=False,
 )
 def q_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGG-1 (reference per-date ``max('time')``/``min('time')``,
@@ -441,6 +443,7 @@ def q_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_distinct",
     sql="SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, 1 AS approx_ok FROM events",
     survey_ids=("AGG-2", "AGG-6"),
+    gate=False,
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGG-2 (reference ``np.unique`` over dates/offsets, ``main.py:401,365``):
@@ -659,6 +662,7 @@ def q_win_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= 5
     """,
     survey_ids=("WIN-3", "SRT-2"),
+    gate=False,
 )
 def q_win_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WIN-3 (SURVEY §2.5, engine-provided): the full window-function
@@ -832,6 +836,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     survey_ids=("SF-6", "SF-11"),
+    gate=False,
 )
 def q_sf_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SF-6 (reference dt accessors, ``main.py:121-124,142,221``): the full
@@ -969,6 +974,7 @@ def q_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     survey_ids=("JOIN-1", "AGG-1", "SRT-2"),
+    gate=False,
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-revenue per customer, top 20. Exercises

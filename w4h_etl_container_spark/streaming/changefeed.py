@@ -1,0 +1,202 @@
+"""Streaming CHANGE-FEED source for manifest tables — the poll-only
+``mtable_changes`` batch feed (pipeline/mtable.py) wrapped as a real
+Structured Streaming source, so CDC consumers (``sync_text_index`` /
+``sync_vector_index``) run CONTINUOUSLY with checkpointed offsets
+instead of a hand-driven loop.
+
+Design (the Delta ``readStream`` split, rendered on the Python Data
+Source API): the STREAM carries the tiny per-commit metadata — one row
+per committed table VERSION, offsets ARE version numbers — and the
+row-level diff is computed inside ``foreachBatch`` on the driver,
+where a SparkSession exists, by the same oracle-checked
+``mtable_changes`` the batch path uses. This keeps executor-side
+stream work trivial (the version reader parses manifest JSONs; no
+Spark-in-Spark, no reimplementation of the multiset diff in pandas)
+while Structured Streaming supplies the offset log, replay, and
+restart semantics from its checkpoint.
+
+Exactly-once composition: a replayed micro-batch re-delivers the same
+version rows; ``apply_changes`` re-derives the same diffs; and the
+downstream index syncs are replay-safe by their OWN manifest-folded
+``synced_table_version`` watermark (round 13: folded into the final
+mutation's atomic publish) — so the pipeline end-to-end is
+exactly-once without the stream and the sink sharing state.
+
+Usage::
+
+    from w4h_etl_container_spark.streaming.changefeed import (
+        MtableVersionsDataSource, apply_changes,
+    )
+
+    spark.dataSource.register(MtableVersionsDataSource)
+    versions = (
+        spark.readStream.format("mtable_versions")
+        .option("table_dir", table_dir)
+        .load()
+    )
+    q = (
+        versions.writeStream
+        .foreachBatch(apply_changes(spark, table_dir, key="doc_id",
+                                    process=my_process))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+No reference analog (the reference's streaming surface is a fixed
+Mongo upsert loop); extension mandated by BASELINE.json's operational
+surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+_SCHEMA = "version long, parent long, op string, committed_at double, n_files long"
+
+
+def _read_versions(table_dir: str, after: int, upto: int):
+    """Rows for committed versions in (after, upto] — manifest JSON
+    parses only, O(versions in the window); a vacuumed-away manifest
+    inside the window is a hard error (the feed would silently skip
+    commits), matching ``mtable_changes``'s retention contract."""
+    out = []
+    for v in range(after + 1, upto + 1):
+        path = os.path.join(table_dir, "_manifests", f"v{v}.json")
+        try:
+            with open(path) as f:
+                man = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"mtable_versions stream at {table_dir}: manifest v{v} is "
+                "gone (vacuumed?) but the stream's offset still needs it — "
+                "restart the stream from a retained version"
+            ) from None
+        out.append(
+            (
+                man["version"],
+                man.get("parent"),
+                man.get("op", ""),
+                man.get("committed_at"),
+                len(man.get("files", [])),
+            )
+        )
+    return out
+
+
+class _VersionsStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are table versions: {"version": N} means every commit
+    ≤ N has been delivered. ``read`` runs on the DRIVER (the simple
+    reader contract — correct here: a micro-batch is a handful of
+    ~1 KB metadata rows, never data)."""
+
+    def __init__(self, options: dict):
+        self._dir = options["table_dir"]
+        self._starting = options.get("starting_version")
+
+    def _current(self) -> int:
+        with open(os.path.join(self._dir, "_latest")) as f:
+            return int(f.read().strip())
+
+    def initialOffset(self) -> dict:
+        # default: deliver every retained commit AFTER the version the
+        # stream starts at; starting_version=-1 replays from v0
+        if self._starting is not None:
+            return {"version": int(self._starting)}
+        return {"version": self._current()}
+
+    def read(self, start: dict):
+        upto = self._current()
+        rows = _read_versions(self._dir, start["version"], upto)
+        return iter(rows), {"version": upto}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(_read_versions(self._dir, start["version"], end["version"]))
+
+
+class MtableVersionsDataSource(DataSource):
+    """``spark.readStream.format("mtable_versions")`` — one row per
+    committed mtable version. Options: ``table_dir`` (required),
+    ``starting_version`` (deliver commits AFTER this version; default
+    = the table's current version at stream start, i.e. only new
+    commits)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mtable_versions"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):
+        if "table_dir" not in self.options:
+            raise ValueError(
+                "mtable_versions: .option('table_dir', <path>) is required"
+            )
+        return _VersionsStreamReader(self.options)
+
+
+def apply_changes(
+    spark: SparkSession,
+    table_dir: str,
+    key: str | list[str],
+    process: Callable[[DataFrame, int], None],
+):
+    """foreachBatch adapter: turn a micro-batch of version rows into
+    consecutive per-version row-level diffs (``mtable_changes(v-1, v)``)
+    and hand each to ``process(diff_df, version)`` in commit order.
+
+    ``process`` must be replay-tolerant (Structured Streaming may
+    re-deliver the last uncommitted batch after a restart) — the index
+    syncs are, via their manifest watermark; ad-hoc consumers can key
+    on ``version``."""
+    from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+
+    def _fb(batch_df: DataFrame, epoch_id: int) -> None:
+        versions = sorted(r["version"] for r in batch_df.select("version").collect())
+        for v in versions:
+            process(mtable_changes(spark, table_dir, v - 1, v, key=key), v)
+
+    return _fb
+
+
+def sync_index_on_changes(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    kind: str = "text",
+):
+    """foreachBatch adapter wiring the change-feed stream straight
+    into a serving index: each micro-batch advances the index to the
+    batch's NEWEST delivered version with ONE sync call (the sync
+    resumes from its own manifest watermark and diffs straight to the
+    target version — intermediate versions collapse into one
+    O(churned files) application, and a replayed batch is a no-op
+    because the watermark already sits at or past the target)."""
+    if kind == "text":
+        from w4h_etl_container_spark.pipeline.textindex import sync_text_index as _sync
+    elif kind == "vector":
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            sync_vector_index as _sync,
+        )
+    else:
+        raise ValueError(f"sync_index_on_changes: unknown kind {kind!r}")
+
+    def _fb(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select("version").collect()
+        if not rows:
+            return
+        target = max(r["version"] for r in rows)
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            synced = json.load(f).get("synced_table_version")
+        if synced is not None and synced >= target:
+            return  # replayed batch: already applied
+        _sync(spark, index_dir, table_dir, to_version=target)
+
+    return _fb
