@@ -798,3 +798,120 @@ class TestVectorIndexSync:
             for r in search_index(spark, d, out, n_queries=4, nprobe=6, top_k=20).collect()
         }
         assert served.isdisjoint({2, 3})
+
+
+class TestCellLocalRetrain:
+    """Round-13: needs_retrain's remedy without a full rebuild —
+    split only the over-occupied cells, reassign only their vectors,
+    leave every other partition inode-untouched."""
+
+    def _drifted(self, spark, tmp_path):
+        import shutil
+
+        import numpy as np
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            append_to_index,
+            audit_index,
+            build_vector_index,
+        )
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        d = str(tmp_path / "base")
+        write_planted_embeddings(d, n_clusters=8, per_cluster=20, seed=21)
+        out = str(tmp_path / "idx")
+        build_vector_index(spark, d, out, n_centroids=8, m=8, k=16, iters=3)
+        anchor = np.array(
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .where(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]
+        )
+        rng = np.random.default_rng(33)
+        drifted = [
+            (int(200_000 + i), (anchor + rng.normal(0, 0.01, anchor.shape)).tolist())
+            for i in range(160)
+        ]
+        ddf = spark.createDataFrame(drifted, "vec_id long, embedding array<double>")
+        append_to_index(spark, out, ddf)
+        assert audit_index(spark, out)["needs_retrain"]
+        # the full corpus (base + drift) — the retrain's raw-float source,
+        # also written as a corpus dir for recall measurement
+        full = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).unionByName(ddf)
+        d2 = str(tmp_path / "full")
+        os.makedirs(d2)
+        full.coalesce(1).write.parquet(str(tmp_path / "fpq"))
+        for f in os.listdir(str(tmp_path / "fpq")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / "fpq" / f),
+                    os.path.join(d2, "embeddings.parquet"),
+                )
+        return d2, out, full
+
+    def test_retrain_repairs_drift_cell_locally(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            audit_index,
+            retrain_cells,
+        )
+        from w4h_etl_container_spark.plans.vectors import ann_recall
+
+        d2, out, full = self._drifted(spark, tmp_path)
+        tv_before = audit_index(spark, out)["occupancy_tv"]
+        cells_path = os.path.join(out, "cells")
+
+        def snap():
+            st = {}
+            for e in os.listdir(cells_path):
+                if e.startswith("centroid_id="):
+                    sub = os.path.join(cells_path, e)
+                    st[e] = sorted(
+                        (f, os.stat(os.path.join(sub, f)).st_mtime_ns)
+                        for f in os.listdir(sub)
+                    )
+            return st
+
+        before = snap()
+        man = retrain_cells(spark, out, full)
+        assert man["retrains"], "auto-pick must have split the hot cell"
+        split = {m["cell"] for m in man["retrains"][-1]["cells"]}
+        assert split, "the drifted cell should be over-occupied"
+        after = snap()
+        # untouched partitions byte-identical (same files, same mtimes)
+        new_ids = {
+            i for m in man["retrains"][-1]["cells"] for i in m["new_ids"]
+        }
+        for e, files in before.items():
+            cid = int(e.split("=")[1])
+            if cid not in split and cid not in new_ids:
+                assert after[e] == files, f"partition {e} was touched"
+        # drift accounting repaired
+        a = audit_index(spark, out)
+        assert a["consistent"]
+        assert a["occupancy_tv"] < tv_before
+        assert not a["needs_retrain"]
+        # recall: at full probe of the GROWN index, the exact re-rank
+        # restores the planted truth, matching what a rebuild achieves
+        rec = ann_recall(
+            spark, d2, out,
+            nprobes=(man["n_centroids"],), n_queries=4, top_k=5, rerank=200,
+        )
+        assert rec[-1]["recall"] == 1.0
+
+    def test_retrain_refuses_partial_source_and_tombstones(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            delete_from_index,
+            retrain_cells,
+        )
+
+        d2, out, full = self._drifted(spark, tmp_path)
+        with pytest.raises(ValueError, match="covers only"):
+            retrain_cells(spark, out, full.where(F.col("vec_id") % 2 == 0))
+        delete_from_index(
+            spark, out, spark.createDataFrame([(0,)], "vec_id long")
+        )
+        with pytest.raises(ValueError, match="tombstones pending"):
+            retrain_cells(spark, out, full)

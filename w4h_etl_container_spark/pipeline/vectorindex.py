@@ -623,3 +623,168 @@ def audit_index(
         "needs_retrain": tv is not None and tv > drift_tv_threshold,
         "consistent": man["n_vectors"] == n_cells == n_distinct,
     }
+
+
+def retrain_cells(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame,
+    cells: list[int] | None = None,
+    split_per_cell: int = 2,
+    overload_factor: float = 2.0,
+    iters: int = 3,
+) -> dict:
+    """CELL-LOCAL retrain — the remedy ``audit_index``'s
+    ``needs_retrain`` calls for, without the full rebuild's two corpus
+    kernel passes: SPLIT only the over-occupied cells (where a frozen
+    model funneled drifted appends), reassign ONLY their vectors among
+    fresh sub-centroids trained on exactly those vectors, and leave
+    every other partition's files inode-untouched (pinned in tests at
+    the os.stat level).
+
+    Mechanics:
+
+    * target cells = explicit ``cells`` list, or auto-picked as every
+      cell whose live occupancy exceeds ``overload_factor`` × the
+      training-baseline expectation (the cells driving the TV drift);
+    * each target cell's LIVE vectors (joined back to ``embeddings``
+      by vec_id — cells hold lossy PQ codes, raw floats live in the
+      source table) train ``split_per_cell`` sub-centroids by the same
+      Lloyd's kernel the full build uses, restricted to the cell;
+    * centroid ids stay DENSE so the (n_centroids, d) matrix layout
+      every probe/assign kernel assumes keeps holding: sub-centroid 0
+      reuses the split cell's id (its partition is rewritten),
+      sub-centroids 1.. append fresh ids at the end;
+    * PQ codebooks are untouched and codes are NOT re-encoded — PQ
+      encodes the raw vector independently of its cell, so the stored
+      codes remain exact under ADC; only the coarse routing improves;
+    * the manifest's ``training_occupancy`` baseline updates for the
+      affected ids only (their post-split live counts — the new
+      normal), so the drift audit measures future drift against the
+      repaired routing.
+
+    Contract: refuse when tombstones are pending (run
+    ``compact_index_deletes`` first — the rewrite would otherwise need
+    per-cell tombstone bookkeeping), and refuse when ``embeddings``
+    is missing any affected vec_id (a partial source would silently
+    drop indexed vectors). Cost: O(vectors in split cells), never
+    O(corpus). Returns the updated manifest."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    if man.get("n_tombstones", 0):
+        raise ValueError(
+            "retrain_cells: tombstones pending — run compact_index_deletes "
+            "first, then retrain"
+        )
+    if split_per_cell < 2:
+        raise ValueError("retrain_cells: split_per_cell must be >= 2")
+    cells_path = man["artifacts"]["cells"]
+    live = spark.read.parquet(cells_path)
+    occ = {
+        int(r["centroid_id"]): r["n"]
+        for r in live.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if cells is None:
+        baseline = man.get("training_occupancy")
+        if not baseline:
+            raise ValueError(
+                "retrain_cells: no training_occupancy baseline recorded — "
+                "pass cells= explicitly"
+            )
+        base_total = sum(baseline.values()) or 1
+        total = sum(occ.values())
+        cells = sorted(
+            c
+            for c, n in occ.items()
+            if n > overload_factor * max(1.0, baseline.get(str(c), 0) / base_total * total)
+        )
+        if not cells:
+            return man  # nothing over-occupied: no-op
+    cells = sorted(set(int(c) for c in cells))
+    bad = [c for c in cells if c not in occ]
+    if bad:
+        raise ValueError(f"retrain_cells: cells {bad} are empty or unknown")
+
+    d = man["dim"]
+    centroids = _df_to_matrix(
+        spark.read.parquet(man["artifacts"]["centroids"]),
+        "centroid",
+        (man["n_centroids"], d),
+    )
+    next_id = man["n_centroids"]
+    new_rows_parts = []
+    retrain_meta = []
+    for c in cells:
+        rows_c = live.where(F.col("centroid_id") == c).select("vec_id", "code")
+        src_c = rows_c.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        n_rows = rows_c.count()
+        n_src = src_c.count()
+        if n_src != n_rows:
+            raise ValueError(
+                f"retrain_cells: cell {c} has {n_rows} indexed vectors but "
+                f"the embeddings source covers only {n_src} — a partial "
+                "source would drop indexed vectors; pass the full table"
+            )
+        sub, hist = train_ivf_centroids(src_c, k=split_per_cell, iters=iters)
+        ids = [c] + list(range(next_id, next_id + split_per_cell - 1))
+        next_id += split_per_cell - 1
+        assign_udf = make_ivf_assign_udf(sub)
+        id_map = F.array(*[F.lit(i) for i in ids])
+        assigned = src_c.select(
+            "vec_id",
+            "code",
+            id_map[assign_udf("embedding")["centroid_id"]].alias("centroid_id"),
+        )
+        new_rows_parts.append(assigned)
+        # row c of the matrix becomes sub[0]; the rest append
+        centroids[c] = sub[0]
+        centroids = np.vstack([centroids, sub[1:]])
+        retrain_meta.append(
+            {"cell": c, "new_ids": ids, "n": n_rows, "distortion": hist}
+        )
+
+    batch = new_rows_parts[0]
+    for p in new_rows_parts[1:]:
+        batch = batch.unionByName(p)
+    import shutil
+    import uuid as _uuid
+
+    tmp = cells_path + f".retrain-{_uuid.uuid4().hex}"
+    batch.select("vec_id", "code", "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).parquet(tmp)
+    # swap ONLY the affected partitions: every split cell's dir is
+    # dropped FIRST (a cell whose vectors all moved to a fresh sub-id
+    # produces no replacement dir — leaving the old one would serve
+    # stale rows), fresh sub-cell dirs move in, everything else is
+    # never touched
+    for c in cells:
+        old = os.path.join(cells_path, f"centroid_id={c}")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    for entry in os.listdir(tmp):
+        if not entry.startswith("centroid_id="):
+            continue
+        os.rename(os.path.join(tmp, entry), os.path.join(cells_path, entry))
+    shutil.rmtree(tmp)
+
+    _matrix_to_df(spark, "centroid", centroids).write.mode("overwrite").parquet(
+        man["artifacts"]["centroids"]
+    )
+    man["n_centroids"] = int(centroids.shape[0])
+    new_occ = {
+        str(r["centroid_id"]): r["n"]
+        for r in spark.read.parquet(cells_path)
+        .where(
+            F.col("centroid_id").isin(
+                [i for m in retrain_meta for i in m["new_ids"]]
+            )
+        )
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    man.setdefault("training_occupancy", {}).update(new_occ)
+    man.setdefault("retrains", []).append({"cells": retrain_meta})
+    _write_index_manifest(index_dir, man)
+    return man
