@@ -638,9 +638,11 @@ class TestDecoderFuzz:
         from w4h_etl_container_spark.multimodal.media import (
             decode_bmp,
             decode_gif,
+            decode_jpeg,
             decode_png,
             decode_wav_pcm,
             encode_gif,
+            encode_jpeg,
             encode_png,
             sniff_header,
         )
@@ -650,6 +652,7 @@ class TestDecoderFuzz:
         valid = [
             encode_png(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8), [0, 1, 2, 3, 4]),
             encode_gif(rng.integers(0, 4, (6, 6), dtype=np.uint8), pal),
+            encode_jpeg(rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)),
         ]
         # magic-prefixed garbage hits the deep parse paths, not the
         # magic check
@@ -669,7 +672,7 @@ class TestDecoderFuzz:
             for cut in (1, len(v) // 3, len(v) - 2):
                 buffers.append(v[:cut])
         for buf in buffers:
-            for dec in (decode_png, decode_gif, decode_bmp):
+            for dec in (decode_png, decode_gif, decode_bmp, decode_jpeg):
                 out = dec(buf)  # must not raise
                 assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
             w = decode_wav_pcm(buf)  # must not raise
@@ -730,3 +733,147 @@ class TestDecoderFuzz:
         img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
         out = decode_png(encode_png(img, [0, 1, 2, 3, 4]))
         assert out is not None and (out == img).all()
+
+
+class TestJpegCodec:
+    """Round-13: baseline JPEG (SOF0) decode in pure numpy + stdlib —
+    Huffman entropy decode, dequant, zigzag, vectorized IDCT, chroma
+    upsampling, YCbCr. Construction-oracled against the matching
+    encoder (exact on solid images under all-ones quant; bounded
+    rounding error on random ones), refusals pinned for every
+    beyond-baseline mode."""
+
+    def test_solid_gray_roundtrip_exact_all_samplings(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        # dims straddle MCU boundaries (1..17 across 8/16 multiples) so
+        # padding + cropping are exercised in every sampling mode
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            for (w, h, v) in [(1, 1, 0), (5, 3, 77), (8, 8, 1), (17, 9, 255),
+                              (16, 16, 128), (6, 5, 200)]:
+                img = np.full((h, w, 3), v, dtype=np.uint8)
+                out = decode_jpeg(encode_jpeg(img, subsampling=sub))
+                assert out is not None and out.shape == (h, w, 3), (sub, w, h)
+                assert (out == img).all(), (sub, w, h, v)
+
+    def test_solid_grayscale_single_component_exact(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for (w, h, v) in [(1, 1, 9), (11, 7, 130), (24, 16, 255)]:
+            img = np.full((h, w, 1), v, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img))
+            assert out is not None and out.shape == (h, w, 1)
+            assert (out == img).all()
+
+    def test_random_images_bounded_rounding_error(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(17)
+        # grayscale with q=1: the only loss is FDCT/quant rounding -> ±1
+        g = rng.integers(0, 256, (24, 17, 1), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(g, subsampling="4:4:4"))
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+        # RGB 4:4:4 adds the YCbCr float roundtrip -> ±2
+        c = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(c, subsampling="4:4:4"))
+        assert np.abs(out.astype(int) - c.astype(int)).max() <= 2
+        # a coarser quant table decodes with proportionally bounded error
+        out16 = decode_jpeg(encode_jpeg(g, subsampling="4:4:4", quant=16))
+        assert out16.shape == (24, 17, 1)
+        assert np.abs(out16.astype(int) - g.astype(int)).max() <= 64
+
+    def test_restart_intervals_roundtrip(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, subsampling="4:2:0"))
+        for ri in (1, 2, 5):
+            withrst = decode_jpeg(
+                encode_jpeg(img, subsampling="4:2:0", restart_interval=ri)
+            )
+            # RSTn resets predictors but never the data: identical decode
+            assert (withrst == plain).all(), ri
+
+    def test_beyond_baseline_refused(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((8, 8, 3), 99, dtype=np.uint8)
+        base = encode_jpeg(img)
+        assert decode_jpeg(base) is not None
+
+        def mutate(marker_from, to_byte, offset=1):
+            p = bytearray(base)
+            i = p.find(marker_from)
+            assert i >= 0
+            p[i + offset] = to_byte
+            return bytes(p)
+
+        # progressive (SOF2), extended sequential is also out (SOF1 kept
+        # out by this decoder's strict C0 check), lossless (SOF3),
+        # arithmetic sequential (SOF9)
+        for sof in (0xC2, 0xC1, 0xC3, 0xC9):
+            assert decode_jpeg(mutate(b"\xff\xc0", sof)) is None, hex(sof)
+        # 12-bit precision: first SOF payload byte
+        p = bytearray(base)
+        i = p.find(b"\xff\xc0")
+        p[i + 4] = 12
+        assert decode_jpeg(bytes(p)) is None
+        # truncation anywhere must refuse, never raise
+        for cut in (2, 20, len(base) // 2, len(base) - 3):
+            assert decode_jpeg(base[:cut]) is None
+        # forged huge dimensions refuse before allocating
+        p = bytearray(base)
+        p[i + 5 : i + 9] = (60000).to_bytes(2, "big") + (60000).to_bytes(2, "big")
+        assert decode_jpeg(bytes(p)) is None
+
+    def test_fuzz_never_raises(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(31)
+        valid = encode_jpeg(
+            rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+        )
+        bufs = [rng.integers(0, 256, int(rng.integers(0, 300)), dtype=np.uint8).tobytes()
+                for _ in range(80)]
+        bufs += [b"\xff\xd8" + b for b in bufs[:40]]
+        for _ in range(60):
+            m = bytearray(valid)
+            for _ in range(int(rng.integers(1, 6))):
+                m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            bufs.append(bytes(m))
+        for cut in (1, len(valid) // 3, len(valid) - 2):
+            bufs.append(valid[:cut])
+        for buf in bufs:
+            out = decode_jpeg(buf)  # must not raise
+            assert out is None or (out.ndim == 3 and out.dtype == np.uint8)

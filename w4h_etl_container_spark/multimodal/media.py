@@ -8,17 +8,20 @@ compressed; metadata predicates prune scans without touching bytes).
 Processing runs through ``mapInPandas`` — Arrow ships (metadata, bytes)
 batches to Python, the kernel works per batch, output schema is explicit.
 
-Decode coverage (round 12): the codec-free-ish formats decode for
-real — uncompressed 24-bit BMP pixel rows (``decode_bmp``), RIFF/WAVE
-integer PCM samples (``decode_wav_pcm``), and non-interlaced 8-bit
-PNG via stdlib zlib inflate + the five scanline filters
-(``decode_png``) — feeding exact per-asset value statistics
-(``media_decode_stats``, construction-oracled as ``q_media_decode`` /
-``q_png_decode``). Codec-LIBRARY formats (JPEG DCT, MP4) need
-libraries not in this container, so their decode kernel remains a
-clearly-marked deterministic stub: tests exercise the full Spark
-plumbing (schema, batching, partition sizing, UDF signatures) and a
-deployment swaps ``_decode_bytes`` for the real library call.
+Decode coverage (rounds 12-13): the publishable-spec formats decode
+for real — uncompressed 24-bit BMP pixel rows (``decode_bmp``),
+RIFF/WAVE integer PCM samples (``decode_wav_pcm``), non-interlaced
+8-bit PNG via stdlib zlib inflate + the five scanline filters
+(``decode_png``), GIF87a/89a variable-width LZW (``decode_gif``), and
+BASELINE JPEG — SOF0 Huffman + dequant + zigzag + vectorized IDCT +
+YCbCr, 4:4:4/4:2:2/4:2:0 (``decode_jpeg``, round 13: the
+highest-frequency payload in a crawled multimodal corpus) — feeding
+exact per-asset value statistics (``media_decode_stats``,
+construction-oracled as ``q_media_decode`` / ``q_png_decode`` /
+``q_gif_decode`` / ``q_jpeg_decode``). Container-parse formats (MP4)
+remain a clearly-marked deterministic stub: tests exercise the full
+Spark plumbing (schema, batching, partition sizing, UDF signatures)
+and a deployment swaps ``_decode_bytes`` for the real library call.
 """
 
 from __future__ import annotations
@@ -921,6 +924,8 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
                     px = decode_png(payload)
                 if px is None:
                     px = decode_gif(payload)
+                if px is None:
+                    px = decode_jpeg(payload)
                 if px is not None:
                     kind, vals = "image", px.reshape(-1).astype(np.int64)
                 else:
@@ -950,3 +955,584 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "mime", "payload").mapInPandas(
         kernel, schema=_DECODE_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1): SOF0 Huffman-coded DCT,
+# grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling — decoder and
+# construction-oracle encoder in pure numpy + stdlib, like PNG/GIF
+# above. Progressive (SOF2), arithmetic coding (DAC), 12-bit samples,
+# and hierarchical modes return None: refused, never mis-decoded.
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order (T.81 figure 5): zigzag index -> raster index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: standard Huffman tables (T.81 Annex K.3) — the encoder writes these
+#: into DHT segments; the decoder always builds from the stream's DHT,
+#: so the pair stays self-consistent by construction
+_JPEG_DC_LUM = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_DC_CHR = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_AC_LUM = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+_JPEG_AC_CHR = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+
+
+def _jpeg_dct_basis() -> "np.ndarray":
+    """M[u, x] = c(u)/2 · cos((2x+1)uπ/16): pixels = Mᵀ·F·M (IDCT),
+    F = M·P·Mᵀ (FDCT) — both exact orthonormal float transforms."""
+    x = np.arange(8)
+    u = np.arange(8).reshape(-1, 1)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _huff_decode_table(bits, vals) -> dict:
+    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, vals) -> dict:
+    """symbol -> (length, code), inverse of the canonical assignment."""
+    return {s: lc for lc, s in _huff_decode_table(bits, vals).items()}
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte unstuffing; stops (zero-padding) at any real marker. RSTn are
+    consumed only by the explicit ``restart()`` call at MCU boundaries
+    (T.81 §B.2.1.2). ``overrun`` flags reads past the data end — a
+    malformed stream, surfaced as a decode refusal."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+        self.overrun = False
+
+    def _next_byte(self) -> int | None:
+        if self.p >= len(self.d):
+            return None
+        b = self.d[self.p]
+        if b != 0xFF:
+            self.p += 1
+            return b
+        nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else None
+        if nxt == 0x00:
+            self.p += 2
+            return 0xFF
+        return None  # a real marker: entropy data ends here
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self._next_byte()
+            if b is None:
+                self.overrun = True
+                return 0
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, expect: int) -> bool:
+        """Byte-align and consume the next RSTn marker (n == expect).
+        An all-ones padding byte flushes as stuffed FF 00 — skip any
+        such pairs between the entropy data and the marker."""
+        self.n = 0
+        while (
+            self.p + 1 < len(self.d)
+            and self.d[self.p] == 0xFF
+            and self.d[self.p + 1] == 0x00
+        ):
+            self.p += 2
+        if self.p + 1 >= len(self.d) or self.d[self.p] != 0xFF:
+            return False
+        m = self.d[self.p + 1]
+        if m != 0xD0 + (expect & 7):
+            return False
+        self.p += 2
+        return True
+
+
+def _huff_read(r: "_JpegBitReader", table: dict) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        s = table.get((length, code))
+        if s is not None:
+            return s
+    return None
+
+
+def _jpeg_extend(v: int, ssss: int) -> int:
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def decode_jpeg(payload: "bytes | None") -> "np.ndarray | None":
+    """Decode a BASELINE JPEG (SOF0, 8-bit, Huffman, 1 or 3
+    components, sampling factors up to 2×2 — 4:4:4 / 4:2:2 / 4:2:0) to
+    an (h, w, channels) uint8 array: marker walk → DQT/DHT/SOF0/SOS →
+    entropy decode (byte unstuffing, DRI restart intervals, DC
+    prediction + EXTEND, AC run-length with ZRL/EOB) → dequantize →
+    de-zigzag → vectorized float IDCT per component → chroma
+    upsampling (sample replication) → JFIF YCbCr→RGB. Everything
+    outside baseline — progressive (SOF2), extended/lossless/
+    hierarchical SOFs, arithmetic coding (DAC), 12-bit, >2 sampling
+    factors — is REFUSED (returns None, never a best-effort
+    mis-decode), as is anything malformed or truncated: hostile bytes
+    are the normal case in a crawled corpus, and the whole walk is
+    wrapped so no input can raise.
+
+    Declared geometry is capped (64M pixels) before any allocation,
+    the same bound the PNG path enforces. Cites multimodal/media.py's
+    PNG/GIF decoders as the pattern; no reference analog (the
+    reference pipeline decodes nothing — BASELINE.json extension)."""
+    try:
+        if payload is None:
+            return None
+        b = bytes(payload)
+        if len(b) < 4 or b[0:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        comps = None  # [(cid, h, v, tq)]
+        w = h = None
+        dri = 0
+        i = 2
+        scan = None
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                return None  # EOI before any scan
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            seg = b[i + 4 : i + 2 + seglen]
+            if len(seg) != seglen - 2:
+                return None
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    if pq != 0:  # 16-bit tables: beyond baseline
+                        return None
+                    if j + 65 > len(seg):
+                        return None
+                    tbl = np.zeros(64, dtype=np.int32)
+                    tbl[list(_JPEG_ZIGZAG)] = np.frombuffer(
+                        seg[j + 1 : j + 65], dtype=np.uint8
+                    )
+                    qt[tq] = tbl.reshape(8, 8)
+                    j += 65
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    bits = list(seg[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(seg[j + 17 : j + 17 + nv])
+                    if len(vals) != nv:
+                        return None
+                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
+                        bits, vals
+                    )
+                    j += 17 + nv
+            elif marker == 0xC0:  # SOF0: baseline sequential
+                if seg[0] != 8:
+                    return None  # 12-bit: beyond baseline
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3) or w == 0 or h == 0 or w * h > 64 << 20:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid = seg[6 + c * 3]
+                    hv = seg[7 + c * 3]
+                    ch, cv = hv >> 4, hv & 15
+                    if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                        return None
+                    comps.append((cid, ch, cv, seg[8 + c * 3]))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/extended/lossless/arithmetic
+            elif marker == 0xCC:  # DAC: arithmetic conditioning
+                return None
+            elif marker == 0xDD:  # DRI
+                if seglen != 4:
+                    return None
+                dri = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                if comps is None:
+                    return None
+                ns = seg[0]
+                if ns != len(comps):
+                    return None  # multi-scan: beyond this decoder
+                scan = []
+                for s in range(ns):
+                    cs = seg[1 + s * 2]
+                    td, ta = seg[2 + s * 2] >> 4, seg[2 + s * 2] & 15
+                    match = [c for c in comps if c[0] == cs]
+                    if not match:
+                        return None
+                    scan.append((match[0], td, ta))
+                ss, se, ahal = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
+                if ss != 0 or se != 63 or ahal != 0:
+                    return None
+                i = i + 2 + seglen
+                break
+            i += 2 + seglen
+        if scan is None or w is None:
+            return None
+
+        hmax = max(c[0][1] for c in scan)
+        vmax = max(c[0][2] for c in scan)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        m = _jpeg_dct_basis()
+        planes = []
+        coefs = []
+        for (cid, ch, cv, tq), td, ta in scan:
+            if tq not in qt or td not in huff_dc or ta not in huff_ac:
+                return None
+            coefs.append(
+                np.zeros((mcuy * cv, mcux * ch, 8, 8), dtype=np.int32)
+            )
+        r = _JpegBitReader(b, i)
+        pred = [0] * len(scan)
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                n_mcu = my * mcux + mx
+                if dri and n_mcu and n_mcu % dri == 0:
+                    if not r.restart(rst):
+                        return None
+                    rst = (rst + 1) & 7
+                    pred = [0] * len(scan)
+                for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coefs[ci][my * cv + by, mx * ch + bx]
+                            t = _huff_read(r, huff_dc[td])
+                            if t is None or t > 11:
+                                return None
+                            diff = _jpeg_extend(r.bits(t), t)
+                            pred[ci] += diff
+                            blk.flat[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_read(r, huff_ac[ta])
+                                if rs is None:
+                                    return None
+                                rrrr, ssss = rs >> 4, rs & 15
+                                if ssss == 0:
+                                    if rrrr == 15:  # ZRL: 16 zeros
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rrrr
+                                if k > 63:
+                                    return None
+                                blk.flat[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                    r.bits(ssss), ssss
+                                )
+                                k += 1
+                if r.overrun:
+                    return None
+        for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+            c4 = coefs[ci].astype(np.float64) * qt[tq]
+            px = np.einsum("ux,abuv,vy->abxy", m, c4, m) + 128.0
+            rows, cols = c4.shape[0] * 8, c4.shape[1] * 8
+            plane = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+            plane = plane.transpose(0, 2, 1, 3).reshape(rows, cols)
+            cw = -(-w * ch // hmax)
+            chh = -(-h * cv // vmax)
+            plane = plane[:chh, :cw]
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )[:h, :w]
+            planes.append(plane.astype(np.float64))
+        if len(planes) == 1:
+            return planes[0].astype(np.uint8).reshape(h, w, 1)
+        y, cb, cr = planes
+        rr = y + 1.402 * (cr - 128.0)
+        gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bb = y + 1.772 * (cb - 128.0)
+        out = np.stack([rr, gg, bb], axis=-1)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    except Exception:
+        return None
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing; final byte padded
+    with 1-bits (T.81 §F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _jpeg_encode_block(
+    wtr: "_JpegBitWriter", blk: "np.ndarray", pred: int, dc: dict, ac: dict
+) -> int:
+    """Huffman-encode one quantized 8×8 block (raster layout); returns
+    the new DC predictor."""
+    zz = blk.flat[list(_JPEG_ZIGZAG)]
+    diff = int(zz[0]) - pred
+
+    def mag(v: int) -> tuple[int, int]:
+        ssss = int(abs(v)).bit_length()
+        return ssss, (v if v >= 0 else v + (1 << ssss) - 1)
+
+    ssss, extra = mag(diff)
+    length, code = dc[ssss]
+    wtr.write(code, length)
+    if ssss:
+        wtr.write(extra, ssss)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac[0xF0]  # ZRL
+            wtr.write(code, length)
+            run -= 16
+        ssss, extra = mag(v)
+        length, code = ac[(run << 4) | ssss]
+        wtr.write(code, length)
+        wtr.write(extra, ssss)
+        run = 0
+    if run:
+        length, code = ac[0x00]  # EOB
+        wtr.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: "np.ndarray",
+    subsampling: str = "4:2:0",
+    quant: "np.ndarray | int" = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder — ``decode_jpeg``'s construction oracle,
+    exactly as ``encode_png``/``encode_gif`` anchor their decoders:
+    (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 in; SOI → DQT →
+    SOF0 → DHT (the Annex K standard tables) → SOS → entropy data →
+    EOI out. ``quant`` is a uniform level or a full 8×8 table applied
+    to every component; with the default all-ones table a SOLID image
+    round-trips bit-exactly (uniform blocks carry only a DC
+    coefficient, and gray RGB is a fixed point of the YCbCr pair), the
+    property the planted-payload oracle pins. Chroma for 4:2:0/4:2:2
+    is the 2×2 / 2×1 block mean; edges pad by replication (solid stays
+    solid, so padding never leaks into the oracle's pixels)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    if nch not in (1, 3):
+        raise ValueError("encode_jpeg: need 1 or 3 channels")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(f"encode_jpeg: unsupported subsampling {subsampling!r}")
+    qtbl = (
+        np.full((8, 8), int(quant), dtype=np.int32)
+        if np.isscalar(quant)
+        else np.asarray(quant, dtype=np.int32).reshape(8, 8)
+    )
+    if (qtbl < 1).any() or (qtbl > 255).any():
+        raise ValueError("encode_jpeg: quant values must be in 1..255")
+
+    fimg = img.astype(np.float64)
+    if nch == 3:
+        r, g, b = fimg[..., 0], fimg[..., 1], fimg[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        ch_h, ch_v = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[
+            subsampling
+        ]
+        samp = [(ch_h, ch_v), (1, 1), (1, 1)]  # luma carries the max factors
+    else:
+        planes = [fimg[..., 0]]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    m = _jpeg_dct_basis()
+
+    blocks = []  # per component: (mcuy*v, mcux*h, 8, 8) quantized ints
+    for p, (sh, sv) in zip(planes, samp):
+        if (sh, sv) != (hmax, vmax):
+            # subsample by block mean over (vmax//sv, hmax//sh) windows
+            fy, fx = vmax // sv, hmax // sh
+            ph = -(-p.shape[0] // fy) * fy
+            pw = -(-p.shape[1] // fx) * fx
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+            p = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        rows, cols = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(
+            p, ((0, rows - p.shape[0]), (0, cols - p.shape[1])), "edge"
+        )
+        blk = pp.reshape(rows // 8, 8, cols // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,abxy,vy->abuv", m, blk - 128.0, m)
+        blocks.append(np.rint(coef / qtbl).astype(np.int32))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_q = qtbl.flat[list(_JPEG_ZIGZAG)].astype(np.uint8).tobytes()
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nch])
+    for cid in range(nch):
+        sh, sv = samp[cid]
+        sof += bytes([cid + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)
+    tables = (
+        [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
+        if nch == 1
+        else [
+            (0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM),
+            (0x01, _JPEG_DC_CHR), (0x11, _JPEG_AC_CHR),
+        ]
+    )
+    for tid, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    sos = bytes([nch])
+    for cid in range(nch):
+        sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    enc = [
+        (
+            _huff_encode_table(*_JPEG_DC_LUM if ci == 0 else _JPEG_DC_CHR),
+            _huff_encode_table(*_JPEG_AC_LUM if ci == 0 else _JPEG_AC_CHR),
+        )
+        for ci in range(nch)
+    ]
+    wtr = _JpegBitWriter()
+    pred = [0] * nch
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            n_mcu = my * mcux + mx
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # byte-align (1-padding), emit RSTn, reset DC predictors
+                out += wtr.flush()
+                wtr = _JpegBitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = [0] * nch
+            for ci in range(nch):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        pred[ci] = _jpeg_encode_block(
+                            wtr,
+                            blocks[ci][my * sv + by, mx * sh + bx],
+                            pred[ci],
+                            *enc[ci],
+                        )
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

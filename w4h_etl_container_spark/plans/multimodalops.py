@@ -491,3 +491,88 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")
         ],
     )
+
+
+def _planted_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                if did % 4 == 3:
+                    rows.append((did, "text/plain", bytearray(str(text).encode())))
+                    continue
+                w, h = did % 6 + 1, did % 5 + 1
+                v = did * 7 % 256
+                img = np.full((h, w, 3), v, dtype=np.uint8)
+                sub = "4:2:0" if did % 2 == 0 else "4:4:4"
+                rows.append(
+                    (did, "image/jpeg", bytearray(encode_jpeg(img, subsampling=sub)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "payload"])
+
+    return docs.mapInPandas(kernel, "media_id long, mime string, payload binary")
+
+
+@register(
+    "q_jpeg_decode",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 4 = 3 THEN 'text/plain'
+                ELSE 'image/jpeg' END AS mime,
+           CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'image' END AS kind,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE (doc_id % 6 + 1) * (doc_id % 5 + 1) * 3 END AS DOUBLE) AS n_values,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE doc_id * 7 % 256 END AS DOUBLE) AS v_min,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE doc_id * 7 % 256 END AS DOUBLE) AS v_max,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE (doc_id % 6 + 1) * (doc_id % 5 + 1) * 3
+                     * (doc_id * 7 % 256) END AS DOUBLE) AS v_sum,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE (doc_id * 7 % 256) * 1000000 END AS DOUBLE) AS mean_e6
+    FROM documents WHERE text IS NOT NULL
+    """,
+    survey_ids=("EXT-MEDIA",),
+    gate=False,
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BASELINE JPEG decode end-to-end
+    (``multimodal.media.decode_jpeg`` via ``media_decode_stats``):
+    planted solid-GRAY RGB JPEGs — genuine SOF0 streams through the
+    full pipeline (Annex-K Huffman entropy coding, dequant, zigzag,
+    float IDCT, chroma upsampling, YCbCr→RGB), alternating 4:2:0 and
+    4:4:4 sampling with non-multiple-of-MCU dimensions so padding and
+    cropping are exercised — decode back to their exact pixel values:
+    a uniform block carries only a DC coefficient and gray RGB is a
+    fixed point of the YCbCr pair, so the all-ones quant table makes
+    the lossy format LOSSLESS on this construction. The text/plain
+    quarter reports NULL stats (undecodable is data, not an error).
+    Hash parity against the doc_id arithmetic proves the decoder
+    inverts the construction exactly; lossy-path tolerance and the
+    progressive/arithmetic refusals are pinned in pytest
+    (tests/test_multimodal.py). Scale: one mapInPandas construct pass
+    + one decode pass; payload bytes never enter the JVM row format."""
+    from w4h_etl_container_spark.multimodal.media import media_decode_stats
+
+    s = media_decode_stats(_planted_jpeg_media(spark, sf_dir))
+    return s.select(
+        "media_id",
+        "mime",
+        "kind",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")
+        ],
+    )
