@@ -379,3 +379,61 @@ class TestRound7PlanShapes:
         # (was 1 when the bracket table rode the scan as first() carries)
         assert len(rdd_ids() - before) == 2
         assert df.count() > 0  # and the shared-bracket plan still runs
+
+
+class TestNullVsNanParity:
+    """The hash canonicalizer (driver + tools/selfcheck.py) maps SQL
+    NULL and float NaN to the same token — documented, but it means a
+    query that returns NULL on one engine and NaN on the other is
+    structurally invisible to every hash check. This closes the blind
+    spot for the nullable-float queries: per-column NULL and NaN
+    counts are computed IN-ENGINE on both sides (DuckDB fetchall and
+    Spark collect both keep None distinct from nan) and must agree
+    exactly."""
+
+    #: queries whose declared output carries nullable float columns
+    QUERIES = ["q_win_funcs", "q_join_combine_first", "q_png_decode",
+               "q_jpeg_decode", "q_gif_decode"]
+
+    def test_null_and_nan_counts_agree_per_column(self, spark, reg):
+        import math
+
+        import duckdb
+
+        sf = "/root/testdata/sf0.01"
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+
+        def counts(rows, ncols):
+            nulls = [0] * ncols
+            nans = [0] * ncols
+            for r in rows:
+                for i in range(ncols):
+                    v = r[i]
+                    if v is None:
+                        nulls[i] += 1
+                    elif isinstance(v, float) and math.isnan(v):
+                        nans[i] += 1
+            return nulls, nans
+
+        for name in self.QUERIES:
+            q = reg[name]
+            assert q.sql is not None, name
+            sdf = q.fn(spark, sf)
+            scols = sorted(sdf.columns)
+            srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+            rel = con.sql(q.sql)
+            order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+            assert sorted(rel.columns) == scols, name
+            drows = [tuple(r[i] for i in order) for r in rel.fetchall()]
+            s_nulls, s_nans = counts(srows, len(scols))
+            d_nulls, d_nans = counts(drows, len(scols))
+            assert s_nulls == d_nulls, (name, scols, s_nulls, d_nulls)
+            assert s_nans == d_nans, (name, scols, s_nans, d_nans)
+            # the blind spot would show as mass moving between the two
+            # buckets while their sum stays equal — asserting each
+            # bucket separately is exactly the closed gap

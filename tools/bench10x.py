@@ -46,8 +46,13 @@ BIG = "/tmp/bench10x_corpus"
 COPIES = 10
 DEEP = "/tmp/bench100x_corpus"
 DEEP_COPIES = 100
-#: still >2x at 10x in r11 — measured to their crossover at 100x
-DEEP_QUERIES = ["q_funnel", "q_percentile"]
+#: still >2x at 10x in r11 — measured to their crossover at 100x;
+#: q_ngram_jaccard joined in r13 (the one RISING 1x->10x ratio:
+#: posting-list occupancy approaches the DF cap, transiently swelling
+#: the pair exchange — at 100x the cap drops over-occupied shingles
+#: and the ratio collapses to ~0.2x, Spark 5x ahead; the 100x row
+#: keeps that self-limiting asymptote measured every round)
+DEEP_QUERIES = ["q_funnel", "q_percentile", "q_ngram_jaccard"]
 #: still >2x at 100x in r12 (q_funnel 3.78x) — measured one decade
 #: further; events-only synthesis (the funnel's sole input), other
 #: tables symlinked from the 100x tier
@@ -79,6 +84,10 @@ TABLES = [
 
 def synthesize(con, BIG=BIG, COPIES=COPIES, docs=True, embs=True) -> None:
     os.makedirs(BIG, exist_ok=True)
+    if docs and os.path.islink(f"{BIG}/documents.parquet"):
+        # an earlier round symlinked the un-grown table; replace it now
+        # that a deep query reads documents at this tier
+        os.remove(f"{BIG}/documents.parquet")
     if docs and not os.path.exists(f"{BIG}/documents.parquet"):
         docs = " UNION ALL ".join(
             f"SELECT doc_id + {i * 1_000_000} AS doc_id, "
@@ -181,10 +190,11 @@ def main() -> int:
     spark = get_spark("bench10x")
     con = duckdb.connect()
     synthesize(con)
-    # deep tier: only events + lineitem grow (the two deep queries'
-    # tables); documents/embeddings at 100x would cost minutes of
-    # synthesis for queries that already crossed at 10x
-    synthesize(con, BIG=DEEP, COPIES=DEEP_COPIES, docs=False, embs=False)
+    # deep tier: events + lineitem + documents grow (the deep queries'
+    # tables — documents joined in r13 for q_ngram_jaccard's asymptote
+    # row); embeddings at 100x would cost minutes of synthesis for
+    # queries that already crossed at 10x
+    synthesize(con, BIG=DEEP, COPIES=DEEP_COPIES, docs=True, embs=False)
     synthesize_deeper(con)
 
     registry = load_library()

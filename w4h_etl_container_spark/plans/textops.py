@@ -665,6 +665,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle blowup is quadratic per posting list, which the cap
     bounds. No self-join, so the shingle subtree is never re-evaluated.
 
+    Volume asymptote (measured, BENCH_10X r13): the pair exchange is
+    the dominant stage and grows ~quadratically while posting-list
+    occupancy approaches the DF cap — the vs-oracle ratio transiently
+    RISES 1.0→1.7 between 1× and 10×. Past the cap the over-occupied
+    shingles drop and the pair volume flattens: at 100× Spark measures
+    ~0.2× the embedded oracle (8.5 s vs 42 s), absolutely FASTER than
+    its own 10× wall. The cap is the self-limiting mechanism, not a
+    lost-coverage knob: dedup candidates above the cap are exactly the
+    boilerplate shingles MinHash banding also saturates on.
+
     Since round 7 the gate rendering keys the index on 60-bit md5-nibble
     integers — ``conv(substring(md5(sh), 1, 15), 16, 10)`` / the oracle's
     instr() arithmetic, the same engine-neutral hex→int both the winnow
