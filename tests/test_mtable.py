@@ -1755,3 +1755,114 @@ class TestMtableDeletionVectors:
         assert man["n_deleted"] == 2 and man["files_rewritten"] == 0
         got = {(r["a"], r["b"]) for r in mtable_read(spark, d).collect()}
         assert got == {(1, 1), (2, 2)}
+
+
+class TestMtableMergeOnReadUpsert:
+    """Round-13: mode='mor' on MERGE — replaced rows shadow into a DV,
+    the batch lands as fresh files, zero matched-file rewrites."""
+
+    def _mk(self, spark, tmp_path):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+
+        df = cluster_by(
+            spark.range(0, 1000).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("orig").alias("tag"),
+            ),
+            ["k"],
+            n_files=10,
+        )
+        d = str(tmp_path / "morm")
+        mtable_create(spark, df, d)
+        return d
+
+    def test_mor_merge_zero_rewrites_and_read_parity(self, spark, tmp_path):
+        d_mor = self._mk(spark, tmp_path)
+        man0 = read_manifest(d_mor)
+        before = _stat(d_mor, man0["files"])
+        updates = spark.createDataFrame(
+            [(5, -1, "upd"), (777, -2, "upd"), (2000, -3, "new")],
+            "k long, v long, tag string",
+        )
+        man1 = mtable_merge(spark, d_mor, updates, "k", mode="mor")
+        # zero rewrites: every pre-merge data file byte-identical, the
+        # old file list is a strict prefix-set of the new one
+        assert man1["files_rewritten"] == 0
+        assert man1["n_replaced"] == 2
+        assert set(man0["files"]) < set(man1["files"])
+        assert _stat(d_mor, man0["files"]) == before
+        got = {r["k"]: (r["v"], r["tag"]) for r in mtable_read(spark, d_mor).collect()}
+        assert got[5] == (-1, "upd") and got[777] == (-2, "upd")
+        assert got[2000] == (-3, "new") and got[6] == (60, "orig")
+        assert len(got) == 1001
+
+    def test_mor_merge_same_key_twice_latest_wins(self, spark, tmp_path):
+        d = self._mk(spark, tmp_path)
+        for i, tag in enumerate(["first", "second"]):
+            mtable_merge(
+                spark, d,
+                spark.createDataFrame([(42, -i, tag)], "k long, v long, tag string"),
+                "k", mode="mor",
+            )
+        got = {r["k"]: r["tag"] for r in mtable_read(spark, d).collect()}
+        assert got[42] == "second" and len(got) == 1000
+
+    def test_changes_feed_classifies_mor_merge(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+
+        d = self._mk(spark, tmp_path)
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame(
+                [(7, -7, "upd"), (5000, -5, "new")], "k long, v long, tag string"
+            ),
+            "k", mode="mor",
+        )
+        ch = {
+            (r["k"], r["_change_type"])
+            for r in mtable_changes(spark, d, 0, 1, key="k").collect()
+        }
+        assert ch == {(7, "update"), (5000, "insert")}
+
+    def test_mor_merge_then_compact_then_cow_parity(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_compact
+
+        d_mor = self._mk(spark, tmp_path)
+        d_cow = str(tmp_path / "coww")
+        from w4h_etl_container_spark.pipeline.mtable import mtable_clone  # noqa: F401
+        # independent identical table for the cow control
+        from w4h_etl_container_spark.operators.layout import cluster_by
+
+        df = cluster_by(
+            spark.range(0, 1000).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("orig").alias("tag"),
+            ),
+            ["k"],
+            n_files=10,
+        )
+        mtable_create(spark, df, d_cow)
+        updates = spark.createDataFrame(
+            [(1, -1, "u"), (999, -9, "u"), (1500, -15, "n")],
+            "k long, v long, tag string",
+        )
+        mtable_merge(spark, d_mor, updates, "k", mode="mor")
+        mtable_merge(spark, d_cow, updates, "k", mode="cow")
+        a = sorted(map(tuple, mtable_read(spark, d_mor).collect()))
+        b = sorted(map(tuple, mtable_read(spark, d_cow).collect()))
+        assert a == b
+        man = mtable_compact(spark, d_mor)
+        assert "dv" not in man
+        assert sorted(map(tuple, mtable_read(spark, d_mor).collect())) == a
+
+    def test_mor_merge_with_schema_evolution(self, spark, tmp_path):
+        d = self._mk(spark, tmp_path)
+        updates = spark.createDataFrame(
+            [(3, -3, "u", 9.5)], "k long, v long, tag string, score double"
+        )
+        mtable_merge(spark, d, updates, "k", mode="mor", schema_evolution=True)
+        got = {r["k"]: (r["tag"], r["score"]) for r in mtable_read(spark, d).collect()}
+        assert got[3] == ("u", 9.5)
+        assert got[4] == ("orig", None)  # pre-evolution rows null-fill

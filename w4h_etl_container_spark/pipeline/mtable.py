@@ -810,6 +810,7 @@ def mtable_merge(
     expected_version: int | None = None,
     retries: int = 0,
     schema_evolution: bool = False,
+    mode: str = "cow",
 ) -> dict:
     """MERGE (upsert) ``updates`` by ``key`` (single column or
     composite list): rows whose key tuple exists are replaced, new
@@ -819,6 +820,17 @@ def mtable_merge(
     matching above it; key volume never bounds driver memory), only
     those files are read/anti-joined/rewritten, every untouched file
     is re-listed verbatim — stats included — in the next manifest.
+
+    ``mode='mor'`` (merge-on-read) extends the DELETE deletion-vector
+    path to the upsert: matched files are scanned once to shadow the
+    REPLACED rows' positions in a tiny DV parquet, the whole update
+    batch lands as fresh data files, and NO matched file is rewritten
+    — write cost is O(batch), so a trickle of daily upserts against
+    ~1 GB files stops re-copying them (the Delta/Iceberg v2 MERGE
+    write path). Readers see old copies anti-joined out and the new
+    rows from the fresh files; ``mtable_compact`` materializes and
+    clears the shadow. Read-amplification is the trade: prefer 'cow'
+    for read-hot tables, 'mor' for write-hot ones.
 
     ``schema_evolution=True`` lets the batch ADD columns (the Delta
     mergeSchema move): the manifest's recorded schema grows, readers
@@ -844,6 +856,8 @@ def mtable_merge(
     Returns the new manifest (also records files_rewritten /
     files_untouched / key_match_path so the no-table-rewrite property
     and the chosen pruning strategy are observable)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mtable_merge: unknown mode {mode!r} (cow|mor)")
     keys = _as_keys(key)
 
     def _once() -> dict:
@@ -876,7 +890,38 @@ def mtable_merge(
                         f"duplicate key rows ({n_rows} rows, {n_keys} "
                         f"distinct {keys}); an upsert needs one row per key"
                     )
-                if matched:
+                dv = _carry_dv(
+                    man, man["files"] if mode == "mor" else untouched
+                )
+                n_replaced = None
+                if matched and mode == "mor":
+                    # shadow the replaced rows' positions; the batch
+                    # lands whole as fresh files — zero rewrites
+                    scan = _scan_with_pos(spark, table_dir, matched, man)
+                    semi = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
+                    doomed = (
+                        scan.join(semi, keys, "left_semi")
+                        .select(
+                            F.col("_mt_file").alias("file"),
+                            F.col("_mt_pos").alias("pos"),
+                        )
+                        .persist()
+                    )
+                    try:
+                        n_replaced = doomed.count()
+                        if n_replaced:
+                            dv_rel = _new_dv_file(table_dir, doomed)
+                            base_to_rel = {
+                                os.path.basename(f): f for f in matched
+                            }
+                            for r in doomed.select("file").distinct().collect():
+                                dv.setdefault(base_to_rel[r["file"]], []).append(
+                                    dv_rel
+                                )
+                    finally:
+                        doomed.unpersist()
+                    combined = updates
+                elif matched:
                     # matched files read under the TABLE schema, so an
                     # already-evolved table merges old-schema files
                     # without tripping the union
@@ -887,19 +932,20 @@ def mtable_merge(
                     )
                 else:
                     combined = updates
-                    if evolved_json is not None:
-                        # align an insert-only batch to the full evolved
-                        # schema (absent table columns become NULL)
-                        full = T.StructType.fromJson(json.loads(evolved_json))
-                        have = set(updates.columns)
-                        combined = updates.select(
-                            *[
-                                F.col(f.name)
-                                if f.name in have
-                                else F.lit(None).cast(f.dataType).alias(f.name)
-                                for f in full.fields
-                            ]
-                        )
+                if combined is updates and evolved_json is not None:
+                    # align a standalone-written batch (insert-only, or
+                    # any MOR batch) to the full evolved schema (absent
+                    # table columns become NULL)
+                    full = T.StructType.fromJson(json.loads(evolved_json))
+                    have = set(updates.columns)
+                    combined = updates.select(
+                        *[
+                            F.col(f.name)
+                            if f.name in have
+                            else F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in full.fields
+                        ]
+                    )
                 new_files = _new_data_files(table_dir, combined)
             finally:
                 kdf.unpersist()
@@ -909,22 +955,23 @@ def mtable_merge(
             "op": "merge",
             "parent": man["version"],
             "keys": keys,
-            "files_rewritten": len(matched),
+            "mode": mode,
+            "files_rewritten": 0 if mode == "mor" else len(matched),
             "files_untouched": len(untouched),
             "n_update_keys": n_keys,
             "key_match_path": path,
+            **({"n_replaced": n_replaced} if n_replaced is not None else {}),
         }
         if evolved_json is not None:
             meta["schema_json"] = evolved_json
+        files = (man["files"] if mode == "mor" else untouched) + new_files
         _write_manifest(
             table_dir,
             man["version"] + 1,
-            untouched + new_files,
+            files,
             meta,
-            file_stats=_stats_for(
-                table_dir, untouched + new_files, man.get("file_stats")
-            ),
-            dv=_carry_dv(man, untouched),
+            file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+            dv=dv,
         )
         return read_manifest(table_dir)
 

@@ -134,6 +134,68 @@ def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mtable_merge_mor",
+    sql="""
+    WITH base AS (
+      SELECT l_orderkey AS okey, l_linenumber AS lineno,
+             SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT okey, lineno,
+           CASE WHEN okey % 53 = 0 THEN -5.0 ELSE qty END AS qty
+    FROM base
+    UNION ALL
+    SELECT okey + 100000000 AS okey, lineno, 99.0 AS qty
+    FROM base WHERE okey % 211 = 0 AND lineno = 1
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
+)
+def q_mtable_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_mtable_merge``'s exact upsert through the MERGE-ON-READ
+    path (``mode='mor'``): the replaced rows shadow into a deletion
+    vector, the update batch lands as fresh files, and ZERO matched
+    data files are rewritten (asserted on the manifests: the create's
+    file list survives verbatim inside the merge's). Same oracle as
+    the copy-on-write twin — hash parity across BOTH write paths is
+    the strongest statement that DV-shadowed reads and rewritten reads
+    are the same table."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+    ).agg(F.sum(F.col("l_quantity").cast("double")).alias("qty"))
+    updates = li.where(F.col("okey") % 53 == 0).select(
+        "okey", "lineno", F.lit(-5.0).alias("qty")
+    ).unionByName(
+        li.where((F.col("okey") % 211 == 0) & (F.col("lineno") == 1)).select(
+            (F.col("okey") + 100_000_000).alias("okey"),
+            "lineno",
+            F.lit(99.0).alias("qty"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="q-mtable-merge-mor-")
+    try:
+        man0 = mtable_create(spark, li, d)
+        man1 = mtable_merge(spark, d, updates, ["okey", "lineno"], mode="mor")
+        if man1["files_rewritten"] != 0 or not (
+            set(man0["files"]) <= set(man1["files"])
+        ):
+            raise AssertionError(
+                "merge-on-read upsert must not rewrite matched data files"
+            )
+        rows = mtable_read(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "okey long, lineno long, qty double")
+
+
+@register(
     "q_mtable_delete_mor",
     sql="""
     SELECT c_custkey AS ckey, c_mktsegment AS seg,
