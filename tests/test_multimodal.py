@@ -877,3 +877,113 @@ class TestJpegCodec:
         for buf in bufs:
             out = decode_jpeg(buf)  # must not raise
             assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+class TestMp4Container:
+    """Round-13: ISO-BMFF container parsing — box walk, sample-table
+    resolution, keyframe extraction — construction-oracled against the
+    matching writer. Codec payload decode stays out of scope; the
+    container layer is real."""
+
+    def test_roundtrip_video_track(self):
+        from w4h_etl_container_spark.multimodal.media import (
+            encode_mp4,
+            mp4_sample_ranges,
+            parse_mp4,
+        )
+
+        samples = [bytes([i]) * (10 + 3 * i) for i in range(7)]
+        p = encode_mp4(samples, width=320, height=240, keyframes=[1, 4, 7])
+        parsed = parse_mp4(p)
+        t = parsed["tracks"][0]
+        assert parsed["brand"] == "isom"
+        assert (t["handler"], t["codec"]) == ("vide", "avc1")
+        assert (t["width"], t["height"]) == (320, 240)
+        assert t["n_samples"] == 7 and t["sync_samples"] == [1, 4, 7]
+        assert parsed["duration_ms"] == 7 * 40
+        ranges = mp4_sample_ranges(parsed)
+        assert [r[0] for r in ranges] == list(range(1, 8))
+        for num, off, size, sync in ranges:
+            assert p[off : off + size] == samples[num - 1]
+            assert sync == (num in (1, 4, 7))
+
+    def test_audio_track_and_no_stss_means_all_sync(self):
+        from w4h_etl_container_spark.multimodal.media import (
+            encode_mp4,
+            mp4_sample_ranges,
+            parse_mp4,
+        )
+
+        p = encode_mp4([b"a" * 5] * 3, codec=b"mp4a", handler=b"soun")
+        t = parse_mp4(p)["tracks"][0]
+        assert (t["handler"], t["codec"]) == ("soun", "mp4a")
+        assert (t["channels"], t["sample_rate_hz"]) == (2, 44100)
+        # no stss box: every sample is a sync sample (spec default)
+        assert all(r[3] for r in mp4_sample_ranges(parse_mp4(p)))
+
+    def test_sniff_header_reports_mp4(self):
+        from w4h_etl_container_spark.multimodal.media import (
+            encode_mp4,
+            sniff_header,
+        )
+
+        p = encode_mp4([b"x" * 9] * 2, width=64, height=48, keyframes=[1])
+        assert sniff_header(p) == ("mp4", 64, 48, None, None)
+        pa = encode_mp4([b"x"] * 2, codec=b"mp4a", handler=b"soun")
+        assert sniff_header(pa) == ("mp4", None, None, 44100, 2)
+
+    def test_keyframe_extraction_kernel(self, spark):
+        from w4h_etl_container_spark.multimodal.media import (
+            encode_mp4,
+            mp4_keyframes,
+        )
+
+        rows = []
+        for mid in range(4):
+            samples = [bytes([mid * 10 + j]) * (j + 3) for j in range(5)]
+            rows.append(
+                (mid, "video/mp4",
+                 bytearray(encode_mp4(samples, width=16, height=16,
+                                      keyframes=[1, 3, 5])))
+            )
+        rows.append((99, "text/plain", bytearray(b"not a video")))
+        media = spark.createDataFrame(
+            rows, "media_id long, mime string, payload binary"
+        )
+        got = mp4_keyframes(media).collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r["media_id"], []).append(
+                (r["frame_idx"], bytes(r["frame_bytes"]))
+            )
+        assert 99 not in by_id and sorted(by_id) == [0, 1, 2, 3]
+        for mid in range(4):
+            assert sorted(by_id[mid]) == [
+                (j + 1, bytes([mid * 10 + j]) * (j + 3)) for j in (0, 2, 4)
+            ]
+
+    def test_fuzz_never_raises(self):
+        import numpy as np
+
+        from w4h_etl_container_spark.multimodal.media import (
+            encode_mp4,
+            mp4_sample_ranges,
+            parse_mp4,
+        )
+
+        rng = np.random.default_rng(47)
+        valid = encode_mp4([b"k" * 11] * 4, width=32, height=32, keyframes=[1])
+        bufs = [rng.integers(0, 256, int(rng.integers(0, 300)), dtype=np.uint8).tobytes()
+                for _ in range(80)]
+        bufs += [b[:4] + b"ftyp" + b[8:] for b in bufs[:30] if len(b) >= 16]
+        for _ in range(60):
+            m = bytearray(valid)
+            for _ in range(int(rng.integers(1, 6))):
+                m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            bufs.append(bytes(m))
+        for cut in (1, 9, len(valid) // 2, len(valid) - 2):
+            bufs.append(valid[:cut])
+        for buf in bufs:
+            parsed = parse_mp4(buf)  # must not raise
+            if parsed is not None:
+                mp4_sample_ranges(parsed)  # must not raise either

@@ -18,10 +18,13 @@ YCbCr, 4:4:4/4:2:2/4:2:0 (``decode_jpeg``, round 13: the
 highest-frequency payload in a crawled multimodal corpus) — feeding
 exact per-asset value statistics (``media_decode_stats``,
 construction-oracled as ``q_media_decode`` / ``q_png_decode`` /
-``q_gif_decode`` / ``q_jpeg_decode``). Container-parse formats (MP4)
-remain a clearly-marked deterministic stub: tests exercise the full
-Spark plumbing (schema, batching, partition sizing, UDF signatures)
-and a deployment swaps ``_decode_bytes`` for the real library call.
+``q_gif_decode`` / ``q_jpeg_decode``). MP4 parses at the CONTAINER
+level for real (round 13: ``parse_mp4`` box walk, sample-table
+resolution, ``mp4_keyframes`` frame extraction — ``q_mp4_extract``);
+only codec BITSTREAM decode (H.264/AAC) stays behind the
+clearly-marked deterministic stub — tests exercise the full Spark
+plumbing (schema, batching, partition sizing, UDF signatures) and a
+deployment swaps ``_decode_bytes`` for the real library call.
 """
 
 from __future__ import annotations
@@ -286,6 +289,17 @@ def sniff_header(payload: bytes | None) -> tuple:
                     return ("wav", None, None, sr, ch)
                 i += 8 + clen + (clen & 1)
             return ("wav", None, None, None, None)
+        if b[4:8] == b"ftyp":
+            parsed = parse_mp4(b)
+            if parsed is not None:
+                w = h = sr = ch = None
+                for t in parsed["tracks"]:
+                    if t["handler"] == "vide" and w is None:
+                        w, h = t["width"], t["height"]
+                    if t["handler"] == "soun" and sr is None:
+                        sr, ch = t["sample_rate_hz"], t["channels"]
+                return ("mp4", w, h, sr, ch)
+            return ("mp4", None, None, None, None)
         return ("unknown", None, None, None, None)
     except Exception:
         return ("unknown", None, None, None, None)
@@ -1536,3 +1550,396 @@ def encode_jpeg(
     out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO Base Media File Format (ISO 14496-12): CONTAINER parsing —
+# the box tree is a public struct layout like BMP/WAV above, so track
+# metadata (duration, dimensions, codec fourcc, sample rate) and the
+# full SAMPLE TABLE (per-frame byte ranges + sync samples) extract
+# with pure struct reads. Codec payload DECODE (H.264/AAC bitstreams)
+# is genuinely out of numpy+stdlib scope and stays behind the
+# documented stub; what a crawl pipeline needs from MP4 — duration
+# stats, geometry filters, keyframe extraction for a downstream
+# vision model — is all container-level and all real here.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the boxes in
+    b[start:end]; handles 64-bit largesize and size-0 (to-end)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        fourcc = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < (body - i) or i + size > end:
+            return  # malformed/truncated box: stop the walk
+        yield fourcc, body, i + size
+        i += size
+
+
+def _mp4_fullbox(b: bytes, s: int) -> tuple[int, int]:
+    """(version, flags) of a full box body starting at s."""
+    return b[s], int.from_bytes(b[s + 1 : s + 4], "big")
+
+
+def parse_mp4(payload: "bytes | None") -> "dict | None":
+    """Parse the ISO-BMFF box tree: returns {brand, duration_ms,
+    tracks: [{handler, codec, width, height, sample_rate_hz, channels,
+    n_samples, sample_sizes, chunk_offsets, sample_to_chunk,
+    sync_samples, duration_ms}]} or None for anything that is not a
+    well-formed MP4 (no ftyp/moov, truncated boxes, inconsistent
+    sample tables). Never raises on hostile bytes."""
+    try:
+        if payload is None or len(payload) < 16:
+            return None
+        b = bytes(payload)
+        top = list(_mp4_boxes(b, 0, len(b)))
+        if not top or top[0][0] != b"ftyp":
+            return None
+        brand = b[top[0][1] : top[0][1] + 4].decode("latin-1")
+        moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+        if moov is None:
+            return None
+        out = {"brand": brand, "duration_ms": None, "tracks": []}
+        for t, s, e in _mp4_boxes(b, *moov):
+            if t == b"mvhd":
+                v, _ = _mp4_fullbox(b, s)
+                if v == 1:
+                    ts = int.from_bytes(b[s + 20 : s + 24], "big")
+                    dur = int.from_bytes(b[s + 24 : s + 32], "big")
+                else:
+                    ts = int.from_bytes(b[s + 12 : s + 16], "big")
+                    dur = int.from_bytes(b[s + 16 : s + 20], "big")
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif t == b"trak":
+                trk = _mp4_parse_trak(b, s, e)
+                if trk is not None:
+                    out["tracks"].append(trk)
+        return out
+    except Exception:
+        return None
+
+
+def _mp4_parse_trak(b: bytes, s: int, e: int) -> "dict | None":
+    trk = {
+        "handler": None, "codec": None, "width": None, "height": None,
+        "sample_rate_hz": None, "channels": None, "n_samples": 0,
+        "sample_sizes": [], "chunk_offsets": [], "sample_to_chunk": [],
+        "sync_samples": None, "duration_ms": None,
+    }
+    for t, ts_, te in _mp4_boxes(b, s, e):
+        if t == b"tkhd":
+            v, _ = _mp4_fullbox(b, ts_)
+            base = ts_ + (32 if v == 0 else 44)
+            # width/height are 16.16 fixed point at the end of tkhd
+            w = int.from_bytes(b[te - 8 : te - 4], "big") >> 16
+            h = int.from_bytes(b[te - 4 : te], "big") >> 16
+            if w and h:
+                trk["width"], trk["height"] = w, h
+        elif t == b"mdia":
+            for mt, ms, me in _mp4_boxes(b, ts_, te):
+                if mt == b"mdhd":
+                    v, _ = _mp4_fullbox(b, ms)
+                    if v == 1:
+                        mts = int.from_bytes(b[ms + 20 : ms + 24], "big")
+                        mdur = int.from_bytes(b[ms + 24 : ms + 32], "big")
+                    else:
+                        mts = int.from_bytes(b[ms + 12 : ms + 16], "big")
+                        mdur = int.from_bytes(b[ms + 16 : ms + 20], "big")
+                    if mts:
+                        trk["duration_ms"] = mdur * 1000 // mts
+                elif mt == b"hdlr":
+                    trk["handler"] = b[ms + 8 : ms + 12].decode("latin-1")
+                elif mt == b"minf":
+                    for nt, ns, ne in _mp4_boxes(b, ms, me):
+                        if nt == b"stbl":
+                            _mp4_parse_stbl(b, ns, ne, trk)
+    if trk["sample_sizes"] and len(trk["sample_sizes"]) != trk["n_samples"]:
+        return None
+    return trk
+
+
+def _mp4_parse_stbl(b: bytes, s: int, e: int, trk: dict) -> None:
+    for t, ts_, te in _mp4_boxes(b, s, e):
+        if t == b"stsd":
+            n = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            if n >= 1 and ts_ + 16 <= te:
+                entry = ts_ + 8
+                trk["codec"] = b[entry + 4 : entry + 8].decode("latin-1")
+                body = entry + 8
+                if trk["handler"] == "vide" and body + 70 <= te:
+                    trk["width"] = int.from_bytes(
+                        b[body + 24 : body + 26], "big"
+                    ) or trk["width"]
+                    trk["height"] = int.from_bytes(
+                        b[body + 26 : body + 28], "big"
+                    ) or trk["height"]
+                elif trk["handler"] == "soun" and body + 28 <= te:
+                    trk["channels"] = int.from_bytes(b[body + 16 : body + 18], "big")
+                    trk["sample_rate_hz"] = (
+                        int.from_bytes(b[body + 24 : body + 28], "big") >> 16
+                    )
+        elif t == b"stsz":
+            fixed = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            cnt = int.from_bytes(b[ts_ + 8 : ts_ + 12], "big")
+            if cnt > (te - ts_) and fixed == 0:
+                raise ValueError("stsz count overruns the box")
+            trk["n_samples"] = cnt
+            if fixed:
+                trk["sample_sizes"] = [fixed] * cnt
+            else:
+                trk["sample_sizes"] = [
+                    int.from_bytes(b[ts_ + 12 + 4 * i : ts_ + 16 + 4 * i], "big")
+                    for i in range(cnt)
+                ]
+        elif t == b"stco":
+            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            trk["chunk_offsets"] = [
+                int.from_bytes(b[ts_ + 8 + 4 * i : ts_ + 12 + 4 * i], "big")
+                for i in range(cnt)
+            ]
+        elif t == b"co64":
+            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            trk["chunk_offsets"] = [
+                int.from_bytes(b[ts_ + 8 + 8 * i : ts_ + 16 + 8 * i], "big")
+                for i in range(cnt)
+            ]
+        elif t == b"stsc":
+            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            trk["sample_to_chunk"] = [
+                (
+                    int.from_bytes(b[ts_ + 8 + 12 * i : ts_ + 12 + 12 * i], "big"),
+                    int.from_bytes(b[ts_ + 12 + 12 * i : ts_ + 16 + 12 * i], "big"),
+                )
+                for i in range(cnt)
+            ]
+        elif t == b"stss":
+            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            trk["sync_samples"] = [
+                int.from_bytes(b[ts_ + 8 + 4 * i : ts_ + 12 + 4 * i], "big")
+                for i in range(cnt)
+            ]
+
+
+def mp4_sample_ranges(parsed: dict, track: int = 0) -> "list[tuple] | None":
+    """Resolve the sample table to absolute byte ranges: returns
+    [(sample_number_1based, offset, size, is_sync), ...] — the
+    container-level frame map a keyframe extractor slices payloads
+    with. None when the table is inconsistent (offsets past nothing,
+    stsc referencing missing chunks)."""
+    try:
+        trk = parsed["tracks"][track]
+        sizes = trk["sample_sizes"]
+        chunks = trk["chunk_offsets"]
+        stsc = trk["sample_to_chunk"]
+        if not sizes or not chunks or not stsc:
+            return None
+        sync = set(trk["sync_samples"] or range(1, len(sizes) + 1))
+        # expand stsc runs: (first_chunk_1based, samples_per_chunk)
+        out = []
+        si = 0
+        for ci in range(len(chunks)):
+            spc = None
+            for k, (first, n) in enumerate(stsc):
+                if ci + 1 >= first:
+                    spc = n
+                else:
+                    break
+            if spc is None:
+                return None
+            off = chunks[ci]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                out.append((si + 1, off, sizes[si], (si + 1) in sync))
+                off += sizes[si]
+                si += 1
+        if si != len(sizes):
+            return None
+        return out
+    except Exception:
+        return None
+
+
+def encode_mp4(
+    samples: "list[bytes]",
+    width: int = 0,
+    height: int = 0,
+    keyframes: "list[int] | None" = None,
+    timescale: int = 1000,
+    sample_duration: int = 40,
+    codec: bytes = b"avc1",
+    handler: bytes = b"vide",
+) -> bytes:
+    """Minimal valid ISO-BMFF writer — ``parse_mp4``'s construction
+    oracle: ftyp + mdat (the given sample payloads, contiguous in one
+    chunk) + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd,
+    stts, stsc, stsz, stco[, stss]))))). The sample BYTES are opaque
+    (no codec claim); everything the parser reads back — dims,
+    duration, codec fourcc, per-sample ranges, sync samples — is
+    exactly what went in."""
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + fourcc + body
+
+    def full(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(fourcc, bytes([version, 0, 0, 0]) + body)
+
+    n = len(samples)
+    dur = n * sample_duration
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8  # mdat body starts here
+
+    mvhd = full(
+        b"mvhd",
+        (0).to_bytes(8, "big")
+        + timescale.to_bytes(4, "big")
+        + dur.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")      # volume 1.0
+        + bytes(10)
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + bytes(24)
+        + (2).to_bytes(4, "big"),          # next track id
+    )
+    tkhd = full(
+        b"tkhd",
+        (0).to_bytes(8, "big")
+        + (1).to_bytes(4, "big")  # track id
+        + bytes(4)
+        + dur.to_bytes(4, "big")
+        + bytes(8)
+        + bytes(8)  # layer/group/volume/reserved
+        + b"".join(v.to_bytes(4, "big") for v in
+                   (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+        version=0,
+    )
+    mdhd = full(
+        b"mdhd",
+        (0).to_bytes(8, "big")
+        + timescale.to_bytes(4, "big")
+        + dur.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")  # language 'und'
+        + bytes(2),
+    )
+    hdlr = full(b"hdlr", bytes(4) + handler + bytes(12) + b"w4h\x00")
+    if handler == b"vide":
+        entry_body = (
+            bytes(6) + (1).to_bytes(2, "big")          # data ref index
+            + bytes(16)
+            + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+            + (0x480000).to_bytes(4, "big") * 2        # 72 dpi
+            + bytes(4)
+            + (1).to_bytes(2, "big")                   # frame count
+            + bytes(32)                                # compressor name
+            + (24).to_bytes(2, "big")                  # depth
+            + (0xFFFF).to_bytes(2, "big")
+        )
+    else:  # soun
+        entry_body = (
+            bytes(6) + (1).to_bytes(2, "big")
+            + bytes(8)
+            + (2).to_bytes(2, "big")                   # channels
+            + (16).to_bytes(2, "big")                  # sample size
+            + bytes(4)
+            + (44100 << 16).to_bytes(4, "big")
+        )
+    stsd = full(
+        b"stsd",
+        (1).to_bytes(4, "big") + box(codec, entry_body),
+    )
+    stts = full(
+        b"stts",
+        (1).to_bytes(4, "big")
+        + n.to_bytes(4, "big")
+        + sample_duration.to_bytes(4, "big"),
+    )
+    stsc = full(
+        b"stsc",
+        (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsz = full(
+        b"stsz",
+        (0).to_bytes(4, "big")
+        + n.to_bytes(4, "big")
+        + b"".join(len(s).to_bytes(4, "big") for s in samples),
+    )
+    stco = full(b"stco", (1).to_bytes(4, "big") + chunk_offset.to_bytes(4, "big"))
+    stbl_boxes = stsd + stts + stsc + stsz + stco
+    if keyframes is not None:
+        stbl_boxes += full(
+            b"stss",
+            len(keyframes).to_bytes(4, "big")
+            + b"".join(k.to_bytes(4, "big") for k in keyframes),
+        )
+    stbl = box(b"stbl", stbl_boxes)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_keyframes(media: DataFrame, keyframes_only: bool = True) -> DataFrame:
+    """Container-level FRAME EXTRACTION over a media table: parse each
+    MP4 payload's sample table and emit one row per (key)frame with
+    its exact codec-frame bytes sliced from mdat — the row-expanding
+    mapInPandas shape (a UDTF), real byte ranges instead of the old
+    fixed-window stub. Undecodable payloads contribute zero rows.
+    Downstream, these frames feed a codec decode stage (out of
+    numpy+stdlib scope, documented) or ship as-is to a vision
+    preprocessing service. Scale: Arrow batches, payload bytes never
+    enter the JVM row format, output is (media_id, frame_idx,
+    is_sync, frame_bytes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, syncs, frames = [], [], [], []
+            for media_id, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                parsed = parse_mp4(payload)
+                if parsed is None or not parsed["tracks"]:
+                    continue
+                ranges = mp4_sample_ranges(parsed)
+                if ranges is None:
+                    continue
+                b = bytes(payload)
+                for num, off, size, is_sync in ranges:
+                    if keyframes_only and not is_sync:
+                        continue
+                    if off + size > len(b):
+                        continue  # table points past the payload: skip
+                    ids.append(media_id)
+                    idxs.append(num)
+                    syncs.append(is_sync)
+                    frames.append(b[off : off + size])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "is_sync": pd.Series(syncs, dtype="bool"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, frame_idx int, is_sync boolean, frame_bytes binary",
+    )

@@ -576,3 +576,121 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n_values", "v_min", "v_max", "v_sum", "mean_e6")
         ],
     )
+
+
+def _planted_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+
+    def kernel(batches):
+        from w4h_etl_container_spark.multimodal.media import encode_mp4
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                if did % 5 == 4:
+                    rows.append((did, "text/plain", bytearray(str(text).encode())))
+                    continue
+                n = did % 6 + 1
+                samples = [
+                    bytes([(did + j) % 256]) * ((did + j) % 17 + 1)
+                    for j in range(n)
+                ]
+                keyframes = list(range(1, n + 1, 2))  # 1,3,5,...
+                rows.append(
+                    (
+                        did,
+                        "video/mp4",
+                        bytearray(
+                            encode_mp4(
+                                samples,
+                                width=did % 640 + 16,
+                                height=did % 480 + 16,
+                                keyframes=keyframes,
+                            )
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "payload"])
+
+    return docs.mapInPandas(kernel, "media_id long, mime string, payload binary")
+
+
+@register(
+    "q_mp4_extract",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 6 + 1 AS n
+      FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 4
+    ), frames AS (
+      SELECT doc_id, n, j,
+             ((doc_id + j) % 17 + 1) AS fsize
+      FROM base, generate_series(0, 5) AS t(j)
+      WHERE j < n AND (j % 2) = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(ANY_VALUE(n) AS INTEGER) AS n_samples,
+           CAST(COUNT(*) AS INTEGER) AS n_keyframes,
+           CAST(SUM(fsize) AS BIGINT) AS key_bytes,
+           CAST(ANY_VALUE(doc_id % 640 + 16) AS INTEGER) AS width,
+           CAST(ANY_VALUE(doc_id % 480 + 16) AS INTEGER) AS height
+    FROM frames
+    GROUP BY doc_id
+    """,
+    survey_ids=("EXT-MEDIA",),
+    gate=False,
+)
+def q_mp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 CONTAINER parse end-to-end
+    (``multimodal.media.parse_mp4`` + ``mp4_keyframes`` via
+    mapInPandas): planted ISO-BMFF payloads — genuine box trees with
+    per-doc sample tables and stss sync marks — parse back to exactly
+    the planted geometry, and the keyframe extractor slices exactly
+    the odd-numbered samples' byte ranges out of mdat. The oracle
+    restates the construction arithmetic (every (doc_id + j) % 17 + 1
+    sample size, keyframes at odd sample numbers); hash parity proves
+    the box walk, the stsc/stco/stsz resolution, and the sync-sample
+    filter invert the writer exactly. The text/plain fifth contributes
+    zero rows (undecodable is data). Codec payload decode stays out of
+    scope by design — this is the container layer a crawl pipeline
+    filters and frame-samples with. Scale: one construct pass + one
+    parse pass, payload bytes never enter the JVM row format."""
+    from w4h_etl_container_spark.multimodal.media import (
+        mp4_keyframes,
+        parse_mp4,
+    )
+
+    media = _planted_mp4_media(spark, sf_dir)
+    frames = mp4_keyframes(media)
+
+    def meta_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_mp4(payload)
+                if parsed is None or not parsed["tracks"]:
+                    continue
+                t = parsed["tracks"][0]
+                rows.append(
+                    (int(media_id), t["n_samples"], t["width"], t["height"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "width", "height"]
+            )
+
+    meta = media.mapInPandas(
+        meta_kernel, "media_id long, n_samples int, width int, height int"
+    )
+    agg = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_keyframes"),
+        F.sum(F.length("frame_bytes")).cast("long").alias("key_bytes"),
+    )
+    return meta.join(agg, "media_id").select(
+        "media_id", "n_samples", "n_keyframes", "key_bytes", "width", "height"
+    )
