@@ -58,10 +58,10 @@ table:
   collides with it — ``mtable_repair`` reclaims the debris (run it
   under the cooperative writer lock; the error message names it).
 
-* DELETE ships both lakehouse strategies: copy-on-write (rewrite the
-  matched files) and MERGE-ON-READ (``mode='mor'`` — the Delta
-  deletion-vector / Iceberg v2 positional-delete pattern): the doomed
-  rows' (file basename, row index) pairs land in one tiny DV parquet,
+* DELETE **and MERGE** ship both lakehouse strategies: copy-on-write
+  (rewrite the matched files) and MERGE-ON-READ (``mode='mor'`` — the
+  Delta deletion-vector / Iceberg v2 positional pattern): the doomed
+  (or replaced) rows' (file basename, row index) pairs land in one tiny DV parquet,
   the manifest maps each shadowed data file to its DV files, and every
   reader anti-joins the shadow out via the parquet reader's hidden
   ``_metadata`` column. A 1-row delete writes O(1 row), never a file;
@@ -71,7 +71,7 @@ table:
 
 Surface: ``mtable_create`` / ``mtable_read`` (versioned, or
 ``as_of`` a timestamp) / ``mtable_merge`` (keyed upsert, optional
-schema evolution) / ``mtable_delete`` (cow | mor) / ``mtable_merge_agg``
+schema evolution, cow | mor) / ``mtable_delete`` (cow | mor) / ``mtable_merge_agg``
 (incremental aggregate maintenance — the materialized-view refresh;
 sum/max/min plus the mergeable 'kmv' distinct sketch) /
 ``mtable_changes`` (row-level change feed from the file diff) /
