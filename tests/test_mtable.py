@@ -1866,3 +1866,88 @@ class TestMtableMergeOnReadUpsert:
         got = {r["k"]: (r["tag"], r["score"]) for r in mtable_read(spark, d).collect()}
         assert got[3] == ("u", 9.5)
         assert got[4] == ("orig", None)  # pre-evolution rows null-fill
+
+
+class TestMtableIncrementalCompaction:
+    """Round-13: scope='small' — Delta OPTIMIZE's daily shape: rewrite
+    only under-sized and DV-shadowed files; right-sized clean files
+    are re-listed verbatim, bytes untouched."""
+
+    def _mixed_table(self, spark, tmp_path):
+        """3 big files (1000 rows each) + small-file churn appended by
+        merges (1-row files)."""
+        from w4h_etl_container_spark.operators.layout import cluster_by
+
+        df = cluster_by(
+            spark.range(0, 3000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            ["k"],
+            n_files=3,
+        )
+        d = str(tmp_path / "inc")
+        mtable_create(spark, df, d)
+        for i in range(3):  # churn: three 1-row insert merges
+            mtable_merge(
+                spark, d,
+                spark.createDataFrame([(10_000 + i, -i)], "k long, v long"),
+                "k",
+            )
+        return d
+
+    def test_small_scope_keeps_big_files_untouched(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_compact
+
+        d = self._mixed_table(spark, tmp_path)
+        man0 = read_manifest(d)
+        sizes = {
+            f: os.path.getsize(os.path.join(d, f)) for f in man0["files"]
+        }
+        big = [f for f, s in sizes.items() if s >= max(sizes.values())][:1]
+        want = sorted(map(tuple, mtable_read(spark, d).collect()))
+        before = _stat(d, man0["files"])
+        floor_ = max(sizes.values())  # everything below the biggest is small
+        man1 = mtable_compact(spark, d, scope="small", small_bytes=floor_)
+        assert man1["op"] == "compact" and man1["scope"] == "small"
+        assert man1["files_kept"] >= 1
+        kept = [f for f in man1["files"] if f in set(man0["files"])]
+        assert kept, "right-sized files must be re-listed verbatim"
+        # kept files byte-identical (inode mtime unchanged)
+        assert {f: before[f] for f in kept} == _stat(d, kept)
+        # content identical, small files consolidated
+        assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
+        assert len(man1["files"]) < len(man0["files"])
+
+    def test_small_scope_noop_without_churn(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_compact
+
+        d = self._mixed_table(spark, tmp_path)
+        man0 = mtable_compact(spark, d, scope="small", small_bytes=2048)
+        # second pass: nothing under-sized, no DVs -> true no-op
+        man1 = mtable_compact(spark, d, scope="small", small_bytes=2048)
+        assert man1["version"] == man0["version"]
+
+    def test_small_scope_materializes_dvs(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_delete,
+        )
+
+        d = self._mixed_table(spark, tmp_path)
+        mtable_delete(
+            spark, d, spark.createDataFrame([(5,)], "k long"), "k", mode="mor"
+        )
+        want = sorted(map(tuple, mtable_read(spark, d).collect()))
+        # the shadowed file is one of the BIG ones, above any size floor:
+        # it must still be rewritten (the shadow must materialize)
+        man = mtable_compact(spark, d, scope="small", small_bytes=1)
+        assert "dv" not in man
+        assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
+        assert not any(r[0] == 5 for r in mtable_read(spark, d).collect())
+
+    def test_small_scope_refuses_recluster(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_compact
+
+        d = self._mixed_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="recluster requires"):
+            mtable_compact(spark, d, scope="small", cluster=["k"])

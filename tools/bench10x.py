@@ -21,11 +21,20 @@ and the artifact records whether each ratio moved the right way.
   alignment broken, so near-dup pair structure does not explode
   quadratically across copies).
 
-A DEEP tier (round 12) extends the measurement for the queries still
-above 2× at 10×: q_funnel and q_percentile re-run at 100× volume
-(60 M events / 60 M lineitem rows, same synthesis rules), so their
-crossover is ON the artifact instead of in prose — Spark's wall is
-flat-to-slowly-rising while the embedded engine grows with volume.
+DEEP tiers extend the measurement for the queries still above 2× (or
+non-monotone) at 10×: 100× (q_funnel, q_percentile, q_ngram_jaccard)
+and 1000× events (q_funnel), so every crossover/asymptote claim is ON
+the artifact instead of in prose — Spark's wall is flat-to-slowly-
+rising while the embedded engine grows with volume.
+
+Method (round 13): each tier's Spark walls are measured on a FRESH
+session in a subprocess — mirroring the fresh duckdb.connect() every
+tier already got. A single long-lived JVM accumulates megamorphic
+codegen call sites across tiers (measured: the 1000× funnel map stage
+burns 1.7× more CPU after the 10× tier has run, zero spill and zero
+GC delta at a 24 GB heap), which made cross-tier rows depend on
+execution ORDER; per-tier isolation measures the operator, and every
+spark-vs-duck ratio remains a same-boot, best-of-2 contest.
 
 Usage: python tools/bench10x.py [round_tag]   (default r11)
 Writes BENCH_10X_<round_tag>.json at the repo root and prints it.
@@ -180,14 +189,34 @@ def best_of(fn, n=2) -> float:
     return round(best, 3)
 
 
-def main() -> int:
-    import duckdb
-
+def spark_tier(sf_dir: str, qnames: list[str]) -> dict:
+    """Measure one tier's Spark walls on a FRESH session (subprocess
+    entry — see main). Prints one JSON line {name: best_seconds}."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     from w4h_etl_container_spark.plans.registry import load_library
     from w4h_etl_container_spark.session import get_spark
 
+    spark = get_spark("bench10x-tier")
+    registry = load_library()
+    out = {}
+    for name in qnames:
+        q = registry[name]
+        out[name] = best_of(lambda: q.fn(spark, sf_dir).foreach(lambda r: None))
+        print(f"# {name}: spark {out[name]}s", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+    return out
+
+
+def main() -> int:
+    import subprocess
+
+    import duckdb
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--spark-tier":
+        spark_tier(sys.argv[2], sys.argv[3:])
+        return 0
+
     tag = sys.argv[1] if len(sys.argv) > 1 else "r11"
-    spark = get_spark("bench10x")
     con = duckdb.connect()
     synthesize(con)
     # deep tier: events + lineitem + documents grow (the deep queries'
@@ -197,12 +226,24 @@ def main() -> int:
     synthesize(con, BIG=DEEP, COPIES=DEEP_COPIES, docs=True, embs=False)
     synthesize_deeper(con)
 
+    from w4h_etl_container_spark.plans.registry import load_library
+
     registry = load_library()
     out: dict = {
         "factor": COPIES,
         "deep_factor": DEEP_COPIES,
         "deeper_factor": DEEPER_COPIES,
         "base": BASE,
+        # METHOD (r13): each tier's Spark walls come from a FRESH
+        # session in a subprocess, mirroring the fresh duckdb.connect()
+        # every tier already gets. One long-lived JVM accumulates
+        # megamorphic codegen call sites (measured: the 1000x funnel
+        # map stage burns 1.7x more CPU after the 10x tier has run,
+        # with zero spill and zero GC delta at 24 GB heap), which
+        # contaminates cross-TIER comparisons with execution-history
+        # order; per-tier isolation measures the operator, and the
+        # within-tier spark-vs-duck ratio stays a same-boot contest.
+        "spark_sessions": "per-tier",
         "queries": {},
     }
     for scale, sf_dir, qnames in (
@@ -211,6 +252,15 @@ def main() -> int:
         ("100x", DEEP, DEEP_QUERIES),
         ("1000x", DEEPER, DEEPER_QUERIES),
     ):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--spark-tier", sf_dir]
+            + list(qnames),
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"spark tier {scale} failed")
+        walls = json.loads(proc.stdout.strip().splitlines()[-1])
         dcon = duckdb.connect()
         for t in TABLES:
             dcon.sql(
@@ -219,9 +269,7 @@ def main() -> int:
         for name in qnames:
             q = registry[name]
             rec = out["queries"].setdefault(name, {})
-            rec[f"spark_{scale}"] = best_of(
-                lambda: q.fn(spark, sf_dir).foreach(lambda r: None)
-            )
+            rec[f"spark_{scale}"] = walls[name]
             print(
                 f"# {name}@{scale}: spark {rec[f'spark_{scale}']}s",
                 file=sys.stderr, flush=True,

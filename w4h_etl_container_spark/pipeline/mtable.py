@@ -1156,23 +1156,61 @@ def mtable_compact(
     sort_within_by: list[str] | None = None,
     cluster: list[str] | None = None,
     zorder: list[str] | None = None,
+    scope: str = "full",
+    small_bytes: int | None = None,
 ) -> dict:
-    """Compaction as a VERSION: rewrite the current snapshot's files
-    into ⌈total/target⌉ uniformly-sized files (operators.layout.
-    compact_table's sizing rule) and publish them as version N+1 —
-    readers on version N are untouched, and time travel across the
-    compaction keeps working until vacuum. This is how a manifest
-    table absorbs the small files MERGE/append churn produces without
-    ever blocking reads."""
+    """Compaction as a VERSION: rewrite files into ⌈bytes/target⌉
+    uniformly-sized replacements (operators.layout.compact_table's
+    sizing rule) and publish them as version N+1 — readers on version
+    N are untouched, and time travel across the compaction keeps
+    working until vacuum. This is how a manifest table absorbs the
+    small files MERGE/append churn produces without ever blocking
+    reads. Deletion vectors materialize here: rewritten files read
+    DV-filtered and their shadow entries drop from the manifest.
+
+    ``scope='full'`` (default) rewrites the whole snapshot — the
+    recluster path (``cluster=`` / ``zorder=``, Delta OPTIMIZE ZORDER
+    BY) requires it. ``scope='small'`` is OPTIMIZE's actual daily
+    shape: rewrite ONLY the under-sized files (< ``small_bytes``,
+    default target/2) plus every DV-shadowed file (so the shadow
+    always materializes), and re-list each right-sized clean file
+    verbatim — stats included, bytes untouched (inode-pinned in
+    tests). At 100 TB this is the difference between an O(table)
+    nightly rewrite and an O(churn) one; a table with nothing
+    under-sized and no shadows is a true no-op (no commit — the
+    current manifest returns unchanged)."""
     import math
 
     if cluster and zorder:
         raise ValueError("mtable_compact: pass cluster= OR zorder=, not both")
+    if scope not in ("full", "small"):
+        raise ValueError(f"mtable_compact: unknown scope {scope!r} (full|small)")
+    if scope == "small" and (cluster or zorder):
+        raise ValueError(
+            "mtable_compact: recluster requires scope='full' (a partial "
+            "recluster would leave the table half-ordered while its fresh "
+            "file stats claim tight ranges)"
+        )
     man = read_manifest(table_dir)
+    dvmap = man.get("dv") or {}
+    if scope == "small":
+        floor_ = small_bytes if small_bytes is not None else target_bytes // 2
+        rewrite = [
+            f
+            for f in man["files"]
+            if f in dvmap
+            or os.path.getsize(os.path.join(table_dir, f)) < floor_
+        ]
+        kept = [f for f in man["files"] if f not in set(rewrite)]
+        if len(rewrite) < 2 and not any(f in dvmap for f in rewrite):
+            return man  # nothing worth a commit
+    else:
+        rewrite, kept = list(man["files"]), []
     total = sum(
-        os.path.getsize(os.path.join(table_dir, f)) for f in man["files"]
+        os.path.getsize(os.path.join(table_dir, f)) for f in rewrite
     )
     n_out = max(1, math.ceil(total / target_bytes))
+    src = _read_files(spark, table_dir, rewrite, man)
     if cluster or zorder:
         # RECLUSTER as a version (Delta OPTIMIZE [ZORDER BY]): the
         # rewrite is the moment layout is cheapest to fix, and the
@@ -1180,32 +1218,35 @@ def mtable_compact(
         # pruning on the clustered keys
         from w4h_etl_container_spark.operators.layout import cluster_by, zorder_by
 
-        src = mtable_read(spark, table_dir)
         df = (
             cluster_by(src, cluster, n_files=n_out)
             if cluster
             else zorder_by(src, zorder, n_files=n_out)
         )
     else:
-        df = mtable_read(spark, table_dir).repartition(n_out)
+        df = src.repartition(n_out)
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
     new_files = _new_data_files(table_dir, df)
     version = man["version"] + 1
+    files = kept + new_files
     _write_manifest(
         table_dir,
         version,
-        new_files,
+        files,
         _carry_schema(man, {
             "op": "compact",
             "parent": man["version"],
-            "files_in": len(man["files"]),
+            "scope": scope,
+            "files_in": len(rewrite),
+            "files_kept": len(kept),
             "files_out": len(new_files),
             "bytes_in": total,
             **({"clustered_by": cluster} if cluster else {}),
             **({"zordered_by": zorder} if zorder else {}),
         }),
-        file_stats=_stats_for(table_dir, new_files),
+        file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+        dv=_carry_dv(man, kept),
     )
     new_man = read_manifest(table_dir)
     n_old = mtable_read(spark, table_dir, version=man["version"]).count()
