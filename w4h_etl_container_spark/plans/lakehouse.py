@@ -21,14 +21,27 @@ tests/test_mtable.py — here the ORACLE pins the semantics.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.plans.registry import register
 from w4h_etl_container_spark.session import read_table
+
+
+def _scratch_dir(prefix: str) -> str:
+    """A throwaway mtable directory that lives until PROCESS exit (not
+    function exit): the query can then return the LAZY mtable read --
+    no driver-side collect/re-parallelize round-trip (round 13: that
+    round-trip was ~half of q_mtable_merge's bench wall at sf0.1) --
+    and the driver/oracle harness collects it like any other plan."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @register(
@@ -83,16 +96,10 @@ def q_mtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(99.0).alias("qty"),
         )
     )
-    d = tempfile.mkdtemp(prefix="q-mtable-merge-")
-    try:
-        mtable_create(spark, li, d)
-        mtable_merge(spark, d, updates, ["okey", "lineno"])
-        # materialize before the directory disappears: the returned
-        # frame must not lazily re-read vacuumed files
-        rows = mtable_read(spark, d).collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "okey long, lineno long, qty double")
+    d = _scratch_dir("q-mtable-merge-")
+    mtable_create(spark, li.repartition(8, "okey"), d)
+    mtable_merge(spark, d, updates, ["okey", "lineno"])
+    return mtable_read(spark, d).select("okey", "lineno", "qty")
 
 
 @register(
@@ -123,14 +130,10 @@ def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("bal"),
     )
     victims = cust.where(F.col("ckey") % 7 == 0).select("ckey")
-    d = tempfile.mkdtemp(prefix="q-mtable-delete-")
-    try:
-        mtable_create(spark, cust, d)
-        mtable_delete(spark, d, victims, "ckey")
-        rows = mtable_read(spark, d).collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "ckey long, seg string, bal double")
+    d = _scratch_dir("q-mtable-delete-")
+    mtable_create(spark, cust.repartition(4, "ckey"), d)
+    mtable_delete(spark, d, victims, "ckey")
+    return mtable_read(spark, d).select("ckey", "seg", "bal")
 
 
 @register(
@@ -179,20 +182,16 @@ def q_mtable_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(99.0).alias("qty"),
         )
     )
-    d = tempfile.mkdtemp(prefix="q-mtable-merge-mor-")
-    try:
-        man0 = mtable_create(spark, li, d)
-        man1 = mtable_merge(spark, d, updates, ["okey", "lineno"], mode="mor")
-        if man1["files_rewritten"] != 0 or not (
-            set(man0["files"]) <= set(man1["files"])
-        ):
-            raise AssertionError(
-                "merge-on-read upsert must not rewrite matched data files"
-            )
-        rows = mtable_read(spark, d).collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "okey long, lineno long, qty double")
+    d = _scratch_dir("q-mtable-merge-mor-")
+    man0 = mtable_create(spark, li.repartition(8, "okey"), d)
+    man1 = mtable_merge(spark, d, updates, ["okey", "lineno"], mode="mor")
+    if man1["files_rewritten"] != 0 or not (
+        set(man0["files"]) <= set(man1["files"])
+    ):
+        raise AssertionError(
+            "merge-on-read upsert must not rewrite matched data files"
+        )
+    return mtable_read(spark, d).select("okey", "lineno", "qty")
 
 
 @register(
@@ -225,25 +224,21 @@ def q_mtable_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.col("c_acctbal").cast("double").alias("bal"),
     )
-    d = tempfile.mkdtemp(prefix="q-mtable-delete-mor-")
-    try:
-        man0 = mtable_create(spark, cust, d)
-        man1 = mtable_delete(
-            spark, d, cust.where(F.col("ckey") % 7 == 0).select("ckey"),
-            "ckey", mode="mor",
+    d = _scratch_dir("q-mtable-delete-mor-")
+    man0 = mtable_create(spark, cust.repartition(4, "ckey"), d)
+    man1 = mtable_delete(
+        spark, d, cust.where(F.col("ckey") % 7 == 0).select("ckey"),
+        "ckey", mode="mor",
+    )
+    man2 = mtable_delete(
+        spark, d, cust.where(F.col("ckey") % 11 == 0).select("ckey"),
+        "ckey", mode="mor",
+    )
+    if not (man0["files"] == man1["files"] == man2["files"]):
+        raise AssertionError(
+            "merge-on-read delete must not touch the data file list"
         )
-        man2 = mtable_delete(
-            spark, d, cust.where(F.col("ckey") % 11 == 0).select("ckey"),
-            "ckey", mode="mor",
-        )
-        if not (man0["files"] == man1["files"] == man2["files"]):
-            raise AssertionError(
-                "merge-on-read delete must not touch the data file list"
-            )
-        rows = mtable_read(spark, d).collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "ckey long, seg string, bal double")
+    return mtable_read(spark, d).select("ckey", "seg", "bal")
 
 
 @register(
@@ -298,12 +293,10 @@ def q_mtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dels = cust.where(F.col("ckey") % 13 == 0).select("ckey")
-    d = tempfile.mkdtemp(prefix="q-mtable-changes-")
-    try:
-        mtable_create(spark, cust, d)
-        mtable_merge(spark, d, updates, "ckey")
-        mtable_delete(spark, d, dels, "ckey")
-        rows = mtable_changes(spark, d, 0, 2, key="ckey").collect()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, "ckey long, bal double, _change_type string")
+    d = _scratch_dir("q-mtable-changes-")
+    mtable_create(spark, cust.repartition(4, "ckey"), d)
+    mtable_merge(spark, d, updates, "ckey")
+    mtable_delete(spark, d, dels, "ckey")
+    return mtable_changes(spark, d, 0, 2, key="ckey").select(
+        "ckey", "bal", "_change_type"
+    )
