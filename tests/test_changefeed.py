@@ -242,3 +242,75 @@ class TestStreamedIndexSync:
         assert audit_text_index(spark, idx)["consistent"]
         got2 = sorted(map(tuple, bm25_topk_from_index(spark, idx, queries).collect()))
         assert got2 == want
+
+
+class TestStreamedVectorSync:
+    def test_vector_kind_serving_loop(self, spark, tmp_path):
+        import json as _json
+        import shutil
+
+        import numpy as np
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            audit_index,
+            build_vector_index,
+            search_index,
+            _write_index_manifest,
+        )
+        from w4h_etl_container_spark.testing import write_planted_embeddings
+
+        _register(spark)
+        base = str(tmp_path / "base")
+        write_planted_embeddings(base, n_clusters=4, per_cluster=10, seed=3)
+        emb = spark.read.parquet(f"{base}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        tdir = str(tmp_path / "vtab")
+        mtable_create(spark, emb, tdir)
+        idx = str(tmp_path / "vidx")
+        build_vector_index(spark, base, idx, n_centroids=4, m=8, k=16, iters=2)
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        man["synced_table_version"] = 0
+        _write_index_manifest(idx, man)
+
+        # churn: delete two vectors (one MOR), insert two fresh ones
+        mtable_delete(
+            spark, tdir, spark.createDataFrame([(0,)], "vec_id long"), "vec_id"
+        )  # v1 cow
+        mtable_delete(
+            spark, tdir, spark.createDataFrame([(1,)], "vec_id long"),
+            "vec_id", mode="mor",
+        )  # v2 mor
+        anchor = np.array(
+            emb.where(F.col("vec_id") == 5).collect()[0]["embedding"]
+        )
+        fresh = [
+            (int(900 + i), (anchor + 0.001 * i).tolist()) for i in range(2)
+        ]
+        fresh_df = spark.createDataFrame(
+            fresh, "vec_id long, embedding array<double>"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        mtable_merge(spark, tdir, fresh_df, "vec_id")  # v3
+
+        ck = str(tmp_path / "ck")
+        _run_available(
+            spark, tdir, ck,
+            sync_index_on_changes(spark, tdir, idx, kind="vector"),
+            starting_version=0,
+        )
+        a = audit_index(spark, idx)
+        assert a["consistent"]
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            assert _json.load(f)["synced_table_version"] == 3
+        # the index serves the new snapshot: deleted ids gone, fresh in
+        served = {
+            r["cand_id"]
+            for r in search_index(
+                spark, base, idx, n_queries=4, nprobe=4, top_k=40
+            ).collect()
+        }
+        assert 0 not in served and 1 not in served
+        assert {900, 901} <= served
