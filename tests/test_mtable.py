@@ -1951,3 +1951,161 @@ class TestMtableIncrementalCompaction:
         d = self._mixed_table(spark, tmp_path)
         with pytest.raises(ValueError, match="recluster requires"):
             mtable_compact(spark, d, scope="small", cluster=["k"])
+
+
+class TestMtableBloomSkipping:
+    """Round-13: per-file key bloom filters — point-lookup file
+    skipping where range stats degenerate (unclustered files all span
+    the key domain)."""
+
+    def _mk(self, spark, tmp_path, bloom=True, name="bl"):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        # UNCLUSTERED: every file spans ~the whole key range, so
+        # min/max pruning matches all files for any key
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).repartition(8)
+        d = str(tmp_path / name)
+        mtable_create(
+            spark, df, d, bloom_keys=["k"] if bloom else None,
+            bloom_bits=1 << 14,
+        )
+        return d
+
+    def test_point_delete_skips_range_matched_files(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d = self._mk(spark, tmp_path)
+        man = read_manifest(d)
+        assert man["bloom"]["keys"] == ["k"]
+        assert set(man["bloom"]["files"]) == set(man["files"])
+        out = mtable_delete(
+            spark, d, spark.createDataFrame([(123,)], "k long"), "k"
+        )
+        # without the bloom every file range-matches; with it only the
+        # true file (plus any false positives — none at 16 Kbit/500
+        # keys) rewrites
+        assert out["key_match_path"].startswith("collect+bloom:")
+        assert out["files_rewritten"] <= 2
+        got = {r["k"] for r in mtable_read(spark, d).collect()}
+        assert 123 not in got and len(got) == 3999
+
+    def test_bloom_and_plain_tables_agree(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_merge,
+        )
+
+        a = self._mk(spark, tmp_path, bloom=True, name="a")
+        b = self._mk(spark, tmp_path, bloom=False, name="b")
+        upd = spark.createDataFrame([(7, -7), (9999, -9)], "k long, v long")
+        dels = spark.createDataFrame([(11,), (12,)], "k long")
+        for d in (a, b):
+            mtable_merge(spark, d, upd, "k")
+            mtable_delete(spark, d, dels, "k")
+        assert sorted(map(tuple, mtable_read(spark, a).collect())) == sorted(
+            map(tuple, mtable_read(spark, b).collect())
+        )
+        # the plain table never mentions blooms
+        assert "bloom" not in read_manifest(b)
+
+    def test_merge_carries_and_extends_bitsets(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_merge
+
+        d = self._mk(spark, tmp_path)
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(50, -5), (50_000, -1)], "k long, v long"),
+            "k",
+        )
+        man = read_manifest(d)
+        # every live file — carried AND fresh — has a bitset
+        assert set(man["bloom"]["files"]) == set(man["files"])
+        # a later MID-RANGE point lookup still bloom-prunes: every
+        # unclustered file range-matches key 60, the bloom refutes all
+        # but the true holder(s) — including the fresh merge-1 file,
+        # whose bitset the commit built
+        out = mtable_merge(
+            spark, d,
+            spark.createDataFrame([(60, -2)], "k long, v long"),
+            "k",
+        )
+        assert out["key_match_path"].startswith("collect+bloom:")
+        assert out["files_rewritten"] <= 2
+
+    def test_vacuum_compact_restore_clone_lifecycles(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_clone,
+            mtable_compact,
+            mtable_delete,
+            mtable_restore,
+            mtable_vacuum,
+        )
+
+        d = self._mk(spark, tmp_path)
+        man_del = mtable_delete(
+            spark, d, spark.createDataFrame([(5,)], "k long"), "k"
+        )
+        rep = mtable_vacuum(d, retain_versions=2)
+        # sidecars referenced by a retained version survive the vacuum
+        # (the create's sidecar still backs the 7 carried files)
+        live = set(man_del["bloom"]["files"].values())
+        assert live and not (live & set(rep["removed_files"]))
+        want = sorted(map(tuple, mtable_read(spark, d).collect()))
+        # restore carries the target's bloom verbatim
+        mtable_restore(d, 0)
+        assert read_manifest(d)["bloom"] == read_manifest(d, 0)["bloom"]
+        mtable_restore(d, man_del["version"])
+        assert read_manifest(d)["bloom"] == man_del["bloom"]
+        assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
+        # clone translates data files AND sidecars to absolute paths
+        dst = str(tmp_path / "cl")
+        man_cl = mtable_clone(d, dst)
+        assert all(os.path.isabs(s) for s in man_cl["bloom"]["files"].values())
+        assert mtable_read(spark, dst).count() == 3999
+        out = mtable_delete(
+            spark, dst, spark.createDataFrame([(77,)], "k long"), "k"
+        )
+        assert out["key_match_path"].startswith("collect+bloom:")
+        # compact rebuilds bitsets for the rewritten files; the old
+        # sidecars lose their last reference and the next vacuum
+        # reclaims them
+        man_c = mtable_compact(spark, d)
+        assert set(man_c["bloom"]["files"]) == set(man_c["files"])
+        assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
+        rep2 = mtable_vacuum(d, retain_versions=1)
+        assert live & set(rep2["removed_files"]) == live
+        assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
+
+    def test_composite_key_bloom(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+        )
+
+        df = spark.range(0, 2000).select(
+            (F.col("id") % 40).alias("a"),
+            (F.col("id") / 40).cast("long").alias("b"),
+            F.col("id").alias("v"),
+        ).repartition(6)
+        d = str(tmp_path / "comp")
+        mtable_create(spark, df, d, bloom_keys=["a", "b"], bloom_bits=1 << 14)
+        out = mtable_delete(
+            spark, d, spark.createDataFrame([(3, 17)], "a long, b long"),
+            ["a", "b"],
+        )
+        assert out["key_match_path"].startswith("collect+bloom:")
+        assert out["files_rewritten"] <= 2
+        got = {(r["a"], r["b"]) for r in mtable_read(spark, d).collect()}
+        assert (3, 17) not in got and len(got) == 1999
+
+    def test_join_path_ignores_bloom(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d = self._mk(spark, tmp_path)
+        dels = spark.range(0, 50).select(F.col("id").alias("k"))
+        out = mtable_delete(spark, d, dels, "k", max_collect_keys=10)
+        assert out["key_match_path"] == "join"
+        got = {r["k"] for r in mtable_read(spark, d).collect()}
+        assert got == set(range(50, 4000))

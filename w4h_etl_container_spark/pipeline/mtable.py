@@ -69,7 +69,16 @@ table:
   vacuum reclaims DV files with the same referenced-set rule as data
   files.
 
-Surface: ``mtable_create`` / ``mtable_read`` (versioned, or
+* opt-in per-file KEY BLOOM FILTERS (``mtable_create(bloom_keys=...)``
+  — the Delta bloom-filter-index move): every committing writer hashes
+  its new files' key tuples into bitset sidecars (``bloom-*/``
+  parquet, mapped from the manifest), and bounded-key planning skips
+  range-matched files the bloom refutes — point lookups stay pruned
+  even where unclustered churn has every file spanning the whole key
+  domain. Commit cost grows from O(new footers) to O(new rows) (one
+  read-back hash scan), which is why it is opt-in.
+
+Surface: ``mtable_create`` (optional ``bloom_keys``) / ``mtable_read`` (versioned, or
 ``as_of`` a timestamp) / ``mtable_merge`` (keyed upsert, optional
 schema evolution, cow | mor) / ``mtable_delete`` (cow | mor) / ``mtable_merge_agg``
 (incremental aggregate maintenance — the materialized-view refresh;
@@ -158,6 +167,7 @@ def _write_manifest(
     meta: dict,
     file_stats: dict | None = None,
     dv: dict | None = None,
+    bloom: dict | None = None,
     overwrite: bool = False,
 ) -> None:
     """Publish manifest ``version`` then flip the ``_latest`` pointer.
@@ -197,6 +207,8 @@ def _write_manifest(
         man["file_stats"] = file_stats
     if dv:
         man["dv"] = {f: sorted(v) for f, v in sorted(dv.items()) if v}
+    if bloom:
+        man["bloom"] = bloom
     path = _manifest_path(table_dir, version)
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -552,7 +564,20 @@ def _plan_matched_files(
     else:
         path = "join"
         hits = []
-    matched_set = set(unprunable) | set(hits)
+    if path == "collect":
+        # bloom skipping (bounded-key path only — the probe positions
+        # come from the already-count-gated key frame): a range-matched
+        # or stats-less file whose bitset refutes every batch tuple is
+        # provably clean
+        candidates = unprunable + [f for f in hits if f not in set(unprunable)]
+        candidates, n_bloom_skipped = _bloom_prune(
+            spark, table_dir, man, kdf, keys, candidates
+        )
+        if n_bloom_skipped:
+            path = f"collect+bloom:{n_bloom_skipped}"
+        matched_set = set(candidates)
+    else:
+        matched_set = set(unprunable) | set(hits)
     matched = [f for f in man["files"] if f in matched_set]
     untouched = [f for f in man["files"] if f not in matched_set]
     return matched, untouched, n_keys, kdf, path
@@ -626,13 +651,207 @@ def _retrying(fn, table_dir: str, retries: int, expected_version: int | None):
                 ) from None
 
 
-def mtable_create(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
-    """Create version 0 from ``df``."""
+# ---------------------------------------------------------------------------
+# Per-file key BLOOM FILTERS (opt-in; the Delta bloom-filter-index /
+# Iceberg bloom write-property move): manifest min/max stats prune by
+# RANGE, which degenerates after unclustered merges — a rewritten or
+# appended file spans the whole key domain, so a point lookup matches
+# every file. A per-file bloom over the key TUPLE skips files
+# independently of clustering. Bitsets live in per-commit parquet
+# sidecars under bloom-*/ (never inline in the manifest JSON); the
+# manifest maps data file -> sidecar. Trade (why opt-in): commit-time
+# cost grows from O(new footers) to O(new rows) — one extra read-back
+# scan of the just-written files to hash their keys.
+# ---------------------------------------------------------------------------
+
+_BLOOM_DEFAULT_BITS = 1 << 17  # 16 KB/file: fpp < 1% up to ~13k keys/file
+_BLOOM_K = 7
+
+
+def _bloom_positions(keys: list[str], bits: int):
+    """The k bit positions of a key tuple — double hashing over TWO
+    independent xxhash64 renderings (seeded by an extra literal).
+    Computed by SPARK on both the build and the probe side, so the
+    hash definition lives in exactly one engine."""
+    cols = [F.col(c) for c in keys]
+    # reduce both hashes BEFORE combining: h1 + i*h2 on raw 64-bit
+    # hashes overflows long (ANSI mode refuses); the reduced forms are
+    # < bits so the stride sum stays tiny. h2 is forced into
+    # 1..bits-1 — a zero stride would collapse the k probes into one
+    p1 = F.pmod(F.xxhash64(*cols), F.lit(bits))
+    p2 = F.pmod(F.xxhash64(F.lit(-1640531527), *cols), F.lit(bits - 1)) + F.lit(1)
+    return [
+        F.pmod(p1 + F.lit(i) * p2, F.lit(bits)).cast("int").alias(f"_bp{i}")
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(
+    spark: SparkSession,
+    table_dir: str,
+    new_files: list[str],
+    man: dict,
+    bloom: dict,
+) -> dict:
+    """Hash the NEW files' key tuples into one bitset per file (an
+    applyInPandas kernel — the bitset is built on the executors, only
+    bits/8 bytes per file return) and write one sidecar parquet for
+    the commit. Returns {data_file_rel: sidecar_rel} for the new
+    files."""
+    import pandas as pd
+
+    if not new_files:
+        return {}
+    keys, bits = bloom["keys"], bloom["bits"]
+    scan = _scan_with_pos(spark, table_dir, new_files, man, dv_man={})
+    hashed = scan.select("_mt_file", *_bloom_positions(keys, bits))
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        bs = np.zeros(bits // 8, dtype=np.uint8)
+        for i in range(_BLOOM_K):
+            pos = pdf[f"_bp{i}"].to_numpy()
+            np.bitwise_or.at(
+                bs, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+            )
+        return pd.DataFrame(
+            {"file": [pdf["_mt_file"].iloc[0]], "bloom": [bs.tobytes()]}
+        )
+
+    built = hashed.groupBy("_mt_file").applyInPandas(
+        kern, "file string, bloom binary"
+    )
+    sub = f"bloom-{uuid.uuid4().hex}"
+    out = os.path.join(table_dir, sub)
+    built.coalesce(1).write.parquet(out)
+    rel = os.path.join(
+        sub, [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+    )
+    base_to_rel = {os.path.basename(f): f for f in new_files}
+    import pyarrow.parquet as pq
+
+    present = pq.read_table(os.path.join(table_dir, rel), columns=["file"])
+    return {base_to_rel[b]: rel for b in present.column("file").to_pylist()}
+
+
+def _carry_bloom(man: dict, files: list[str]) -> dict | None:
+    """The parent's bloom config with its file map restricted to the
+    surviving files (a rewritten file's bitset dies with it — its
+    replacement is re-hashed by the committing writer)."""
+    bloom = man.get("bloom")
+    if not bloom:
+        return None
+    keep = set(files)
+    return {
+        **{k: v for k, v in bloom.items() if k != "files"},
+        "files": {f: s for f, s in bloom.get("files", {}).items() if f in keep},
+    }
+
+
+def _bloom_prune(
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    kdf: DataFrame,
+    keys: list[str],
+    candidates: list[str],
+) -> tuple[list[str], int]:
+    """Drop candidate files whose bloom provably contains NO batch key
+    tuple. Applies only when the table's bloom covers exactly the
+    probe key tuple; files without a bitset (pre-bloom commits,
+    hand-spliced) always pass. The probe positions come from one tiny
+    Spark job over the already-collected-sized key frame — the same
+    hash expressions the build used. Returns (surviving candidates,
+    n_skipped)."""
+    bloom = man.get("bloom")
+    if not bloom or bloom["keys"] != keys or not candidates:
+        return candidates, 0
+    fmap = bloom.get("files", {})
+    with_bits = [f for f in candidates if f in fmap]
+    if not with_bits:
+        return candidates, 0
+    probes = [
+        tuple(r[f"_bp{i}"] for i in range(_BLOOM_K))
+        for r in kdf.select(*_bloom_positions(keys, bloom["bits"])).collect()
+    ]
+    import pyarrow.parquet as pq
+
+    bitsets: dict[str, bytes] = {}
+    for rel in sorted({fmap[f] for f in with_bits}):
+        tbl = pq.read_table(os.path.join(table_dir, rel))
+        for b, bs in zip(
+            tbl.column("file").to_pylist(), tbl.column("bloom").to_pylist()
+        ):
+            bitsets[b] = bs
+    out, skipped = [], 0
+    for f in candidates:
+        if f not in fmap:
+            out.append(f)
+            continue
+        bs = bitsets.get(os.path.basename(f))
+        if bs is None:
+            out.append(f)
+            continue
+        hit = any(
+            all(bs[p >> 3] & (1 << (p & 7)) for p in tup) for tup in probes
+        )
+        if hit:
+            out.append(f)
+        else:
+            skipped += 1
+    return out, skipped
+
+
+def _bloom_for_commit(
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    survivors: list[str],
+    new_files: list[str],
+) -> dict | None:
+    """One call per committing writer: carry the parent's bitsets for
+    the surviving files and hash the fresh files' keys into new ones.
+    A table without a bloom config stays bloom-free (None)."""
+    bloom = _carry_bloom(man, survivors)
+    if bloom is None:
+        return None
+    bloom["files"].update(
+        _bloom_build(
+            spark, table_dir, new_files,
+            {"schema_json": man.get("schema_json")}, bloom,
+        )
+    )
+    return bloom
+
+
+def mtable_create(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    bloom_keys: list[str] | None = None,
+    bloom_bits: int = _BLOOM_DEFAULT_BITS,
+) -> dict:
+    """Create version 0 from ``df``. ``bloom_keys`` opts the table into
+    per-file key bloom filters (see the bloom section above): every
+    committing writer from then on hashes its NEW files' key tuples
+    into bitset sidecars, and bounded-key merge/delete planning skips
+    range-matched files the bloom refutes."""
     os.makedirs(table_dir, exist_ok=True)
     files = _new_data_files(table_dir, df)
+    meta = {"op": "create", "schema_json": df.schema.json()}
+    if bloom_keys:
+        if bloom_bits & (bloom_bits - 1):
+            raise ValueError("mtable_create: bloom_bits must be a power of two")
+        bloom = {"keys": _as_keys(bloom_keys), "bits": bloom_bits}
+        # data files exist on disk before the manifest publishes, so
+        # the bitsets build first and the commit stays a single rename
+        bloom["files"] = _bloom_build(
+            spark, table_dir, files, {"schema_json": meta["schema_json"]}, bloom
+        )
+        meta["bloom"] = bloom
     _write_manifest(
-        table_dir, 0, files,
-        {"op": "create", "schema_json": df.schema.json()},
+        table_dir, 0, files, meta,
         file_stats=_stats_for(table_dir, files),
     )
     return read_manifest(table_dir)
@@ -972,6 +1191,10 @@ def mtable_merge(
             meta,
             file_stats=_stats_for(table_dir, files, man.get("file_stats")),
             dv=dv,
+            bloom=_bloom_for_commit(
+                spark, table_dir, man,
+                man["files"] if mode == "mor" else untouched, new_files,
+            ),
         )
         return read_manifest(table_dir)
 
@@ -1017,11 +1240,20 @@ def mtable_vacuum(
         # version still shadows a data file with them
         for dvs in (man_v.get("dv") or {}).values():
             referenced |= set(dvs)
+        # bloom sidecars likewise: referenced while any retained
+        # version's bitset map points at them
+        referenced |= set(
+            ((man_v.get("bloom") or {}).get("files") or {}).values()
+        )
     removed = []
     for entry in os.listdir(table_dir):
         sub = os.path.join(table_dir, entry)
         if not (
-            (entry.startswith("data-") or entry.startswith("dv-"))
+            (
+                entry.startswith("data-")
+                or entry.startswith("dv-")
+                or entry.startswith("bloom-")
+            )
             and os.path.isdir(sub)
         ):
             continue
@@ -1143,6 +1375,10 @@ def mtable_delete(
             }),
             file_stats=_stats_for(table_dir, files, man.get("file_stats")),
             dv=dv,
+            bloom=_bloom_for_commit(
+                spark, table_dir, man,
+                man["files"] if mode == "mor" else untouched, new_files,
+            ),
         )
         return read_manifest(table_dir)
 
@@ -1247,6 +1483,7 @@ def mtable_compact(
         }),
         file_stats=_stats_for(table_dir, files, man.get("file_stats")),
         dv=_carry_dv(man, kept),
+        bloom=_bloom_for_commit(spark, table_dir, man, kept, new_files),
     )
     new_man = read_manifest(table_dir)
     n_old = mtable_read(spark, table_dir, version=man["version"]).count()
@@ -1335,6 +1572,9 @@ def mtable_sink(
                 table_dir, man["version"] + 1, files, meta,
                 file_stats=_stats_for(table_dir, files, man.get("file_stats")),
                 dv=_carry_dv(man, man["files"]),
+                bloom=_bloom_for_commit(
+                    spark, table_dir, man, man["files"], new_files
+                ),
             )
         else:
             new_man = mtable_merge(spark, table_dir, df, key)
@@ -1348,11 +1588,12 @@ def mtable_sink(
                 {
                     k: v
                     for k, v in new_man.items()
-                    if k not in ("version", "files", "file_stats", "dv")
+                    if k not in ("version", "files", "file_stats", "dv", "bloom")
                 }
                 | {"epochs": epochs},
                 file_stats=new_man.get("file_stats"),
                 dv=new_man.get("dv"),
+                bloom=new_man.get("bloom"),
                 overwrite=True,
             )
 
@@ -1457,6 +1698,9 @@ def mtable_merge_agg(
                 table_dir, untouched + new_files, man.get("file_stats")
             ),
             dv=_carry_dv(man, untouched),
+            bloom=_bloom_for_commit(
+                spark, table_dir, man, untouched, new_files
+            ),
         )
         return read_manifest(table_dir)
 
@@ -1496,6 +1740,7 @@ def mtable_restore(
         meta,
         file_stats=target.get("file_stats"),
         dv=target.get("dv"),
+        bloom=target.get("bloom"),
     )
     return read_manifest(table_dir)
 
@@ -1658,6 +1903,16 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
         _abs(f): [_abs(d) for d in dvs]
         for f, dvs in (man.get("dv") or {}).items()
     }
+    src_bloom = man.get("bloom")
+    abs_bloom = None
+    if src_bloom:
+        abs_bloom = {
+            **{k: v for k, v in src_bloom.items() if k != "files"},
+            "files": {
+                _abs(f): _abs(s)
+                for f, s in (src_bloom.get("files") or {}).items()
+            },
+        }
     _write_manifest(
         dst_dir,
         0,
@@ -1669,5 +1924,6 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
         }),
         file_stats=abs_stats,
         dv=abs_dv,
+        bloom=abs_bloom,
     )
     return read_manifest(dst_dir)
