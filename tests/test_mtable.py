@@ -2109,3 +2109,112 @@ class TestMtableBloomSkipping:
         assert out["key_match_path"] == "join"
         got = {r["k"] for r in mtable_read(spark, d).collect()}
         assert got == set(range(50, 4000))
+
+
+class TestMtableMorBloomModelCheck:
+    """Round-13 integration model check: random sequences over the FULL
+    mutation surface — cow/mor merge, cow/mor delete, full/small
+    compaction, restore — on a BLOOM-indexed table, against a plain
+    dict reference. After every op the snapshot equals the model, the
+    bloom map covers exactly the live files, and the per-version
+    change feed classifies exactly the model diff. This is where the
+    round's features meet: a MOR delete layered on a MOR merge's DV,
+    then small-scope compaction materializing both, then a restore
+    resurrecting across them."""
+
+    def test_random_sequences(self, spark, tmp_path):
+        import random
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_compact,
+            mtable_create,
+            mtable_delete,
+            mtable_merge,
+            mtable_read,
+            mtable_restore,
+        )
+
+        for seed in (11, 12):
+            rng = random.Random(seed)
+            d = str(tmp_path / f"m{seed}")
+            init = {k: rng.randrange(1000) for k in range(0, 40)}
+            mtable_create(
+                spark,
+                spark.createDataFrame(sorted(init.items()), "k long, v long"),
+                d,
+                bloom_keys=["k"],
+                bloom_bits=1 << 12,
+            )
+            model = dict(init)
+            history = {0: dict(model)}  # version -> model snapshot
+            v = 0
+            for step in range(9):
+                op = rng.choice(
+                    ["merge", "merge", "mor_merge", "delete", "mor_delete",
+                     "compact_small", "compact_full", "restore"]
+                )
+                prev_model = dict(model)
+                if op in ("merge", "mor_merge"):
+                    batch = {
+                        rng.randrange(0, 60): rng.randrange(1000)
+                        for _ in range(rng.randrange(1, 6))
+                    }
+                    mtable_merge(
+                        spark, d,
+                        spark.createDataFrame(
+                            sorted(batch.items()), "k long, v long"
+                        ),
+                        "k",
+                        mode="mor" if op == "mor_merge" else "cow",
+                    )
+                    model.update(batch)
+                elif op in ("delete", "mor_delete"):
+                    ks = [rng.randrange(0, 60) for _ in range(rng.randrange(1, 4))]
+                    mtable_delete(
+                        spark, d,
+                        spark.createDataFrame([(k,) for k in ks], "k long"),
+                        "k",
+                        mode="mor" if op == "mor_delete" else "cow",
+                    )
+                    for k in ks:
+                        model.pop(k, None)
+                elif op == "compact_small":
+                    man = mtable_compact(
+                        spark, d, target_bytes=1 << 20, scope="small",
+                        small_bytes=1 << 20,
+                    )
+                    if man["version"] == v:
+                        continue  # true no-op: nothing under-sized, no DVs
+                elif op == "compact_full":
+                    mtable_compact(spark, d, target_bytes=1 << 20)
+                else:
+                    target = rng.choice(sorted(history))
+                    if target == v:
+                        continue
+                    mtable_restore(d, target)
+                    model = dict(history[target])
+                v += 1
+                history[v] = dict(model)
+                man = read_manifest(d)
+                got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+                assert got == model, (seed, step, op)
+                # bloom map covers exactly the live files, always
+                assert set(man["bloom"]["files"]) == set(man["files"]), (
+                    seed, step, op,
+                )
+                # the per-version feed states exactly the model diff
+                ch = {}
+                for r in mtable_changes(spark, d, v - 1, v, key="k").collect():
+                    ch.setdefault(r["_change_type"], set()).add(r["k"])
+                want_ins = {
+                    k for k in model if k not in prev_model
+                }
+                want_upd = {
+                    k for k in model
+                    if k in prev_model and model[k] != prev_model[k]
+                }
+                want_del = {k for k in prev_model if k not in model}
+                assert ch.get("insert", set()) == want_ins, (seed, step, op)
+                assert ch.get("update", set()) == want_upd, (seed, step, op)
+                assert ch.get("delete", set()) == want_del, (seed, step, op)

@@ -719,20 +719,28 @@ def _bloom_build(
             {"file": [pdf["_mt_file"].iloc[0]], "bloom": [bs.tobytes()]}
         )
 
-    built = hashed.groupBy("_mt_file").applyInPandas(
+    rows = hashed.groupBy("_mt_file").applyInPandas(
         kern, "file string, bloom binary"
-    )
+    ).collect()
+    # a writer can emit EMPTY part files (a partition with no
+    # survivors): no rows -> no group -> no bitset. Give them the
+    # all-zeros bloom — an empty file refutes every key, the maximal
+    # prune. The driver round-trip is bounded: bits/8 bytes per NEW
+    # file (the sidecar's own size), never table- or row-scaled.
+    base_to_rel = {os.path.basename(f): f for f in new_files}
+    present = {r["file"] for r in rows}
+    pairs = [(r["file"], bytes(r["bloom"])) for r in rows] + [
+        (b, bytes(bits // 8)) for b in base_to_rel if b not in present
+    ]
     sub = f"bloom-{uuid.uuid4().hex}"
     out = os.path.join(table_dir, sub)
-    built.coalesce(1).write.parquet(out)
+    spark.createDataFrame(pairs, "file string, bloom binary").coalesce(
+        1
+    ).write.parquet(out)
     rel = os.path.join(
         sub, [f for f in os.listdir(out) if f.endswith(".parquet")][0]
     )
-    base_to_rel = {os.path.basename(f): f for f in new_files}
-    import pyarrow.parquet as pq
-
-    present = pq.read_table(os.path.join(table_dir, rel), columns=["file"])
-    return {base_to_rel[b]: rel for b in present.column("file").to_pylist()}
+    return {base_to_rel[b]: rel for b, _ in pairs}
 
 
 def _carry_bloom(man: dict, files: list[str]) -> dict | None:
