@@ -300,3 +300,52 @@ def q_mtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mtable_changes(spark, d, 0, 2, key="ckey").select(
         "ckey", "bal", "_change_type"
     )
+
+
+@register(
+    "q_mtable_bloom_delete",
+    sql="""
+    SELECT c_custkey AS ckey, CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer
+    WHERE c_custkey NOT IN (11, 500, 993)
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
+)
+def q_mtable_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point deletes through BLOOM file skipping: customer lands as an
+    UNCLUSTERED bloom-indexed mtable (round-robin repartition — every
+    file spans the whole key domain, so min/max range pruning matches
+    ALL files for any point key), three specific keys delete, and the
+    committed snapshot reads back against the survivor SQL. The query
+    asserts the planner actually took the bloom path
+    (``key_match_path = collect+bloom:N`` with N ≥ 1) AND rewrote
+    strictly fewer files than the table holds — on a range-stats-only
+    table this exact delete rewrites everything. Hash parity then
+    proves skipping never skipped a file it needed."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_delete,
+        mtable_read,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-bloom-")
+    mtable_create(
+        spark, cust.repartition(8), d, bloom_keys=["ckey"], bloom_bits=1 << 14
+    )
+    man = mtable_delete(
+        spark, d,
+        spark.createDataFrame([(11,), (500,), (993,)], "ckey long"),
+        "ckey",
+    )
+    if not man["key_match_path"].startswith("collect+bloom:"):
+        raise AssertionError(
+            f"expected bloom-pruned planning, got {man['key_match_path']!r}"
+        )
+    if man["files_rewritten"] >= len(man["files"]):
+        raise AssertionError("bloom skipping rewrote every file")
+    return mtable_read(spark, d).select("ckey", "bal")
