@@ -2218,3 +2218,31 @@ class TestMtableMorBloomModelCheck:
                 assert ch.get("insert", set()) == want_ins, (seed, step, op)
                 assert ch.get("update", set()) == want_upd, (seed, step, op)
                 assert ch.get("delete", set()) == want_del, (seed, step, op)
+
+
+class TestMtableSinkMorMode:
+    def test_mor_sink_contents_and_zero_rewrites(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_read,
+            mtable_sink,
+        )
+
+        d = str(tmp_path / "morsink")
+        base = spark.createDataFrame(
+            [(k, 0) for k in range(20)], "k long, v long"
+        )
+        mtable_create(spark, base, d)
+        files0 = set(read_manifest(d)["files"])
+        before = _stat(d, sorted(files0))
+        sink = mtable_sink(spark, d, key="k", mode="mor")
+        sink(spark.createDataFrame([(3, 33), (50, 55)], "k long, v long"), 0)
+        sink(spark.createDataFrame([(3, 34)], "k long, v long"), 1)
+        # replayed epoch: recognized, skipped
+        sink(spark.createDataFrame([(3, 999)], "k long, v long"), 1)
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[3] == 34 and got[50] == 55 and got[4] == 0
+        assert len(got) == 21
+        # the create's files were never rewritten across three commits
+        assert _stat(d, sorted(files0)) == before
+        assert files0 < set(read_manifest(d)["files"])

@@ -1508,6 +1508,7 @@ def mtable_sink(
     table_dir: str,
     key: str | list[str] | None = None,
     combine: dict[str, str] | None = None,
+    mode: str = "cow",
 ):
     """Exactly-once streaming sink into an mtable: a ``foreachBatch``
     function that APPENDS each micro-batch (or MERGES it by ``key`` —
@@ -1535,7 +1536,12 @@ def mtable_sink(
     a second atomic publish; a crash in that window makes the replay
     re-apply the SAME keyed upsert, which is idempotent by replace
     semantics — contents stay exactly-once either way, at the cost of
-    one redundant (harmless) version on that recovery path.
+    one redundant (harmless) version on that recovery path. Merge mode
+    honors ``mode='mor'`` (deletion-vector upserts — a write-hot
+    streaming table stops rewriting its files every micro-batch; the
+    replayed-epoch recovery stays content-idempotent because the
+    replay shadows whatever live copies the crashed attempt left and
+    appends the identical batch).
 
     Usage::
 
@@ -1585,7 +1591,7 @@ def mtable_sink(
                 ),
             )
         else:
-            new_man = mtable_merge(spark, table_dir, df, key)
+            new_man = mtable_merge(spark, table_dir, df, key, mode=mode)
             # annotate the merge commit with its epoch lineage (merge
             # wrote version N+1; rewrite its manifest with epochs —
             # same version, same files, one more atomic publish)
