@@ -1866,22 +1866,55 @@ def mtable_changes(
         if ra is not None:
             resurrected = ra if rb is None else ra.exceptAll(rb)
             new_rows = new_rows.unionByName(_pick(resurrected))
-    upserts = new_rows.exceptAll(old_rows)
-    dropped = old_rows.exceptAll(new_rows)
-    old_keys = dropped.select(*keys).distinct()
-    new_keys = upserts.select(*keys).distinct()
+    # ONE-PASS multiset diff (round 13): the exceptAll pair scanned
+    # each side twice and its derived key sets re-evaluated the scans
+    # again. Tag the sides ±1, aggregate signed counts over ALL
+    # columns (one exchange; groupBy's NULL-safe equality matches
+    # exceptAll's), and everything downstream — post-images (d > 0,
+    # replicated d times = new.exceptAll(old) exactly), pre-images
+    # (d < 0), and the key classification joins — derives from the
+    # counted CHANGED-ROWS table, which the single final plan reuses
+    # via ReusedExchange. Churned files are now read once per side.
     cols = new_rows.columns
-    ups = upserts.join(
-        old_keys.withColumn("_mt_was", F.lit(1)), keys, "left"
-    ).select(
+    tagged = new_rows.select(*cols, F.lit(1).alias("_mt_d")).unionByName(
+        old_rows.select(*cols, F.lit(-1).alias("_mt_d"))
+    )
+    counted = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_mt_d").alias("_mt_d"))
+        .where(F.col("_mt_d") != 0)
+    )
+    # classification WITHOUT self-joins: one window over the (small,
+    # changed-rows-only) counted table marks whether each key has a
+    # post-image (d > 0 anywhere) and a pre-image (d < 0 anywhere) —
+    # replaced keys are updates, fresh ones inserts, un-replaced
+    # removed ones deletes (a replaced key's pre-image is suppressed,
+    # same as the join rendering). Both output branches share the
+    # window's exchange, so the churned files are scanned exactly once
+    # per side at runtime.
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*keys)
+    flagged = counted.select(
         *cols,
-        F.when(F.col("_mt_was").isNotNull(), F.lit("update"))
+        "_mt_d",
+        F.max(F.when(F.col("_mt_d") > 0, 1).otherwise(0)).over(w).alias("_mt_new"),
+        F.max(F.when(F.col("_mt_d") < 0, 1).otherwise(0)).over(w).alias("_mt_old"),
+    )
+    ups = flagged.where(F.col("_mt_d") > 0).select(
+        *cols,
+        F.when(F.col("_mt_old") == 1, F.lit("update"))
         .otherwise(F.lit("insert"))
         .alias("_change_type"),
-    )
-    dels = dropped.join(new_keys, keys, "left_anti").select(
-        *cols, F.lit("delete").alias("_change_type")
-    )
+        F.explode(F.sequence(F.lit(1), F.col("_mt_d"))).alias("_mt_i"),
+    ).drop("_mt_i")
+    dels = flagged.where(
+        (F.col("_mt_d") < 0) & (F.col("_mt_new") == 0)
+    ).select(
+        *cols,
+        F.lit("delete").alias("_change_type"),
+        F.explode(F.sequence(F.lit(1), -F.col("_mt_d"))).alias("_mt_i"),
+    ).drop("_mt_i")
     return ups.unionByName(dels)
 
 
