@@ -2246,3 +2246,41 @@ class TestMtableSinkMorMode:
         # the create's files were never rewritten across three commits
         assert _stat(d, sorted(files0)) == before
         assert files0 < set(read_manifest(d)["files"])
+
+
+class TestMtableMorOptimisticRetry:
+    def test_racing_mor_deletes_both_commit_with_layered_dvs(
+        self, spark, table, monkeypatch
+    ):
+        """The optimistic loop under merge-on-read: writer A commits a
+        MOR delete while writer B is between DV resolution and publish.
+        B's CAS loses, replans against A's snapshot (key 1 already
+        shadowed there), and commits a second layered shadow — both
+        deletes land, nothing resurrects, no data file ever rewrites."""
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        man0 = M.read_manifest(table)
+        orig = M._new_dv_file
+        fired = {"done": False}
+
+        def hook(table_dir, df):
+            if not fired["done"]:
+                fired["done"] = True
+                M.mtable_delete(
+                    spark, table_dir,
+                    spark.createDataFrame([(1,)], "k long"), "k", mode="mor",
+                )
+            return orig(table_dir, df)
+
+        monkeypatch.setattr(M, "_new_dv_file", hook)
+        man = M.mtable_delete(
+            spark, table, spark.createDataFrame([(2,)], "k long"), "k",
+            mode="mor", retries=2,
+        )
+        assert man["version"] == 2  # A took v1, B retried into v2
+        assert man["files"] == man0["files"]  # zero rewrites throughout
+        got = {r["k"] for r in mtable_read(spark, table).collect()}
+        assert 1 not in got and 2 not in got and len(got) == 998
+        # both shadows live in the final manifest
+        dvs = {dv for lst in man["dv"].values() for dv in lst}
+        assert len(dvs) == 2
