@@ -660,14 +660,18 @@ def q_mp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters and frame-samples with. Scale: one construct pass + one
     parse pass, payload bytes never enter the JVM row format."""
     from w4h_etl_container_spark.multimodal.media import (
-        mp4_keyframes,
+        mp4_sample_ranges,
         parse_mp4,
     )
 
     media = _planted_mp4_media(spark, sf_dir)
-    frames = mp4_keyframes(media)
 
-    def meta_kernel(batches):
+    # ONE kernel pass: parse + keyframe-range resolution per asset —
+    # emitting one row per KEYFRAME carrying the track metadata, so
+    # the construct/parse work runs once (a separate meta branch would
+    # re-evaluate the planted-media subtree); the per-asset rollup is
+    # then a single narrow groupBy
+    def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
@@ -676,21 +680,31 @@ def q_mp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parsed = parse_mp4(payload)
                 if parsed is None or not parsed["tracks"]:
                     continue
+                ranges = mp4_sample_ranges(parsed)
+                if ranges is None:
+                    continue
                 t = parsed["tracks"][0]
-                rows.append(
-                    (int(media_id), t["n_samples"], t["width"], t["height"])
-                )
+                for num, off, size, is_sync in ranges:
+                    if is_sync:
+                        rows.append(
+                            (int(media_id), t["n_samples"], t["width"],
+                             t["height"], size)
+                        )
             yield pd.DataFrame(
-                rows, columns=["media_id", "n_samples", "width", "height"]
+                rows,
+                columns=["media_id", "n_samples", "width", "height", "fsize"],
             )
 
-    meta = media.mapInPandas(
-        meta_kernel, "media_id long, n_samples int, width int, height int"
+    per_frame = media.mapInPandas(
+        kernel,
+        "media_id long, n_samples int, width int, height int, fsize long",
     )
-    agg = frames.groupBy("media_id").agg(
+    return per_frame.groupBy("media_id").agg(
+        F.first("n_samples").alias("n_samples"),
         F.count(F.lit(1)).cast("int").alias("n_keyframes"),
-        F.sum(F.length("frame_bytes")).cast("long").alias("key_bytes"),
-    )
-    return meta.join(agg, "media_id").select(
+        F.sum("fsize").alias("key_bytes"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+    ).select(
         "media_id", "n_samples", "n_keyframes", "key_bytes", "width", "height"
     )
