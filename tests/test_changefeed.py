@@ -42,12 +42,14 @@ def _register(spark):
     spark.dataSource.register(MtableVersionsDataSource)
 
 
-def _run_available(spark, table_dir, ckpt, fb, starting_version=None):
+def _run_available(spark, table_dir, ckpt, fb, starting_version=None, **opts):
     reader = (
         spark.readStream.format("mtable_versions").option("table_dir", table_dir)
     )
     if starting_version is not None:
         reader = reader.option("starting_version", str(starting_version))
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
     q = (
         reader.load()
         .writeStream.foreachBatch(fb)
@@ -149,6 +151,185 @@ class TestVersionStream:
         )  # v2
         _run_available(spark, table, ck, fb)
         assert seen == [2]
+
+
+class TestVersionStreamEdges:
+    """Advisor r13 + verdict missing-#5: full replay from -1 must work
+    (v0 has no parent manifest — it renders as snapshot inserts), a
+    catch-up over a long history must checkpoint progress in bounded
+    micro-batches, and a window spanning a schema evolution must
+    deliver per-version diffs under each commit's own schema."""
+
+    def test_full_replay_from_minus_one_delivers_v0_as_inserts(
+        self, spark, tmp_path, table
+    ):
+        _register(spark)
+        mtable_merge(
+            spark, table,
+            spark.createDataFrame(
+                [(5, -1, "upd"), (500, -2, "new")], "k long, v long, tag string"
+            ),
+            "k",
+        )  # v1
+        got: dict[int, set] = {}
+
+        def process(df, v):
+            got[v] = {(r["k"], r["_change_type"]) for r in df.collect()}
+
+        _run_available(
+            spark, table, str(tmp_path / "ck"),
+            apply_changes(spark, table, key="k", process=process),
+            starting_version=-1,
+        )
+        assert sorted(got) == [0, 1]
+        assert got[0] == {(k, "insert") for k in range(100)}
+        assert got[1] == {(5, "update"), (500, "insert")}
+
+    def test_starting_version_below_minus_one_rejected(self, spark, table):
+        _register(spark)
+        with pytest.raises(Exception, match="starting_version"):
+            (
+                spark.readStream.format("mtable_versions")
+                .option("table_dir", table)
+                .option("starting_version", "-2")
+                .load()
+                .writeStream.format("noop")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(60)
+            )
+
+    def test_max_versions_per_batch_bounds_catchup(self, spark, tmp_path, table):
+        _register(spark)
+        for i in range(5):  # v1..v5 committed before the stream starts
+            mtable_merge(
+                spark, table,
+                spark.createDataFrame(
+                    [(i, -i, "x")], "k long, v long, tag string"
+                ),
+                "k",
+            )
+        batches: list[list[int]] = []
+
+        def fb(batch_df, epoch_id):
+            vs = sorted(r["version"] for r in batch_df.collect())
+            if vs:
+                batches.append(vs)
+
+        # the Python data source runs ONE micro-batch per availableNow
+        # trigger (no AvailableNow support — Spark logs the fallback),
+        # so drive repeated runs against one checkpoint: each advances
+        # by at most max_versions_per_batch and commits its progress
+        for _ in range(5):
+            _run_available(
+                spark, table, str(tmp_path / "ck"), fb,
+                starting_version=0, max_versions_per_batch=2,
+            )
+        assert [v for b in batches for v in b] == [1, 2, 3, 4, 5]
+        assert all(len(b) <= 2 for b in batches)
+        assert len(batches) >= 3  # the backlog really was split up
+
+    def test_window_spanning_schema_evolution(self, spark, tmp_path, table):
+        _register(spark)
+        # v1 under the original 3-column schema; v2 ADDS a column; v3
+        # writes under the evolved schema — one catch-up window spans
+        # all three
+        mtable_merge(
+            spark, table,
+            spark.createDataFrame([(1, -1, "a")], "k long, v long, tag string"),
+            "k",
+        )  # v1
+        mtable_merge(
+            spark, table,
+            spark.createDataFrame(
+                [(2, -2, "b", 0.5)], "k long, v long, tag string, score double"
+            ),
+            "k", schema_evolution=True,
+        )  # v2
+        mtable_merge(
+            spark, table,
+            spark.createDataFrame(
+                [(3, -3, "c", 0.9)], "k long, v long, tag string, score double"
+            ),
+            "k",
+        )  # v3
+        got: dict[int, dict] = {}
+
+        def process(df, v):
+            got[v] = {
+                r["k"]: (set(df.columns), r["_change_type"]) for r in df.collect()
+            }
+
+        _run_available(
+            spark, table, str(tmp_path / "ck"),
+            apply_changes(spark, table, key="k", process=process),
+            starting_version=0,
+        )
+        assert sorted(got) == [1, 2, 3]
+        # pre-evolution diff carries the old schema; evolved diffs the new
+        assert got[1][1][0] == {"k", "v", "tag", "_change_type"}
+        for v, k in ((2, 2), (3, 3)):
+            cols, ctype = got[v][k]
+            assert cols == {"k", "v", "tag", "score", "_change_type"}
+            assert ctype == "update"
+
+
+class TestRateLimitedSync:
+    def test_bounded_catchup_drives_index_to_head(self, spark, tmp_path):
+        """max_versions_per_batch composed with sync_index_on_changes:
+        a backlog of commits applies in bounded micro-batches, each
+        advancing the index watermark monotonically, converging to the
+        same head state an unbounded catch-up reaches."""
+        import json as _json
+        import os as _os
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.textindex import (
+            audit_text_index,
+            build_text_index,
+            _write_index_manifest,
+        )
+
+        _register(spark)
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} alpha") for i in range(20)], "doc_id long, text string"
+        )
+        tdir = str(tmp_path / "docs")
+        mtable_create(spark, docs, tdir)
+        src = str(tmp_path / "src")
+        _os.makedirs(src)
+        docs.coalesce(1).write.parquet(str(tmp_path / "pq"))
+        for f in _os.listdir(str(tmp_path / "pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / "pq" / f),
+                            _os.path.join(src, "documents.parquet"))
+        idx = str(tmp_path / "idx")
+        build_text_index(spark, src, idx)
+        with open(_os.path.join(idx, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        man["synced_table_version"] = 0
+        _write_index_manifest(idx, man)
+
+        for v in range(1, 5):  # 4-commit backlog while the stream is down
+            mtable_merge(
+                spark, tdir,
+                spark.createDataFrame(
+                    [(100 + v, f"new doc {v} beta")], "doc_id long, text string"
+                ),
+                "doc_id",
+            )
+        ck = str(tmp_path / "ck")
+        watermarks = []
+        for _ in range(4):  # one micro-batch per availableNow run
+            _run_available(
+                spark, tdir, ck,
+                sync_index_on_changes(spark, tdir, idx, kind="text"),
+                starting_version=0, max_versions_per_batch=1,
+            )
+            with open(_os.path.join(idx, "MANIFEST.json")) as f:
+                watermarks.append(_json.load(f)["synced_table_version"])
+        assert watermarks == [1, 2, 3, 4]  # monotone, one version per batch
+        assert audit_text_index(spark, idx)["consistent"]
 
 
 class TestStreamedIndexSync:

@@ -946,13 +946,13 @@ class TestMtableOptimisticRetry:
         orig = M._new_data_files
         fired = {"done": False}
 
-        def hook(table_dir, df):
+        def hook(table_dir, df, **kw):
             # writer A commits a full merge while writer B is between
             # planning and publish — the textbook interleave
             if not fired["done"]:
                 fired["done"] = True
                 M.mtable_merge(spark, table_dir, upd_a, "k")
-            return orig(table_dir, df)
+            return orig(table_dir, df, **kw)
 
         monkeypatch.setattr(M, "_new_data_files", hook)
         man = M.mtable_merge(spark, table, upd_b, "k", retries=2)
@@ -984,11 +984,11 @@ class TestMtableOptimisticRetry:
             orig = M._new_data_files
             fired = {"done": False}
 
-            def hook(table_dir, df):
+            def hook(table_dir, df, **kw):
                 if not fired["done"]:
                     fired["done"] = True
                     M.mtable_merge(spark, table_dir, first, "k")
-                return orig(table_dir, df)
+                return orig(table_dir, df, **kw)
 
             monkeypatch.setattr(M, "_new_data_files", hook)
             M.mtable_merge(spark, d, second, "k", retries=3)
@@ -1609,6 +1609,58 @@ class TestMtableDeletionVectors:
         assert man2["n_deleted"] == 0
         assert man2["dv"] == man1["dv"]
         assert mtable_read(spark, d).count() == 998
+
+    def test_dv_broadcast_gate_uses_decompressed_estimate(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Advisor r13 (low): sorted positional deletes RLE-compress
+        ~100× in parquet, so gating the anti-join broadcast on ON-DISK
+        sidecar bytes under-protects. The gate must count footer ROWS
+        (× fixed width): a tiny-on-disk DV claiming huge row counts
+        falls back to the shuffled anti-join; a genuinely small one
+        broadcasts."""
+        import pyarrow.parquet as pq
+
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d = self._mk(spark, tmp_path)
+        kdf = spark.createDataFrame([(3,), (9,)], "k long")
+        mtable_delete(spark, d, kdf, "k", mode="mor")
+
+        def plan() -> str:
+            return (
+                mtable_read(spark, d)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+
+        p = plan()
+        assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+        real = pq.ParquetFile
+
+        class _Huge:
+            def __init__(self, path):
+                self._md = real(path).metadata
+
+            @property
+            def metadata(self):
+                md = self._md
+
+                class _M:
+                    num_rows = 10**9  # decompressed estimate >> 32 MB
+                    num_columns = md.num_columns
+                    num_row_groups = md.num_row_groups
+
+                return _M()
+
+        monkeypatch.setattr(pq, "ParquetFile", _Huge)
+        p2 = plan()
+        anti = [
+            ln for ln in p2.splitlines() if "LeftAnti" in ln
+        ]
+        assert anti and all("Broadcast" not in ln for ln in anti)
 
     def test_compact_materializes_and_clears_dvs(self, spark, tmp_path):
         from w4h_etl_container_spark.pipeline.mtable import (
@@ -2284,3 +2336,316 @@ class TestMtableMorOptimisticRetry:
         # both shadows live in the final manifest
         dvs = {dv for lst in man["dv"].values() for dv in lst}
         assert len(dvs) == 2
+
+
+class TestMtableSegmentedManifests:
+    """Round-14: per-file manifest payload splits into immutable
+    segments (the Iceberg manifest-list move) — a commit writes
+    O(churn) manifest bytes and re-references untouched segments by
+    name, instead of rewriting the full O(table-files) JSON every
+    commit (the r13 audit's largest remaining structural driver
+    cost). Descriptors stay CAS'd; reads materialize the legacy shape
+    through an immutable-segment cache."""
+
+    def _raw(self, table_dir, version):
+        import json as _json
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        with open(M._manifest_path(table_dir, version)) as f:
+            return _json.load(f)
+
+    def test_commit_reuses_untouched_segments(self, spark, table):
+        d0 = self._raw(table, 0)
+        assert "segments" in d0 and "files" not in d0
+        man0 = read_manifest(table)
+        upd = spark.createDataFrame([(5, -1, "u")], "k long, v long, tag string")
+        mtable_merge(spark, table, upd, "k")
+        d1 = self._raw(table, 1)
+        # the v0 segment is re-referenced BY NAME (not rewritten); the
+        # merge adds one fresh segment for its new files and tombstones
+        # the one rewritten file
+        assert set(d0["segments"]) <= set(d1["segments"])
+        fresh = set(d1["segments"]) - set(d0["segments"])
+        assert len(fresh) == 1
+        removed = [f for fs in d1.get("segment_removed", {}).values() for f in fs]
+        assert len(removed) == 1 and removed[0] in man0["files"]
+        # materialized views agree with the format's contract
+        man1 = read_manifest(table)
+        assert man1["n_files"] == len(man1["files"])
+        assert set(man1["file_stats"]) == set(man1["files"])
+        got = {r["k"]: r["v"] for r in mtable_read(spark, table).collect()}
+        assert got[5] == -1 and len(got) == 1000
+
+    def test_descriptor_bytes_are_o_churn(self, spark, table):
+        """The commit's descriptor must not grow with table size: its
+        JSON carries segment names + tombstones, never the file list."""
+        upd = spark.createDataFrame([(7, -7, "u")], "k long, v long, tag string")
+        mtable_merge(spark, table, upd, "k")
+        import os as _os
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        desc_bytes = _os.path.getsize(M._manifest_path(table, 1))
+        man = read_manifest(table, 1)
+        inline_bytes = len(str(man.get("file_stats", {}))) + len(str(man["files"]))
+        assert desc_bytes < inline_bytes  # strictly smaller than inlining
+
+    def test_mostly_dead_segment_rewrites_filtered(self, spark, table):
+        """Deleting most of the table's keys kills most of the v0
+        segment's entries — past the dead ratio the next commit must
+        rewrite it filtered instead of accumulating tombstones."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        kdf = spark.range(0, 900).select(F.col("id").alias("k"))
+        mtable_delete(spark, table, kdf, "k")
+        d1 = self._raw(table, 1)
+        d0 = self._raw(table, 0)
+        assert not (set(d0["segments"]) & set(d1["segments"]))
+        # tombstones were folded into the rewrite, not carried
+        assert not d1.get("segment_removed")
+        assert mtable_read(spark, table).count() == 100
+
+    def test_consolidation_bounds_segment_count(self, spark, tmp_path, monkeypatch):
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        monkeypatch.setattr(M, "_SEG_MAX_COUNT", 4)
+        d = str(tmp_path / "consol")
+        M.mtable_create(
+            spark,
+            spark.createDataFrame([(0, 0)], "k long, v long").coalesce(1),
+            d,
+        )
+        for i in range(1, 8):
+            M.mtable_merge(
+                spark, d,
+                spark.createDataFrame([(i, i)], "k long, v long").coalesce(1),
+                "k",
+            )
+        raw = self._raw(d, 7)
+        assert len(raw["segments"]) <= 4
+        assert mtable_read(spark, d).count() == 8
+        assert sorted(
+            r["k"] for r in mtable_read(spark, d).collect()
+        ) == list(range(8))
+
+    def test_vacuum_sweeps_unreferenced_segments(self, spark, table):
+        import os as _os
+
+        upd = spark.createDataFrame([(5, -1, "u")], "k long, v long, tag string")
+        mtable_merge(spark, table, upd, "k")
+        mdir = _os.path.join(table, "_manifests")
+        # plant CAS-loser debris: an unreferenced segment
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        debris = M._write_segment(table, ["data-x/ghost.parquet"], {}, {})
+        out = mtable_vacuum(table, retain_versions=1)
+        assert debris in out["dropped_segments"]
+        live = self._raw(table, 1)["segments"]
+        on_disk = {f for f in _os.listdir(mdir) if f.startswith("seg-")}
+        assert set(live) <= on_disk
+        assert mtable_read(spark, table).count() == 1000
+
+    def test_legacy_inline_manifest_upgrades_on_next_commit(
+        self, spark, tmp_path
+    ):
+        import json as _json
+        import os as _os
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "legacyseg")
+        man0 = M.mtable_create(
+            spark, spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), d
+        )
+        # rewrite v0 as a pre-round-14 INLINE manifest
+        inline = {
+            "version": 0,
+            "files": man0["files"],
+            "file_stats": man0["file_stats"],
+            "op": "create",
+            "schema_json": man0["schema_json"],
+            "committed_at": man0["committed_at"],
+        }
+        with open(M._manifest_path(d, 0), "w") as f:
+            _json.dump(inline, f)
+        assert read_manifest(d)["files"] == man0["files"]  # legacy reads
+        M.mtable_merge(
+            spark, d, spark.createDataFrame([(1, -1)], "k long, v long"), "k"
+        )
+        d1 = self._raw(d, 1)
+        assert "segments" in d1 and "files" not in d1
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got == {1: -1, 2: 20}
+
+
+class TestMtablePartitionSpec:
+    """Round-14: hive-style partition layout (SURVEY §1.3's
+    date-partitioned tables) composed with the manifest machinery —
+    partition values persist as exact [v,v] stats so EVERY pruner
+    (range, bloom, changes) skips foreign partitions before reading a
+    footer, and reads carry Spark-native PartitionFilters."""
+
+    def _mk(self, spark, tmp_path, name="ptab"):
+        df = spark.createDataFrame(
+            [(i, i % 4, i * 10) for i in range(400)], "k long, p int, v long"
+        ).repartition(4, "k")
+        d = str(tmp_path / name)
+        man = mtable_create(spark, df, d, partition_by=["p"])
+        return d, man
+
+    def test_create_layout_and_roundtrip(self, spark, tmp_path):
+        d, man = self._mk(spark, tmp_path)
+        assert man["partition_by"] == ["p"]
+        assert all(f.startswith("data-parts/p=") for f in man["files"])
+        got = mtable_read(spark, d)
+        assert got.columns == ["k", "p", "v"]  # schema order preserved
+        rows = {r["k"]: (r["p"], r["v"]) for r in got.collect()}
+        assert len(rows) == 400 and rows[7] == (3, 70)
+        # partition values persisted as exact stats
+        for f, st in man["file_stats"].items():
+            pval = int(f.split("p=")[1].split("/")[0])
+            assert st["p"] == [pval, pval]
+
+    def test_read_carries_partition_filters(self, spark, tmp_path):
+        d, _ = self._mk(spark, tmp_path)
+        plan = (
+            mtable_read(spark, d)
+            .where(F.col("p") == 2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "(p" in pf[0].split("PartitionFilters")[1][:40]
+
+    def test_partition_key_prunes_before_footers(self, spark, tmp_path):
+        """A delete keyed on the partition column must match ONLY that
+        partition's files — the [v,v] stats make every other file's
+        range refute the key."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d, man0 = self._mk(spark, tmp_path)
+        man1 = mtable_delete(
+            spark, d, spark.createDataFrame([(1,)], "p int"), "p"
+        )
+        p1_files = [f for f in man0["files"] if "/p=1/" in f]
+        others = [f for f in man0["files"] if "/p=1/" not in f]
+        assert man1["files_rewritten"] == len(p1_files)
+        assert set(others) <= set(man1["files"])  # untouched, re-listed
+        got = mtable_read(spark, d)
+        assert got.where(F.col("p") == 1).count() == 0
+        assert got.count() == 300
+
+    def test_merge_preserves_partitioning(self, spark, tmp_path):
+        d, _ = self._mk(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(3, 3, -1), (1000, 2, -2)], "k long, p int, v long"
+        )
+        man1 = mtable_merge(spark, d, upd, "k")
+        assert man1["partition_by"] == ["p"]
+        new_files = set(man1["files"]) - {
+            f for f in man1["files"] if f in set(read_manifest(d, 0)["files"])
+        }
+        assert all(f.startswith("data-parts/p=") for f in man1["files"])
+        got = {r["k"]: (r["p"], r["v"]) for r in mtable_read(spark, d).collect()}
+        assert got[3] == (3, -1) and got[1000] == (2, -2) and len(got) == 401
+
+    def test_changes_and_compact_and_vacuum(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_compact,
+        )
+
+        d, _ = self._mk(spark, tmp_path)
+        upd = spark.createDataFrame([(3, 3, -1)], "k long, p int, v long")
+        mtable_merge(spark, d, upd, "k")  # v1
+        ch = {
+            (r["k"], r["_change_type"])
+            for r in mtable_changes(spark, d, 0, 1, key="k").collect()
+        }
+        assert ch == {(3, "update")}
+        man2 = mtable_compact(spark, d, target_bytes=1 << 30)  # v2
+        assert man2["partition_by"] == ["p"]
+        assert all(f.startswith("data-parts/") for f in man2["files"])
+        assert mtable_read(spark, d).count() == 400
+        out = mtable_vacuum(d, retain_versions=1)
+        assert out["removed_files"]  # pre-compaction partitioned files
+        got = mtable_read(spark, d)
+        assert got.count() == 400
+        assert got.where(F.col("p") == 2).count() == 100
+
+    def test_clone_refuses_partitioned(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_clone
+
+        d, _ = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="partitioned"):
+            mtable_clone(d, str(tmp_path / "dst"))
+
+
+class TestMtableMaintain:
+    """Round-14: the maintenance POLICY — measure (driver metadata
+    only), decide, act. A trickle-churned table self-heals from one
+    nightly mtable_maintain call instead of degrading until a human
+    notices the DV anti-join stopped broadcasting."""
+
+    def _churned(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartition(8)
+        d = str(tmp_path / "mnt")
+        mtable_create(spark, df, d)
+        for k in (3, 77):
+            mtable_delete(
+                spark, d,
+                spark.createDataFrame([(k,)], "k long"), "k", mode="mor",
+            )
+        return d
+
+    def test_dry_run_measures_without_committing(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_maintain
+
+        d = self._churned(spark, tmp_path)
+        rep = mtable_maintain(
+            spark, d, small_files=4, dv_max_files=1, dry_run=True
+        )
+        assert set(rep["triggers"]) == {"small-files", "dv-shadow"}
+        assert rep["actions"] == []
+        assert rep["version_after"] == rep["version_before"] == 2
+        assert rep["measured"]["n_dv_files"] == 2
+        assert rep["measured"]["dv_rows"] == 2
+
+    def test_fires_compact_then_converges(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_maintain
+
+        d = self._churned(spark, tmp_path)
+        rep = mtable_maintain(spark, d, small_files=4, dv_max_files=1)
+        assert rep["actions"] == ["compact-small"]
+        assert rep["version_after"] == 3
+        man = read_manifest(d)
+        assert not man.get("dv")  # shadow materialized
+        got = {r["k"] for r in mtable_read(spark, d).collect()}
+        assert got == set(range(200)) - {3, 77}
+        # second run: healthy table, nothing fires, no commit
+        rep2 = mtable_maintain(spark, d, small_files=4, dv_max_files=1)
+        assert rep2["triggers"] == [] and rep2["actions"] == []
+        assert rep2["version_after"] == rep["version_after"]
+
+    def test_vacuum_never_implied(self, spark, tmp_path):
+        import os as _os
+
+        from w4h_etl_container_spark.pipeline.mtable import mtable_maintain
+
+        d = self._churned(spark, tmp_path)
+        mtable_maintain(spark, d, small_files=4, dv_max_files=1)  # v3
+        mdir = _os.path.join(d, "_manifests")
+        n_before = len([f for f in _os.listdir(mdir) if f.startswith("v")])
+        rep = mtable_maintain(spark, d)  # no vacuum_retain: keeps history
+        assert "vacuum" not in rep["triggers"]
+        assert len([f for f in _os.listdir(mdir) if f.startswith("v")]) == n_before
+        rep2 = mtable_maintain(spark, d, vacuum_retain=1)
+        assert rep2["actions"] == ["vacuum"]
+        assert rep2["vacuum"]["dropped_manifests"] == 3
+        assert mtable_read(spark, d).count() == 198

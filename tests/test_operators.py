@@ -1727,14 +1727,14 @@ class TestNgramJaccardFastPath:
         (doc_a, doc_b, n_common) set as the string-keyed oracle path —
         hash collisions are the only possible divergence and there are
         none at fixture scale."""
-        from w4h_etl_container_spark.plans.registry import load_all
+        from w4h_etl_container_spark.plans.registry import load_library
         from w4h_etl_container_spark.plans.textops import ngram_jaccard_fast
         from w4h_etl_container_spark.session import read_table
 
         docs = read_table(spark, sf_dir, "documents")
         slow = {
             (r["doc_a"], r["doc_b"], r["n_common"])
-            for r in load_all()["q_ngram_jaccard"].fn(spark, sf_dir).collect()
+            for r in load_library()["q_ngram_jaccard"].fn(spark, sf_dir).collect()
         }
         fast = {
             (r["doc_a"], r["doc_b"], r["n_common"])

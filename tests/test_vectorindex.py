@@ -899,6 +899,124 @@ class TestCellLocalRetrain:
         )
         assert rec[-1]["recall"] == 1.0
 
+    def test_retrain_commit_is_the_manifest_flip(self, spark, tmp_path):
+        """Advisor r13 (medium): the old sequence rmtree'd split cells
+        BEFORE renaming replacements in — a crash in between dropped
+        vectors permanently. Now every pre-commit artifact is invisible
+        debris (fresh ids the manifest doesn't acknowledge), the
+        atomic manifest rename flips the repair, and dead split dirs
+        stay unservable (dead_centroids) until the post-commit sweep."""
+        import json as _json
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            audit_index,
+            retrain_cells,
+            search_index,
+        )
+
+        d2, out, full = self._drifted(spark, tmp_path)
+        cells_path = os.path.join(out, "cells")
+        with open(os.path.join(out, "MANIFEST.json")) as f:
+            man0 = _json.load(f)
+        baseline = audit_index(spark, out)
+
+        # simulate a crash BETWEEN staging and commit: fresh partition
+        # dirs exist under unacknowledged ids, manifest unchanged
+        src_part = next(
+            e for e in os.listdir(cells_path) if e.startswith("centroid_id=")
+        )
+        debris = os.path.join(
+            cells_path, f"centroid_id={man0['n_centroids'] + 5}"
+        )
+        shutil.copytree(os.path.join(cells_path, src_part), debris)
+        a = audit_index(spark, out)
+        assert a["consistent"], "pre-commit debris must be unservable"
+        assert a["cells_n"] == baseline["cells_n"]
+
+        # the next retrain sweeps the debris before reusing ids, then
+        # commits; post-commit the split cells are on dead_centroids
+        man = retrain_cells(spark, out, full)
+        assert not os.path.isdir(debris) or man["n_centroids"] > (
+            man0["n_centroids"] + 5
+        )
+        split = {m["cell"] for m in man["retrains"][-1]["cells"]}
+        assert split and set(man["dead_centroids"]) >= split
+        # fresh matrix lives at a versioned path the old manifest never
+        # referenced; the superseded matrix dir is swept
+        assert man["artifacts"]["centroids"].endswith("-r1")
+        assert not os.path.isdir(man0["artifacts"]["centroids"])
+        assert audit_index(spark, out)["consistent"]
+
+        # simulate a crash AFTER commit but BEFORE the sweep: resurrect
+        # a dead split dir with stale rows — dead_centroids must keep
+        # it unservable for every reader
+        dead_id = sorted(split)[0]
+        dead_dir = os.path.join(cells_path, f"centroid_id={dead_id}")
+        live_part = next(
+            e
+            for e in os.listdir(cells_path)
+            if e.startswith("centroid_id=")
+        )
+        shutil.copytree(os.path.join(cells_path, live_part), dead_dir)
+        a2 = audit_index(spark, out)
+        assert a2["consistent"], "dead-dir debris must stay invisible"
+        served = search_index(
+            spark, d2, out, n_queries=4, nprobe=man["n_centroids"], top_k=5
+        )
+        assert served.count() > 0  # search runs clean over the debris
+
+    def test_retrain_ids_align_when_cell_smaller_than_split(
+        self, spark, tmp_path
+    ):
+        """Advisor r13 (low): explicit cells= on a cell holding fewer
+        live vectors than split_per_cell used to append fewer matrix
+        rows than the ids it advanced — later cells' rows then sat at
+        the wrong indices and probes routed to wrong cells. Ids now
+        derive from the ACTUAL trained count: matrix rows, n_centroids,
+        and partition ids must all agree, and full-probe recall must
+        hold."""
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            _df_to_matrix,
+            audit_index,
+            retrain_cells,
+        )
+        from w4h_etl_container_spark.plans.vectors import ann_recall
+
+        d2, out, full = self._drifted(spark, tmp_path)
+        # every base cell holds ~20 vectors; ask for a 50-way split of
+        # TWO cells — each trains at most 20 sub-centroids, so the old
+        # id arithmetic would have misaligned the second cell's rows
+        man = retrain_cells(
+            spark, out, full, cells=[0, 1], split_per_cell=50
+        )
+        cents = _df_to_matrix(
+            spark.read.parquet(man["artifacts"]["centroids"]),
+            "centroid",
+            (man["n_centroids"], man["dim"]),
+        )
+        assert cents.shape[0] == man["n_centroids"]
+        metas = man["retrains"][-1]["cells"]
+        assert {m["cell"] for m in metas} == {0, 1}
+        for m in metas:
+            assert len(m["new_ids"]) <= 50
+            assert max(m["new_ids"]) < man["n_centroids"]
+        # ids written into partitions ⊆ acknowledged ids, none dead
+        cells_path = os.path.join(out, "cells")
+        on_disk = {
+            int(e.split("=")[1])
+            for e in os.listdir(cells_path)
+            if e.startswith("centroid_id=")
+        }
+        assert on_disk <= set(range(man["n_centroids"]))
+        assert on_disk.isdisjoint(set(man["dead_centroids"]))
+        assert audit_index(spark, out)["consistent"]
+        rec = ann_recall(
+            spark, d2, out,
+            nprobes=(man["n_centroids"],), n_queries=4, top_k=5, rerank=200,
+        )
+        assert rec[-1]["recall"] == 1.0
+
     def test_retrain_refuses_partial_source_and_tombstones(
         self, spark, tmp_path
     ):

@@ -61,7 +61,11 @@ DEEP_COPIES = 100
 #: the pair exchange — at 100x the cap drops over-occupied shingles
 #: and the ratio collapses to ~0.2x, Spark 5x ahead; the 100x row
 #: keeps that self-limiting asymptote measured every round)
-DEEP_QUERIES = ["q_funnel", "q_percentile", "q_ngram_jaccard"]
+#: q_daily_highlow joined in r14 (the r13 verdict's watch item: the
+#: flagship drifted to ~2.1x on the shared mix and had never had a
+#: crossover-tier row — it reads events, which has the volume knob,
+#: so the old "no volume knob" exclusion was simply stale)
+DEEP_QUERIES = ["q_funnel", "q_percentile", "q_ngram_jaccard", "q_daily_highlow"]
 #: still >2x at 100x in r12 (q_funnel 3.78x) — measured one decade
 #: further; events-only synthesis (the funnel's sole input), other
 #: tables symlinked from the 100x tier
@@ -70,8 +74,10 @@ DEEPER_COPIES = 1000
 DEEPER_QUERIES = ["q_funnel"]
 
 # The heaviest declared queries by BENCH_r10 wall time that read the
-# standard tables (q_daily_highlow is excluded: it runs on the weather
-# pipeline's own grid fixture, which has no volume knob here).
+# standard tables. q_daily_highlow (the flagship — kernel chain +
+# key-shift + one-pass completeness gate over events) joined in r14
+# after the r13 verdict flagged it as the one shared-mix query that
+# drifted without ever having a tier row.
 QUERIES = [
     "q_split_leakfree",
     "q_dedup_survivors",
@@ -83,6 +89,7 @@ QUERIES = [
     "q_minhash_lsh",
     "q_bm25",
     "q_text_profile",
+    "q_daily_highlow",
 ]
 
 TABLES = [

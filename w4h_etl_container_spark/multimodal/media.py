@@ -1692,8 +1692,15 @@ def _mp4_parse_stbl(b: bytes, s: int, e: int, trk: dict) -> None:
         elif t == b"stsz":
             fixed = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
             cnt = int.from_bytes(b[ts_ + 8 : ts_ + 12], "big")
-            if cnt > (te - ts_) and fixed == 0:
-                raise ValueError("stsz count overruns the box")
+            if fixed == 0:
+                # entries are materialized from box bytes: cnt is a lie
+                # unless the box actually holds 4*cnt bytes of sizes
+                _mp4_bound(cnt, 4, te - ts_ - 12)
+            elif cnt > len(b) or fixed * cnt > len(b):
+                # fixed-size path allocates [fixed]*cnt with no byte
+                # backing in this box — bound by what the whole payload
+                # could possibly hold (cnt samples of fixed bytes each)
+                raise ValueError("stsz fixed count exceeds payload")
             trk["n_samples"] = cnt
             if fixed:
                 trk["sample_sizes"] = [fixed] * cnt
@@ -1703,19 +1710,25 @@ def _mp4_parse_stbl(b: bytes, s: int, e: int, trk: dict) -> None:
                     for i in range(cnt)
                 ]
         elif t == b"stco":
-            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            cnt = _mp4_bound(
+                int.from_bytes(b[ts_ + 4 : ts_ + 8], "big"), 4, te - ts_ - 8
+            )
             trk["chunk_offsets"] = [
                 int.from_bytes(b[ts_ + 8 + 4 * i : ts_ + 12 + 4 * i], "big")
                 for i in range(cnt)
             ]
         elif t == b"co64":
-            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            cnt = _mp4_bound(
+                int.from_bytes(b[ts_ + 4 : ts_ + 8], "big"), 8, te - ts_ - 8
+            )
             trk["chunk_offsets"] = [
                 int.from_bytes(b[ts_ + 8 + 8 * i : ts_ + 16 + 8 * i], "big")
                 for i in range(cnt)
             ]
         elif t == b"stsc":
-            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            cnt = _mp4_bound(
+                int.from_bytes(b[ts_ + 4 : ts_ + 8], "big"), 12, te - ts_ - 8
+            )
             trk["sample_to_chunk"] = [
                 (
                     int.from_bytes(b[ts_ + 8 + 12 * i : ts_ + 12 + 12 * i], "big"),
@@ -1724,11 +1737,24 @@ def _mp4_parse_stbl(b: bytes, s: int, e: int, trk: dict) -> None:
                 for i in range(cnt)
             ]
         elif t == b"stss":
-            cnt = int.from_bytes(b[ts_ + 4 : ts_ + 8], "big")
+            cnt = _mp4_bound(
+                int.from_bytes(b[ts_ + 4 : ts_ + 8], "big"), 4, te - ts_ - 8
+            )
             trk["sync_samples"] = [
                 int.from_bytes(b[ts_ + 8 + 4 * i : ts_ + 12 + 4 * i], "big")
                 for i in range(cnt)
             ]
+
+
+def _mp4_bound(cnt: int, entry_size: int, body_bytes: int) -> int:
+    """Sample-table counts are attacker-controlled: refuse to materialize
+    more entries than the box body can physically hold (cnt * entry_size
+    must fit in the remaining box bytes). Raises — callers funnel through
+    parse_mp4's hostile-bytes catch, so a forged count yields None, never
+    a multi-GB allocation or a billions-long read-past-the-box loop."""
+    if cnt < 0 or cnt * entry_size > max(body_bytes, 0):
+        raise ValueError("sample-table count overruns the box")
+    return cnt
 
 
 def mp4_sample_ranges(parsed: dict, track: int = 0) -> "list[tuple] | None":

@@ -160,6 +160,257 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{version}.json")
 
 
+# ---------------------------------------------------------------------------
+# Segmented manifests (round 14 — the Iceberg manifest-list move).
+#
+# A version's per-file payload (file list + per-file column ranges +
+# bloom sidecar refs) no longer lives inline in v{N}.json: it is split
+# across immutable SEGMENT files (``_manifests/seg-*.json``), and the
+# version descriptor carries only segment REFERENCES plus per-segment
+# removal tombstones. A commit therefore writes O(churn) bytes — new
+# files pack into a fresh segment, untouched parent segments are
+# re-referenced by name, and a removal is one tombstone entry — where
+# the inline format rewrote the full O(table-files) JSON every commit
+# (at 100 TB / ~10⁵ files that is tens of MB of driver JSON per
+# trickle upsert, the largest structural driver cost the r13 audit
+# found). Reads resolve descriptors through a process-level segment
+# cache (segments are immutable, so caching is sound): after warm-up,
+# opening a new version parses only the segments that commit actually
+# churned.
+#
+# Invariants:
+# * segments PARTITION the live file list (each live file appears in
+#   exactly one referenced segment, net of its tombstones);
+# * a segment whose dead fraction exceeds ``_SEG_DEAD_RATIO`` — or any
+#   of whose surviving entries' stats/bloom were self-healed — is
+#   rewritten filtered (amortized O(churn));
+# * descriptors reference at most ~``_SEG_MAX_COUNT`` segments: past
+#   that the smallest ones consolidate into one (keeps resolve cost
+#   and descriptor size bounded as history accumulates tiny commits);
+# * CAS/crash semantics are unchanged: segments are written BEFORE the
+#   descriptor link (a losing/crashed writer leaves unreferenced
+#   seg-*.json debris that vacuum sweeps by the same referenced-set
+#   rule as data files);
+# * legacy inline manifests (with a ``files`` key) still read, and the
+#   first commit on top of one segments the full list once.
+# ---------------------------------------------------------------------------
+
+#: New files pack into fresh segments of at most this many entries.
+_SEG_TARGET = 1024
+#: Rewrite (filter) a reused segment when more than this fraction of
+#: its original entries are dead tombstones.
+_SEG_DEAD_RATIO = 0.5
+#: Consolidate the smallest segments once a descriptor would reference
+#: more than this many.
+_SEG_MAX_COUNT = 64
+#: Process-level cache of parsed segments (immutable ⇒ sound), FIFO-
+#: bounded so a long-lived driver touching many tables stays bounded.
+_SEG_CACHE: dict[str, dict] = {}
+_SEG_CACHE_MAX = 512
+
+#: Keys _write_manifest owns — stripped from caller meta so a re-stamp
+#: that round-trips a materialized manifest can never smuggle a stale
+#: file list past the freshly computed segment layout.
+_RESERVED_MAN_KEYS = frozenset(
+    ("version", "files", "file_stats", "bloom", "bloom_cfg",
+     "segments", "segment_removed", "n_files")
+)
+
+
+def _seg_path(table_dir: str, name: str) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, name)
+
+
+def _load_segment(table_dir: str, name: str) -> dict:
+    p = os.path.abspath(_seg_path(table_dir, name))
+    seg = _SEG_CACHE.get(p)
+    if seg is None:
+        with open(p) as f:
+            seg = json.load(f)
+        if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+            _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
+        _SEG_CACHE[p] = seg
+    return seg
+
+
+def _write_segment(
+    table_dir: str, files: list[str], stats: dict, bloom: dict
+) -> str:
+    """Write one immutable segment (unique name, atomic rename) and
+    return its name. ``stats``/``bloom`` hold ONLY entries for
+    ``files`` that actually have a value — absence is meaningful
+    (legacy no-stats files plan via footer fallback)."""
+    name = f"seg-{uuid.uuid4().hex}.json"
+    seg: dict = {"files": sorted(files)}
+    if stats:
+        seg["file_stats"] = stats
+    if bloom:
+        seg["bloom_files"] = bloom
+    path = _seg_path(table_dir, name)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(seg, f, sort_keys=True, separators=(",", ":"))
+    os.rename(tmp, path)
+    return name
+
+
+def _slice_merged(files: list[str], new: dict, old: dict) -> dict:
+    """Per-file values for ``files``: the caller-provided value wins
+    (it may be a self-healed stat), the segment's stored value backs
+    it, files with neither stay absent."""
+    out = {}
+    for f in files:
+        if f in new:
+            out[f] = new[f]
+        elif f in old:
+            out[f] = old[f]
+    return out
+
+
+def _segment_layout(
+    table_dir: str,
+    version: int,
+    files: list[str],
+    file_stats: dict,
+    bloom_files: dict,
+    overwrite: bool,
+) -> tuple[list[str], dict]:
+    """Compute (segments, segment_removed) for a new descriptor by
+    diffing against the base descriptor — the same version on a
+    re-stamp, else version-1 (history is linear). Unchanged parent
+    segments are re-referenced; removals tombstone (or trigger a
+    filtered rewrite past the dead-ratio); added files pack fresh."""
+    fileset = set(files)
+    base = None
+    base_version = version if overwrite else version - 1
+    if base_version >= 0:
+        try:
+            with open(_manifest_path(table_dir, base_version)) as f:
+                base = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            base = None
+    segments: list[str] = []
+    seg_removed: dict[str, list[str]] = {}
+    covered: set[str] = set()
+    base_rem = (base or {}).get("segment_removed", {})
+    for name in (base or {}).get("segments", []):
+        seg = _load_segment(table_dir, name)
+        tomb = set(base_rem.get(name, ()))
+        live = [f for f in seg["files"] if f not in tomb]
+        surviving = [f for f in live if f in fileset and f not in covered]
+        if not surviving:
+            continue  # fully dead: drop the reference
+        sstats = seg.get("file_stats", {})
+        sbloom = seg.get("bloom_files", {})
+        healed = any(
+            (f in file_stats and file_stats[f] != sstats.get(f))
+            or (f in bloom_files and bloom_files[f] != sbloom.get(f))
+            for f in surviving
+        )
+        dead = tomb | {f for f in live if f not in fileset}
+        if healed or len(dead) > _SEG_DEAD_RATIO * len(seg["files"]):
+            segments.append(
+                _write_segment(
+                    table_dir,
+                    surviving,
+                    _slice_merged(surviving, file_stats, sstats),
+                    _slice_merged(surviving, bloom_files, sbloom),
+                )
+            )
+        else:
+            segments.append(name)
+            if dead:
+                seg_removed[name] = sorted(dead)
+        covered.update(surviving)
+    added = [f for f in files if f not in covered]
+    for i in range(0, len(added), _SEG_TARGET):
+        chunk = added[i : i + _SEG_TARGET]
+        segments.append(
+            _write_segment(
+                table_dir,
+                chunk,
+                {f: file_stats[f] for f in chunk if f in file_stats},
+                {f: bloom_files[f] for f in chunk if f in bloom_files},
+            )
+        )
+    if len(segments) > _SEG_MAX_COUNT:
+        segments, seg_removed = _consolidate_segments(
+            table_dir, segments, seg_removed
+        )
+    return segments, seg_removed
+
+
+def _consolidate_segments(
+    table_dir: str, segments: list[str], seg_removed: dict
+) -> tuple[list[str], dict]:
+    """Merge the smallest segments into one so descriptors stay under
+    ``_SEG_MAX_COUNT`` references — the cost is O(entries merged), and
+    picking the smallest keeps that amortized against the tiny-commit
+    stream that caused the growth."""
+    sized = []
+    for name in segments:
+        seg = _load_segment(table_dir, name)
+        tomb = set(seg_removed.get(name, ()))
+        live = [f for f in seg["files"] if f not in tomb]
+        sized.append((len(live), name, live, seg))
+    sized.sort(key=lambda t: (t[0], t[1]))
+    k = len(segments) - _SEG_MAX_COUNT + 1
+    merged, kept = sized[:k], sized[k:]
+    files: list[str] = []
+    stats: dict = {}
+    bloom: dict = {}
+    for _, _, live, seg in merged:
+        files.extend(live)
+        ss = seg.get("file_stats", {})
+        sb = seg.get("bloom_files", {})
+        for f in live:
+            if f in ss:
+                stats[f] = ss[f]
+            if f in sb:
+                bloom[f] = sb[f]
+    new_name = _write_segment(table_dir, files, stats, bloom)
+    out = [name for _, name, _, _ in kept] + [new_name]
+    out_removed = {
+        name: seg_removed[name]
+        for _, name, _, _ in kept
+        if name in seg_removed
+    }
+    return out, out_removed
+
+
+def _materialize(table_dir: str, man: dict) -> dict:
+    """Resolve a segmented descriptor into the legacy in-memory shape
+    every consumer reads (``files`` / ``file_stats`` / ``bloom``).
+    Inline legacy manifests pass through untouched. Segment parses hit
+    the immutable-segment cache, so a warm driver pays O(churned
+    segments) JSON parse per new version, not O(table files)."""
+    if "segments" not in man:
+        return man
+    removed = man.get("segment_removed", {})
+    files: list[str] = []
+    stats: dict = {}
+    bloomf: dict = {}
+    for name in man["segments"]:
+        seg = _load_segment(table_dir, name)
+        tomb = set(removed.get(name, ()))
+        sstats = seg.get("file_stats", {})
+        sbloom = seg.get("bloom_files", {})
+        for f in seg["files"]:
+            if f in tomb:
+                continue
+            files.append(f)
+            if f in sstats:
+                stats[f] = sstats[f]
+            if f in sbloom:
+                bloomf[f] = sbloom[f]
+    man["files"] = sorted(files)
+    if stats:
+        man["file_stats"] = stats
+    if "bloom_cfg" in man:
+        man["bloom"] = {**man.pop("bloom_cfg"), "files": bloomf}
+    return man
+
+
 def _write_manifest(
     table_dir: str,
     version: int,
@@ -193,22 +444,43 @@ def _write_manifest(
 
     ``overwrite=True`` is the self-annotation escape hatch (the
     streaming sink re-stamping its OWN just-committed version with
-    epoch lineage) — never used to publish new content."""
+    epoch lineage) — never used to publish new content.
+
+    Round 14: the per-file payload writes as SEGMENTS (see the
+    segmented-manifest block above) — the descriptor published here
+    carries segment references + tombstones, so commit bytes are
+    O(churn), and the CAS/pointer protocol below is unchanged
+    (segments land before the descriptor link; a loser's segments are
+    unreferenced debris for vacuum)."""
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    bloom_cfg = None
+    bloom_files: dict = {}
+    if bloom:
+        bloom_cfg = {k: v for k, v in bloom.items() if k != "files"}
+        bloom_files = bloom.get("files") or {}
+    segments, seg_removed = _segment_layout(
+        table_dir,
+        version,
+        sorted(files),
+        file_stats or {},
+        bloom_files,
+        overwrite,
+    )
     man = {
         "version": version,
-        "files": sorted(files),
+        "n_files": len(files),
+        "segments": segments,
         # floored to the ms, never rounded UP: an as_of reader asking
         # for "now" must always see a commit that finished before now
         "committed_at": int(time.time() * 1000) / 1000.0,
-        **meta,
+        **{k: v for k, v in meta.items() if k not in _RESERVED_MAN_KEYS},
     }
-    if file_stats is not None:
-        man["file_stats"] = file_stats
+    if seg_removed:
+        man["segment_removed"] = seg_removed
     if dv:
         man["dv"] = {f: sorted(v) for f, v in sorted(dv.items()) if v}
-    if bloom:
-        man["bloom"] = bloom
+    if bloom_cfg is not None:
+        man["bloom_cfg"] = bloom_cfg
     path = _manifest_path(table_dir, version)
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -255,10 +527,14 @@ def _current_version(table_dir: str) -> int:
 
 
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    """One version's manifest, materialized to the legacy in-memory
+    shape (``files``/``file_stats``/``bloom``) whatever the on-disk
+    format — segmented descriptors resolve through the segment cache,
+    inline legacy manifests pass straight through."""
     if version is None:
         version = _current_version(table_dir)
     with open(_manifest_path(table_dir, version)) as f:
-        return json.load(f)
+        return _materialize(table_dir, json.load(f))
 
 
 def mtable_history(table_dir: str) -> list[dict]:
@@ -287,7 +563,10 @@ def mtable_history(table_dir: str) -> list[dict]:
             {
                 k: val
                 for k, val in man.items()
-                if k not in ("files", "file_stats", "schema_json")
+                if k not in (
+                    "files", "file_stats", "schema_json",
+                    "segments", "segment_removed",
+                )
             }
             | {"n_files": len(man["files"])}
         )
@@ -340,9 +619,40 @@ def mtable_repair(table_dir: str) -> dict:
     return {"pointer": ptr, "reclaimed_versions": sorted(reclaimed)}
 
 
-def _new_data_files(table_dir: str, df: DataFrame) -> list[str]:
-    """Write ``df`` as fresh immutable data files under a unique
-    subdirectory; return their paths (relative to ``table_dir``)."""
+def _new_data_files(
+    table_dir: str, df: DataFrame, partition_by: list[str] | None = None
+) -> list[str]:
+    """Write ``df`` as fresh immutable data files; return their paths
+    (relative to ``table_dir``).
+
+    Unpartitioned tables write one unique ``data-<uuid>/`` dir per
+    commit. Partitioned tables stage a ``partitionBy`` write, then MOVE
+    the leaf files into the table's single shared
+    ``data-parts/col=value/`` tree (Spark's partition discovery
+    requires ONE consistent directory structure under the basePath —
+    per-commit roots with partition subdirs are a
+    CONFLICTING_DIRECTORY_STRUCTURES error). Spark part-file names
+    embed the write job's UUID, so moved files never collide across
+    commits; immutability and the manifest's referenced-set rules are
+    unchanged."""
+    if partition_by:
+        stage = os.path.join(table_dir, f"stage-{uuid.uuid4().hex}")
+        df.write.partitionBy(*partition_by).parquet(stage)
+        root = os.path.join(table_dir, "data-parts")
+        rels = []
+        for sroot, _dirs, fs in os.walk(stage):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(sroot, stage)
+                dst_dir = os.path.join(root, rel_dir)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(os.path.join(sroot, f), os.path.join(dst_dir, f))
+                rels.append(os.path.join("data-parts", rel_dir, f))
+        import shutil
+
+        shutil.rmtree(stage)
+        return sorted(rels)
     sub = f"data-{uuid.uuid4().hex}"
     out = os.path.join(table_dir, sub)
     df.write.parquet(out)
@@ -351,6 +661,47 @@ def _new_data_files(table_dir: str, df: DataFrame) -> list[str]:
         for f in os.listdir(out)
         if f.endswith(".parquet")
     ]
+
+
+def _partition_values(
+    rel: str, partition_by: list[str], schema_json: str | None
+) -> dict:
+    """Typed partition values parsed from a file's hive-style path
+    segments (``col=value``), cast by the recorded table schema so
+    planning compares like with like. A ``__HIVE_DEFAULT_PARTITION__``
+    (NULL) value maps to None — unprunable on that column."""
+    from urllib.parse import unquote
+
+    raw = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            raw[k] = unquote(v)
+    types = {}
+    if schema_json:
+        for fld in json.loads(schema_json)["fields"]:
+            types[fld["name"]] = fld["type"]
+    out = {}
+    for c in partition_by:
+        if c not in raw:
+            continue
+        v = raw[c]
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            out[c] = None
+            continue
+        t = types.get(c, "string")
+        try:
+            if t in ("byte", "short", "integer", "long"):
+                out[c] = int(v)
+            elif t in ("float", "double"):
+                out[c] = float(v)
+            elif t == "boolean":
+                out[c] = v == "true"
+            else:
+                out[c] = v
+        except ValueError:
+            out[c] = None  # unparseable: conservatively unprunable
+    return out
 
 
 def _footer_stats(path: str) -> dict:
@@ -421,21 +772,36 @@ def _file_key_ranges(table_dir: str, files: list[str], key: str) -> dict:
 
 
 def _stats_for(
-    table_dir: str, files: list[str], parent: dict | None = None
+    table_dir: str,
+    files: list[str],
+    parent: dict | None = None,
+    partition_by: list[str] | None = None,
+    schema_json: str | None = None,
 ) -> dict:
     """file → column-stats for every file in ``files``, reusing the
     parent manifest's persisted entry when present (data files are
     immutable, so persisted stats never go stale) and reading the
     footer only for files not yet under stats management (fresh
     writes, legacy manifests, hand-spliced files). This is what makes
-    per-commit driver I/O O(new files), not O(table files)."""
+    per-commit driver I/O O(new files), not O(table files).
+
+    Partitioned tables overlay each fresh file's partition values as
+    exact ``[v, v]`` ranges (the values are NOT in the parquet bytes —
+    they live in the directory name), so every downstream pruner
+    (collect bisect, range join, bloom candidates) prunes on partition
+    keys with zero partition-specific code."""
     parent = parent or {}
     out = {}
     for rel in files:
         st = parent.get(rel)
-        out[rel] = st if st is not None else _footer_stats(
-            os.path.join(table_dir, rel)
-        )
+        if st is None:
+            st = _footer_stats(os.path.join(table_dir, rel))
+            if partition_by:
+                for c, v in _partition_values(
+                    rel, partition_by, schema_json
+                ).items():
+                    st[c] = [v, v] if v is not None else None
+        out[rel] = st
     return out
 
 
@@ -595,11 +961,14 @@ def _carry_dv(man: dict, files: list[str]) -> dict:
 
 
 def _carry_schema(man: dict, meta: dict) -> dict:
-    """Propagate the recorded table schema through a commit that does
-    not change it (delete/compact/merge_agg/append) — otherwise one
-    such commit would silently drop an evolved schema."""
+    """Propagate the recorded table schema — and the partition spec —
+    through a commit that does not change them (delete/compact/
+    merge_agg/append) — otherwise one such commit would silently drop
+    an evolved schema or departition the table."""
     if man.get("schema_json"):
         meta["schema_json"] = man["schema_json"]
+    if man.get("partition_by"):
+        meta["partition_by"] = man["partition_by"]
     return meta
 
 
@@ -734,7 +1103,12 @@ def _bloom_build(
     ]
     sub = f"bloom-{uuid.uuid4().hex}"
     out = os.path.join(table_dir, sub)
-    spark.createDataFrame(pairs, "file string, bloom binary").coalesce(
+    # repartition(1), NOT coalesce(1): coalescing a driver-local
+    # relation takes a measured ~4.5 s fixed-cost execution path in
+    # local mode (the round-14 profile of q_mtable_bloom_delete — it
+    # was half the query's wall); the 1-partition exchange is ~10×
+    # cheaper and the sidecar is a few KB either way
+    spark.createDataFrame(pairs, "file string, bloom binary").repartition(
         1
     ).write.parquet(out)
     rel = os.path.join(
@@ -839,15 +1213,41 @@ def mtable_create(
     table_dir: str,
     bloom_keys: list[str] | None = None,
     bloom_bits: int = _BLOOM_DEFAULT_BITS,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Create version 0 from ``df``. ``bloom_keys`` opts the table into
     per-file key bloom filters (see the bloom section above): every
     committing writer from then on hashes its NEW files' key tuples
     into bitset sidecars, and bounded-key merge/delete planning skips
-    range-matched files the bloom refutes."""
+    range-matched files the bloom refutes.
+
+    ``partition_by`` opts into a HIVE-STYLE PARTITION SPEC (round 14 —
+    SURVEY §1.3's date-partitioned layout, composable with the stats/
+    bloom pruning): data files land under a shared
+    ``data-parts/col=value/...`` tree, every commit's writer moves its
+    staged files in (immutable, uniquely-named), and each file's
+    partition values persist into its manifest stats as exact
+    ``[v, v]`` ranges — so merge/delete planning prunes on a partition
+    key BEFORE any footer or bloom is consulted, with zero new planner
+    code, and ``mtable_read`` scans carry real Spark
+    ``PartitionFilters`` (directory pruning) for ad-hoc predicates on
+    the partition columns. Pick coarse, low-cardinality columns (a
+    date, a source tag): one directory per distinct value."""
     os.makedirs(table_dir, exist_ok=True)
-    files = _new_data_files(table_dir, df)
+    if partition_by:
+        pcols = _as_keys(partition_by)
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"mtable_create: partition_by columns {missing} not in the "
+                "dataframe schema"
+            )
+        partition_by = pcols
+    files = _new_data_files(table_dir, df, partition_by=partition_by)
     meta = {"op": "create", "schema_json": df.schema.json()}
+    if partition_by:
+        meta["partition_by"] = partition_by
+    bloom = None
     if bloom_keys:
         if bloom_bits & (bloom_bits - 1):
             raise ValueError("mtable_create: bloom_bits must be a power of two")
@@ -855,12 +1255,18 @@ def mtable_create(
         # data files exist on disk before the manifest publishes, so
         # the bitsets build first and the commit stays a single rename
         bloom["files"] = _bloom_build(
-            spark, table_dir, files, {"schema_json": meta["schema_json"]}, bloom
+            spark, table_dir, files,
+            {"schema_json": meta["schema_json"],
+             **({"partition_by": partition_by} if partition_by else {})},
+            bloom,
         )
-        meta["bloom"] = bloom
     _write_manifest(
         table_dir, 0, files, meta,
-        file_stats=_stats_for(table_dir, files),
+        file_stats=_stats_for(
+            table_dir, files,
+            partition_by=partition_by, schema_json=meta["schema_json"],
+        ),
+        bloom=bloom,
     )
     return read_manifest(table_dir)
 
@@ -917,8 +1323,23 @@ def _scan_with_pos(
         if sj is not None
         else spark.read
     )
+    if man.get("partition_by"):
+        # partition columns live in the directory names under the
+        # shared data-parts tree; basePath re-attaches them (and gives
+        # Spark real PartitionFilters on any downstream predicate)
+        reader = reader.option(
+            "basePath", os.path.join(table_dir, "data-parts")
+        )
+    # Spark appends inferred partition columns LAST; project the
+    # recorded schema's column order (in the SAME select that grabs the
+    # scan-only _metadata pseudo-column) so readers see one stable shape
+    cols = (
+        [f["name"] for f in json.loads(sj)["fields"]]
+        if man.get("partition_by") and sj is not None
+        else ["*"]
+    )
     df = reader.parquet(*paths).select(
-        "*",
+        *cols,
         F.col("_metadata.file_name").alias("_mt_file"),
         F.col("_metadata.row_index").alias("_mt_pos"),
     )
@@ -931,15 +1352,34 @@ def _scan_with_pos(
         # — but "tiny" is a policy, not a law: a table whose operator
         # never compacts can accumulate an arbitrarily large shadow,
         # and broadcasting that unconditionally is a driver/executor
-        # OOM. Gate on the on-disk sidecar bytes (a driver stat, no
-        # job): small shadows broadcast, oversized ones fall back to a
-        # plain shuffled anti-join (correct either way; compaction is
-        # the fix, the read path must merely survive until it runs).
-        dv_bytes = sum(
-            os.path.getsize(os.path.join(table_dir, f)) for f in dv_files
-        )
-        if dv_bytes <= 32 << 20:
+        # OOM. Gate on a DECOMPRESSED estimate, not on-disk bytes:
+        # sorted positional deletes (repeated file basenames + monotone
+        # positions) RLE-compress ~100× in parquet, so a sidecar set
+        # just under an on-disk gate could inflate to hundreds of MB
+        # per executor once materialized in the broadcast relation.
+        # Row counts come from the parquet footers (driver metadata
+        # reads, no job); each row is costed at 128 B — basename string
+        # (~45 chars of UTF8String), a long, and hash-relation overhead.
+        # Small shadows broadcast; oversized or unreadable ones fall
+        # back to a plain shuffled anti-join (correct either way;
+        # compaction is the fix, the read path must merely survive).
+        import pyarrow.parquet as pq
+
+        try:
+            dv_rows = sum(
+                pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
+                for f in dv_files
+            )
+            small = dv_rows * 128 <= 32 << 20
+        except Exception:
+            small = False
+        if small:
             dead = F.broadcast(dead)
+        else:
+            # force sort-merge: Catalyst's OWN sizeInBytes estimate is
+            # the compressed file size, so without the hint it would
+            # re-introduce the very auto-broadcast the gate refused
+            dead = dead.hint("merge")
         df = df.join(dead, ["_mt_file", "_mt_pos"], "left_anti")
     return df
 
@@ -966,9 +1406,22 @@ def _read_files(
         )
     paths = [os.path.join(table_dir, f) for f in files]
     sj = man.get("schema_json")
-    if sj is None:
-        return spark.read.parquet(*paths)
-    return spark.read.schema(T.StructType.fromJson(json.loads(sj))).parquet(*paths)
+    reader = (
+        spark.read
+        if sj is None
+        else spark.read.schema(T.StructType.fromJson(json.loads(sj)))
+    )
+    if man.get("partition_by"):
+        reader = reader.option(
+            "basePath", os.path.join(table_dir, "data-parts")
+        )
+        if sj is not None:
+            # restore the recorded column order (Spark appends the
+            # inferred partition columns last)
+            return reader.parquet(*paths).select(
+                *[f["name"] for f in json.loads(sj)["fields"]]
+            )
+    return reader.parquet(*paths)
 
 
 def mtable_read(
@@ -1185,7 +1638,9 @@ def mtable_merge(
                             for f in full.fields
                         ]
                     )
-                new_files = _new_data_files(table_dir, combined)
+                new_files = _new_data_files(
+                    table_dir, combined, partition_by=man.get("partition_by")
+                )
             finally:
                 kdf.unpersist()
         finally:
@@ -1203,13 +1658,19 @@ def mtable_merge(
         }
         if evolved_json is not None:
             meta["schema_json"] = evolved_json
+        if man.get("partition_by"):
+            meta["partition_by"] = man["partition_by"]
         files = (man["files"] if mode == "mor" else untouched) + new_files
         _write_manifest(
             table_dir,
             man["version"] + 1,
             files,
             meta,
-            file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+            file_stats=_stats_for(
+                table_dir, files, man.get("file_stats"),
+                partition_by=man.get("partition_by"),
+                schema_json=meta.get("schema_json") or man.get("schema_json"),
+            ),
             dv=dv,
             bloom=_bloom_for_commit(
                 spark, table_dir, man,
@@ -1253,9 +1714,14 @@ def mtable_vacuum(
     if current not in keep_versions:  # pointer always survives vacuum
         keep_versions.append(current)
     referenced: set[str] = set()
+    referenced_segs: set[str] = set()
     for v in keep_versions:
         man_v = read_manifest(table_dir, v)
         referenced |= set(man_v["files"])
+        # manifest segments obey the same referenced-set rule: live
+        # while any retained descriptor references them (a crashed or
+        # CAS-losing writer's segments are unreferenced debris)
+        referenced_segs |= set(man_v.get("segments", ()))
         # deletion-vector files live exactly as long as a retained
         # version still shadows a data file with them
         for dvs in (man_v.get("dv") or {}).values():
@@ -1277,20 +1743,34 @@ def mtable_vacuum(
             and os.path.isdir(sub)
         ):
             continue
-        for f in os.listdir(sub):
-            rel = os.path.join(entry, f)
-            if f.endswith(".parquet") and rel not in referenced:
-                if not dry_run:
-                    os.remove(os.path.join(table_dir, rel))
-                removed.append(rel)
+        # os.walk, not a flat listing: partitioned tables nest their
+        # files under data-parts/col=value/ subdirectories
+        for root, _dirs, fs in os.walk(sub):
+            for f in fs:
+                rel = os.path.relpath(os.path.join(root, f), table_dir)
+                if f.endswith(".parquet") and rel not in referenced:
+                    if not dry_run:
+                        os.remove(os.path.join(table_dir, rel))
+                    removed.append(rel)
     dropped_manifests = [v for v in versions if v not in keep_versions]
     if not dry_run:
         for v in dropped_manifests:
             os.remove(_manifest_path(table_dir, v))
+    # segment sweep AFTER the manifest drop: anything no retained
+    # descriptor references — dropped versions' private segments, CAS
+    # losers' debris, half-finished writers' staging
+    dropped_segments = []
+    for f in os.listdir(mdir):
+        if f.startswith("seg-") and f.endswith(".json") and f not in referenced_segs:
+            if not dry_run:
+                os.remove(os.path.join(mdir, f))
+                _SEG_CACHE.pop(os.path.abspath(os.path.join(mdir, f)), None)
+            dropped_segments.append(f)
     return {
         "removed_files": sorted(removed),
         "retained_versions": keep_versions,
         "dropped_manifests": dropped_manifests,
+        "dropped_segments": sorted(dropped_segments),
         "dry_run": dry_run,
     }
 
@@ -1374,7 +1854,9 @@ def mtable_delete(
                 anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
                 survivors = old.join(anti, kcols, "left_anti")
                 if survivors.limit(1).count():
-                    new_files = _new_data_files(table_dir, survivors)
+                    new_files = _new_data_files(
+                        table_dir, survivors, partition_by=man.get("partition_by")
+                    )
         finally:
             kdf.unpersist()
         files = (man["files"] if mode == "mor" else untouched) + new_files
@@ -1393,7 +1875,11 @@ def mtable_delete(
                 "key_match_path": path,
                 **({"n_deleted": n_deleted} if n_deleted is not None else {}),
             }),
-            file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+            file_stats=_stats_for(
+                table_dir, files, man.get("file_stats"),
+                partition_by=man.get("partition_by"),
+                schema_json=man.get("schema_json"),
+            ),
             dv=dv,
             bloom=_bloom_for_commit(
                 spark, table_dir, man,
@@ -1483,7 +1969,7 @@ def mtable_compact(
         df = src.repartition(n_out)
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
-    new_files = _new_data_files(table_dir, df)
+    new_files = _new_data_files(table_dir, df, partition_by=man.get("partition_by"))
     version = man["version"] + 1
     files = kept + new_files
     _write_manifest(
@@ -1501,7 +1987,11 @@ def mtable_compact(
             **({"clustered_by": cluster} if cluster else {}),
             **({"zordered_by": zorder} if zorder else {}),
         }),
-        file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+        file_stats=_stats_for(
+            table_dir, files, man.get("file_stats"),
+            partition_by=man.get("partition_by"),
+            schema_json=man.get("schema_json"),
+        ),
         dv=_carry_dv(man, kept),
         bloom=_bloom_for_commit(spark, table_dir, man, kept, new_files),
     )
@@ -1513,6 +2003,102 @@ def mtable_compact(
             f"mtable_compact row-count mismatch: {n_old} vs {n_new}"
         )
     return new_man
+
+
+def mtable_maintain(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    small_bytes: int = 8 << 20,
+    small_files: int = 16,
+    dv_max_rows: int = 65_536,
+    dv_max_files: int = 16,
+    target_bytes: int = 128 << 20,
+    vacuum_retain: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """The MAINTENANCE POLICY the format's primitives were missing
+    (round 14): every degradation mode has a fix — DV shadows and
+    small files compact away (``mtable_compact(scope='small')``),
+    stale versions vacuum — but nothing decided WHEN, so a table whose
+    operator never compacts degrades until the DV read path is living
+    off its shuffled-anti-join fallback. This planner measures the
+    table with DRIVER METADATA ONLY (file sizes via stat, DV row
+    counts via parquet footers — never a data scan), fires the
+    triggers that are over threshold, and reports what it saw and did,
+    so "run mtable_maintain nightly" is the whole operational story.
+
+    Triggers (each reported with its measurement):
+
+    * ``small-files``: more than ``small_files`` data files under
+      ``small_bytes`` — streaming/trickle churn shape; compaction
+      restores ⌈bytes/target⌉ sizing.
+    * ``dv-shadow``: the merge-on-read shadow exceeds ``dv_max_rows``
+      positions or ``dv_max_files`` sidecars — every read is paying an
+      anti-join over it, and past the 32 MB decompressed gate it stops
+      broadcasting; materializing keeps point deletes O(batch) while
+      bounding read debt.
+    * ``vacuum``: only when ``vacuum_retain`` is passed explicitly —
+      deleting history is irreversible, so it is never implied.
+
+    One ``scope='small'`` compaction serves both compact triggers (it
+    rewrites under-sized AND shadowed files, re-lists everything else
+    verbatim — O(churn), inode-pinned in tests). ``dry_run=True``
+    measures and plans without committing anything."""
+    import pyarrow.parquet as pq
+
+    man = read_manifest(table_dir)
+    dvmap = man.get("dv") or {}
+    dv_files = sorted({d for dvs in dvmap.values() for d in dvs})
+    dv_rows = sum(
+        pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
+        for f in dv_files
+    )
+    small = [
+        f
+        for f in man["files"]
+        if os.path.getsize(os.path.join(table_dir, f)) < small_bytes
+    ]
+    triggers = []
+    if len(small) > small_files:
+        triggers.append("small-files")
+    if dv_rows > dv_max_rows or len(dv_files) > dv_max_files:
+        triggers.append("dv-shadow")
+    if vacuum_retain is not None:
+        triggers.append("vacuum")
+    report = {
+        "version_before": man["version"],
+        "measured": {
+            "n_files": len(man["files"]),
+            "n_small_files": len(small),
+            "n_dv_files": len(dv_files),
+            "dv_rows": dv_rows,
+            "shadowed_files": len(dvmap),
+        },
+        "triggers": triggers,
+        "actions": [],
+        "dry_run": dry_run,
+    }
+    if ("small-files" in triggers or "dv-shadow" in triggers) and not dry_run:
+        mtable_compact(
+            spark,
+            table_dir,
+            target_bytes=target_bytes,
+            scope="small",
+            small_bytes=small_bytes,
+        )
+        report["actions"].append("compact-small")
+    if vacuum_retain is not None:
+        out = mtable_vacuum(
+            table_dir, retain_versions=vacuum_retain, dry_run=dry_run
+        )
+        report["actions"].append("vacuum")
+        report["vacuum"] = {
+            "removed_files": len(out["removed_files"]),
+            "dropped_manifests": len(out["dropped_manifests"]),
+        }
+    report["version_after"] = read_manifest(table_dir)["version"]
+    return report
 
 
 def mtable_sink(
@@ -1591,12 +2177,16 @@ def mtable_sink(
                 spark, table_dir, df, key, combine, extra_meta={"epochs": epochs}
             )
         elif key is None:
-            new_files = _new_data_files(table_dir, df)
+            new_files = _new_data_files(table_dir, df, partition_by=man.get("partition_by"))
             files = man["files"] + new_files
             meta = _carry_schema(man, {"op": "stream-append", "epochs": epochs})
             _write_manifest(
                 table_dir, man["version"] + 1, files, meta,
-                file_stats=_stats_for(table_dir, files, man.get("file_stats")),
+                file_stats=_stats_for(
+                    table_dir, files, man.get("file_stats"),
+                    partition_by=man.get("partition_by"),
+                    schema_json=man.get("schema_json"),
+                ),
                 dv=_carry_dv(man, man["files"]),
                 bloom=_bloom_for_commit(
                     spark, table_dir, man, man["files"], new_files
@@ -1705,7 +2295,9 @@ def mtable_merge_agg(
         combined = pool.groupBy(*kcols).agg(
             *[_combine_expr(c, fn) for c, fn in sorted(combine.items())]
         )
-        new_files = _new_data_files(table_dir, combined.select(*cols))
+        new_files = _new_data_files(
+            table_dir, combined.select(*cols), partition_by=man.get("partition_by")
+        )
         _write_manifest(
             table_dir,
             man["version"] + 1,
@@ -1721,7 +2313,9 @@ def mtable_merge_agg(
                 **(extra_meta or {}),
             }),
             file_stats=_stats_for(
-                table_dir, untouched + new_files, man.get("file_stats")
+                table_dir, untouched + new_files, man.get("file_stats"),
+                partition_by=man.get("partition_by"),
+                schema_json=man.get("schema_json"),
             ),
             dv=_carry_dv(man, untouched),
             bloom=_bloom_for_commit(
@@ -1759,6 +2353,8 @@ def mtable_restore(
     }
     if target.get("schema_json"):
         meta["schema_json"] = target["schema_json"]
+    if target.get("partition_by"):
+        meta["partition_by"] = target["partition_by"]
     _write_manifest(
         table_dir,
         man["version"] + 1,
@@ -1950,6 +2546,15 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
     audit the dependency; promote to a full copy (read + rewrite) to
     sever it."""
     man = read_manifest(src_dir)
+    if man.get("partition_by"):
+        raise ValueError(
+            "mtable_clone: partitioned tables cannot shallow-clone — the "
+            "partition values live in directory names under the SOURCE's "
+            "data-parts root, and a clone referencing those files by "
+            "absolute path has no basePath under its own directory to "
+            "re-attach them; promote with a full copy "
+            "(mtable_create(spark, mtable_read(...), dst, partition_by=...))"
+        )
     os.makedirs(dst_dir, exist_ok=True)
     src_stats = man.get("file_stats", {})
 

@@ -342,13 +342,33 @@ def _tombstones_df(
     ).select("vec_id")
 
 
+def _visible_cells(spark: SparkSession, man: dict):
+    """The cells scan restricted to partitions the MANIFEST acknowledges:
+    ``centroid_id < n_centroids`` hides fresh partitions a crashed
+    ``retrain_cells`` renamed in before its commit point (their ids are
+    allocated only by the manifest flip), and ``dead_centroids`` hides
+    split cells whose replacement committed but whose old directory has
+    not been swept yet. Both are partition-column predicates — Spark
+    prunes the directories, so the guard costs no I/O. Every consumer
+    (search, audit, compaction, retrain itself) reads through here; a
+    crash at ANY point in a retrain therefore leaves the served index
+    exactly at one of the two manifest states, never a mix."""
+    cells = spark.read.parquet(man["artifacts"]["cells"]).where(
+        F.col("centroid_id") < man["n_centroids"]
+    )
+    dead = man.get("dead_centroids", [])
+    if dead:
+        cells = cells.where(~F.col("centroid_id").isin(dead))
+    return cells
+
+
 def _live_cells(spark: SparkSession, index_dir: str, man: dict):
     """The cells table minus tombstoned vec_ids — the single read path
     every consumer (search, audit, compaction) goes through, so a
     deleted vector can never leak back into a result. The tombstone
     set is delete-batch-sized (broadcast anti-join); when no deletes
     are pending the read is the plain partition-pruned scan."""
-    cells = spark.read.parquet(man["artifacts"]["cells"])
+    cells = _visible_cells(spark, man)
     tomb = _tombstones_df(spark, index_dir, man)
     if tomb is not None:
         cells = cells.join(F.broadcast(tomb), "vec_id", "left_anti")
@@ -420,7 +440,7 @@ def compact_index_deletes(
     if man.get("n_tombstones", 0) == 0:
         return man  # nothing pending
     cells_path = man["artifacts"]["cells"]
-    cells = spark.read.parquet(cells_path)
+    cells = _visible_cells(spark, man)
     tomb = _tombstones_df(spark, index_dir, man)
     affected = sorted(
         r["centroid_id"]
@@ -649,19 +669,38 @@ def retrain_cells(
       training-baseline expectation (the cells driving the TV drift);
     * each target cell's LIVE vectors (joined back to ``embeddings``
       by vec_id — cells hold lossy PQ codes, raw floats live in the
-      source table) train ``split_per_cell`` sub-centroids by the same
-      Lloyd's kernel the full build uses, restricted to the cell;
-    * centroid ids stay DENSE so the (n_centroids, d) matrix layout
-      every probe/assign kernel assumes keeps holding: sub-centroid 0
-      reuses the split cell's id (its partition is rewritten),
-      sub-centroids 1.. append fresh ids at the end;
+      source table) train up to ``split_per_cell`` sub-centroids by
+      the same Lloyd's kernel the full build uses, restricted to the
+      cell (a cell holding fewer vectors than ``split_per_cell``
+      trains fewer — ids derive from the ACTUAL trained count, so the
+      matrix row index always equals the id written into partitions);
+    * every sub-centroid gets a FRESH id appended at the end of the
+      (n_centroids, d) matrix; the split cell's own id joins the
+      manifest's ``dead_centroids`` list and its matrix row is
+      poisoned (1e30 per dim) so no probe or frozen-model assign ever
+      routes to it — the dense row-index-equals-id layout every
+      kernel assumes keeps holding, dead rows included;
     * PQ codebooks are untouched and codes are NOT re-encoded — PQ
       encodes the raw vector independently of its cell, so the stored
       codes remain exact under ADC; only the coarse routing improves;
-    * the manifest's ``training_occupancy`` baseline updates for the
-      affected ids only (their post-split live counts — the new
+    * the manifest's ``training_occupancy`` baseline drops the split
+      ids and adds the fresh ids' post-split live counts (the new
       normal), so the drift audit measures future drift against the
       repaired routing.
+
+    Crash-atomic, mirroring the tombstone/compact discipline: fresh
+    sub-cell partitions land inside ``cells/`` FIRST under ids the
+    current manifest does not acknowledge (``_visible_cells`` prunes
+    ``centroid_id >= n_centroids``, so they are unservable debris),
+    the new centroid matrix lands at a FRESH versioned path the old
+    manifest never references, and the single atomic manifest rename
+    — new matrix path, grown ``n_centroids``, split ids onto
+    ``dead_centroids`` — flips the whole repair at once. Old split
+    directories and the old matrix are swept only AFTER the commit
+    (``dead_centroids`` keeps them invisible in the window); a crash
+    anywhere leaves the index serving exactly one of the two manifest
+    states, and the next retrain sweeps any unacknowledged debris
+    before reusing ids.
 
     Contract: refuse when tombstones are pending (run
     ``compact_index_deletes`` first — the rewrite would otherwise need
@@ -679,7 +718,26 @@ def retrain_cells(
     if split_per_cell < 2:
         raise ValueError("retrain_cells: split_per_cell must be >= 2")
     cells_path = man["artifacts"]["cells"]
-    live = spark.read.parquet(cells_path)
+    import shutil
+    import uuid as _uuid
+
+    # sweep unacknowledged debris a crashed retrain left behind: fresh
+    # partition dirs whose commit never happened (ids >= n_centroids are
+    # about to be reallocated) and dead dirs whose post-commit sweep was
+    # interrupted — both invisible to every reader via _visible_cells,
+    # both unsafe to leave once their ids come back into play
+    dead_ids = set(man.get("dead_centroids", []))
+    for entry in os.listdir(cells_path):
+        if not entry.startswith("centroid_id="):
+            continue
+        try:
+            cid = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if cid >= man["n_centroids"] or cid in dead_ids:
+            shutil.rmtree(os.path.join(cells_path, entry))
+
+    live = _visible_cells(spark, man)
     occ = {
         int(r["centroid_id"]): r["n"]
         for r in live.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -726,8 +784,13 @@ def retrain_cells(
                 "source would drop indexed vectors; pass the full table"
             )
         sub, hist = train_ivf_centroids(src_c, k=split_per_cell, iters=iters)
-        ids = [c] + list(range(next_id, next_id + split_per_cell - 1))
-        next_id += split_per_cell - 1
+        # ids derive from the ACTUAL trained count (a cell with fewer
+        # live vectors than split_per_cell trains fewer centroids) —
+        # matrix row index therefore always equals the id written into
+        # the partitions, and n_centroids always equals the matrix rows
+        k_actual = int(sub.shape[0])
+        ids = list(range(next_id, next_id + k_actual))
+        next_id += k_actual
         assign_udf = make_ivf_assign_udf(sub)
         id_map = F.array(*[F.lit(i) for i in ids])
         assigned = src_c.select(
@@ -736,9 +799,12 @@ def retrain_cells(
             id_map[assign_udf("embedding")["centroid_id"]].alias("centroid_id"),
         )
         new_rows_parts.append(assigned)
-        # row c of the matrix becomes sub[0]; the rest append
-        centroids[c] = sub[0]
-        centroids = np.vstack([centroids, sub[1:]])
+        # the split cell's row is POISONED, not reused: no query or
+        # frozen-model assign can ever be nearer to 1e30-per-dim than
+        # to a real centroid, and _visible_cells hard-filters the id —
+        # so the dense row-index layout survives without reshuffling ids
+        centroids[c] = 1e30
+        centroids = np.vstack([centroids, sub])
         retrain_meta.append(
             {"cell": c, "new_ids": ids, "n": n_rows, "distortion": hist}
         )
@@ -746,32 +812,28 @@ def retrain_cells(
     batch = new_rows_parts[0]
     for p in new_rows_parts[1:]:
         batch = batch.unionByName(p)
-    import shutil
-    import uuid as _uuid
 
+    # ---- staging (pre-commit: everything below is invisible debris) ----
     tmp = cells_path + f".retrain-{_uuid.uuid4().hex}"
     batch.select("vec_id", "code", "centroid_id").write.partitionBy(
         "centroid_id"
     ).parquet(tmp)
-    # swap ONLY the affected partitions: every split cell's dir is
-    # dropped FIRST (a cell whose vectors all moved to a fresh sub-id
-    # produces no replacement dir — leaving the old one would serve
-    # stale rows), fresh sub-cell dirs move in, everything else is
-    # never touched
-    for c in cells:
-        old = os.path.join(cells_path, f"centroid_id={c}")
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+    # fresh sub-cell dirs move INTO cells/ under ids the live manifest
+    # does not acknowledge (_visible_cells prunes >= n_centroids); the
+    # old split dirs stay in place and keep serving
     for entry in os.listdir(tmp):
         if not entry.startswith("centroid_id="):
             continue
         os.rename(os.path.join(tmp, entry), os.path.join(cells_path, entry))
     shutil.rmtree(tmp)
-
+    # new matrix at a fresh versioned path — the live manifest keeps
+    # pointing at the old one until the flip
+    seq = len(man.get("retrains", [])) + 1
+    old_cent = man["artifacts"]["centroids"]
+    new_cent = os.path.join(index_dir, f"centroids-r{seq}")
     _matrix_to_df(spark, "centroid", centroids).write.mode("overwrite").parquet(
-        man["artifacts"]["centroids"]
+        new_cent
     )
-    man["n_centroids"] = int(centroids.shape[0])
     new_occ = {
         str(r["centroid_id"]): r["n"]
         for r in spark.read.parquet(cells_path)
@@ -784,7 +846,24 @@ def retrain_cells(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    man.setdefault("training_occupancy", {}).update(new_occ)
+
+    # ---- commit: one atomic manifest rename flips the whole repair ----
+    man["artifacts"]["centroids"] = new_cent
+    man["n_centroids"] = int(centroids.shape[0])
+    man["dead_centroids"] = sorted(dead_ids | set(cells))
+    base = man.setdefault("training_occupancy", {})
+    for c in cells:
+        base.pop(str(c), None)
+    base.update(new_occ)
     man.setdefault("retrains", []).append({"cells": retrain_meta})
     _write_index_manifest(index_dir, man)
+
+    # ---- post-commit sweep: dead_centroids keeps these unservable, so
+    # a crash mid-sweep is harmless (next retrain finishes the job) ----
+    for c in cells:
+        old = os.path.join(cells_path, f"centroid_id={c}")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    if old_cent != new_cent and os.path.isdir(old_cent):
+        shutil.rmtree(old_cent)
     return man

@@ -94,6 +94,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     survey_ids=("AGG-6",),
+    gate=False,
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentiles, BOTH renderings on the hash-checked gate — and since

@@ -152,7 +152,6 @@ def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base WHERE okey % 211 = 0 AND lineno = 1
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
-    gate=False,
 )
 def q_mtable_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``q_mtable_merge``'s exact upsert through the MERGE-ON-READ
@@ -310,7 +309,6 @@ def q_mtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey NOT IN (11, 500, 993)
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
-    gate=False,
 )
 def q_mtable_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point deletes through BLOOM file skipping: customer lands as an
@@ -349,3 +347,60 @@ def q_mtable_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     if man["files_rewritten"] >= len(man["files"]):
         raise AssertionError("bloom skipping rewrote every file")
     return mtable_read(spark, d).select("ckey", "bal")
+
+
+@register(
+    "q_mtable_partitioned",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CASE WHEN c_custkey % 11 = 0 THEN -1.0
+                ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
+)
+def q_mtable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 PARTITION SPEC end to end: customer lands as an mtable
+    hive-partitioned by market segment (``partition_by=['seg']`` —
+    SURVEY §1.3's date-partition layout rendered on the fixture's
+    5-value segment column), one whole partition deletes BY ITS
+    PARTITION KEY, and a keyed merge updates every 11th surviving
+    customer's balance. The in-query assertion pins the pruning claim:
+    the delete's ``files_rewritten`` must equal exactly the doomed
+    partition's file count (partition values persist as [v,v] manifest
+    stats, so every foreign partition's files are refuted before any
+    footer or data byte is read). The oracle states the same
+    delete+update as a filter+CASE; hash parity certifies the
+    partitioned write→prune→rewrite→read cycle."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_delete,
+        mtable_merge,
+        mtable_read,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-part-")
+    mtable_create(spark, cust.repartition(4, "ckey"), d, partition_by=["seg"])
+    man0 = read_manifest(d)
+    doomed = [f for f in man0["files"] if "seg=BUILDING" in f]
+    man1 = mtable_delete(
+        spark, d,
+        spark.createDataFrame([("BUILDING",)], "seg string"), "seg",
+    )
+    if man1["files_rewritten"] != len(doomed):
+        raise AssertionError(
+            f"partition pruning failed: rewrote {man1['files_rewritten']} "
+            f"files, expected exactly the {len(doomed)} in seg=BUILDING"
+        )
+    updates = mtable_read(spark, d).where(F.col("ckey") % 11 == 0).select(
+        "ckey", "seg", F.lit(-1.0).alias("bal")
+    )
+    mtable_merge(spark, d, updates, "ckey")
+    return mtable_read(spark, d).select("ckey", "seg", "bal")

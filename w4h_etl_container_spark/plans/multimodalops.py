@@ -63,6 +63,7 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE text IS NOT NULL
     """,
     survey_ids=("EXT-MEDIA",),
+    gate=False,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal processing chain over binary media columns:
@@ -545,7 +546,6 @@ def _planted_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE text IS NOT NULL
     """,
     survey_ids=("EXT-MEDIA",),
-    gate=False,
 )
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BASELINE JPEG decode end-to-end
@@ -642,7 +642,6 @@ def _planted_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     survey_ids=("EXT-MEDIA",),
-    gate=False,
 )
 def q_mp4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real MP4 CONTAINER parse end-to-end

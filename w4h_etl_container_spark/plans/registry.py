@@ -38,9 +38,17 @@ QUERIES: dict[str, Query] = {}
 # q_stream_session, each with a gate twin still covering its SURVEY
 # shape — so the driver hash-checks the newest, least-soaked code:
 # q_mtable_merge, q_mtable_changes, q_mtable_delete_mor, q_png_decode,
-# q_gif_decode, q_fuzzy_join, q_shared_runs). Library queries keep
-# their oracle SQL and stay pinned by the pytest plan-shape and
-# selfcheck-library suites — same code path, one registry flag.
+# q_gif_decode, q_fuzzy_join, q_shared_runs. Round 14 continued the
+# policy: q_percentile (AGG-6 twin q_agg_rollup stays), q_cosine_topk
+# (EXT-SIM covered by q_ann_lsh/q_ann_probe/q_embed_neardup/
+# q_quantize), q_media_features (EXT-MEDIA now gate-covered by four
+# real decoders), and q_ngram_jaccard (EXT-DEDUP's most-soaked entry;
+# its multi-tier crossover rows stay in bench10x) ceded their slots to
+# the round-13 operators the gate had never hash-checked:
+# q_mtable_merge_mor, q_mtable_bloom_delete, q_jpeg_decode,
+# q_mp4_extract). Library queries keep their oracle SQL and stay
+# pinned by the pytest plan-shape and selfcheck-library suites — same
+# code path, one registry flag.
 LIBRARY: dict[str, Query] = {}
 
 

@@ -651,6 +651,7 @@ def _small_local_scan(df: DataFrame) -> bool:
     WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.1
     """,
     survey_ids=("EXT-DEDUP",),
+    gate=False,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity for pairs sharing ≥1 (rare) shingle,

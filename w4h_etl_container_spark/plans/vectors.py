@@ -160,7 +160,7 @@ def _cosine_topk_sql() -> str:
     """
 
 
-@register("q_cosine_topk", sql=_cosine_topk_sql(), survey_ids=("EXT-SIM",))
+@register("q_cosine_topk", sql=_cosine_topk_sql(), survey_ids=("EXT-SIM",), gate=False)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the exact ANN baseline. Norms are
     precomputed once per vector (n·1 norm evaluations instead of n·q — the

@@ -84,7 +84,10 @@ def _read_versions(table_dir: str, after: int, upto: int):
                 man.get("parent"),
                 man.get("op", ""),
                 man.get("committed_at"),
-                len(man.get("files", [])),
+                # segmented descriptors carry the count directly (the
+                # whole point: never resolve the file list for metadata)
+                man["n_files"] if "n_files" in man
+                else len(man.get("files", [])),
             )
         )
     return out
@@ -99,6 +102,22 @@ class _VersionsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self._dir = options["table_dir"]
         self._starting = options.get("starting_version")
+        if self._starting is not None and int(self._starting) < -1:
+            raise ValueError(
+                "mtable_versions: starting_version must be >= -1 "
+                "(-1 replays from v0 inclusive)"
+            )
+        # rate limit: a consumer catching up over thousands of retained
+        # commits would otherwise get them all in ONE micro-batch — and
+        # apply_changes runs one diff per version, so an unbounded batch
+        # is an unbounded foreachBatch call with no checkpoint progress
+        # until the very end
+        maxv = options.get("max_versions_per_batch")
+        self._maxv = int(maxv) if maxv is not None else None
+        if self._maxv is not None and self._maxv < 1:
+            raise ValueError(
+                "mtable_versions: max_versions_per_batch must be >= 1"
+            )
 
     def _current(self) -> int:
         with open(os.path.join(self._dir, "_latest")) as f:
@@ -107,12 +126,16 @@ class _VersionsStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         # default: deliver every retained commit AFTER the version the
         # stream starts at; starting_version=-1 replays from v0
+        # inclusive (apply_changes renders v0 as a full-snapshot insert
+        # batch — there is no v-1 manifest to diff against)
         if self._starting is not None:
             return {"version": int(self._starting)}
         return {"version": self._current()}
 
     def read(self, start: dict):
         upto = self._current()
+        if self._maxv is not None:
+            upto = min(upto, start["version"] + self._maxv)
         rows = _read_versions(self._dir, start["version"], upto)
         return iter(rows), {"version": upto}
 
@@ -123,9 +146,13 @@ class _VersionsStreamReader(SimpleDataSourceStreamReader):
 class MtableVersionsDataSource(DataSource):
     """``spark.readStream.format("mtable_versions")`` — one row per
     committed mtable version. Options: ``table_dir`` (required),
-    ``starting_version`` (deliver commits AFTER this version; default
-    = the table's current version at stream start, i.e. only new
-    commits)."""
+    ``starting_version`` (deliver commits AFTER this version; -1
+    replays from v0 inclusive; default = the table's current version
+    at stream start, i.e. only new commits), ``max_versions_per_batch``
+    (cap each micro-batch at N versions — a catch-up over a long
+    retained history then checkpoints progress every N commits instead
+    of applying the whole backlog in one unbounded foreachBatch
+    call)."""
 
     @classmethod
     def name(cls) -> str:
@@ -151,17 +178,38 @@ def apply_changes(
     """foreachBatch adapter: turn a micro-batch of version rows into
     consecutive per-version row-level diffs (``mtable_changes(v-1, v)``)
     and hand each to ``process(diff_df, version)`` in commit order.
+    Version 0 (delivered only under ``starting_version=-1`` full
+    replay) has no parent manifest to diff against — it renders as the
+    v0 snapshot with ``_change_type='insert'``, the same shape a diff
+    from an empty table would produce. Per-version diffs also make a
+    window spanning a schema evolution safe: each call reads both
+    sides under its own newer manifest's schema (old rows null-fill),
+    so mixed-schema batches never co-mingle in one scan.
 
     ``process`` must be replay-tolerant (Structured Streaming may
     re-deliver the last uncommitted batch after a restart) — the index
     syncs are, via their manifest watermark; ad-hoc consumers can key
     on ``version``."""
-    from w4h_etl_container_spark.pipeline.mtable import mtable_changes
+    from pyspark.sql import functions as F
+
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_changes,
+        mtable_read,
+        read_manifest,
+    )
 
     def _fb(batch_df: DataFrame, epoch_id: int) -> None:
         versions = sorted(r["version"] for r in batch_df.select("version").collect())
         for v in versions:
-            process(mtable_changes(spark, table_dir, v - 1, v, key=key), v)
+            if v == 0:
+                if not read_manifest(table_dir, 0)["files"]:
+                    continue  # empty create: nothing to replay
+                diff = mtable_read(spark, table_dir, version=0).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            else:
+                diff = mtable_changes(spark, table_dir, v - 1, v, key=key)
+            process(diff, v)
 
     return _fb
 
