@@ -274,6 +274,44 @@ class TestVersionStreamEdges:
             assert ctype == "update"
 
 
+class TestPartitionedTableFeed:
+    def test_stream_diffs_partitioned_commits(self, spark, tmp_path):
+        """Round-14 partition spec composed with the change feed: diffs
+        over a hive-partitioned mtable must carry the partition column
+        (it lives in directory names, re-attached through basePath) and
+        classify updates/inserts across partition boundaries."""
+        _register(spark)
+        df = spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(60)], "k long, p int, v long"
+        )
+        d = str(tmp_path / "ptab")
+        mtable_create(spark, df, d, partition_by=["p"])
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame(
+                [(3, 0, -1), (100, 2, -2)], "k long, p int, v long"
+            ),
+            "k",
+        )  # v1: one update (k=3 stays in p=0), one insert into p=2
+        got: dict[int, set] = {}
+
+        def process(diff, v):
+            got[v] = {
+                (r["k"], r["p"], r["v"], r["_change_type"])
+                for r in diff.collect()
+            }
+
+        _run_available(
+            spark, d, str(tmp_path / "ck"),
+            apply_changes(spark, d, key="k", process=process),
+            starting_version=0,
+        )
+        assert got[1] == {
+            (3, 0, -1, "update"),
+            (100, 2, -2, "insert"),
+        }
+
+
 class TestRateLimitedSync:
     def test_bounded_catchup_drives_index_to_head(self, spark, tmp_path):
         """max_versions_per_batch composed with sync_index_on_changes:

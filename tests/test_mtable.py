@@ -2649,3 +2649,89 @@ class TestMtableMaintain:
         assert rep2["actions"] == ["vacuum"]
         assert rep2["vacuum"]["dropped_manifests"] == 3
         assert mtable_read(spark, d).count() == 198
+
+
+class TestMtablePartitionNulls:
+    def test_null_partition_values_roundtrip_and_stay_unprunable(
+        self, spark, tmp_path
+    ):
+        """NULL partition values land in Spark's
+        __HIVE_DEFAULT_PARTITION__ directory; they must read back as
+        NULL, and their files' stats entry for the partition column
+        must be None (unprunable) — a keyed delete must still match
+        them conservatively rather than skip them."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, None, 40)],
+            "k long, p string, v long",
+        )
+        d = str(tmp_path / "pnull")
+        man = mtable_create(spark, df, d, partition_by=["p"])
+        got = {r["k"]: r["p"] for r in mtable_read(spark, d).collect()}
+        assert got == {1: "a", 2: "b", 3: None, 4: None}
+        null_files = [
+            f for f in man["files"] if "__HIVE_DEFAULT_PARTITION__" in f
+        ]
+        assert null_files
+        for f in null_files:
+            assert man["file_stats"][f].get("p") is None  # unprunable
+        # a delete keyed on k still reaches rows in the NULL partition
+        mtable_delete(spark, d, spark.createDataFrame([(3,)], "k long"), "k")
+        got2 = {r["k"] for r in mtable_read(spark, d).collect()}
+        assert got2 == {1, 2, 4}
+
+
+class TestMtableSinkEpochBound:
+    def test_epoch_metadata_stays_bounded(self, spark, tmp_path):
+        """Round-14: the sink's replay record is a WATERMARK + bounded
+        tail, not an ever-growing list — a long-lived minutely stream
+        must not carry every epoch id it ever committed in every
+        manifest descriptor."""
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        tdir = str(tmp_path / "snkbound")
+        sink = M.mtable_sink(spark, tdir)  # append mode
+        n = M._SINK_EPOCHS_KEPT + 6
+        for e in range(n):
+            sink(spark.createDataFrame([(e, e * 2)], "k long, v long"), e)
+        man = read_manifest(tdir)
+        assert len(man["epochs"]) == M._SINK_EPOCHS_KEPT
+        assert man["epoch_watermark"] == n - 1
+        assert mtable_read(spark, tdir).count() == n
+        # replay of ANY committed epoch — including ones aged out of
+        # the bounded tail — is still recognized via the watermark
+        v = man["version"]
+        sink(spark.createDataFrame([(0, 999)], "k long, v long"), 0)
+        sink(spark.createDataFrame([(1, 999)], "k long, v long"), n - 1)
+        assert read_manifest(tdir)["version"] == v
+        assert mtable_read(spark, tdir).count() == n
+        # a genuinely new epoch still commits
+        sink(spark.createDataFrame([(n, -1)], "k long, v long"), n)
+        assert read_manifest(tdir)["version"] == v + 1
+        assert mtable_read(spark, tdir).count() == n + 1
+
+    def test_legacy_epochs_list_manifest_upgrades(self, spark, tmp_path):
+        """A pre-round-14 manifest has only the epochs list; the next
+        sink commit must derive the watermark from it (max), skip
+        replays against it, and write the new bounded shape."""
+        import json as _json
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        tdir = str(tmp_path / "snklegacy")
+        sink = M.mtable_sink(spark, tdir)
+        sink(spark.createDataFrame([(1, 1)], "k long, v long"), 5)
+        # strip the watermark, as a legacy manifest would be
+        man = read_manifest(tdir)
+        with open(M._manifest_path(tdir, man["version"])) as f:
+            raw = _json.load(f)
+        raw.pop("epoch_watermark")
+        with open(M._manifest_path(tdir, man["version"]), "w") as f:
+            _json.dump(raw, f)
+        sink(spark.createDataFrame([(9, 9)], "k long, v long"), 5)  # replay
+        assert mtable_read(spark, tdir).count() == 1
+        sink(spark.createDataFrame([(2, 2)], "k long, v long"), 6)  # new
+        man2 = read_manifest(tdir)
+        assert man2["epoch_watermark"] == 6
+        assert mtable_read(spark, tdir).count() == 2

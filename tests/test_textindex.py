@@ -767,3 +767,122 @@ class TestSyncWatermarkAtomicity:
         with open(os.path.join(idx, "MANIFEST.json")) as f:
             man = _json.load(f)
         assert man["synced_table_version"] == 2
+
+
+class TestTextIndexMaintain:
+    """Round-14: the maintenance policy — driver-metadata measurement,
+    threshold triggers, actions through the existing primitives."""
+
+    def _fresh(self, spark, tmp_path):
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.textindex import build_text_index
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} alpha beta") for i in range(40)],
+            "doc_id long, text string",
+        )
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        docs.coalesce(1).write.parquet(str(tmp_path / "pq"))
+        for f in os.listdir(str(tmp_path / "pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / "pq" / f),
+                            os.path.join(src, "documents.parquet"))
+        idx = str(tmp_path / "idx")
+        build_text_index(spark, src, idx, n_files=2)
+        return idx
+
+    def test_fragmentation_and_tombstones_fire_and_converge(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.textindex import (
+            append_to_text_index,
+            audit_text_index,
+            delete_from_text_index,
+            maintain_text_index,
+        )
+
+        idx = self._fresh(spark, tmp_path)
+        for i in range(3):  # fragment: each append lands 2 more files
+            append_to_text_index(
+                spark, idx,
+                spark.createDataFrame(
+                    [(1000 + 10 * i + j, f"new doc gamma {i} {j}")
+                     for j in range(3)],
+                    "doc_id long, text string",
+                ),
+            )
+        delete_from_text_index(
+            spark, idx, spark.createDataFrame([(0,), (1,)], "doc_id long")
+        )
+        dry = maintain_text_index(
+            spark, idx, tombstone_max_docs=1, postings_files_max=4,
+            dry_run=True,
+        )
+        assert set(dry["triggers"]) == {"purge-deletes", "recluster-postings"}
+        assert dry["actions"] == []
+        assert dry["measured"]["n_postings_files"] > 4
+        rep = maintain_text_index(
+            spark, idx, tombstone_max_docs=1, postings_files_max=4
+        )
+        # the purge subsumes the recluster (it rewrites clustered)
+        assert rep["actions"] == ["purge-deletes"]
+        a = audit_text_index(spark, idx)
+        assert a["consistent"] and a["n_tombstones"] == 0
+        rep2 = maintain_text_index(
+            spark, idx, tombstone_max_docs=1, postings_files_max=4
+        )
+        assert rep2["triggers"] == [] and rep2["actions"] == []
+
+    def test_recluster_alone_restores_pruning(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.textindex import (
+            append_to_text_index,
+            bm25_topk_from_index,
+            maintain_text_index,
+        )
+
+        idx = self._fresh(spark, tmp_path)
+        for i in range(4):
+            append_to_text_index(
+                spark, idx,
+                spark.createDataFrame(
+                    [(2000 + i, f"appended delta {i}")],
+                    "doc_id long, text string",
+                ),
+            )
+        queries = ((1, ("alpha",)), (2, ("delta",)))
+        before = sorted(map(tuple, bm25_topk_from_index(spark, idx, queries).collect()))
+        rep = maintain_text_index(spark, idx, postings_files_max=4)
+        assert rep["actions"] == ["recluster-postings"]
+        import json as _json
+
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        n_after = len([
+            f for f in os.listdir(man["artifacts"]["postings"])
+            if f.endswith(".parquet")
+        ])
+        assert n_after <= 8
+        after = sorted(map(tuple, bm25_topk_from_index(spark, idx, queries).collect()))
+        assert after == before  # scores identical across the recluster
+
+    def test_stale_stats_cache_repaired(self, spark, tmp_path):
+        import json as _json
+
+        from w4h_etl_container_spark.pipeline.textindex import (
+            audit_text_index,
+            maintain_text_index,
+        )
+
+        idx = self._fresh(spark, tmp_path)
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        # simulate the crash window: stats cache lags the manifest
+        spark.createDataFrame(
+            [(1, 1)], "n_docs long, total_tokens long"
+        ).write.mode("overwrite").parquet(man["artifacts"]["stats"])
+        assert not audit_text_index(spark, idx)["stats_cache_fresh"]
+        rep = maintain_text_index(spark, idx)
+        assert rep["actions"] == ["refresh-stats-cache"]
+        assert audit_text_index(spark, idx)["stats_cache_fresh"]

@@ -1033,3 +1033,67 @@ class TestCellLocalRetrain:
         )
         with pytest.raises(ValueError, match="tombstones pending"):
             retrain_cells(spark, out, full)
+
+
+class TestVectorIndexMaintain:
+    """Round-14: the ANN maintenance policy — tombstone purge +
+    drift retrain fired from measurements, in dependency order."""
+
+    def test_drift_and_tombstones_fire_in_order(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            audit_index,
+            delete_from_index,
+            maintain_vector_index,
+        )
+
+        d2, out, full = TestCellLocalRetrain._drifted(
+            TestCellLocalRetrain(), spark, tmp_path
+        )
+        delete_from_index(
+            spark, out, spark.createDataFrame([(2,)], "vec_id long")
+        )
+        dry = maintain_vector_index(
+            spark, out, tombstone_max_rows=0, dry_run=True
+        )
+        assert set(dry["triggers"]) == {"purge-deletes", "retrain-drift"}
+        assert dry["actions"] == []
+        # drift without a raw-vector source: loud, not silent
+        rep0 = maintain_vector_index(spark, out, tombstone_max_rows=0)
+        assert rep0["actions"][0] == "purge-deletes"
+        assert rep0["actions"][1] == "retrain-needed-no-source"
+        # with the source: retrain runs (purge already happened)
+        full_live = full.where(F.col("vec_id") != 2)
+        rep = maintain_vector_index(
+            spark, out, full_live, tombstone_max_rows=0
+        )
+        assert rep["actions"] == ["retrain-drift"]
+        a = audit_index(spark, out)
+        assert a["consistent"] and not a["needs_retrain"]
+        rep2 = maintain_vector_index(
+            spark, out, full_live, tombstone_max_rows=0
+        )
+        assert rep2["triggers"] == [] and rep2["actions"] == []
+
+    def test_retrain_purges_shadow_below_threshold_first(
+        self, spark, tmp_path
+    ):
+        """Even when the tombstone count is under its own threshold, a
+        drift retrain must purge first — retrain_cells refuses a
+        shadowed index."""
+        from w4h_etl_container_spark.pipeline.vectorindex import (
+            delete_from_index,
+            maintain_vector_index,
+        )
+
+        d2, out, full = TestCellLocalRetrain._drifted(
+            TestCellLocalRetrain(), spark, tmp_path
+        )
+        delete_from_index(
+            spark, out, spark.createDataFrame([(3,)], "vec_id long")
+        )
+        full_live = full.where(F.col("vec_id") != 3)
+        rep = maintain_vector_index(
+            spark, out, full_live, tombstone_max_rows=10_000
+        )
+        assert rep["triggers"] == ["retrain-drift"]
+        assert rep["actions"] == ["purge-deletes", "retrain-drift"]

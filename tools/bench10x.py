@@ -27,13 +27,15 @@ and 1000× events (q_funnel), so every crossover/asymptote claim is ON
 the artifact instead of in prose — Spark's wall is flat-to-slowly-
 rising while the embedded engine grows with volume.
 
-Method (round 13): each tier's Spark walls are measured on a FRESH
-session in a subprocess — mirroring the fresh duckdb.connect() every
-tier already got. A single long-lived JVM accumulates megamorphic
-codegen call sites across tiers (measured: the 1000× funnel map stage
-burns 1.7× more CPU after the 10× tier has run, zero spill and zero
-GC delta at a 24 GB heap), which made cross-tier rows depend on
-execution ORDER; per-tier isolation measures the operator, and every
+Method (round 13, tightened round 14): each (tier, QUERY) pair's
+Spark wall is measured on a FRESH session in its own subprocess. The
+r13 fix isolated tiers after measuring cross-tier megamorphic-JIT
+contamination; round 14 caught the same pathology WITHIN a tier — the
+11-query 10× tier measured q_percentile at 36 s in-session vs 4.1 s
+in a fresh session (q_winnow 28.8 vs 10.1, q_embed_neardup 10.9 vs
+1.6), i.e. session history, not the operator, dominated the tail
+rows. Per-query isolation costs ~8 s of JVM startup per row (excluded
+from the wall) and makes every row the operator's own cost; the
 spark-vs-duck ratio remains a same-boot, best-of-2 contest.
 
 Usage: python tools/bench10x.py [round_tag]   (default r11)
@@ -259,15 +261,19 @@ def main() -> int:
         ("100x", DEEP, DEEP_QUERIES),
         ("1000x", DEEPER, DEEPER_QUERIES),
     ):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--spark-tier", sf_dir]
-            + list(qnames),
-            capture_output=True, text=True, cwd=REPO,
-        )
-        if proc.returncode != 0:
-            print(proc.stderr[-4000:], file=sys.stderr)
-            raise RuntimeError(f"spark tier {scale} failed")
-        walls = json.loads(proc.stdout.strip().splitlines()[-1])
+        # one subprocess PER QUERY: session history must not leak into
+        # any row (see the method note at the top)
+        walls = {}
+        for qname in qnames:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--spark-tier", sf_dir, qname],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(f"spark tier {scale}/{qname} failed")
+            walls.update(json.loads(proc.stdout.strip().splitlines()[-1]))
         dcon = duckdb.connect()
         for t in TABLES:
             dcon.sql(

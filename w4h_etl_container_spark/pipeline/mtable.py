@@ -2101,6 +2101,11 @@ def mtable_maintain(
     return report
 
 
+#: The streaming sink keeps this many recent epoch ids in the manifest
+#: for observability; replay SAFETY rests on epoch_watermark alone.
+_SINK_EPOCHS_KEPT = 64
+
+
 def mtable_sink(
     spark: SparkSession,
     table_dir: str,
@@ -2155,18 +2160,35 @@ def mtable_sink(
             man = read_manifest(table_dir)
         except FileNotFoundError:
             man = None
-        if man is not None and epoch_id in set(man.get("epochs", [])):
-            return  # replayed micro-batch: already committed
+        # Replay detection is a WATERMARK, not unbounded list membership
+        # (round 14): foreachBatch epoch ids are strictly monotone per
+        # streaming query, so a replayed batch (crash-recovery re-delivery
+        # of the last uncommitted epoch) always satisfies epoch_id <=
+        # max committed. The old epochs LIST grew one entry per
+        # micro-batch FOREVER — a year of minutely batches is ~5e5 ids
+        # carried in every manifest descriptor, the same unbounded-
+        # metadata class the segmented manifests just closed. A bounded
+        # tail is kept for observability; the single-writer contract
+        # (one streaming query per sink table — concurrent queries'
+        # epoch spaces would collide) is unchanged from the list design.
+        if man is not None:
+            committed = man.get("epoch_watermark")
+            if committed is None and man.get("epochs"):
+                committed = max(man["epochs"])  # legacy manifests
+            if committed is not None and epoch_id <= committed:
+                return  # replayed micro-batch: already committed
         if man is None:
             files = _new_data_files(table_dir, df)
             _write_manifest(
                 table_dir, 0, files,
                 {"op": "stream-append", "epochs": [epoch_id],
+                 "epoch_watermark": epoch_id,
                  "schema_json": df.schema.json()},
                 file_stats=_stats_for(table_dir, files),
             )
             return
-        epochs = man.get("epochs", []) + [epoch_id]
+        epochs = (man.get("epochs", []) + [epoch_id])[-_SINK_EPOCHS_KEPT:]
+        epoch_meta = {"epochs": epochs, "epoch_watermark": epoch_id}
         if combine is not None:
             # aggregate mode: the additive combine is NOT idempotent, so
             # the epoch record MUST ride the same atomic publish as the
@@ -2174,12 +2196,14 @@ def mtable_sink(
             if key is None:
                 raise ValueError("mtable_sink: combine mode needs key=")
             mtable_merge_agg(
-                spark, table_dir, df, key, combine, extra_meta={"epochs": epochs}
+                spark, table_dir, df, key, combine, extra_meta=dict(epoch_meta)
             )
         elif key is None:
             new_files = _new_data_files(table_dir, df, partition_by=man.get("partition_by"))
             files = man["files"] + new_files
-            meta = _carry_schema(man, {"op": "stream-append", "epochs": epochs})
+            meta = _carry_schema(
+                man, {"op": "stream-append", **epoch_meta}
+            )
             _write_manifest(
                 table_dir, man["version"] + 1, files, meta,
                 file_stats=_stats_for(
@@ -2206,7 +2230,7 @@ def mtable_sink(
                     for k, v in new_man.items()
                     if k not in ("version", "files", "file_stats", "dv", "bloom")
                 }
-                | {"epochs": epochs},
+                | epoch_meta,
                 file_stats=new_man.get("file_stats"),
                 dv=new_man.get("dv"),
                 bloom=new_man.get("bloom"),

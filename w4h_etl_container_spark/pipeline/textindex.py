@@ -348,6 +348,118 @@ def compact_text_index_deletes(
     return man
 
 
+def compact_text_index_files(
+    spark: SparkSession, index_dir: str, n_files: int = 8
+) -> dict:
+    """Recluster the postings into ``n_files`` token-ordered files and
+    coalesce doc_lengths — the small-file repair for append churn.
+    Every ``append_to_text_index`` lands its batch as ADDITIONAL
+    posting files, so a probe's file-level token pruning degrades from
+    one generation's tight ranges to touching every generation's
+    matching files; reclustering restores build-fresh pruning. Rows
+    are rewritten verbatim (tombstoned docs included — visibility
+    stays with the anti-join until a deletes purge), so this composes
+    with pending tombstones. Same tmp-write → rename-swap discipline
+    as the deletes purge."""
+    import shutil
+    import uuid as _uuid
+
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    for art, cluster in (("postings", True), ("doc_lengths", False)):
+        path = man["artifacts"][art]
+        rows = spark.read.parquet(path)
+        tmp = path + f".recluster-{_uuid.uuid4().hex}"
+        if cluster:
+            cluster_by(rows, ["token", "doc_id"], n_files=n_files).write.parquet(tmp)
+        else:
+            rows.repartition(1).write.parquet(tmp)
+        old = path + f".old-{_uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    man.setdefault("compactions", []).append({"op": "recluster-files"})
+    _write_index_manifest(index_dir, man)
+    return man
+
+
+def maintain_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    tombstone_max_docs: int = 1024,
+    postings_files_max: int = 64,
+    dry_run: bool = False,
+) -> dict:
+    """Maintenance POLICY for the inverted index — the WHEN layer over
+    the existing primitives, mirroring ``mtable_maintain``: measure
+    with driver metadata only (manifest counts, a directory listing,
+    the 1-row stats cache), fire what is over threshold, report what
+    was seen and done.
+
+    Triggers:
+
+    * ``purge-deletes``: pending tombstones exceed
+      ``tombstone_max_docs`` — every query is paying the anti-join;
+      the purge also reclusters, so it subsumes the small-file repair.
+    * ``recluster-postings``: append churn fragmented the postings
+      past ``postings_files_max`` files (file-level token pruning
+      degrades with generations); fires alone only when no purge ran.
+    * ``refresh-stats-cache``: the derived (n_docs, total_tokens)
+      parquet disagrees with the manifest (a crash between manifest
+      commit and cache refresh) — rewritten from the manifest, the
+      source of truth."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    postings_files = [
+        f
+        for f in os.listdir(man["artifacts"]["postings"])
+        if f.endswith(".parquet")
+    ]
+    srow = spark.read.parquet(man["artifacts"]["stats"]).collect()[0]
+    cache_fresh = (
+        srow["n_docs"] == man["n_docs"]
+        and srow["total_tokens"] == man["total_tokens"]
+    )
+    triggers = []
+    if man.get("n_tombstones", 0) > tombstone_max_docs:
+        triggers.append("purge-deletes")
+    if len(postings_files) > postings_files_max:
+        triggers.append("recluster-postings")
+    if not cache_fresh:
+        triggers.append("refresh-stats-cache")
+    report = {
+        "measured": {
+            "n_tombstones": man.get("n_tombstones", 0),
+            "n_postings_files": len(postings_files),
+            "n_appends": len(man.get("appends", [])),
+            "stats_cache_fresh": cache_fresh,
+        },
+        "triggers": triggers,
+        "actions": [],
+        "dry_run": dry_run,
+    }
+    if dry_run:
+        return report
+    # rewrite into at most the policy's own threshold so one pass
+    # CONVERGES (a purge that re-fragmented past postings_files_max
+    # would re-trigger forever)
+    out_files = max(1, min(8, postings_files_max))
+    if "purge-deletes" in triggers:
+        compact_text_index_deletes(spark, index_dir, n_files=out_files)
+        report["actions"].append("purge-deletes")
+    elif "recluster-postings" in triggers:
+        compact_text_index_files(spark, index_dir, n_files=out_files)
+        report["actions"].append("recluster-postings")
+    if "refresh-stats-cache" in triggers:
+        spark.createDataFrame(
+            [(man["n_docs"], man["total_tokens"])],
+            "n_docs long, total_tokens long",
+        ).write.mode("overwrite").parquet(man["artifacts"]["stats"])
+        report["actions"].append("refresh-stats-cache")
+    return report
+
+
 def append_to_text_index(
     spark: SparkSession,
     index_dir: str,

@@ -645,6 +645,74 @@ def audit_index(
     }
 
 
+def maintain_vector_index(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame | None = None,
+    *,
+    tombstone_max_rows: int = 1024,
+    drift_tv_threshold: float = 0.25,
+    dry_run: bool = False,
+) -> dict:
+    """Maintenance POLICY for the ANN index — the WHEN layer over the
+    primitives, mirroring ``mtable_maintain``: the tombstone shadow
+    and routing drift each have a fix (``compact_index_deletes``,
+    ``retrain_cells``), but nothing decided when to run them, so an
+    index under streamed CDC churn degrades silently (tombstone
+    anti-join on every search; frozen-model appends concentrating into
+    ever-fewer cells). Measurements: tombstone count from the manifest
+    (metadata-only) and the occupancy-TV drift audit (one scan of the
+    8-byte-code cells table — the drift signal is inherently a data
+    property; raw vectors are never read).
+
+    Triggers, fired in dependency order:
+
+    * ``purge-deletes``: pending tombstones exceed
+      ``tombstone_max_rows`` — also a precondition for retraining
+      (``retrain_cells`` refuses a shadowed index).
+    * ``retrain-drift``: ``audit_index`` flips ``needs_retrain`` at
+      ``drift_tv_threshold``. Needs the raw ``embeddings`` source
+      (cells hold lossy PQ codes); when drift fires without one, the
+      report says so (``retrain-needed-no-source``) instead of
+      silently skipping — the operator learns the index wants a
+      retrain it cannot run."""
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    audit = audit_index(spark, index_dir, drift_tv_threshold=drift_tv_threshold)
+    triggers = []
+    if man.get("n_tombstones", 0) > tombstone_max_rows:
+        triggers.append("purge-deletes")
+    if audit["needs_retrain"]:
+        triggers.append("retrain-drift")
+    report = {
+        "measured": {
+            "n_tombstones": man.get("n_tombstones", 0),
+            "occupancy_tv": audit["occupancy_tv"],
+            "consistent": audit["consistent"],
+            "n_vectors": man["n_vectors"],
+        },
+        "triggers": triggers,
+        "actions": [],
+        "dry_run": dry_run,
+    }
+    if dry_run:
+        return report
+    if "retrain-drift" in triggers and man.get("n_tombstones", 0):
+        # a retrain needs a clean shadow regardless of the row threshold
+        compact_index_deletes(spark, index_dir)
+        report["actions"].append("purge-deletes")
+    elif "purge-deletes" in triggers:
+        compact_index_deletes(spark, index_dir)
+        report["actions"].append("purge-deletes")
+    if "retrain-drift" in triggers:
+        if embeddings is None:
+            report["actions"].append("retrain-needed-no-source")
+        else:
+            retrain_cells(spark, index_dir, embeddings)
+            report["actions"].append("retrain-drift")
+    return report
+
+
 def retrain_cells(
     spark: SparkSession,
     index_dir: str,

@@ -331,9 +331,16 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    # the sf fixture is ONE parquet file = one input partition: the
+    # encode kernel (and the decode pass downstream) would run on a
+    # single core. Spread to the session's parallelism — at production
+    # scale the scan already arrives multi-partition and this is a
+    # no-op-sized exchange of (id, text) rows, never payload bytes.
     docs = read_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def kernel(batches):
         from w4h_etl_container_spark.multimodal.media import encode_png
@@ -418,9 +425,16 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    # the sf fixture is ONE parquet file = one input partition: the
+    # encode kernel (and the decode pass downstream) would run on a
+    # single core. Spread to the session's parallelism — at production
+    # scale the scan already arrives multi-partition and this is a
+    # no-op-sized exchange of (id, text) rows, never payload bytes.
     docs = read_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def kernel(batches):
         import numpy as np
@@ -497,9 +511,16 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    # the sf fixture is ONE parquet file = one input partition: the
+    # encode kernel (and the decode pass downstream) would run on a
+    # single core. Spread to the session's parallelism — at production
+    # scale the scan already arrives multi-partition and this is a
+    # no-op-sized exchange of (id, text) rows, never payload bytes.
     docs = read_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def kernel(batches):
         import numpy as np
@@ -581,9 +602,16 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    # the sf fixture is ONE parquet file = one input partition: the
+    # encode kernel (and the decode pass downstream) would run on a
+    # single core. Spread to the session's parallelism — at production
+    # scale the scan already arrives multi-partition and this is a
+    # no-op-sized exchange of (id, text) rows, never payload bytes.
     docs = read_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def kernel(batches):
         from w4h_etl_container_spark.multimodal.media import encode_mp4
