@@ -2735,3 +2735,60 @@ class TestMtableSinkEpochBound:
         man2 = read_manifest(tdir)
         assert man2["epoch_watermark"] == 6
         assert mtable_read(spark, tdir).count() == 2
+
+
+class TestMtableMaintainPartitioned:
+    def test_policy_composes_with_partition_spec(self, spark, tmp_path):
+        """mtable_maintain on a partitioned table: small-file compaction
+        must preserve the data-parts layout and the partition stats."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_maintain,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 3, i) for i in range(120)], "k long, p int, v long"
+        ).repartition(6)
+        d = str(tmp_path / "mpart")
+        mtable_create(spark, df, d, partition_by=["p"])
+        mtable_delete(
+            spark, d, spark.createDataFrame([(5,)], "k long"), "k", mode="mor"
+        )
+        rep = mtable_maintain(spark, d, small_files=2, dv_max_files=0)
+        assert rep["actions"] == ["compact-small"]
+        man = read_manifest(d)
+        assert man["partition_by"] == ["p"]
+        assert all(f.startswith("data-parts/p=") for f in man["files"])
+        assert not man.get("dv")
+        for f, st in man["file_stats"].items():
+            pval = int(f.split("p=")[1].split("/")[0])
+            assert st["p"] == [pval, pval]
+        got = mtable_read(spark, d)
+        assert got.count() == 119
+        assert got.where(F.col("p") == 1).count() in (39, 40)
+
+
+class TestMtablePartitionedMorDelete:
+    def test_mor_delete_shadows_exactly_one_row(self, spark, tmp_path):
+        """Regression (round 14): one partitionBy write job emits the
+        SAME part-NNNNN basename into every partition directory, and
+        deletion vectors join on basename — without per-partition-dir
+        unique names a 1-key MOR delete silently shadowed the same
+        position in every sibling partition. Basenames must be
+        table-unique and the delete must remove exactly one row."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        df = spark.createDataFrame(
+            [(i, i % 3, i) for i in range(120)], "k long, p int, v long"
+        ).repartition(6)
+        d = str(tmp_path / "morpart")
+        man = mtable_create(spark, df, d, partition_by=["p"])
+        basenames = [os.path.basename(f) for f in man["files"]]
+        assert len(basenames) == len(set(basenames)), "basenames collide"
+        man1 = mtable_delete(
+            spark, d, spark.createDataFrame([(5,)], "k long"), "k", mode="mor"
+        )
+        assert man1["n_deleted"] == 1
+        got = mtable_read(spark, d)
+        assert got.count() == 119
+        assert {r["k"] for r in got.collect()} == set(range(120)) - {5}

@@ -636,6 +636,8 @@ def _new_data_files(
     commits; immutability and the manifest's referenced-set rules are
     unchanged."""
     if partition_by:
+        import hashlib
+
         stage = os.path.join(table_dir, f"stage-{uuid.uuid4().hex}")
         df.write.partitionBy(*partition_by).parquet(stage)
         root = os.path.join(table_dir, "data-parts")
@@ -647,8 +649,17 @@ def _new_data_files(
                 rel_dir = os.path.relpath(sroot, stage)
                 dst_dir = os.path.join(root, rel_dir)
                 os.makedirs(dst_dir, exist_ok=True)
-                os.rename(os.path.join(sroot, f), os.path.join(dst_dir, f))
-                rels.append(os.path.join("data-parts", rel_dir, f))
+                # BASENAMES must stay table-unique: one partitionBy job
+                # writes the SAME part-NNNNN-<jobuuid> name into every
+                # partition dir, and deletion vectors join on basename
+                # (_metadata.file_name) — without a per-partition-dir
+                # prefix a MOR delete's positions would shadow every
+                # same-named sibling (measured: silent row loss)
+                dst_f = (
+                    hashlib.md5(rel_dir.encode()).hexdigest()[:8] + "-" + f
+                )
+                os.rename(os.path.join(sroot, f), os.path.join(dst_dir, dst_f))
+                rels.append(os.path.join("data-parts", rel_dir, dst_f))
         import shutil
 
         shutil.rmtree(stage)

@@ -40,6 +40,7 @@ from w4h_etl_container_spark.session import read_events
     GROUP BY 2
     """,
     survey_ids=("STR-5",),
+    gate=False,
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STR-5 (SURVEY §2.9): 6-hour tumbling windows per event type, plus

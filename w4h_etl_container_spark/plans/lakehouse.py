@@ -358,7 +358,6 @@ def q_mtable_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer WHERE c_mktsegment <> 'BUILDING'
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
-    gate=False,
 )
 def q_mtable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-14 PARTITION SPEC end to end: customer lands as an mtable

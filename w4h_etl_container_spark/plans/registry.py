@@ -46,7 +46,10 @@ QUERIES: dict[str, Query] = {}
 # its multi-tier crossover rows stay in bench10x) ceded their slots to
 # the round-13 operators the gate had never hash-checked:
 # q_mtable_merge_mor, q_mtable_bloom_delete, q_jpeg_decode,
-# q_mp4_extract). Library queries keep their oracle SQL and stay
+# q_mp4_extract — and, breaking the gate-lags-a-round pattern both
+# verdicts flagged, the SAME-round q_mtable_partitioned took
+# q_stream_tumbling's slot (STR-5 keeps gate twins q_stream_dedup and
+# q_sessionize). Library queries keep their oracle SQL and stay
 # pinned by the pytest plan-shape and selfcheck-library suites — same
 # code path, one registry flag.
 LIBRARY: dict[str, Query] = {}
