@@ -2792,3 +2792,146 @@ class TestMtablePartitionedMorDelete:
         got = mtable_read(spark, d)
         assert got.count() == 119
         assert {r["k"] for r in got.collect()} == set(range(120)) - {5}
+
+
+class TestMtableChecks:
+    """Round-14: write-time CHECK constraints (Delta table-constraint
+    shape) — named boolean SQL expressions in the manifest, enforced
+    in one aggregate pass wherever rows ENTER the table; violations
+    refuse the commit loudly with per-check counts."""
+
+    def test_create_refuses_violating_data(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, -5.0)], "k long, bal double"
+        )
+        with pytest.raises(ValueError, match="nonneg.*1 row"):
+            mtable_create(
+                spark, df, str(tmp_path / "c1"), checks={"nonneg": "bal >= 0"}
+            )
+        assert not os.path.exists(str(tmp_path / "c1") + "/_latest")
+
+    def test_merge_batch_refused_without_commit(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_merge
+
+        d = str(tmp_path / "c2")
+        mtable_create(
+            spark,
+            spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, bal double"),
+            d,
+            checks={"nonneg": "bal >= 0"},
+        )
+        bad = spark.createDataFrame([(2, -1.0), (3, 5.0)], "k long, bal double")
+        with pytest.raises(ValueError, match="CHECK constraint violation"):
+            mtable_merge(spark, d, bad, "k")
+        man = read_manifest(d)
+        assert man["version"] == 0  # nothing committed
+        assert man["checks"] == {"nonneg": "bal >= 0"}
+        ok = spark.createDataFrame([(3, 5.0)], "k long, bal double")
+        man1 = mtable_merge(spark, d, ok, "k")
+        assert man1["version"] == 1 and man1["checks"] == {"nonneg": "bal >= 0"}
+        # checks survive further commits via the carry
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        man2 = mtable_delete(
+            spark, d, spark.createDataFrame([(1,)], "k long"), "k"
+        )
+        assert man2["checks"] == {"nonneg": "bal >= 0"}
+
+    def test_null_predicate_passes_sql_semantics(self, spark, tmp_path):
+        d = str(tmp_path / "c3")
+        mtable_create(
+            spark,
+            spark.createDataFrame(
+                [(1, 10.0), (2, None)], "k long, bal double"
+            ),
+            d,
+            checks={"nonneg": "bal >= 0"},  # NULL >= 0 is unknown: passes
+        )
+        assert mtable_read(spark, d).count() == 2
+        with pytest.raises(ValueError, match="notnull"):
+            mtable_create(
+                spark,
+                spark.createDataFrame(
+                    [(1, 10.0), (2, None)], "k long, bal double"
+                ),
+                str(tmp_path / "c4"),
+                checks={"notnull": "bal IS NOT NULL"},
+            )
+
+    def test_sink_append_enforces(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_sink
+
+        d = str(tmp_path / "c5")
+        mtable_create(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "k long, bal double"),
+            d,
+            checks={"nonneg": "bal >= 0"},
+        )
+        sink = mtable_sink(spark, d)  # append mode
+        with pytest.raises(ValueError, match="CHECK constraint violation"):
+            sink(spark.createDataFrame([(2, -1.0)], "k long, bal double"), 0)
+        assert mtable_read(spark, d).count() == 1
+        sink(spark.createDataFrame([(2, 2.0)], "k long, bal double"), 1)
+        assert mtable_read(spark, d).count() == 2
+
+    def test_merge_agg_enforces_on_combined(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_merge_agg
+
+        d = str(tmp_path / "c6")
+        mtable_create(
+            spark,
+            spark.createDataFrame([(1, 5.0)], "k long, total double"),
+            d,
+            checks={"cap": "total <= 10"},
+        )
+        # a delta that is fine alone but breaches the cap combined
+        with pytest.raises(ValueError, match="cap"):
+            mtable_merge_agg(
+                spark, d,
+                spark.createDataFrame([(1, 7.0)], "k long, total double"),
+                "k", {"total": "sum"},
+            )
+        assert read_manifest(d)["version"] == 0
+        mtable_merge_agg(
+            spark, d,
+            spark.createDataFrame([(1, 4.0)], "k long, total double"),
+            "k", {"total": "sum"},
+        )
+        got = {r["k"]: r["total"] for r in mtable_read(spark, d).collect()}
+        assert got == {1: 9.0}
+
+    def test_set_checks_validates_existing(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_merge,
+            mtable_set_checks,
+        )
+
+        d = str(tmp_path / "c7")
+        mtable_create(
+            spark,
+            spark.createDataFrame([(1, 10.0), (2, -3.0)], "k long, bal double"),
+            d,
+        )
+        with pytest.raises(ValueError, match="existing data"):
+            mtable_set_checks(spark, d, {"nonneg": "bal >= 0"})
+        assert read_manifest(d)["version"] == 0
+        # repair the data, then installation succeeds as a version
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(2, 3.0)], "k long, bal double"), "k",
+        )  # v1
+        man = mtable_set_checks(spark, d, {"nonneg": "bal >= 0"})  # v2
+        assert man["version"] == 2 and man["op"] == "set-checks"
+        with pytest.raises(ValueError, match="CHECK constraint violation"):
+            mtable_merge(
+                spark, d,
+                spark.createDataFrame([(9, -1.0)], "k long, bal double"), "k",
+            )
+        # dropping checks re-admits anything
+        mtable_set_checks(spark, d, {})
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(9, -1.0)], "k long, bal double"), "k",
+        )
+        assert mtable_read(spark, d).count() == 3

@@ -980,6 +980,8 @@ def _carry_schema(man: dict, meta: dict) -> dict:
         meta["schema_json"] = man["schema_json"]
     if man.get("partition_by"):
         meta["partition_by"] = man["partition_by"]
+    if man.get("checks") and "checks" not in meta:
+        meta["checks"] = man["checks"]
     return meta
 
 
@@ -1218,6 +1220,73 @@ def _bloom_for_commit(
     return bloom
 
 
+def _enforce_checks(
+    df: DataFrame, checks: dict | None, context: str
+) -> None:
+    """WRITE-TIME CHECK constraints (round 14 — Delta's table
+    constraints): every committing batch validates against the
+    manifest's named boolean SQL expressions in ONE aggregate pass
+    (per-check violation counts, no per-check jobs), and a violation
+    refuses the commit loudly with counts per failed check. SQL
+    semantics: a NULL predicate result PASSES (unknown is not a
+    violation — the standard CHECK rule), so `bal >= 0` admits NULL
+    balances; add `bal IS NOT NULL` explicitly to forbid them.
+    Enforced where rows ENTER the table (create, merge batches, the
+    streaming sink's appends, merge-agg's combined output); commits
+    that only rearrange existing rows (delete, compact, restore) never
+    re-scan."""
+    if not checks:
+        return
+    aggs = [
+        F.sum(F.when(~F.expr(expr), 1).otherwise(0)).alias(name)
+        for name, expr in sorted(checks.items())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n]) for n in sorted(checks) if row[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n!r} ({checks[n]}): {c} row(s)" for n, c in bad.items()
+        )
+        raise ValueError(
+            f"mtable {context}: CHECK constraint violation — {detail}; "
+            "the batch was refused and no version was committed"
+        )
+
+
+def mtable_set_checks(
+    spark: SparkSession,
+    table_dir: str,
+    checks: dict[str, str],
+    validate_existing: bool = True,
+) -> dict:
+    """Install (or replace) the table's CHECK constraints as a new
+    version. ``validate_existing=True`` (default) scans the current
+    snapshot once and refuses if any live row violates a new check —
+    installing a constraint the data already breaks would make every
+    subsequent writer fail for history's sins. Pass an empty dict to
+    drop all checks."""
+    man = read_manifest(table_dir)
+    if checks and validate_existing:
+        _enforce_checks(
+            mtable_read(spark, table_dir), checks, "set_checks(existing data)"
+        )
+    meta = _carry_schema(man, {
+        "op": "set-checks",
+        "parent": man["version"],
+        "checks": dict(sorted(checks.items())),
+    })
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        man["files"],
+        meta,
+        file_stats=man.get("file_stats"),
+        dv=man.get("dv"),
+        bloom=man.get("bloom"),
+    )
+    return read_manifest(table_dir)
+
+
 def mtable_create(
     spark: SparkSession,
     df: DataFrame,
@@ -1225,6 +1294,7 @@ def mtable_create(
     bloom_keys: list[str] | None = None,
     bloom_bits: int = _BLOOM_DEFAULT_BITS,
     partition_by: list[str] | None = None,
+    checks: dict[str, str] | None = None,
 ) -> dict:
     """Create version 0 from ``df``. ``bloom_keys`` opts the table into
     per-file key bloom filters (see the bloom section above): every
@@ -1245,6 +1315,7 @@ def mtable_create(
     the partition columns. Pick coarse, low-cardinality columns (a
     date, a source tag): one directory per distinct value."""
     os.makedirs(table_dir, exist_ok=True)
+    _enforce_checks(df, checks, "create")
     if partition_by:
         pcols = _as_keys(partition_by)
         missing = [c for c in pcols if c not in df.columns]
@@ -1258,6 +1329,8 @@ def mtable_create(
     meta = {"op": "create", "schema_json": df.schema.json()}
     if partition_by:
         meta["partition_by"] = partition_by
+    if checks:
+        meta["checks"] = dict(sorted(checks.items()))
     bloom = None
     if bloom_keys:
         if bloom_bits & (bloom_bits - 1):
@@ -1574,6 +1647,7 @@ def mtable_merge(
         evolved_json = _evolve_schema(
             tschema, updates, schema_evolution, "mtable_merge"
         )
+        _enforce_checks(updates, man.get("checks"), "merge")
         updates.persist()
         try:
             matched, untouched, n_keys, kdf, path = _plan_matched_files(
@@ -1671,6 +1745,8 @@ def mtable_merge(
             meta["schema_json"] = evolved_json
         if man.get("partition_by"):
             meta["partition_by"] = man["partition_by"]
+        if man.get("checks"):
+            meta["checks"] = man["checks"]
         files = (man["files"] if mode == "mor" else untouched) + new_files
         _write_manifest(
             table_dir,
@@ -2210,6 +2286,7 @@ def mtable_sink(
                 spark, table_dir, df, key, combine, extra_meta=dict(epoch_meta)
             )
         elif key is None:
+            _enforce_checks(df, man.get("checks"), "sink append")
             new_files = _new_data_files(table_dir, df, partition_by=man.get("partition_by"))
             files = man["files"] + new_files
             meta = _carry_schema(
@@ -2329,6 +2406,9 @@ def mtable_merge_agg(
             pool = delta_sel
         combined = pool.groupBy(*kcols).agg(
             *[_combine_expr(c, fn) for c, fn in sorted(combine.items())]
+        )
+        _enforce_checks(
+            combined.select(*cols), man.get("checks"), "merge_agg"
         )
         new_files = _new_data_files(
             table_dir, combined.select(*cols), partition_by=man.get("partition_by")
