@@ -2699,13 +2699,16 @@ class TestMtableSinkEpochBound:
         assert len(man["epochs"]) == M._SINK_EPOCHS_KEPT
         assert man["epoch_watermark"] == n - 1
         assert mtable_read(spark, tdir).count() == n
-        # replay of ANY committed epoch — including ones aged out of
-        # the bounded tail — is still recognized via the watermark
+        # the one legitimate replay shape (crash recovery re-delivers
+        # at most the LAST batch) skips silently; anything strictly
+        # below the watermark is a rebuilt checkpoint or a second
+        # writer and must refuse loudly (round-15 advisor fix)
         v = man["version"]
-        sink(spark.createDataFrame([(0, 999)], "k long, v long"), 0)
         sink(spark.createDataFrame([(1, 999)], "k long, v long"), n - 1)
         assert read_manifest(tdir)["version"] == v
         assert mtable_read(spark, tdir).count() == n
+        with pytest.raises(ValueError, match="reset_epochs"):
+            sink(spark.createDataFrame([(0, 999)], "k long, v long"), 0)
         # a genuinely new epoch still commits
         sink(spark.createDataFrame([(n, -1)], "k long, v long"), n)
         assert read_manifest(tdir)["version"] == v + 1
@@ -2934,4 +2937,180 @@ class TestMtableChecks:
             spark, d,
             spark.createDataFrame([(9, -1.0)], "k long, bal double"), "k",
         )
+        assert mtable_read(spark, d).count() == 3
+
+
+class TestMtableRestoreCarriesContract:
+    """Round-15 (advisor): RESTORE re-lists version V's FILES but must
+    also reinstate V's write-time contract — dropping 'checks' silently
+    disabled every installed constraint for all subsequent writers, and
+    dropping 'epoch_watermark' forgot sink replay protection."""
+
+    def test_restore_preserves_checks(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_restore
+
+        d = str(tmp_path / "rc")
+        mtable_create(
+            spark,
+            spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, bal double"),
+            d,
+            checks={"nonneg": "bal >= 0"},
+        )
+        mtable_merge(
+            spark, d, spark.createDataFrame([(3, 1.0)], "k long, bal double"), "k"
+        )
+        man = mtable_restore(d, 0)
+        assert man.get("checks") == {"nonneg": "bal >= 0"}
+        with pytest.raises(ValueError, match="nonneg"):
+            mtable_merge(
+                spark, d,
+                spark.createDataFrame([(9, -1.0)], "k long, bal double"), "k",
+            )
+
+    def test_restore_preserves_epoch_watermark(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "re")
+        sink = M.mtable_sink(spark, d)
+        sink(spark.createDataFrame([(1,)], "k long"), 0)
+        sink(spark.createDataFrame([(2,)], "k long"), 1)
+        man = M.mtable_restore(d, 0)
+        assert man["epoch_watermark"] == 0
+        # replay of epoch 0 against the restored table still skips
+        v = man["version"]
+        sink(spark.createDataFrame([(99,)], "k long"), 0)
+        assert read_manifest(d)["version"] == v
+        # and the NEXT epoch commits on top of the restored contents
+        sink(spark.createDataFrame([(3,)], "k long"), 2)
+        assert sorted(
+            r["k"] for r in mtable_read(spark, d).collect()
+        ) == [1, 3]
+
+
+class TestMtablePartitionNanValue:
+    """Round-15 (advisor): a NaN value in a float partition column must
+    overlay as None (unprunable), not [nan, nan] — nan<=x<=nan is
+    always False, so the planner would skip the file while Spark join
+    semantics treat NaN = NaN as a match (silent stale rows)."""
+
+    def test_partition_values_maps_nan_to_none(self):
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from w4h_etl_container_spark.pipeline.mtable import _partition_values
+
+        schema = T.StructType(
+            [T.StructField("p", T.DoubleType()), T.StructField("v", T.LongType())]
+        ).json()
+        got = _partition_values(os.path.join("data-parts", "p=NaN", "f.parquet"),
+                                ["p"], schema)
+        assert got == {"p": None}
+        assert _partition_values(
+            os.path.join("data-parts", "p=1.5", "f.parquet"), ["p"], schema
+        ) == {"p": 1.5}
+
+    def test_delete_keyed_on_nan_partition_value_lands(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 10), (2, float("nan"), 20), (3, 2.0, 30)],
+            "k long, p double, v long",
+        )
+        d = str(tmp_path / "nanpart")
+        mtable_create(spark, df, d, partition_by=["p"])
+        man = mtable_delete(
+            spark, d,
+            spark.createDataFrame([(float("nan"),)], "p double"), "p",
+            mode="mor",
+        )
+        assert man["n_deleted"] == 1
+        assert sorted(r["k"] for r in mtable_read(spark, d).collect()) == [1, 3]
+
+    def test_cow_delete_on_nan_partition_value(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 10), (2, float("nan"), 20), (3, 2.0, 30)],
+            "k long, p double, v long",
+        )
+        d = str(tmp_path / "nanpartcow")
+        mtable_create(spark, df, d, partition_by=["p"])
+        man = mtable_delete(
+            spark, d,
+            spark.createDataFrame([(float("nan"),)], "p double"), "p",
+        )
+        assert man["files_rewritten"] >= 1  # the NaN file was NOT pruned away
+        assert sorted(r["k"] for r in mtable_read(spark, d).collect()) == [1, 3]
+
+
+class TestMtablePartitionBasenamePrefix:
+    def test_prefix_is_full_hash(self, spark, tmp_path):
+        """Round-15 (advisor): the per-partition-dir basename prefix is
+        the FULL md5 hex — an 8-hex truncation goes birthday-colliding
+        around tens of thousands of partition dirs, recreating the DV
+        basename-shadow row loss the prefix exists to prevent."""
+        df = spark.createDataFrame(
+            [(i, i % 3, i) for i in range(30)], "k long, p int, v long"
+        )
+        d = str(tmp_path / "fullpfx")
+        man = mtable_create(spark, df, d, partition_by=["p"])
+        for f in man["files"]:
+            prefix = os.path.basename(f).split("-", 1)[0]
+            assert len(prefix) == 32 and all(
+                c in "0123456789abcdef" for c in prefix
+            ), f
+        basenames = [os.path.basename(f) for f in man["files"]]
+        assert len(basenames) == len(set(basenames))
+
+
+class TestMtableSinkFreshCheckpoint:
+    """Round-15 (advisor): a streaming query restarted from a FRESH or
+    rebuilt checkpoint restarts epoch ids at 0; the watermark gate must
+    refuse loudly instead of silently discarding every micro-batch
+    until the new epoch count catches up."""
+
+    def test_epoch_below_watermark_raises(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "fresh")
+        sink = M.mtable_sink(spark, d)
+        for e in range(4, 8):
+            sink(spark.createDataFrame([(e,)], "k long"), e)
+        # exact-watermark replay still skips silently (healthy recovery)
+        v = read_manifest(d)["version"]
+        sink(spark.createDataFrame([(7,)], "k long"), 7)
+        assert read_manifest(d)["version"] == v
+        # strictly-below = rebuilt checkpoint or second writer: loud
+        with pytest.raises(ValueError, match="fresh checkpoint|reset_epochs"):
+            sink(spark.createDataFrame([(0,)], "k long"), 0)
+
+    def test_reset_epochs_escape_hatch(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "reset")
+        sink = M.mtable_sink(spark, d)
+        sink(spark.createDataFrame([(1,)], "k long"), 5)
+        man = M.mtable_reset_epochs(d)
+        assert "epoch_watermark" not in man and not man.get("epochs")
+        # contents untouched; a restarted query at epoch 0 now commits
+        sink(spark.createDataFrame([(2,)], "k long"), 0)
+        assert sorted(r["k"] for r in mtable_read(spark, d).collect()) == [1, 2]
+
+    def test_maintenance_commit_preserves_watermark(self, spark, tmp_path):
+        """A compact/merge/delete between micro-batches must CARRY the
+        watermark — dropping it would let the next crash-replay
+        re-commit an already-committed epoch (duplicate rows)."""
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "maintwm")
+        sink = M.mtable_sink(spark, d)
+        for e in range(3):
+            sink(spark.createDataFrame([(e, e)], "k long, v long"), e)
+        M.mtable_compact(spark, d)
+        man = read_manifest(d)
+        assert man["epoch_watermark"] == 2
+        v = man["version"]
+        sink(spark.createDataFrame([(9, 9)], "k long, v long"), 2)  # replay
+        assert read_manifest(d)["version"] == v
         assert mtable_read(spark, d).count() == 3

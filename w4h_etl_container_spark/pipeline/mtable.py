@@ -110,6 +110,7 @@ analog; extension mandated by BASELINE.json's operational surface.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -642,6 +643,7 @@ def _new_data_files(
         df.write.partitionBy(*partition_by).parquet(stage)
         root = os.path.join(table_dir, "data-parts")
         rels = []
+        seen_basenames: set[str] = set()
         for sroot, _dirs, fs in os.walk(stage):
             for f in fs:
                 if not f.endswith(".parquet"):
@@ -654,10 +656,25 @@ def _new_data_files(
                 # partition dir, and deletion vectors join on basename
                 # (_metadata.file_name) — without a per-partition-dir
                 # prefix a MOR delete's positions would shadow every
-                # same-named sibling (measured: silent row loss)
+                # same-named sibling (measured: silent row loss). The
+                # FULL md5 of the partition dir is the prefix: a
+                # truncated 8-hex prefix goes birthday-colliding around
+                # tens of thousands of partition dirs, which would
+                # recreate the exact shadow bug this prefix fixes. The
+                # seen-set assert is the backstop — collision here is
+                # silent row loss later, so fail the write, never the
+                # read.
                 dst_f = (
-                    hashlib.md5(rel_dir.encode()).hexdigest()[:8] + "-" + f
+                    hashlib.md5(rel_dir.encode()).hexdigest() + "-" + f
                 )
+                if dst_f in seen_basenames:
+                    raise RuntimeError(
+                        "mtable: generated part-file basename collides "
+                        f"within one commit ({dst_f!r}) — deletion "
+                        "vectors join on basename, so committing would "
+                        "risk cross-partition row shadowing"
+                    )
+                seen_basenames.add(dst_f)
                 os.rename(os.path.join(sroot, f), os.path.join(dst_dir, dst_f))
                 rels.append(os.path.join("data-parts", rel_dir, dst_f))
         import shutil
@@ -705,7 +722,14 @@ def _partition_values(
             if t in ("byte", "short", "integer", "long"):
                 out[c] = int(v)
             elif t in ("float", "double"):
-                out[c] = float(v)
+                fv = float(v)
+                # Non-finite partition values must be UNPRUNABLE, not
+                # [nan, nan]: nan <= x <= nan is always False, so a
+                # present-but-never-satisfiable range would make the
+                # planner skip the file while Spark's join semantics
+                # treat NaN = NaN as a match — silent stale duplicates.
+                # _footer_stats maps NaN to None; mirror that rule here.
+                out[c] = fv if math.isfinite(fv) else None
             elif t == "boolean":
                 out[c] = v == "true"
             else:
@@ -982,6 +1006,14 @@ def _carry_schema(man: dict, meta: dict) -> dict:
         meta["partition_by"] = man["partition_by"]
     if man.get("checks") and "checks" not in meta:
         meta["checks"] = man["checks"]
+    # Sink replay protection must survive maintenance commits too: a
+    # compact/delete/merge squeezed between two micro-batches that
+    # dropped 'epoch_watermark' would make the next crash-replay
+    # re-commit an already-committed epoch — duplicate rows.
+    if man.get("epoch_watermark") is not None and "epoch_watermark" not in meta:
+        meta["epoch_watermark"] = man["epoch_watermark"]
+        if man.get("epochs") and "epochs" not in meta:
+            meta["epochs"] = man["epochs"]
     return meta
 
 
@@ -1741,12 +1773,9 @@ def mtable_merge(
             "key_match_path": path,
             **({"n_replaced": n_replaced} if n_replaced is not None else {}),
         }
+        meta = _carry_schema(man, meta)
         if evolved_json is not None:
             meta["schema_json"] = evolved_json
-        if man.get("partition_by"):
-            meta["partition_by"] = man["partition_by"]
-        if man.get("checks"):
-            meta["checks"] = man["checks"]
         files = (man["files"] if mode == "mor" else untouched) + new_files
         _write_manifest(
             table_dir,
@@ -2262,8 +2291,27 @@ def mtable_sink(
             committed = man.get("epoch_watermark")
             if committed is None and man.get("epochs"):
                 committed = max(man["epochs"])  # legacy manifests
-            if committed is not None and epoch_id <= committed:
+            if committed is not None and epoch_id == committed:
                 return  # replayed micro-batch: already committed
+            if committed is not None and epoch_id < committed:
+                # Spark's crash recovery re-delivers AT MOST the last
+                # batch, so a legitimate replay is always epoch_id ==
+                # watermark. Strictly below means the query restarted
+                # from a FRESH/rebuilt checkpoint (epoch ids restart at
+                # 0) or a second query is writing the same sink table —
+                # silently skipping here would discard every micro-batch
+                # until the new epoch count catches up to the old
+                # watermark, indistinguishable from a healthy replay.
+                raise ValueError(
+                    f"mtable_sink at {table_dir}: micro-batch epoch "
+                    f"{epoch_id} is below the committed watermark "
+                    f"{committed}. This is a restarted query with a "
+                    "fresh checkpoint, or a second concurrent query on "
+                    "this sink table (single-writer contract). If the "
+                    "checkpoint was intentionally rebuilt, call "
+                    "mtable_reset_epochs(table_dir) once before "
+                    "restarting the stream."
+                )
         if man is None:
             files = _new_data_files(table_dir, df)
             _write_manifest(
@@ -2326,6 +2374,39 @@ def mtable_sink(
             )
 
     return _commit
+
+
+def mtable_reset_epochs(table_dir: str) -> dict:
+    """Drop a sink table's epoch bookkeeping AS A NEW COMMIT — the
+    documented escape hatch for an intentionally rebuilt streaming
+    checkpoint (epoch ids restart at 0, which ``mtable_sink`` refuses
+    loudly rather than silently discarding batches below the old
+    watermark). Table contents are untouched; only the replay gate
+    resets, so the caller owns not re-delivering old source data to
+    the fresh query (the usual checkpoint-rebuild contract)."""
+    man = read_manifest(table_dir)
+    meta = _carry_schema(
+        man,
+        {
+            "op": "reset-epochs",
+            "parent": man["version"],
+            # explicit sentinel entries so _carry_schema's
+            # carry-forward guard sees the keys as "already set"
+            "epoch_watermark": None,
+            "epochs": [],
+        },
+    )
+    meta = {k: v for k, v in meta.items() if k not in ("epoch_watermark", "epochs")}
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        man["files"],
+        meta,
+        file_stats=man.get("file_stats"),
+        dv=man.get("dv"),
+        bloom=man.get("bloom"),
+    )
+    return read_manifest(table_dir)
 
 
 _COMBINE_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
@@ -2470,6 +2551,19 @@ def mtable_restore(
         meta["schema_json"] = target["schema_json"]
     if target.get("partition_by"):
         meta["partition_by"] = target["partition_by"]
+    # Restore means "the table IS version V again" — that covers the
+    # table's write-time contract and sink bookkeeping, not just its
+    # file list: dropping 'checks' here would silently disable every
+    # installed constraint for all subsequent writers, and dropping
+    # 'epoch_watermark' would let a sink replay epochs whose data the
+    # restore just reinstated (or, worse, forget replay protection
+    # entirely).
+    if target.get("checks"):
+        meta["checks"] = target["checks"]
+    if target.get("epoch_watermark") is not None:
+        meta["epoch_watermark"] = target["epoch_watermark"]
+        if target.get("epochs"):
+            meta["epochs"] = target["epochs"]
     _write_manifest(
         table_dir,
         man["version"] + 1,
