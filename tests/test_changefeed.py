@@ -533,3 +533,138 @@ class TestStreamedVectorSync:
         }
         assert 0 not in served and 1 not in served
         assert {900, 901} <= served
+
+
+class TestOperationalSoak:
+    def test_fifty_commit_trickle_loop_stays_bounded(self, spark, tmp_path):
+        """Round-15: the OPERATIONAL story end to end instead of
+        per-feature — 50 trickle commits stream through the versions
+        source into the text index with periodic mtable_maintain +
+        maintain_text_index, a sink table rides along, and at the end:
+        manifest descriptor bytes are bounded (segmented manifests),
+        the segment cache is bounded, sink epoch metadata is bounded,
+        and the served index is row-identical to a from-scratch
+        rebuild of the final snapshot."""
+        import json as _json
+        import shutil
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+        from w4h_etl_container_spark.pipeline.textindex import (
+            audit_text_index,
+            bm25_topk_from_index,
+            build_text_index,
+            maintain_text_index,
+            _write_index_manifest,
+        )
+
+        _register(spark)
+        words = ["alpha", "beta", "gamma", "delta", "omega"]
+        docs = spark.createDataFrame(
+            [(i, f"document {i} about {words[i % 5]}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        tdir = str(tmp_path / "docs")
+        M.mtable_create(spark, docs, tdir)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        docs.coalesce(1).write.parquet(str(tmp_path / "pq"))
+        for f in os.listdir(str(tmp_path / "pq")):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / "pq" / f),
+                            os.path.join(src, "documents.parquet"))
+        idx = str(tmp_path / "idx")
+        build_text_index(spark, src, idx)
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            iman = _json.load(f)
+        iman["synced_table_version"] = 0
+        _write_index_manifest(idx, iman)
+
+        sink_dir = str(tmp_path / "sink")
+        sink = M.mtable_sink(spark, sink_dir)
+        ck = str(tmp_path / "ck")
+        desc_sizes = []
+        next_id = 1000
+        for c in range(50):
+            kind = c % 3
+            if kind == 0:  # update an existing doc
+                M.mtable_merge(
+                    spark, tdir,
+                    spark.createDataFrame(
+                        [(c % 40, f"rewritten {c} about {words[c % 5]}")],
+                        "doc_id long, text string",
+                    ),
+                    "doc_id",
+                )
+            elif kind == 1:  # insert a fresh doc (MOR upsert)
+                M.mtable_merge(
+                    spark, tdir,
+                    spark.createDataFrame(
+                        [(next_id, f"new {c} about {words[(c + 1) % 5]}")],
+                        "doc_id long, text string",
+                    ),
+                    "doc_id", mode="mor",
+                )
+                next_id += 1
+            else:  # MOR-delete a previously inserted doc
+                M.mtable_delete(
+                    spark, tdir,
+                    spark.createDataFrame([(1000 + c % 5,)], "doc_id long"),
+                    "doc_id", mode="mor",
+                )
+            sink(
+                spark.createDataFrame([(c, c * 2)], "k long, v long"), c
+            )
+            man = M.read_manifest(tdir)
+            desc_sizes.append(
+                os.path.getsize(M._manifest_path(tdir, man["version"]))
+            )
+            if c % 10 == 9:
+                _run_available(
+                    spark, tdir, ck,
+                    sync_index_on_changes(spark, tdir, idx, kind="text"),
+                    starting_version=0,
+                )
+                M.mtable_maintain(spark, tdir)
+                maintain_text_index(spark, idx)
+                assert audit_text_index(spark, idx)["consistent"]
+
+        # final catch-up (maintain commits moved the table past the
+        # last sync) and the serving-parity check
+        _run_available(
+            spark, tdir, ck,
+            sync_index_on_changes(spark, tdir, idx, kind="text"),
+            starting_version=0,
+        )
+        with open(os.path.join(idx, "MANIFEST.json")) as f:
+            assert (_json.load(f)["synced_table_version"]
+                    == M.read_manifest(tdir)["version"])
+
+        # 1. manifest descriptor bytes bounded: the tail of a 50-commit
+        # trickle must not carry O(all files ever) inline — segmented
+        # manifests keep the descriptor at O(churn + segment refs)
+        assert max(desc_sizes[-5:]) < 64 * 1024
+        assert max(desc_sizes[-5:]) < 4 * max(desc_sizes[:5])
+        # 2. segment cache FIFO-bounded
+        assert len(M._SEG_CACHE) <= M._SEG_CACHE_MAX
+        # 3. sink epoch metadata bounded + exactly-once intact
+        sman = M.read_manifest(sink_dir)
+        assert len(sman.get("epochs", [])) <= M._SINK_EPOCHS_KEPT
+        assert sman["epoch_watermark"] == 49
+        assert M.mtable_read(spark, sink_dir).count() == 50
+        # 4. serving parity: CDC-synced index == rebuild of the final
+        # snapshot, through the BM25 query path
+        v_final = str(tmp_path / "vf")
+        os.makedirs(v_final)
+        M.mtable_read(spark, tdir).coalesce(1).write.parquet(
+            str(tmp_path / "pqf")
+        )
+        for f in os.listdir(str(tmp_path / "pqf")):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / "pqf" / f),
+                            os.path.join(v_final, "documents.parquet"))
+        rebuilt = str(tmp_path / "rebuilt")
+        build_text_index(spark, v_final, rebuilt)
+        queries = tuple((i + 1, (w,)) for i, w in enumerate(words))
+        got = sorted(map(tuple, bm25_topk_from_index(spark, idx, queries).collect()))
+        want = sorted(map(tuple, bm25_topk_from_index(spark, rebuilt, queries).collect()))
+        assert got == want and got

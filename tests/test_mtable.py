@@ -3114,3 +3114,330 @@ class TestMtableSinkFreshCheckpoint:
         sink(spark.createDataFrame([(9, 9)], "k long, v long"), 2)  # replay
         assert read_manifest(d)["version"] == v
         assert mtable_read(spark, d).count() == 3
+
+
+class TestMtableDisjointWriterRebase:
+    """Round-15: logical conflict detection (Delta/Iceberg-style) — a
+    CAS-losing writer whose read/write set is provably disjoint from
+    the winner's commit REBASES its manifest (reusing its already-
+    written data files) instead of replanning the whole merge. With
+    retries=0, success itself proves no replan happened."""
+
+    def _two_part_table(self, spark, tmp_path, name):
+        df = spark.createDataFrame(
+            [(i, i % 2, i * 10) for i in range(100)], "k long, p int, v long"
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, df, d, partition_by=["p"])
+        return d
+
+    def _race(self, spark, monkeypatch, winner_fn):
+        """Patch _write_manifest so the WINNER commits at the exact
+        moment the loser first tries to publish — the deterministic
+        interleaving of two concurrent writers."""
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        real = M._write_manifest
+        state = {"fired": False}
+
+        def tripwire(*a, **kw):
+            if not state["fired"]:
+                state["fired"] = True
+                winner_fn()
+            return real(*a, **kw)
+
+        monkeypatch.setattr(M, "_write_manifest", tripwire)
+
+    def test_disjoint_writers_rebase_without_replan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        d = self._two_part_table(spark, tmp_path, "rebase1")
+        upd_winner = spark.createDataFrame(
+            [(2, 0, -20)], "k long, p int, v long"
+        )
+        upd_loser = spark.createDataFrame(
+            [(3, 1, -30)], "k long, p int, v long"
+        )
+        self._race(
+            spark, monkeypatch,
+            lambda: mtable_merge(spark, d, upd_winner, ["p", "k"]),
+        )
+        man = mtable_merge(spark, d, upd_loser, ["p", "k"])  # retries=0!
+        assert man["version"] == 2
+        assert man["op"] == "merge" and man.get("rebases") == 1
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[2] == -20 and got[3] == -30  # BOTH commits live
+        assert len(got) == 100
+
+    def test_conflicting_writers_still_replan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import ConcurrentWriteError
+
+        d = self._two_part_table(spark, tmp_path, "rebase2")
+        upd_winner = spark.createDataFrame(
+            [(7, 1, -70)], "k long, p int, v long"
+        )
+        upd_loser = spark.createDataFrame(
+            [(7, 1, -77)], "k long, p int, v long"
+        )
+        self._race(
+            spark, monkeypatch,
+            lambda: mtable_merge(spark, d, upd_winner, ["p", "k"]),
+        )
+        with pytest.raises(ConcurrentWriteError, match="not rebase-safe"):
+            mtable_merge(spark, d, upd_loser, ["p", "k"])
+        # winner's value is intact; the loser wrote no manifest
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[7] == -70
+        assert read_manifest(d)["version"] == 1
+
+    def test_conflicting_writer_with_retries_replans_and_wins(
+        self, spark, tmp_path, monkeypatch
+    ):
+        d = self._two_part_table(spark, tmp_path, "rebase3")
+        upd_winner = spark.createDataFrame(
+            [(7, 1, -70)], "k long, p int, v long"
+        )
+        upd_loser = spark.createDataFrame(
+            [(7, 1, -77)], "k long, p int, v long"
+        )
+        self._race(
+            spark, monkeypatch,
+            lambda: mtable_merge(spark, d, upd_winner, ["p", "k"]),
+        )
+        man = mtable_merge(spark, d, upd_loser, ["p", "k"], retries=2)
+        # serial order: winner then loser — loser's value stands
+        assert man["version"] == 2 and "rebases" not in man
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[7] == -77
+
+    def test_rebase_carries_winner_deletion_vectors(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Winner MOR-deletes in partition 0 while the loser merges in
+        partition 1: DV change is on a file the loser never read, so
+        the loser rebases AND the carried manifest keeps the winner's
+        deletion vectors effective."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        d = self._two_part_table(spark, tmp_path, "rebase4")
+        self._race(
+            spark, monkeypatch,
+            lambda: mtable_delete(
+                spark, d,
+                spark.createDataFrame([(4,)], "k long"), "k", mode="mor",
+            ),
+        )
+        man = mtable_merge(
+            spark, d,
+            spark.createDataFrame([(5, 1, -50)], "k long, p int, v long"),
+            ["p", "k"],
+        )
+        assert man.get("rebases") == 1
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert 4 not in got and got[5] == -50 and len(got) == 99
+
+    def test_pinned_writer_never_rebases(self, spark, tmp_path, monkeypatch):
+        from w4h_etl_container_spark.pipeline.mtable import ConcurrentWriteError
+
+        d = self._two_part_table(spark, tmp_path, "rebase5")
+        man0 = read_manifest(d)
+        self._race(
+            spark, monkeypatch,
+            lambda: mtable_merge(
+                spark, d,
+                spark.createDataFrame([(2, 0, -20)], "k long, p int, v long"),
+                ["p", "k"],
+            ),
+        )
+        with pytest.raises(ConcurrentWriteError):
+            mtable_merge(
+                spark, d,
+                spark.createDataFrame([(3, 1, -30)], "k long, p int, v long"),
+                ["p", "k"], expected_version=man0["version"],
+            )
+
+    def test_mor_loser_rebases_onto_append(self, spark, tmp_path, monkeypatch):
+        """MOR merge rebases too: the loser's DV additions ride the
+        rebased manifest untouched (its matched files survived)."""
+        d = self._two_part_table(spark, tmp_path, "rebase6")
+        self._race(
+            spark, monkeypatch,
+            lambda: mtable_merge(
+                spark, d,
+                spark.createDataFrame(
+                    [(1000, 0, 1)], "k long, p int, v long"
+                ),
+                ["p", "k"],
+            ),
+        )
+        man = mtable_merge(
+            spark, d,
+            spark.createDataFrame([(9, 1, -90)], "k long, p int, v long"),
+            ["p", "k"], mode="mor",
+        )
+        assert man.get("rebases") == 1 and man["files_rewritten"] == 0
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[9] == -90 and got[1000] == 1 and len(got) == 101
+
+
+class TestMtablePartitionSpecEvolution:
+    """Round-15: partition-spec evolution as a metadata-only commit
+    (Iceberg-style). Old files keep their recorded spec (and root);
+    new files land under the new spec's root; planning prunes each
+    file under its own spec via the per-file [v,v] stats; compaction
+    migrates old files to the current spec."""
+
+    def _mk(self, spark, tmp_path, name="evo"):
+        from w4h_etl_container_spark.operators.layout import cluster_by
+
+        df = cluster_by(
+            spark.range(0, 240).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).alias("day"),
+                (F.col("id") % 2).alias("hour"),
+                (F.col("id") * 10).alias("v"),
+            ),
+            ["k"],
+            n_files=4,
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, df, d, partition_by=["day"])
+        return d
+
+    def test_evolution_is_metadata_only(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_set_partitioning,
+        )
+
+        d = self._mk(spark, tmp_path)
+        man0 = read_manifest(d)
+        mt = _stat(d, man0["files"])
+        man1 = mtable_set_partitioning(spark, d, ["day", "hour"])
+        assert man1["op"] == "set-partitioning"
+        assert man1["partition_by"] == ["day", "hour"]
+        assert man1["partition_root"] == "data-parts-s1"
+        assert man1["files"] == man0["files"]  # no data moved
+        assert _stat(d, man0["files"]) == mt   # no byte rewritten
+        # contents identical through the spec change
+        assert mtable_read(spark, d).count() == 240
+
+    def test_new_writes_land_under_new_spec(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_set_partitioning,
+        )
+
+        d = self._mk(spark, tmp_path)
+        mtable_set_partitioning(spark, d, ["day", "hour"])
+        upd = spark.createDataFrame(
+            [(7, 3, 1, -70), (9000, 2, 0, -2)], "k long, day long, hour long, v long"
+        )
+        man = mtable_merge(spark, d, upd, "k")
+        new = [f for f in man["files"] if f.startswith("data-parts-s1/")]
+        assert new and all("/day=" in f and "/hour=" in f for f in new)
+        got = {r["k"]: (r["day"], r["hour"], r["v"])
+               for r in mtable_read(spark, d).collect()}
+        assert got[7] == (3, 1, -70) and got[9000] == (2, 0, -2)
+        assert len(got) == 241
+        # mixed-spec stats: old files still carry day [v,v]; new files
+        # carry BOTH partition values
+        for f in new:
+            st = man["file_stats"][f]
+            dval = int(f.split("day=")[1].split("/")[0])
+            hval = int(f.split("hour=")[1].split("/")[0])
+            assert st["day"] == [dval, dval] and st["hour"] == [hval, hval]
+
+    def test_pruning_per_file_spec(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_set_partitioning,
+        )
+
+        d = self._mk(spark, tmp_path)
+        mtable_set_partitioning(spark, d, ["hour"])
+        upd = spark.createDataFrame(
+            [(1000, 1, 0, -1), (1001, 1, 1, -2)],
+            "k long, day long, hour long, v long",
+        )
+        mtable_merge(spark, d, upd, "k")
+        # delete keyed on the NEW spec column: old-spec files carry
+        # hour in their BYTES (footer/persisted stats), new-spec files
+        # carry it in the path overlay — both prune per their own spec
+        man = mtable_delete(
+            spark, d, spark.createDataFrame([(1,)], "hour long"), "hour"
+        )
+        got = mtable_read(spark, d)
+        assert got.where(F.col("hour") == 1).count() == 0
+        assert got.count() == 121  # 120 odd k rows + k=1001 removed
+        # the hour=0 new-spec file was NOT rewritten (pruned by its
+        # path-borne [0,0] stat)
+        assert any(
+            f.startswith("data-parts-s1/hour=0") for f in man["files"]
+        )
+
+    def test_compact_migrates_to_current_spec(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_set_partitioning,
+        )
+
+        d = self._mk(spark, tmp_path)
+        mtable_set_partitioning(spark, d, ["hour"])
+        before = mtable_read(spark, d).orderBy("k").collect()
+        mtable_compact(spark, d)
+        man = read_manifest(d)
+        assert all(f.startswith("data-parts-s1/hour=") for f in man["files"])
+        after = mtable_read(spark, d).orderBy("k").collect()
+        assert after == before
+
+    def test_departition_and_same_spec_refused(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_set_partitioning,
+        )
+
+        d = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="already has spec"):
+            mtable_set_partitioning(spark, d, ["day"])
+        man = mtable_set_partitioning(spark, d, None)
+        assert "partition_by" not in man and "partition_root" not in man
+        upd = spark.createDataFrame(
+            [(5000, 0, 0, -5)], "k long, day long, hour long, v long"
+        )
+        man1 = mtable_merge(spark, d, upd, "k")
+        plain = [f for f in man1["files"] if f.startswith("data-")
+                 and "=" not in f]
+        assert any(not f.startswith("data-parts") for f in plain)
+        got = mtable_read(spark, d)
+        assert got.count() == 241
+        assert got.where(F.col("k") == 5000).collect()[0]["v"] == -5
+
+    def test_restore_across_spec_change(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_restore,
+            mtable_set_partitioning,
+        )
+
+        d = self._mk(spark, tmp_path)
+        mtable_set_partitioning(spark, d, ["hour"])
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame(
+                [(8000, 0, 0, -8)], "k long, day long, hour long, v long"
+            ),
+            "k",
+        )
+        man = mtable_restore(d, 0)
+        assert man["partition_by"] == ["day"]
+        assert "partition_root" not in man  # spec-0 root is the default
+        assert mtable_read(spark, d).count() == 240
+        # writes after the restore land under the restored spec
+        man2 = mtable_merge(
+            spark, d,
+            spark.createDataFrame(
+                [(8001, 1, 1, -9)], "k long, day long, hour long, v long"
+            ),
+            "k",
+        )
+        fresh = set(man2["files"]) - set(man["files"])
+        assert fresh and all(f.startswith("data-parts/day=") for f in fresh)

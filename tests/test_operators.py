@@ -271,12 +271,12 @@ class TestDedupFastPath:
         """The production xxhash64 dedup must induce EXACTLY the same
         canonical grouping as the oracle-checkable md5 path — only the
         key encoding differs."""
-        from w4h_etl_container_spark.plans.registry import load_all
+        from w4h_etl_container_spark.plans.registry import load_library
         from w4h_etl_container_spark.plans.textops import dedup_exact_fast
         from w4h_etl_container_spark.session import read_table
 
         d = read_table(spark, sf_dir, "documents")
-        slow = load_all()["q_dedup_exact"].fn(spark, sf_dir)
+        slow = load_library()["q_dedup_exact"].fn(spark, sf_dir)
         fast = dedup_exact_fast(d)
         a = {(r["doc_id"], r["canonical_id"], r["n_copies"]) for r in slow.collect()}
         b = {(r["doc_id"], r["canonical_id"], r["n_copies"]) for r in fast.collect()}

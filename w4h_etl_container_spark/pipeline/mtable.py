@@ -621,7 +621,10 @@ def mtable_repair(table_dir: str) -> dict:
 
 
 def _new_data_files(
-    table_dir: str, df: DataFrame, partition_by: list[str] | None = None
+    table_dir: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    root: str = "data-parts",
 ) -> list[str]:
     """Write ``df`` as fresh immutable data files; return their paths
     (relative to ``table_dir``).
@@ -635,13 +638,28 @@ def _new_data_files(
     CONFLICTING_DIRECTORY_STRUCTURES error). Spark part-file names
     embed the write job's UUID, so moved files never collide across
     commits; immutability and the manifest's referenced-set rules are
-    unchanged."""
+    unchanged.
+
+    Partitioned writes SHUFFLE BY THE PARTITION COLUMNS first (Delta's
+    optimizeWrite move): a naive ``partitionBy`` fans every upstream
+    task across every partition value — ``tasks × values`` small files
+    PER COMMIT (measured: a 32-task batch over 25 values emitted ~540
+    file-splits by the third commit), which is THE lakehouse killer at
+    100 TB (manifest bloat, footer storms, tiny scans). After the
+    shuffle each partition value lands in exactly one task → exactly
+    one file per touched value per commit. Trade: a single huge
+    partition writes one huge file (splitting it is compaction's job),
+    and the shuffle adds one exchange to every partitioned commit —
+    the standard write-amplification-vs-file-count trade, chosen the
+    way every production lakehouse writer chooses it."""
     if partition_by:
         import hashlib
 
         stage = os.path.join(table_dir, f"stage-{uuid.uuid4().hex}")
-        df.write.partitionBy(*partition_by).parquet(stage)
-        root = os.path.join(table_dir, "data-parts")
+        df.repartition(*[F.col(c) for c in partition_by]).write.partitionBy(
+            *partition_by
+        ).parquet(stage)
+        root_dir = os.path.join(table_dir, root)
         rels = []
         seen_basenames: set[str] = set()
         for sroot, _dirs, fs in os.walk(stage):
@@ -649,7 +667,7 @@ def _new_data_files(
                 if not f.endswith(".parquet"):
                     continue
                 rel_dir = os.path.relpath(sroot, stage)
-                dst_dir = os.path.join(root, rel_dir)
+                dst_dir = os.path.join(root_dir, rel_dir)
                 os.makedirs(dst_dir, exist_ok=True)
                 # BASENAMES must stay table-unique: one partitionBy job
                 # writes the SAME part-NNNNN-<jobuuid> name into every
@@ -676,7 +694,7 @@ def _new_data_files(
                     )
                 seen_basenames.add(dst_f)
                 os.rename(os.path.join(sroot, f), os.path.join(dst_dir, dst_f))
-                rels.append(os.path.join("data-parts", rel_dir, dst_f))
+                rels.append(os.path.join(root, rel_dir, dst_f))
         import shutil
 
         shutil.rmtree(stage)
@@ -1004,6 +1022,10 @@ def _carry_schema(man: dict, meta: dict) -> dict:
         meta["schema_json"] = man["schema_json"]
     if man.get("partition_by"):
         meta["partition_by"] = man["partition_by"]
+    # spec-evolution state rides with the spec itself
+    for k in ("partition_root", "partition_spec_id"):
+        if man.get(k) is not None and k not in meta:
+            meta[k] = man[k]
     if man.get("checks") and "checks" not in meta:
         meta["checks"] = man["checks"]
     # Sink replay protection must survive maintenance commits too: a
@@ -1063,6 +1085,182 @@ def _retrying(fn, table_dir: str, retries: int, expected_version: int | None):
                     "run mtable_repair(table_dir) under the cooperative "
                     "writer lock, then retry"
                 ) from None
+
+
+#: How many times a CAS-losing writer may rebase onto newer snapshots
+#: before giving up and surfacing ConcurrentWriteError (replan path).
+_REBASE_ATTEMPTS = 5
+
+
+def _key_box(kdf: DataFrame, keys: list[str]) -> dict:
+    """Per-key-column (min, max) bounding box of the batch's key set —
+    one tiny agg on the already-persisted distinct-key DataFrame. This
+    is what makes a CAS loser's rebase SAFE to decide: the winner's
+    added files provably contain none of this commit's keys iff, for
+    some key column, the file's stats range and this box are disjoint."""
+    row = kdf.agg(
+        *[
+            m
+            for c in keys
+            for m in (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
+        ]
+    ).collect()[0]
+    return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in keys}
+
+
+def _rebase_conflict(
+    base: dict,
+    cur: dict,
+    loser_read: set,
+    key_box: dict,
+    keys: list[str],
+    table_dir: str,
+) -> str | None:
+    """Why a commit planned against snapshot ``base`` may NOT be
+    rebased onto snapshot ``cur`` — or None when the winner's work is
+    provably disjoint (the Delta/Iceberg logical-conflict-detection
+    move: serialize N partition-parallel writers without forcing each
+    loser through a full replan).
+
+    Disjointness rules (every one errs toward CONFLICT — a wrong
+    "disjoint" here is a silent-wrong-answer, a wrong "conflict" just
+    costs one replan):
+
+    * table-level contract changed (schema / partition spec / checks /
+      bloom config) — the loser planned and validated under the old one;
+    * the winner removed or rewrote any file the loser's plan READ
+      (its matched set) — the loser's rewrite/DV is based on stale rows;
+    * the winner changed deletion vectors on a file the loser read —
+      same staleness, at row granularity;
+    * any winner-ADDED file may contain the loser's keys (per-column
+      stats ranges overlap the loser's key box on EVERY key column) —
+      under a serial order the loser's merge/delete should have seen
+      those rows, so committing around them would miss them. A file
+      with missing/unprunable key stats conservatively conflicts."""
+    for k in ("schema_json", "partition_by", "partition_root", "checks"):
+        if base.get(k) != cur.get(k):
+            return f"table {k} changed"
+    b_cfg = {k: v for k, v in (base.get("bloom") or {}).items() if k != "files"}
+    c_cfg = {k: v for k, v in (cur.get("bloom") or {}).items() if k != "files"}
+    if b_cfg != c_cfg:
+        return "bloom config changed"
+    base_files, cur_files = set(base["files"]), set(cur["files"])
+    hit = (base_files - cur_files) & loser_read
+    if hit:
+        return f"winner removed {len(hit)} file(s) this commit read"
+    base_dv, cur_dv = base.get("dv") or {}, cur.get("dv") or {}
+    for f in sorted(loser_read):
+        if base_dv.get(f) != cur_dv.get(f):
+            return f"winner changed deletion vectors on {f}"
+    added = cur_files - base_files
+    if added and keys:
+        if not key_box:
+            return "no key range recorded for this commit"
+        stats = cur.get("file_stats") or {}
+        for f in sorted(added):
+            st = stats.get(f)
+            if st is None:
+                st = _footer_stats(os.path.join(table_dir, f))
+            may_overlap = True
+            for c in keys:
+                rng = (st or {}).get(c)
+                bmn, bmx = key_box.get(c, (None, None))
+                if rng is None or bmn is None or bmx is None:
+                    continue  # unprovable on this column; try the next
+                if rng[1] < bmn or rng[0] > bmx:
+                    may_overlap = False
+                    break
+            if may_overlap:
+                return f"winner-added file {f} may contain this commit's keys"
+    return None
+
+
+def _publish_or_rebase(
+    spark: SparkSession,
+    table_dir: str,
+    base_man: dict,
+    *,
+    loser_removed: set[str],
+    loser_read: set[str],
+    loser_added: list[str],
+    loser_dv_added: dict,
+    meta: dict,
+    key_box: dict,
+    allow_rebase: bool,
+) -> None:
+    """Commit a planned mutation, REBASING onto newer snapshots when a
+    concurrent winner's work is provably disjoint (``_rebase_conflict``)
+    instead of failing back to a full replan. The rebase re-derives
+    only O(manifest) state — file list, carried DVs/blooms/stats — and
+    REUSES the loser's already-written data files, DV sidecars, bloom
+    bitsets and new-file stats, so N writers over disjoint partitions
+    serialize at manifest speed, not at merge-job speed. Snapshot-pinned
+    callers (``expected_version``) never rebase: the pin IS the request
+    to fail on any concurrent motion."""
+    man = base_man
+    rebases = 0
+    cached_new_stats: dict | None = None
+    new_bloom_entries: dict | None = None
+    while True:
+        files = [f for f in man["files"] if f not in loser_removed] + loser_added
+        dv = _carry_dv(man, files)
+        for f, lst in (loser_dv_added or {}).items():
+            have = dv.setdefault(f, [])
+            have.extend(x for x in lst if x not in have)
+        survivors = [f for f in man["files"] if f not in loser_removed]
+        bloom = _carry_bloom(man, survivors)
+        if bloom is not None:
+            if new_bloom_entries is None:
+                new_bloom_entries = (
+                    _bloom_build(
+                        spark, table_dir, loser_added,
+                        {"schema_json": man.get("schema_json")}, bloom,
+                    )
+                    if loser_added
+                    else {}
+                )
+            bloom["files"].update(new_bloom_entries)
+        attempt_meta = dict(meta)
+        attempt_meta["parent"] = man["version"]
+        if rebases:
+            attempt_meta["rebases"] = rebases
+            attempt_meta["rebased_onto"] = man["version"]
+            # the winner may have advanced sink bookkeeping; ours is stale
+            if man.get("epoch_watermark") is not None:
+                attempt_meta["epoch_watermark"] = man["epoch_watermark"]
+                if man.get("epochs"):
+                    attempt_meta["epochs"] = man["epochs"]
+        stats = _stats_for(
+            table_dir,
+            files,
+            {**(man.get("file_stats") or {}), **(cached_new_stats or {})},
+            partition_by=man.get("partition_by"),
+            schema_json=attempt_meta.get("schema_json") or man.get("schema_json"),
+        )
+        cached_new_stats = {f: stats[f] for f in loser_added}
+        try:
+            _write_manifest(
+                table_dir, man["version"] + 1, files, attempt_meta,
+                file_stats=stats, dv=dv, bloom=bloom,
+            )
+            return
+        except ConcurrentWriteError:
+            if not allow_rebase or rebases >= _REBASE_ATTEMPTS:
+                raise
+            cur = read_manifest(table_dir)
+            if cur["version"] == man["version"]:
+                raise  # wedged slot — _retrying's probe owns the message
+            why = _rebase_conflict(
+                man, cur, loser_read, key_box,
+                list(meta.get("keys") or []), table_dir,
+            )
+            if why is not None:
+                raise ConcurrentWriteError(
+                    f"mtable at {table_dir}: concurrent commit is not "
+                    f"rebase-safe ({why}); replan from the current snapshot"
+                ) from None
+            man = cur
+            rebases += 1
 
 
 # ---------------------------------------------------------------------------
@@ -1319,6 +1517,82 @@ def mtable_set_checks(
     return read_manifest(table_dir)
 
 
+def mtable_set_partitioning(
+    spark: SparkSession,
+    table_dir: str,
+    partition_by: str | list[str] | None,
+) -> dict:
+    """PARTITION-SPEC EVOLUTION as a metadata-only commit (the Iceberg
+    spec-evolution move — a table that outgrew its partitioning, e.g.
+    the classic daily→hourly migration, changes spec WITHOUT a data
+    rewrite): no byte of data moves; the commit only records the new
+    spec and a fresh partition root (``data-parts-s<N>``) for files
+    written FROM NOW ON. Old files keep living under the root — and
+    the directory structure — of the spec they were written with:
+
+    * planning prunes each file under its OWN spec, because partition
+      values were persisted per-file as exact ``[v, v]`` stats at
+      write time (spec-agnostic by construction);
+    * reads group files by root (``_spec_groups``) with one
+      ``basePath`` per spec, so path-borne columns re-attach under the
+      right structure and the groups union by name — a column that is
+      path-borne under one spec is plain data bytes under the other,
+      so every group carries the full schema;
+    * ``mtable_compact`` rewrites under the CURRENT spec, so routine
+      maintenance migrates old files incrementally — spec evolution
+      plus compaction is the rebuild, amortized.
+
+    Pass None (or []) to departition: subsequent writes land as plain
+    ``data-*`` files. Setting the spec the table already has is
+    refused (a no-op commit masking a typo'd column list)."""
+    man = read_manifest(table_dir)
+    pcols = _as_keys(partition_by) if partition_by else None
+    if pcols:
+        if not man.get("schema_json"):
+            raise ValueError(
+                "mtable_set_partitioning: table has no recorded schema "
+                "(legacy manifest) — partition columns cannot be typed"
+            )
+        names = {
+            f["name"] for f in json.loads(man["schema_json"])["fields"]
+        }
+        missing = [c for c in pcols if c not in names]
+        if missing:
+            raise ValueError(
+                f"mtable_set_partitioning: columns {missing} not in the "
+                "table schema"
+            )
+    if pcols == man.get("partition_by"):
+        raise ValueError(
+            f"mtable_set_partitioning: table already has spec {pcols} — "
+            "nothing to change"
+        )
+    spec_id = int(man.get("partition_spec_id", 0)) + 1
+    meta = _carry_schema(man, {
+        "op": "set-partitioning",
+        "parent": man["version"],
+    })
+    # AFTER the carry: _carry_schema re-copies the old spec, which is
+    # exactly what this commit replaces
+    meta["partition_spec_id"] = spec_id
+    if pcols:
+        meta["partition_by"] = pcols
+        meta["partition_root"] = f"data-parts-s{spec_id}"
+    else:
+        meta.pop("partition_by", None)
+        meta.pop("partition_root", None)
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        man["files"],
+        meta,
+        file_stats=man.get("file_stats"),
+        dv=man.get("dv"),
+        bloom=man.get("bloom"),
+    )
+    return read_manifest(table_dir)
+
+
 def mtable_create(
     spark: SparkSession,
     df: DataFrame,
@@ -1415,6 +1689,22 @@ def _read_dv(spark: SparkSession, table_dir: str, dv_files: list[str]) -> DataFr
     )
 
 
+def _spec_groups(files: list[str]) -> list[tuple[str | None, list[str]]]:
+    """Group data files by the PARTITION ROOT they were written under —
+    the first path segment when any later segment is a hive
+    ``col=value`` pair, else None (plain unpartitioned ``data-*``
+    dirs). Partition-spec evolution gives each spec its own root
+    (``data-parts``, then ``data-parts-s<N>``), so a group is exactly
+    "files sharing one directory structure": each group reads with its
+    own ``basePath`` and Spark never sees conflicting structures."""
+    groups: dict = {}
+    for f in files:
+        segs = f.split(os.sep)
+        root = segs[0] if any("=" in s for s in segs[1:-1]) else None
+        groups.setdefault(root, []).append(f)
+    return sorted(groups.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))
+
+
 def _scan_with_pos(
     spark: SparkSession,
     table_dir: str,
@@ -1431,34 +1721,47 @@ def _scan_with_pos(
     never collide across the table's subdirectories. The metadata
     columns must be projected ON the scan (they don't survive a
     join), which is why this helper exists instead of a post-hoc
-    ``withColumn``."""
-    paths = [os.path.join(table_dir, f) for f in files]
+    ``withColumn``.
+
+    Files are scanned in one group PER PARTITION ROOT (``_spec_groups``
+    — partition-spec evolution leaves each file under the root of the
+    spec it was written with): every group gets its own ``basePath``
+    so Spark's partition discovery never sees mixed directory
+    structures, a file's path-borne partition values re-attach under
+    its OWN spec, and the groups union by name under the one recorded
+    table schema (a column that is path-borne in one spec is plain
+    data bytes in the other, so both sides always carry it)."""
     sj = man.get("schema_json")
-    reader = (
-        spark.read.schema(T.StructType.fromJson(json.loads(sj)))
-        if sj is not None
-        else spark.read
-    )
-    if man.get("partition_by"):
-        # partition columns live in the directory names under the
-        # shared data-parts tree; basePath re-attaches them (and gives
-        # Spark real PartitionFilters on any downstream predicate)
-        reader = reader.option(
-            "basePath", os.path.join(table_dir, "data-parts")
+    parts = []
+    for root, fs in _spec_groups(files):
+        reader = (
+            spark.read.schema(T.StructType.fromJson(json.loads(sj)))
+            if sj is not None
+            else spark.read
         )
-    # Spark appends inferred partition columns LAST; project the
-    # recorded schema's column order (in the SAME select that grabs the
-    # scan-only _metadata pseudo-column) so readers see one stable shape
-    cols = (
-        [f["name"] for f in json.loads(sj)["fields"]]
-        if man.get("partition_by") and sj is not None
-        else ["*"]
-    )
-    df = reader.parquet(*paths).select(
-        *cols,
-        F.col("_metadata.file_name").alias("_mt_file"),
-        F.col("_metadata.row_index").alias("_mt_pos"),
-    )
+        if root is not None:
+            # partition columns live in the directory names under this
+            # spec's shared root; basePath re-attaches them (and gives
+            # Spark real PartitionFilters on any downstream predicate)
+            reader = reader.option("basePath", os.path.join(table_dir, root))
+        # Spark appends inferred partition columns LAST; project the
+        # recorded schema's column order (in the SAME select that grabs
+        # the scan-only _metadata pseudo-column) for one stable shape
+        cols = (
+            [f["name"] for f in json.loads(sj)["fields"]]
+            if root is not None and sj is not None
+            else ["*"]
+        )
+        parts.append(
+            reader.parquet(*[os.path.join(table_dir, f) for f in fs]).select(
+                *cols,
+                F.col("_metadata.file_name").alias("_mt_file"),
+                F.col("_metadata.row_index").alias("_mt_pos"),
+            )
+        )
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
     dv_files = _dv_paths(dv_man if dv_man is not None else man, files)
     if dv_files:
         dead = _read_dv(spark, table_dir, dv_files).withColumnsRenamed(
@@ -1520,24 +1823,31 @@ def _read_files(
         return _scan_with_pos(spark, table_dir, files, man, dv_man).drop(
             "_mt_file", "_mt_pos"
         )
-    paths = [os.path.join(table_dir, f) for f in files]
     sj = man.get("schema_json")
-    reader = (
-        spark.read
-        if sj is None
-        else spark.read.schema(T.StructType.fromJson(json.loads(sj)))
-    )
-    if man.get("partition_by"):
-        reader = reader.option(
-            "basePath", os.path.join(table_dir, "data-parts")
+    parts = []
+    for root, fs in _spec_groups(files):
+        reader = (
+            spark.read
+            if sj is None
+            else spark.read.schema(T.StructType.fromJson(json.loads(sj)))
         )
-        if sj is not None:
-            # restore the recorded column order (Spark appends the
-            # inferred partition columns last)
-            return reader.parquet(*paths).select(
-                *[f["name"] for f in json.loads(sj)["fields"]]
-            )
-    return reader.parquet(*paths)
+        paths = [os.path.join(table_dir, f) for f in fs]
+        if root is not None:
+            reader = reader.option("basePath", os.path.join(table_dir, root))
+            if sj is not None:
+                # restore the recorded column order (Spark appends the
+                # inferred partition columns last)
+                parts.append(
+                    reader.parquet(*paths).select(
+                        *[f["name"] for f in json.loads(sj)["fields"]]
+                    )
+                )
+                continue
+        parts.append(reader.parquet(*paths))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def mtable_read(
@@ -1699,9 +2009,8 @@ def mtable_merge(
                         f"duplicate key rows ({n_rows} rows, {n_keys} "
                         f"distinct {keys}); an upsert needs one row per key"
                     )
-                dv = _carry_dv(
-                    man, man["files"] if mode == "mor" else untouched
-                )
+                key_box = _key_box(kdf, keys)
+                dv_added: dict = {}
                 n_replaced = None
                 if matched and mode == "mor":
                     # shadow the replaced rows' positions; the batch
@@ -1724,9 +2033,9 @@ def mtable_merge(
                                 os.path.basename(f): f for f in matched
                             }
                             for r in doomed.select("file").distinct().collect():
-                                dv.setdefault(base_to_rel[r["file"]], []).append(
-                                    dv_rel
-                                )
+                                dv_added.setdefault(
+                                    base_to_rel[r["file"]], []
+                                ).append(dv_rel)
                     finally:
                         doomed.unpersist()
                     combined = updates
@@ -1756,7 +2065,8 @@ def mtable_merge(
                         ]
                     )
                 new_files = _new_data_files(
-                    table_dir, combined, partition_by=man.get("partition_by")
+                    table_dir, combined, partition_by=man.get("partition_by"),
+                    root=man.get("partition_root", "data-parts")
                 )
             finally:
                 kdf.unpersist()
@@ -1776,22 +2086,15 @@ def mtable_merge(
         meta = _carry_schema(man, meta)
         if evolved_json is not None:
             meta["schema_json"] = evolved_json
-        files = (man["files"] if mode == "mor" else untouched) + new_files
-        _write_manifest(
-            table_dir,
-            man["version"] + 1,
-            files,
-            meta,
-            file_stats=_stats_for(
-                table_dir, files, man.get("file_stats"),
-                partition_by=man.get("partition_by"),
-                schema_json=meta.get("schema_json") or man.get("schema_json"),
-            ),
-            dv=dv,
-            bloom=_bloom_for_commit(
-                spark, table_dir, man,
-                man["files"] if mode == "mor" else untouched, new_files,
-            ),
+        _publish_or_rebase(
+            spark, table_dir, man,
+            loser_removed=set() if mode == "mor" else set(matched),
+            loser_read=set(matched),
+            loser_added=new_files,
+            loser_dv_added=dv_added,
+            meta=meta,
+            key_box=key_box,
+            allow_rebase=expected_version is None,
         )
         return read_manifest(table_dir)
 
@@ -1943,8 +2246,9 @@ def mtable_delete(
         )
         new_files: list[str] = []
         n_deleted = None
-        dv = _carry_dv(man, man["files"] if mode == "mor" else untouched)
+        dv_added: dict = {}
         try:
+            key_box = _key_box(kdf, kcols)
             if matched and mode == "mor":
                 scan = _scan_with_pos(spark, table_dir, matched, man)
                 semi = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
@@ -1962,7 +2266,9 @@ def mtable_delete(
                         dv_rel = _new_dv_file(table_dir, doomed)
                         base_to_rel = {os.path.basename(f): f for f in matched}
                         for r in doomed.select("file").distinct().collect():
-                            dv.setdefault(base_to_rel[r["file"]], []).append(dv_rel)
+                            dv_added.setdefault(
+                                base_to_rel[r["file"]], []
+                            ).append(dv_rel)
                 finally:
                     doomed.unpersist()
             elif matched:
@@ -1971,16 +2277,18 @@ def mtable_delete(
                 survivors = old.join(anti, kcols, "left_anti")
                 if survivors.limit(1).count():
                     new_files = _new_data_files(
-                        table_dir, survivors, partition_by=man.get("partition_by")
+                        table_dir, survivors, partition_by=man.get("partition_by"),
+                        root=man.get("partition_root", "data-parts")
                     )
         finally:
             kdf.unpersist()
-        files = (man["files"] if mode == "mor" else untouched) + new_files
-        _write_manifest(
-            table_dir,
-            man["version"] + 1,
-            files,
-            _carry_schema(man, {
+        _publish_or_rebase(
+            spark, table_dir, man,
+            loser_removed=set() if mode == "mor" else set(matched),
+            loser_read=set(matched),
+            loser_added=new_files,
+            loser_dv_added=dv_added,
+            meta=_carry_schema(man, {
                 "op": "delete",
                 "parent": man["version"],
                 "keys": kcols,
@@ -1991,16 +2299,8 @@ def mtable_delete(
                 "key_match_path": path,
                 **({"n_deleted": n_deleted} if n_deleted is not None else {}),
             }),
-            file_stats=_stats_for(
-                table_dir, files, man.get("file_stats"),
-                partition_by=man.get("partition_by"),
-                schema_json=man.get("schema_json"),
-            ),
-            dv=dv,
-            bloom=_bloom_for_commit(
-                spark, table_dir, man,
-                man["files"] if mode == "mor" else untouched, new_files,
-            ),
+            key_box=key_box,
+            allow_rebase=expected_version is None,
         )
         return read_manifest(table_dir)
 
@@ -2085,7 +2385,10 @@ def mtable_compact(
         df = src.repartition(n_out)
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
-    new_files = _new_data_files(table_dir, df, partition_by=man.get("partition_by"))
+    new_files = _new_data_files(
+        table_dir, df, partition_by=man.get("partition_by"),
+        root=man.get("partition_root", "data-parts"),
+    )
     version = man["version"] + 1
     files = kept + new_files
     _write_manifest(
@@ -2335,7 +2638,10 @@ def mtable_sink(
             )
         elif key is None:
             _enforce_checks(df, man.get("checks"), "sink append")
-            new_files = _new_data_files(table_dir, df, partition_by=man.get("partition_by"))
+            new_files = _new_data_files(
+                table_dir, df, partition_by=man.get("partition_by"),
+                root=man.get("partition_root", "data-parts"),
+            )
             files = man["files"] + new_files
             meta = _carry_schema(
                 man, {"op": "stream-append", **epoch_meta}
@@ -2492,7 +2798,8 @@ def mtable_merge_agg(
             combined.select(*cols), man.get("checks"), "merge_agg"
         )
         new_files = _new_data_files(
-            table_dir, combined.select(*cols), partition_by=man.get("partition_by")
+            table_dir, combined.select(*cols), partition_by=man.get("partition_by"),
+            root=man.get("partition_root", "data-parts")
         )
         _write_manifest(
             table_dir,
@@ -2551,6 +2858,9 @@ def mtable_restore(
         meta["schema_json"] = target["schema_json"]
     if target.get("partition_by"):
         meta["partition_by"] = target["partition_by"]
+    for k in ("partition_root", "partition_spec_id"):
+        if target.get(k) is not None:
+            meta[k] = target[k]
     # Restore means "the table IS version V again" — that covers the
     # table's write-time contract and sink bookkeeping, not just its
     # file list: dropping 'checks' here would silently disable every
@@ -2755,7 +3065,12 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
     audit the dependency; promote to a full copy (read + rewrite) to
     sever it."""
     man = read_manifest(src_dir)
-    if man.get("partition_by"):
+    if man.get("partition_by") or any(
+        any("=" in s for s in f.split(os.sep)[1:-1]) for f in man["files"]
+    ):
+        # the second clause catches a DEpartitioned table still holding
+        # files under an old spec's root (spec evolution): their
+        # partition values are path-borne too
         raise ValueError(
             "mtable_clone: partitioned tables cannot shallow-clone — the "
             "partition values live in directory names under the SOURCE's "

@@ -403,3 +403,134 @@ def q_mtable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mtable_merge(spark, d, updates, "ckey")
     return mtable_read(spark, d).select("ckey", "seg", "bal")
+
+
+@register(
+    "q_mtable_checks",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CASE WHEN c_custkey % 11 = 0 THEN 50.0
+                ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+    FROM customer
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+)
+def q_mtable_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 WRITE-TIME CHECK CONSTRAINTS end to end (Delta table
+    constraints — pipeline/mtable.py::_enforce_checks): customer lands
+    as an mtable with two installed checks, a VIOLATING merge batch is
+    refused loudly (the in-query assertion pins both the refusal and
+    that NO version was committed — a half-applied batch would be the
+    silent failure mode), then a valid batch updates every 11th
+    balance and commits. The oracle states the surviving snapshot as
+    one CASE expression: hash parity proves the refused batch left
+    zero rows behind and the valid one landed exactly once, through
+    the real constraint-scan→refuse→replan→commit cycle."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-checks-")
+    mtable_create(
+        spark, cust.repartition(4, "ckey"), d,
+        checks={"bal_floor": "bal >= -1000.0", "seg_known": "seg IS NOT NULL"},
+    )
+    bad = cust.where(F.col("ckey") % 5 == 0).select(
+        "ckey", "seg", F.lit(-99999.0).alias("bal")
+    )
+    try:
+        mtable_merge(spark, d, bad, "ckey")
+        raise AssertionError(
+            "CHECK constraint did not refuse the violating batch"
+        )
+    except ValueError as e:
+        if "CHECK constraint" not in str(e):
+            raise
+    if read_manifest(d)["version"] != 0:
+        raise AssertionError(
+            "refused batch left a committed version behind"
+        )
+    good = cust.where(F.col("ckey") % 11 == 0).select(
+        "ckey", "seg", F.lit(50.0).alias("bal")
+    )
+    mtable_merge(spark, d, good, "ckey")
+    return mtable_read(spark, d).select("ckey", "seg", "bal")
+
+
+@register(
+    "q_mtable_evolution",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           c_nationkey AS nation,
+           CASE WHEN c_custkey % 17 = 0 THEN -2.0
+                WHEN c_custkey % 13 = 0 THEN -1.0
+                ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+    FROM customer
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+)
+def q_mtable_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 PARTITION-SPEC EVOLUTION end to end (the Iceberg
+    metadata-only spec change — pipeline/mtable.py::
+    mtable_set_partitioning): customer lands partitioned by market
+    segment, one merge commits under that spec, the table then
+    re-partitions by NATION as a metadata-only commit (the in-query
+    assertion pins that no data file moved), a second merge lands
+    under the new spec, and compaction migrates every row to the
+    current spec (the second assertion pins the migrated layout). The
+    oracle states the whole history as one CASE expression; hash
+    parity certifies reads and rewrites across the spec boundary.
+    Mixed-spec PRUNING (a delete keyed on the new partition column
+    skipping old- and new-spec files under each file's own spec) is
+    pinned by tests/test_mtable.py::TestMtablePartitionSpecEvolution —
+    kept out of this cycle to hold the gate wall near the other
+    mtable queries'."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_compact,
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+        mtable_set_partitioning,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-evo-")
+    mtable_create(spark, cust.repartition(4, "ckey"), d, partition_by=["seg"])
+    upd1 = cust.where(F.col("ckey") % 13 == 0).select(
+        "ckey", "seg", "nation", F.lit(-1.0).alias("bal")
+    )
+    mtable_merge(spark, d, upd1, "ckey")
+    man_before = read_manifest(d)
+    man_evo = mtable_set_partitioning(spark, d, ["nation"])
+    if man_evo["files"] != man_before["files"]:
+        raise AssertionError(
+            "spec evolution moved data files — it must be metadata-only"
+        )
+    upd2 = cust.where(F.col("ckey") % 17 == 0).select(
+        "ckey", "seg", "nation", F.lit(-2.0).alias("bal")
+    )
+    mtable_merge(spark, d, upd2, "ckey")
+    mtable_compact(spark, d)
+    man = read_manifest(d)
+    stray = [
+        f for f in man["files"] if not f.startswith("data-parts-s1/nation=")
+    ]
+    if stray:
+        raise AssertionError(
+            f"compaction left {len(stray)} file(s) under the old spec"
+        )
+    return mtable_read(spark, d).select("ckey", "seg", "nation", "bal")

@@ -103,7 +103,13 @@ def _profile_sql() -> str:
     """
 
 
-@register("q_text_profile", sql=_profile_sql(), survey_ids=("EXT-TEXT",))
+@register(
+    "q_text_profile",
+    sql=_profile_sql(),
+    survey_ids=("EXT-TEXT",),
+    gate=False,  # round 15: ceded its slot to q_mtable_evolution —
+    # EXT-TEXT keeps gate twins q_token_vocab, q_chunks, q_bm25
+)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-analysis profile in ONE scan — exactly how a
     corpus pipeline runs it (each document is read once, every cheap
@@ -199,6 +205,8 @@ DEDUP_EXACT_SQL = r"""
     "q_dedup_exact",
     sql=DEDUP_EXACT_SQL,
     survey_ids=("EXT-DEDUP",),
+    gate=False,  # round 15: ceded its slot to q_mtable_checks — the
+    # longest-soaked EXT-DEDUP entry; seven EXT-DEDUP gate twins remain
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup, per-document view: content fingerprint (md5 of
