@@ -98,6 +98,45 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Below this input size the r14 parallel-constructor exchange costs
+#: more than the single-core encode it spreads (measured: png/gif at
+#: sf0.1 regressed ~45-60% for a sub-second absolute win elsewhere).
+_SPREAD_MIN_BYTES = 2 << 20
+
+
+def _doc_scan(spark: SparkSession, sf_dir: str, always_spread: bool) -> DataFrame:
+    """The (doc_id, text) scan feeding a planted-media constructor.
+
+    The sf fixture is ONE parquet file = one input partition, so the
+    encode kernel (and the decode pass downstream) would run on a
+    single core; spreading to session parallelism is a no-op-sized
+    exchange of (id, text) rows, never payload bytes. The spread is
+    VOLUME-GATED for the cheap codecs (round 15): below
+    ``_SPREAD_MIN_BYTES`` of input the exchange costs more than the
+    single-core encode it parallelizes, so small fixtures skip it;
+    heavy kernels (JPEG DCT synthesis, MP4 mux) pass
+    ``always_spread=True`` — they win from parallelism at every
+    measured size. At production scale the scan already arrives
+    multi-partition and the gate is moot either way."""
+    import os
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    if not always_spread:
+        try:
+            small = (
+                os.stat(os.path.join(sf_dir, "documents.parquet")).st_size
+                < _SPREAD_MIN_BYTES
+            )
+        except OSError:
+            small = False
+        if small:
+            return docs
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+
 # ---------------------------------------------------------------------------
 # EXT-MEDIA — container-header metadata sniffing, oracle-checked by
 # CONSTRUCTION: the Spark side PARSES real container bytes (PNG IHDR /
@@ -331,16 +370,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    # the sf fixture is ONE parquet file = one input partition: the
-    # encode kernel (and the decode pass downstream) would run on a
-    # single core. Spread to the session's parallelism — at production
-    # scale the scan already arrives multi-partition and this is a
-    # no-op-sized exchange of (id, text) rows, never payload bytes.
-    docs = read_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    ).select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _doc_scan(spark, sf_dir, always_spread=False)
 
     def kernel(batches):
         from w4h_etl_container_spark.multimodal.media import encode_png
@@ -425,16 +455,7 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    # the sf fixture is ONE parquet file = one input partition: the
-    # encode kernel (and the decode pass downstream) would run on a
-    # single core. Spread to the session's parallelism — at production
-    # scale the scan already arrives multi-partition and this is a
-    # no-op-sized exchange of (id, text) rows, never payload bytes.
-    docs = read_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    ).select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _doc_scan(spark, sf_dir, always_spread=False)
 
     def kernel(batches):
         import numpy as np
@@ -511,16 +532,7 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    # the sf fixture is ONE parquet file = one input partition: the
-    # encode kernel (and the decode pass downstream) would run on a
-    # single core. Spread to the session's parallelism — at production
-    # scale the scan already arrives multi-partition and this is a
-    # no-op-sized exchange of (id, text) rows, never payload bytes.
-    docs = read_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    ).select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _doc_scan(spark, sf_dir, always_spread=True)
 
     def kernel(batches):
         import numpy as np
@@ -602,16 +614,7 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    # the sf fixture is ONE parquet file = one input partition: the
-    # encode kernel (and the decode pass downstream) would run on a
-    # single core. Spread to the session's parallelism — at production
-    # scale the scan already arrives multi-partition and this is a
-    # no-op-sized exchange of (id, text) rows, never payload bytes.
-    docs = read_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    ).select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _doc_scan(spark, sf_dir, always_spread=True)
 
     def kernel(batches):
         from w4h_etl_container_spark.multimodal.media import encode_mp4
