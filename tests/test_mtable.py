@@ -3441,3 +3441,74 @@ class TestMtablePartitionSpecEvolution:
         )
         fresh = set(man2["files"]) - set(man["files"])
         assert fresh and all(f.startswith("data-parts/day=") for f in fresh)
+
+
+class TestMtableRebaseEdges:
+    def test_merge_agg_rebases_and_keeps_newer_epoch(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A combine-mode SINK micro-batch (merge_agg carrying a fresh
+        epoch in extra_meta) racing a disjoint insert must rebase AND
+        keep ITS watermark — overwriting it with the rebased-onto
+        snapshot's older value would re-open the replay window on a
+        non-idempotent combine."""
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        d = str(tmp_path / "aggrebase")
+        sink = M.mtable_sink(spark, d, key="k", combine={"v": "sum"})
+        sink(
+            spark.createDataFrame([(i, 10) for i in range(1, 41)],
+                                  "k long, v long"),
+            5,
+        )
+        assert read_manifest(d)["epoch_watermark"] == 5
+
+        real = M._write_manifest
+        state = {"fired": False}
+
+        def tripwire(*a, **kw):
+            if not state["fired"]:
+                state["fired"] = True
+                mtable_merge(
+                    spark, d,
+                    spark.createDataFrame([(1000, 1)], "k long, v long"),
+                    "k",
+                )
+            return real(*a, **kw)
+
+        monkeypatch.setattr(M, "_write_manifest", tripwire)
+        sink(
+            spark.createDataFrame([(1, 5), (2, 5)], "k long, v long"), 6
+        )
+        man = read_manifest(d)
+        assert man.get("rebases") == 1
+        assert man["epoch_watermark"] == 6  # NOT the winner's stale 5
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[1] == 15 and got[2] == 15 and got[1000] == 1
+        assert len(got) == 41
+        # and the replay gate still holds: re-delivering epoch 6 no-ops
+        v = man["version"]
+        sink(spark.createDataFrame([(1, 5)], "k long, v long"), 6)
+        assert read_manifest(d)["version"] == v
+
+    def test_incomparable_stats_conflict_not_crash(self):
+        """Key stats that JSON-round-tripped to a different type than
+        the in-memory key box (date keys) must register as a
+        conservative CONFLICT, never a TypeError."""
+        import datetime
+
+        from w4h_etl_container_spark.pipeline.mtable import _rebase_conflict
+
+        base = {"version": 0, "files": ["a.parquet"]}
+        cur = {
+            "version": 1,
+            "files": ["a.parquet", "b.parquet"],
+            "file_stats": {
+                "b.parquet": {"k": ["2021-01-01", "2021-06-30"]}
+            },
+        }
+        box = {
+            "k": (datetime.date(2022, 1, 5), datetime.date(2022, 1, 6))
+        }
+        why = _rebase_conflict(base, cur, set(), box, ["k"], "/nonexistent")
+        assert why is not None and "may contain" in why

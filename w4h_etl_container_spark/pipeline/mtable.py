@@ -652,6 +652,30 @@ def _new_data_files(
     and the shuffle adds one exchange to every partitioned commit —
     the standard write-amplification-vs-file-count trade, chosen the
     way every production lakehouse writer chooses it."""
+    def _drop_empty(rels: list[str]) -> list[str]:
+        # Zero-row part files (Spark writes one for an empty task on
+        # some plans) are pure waste in the manifest — a footer read
+        # and a scan task per file forever — and their all-None stats
+        # are indistinguishable from "unprunable", which forces every
+        # stats-driven decision (planning, bloom candidates, rebase
+        # conflict checks) onto its conservative path. Drop them at the
+        # only moment it's free: O(new files) driver footer reads at
+        # write time.
+        import pyarrow.parquet as pq
+
+        keep = []
+        for rel in rels:
+            path = os.path.join(table_dir, rel)
+            try:
+                empty = pq.ParquetFile(path).metadata.num_rows == 0
+            except Exception:
+                empty = False  # unreadable ≠ empty; keep and let reads decide
+            if empty:
+                os.remove(path)
+            else:
+                keep.append(rel)
+        return keep
+
     if partition_by:
         import hashlib
 
@@ -698,15 +722,15 @@ def _new_data_files(
         import shutil
 
         shutil.rmtree(stage)
-        return sorted(rels)
+        return sorted(_drop_empty(rels))
     sub = f"data-{uuid.uuid4().hex}"
     out = os.path.join(table_dir, sub)
     df.write.parquet(out)
-    return [
+    return _drop_empty([
         os.path.join(sub, f)
         for f in os.listdir(out)
         if f.endswith(".parquet")
-    ]
+    ])
 
 
 def _partition_values(
@@ -1167,9 +1191,16 @@ def _rebase_conflict(
                 bmn, bmx = key_box.get(c, (None, None))
                 if rng is None or bmn is None or bmx is None:
                     continue  # unprovable on this column; try the next
-                if rng[1] < bmn or rng[0] > bmx:
-                    may_overlap = False
-                    break
+                try:
+                    if rng[1] < bmn or rng[0] > bmx:
+                        may_overlap = False
+                        break
+                except TypeError:
+                    # incomparable representations (e.g. a date key's
+                    # footer stats JSON-round-tripped as ISO strings vs
+                    # the key box's Python date objects): unprovable,
+                    # not an error — stay conservative
+                    continue
             if may_overlap:
                 return f"winner-added file {f} may contain this commit's keys"
     return None
@@ -1225,9 +1256,18 @@ def _publish_or_rebase(
         if rebases:
             attempt_meta["rebases"] = rebases
             attempt_meta["rebased_onto"] = man["version"]
-            # the winner may have advanced sink bookkeeping; ours is stale
-            if man.get("epoch_watermark") is not None:
-                attempt_meta["epoch_watermark"] = man["epoch_watermark"]
+            # Sink bookkeeping: keep the NEWER watermark. The winner may
+            # have advanced it past the carried copy in our meta (a sink
+            # batch raced our maintenance commit) — but when WE are the
+            # sink (combine-mode merge_agg carrying a fresh epoch in
+            # extra_meta) and the winner was maintenance, ours is the
+            # newer one: overwriting it with the winner's stale value
+            # would re-open the replay window on a NON-idempotent
+            # combine. Epoch ids are monotone, so max is the rule.
+            theirs = man.get("epoch_watermark")
+            ours = attempt_meta.get("epoch_watermark")
+            if theirs is not None and (ours is None or theirs > ours):
+                attempt_meta["epoch_watermark"] = theirs
                 if man.get("epochs"):
                     attempt_meta["epochs"] = man["epochs"]
         stats = _stats_for(
@@ -2009,7 +2049,10 @@ def mtable_merge(
                         f"duplicate key rows ({n_rows} rows, {n_keys} "
                         f"distinct {keys}); an upsert needs one row per key"
                     )
-                key_box = _key_box(kdf, keys)
+                # pinned commits never rebase, so skip the box job
+                key_box = (
+                    _key_box(kdf, keys) if expected_version is None else {}
+                )
                 dv_added: dict = {}
                 n_replaced = None
                 if matched and mode == "mor":
@@ -2248,7 +2291,8 @@ def mtable_delete(
         n_deleted = None
         dv_added: dict = {}
         try:
-            key_box = _key_box(kdf, kcols)
+            # pinned commits never rebase, so skip the box job
+            key_box = _key_box(kdf, kcols) if expected_version is None else {}
             if matched and mode == "mor":
                 scan = _scan_with_pos(spark, table_dir, matched, man)
                 semi = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
@@ -2782,6 +2826,8 @@ def mtable_merge_agg(
             spark, table_dir, man, delta, kcols, max_collect_keys,
             "mtable_merge_agg: empty delta",
         )
+        # pinned commits never rebase, so skip the box job
+        key_box = _key_box(kdf, kcols) if expected_version is None else {}
         kdf.unpersist()  # merge_agg re-aggregates whole matched files; no anti-join
 
         cols = kcols + sorted(combine)
@@ -2801,11 +2847,13 @@ def mtable_merge_agg(
             table_dir, combined.select(*cols), partition_by=man.get("partition_by"),
             root=man.get("partition_root", "data-parts")
         )
-        _write_manifest(
-            table_dir,
-            man["version"] + 1,
-            untouched + new_files,
-            _carry_schema(man, {
+        _publish_or_rebase(
+            spark, table_dir, man,
+            loser_removed=set(matched),
+            loser_read=set(matched),
+            loser_added=new_files,
+            loser_dv_added={},
+            meta=_carry_schema(man, {
                 "op": "merge-agg",
                 "parent": man["version"],
                 "keys": kcols,
@@ -2815,15 +2863,8 @@ def mtable_merge_agg(
                 "key_match_path": path,
                 **(extra_meta or {}),
             }),
-            file_stats=_stats_for(
-                table_dir, untouched + new_files, man.get("file_stats"),
-                partition_by=man.get("partition_by"),
-                schema_json=man.get("schema_json"),
-            ),
-            dv=_carry_dv(man, untouched),
-            bloom=_bloom_for_commit(
-                spark, table_dir, man, untouched, new_files
-            ),
+            key_box=key_box,
+            allow_rebase=expected_version is None,
         )
         return read_manifest(table_dir)
 

@@ -49,9 +49,14 @@ QUERIES: dict[str, Query] = {}
 # q_mp4_extract — and, breaking the gate-lags-a-round pattern both
 # verdicts flagged, the SAME-round q_mtable_partitioned took
 # q_stream_tumbling's slot (STR-5 keeps gate twins q_stream_dedup and
-# q_sessionize). Library queries keep their oracle SQL and stay
-# pinned by the pytest plan-shape and selfcheck-library suites — same
-# code path, one registry flag.
+# q_sessionize). Round 15 continued: the SAME-round q_mtable_checks
+# (write-time constraints) and q_mtable_evolution (partition-spec
+# evolution + migration compaction) took the slots of q_dedup_exact
+# (longest-soaked EXT-DEDUP entry; seven gate twins remain) and
+# q_text_profile (EXT-TEXT keeps q_token_vocab/q_chunks/q_bm25).
+# Library queries keep their oracle SQL and stay pinned by the pytest
+# plan-shape and selfcheck-library suites — same code path, one
+# registry flag.
 LIBRARY: dict[str, Query] = {}
 
 
