@@ -940,7 +940,20 @@ def _plan_matched_files(
     collect (bounded by file count). Files with no trusted stats on
     any key column are matched unconditionally on both paths."""
     kdf = batch.select(*keys).distinct().persist()
-    n_keys = kdf.count()
+    # ONE agg carries the count-gate decision AND the per-column key
+    # bounding box (for the rebase conflict check) — folding the box
+    # into the job the planner already runs keeps the commit path at
+    # the same job count it had before disjoint-writer rebase existed
+    row = kdf.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            m
+            for c in keys
+            for m in (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
+        ],
+    ).collect()[0]
+    n_keys = row["__n"]
+    key_box = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in keys}
     if n_keys == 0:
         kdf.unpersist()
         raise ValueError(empty_msg)
@@ -1023,7 +1036,7 @@ def _plan_matched_files(
         matched_set = set(unprunable) | set(hits)
     matched = [f for f in man["files"] if f in matched_set]
     untouched = [f for f in man["files"] if f not in matched_set]
-    return matched, untouched, n_keys, kdf, path
+    return matched, untouched, n_keys, kdf, path, key_box
 
 
 def _carry_dv(man: dict, files: list[str]) -> dict:
@@ -1114,22 +1127,6 @@ def _retrying(fn, table_dir: str, retries: int, expected_version: int | None):
 #: How many times a CAS-losing writer may rebase onto newer snapshots
 #: before giving up and surfacing ConcurrentWriteError (replan path).
 _REBASE_ATTEMPTS = 5
-
-
-def _key_box(kdf: DataFrame, keys: list[str]) -> dict:
-    """Per-key-column (min, max) bounding box of the batch's key set —
-    one tiny agg on the already-persisted distinct-key DataFrame. This
-    is what makes a CAS loser's rebase SAFE to decide: the winner's
-    added files provably contain none of this commit's keys iff, for
-    some key column, the file's stats range and this box are disjoint."""
-    row = kdf.agg(
-        *[
-            m
-            for c in keys
-            for m in (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
-        ]
-    ).collect()[0]
-    return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in keys}
 
 
 def _rebase_conflict(
@@ -2032,9 +2029,11 @@ def mtable_merge(
         _enforce_checks(updates, man.get("checks"), "merge")
         updates.persist()
         try:
-            matched, untouched, n_keys, kdf, path = _plan_matched_files(
-                spark, table_dir, man, updates, keys, max_collect_keys,
-                "mtable_merge: empty update batch",
+            matched, untouched, n_keys, kdf, path, key_box = (
+                _plan_matched_files(
+                    spark, table_dir, man, updates, keys, max_collect_keys,
+                    "mtable_merge: empty update batch",
+                )
             )
             try:
                 n_rows = updates.count()
@@ -2049,10 +2048,6 @@ def mtable_merge(
                         f"duplicate key rows ({n_rows} rows, {n_keys} "
                         f"distinct {keys}); an upsert needs one row per key"
                     )
-                # pinned commits never rebase, so skip the box job
-                key_box = (
-                    _key_box(kdf, keys) if expected_version is None else {}
-                )
                 dv_added: dict = {}
                 n_replaced = None
                 if matched and mode == "mor":
@@ -2283,7 +2278,7 @@ def mtable_delete(
     def _once() -> dict:
         man = read_manifest(table_dir)
         _check_expected(man, expected_version, table_dir)
-        matched, untouched, n_keys, kdf, path = _plan_matched_files(
+        matched, untouched, n_keys, kdf, path, key_box = _plan_matched_files(
             spark, table_dir, man, keys, kcols, max_collect_keys,
             "mtable_delete: empty key set",
         )
@@ -2291,8 +2286,6 @@ def mtable_delete(
         n_deleted = None
         dv_added: dict = {}
         try:
-            # pinned commits never rebase, so skip the box job
-            key_box = _key_box(kdf, kcols) if expected_version is None else {}
             if matched and mode == "mor":
                 scan = _scan_with_pos(spark, table_dir, matched, man)
                 semi = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
@@ -2822,12 +2815,10 @@ def mtable_merge_agg(
     def _once() -> dict:
         man = read_manifest(table_dir)
         _check_expected(man, expected_version, table_dir)
-        matched, untouched, n_keys, kdf, path = _plan_matched_files(
+        matched, untouched, n_keys, kdf, path, key_box = _plan_matched_files(
             spark, table_dir, man, delta, kcols, max_collect_keys,
             "mtable_merge_agg: empty delta",
         )
-        # pinned commits never rebase, so skip the box job
-        key_box = _key_box(kdf, kcols) if expected_version is None else {}
         kdf.unpersist()  # merge_agg re-aggregates whole matched files; no anti-join
 
         cols = kcols + sorted(combine)
