@@ -514,12 +514,43 @@ def _write_manifest(
                 "to let the merge replan automatically)"
             ) from None
         os.remove(tmp)
-    # the pointer flip is the commit: readers that resolved the old
-    # pointer keep a consistent old file list (those files still exist)
-    ptr_tmp = os.path.join(table_dir, f".{_LATEST}.tmp-{uuid.uuid4().hex}")
-    with open(ptr_tmp, "w") as f:
-        f.write(str(version))
-    os.rename(ptr_tmp, os.path.join(table_dir, _LATEST))
+    _flip_pointer(table_dir, version)
+
+
+def _flip_pointer(table_dir: str, version: int) -> None:
+    """Advance the ``_latest`` pointer MONOTONICALLY, under a file
+    lock. The pointer flip is the commit: readers that resolved the
+    old pointer keep a consistent old file list (those files still
+    exist).
+
+    Monotonic is DEFENSE-IN-DEPTH (round 15): the read-via-pointer
+    protocol already orders flips on the happy path (a committer of
+    v+1 can only have planned against v, which it can only have seen
+    after v's flip landed), but that invariant rests on every current
+    and future caller reading snapshots through the pointer — one
+    code path that plans against an explicitly-numbered version and
+    publishes could reorder flips, and an unconditional rename would
+    then REGRESS the pointer, silently orphaning every later commit's
+    lineage. Under the lock the flip only ever moves forward; a
+    committer that arrives behind an already-advanced pointer skips
+    its flip — whoever committed past it necessarily built on its
+    published manifest (version slots are claimed by exclusive link
+    BEFORE any flip), so its content is already in the live
+    lineage."""
+    import fcntl
+
+    with open(os.path.join(table_dir, ".ptr-lock"), "a") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            cur = _current_version(table_dir)
+        except FileNotFoundError:
+            cur = -1
+        if version <= cur:
+            return
+        ptr_tmp = os.path.join(table_dir, f".{_LATEST}.tmp-{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.rename(ptr_tmp, os.path.join(table_dir, _LATEST))
 
 
 def _current_version(table_dir: str) -> int:

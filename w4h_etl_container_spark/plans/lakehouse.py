@@ -534,3 +534,58 @@ def q_mtable_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"compaction left {len(stray)} file(s) under the old spec"
         )
     return mtable_read(spark, d).select("ckey", "seg", "nation", "bal")
+
+
+@register(
+    "q_mtable_evolution_prune",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           c_nationkey AS nation, CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer WHERE c_nationkey <> 3
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # library twin of q_mtable_evolution: the delete leg
+)
+def q_mtable_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-SPEC PRUNING under the hash oracle (library tier — the
+    delete leg kept out of the gate cycle for wall budget): customer
+    lands partitioned by segment, the spec evolves to nation
+    (metadata-only), and a delete keyed on the NEW partition column
+    must prune per-file under each file's own spec — old seg-spec
+    files carry nation in their DATA-BYTE stats, new-spec files in
+    their path-borne [v,v] overlay. The committed snapshot hash-equals
+    the survivor filter. The in-query assertion pins that the delete
+    planned on stats (no unconditional full-table match): at least one
+    file survives untouched whenever any post-evolution file's nation
+    range excludes 3."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_delete,
+        mtable_merge,
+        mtable_read,
+        mtable_set_partitioning,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-evoprune-")
+    mtable_create(spark, cust.repartition(4, "ckey"), d, partition_by=["seg"])
+    mtable_set_partitioning(spark, d, ["nation"])
+    # land part of the table under the new spec (an idempotent
+    # self-merge of one nation's rows — values unchanged, layout moves)
+    moved = cust.where(F.col("nation") % 7 == 2)
+    mtable_merge(spark, d, moved, "ckey")
+    man = mtable_delete(
+        spark, d, spark.createDataFrame([(3,)], "nation int"), "nation"
+    )
+    if man["files_untouched"] < 1:
+        raise AssertionError(
+            "mixed-spec delete matched every file — partition stats "
+            "did not prune"
+        )
+    return mtable_read(spark, d).select("ckey", "seg", "nation", "bal")
