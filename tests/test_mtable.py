@@ -3610,3 +3610,43 @@ class TestMtableChangesAcrossSpecEvolution:
         }
         assert (2, "update", -2) in ch13
         assert all(k == 2 for k, _t, _v in ch13)
+
+
+class TestMtableBloomOnPartitionedTable:
+    def test_bloom_keys_spanning_partition_column(self, spark, tmp_path):
+        """Blooms composed with the partition spec, keys including the
+        PARTITION column: the bitset build scans fresh files through
+        the path-shape grouped reader (round 15), so the path-borne
+        partition value re-attaches and the bloom hashes the REAL key
+        tuple — a build that read the partition column as NULL would
+        refute every probe and silently skip live files."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_delete
+
+        df = spark.createDataFrame(
+            [(i, i % 3, i) for i in range(300)], "k long, p int, v long"
+        ).repartition(4, "k")
+        d = str(tmp_path / "bloomfull")
+        man = mtable_create(
+            spark, df, d, partition_by=["p"], bloom_keys=["p", "k"]
+        )
+        assert man.get("bloom", {}).get("files")
+        # delete one (p, k) tuple through the bloom path: exactly one
+        # row must go, and the result must match the plain filter
+        man1 = mtable_delete(
+            spark, d,
+            spark.createDataFrame([(1, 7)], "p int, k long"), ["p", "k"],
+        )
+        got = mtable_read(spark, d)
+        assert got.count() == 299
+        assert got.where("k = 7").count() == 0
+        assert got.where("k = 8").count() == 1
+        # and a merge updating one tuple stays correct through the
+        # carried/extended blooms
+        man2 = mtable_merge(
+            spark, d,
+            spark.createDataFrame([(2, 2, -1)], "k long, p int, v long"),
+            ["p", "k"],
+        )
+        assert man2["files_rewritten"] >= 1  # the live tuple MATCHED
+        rows = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert rows[2] == -1 and len(rows) == 299
