@@ -3650,3 +3650,57 @@ class TestMtableBloomOnPartitionedTable:
         assert man2["files_rewritten"] >= 1  # the live tuple MATCHED
         rows = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
         assert rows[2] == -1 and len(rows) == 299
+
+
+class TestMtablePartitionedCompactOrdering:
+    def test_compact_sorts_within_partition_files(self, spark, tmp_path):
+        """Round-15: on a partitioned table, compaction's requested
+        ordering must SURVIVE the optimized partitioned write (which
+        shuffles by the partition columns) — the writer sorts within
+        each partition task, so every output file is internally
+        ordered for parquet row-group pruning."""
+        import pyarrow.parquet as pq
+
+        from w4h_etl_container_spark.pipeline.mtable import mtable_compact
+
+        df = spark.createDataFrame(
+            [(i * 37 % 500, i % 3, i) for i in range(480)],
+            "k long, p int, v long",
+        ).repartition(8)
+        d = str(tmp_path / "pcord")
+        mtable_create(spark, df, d, partition_by=["p"])
+        mtable_compact(spark, d, sort_within_by=["k"])
+        man = read_manifest(d)
+        assert len(man["files"]) == 3  # one file per partition value
+        for f in man["files"]:
+            ks = pq.read_table(
+                os.path.join(d, f), columns=["k"]
+            ).column("k").to_pylist()
+            assert ks == sorted(ks), f
+        got = mtable_read(spark, d)
+        assert got.count() == 480
+
+    def test_compact_zorder_on_partitioned_table(self, spark, tmp_path):
+        """cluster/zorder on a partitioned table delegates to the
+        within-partition sort (lexicographic on the keys) instead of a
+        global range layout the partition shuffle would destroy."""
+        import pyarrow.parquet as pq
+
+        from w4h_etl_container_spark.pipeline.mtable import mtable_compact
+
+        df = spark.createDataFrame(
+            [(i * 17 % 300, i % 2, i) for i in range(300)],
+            "k long, p int, v long",
+        ).repartition(8)
+        d = str(tmp_path / "pzord")
+        mtable_create(spark, df, d, partition_by=["p"])
+        before = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        mtable_compact(spark, d, zorder=["k", "v"])
+        man = read_manifest(d)
+        for f in man["files"]:
+            ks = pq.read_table(
+                os.path.join(d, f), columns=["k"]
+            ).column("k").to_pylist()
+            assert ks == sorted(ks), f
+        after = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert after == before

@@ -656,6 +656,7 @@ def _new_data_files(
     df: DataFrame,
     partition_by: list[str] | None = None,
     root: str = "data-parts",
+    sort_within_by: list[str] | None = None,
 ) -> list[str]:
     """Write ``df`` as fresh immutable data files; return their paths
     (relative to ``table_dir``).
@@ -711,9 +712,14 @@ def _new_data_files(
         import hashlib
 
         stage = os.path.join(table_dir, f"stage-{uuid.uuid4().hex}")
-        df.repartition(*[F.col(c) for c in partition_by]).write.partitionBy(
-            *partition_by
-        ).parquet(stage)
+        shuffled = df.repartition(*[F.col(c) for c in partition_by])
+        if sort_within_by:
+            # within-partition clustering survives the write because the
+            # shuffle above put each partition value in exactly one task
+            shuffled = shuffled.sortWithinPartitions(
+                *partition_by, *sort_within_by
+            )
+        shuffled.write.partitionBy(*partition_by).parquet(stage)
         root_dir = os.path.join(table_dir, root)
         rels = []
         seen_basenames: set[str] = set()
@@ -2437,7 +2443,20 @@ def mtable_compact(
     )
     n_out = max(1, math.ceil(total / target_bytes))
     src = _read_files(spark, table_dir, rewrite, man)
-    if cluster or zorder:
+    pby = man.get("partition_by")
+    if pby:
+        # Partitioned tables: the writer itself shuffles by the
+        # partition columns (one file per touched value — the
+        # small-file contract), so a global range re-layout here would
+        # be immediately destroyed. Ordering is delegated INSTEAD to a
+        # within-partition sort in the writer: with one file per value,
+        # per-file stats tightness is moot and the win is parquet
+        # ROW-GROUP pruning inside each sorted file (lexicographic on
+        # the requested keys; partition pruning remains the primary
+        # pruner on these tables).
+        df = src
+        order_cols = cluster or zorder or sort_within_by
+    elif cluster or zorder:
         # RECLUSTER as a version (Delta OPTIMIZE [ZORDER BY]): the
         # rewrite is the moment layout is cheapest to fix, and the
         # fresh files' manifest stats immediately tighten merge/delete
@@ -2449,13 +2468,16 @@ def mtable_compact(
             if cluster
             else zorder_by(src, zorder, n_files=n_out)
         )
+        order_cols = None
     else:
         df = src.repartition(n_out)
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
+        order_cols = None
     new_files = _new_data_files(
-        table_dir, df, partition_by=man.get("partition_by"),
+        table_dir, df, partition_by=pby,
         root=man.get("partition_root", "data-parts"),
+        sort_within_by=order_cols,
     )
     version = man["version"] + 1
     files = kept + new_files
