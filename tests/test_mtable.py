@@ -3809,3 +3809,13 @@ class TestMtableSpecEvolutionModelCheck:
                 }
                 assert got == model, (seed, step, op)
                 history.append(dict(model))
+
+
+class TestMtableEmptyCreateRefused:
+    def test_empty_dataframe_refused_loudly(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="empty"):
+            mtable_create(
+                spark,
+                spark.createDataFrame([], "k long, v long"),
+                str(tmp_path / "empty"),
+            )

@@ -1706,6 +1706,15 @@ def mtable_create(
             )
         partition_by = pcols
     files = _new_data_files(table_dir, df, partition_by=partition_by)
+    if not files:
+        # zero-row writes produce zero files since round 15's
+        # empty-part pruning; a zero-file version 0 would be a table
+        # every read refuses — fail at the only informative moment
+        raise ValueError(
+            "mtable_create: the dataframe is empty — a manifest table "
+            "needs at least one row (create it from the first real batch, "
+            "or seed it with a sentinel row you later delete)"
+        )
     meta = {"op": "create", "schema_json": df.schema.json()}
     if partition_by:
         meta["partition_by"] = partition_by
