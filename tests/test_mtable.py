@@ -3819,3 +3819,32 @@ class TestMtableEmptyCreateRefused:
                 spark.createDataFrame([], "k long, v long"),
                 str(tmp_path / "empty"),
             )
+
+
+class TestMtableVacuumTimeRetention:
+    def test_retain_hours_widens_the_window(self, spark, tmp_path):
+        """Round-15: time-based retention (the Delta vacuum contract)
+        unions with the version-count rule — recent commits survive a
+        tight retain_versions, and retain_hours=0 degrades to the pure
+        count rule."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_vacuum
+
+        d = str(tmp_path / "vtime")
+        mtable_create(
+            spark, spark.createDataFrame([(1, 1)], "k long, v long"), d
+        )
+        for i in range(3):
+            mtable_merge(
+                spark, d,
+                spark.createDataFrame([(10 + i, i)], "k long, v long"), "k",
+            )
+        # all four versions committed seconds ago: a 1-hour window
+        # retains them ALL despite retain_versions=1
+        rep = mtable_vacuum(d, retain_versions=1, retain_hours=1.0)
+        assert rep["dropped_manifests"] == []
+        for v in range(4):
+            assert read_manifest(d, v)["version"] == v  # still readable
+        # a zero-hour window leaves only the count rule
+        rep2 = mtable_vacuum(d, retain_versions=1, retain_hours=0.0)
+        assert sorted(rep2["dropped_manifests"]) == [0, 1, 2]
+        assert mtable_read(spark, d).count() == 4

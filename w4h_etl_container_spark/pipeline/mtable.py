@@ -2186,10 +2186,19 @@ def mtable_merge(
 
 
 def mtable_vacuum(
-    table_dir: str, retain_versions: int = 1, dry_run: bool = False
+    table_dir: str,
+    retain_versions: int = 1,
+    dry_run: bool = False,
+    retain_hours: float | None = None,
 ) -> dict:
     """Delete data files unreferenced by the ``retain_versions`` most
     recent COMMITTED manifests, and drop manifests outside that window.
+    ``retain_hours`` widens the window by TIME (the Delta vacuum
+    contract — default 168 h there): every committed version whose
+    ``committed_at`` falls within the last N hours is ALSO retained, so
+    a version-count policy can never silently destroy the time-travel
+    window an operator reasons in ("we keep 7 days") during a commit
+    storm. The effective window is the UNION of both rules.
     ``dry_run=True`` reports what WOULD be removed without touching
     anything — run it first; vacuum is the one irreversible operation
     in the format.
@@ -2214,6 +2223,18 @@ def mtable_vacuum(
     )
     committed = [v for v in versions if v <= current]
     keep_versions = committed[-max(1, retain_versions):]
+    if retain_hours is not None:
+        cutoff = time.time() - retain_hours * 3600.0
+        for v in committed:
+            if v in keep_versions:
+                continue
+            try:
+                ts = read_manifest(table_dir, v).get("committed_at")
+            except Exception:
+                continue  # unreadable manifest: crash debris, not retained
+            if ts is not None and ts >= cutoff:
+                keep_versions.append(v)
+        keep_versions.sort()
     if current not in keep_versions:  # pointer always survives vacuum
         keep_versions.append(current)
     referenced: set[str] = set()
