@@ -3848,3 +3848,46 @@ class TestMtableVacuumTimeRetention:
         rep2 = mtable_vacuum(d, retain_versions=1, retain_hours=0.0)
         assert sorted(rep2["dropped_manifests"]) == [0, 1, 2]
         assert mtable_read(spark, d).count() == 4
+
+
+class TestMtableEvolutionWithPendingDVs:
+    def test_spec_change_preserves_mor_shadows(self, spark, tmp_path):
+        """Spec evolution with MERGE-ON-READ deletes pending: the
+        metadata-only commit must carry the DV map untouched, mixed-
+        spec reads must still anti-join the shadows out, and the
+        migration compaction must materialize them."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_delete,
+            mtable_set_partitioning,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 2, i % 3, i) for i in range(60)],
+            "k long, p int, q int, v long",
+        )
+        d = str(tmp_path / "evodv")
+        mtable_create(spark, df, d, partition_by=["p"])
+        mtable_delete(
+            spark, d, spark.createDataFrame([(7,), (8,)], "k long"),
+            "k", mode="mor",
+        )
+        man = mtable_set_partitioning(spark, d, ["q"])
+        assert man.get("dv")  # shadows carried through the spec change
+        got = mtable_read(spark, d)
+        assert got.count() == 58
+        assert got.where("k in (7, 8)").count() == 0
+        # churn under the new spec, shadows still effective
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(9, 1, 0, -9)], "k long, p int, q int, v long"),
+            "k",
+        )
+        got2 = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got2[9] == -9 and 7 not in got2 and len(got2) == 58
+        # migration compaction materializes the deletes and clears DVs
+        mtable_compact(spark, d)
+        man2 = read_manifest(d)
+        assert not man2.get("dv")
+        assert all(f.startswith("data-parts-s1/q=") for f in man2["files"])
+        assert mtable_read(spark, d).count() == 58
