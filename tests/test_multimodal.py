@@ -1022,3 +1022,42 @@ class TestMp4Container:
             parsed = parse_mp4(buf)  # must not raise
             if parsed is not None:
                 mp4_sample_ranges(parsed)  # must not raise either
+
+
+class TestDocScanVolumeGate:
+    def test_directory_dataset_sums_part_files(self, spark, tmp_path):
+        """ADVICE r16: the spread gate must size a DIRECTORY dataset by
+        its part files — a directory entry's own st_size (~4 KB) would
+        misclassify arbitrarily large inputs as small and skip the
+        parallelism spread for png/gif."""
+        from w4h_etl_container_spark.plans.multimodalops import (
+            _SPREAD_MIN_BYTES,
+            _doc_scan,
+        )
+
+        par = spark.sparkContext.defaultParallelism
+        big = tmp_path / "sf-big"
+        spark.range(0, 4000).select(
+            F.col("id").alias("doc_id"),
+            # high-entropy payload: constant/repetitive text would
+            # snappy-compress under the gate and defeat the fixture
+            F.concat(
+                *[
+                    F.sha2((F.col("id") * 1000 + i).cast("string"), 256)
+                    for i in range(16)
+                ]
+            ).alias("text"),
+        ).repartition(4).write.parquet(str(big / "documents.parquet"))
+        on_disk = sum(
+            p.stat().st_size for p in (big / "documents.parquet").rglob("*") if p.is_file()
+        )
+        assert on_disk > _SPREAD_MIN_BYTES  # the fixture really is big
+        spread = _doc_scan(spark, str(big), always_spread=False)
+        assert spread.rdd.getNumPartitions() == par
+
+        small = tmp_path / "sf-small"
+        spark.range(0, 20).select(
+            F.col("id").alias("doc_id"), F.lit("tiny").alias("text")
+        ).coalesce(1).write.parquet(str(small / "documents.parquet"))
+        kept = _doc_scan(spark, str(small), always_spread=False)
+        assert kept.rdd.getNumPartitions() < par  # gate skipped the spread

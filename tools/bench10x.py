@@ -67,7 +67,13 @@ DEEP_COPIES = 100
 #: flagship drifted to ~2.1x on the shared mix and had never had a
 #: crossover-tier row — it reads events, which has the volume knob,
 #: so the old "no volume knob" exclusion was simply stale)
-DEEP_QUERIES = ["q_funnel", "q_percentile", "q_ngram_jaccard", "q_daily_highlow"]
+#: q_minhash_lsh joined in r16 (r15 verdict #6: 1.93x at 10x — one
+#: wobble from the red line with no deeper evidence; it reads
+#: documents, which the 100x tier already grows)
+DEEP_QUERIES = [
+    "q_funnel", "q_percentile", "q_ngram_jaccard", "q_daily_highlow",
+    "q_minhash_lsh",
+]
 #: still >2x at 100x in r12 (q_funnel 3.78x) — measured one decade
 #: further; events-only synthesis (the funnel's sole input), other
 #: tables symlinked from the 100x tier
@@ -335,6 +341,43 @@ def lakehouse_tier(sf_dir: str) -> dict:
             )
             rec[f"{mode}_planner_path"] = prev.get("key_match_path")
             rec[f"{mode}_read_post_churn"] = read_wall(tdir)
+        if churn_tag == "10x":
+            # THE JOIN PLANNER PATH (r16, r15 verdict #2): every churn
+            # leg above plans via the collect path — 200-2,000 distinct
+            # keys sit far under DEFAULT_MAX_COLLECT_KEYS — so the
+            # join-based file matching (mtable.py::_plan_matched_files'
+            # stats-join, the actual 100 TB path where the key set
+            # cannot collect to the driver) had no standing wall. Same
+            # table, same commits, ``max_collect_keys=0`` forces every
+            # planning decision through the join: planner_path lands on
+            # the artifact and the final table must checksum-equal the
+            # collect leg (join≡collect manifest equality is
+            # pytest-pinned at fixture scale; this pins CONTENT equality
+            # at the volume tier).
+            tdir = os.path.join(LAKE_DIR, f"{churn_tag}-mor-joinpath")
+            M.mtable_create(spark, base.repartition(32, "okey"), tdir)
+            prev = M.read_manifest(tdir)
+            t0 = time.time()
+            for c in range(LAKE_COMMITS):
+                upd = base.where(
+                    F.pmod(F.xxhash64(F.col("okey")), F.lit(n_buckets)) == c
+                ).select(
+                    "okey",
+                    F.lit(-1.0 - c).alias("qty"),
+                    F.lit(c).cast("long").alias("cnt"),
+                )
+                prev = M.mtable_merge(
+                    spark, tdir, upd, "okey", mode="mor", max_collect_keys=0
+                )
+            rec["joinpath_commit_wall"] = round(time.time() - t0, 3)
+            rec["joinpath_planner_path"] = prev.get("key_match_path")
+            rec["joinpath_hash_equal_collect"] = (
+                checksum(tdir) == checksum(dirs["mor"])
+            )
+            rec["joinpath_vs_collect_wall_ratio"] = round(
+                rec["joinpath_commit_wall"] / max(rec["mor_commit_wall"], 1e-9),
+                2,
+            )
         rec["mor_beats_cow_bytes"] = (
             rec["mor_bytes_per_row_churned"] < rec["cow_bytes_per_row_churned"]
         )
@@ -386,8 +429,12 @@ def spark_tier(sf_dir: str, qnames: list[str]) -> dict:
     # deep tiers run best-of-3 BOTH engines and record every wall: a
     # thin crossover margin (q_funnel 1.94x vs 1.23x across rounds —
     # attributed to run variance) must carry its variance on the
-    # artifact (r14 verdict task 5)
-    n = 3 if sf_dir in (DEEP, DEEPER) else 2
+    # artifact (r14 verdict task 5). The 10x tier joined in r16 (r15
+    # verdict #5: its single-shot rows wobbled twice in one round —
+    # q_daily_highlow 1.86->2.15, q_embed_neardup 0.43->0.57 — while
+    # the best-of-3 deep tiers stayed auditable); only the sub-second
+    # 1x floor tier stays best-of-2.
+    n = 3 if sf_dir in (BIG, DEEP, DEEPER) else 2
     for name in qnames:
         q = registry[name]
         runs = runs_of(
@@ -468,7 +515,7 @@ def main() -> int:
             dcon.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        deep = scale in ("100x", "1000x")
+        deep = scale in ("10x", "100x", "1000x")
         for name in qnames:
             q = registry[name]
             rec = out["queries"].setdefault(name, {})

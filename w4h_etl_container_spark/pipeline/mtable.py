@@ -657,6 +657,9 @@ def _new_data_files(
     partition_by: list[str] | None = None,
     root: str = "data-parts",
     sort_within_by: list[str] | None = None,
+    salt_col: str | None = None,
+    salt_tasks: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> list[str]:
     """Write ``df`` as fresh immutable data files; return their paths
     (relative to ``table_dir``).
@@ -683,7 +686,22 @@ def _new_data_files(
     partition writes one huge file (splitting it is compaction's job),
     and the shuffle adds one exchange to every partitioned commit —
     the standard write-amplification-vs-file-count trade, chosen the
-    way every production lakehouse writer chooses it."""
+    way every production lakehouse writer chooses it.
+
+    ``salt_col`` (compaction's escape hatch from the one-file-per-value
+    contract): when set, the pre-write shuffle keys on
+    ``partition_by + [salt_col]`` and the salt column is DROPPED before
+    the write — an oversized partition value whose salt takes k
+    distinct values lands in up to k tasks → up to k files, so
+    compaction can actually SPLIT a huge partition instead of
+    re-coalescing it into one ever-larger file forever. Salting alone
+    is BEST-EFFORT (hash collisions between (value, salt) combos can
+    merge slices back into one task); ``max_records_per_file``
+    (Spark's own writer option — the Delta file-sizing move) is the
+    deterministic backstop: a task holding R rows of one value writes
+    ⌈R / limit⌉ files regardless of how the shuffle landed. Salt buys
+    cross-task PARALLELISM for the huge-partition rewrite; the record
+    limit guarantees the SIZING."""
     def _drop_empty(rels: list[str]) -> list[str]:
         # Zero-row part files (Spark writes one for an empty task on
         # some plans) are pure waste in the manifest — a footer read
@@ -712,14 +730,30 @@ def _new_data_files(
         import hashlib
 
         stage = os.path.join(table_dir, f"stage-{uuid.uuid4().hex}")
-        shuffled = df.repartition(*[F.col(c) for c in partition_by])
+        shuffle_keys = [F.col(c) for c in partition_by]
+        if salt_col is not None:
+            shuffle_keys.append(F.col(salt_col))
+        if salt_tasks:
+            # an EXPLICIT partition count: AQE's coalescePartitions
+            # would otherwise merge the salted shuffle back into a
+            # handful of advisory-sized tasks, silently undoing the
+            # split (user-specified counts are exempt from coalescing)
+            shuffled = df.repartition(salt_tasks, *shuffle_keys)
+        else:
+            shuffled = df.repartition(*shuffle_keys)
         if sort_within_by:
             # within-partition clustering survives the write because the
             # shuffle above put each partition value in exactly one task
+            # (or one (value, salt) slice of it when salted)
             shuffled = shuffled.sortWithinPartitions(
                 *partition_by, *sort_within_by
             )
-        shuffled.write.partitionBy(*partition_by).parquet(stage)
+        if salt_col is not None:
+            shuffled = shuffled.drop(salt_col)
+        writer = shuffled.write
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.partitionBy(*partition_by).parquet(stage)
         root_dir = os.path.join(table_dir, root)
         rels = []
         seen_basenames: set[str] = set()
@@ -1815,6 +1849,24 @@ def _scan_with_pos(
     table schema (a column that is path-borne in one spec is plain
     data bytes in the other, so both sides always carry it)."""
     sj = man.get("schema_json")
+    if not files:
+        # reachable via a fully-deleted snapshot (every file dropped by
+        # a CoW delete) — with a recorded schema the right answer is an
+        # EMPTY frame of that shape, never parts[0]'s bare IndexError
+        if sj is None:
+            raise ValueError(
+                f"mtable at {table_dir}: cannot scan an empty file list "
+                "without a recorded table schema (legacy manifest)"
+            )
+        schema = T.StructType.fromJson(json.loads(sj))
+        schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_mt_file", T.StringType()),
+                T.StructField("_mt_pos", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     parts = []
     for root, fs in _spec_groups(files):
         reader = (
@@ -1902,6 +1954,17 @@ def _read_files(
     plain. Files shadowed by deletion vectors (merge-on-read deletes)
     read through the position anti-join; tables without DVs keep the
     bare scan — zero plan overhead on the common path."""
+    if not files:
+        # a fully-deleted CoW snapshot (or a caller slicing zero churned
+        # files) must read as an EMPTY frame under the recorded schema,
+        # not crash on parts[0] below
+        sj = man.get("schema_json")
+        if sj is None:
+            raise ValueError(
+                f"mtable at {table_dir}: cannot read an empty file list "
+                "without a recorded table schema (legacy manifest)"
+            )
+        return spark.createDataFrame([], T.StructType.fromJson(json.loads(sj)))
     if _dv_paths(dv_man if dv_man is not None else man, files):
         return _scan_with_pos(spark, table_dir, files, man, dv_man).drop(
             "_mt_file", "_mt_pos"
@@ -2474,6 +2537,9 @@ def mtable_compact(
     n_out = max(1, math.ceil(total / target_bytes))
     src = _read_files(spark, table_dir, rewrite, man)
     pby = man.get("partition_by")
+    salt = None
+    salt_tasks = None
+    max_records = None
     if pby:
         # Partitioned tables: the writer itself shuffles by the
         # partition columns (one file per touched value — the
@@ -2486,6 +2552,99 @@ def mtable_compact(
         # pruner on these tables).
         df = src
         order_cols = cluster or zorder or sort_within_by
+        # OVERSIZED-PARTITION SPLIT (ADVICE r16): under the
+        # one-file-per-value contract a partition value whose bytes
+        # exceed target_bytes could never be split — repeated
+        # compaction would re-coalesce it into one ever-larger file.
+        # Attribute the rewrite set's bytes to partition values by
+        # their path segments, and salt any value over target_bytes
+        # into ceil(bytes/target) slices: rows hash-spread across the
+        # slices, the writer shuffles on (value cols, salt) and emits
+        # one file per (value, slice). Values at/under target join no
+        # split row → nsplit 1 → salt constantly 0, exactly the old
+        # single file. Old-spec files (compaction migrates them to the
+        # current spec) carry no current-spec path values; they fold
+        # into the unsalted default — under-splitting only, never
+        # incorrect.
+        from urllib.parse import unquote
+
+        by_val: dict[tuple, int] = {}
+        for f in rewrite:
+            raw = {}
+            for seg in f.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    raw[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
+            if set(pby) <= set(raw):
+                key = tuple(raw[c] for c in pby)
+                by_val[key] = by_val.get(key, 0) + os.path.getsize(
+                    os.path.join(table_dir, f)
+                )
+        oversized = {
+            k: math.ceil(b / target_bytes)
+            for k, b in by_val.items()
+            if b > target_bytes
+        }
+        if oversized:
+            splits = spark.createDataFrame(
+                [(*k, n) for k, n in oversized.items()],
+                T.StructType(
+                    [T.StructField(c, T.StringType()) for c in pby]
+                    + [T.StructField("__mt_nsplit", T.IntegerType())]
+                ),
+            ).select(
+                # cast the path-borne strings with Spark's own cast —
+                # the same direction its partition discovery uses — so
+                # the join compares typed like with typed like
+                *[
+                    F.col(c).cast(src.schema[c].dataType).alias(c)
+                    for c in pby
+                ],
+                "__mt_nsplit",
+            )
+            cond = None
+            for c in pby:
+                eq = src[c].eqNullSafe(splits[c])
+                cond = eq if cond is None else (cond & eq)
+            data_cols = list(src.columns)
+            df = (
+                src.join(F.broadcast(splits), cond, "left")
+                .select(src["*"], splits["__mt_nsplit"])
+                .withColumn(
+                    "__mt_salt",
+                    F.pmod(
+                        F.hash(*[F.col(c) for c in data_cols]),
+                        F.coalesce(F.col("__mt_nsplit"), F.lit(1)),
+                    ).cast("int"),
+                )
+                .drop("__mt_nsplit")
+            )
+            salt = "__mt_salt"
+            # one task per desired output slice (plus one per unsplit
+            # value); hash collisions between (value, salt) combos can
+            # merge slices into one task — the record limit below makes
+            # the FILE split deterministic even then
+            salt_tasks = sum(oversized.values()) + max(
+                1, len(by_val) - len(oversized)
+            )
+            # deterministic sizing backstop (maxRecordsPerFile — the
+            # Delta move): convert target_bytes to a record count via
+            # the rewrite set's own bytes/row (footer num_rows are
+            # driver metadata reads; DV-shadowed rows inflate the
+            # denominator slightly, erring toward smaller files —
+            # the safe side)
+            import pyarrow.parquet as pq
+
+            total_rows = sum(
+                pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
+                for f in rewrite
+            )
+            if total_rows:
+                max_records = max(
+                    1, int(target_bytes * total_rows / max(total, 1))
+                )
     elif cluster or zorder:
         # RECLUSTER as a version (Delta OPTIMIZE [ZORDER BY]): the
         # rewrite is the moment layout is cheapest to fix, and the
@@ -2508,38 +2667,59 @@ def mtable_compact(
         table_dir, df, partition_by=pby,
         root=man.get("partition_root", "data-parts"),
         sort_within_by=order_cols,
+        salt_col=salt,
+        salt_tasks=salt_tasks,
+        max_records_per_file=max_records,
     )
-    version = man["version"] + 1
-    files = kept + new_files
-    _write_manifest(
-        table_dir,
-        version,
-        files,
-        _carry_schema(man, {
-            "op": "compact",
-            "parent": man["version"],
-            "scope": scope,
-            "files_in": len(rewrite),
-            "files_kept": len(kept),
-            "files_out": len(new_files),
-            "bytes_in": total,
-            **({"clustered_by": cluster} if cluster else {}),
-            **({"zordered_by": zorder} if zorder else {}),
-        }),
-        file_stats=_stats_for(
-            table_dir, files, man.get("file_stats"),
-            partition_by=man.get("partition_by"),
-            schema_json=man.get("schema_json"),
-        ),
-        dv=_carry_dv(man, kept),
-        bloom=_bloom_for_commit(spark, table_dir, man, kept, new_files),
+    # Publish THROUGH the rebase path (round 16 — r15 verdict #4): a
+    # compaction losing the CAS race to a disjoint writer (the common
+    # production collision: nightly OPTIMIZE racing a trickle sink)
+    # re-targets the new snapshot at manifest speed instead of
+    # erroring, REUSING its already-written replacement files. The
+    # disjointness rules apply verbatim with compaction's read/write
+    # sets: loser_read = loser_removed = the rewrite set (a winner
+    # that rewrote/removed any of those files, or changed their
+    # deletion vectors, invalidates the DV-filtered bytes we just
+    # wrote → replan), keys = [] (compaction never keys on rows, so a
+    # winner's ADDED files can never conflict — they simply ride the
+    # rebased manifest), and any table-contract change (schema /
+    # partition spec / checks / bloom config) conservatively replans.
+    meta = _carry_schema(man, {
+        "op": "compact",
+        "scope": scope,
+        "files_in": len(rewrite),
+        "files_kept": len(kept),
+        "files_out": len(new_files),
+        "bytes_in": total,
+        **({"clustered_by": cluster} if cluster else {}),
+        **({"zordered_by": zorder} if zorder else {}),
+    })
+    _publish_or_rebase(
+        spark, table_dir, man,
+        loser_removed=set(rewrite),
+        loser_read=set(rewrite),
+        loser_added=new_files,
+        loser_dv_added={},
+        meta=meta,
+        key_box={},
+        allow_rebase=True,
     )
     new_man = read_manifest(table_dir)
-    n_old = mtable_read(spark, table_dir, version=man["version"]).count()
-    n_new = mtable_read(spark, table_dir).count()
-    if n_old != n_new:
+    # Row conservation at REWRITE-SUBSET granularity: the old
+    # whole-table before/after count would false-alarm after a rebase
+    # (the winner's appends legitimately change the total); comparing
+    # the DV-filtered rewrite set against its replacement files checks
+    # exactly what compaction may not alter.
+    n_in = _read_files(spark, table_dir, rewrite, man).count()
+    n_out_rows = (
+        _read_files(spark, table_dir, new_files, man, dv_man={}).count()
+        if new_files
+        else 0
+    )
+    if n_in != n_out_rows:
         raise RuntimeError(
-            f"mtable_compact row-count mismatch: {n_old} vs {n_new}"
+            f"mtable_compact row-count mismatch: rewrote {n_in} rows "
+            f"into files carrying {n_out_rows}"
         )
     return new_man
 
@@ -2737,6 +2917,18 @@ def mtable_sink(
                 )
         if man is None:
             files = _new_data_files(table_dir, df)
+            if not files:
+                # First micro-batch was empty (_drop_empty pruned the
+                # zero-row part file): committing version 0 with zero
+                # files would crash every subsequent read until a
+                # non-empty batch lands — the exact failure
+                # mtable_create refuses loudly. Defer table creation to
+                # the first non-empty batch instead: nothing is
+                # recorded, so skipping is idempotent under replay (an
+                # empty batch re-delivered is still a no-op) and the
+                # epoch watermark starts at whichever batch actually
+                # creates the table.
+                return
             _write_manifest(
                 table_dir, 0, files,
                 {"op": "stream-append", "epochs": [epoch_id],

@@ -70,78 +70,70 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is optimal: matching the earliest possible occurrence at every step
     maximizes the number of later steps that can still match).
 
-    Spark shape: ONE groupBy(user_id) collects a single ts-sorted
-    array of (timestamp, step) pairs packed into one BIGINT each
-    (``ts_micros·4 + step_idx`` — sorting the encoded long sorts by
-    (ts, step), and the step index in the low bits makes a same-ts
-    earlier-step event sort first, which the strict ``>`` then
-    correctly refuses to chain). The greedy walk is then ONE linear
-    ``aggregate()`` pass per user whose ENTIRE state is a second
-    packed long, ``last_matched_ts·8 + steps_completed`` (round-12
-    rework: the greedy chain only ever gates on the NEXT step's index
-    and the LAST match's time — carrying (t1..t4) as a nullable
-    struct cost a struct allocation plus four coalesce chains per
-    event, ~half the query's wall at 60 M events; the packed-long
-    automaton is ~6 primitive ops per event). The final step counts
-    are a single 1-row aggregate over each user's completed-step
-    count, unpivoted with ``stack``. Total: one shuffle on user_id +
-    one 1-row aggregate. The oracle spells the same walk as a chain
-    of per-step min joins.
+    Spark shape (round-16 rework): ONE groupBy(user_id) with
+    STEP-ASYMMETRIC aggregation buffers. The greedy walk's endpoints
+    admit bounded summaries even though its middle does not: the first
+    step needs only ``min(S1)`` (t1 is the earliest signup,
+    unconditionally) and the LAST step needs only ``max(S4)`` (step 4
+    completes iff ∃t∈S4: t > t3 ⇔ max(S4) > t3) — both are true
+    map-side partial aggregates, so every step-1/step-4 event
+    collapses to one long per user per map partition before the
+    exchange. Only the middle steps collect full timestamp lists
+    (information-theoretically required: any step-2 timestamp can be
+    the successor of some t1 by adversarial choice of the other
+    partition's step-1 events — there is no bounded mergeable summary
+    for them). The walk is then pure array math on UNSORTED lists:
+    ``t2 = array_min(filter(a2, x > t1))`` (the earliest step-2 event
+    strictly after t1 IS the min of the filtered set — no sort
+    needed), likewise t3, then ``max4 > t3``. Null propagation does
+    the failure bookkeeping: a user missing step i has
+    ``t_i = NULL``, every later comparison is NULL, and the final
+    1-row aggregate counts non-nulls per step, unpivoted with
+    ``stack``. Total: one shuffle on user_id + one 1-row aggregate.
+    The oracle spells the same walk as a chain of per-step min joins.
+    (The r12–r15 shape — one sorted packed-long array walked by an
+    ``aggregate()`` automaton — was raced against this at the 100×
+    and 1000× tiers and loses ~5%: it ships all four steps' events
+    through the exchange and pays an O(n log n) per-user sort this
+    shape never does.)
 
-    Packing matters measured (sf0.1, PERF.md round-11): one long-array
-    collect_list is 0.21 s where four per-step timestamp-array
-    collects cost 0.46 s. The NTZ→timestamp cast is exact under the
-    engine's fixed UTC session zone (session.py pins it), so the
-    encoding is strictly monotone in event time; ``state == 0`` is the
-    unambiguous start state because a matched first step always sets a
-    positive packed value (fixture timestamps are post-epoch).
+    The NTZ→timestamp cast is exact under the engine's fixed UTC
+    session zone (session.py pins it), so ``unix_micros`` is strictly
+    monotone in event time and strict ``>`` on micros matches the
+    oracle's strict ``>`` on timestamps.
 
     Scale: at 10^10 users this is one hash aggregate on an even key
-    (user_id) with map-side partials on the collect_list; no window,
-    no self-join, no per-step pass over the corpus (the naive
-    rendering is k sequential corpus joins — this does it in one).
-    This shape is CANONICAL, not merely chosen: the greedy funnel has
-    no bounded mergeable summary for its middle steps (any step-2
-    timestamp can be the successor of some t1, by adversarial choice
-    of the other partition's step-1 events), so the one-shuffle
-    collect is information-theoretically required and the contest is
-    marginal throughput — measured to its crossover on the standing
-    bench artifact (BENCH_10X r13: ratio vs the embedded oracle falls
-    11.3 → 10.7 → 4.7 → 1.23 across 1×/10×/100×/1000× event volume;
-    every structural alternative raced slower, see PERF.md)."""
+    (user_id) with map-side partials on every buffer; no window, no
+    self-join, no per-step pass over the corpus (the naive rendering
+    is k sequential corpus joins — raced slower, PERF.md). The 100×
+    ratio vs DuckDB is SCAN-FLOOR-BOUND, not plan-bound: at 100×
+    volume the bare scan+filter+count of events costs 0.43 s against
+    DuckDB's 0.33 s for the ENTIRE funnel, so no aggregation strategy
+    can reach 2× there; the honest scale evidence is the 1000×
+    crossover (BENCH_10X r15: 1.86 and falling)."""
     n = len(FUNNEL_STEPS)
+    assert n == 4, "the step-asymmetric buffers below are written for 4 steps"
     ev = read_events(spark, sf_dir).where(
         F.col("event_type").isin(*FUNNEL_STEPS) & F.col("user_id").isNotNull()
     )
-    idx = F.when(F.col("event_type") == FUNNEL_STEPS[0], F.lit(0))
-    for i, s in enumerate(FUNNEL_STEPS[1:], 1):
-        idx = idx.when(F.col("event_type") == s, F.lit(i))
-    enc = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(4) + idx).cast("long")
-    per_user = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(enc)).alias("evs")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    step_ts = [F.when(F.col("event_type") == s, us) for s in FUNNEL_STEPS]
+    g = ev.groupBy("user_id").agg(
+        F.min(step_ts[0]).alias("t1"),
+        F.collect_list(step_ts[1]).alias("a2"),
+        F.collect_list(step_ts[2]).alias("a3"),
+        F.max(step_ts[3]).alias("m4"),
     )
-
-    def step(acc, e):
-        # greedy automaton on one packed long: k = acc & 7 steps done,
-        # last = acc >> 3 the k-th match's ts. An event advances iff it
-        # IS the next step and strictly follows the last match (the
-        # first step has no predecessor: acc == 0).
-        ts = F.shiftright(e, 2)
-        ix = e.bitwiseAND(F.lit(3))
-        k = acc.bitwiseAND(F.lit(7))
-        advance = (ix == k) & ((acc == 0) | (ts > F.shiftright(acc, 3)))
-        return F.when(advance, ts * 8 + k + 1).otherwise(acc)
-
-    done = per_user.select(
-        F.aggregate("evs", F.lit(0).cast("long"), step)
-        .bitwiseAND(F.lit(7))
-        .alias("k")
+    t2 = F.array_min(F.filter("a2", lambda x: x > F.col("t1")))
+    t3 = F.array_min(F.filter("a3", lambda x: x > F.col("t2")))
+    per = g.select("t1", t2.alias("t2"), "a3", "m4").select(
+        "t1", "t2", t3.alias("t3"), "m4"
     )
-    totals = done.agg(
-        *[
-            F.sum((F.col("k") >= i + 1).cast("long")).alias(f"n{i + 1}")
-            for i in range(n)
-        ]
+    totals = per.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n1"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("n2"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("n3"),
+        F.sum((F.col("m4") > F.col("t3")).cast("long")).alias("n4"),
     )
     stack_args = ", ".join(
         f"{i + 1}, '{s}', n{i + 1}" for i, s in enumerate(FUNNEL_STEPS)

@@ -369,7 +369,6 @@ def q_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.event_type = 'purchase'
     """,
     survey_ids=("JOIN-4", "STR-5"),
-    gate=False,
 )
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution: every (purchase, click-by-same-user-

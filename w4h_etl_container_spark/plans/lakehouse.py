@@ -60,6 +60,7 @@ def _scratch_dir(prefix: str) -> str:
     FROM base WHERE okey % 211 = 0 AND lineno = 1
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
 )
 def q_mtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSITE-KEY MERGE through the manifest table, end to end: a
@@ -201,6 +202,7 @@ def q_mtable_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 11 <> 0
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
 )
 def q_mtable_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-ON-READ delete through the manifest table (deletion
@@ -259,6 +261,7 @@ def q_mtable_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer WHERE c_custkey % 101 = 0
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
 )
 def q_mtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CHANGE FEED across two real commits, hash-checked: a
@@ -309,6 +312,7 @@ def q_mtable_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey NOT IN (11, 500, 993)
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,
 )
 def q_mtable_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point deletes through BLOOM file skipping: customer lands as an
@@ -358,6 +362,7 @@ def q_mtable_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer WHERE c_mktsegment <> 'BUILDING'
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # r16: slot ceded to the SAME-round q_mtable_compact_split
 )
 def q_mtable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-14 PARTITION SPEC end to end: customer lands as an mtable
@@ -589,3 +594,81 @@ def q_mtable_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did not prune"
         )
     return mtable_read(spark, d).select("ckey", "seg", "nation", "bal")
+
+
+@register(
+    "q_mtable_compact_split",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CASE WHEN c_custkey % 7 = 0 THEN -1.0
+                ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+    FROM customer
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+)
+def q_mtable_compact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 TARGET-HONORING partitioned compaction end to end
+    (ADVICE r16 closed in-query): customer lands as a segment-
+    partitioned mtable, a CoW merge churns every 7th key across all
+    partitions, then compaction runs with ``target_bytes`` set to HALF
+    the biggest partition's bytes — under the old one-file-per-value
+    writer that partition could never split (repeated compaction
+    re-coalesced it into one ever-larger file). The in-query
+    assertions pin the new behavior: the commit is a compact version,
+    the oversized partition emerges in ≥2 files (salted shuffle for
+    cross-task parallelism + a maxRecordsPerFile backstop derived
+    from the rewrite set's own bytes/row, so the split is
+    DETERMINISTIC, not hash-luck), and a second compaction at a
+    generous target re-coalesces every value back to exactly one file
+    (splitting is target-driven, not sticky). The oracle states the
+    churned snapshot as one CASE expression: hash parity proves both
+    compactions moved bytes without changing a single row."""
+    import os
+
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_compact,
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-csplit-")
+    mtable_create(spark, cust.repartition(4, "ckey"), d, partition_by=["seg"])
+    upd = cust.where(F.col("ckey") % 7 == 0).select(
+        "ckey", "seg", F.lit(-1.0).alias("bal")
+    )
+    mtable_merge(spark, d, upd, "ckey")
+    man1 = read_manifest(d)
+    sizes: dict[str, int] = {}
+    for f in man1["files"]:
+        pdir = os.path.dirname(f)
+        sizes[pdir] = sizes.get(pdir, 0) + os.path.getsize(os.path.join(d, f))
+    biggest = max(sizes, key=lambda k: sizes[k])
+    man2 = mtable_compact(spark, d, target_bytes=max(1, sizes[biggest] // 2))
+    if man2["op"] != "compact":
+        raise AssertionError(f"expected a compact commit, got {man2['op']!r}")
+    post: dict[str, int] = {}
+    for f in man2["files"]:
+        post[os.path.dirname(f)] = post.get(os.path.dirname(f), 0) + 1
+    if post.get(biggest, 0) < 2:
+        raise AssertionError(
+            f"oversized partition {biggest} did not split "
+            f"({post.get(biggest, 0)} file(s) at target="
+            f"{sizes[biggest] // 2} of {sizes[biggest]} bytes)"
+        )
+    man3 = mtable_compact(spark, d, target_bytes=1 << 40)
+    post3: dict[str, int] = {}
+    for f in man3["files"]:
+        post3[os.path.dirname(f)] = post3.get(os.path.dirname(f), 0) + 1
+    bad = {k: v for k, v in post3.items() if v != 1}
+    if bad:
+        raise AssertionError(
+            f"generous-target re-compaction left multi-file values: {bad}"
+        )
+    return mtable_read(spark, d).select("ckey", "seg", "bal")

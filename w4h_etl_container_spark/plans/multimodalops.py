@@ -124,14 +124,26 @@ def _doc_scan(spark: SparkSession, sf_dir: str, always_spread: bool) -> DataFram
         F.col("text").isNotNull()
     ).select("doc_id", "text")
     if not always_spread:
+        # the dataset may be a DIRECTORY of part files (the normal
+        # Spark layout) — a directory entry's own st_size is ~4 KB
+        # regardless of content, which would misclassify arbitrarily
+        # large inputs as small; sum the part files instead, and on any
+        # doubt default to spreading (the safe side at scale)
+        path = os.path.join(sf_dir, "documents.parquet")
         try:
-            small = (
-                os.stat(os.path.join(sf_dir, "documents.parquet")).st_size
-                < _SPREAD_MIN_BYTES
-            )
+            if os.path.isfile(path):
+                n_bytes = os.path.getsize(path)
+            elif os.path.isdir(path):
+                n_bytes = sum(
+                    os.path.getsize(os.path.join(dp, fn))
+                    for dp, _dirs, fns in os.walk(path)
+                    for fn in fns
+                )
+            else:
+                n_bytes = _SPREAD_MIN_BYTES  # unknown layout: spread
         except OSError:
-            small = False
-        if small:
+            n_bytes = _SPREAD_MIN_BYTES
+        if n_bytes < _SPREAD_MIN_BYTES:
             return docs
     return docs.repartition(spark.sparkContext.defaultParallelism)
 

@@ -169,7 +169,6 @@ def _scd2_sql() -> str:
     "q_scd2",
     sql=_scd2_sql(),
     survey_ids=("EXT-DQ", "WIN-3"),
-    gate=False,
 )
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 interval build from the event stream: per user, each

@@ -54,6 +54,20 @@ QUERIES: dict[str, Query] = {}
 # evolution + migration compaction) took the slots of q_dedup_exact
 # (longest-soaked EXT-DEDUP entry; seven gate twins remain) and
 # q_text_profile (EXT-TEXT keeps q_token_vocab/q_chunks/q_bm25).
+# Round 16 rebalanced the category mix the r15 verdict flagged (eight
+# mtable write-cycles were 47% of the sequential bench wall against
+# trivial SELECT oracles): the four most-soaked cycles —
+# q_mtable_merge, q_mtable_changes, q_mtable_delete_mor,
+# q_mtable_bloom_delete (all ≥2 rounds hash-green; EXT-LAKEHOUSE keeps
+# gate reps q_mtable_checks/q_mtable_evolution/q_mtable_partitioned/
+# q_mtable_merge_mor) — ceded their slots to four never-gate-checked
+# operators with real oracles: q_attribution (JOIN-4 interval join),
+# q_scd2 (WIN-3/EXT-DQ interval build), q_rrf_fusion (EXT-SIM hybrid
+# retrieval), q_incremental_dedup (EXT-DEDUP history-vs-batch) — and
+# the SAME-round q_mtable_compact_split (target-honoring partitioned
+# compaction, the r16 ADVICE fix, in-query split/re-coalesce
+# assertions) took q_mtable_partitioned's slot (its spec shape stays
+# gate-covered by q_mtable_evolution's mixed-spec cycle).
 # Library queries keep their oracle SQL and stay pinned by the pytest
 # plan-shape and selfcheck-library suites — same code path, one
 # registry flag.

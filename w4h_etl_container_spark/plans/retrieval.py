@@ -272,7 +272,6 @@ def _rrf_fusion_sql() -> str:
     "q_rrf_fusion",
     sql=_rrf_fusion_sql(),
     survey_ids=("EXT-SIM", "EXT-TEXT"),
-    gate=False,
 )
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm

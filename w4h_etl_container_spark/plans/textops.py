@@ -305,7 +305,7 @@ def _incremental_sql() -> str:
     """
 
 
-@register("q_incremental_dedup", sql=_incremental_sql(), survey_ids=("EXT-DEDUP",), gate=False)
+@register("q_incremental_dedup", sql=_incremental_sql(), survey_ids=("EXT-DEDUP",))
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup under the hash oracle: the fixture splits by
     doc_id parity — even ids play the already-ingested history, odd ids
