@@ -4219,3 +4219,90 @@ class TestMtableVacuumReaderRace:
             mtable_read(spark, d, version=old)
         # the retained head still reads exactly
         assert mtable_read(spark, d).count() == 400
+
+
+class TestMtableMaintenanceRebaseEdges:
+    """Round-16 follow-ons: the compact-rebase conflict rules at their
+    edges — racing compactions, racing spec evolution, and sink
+    watermark carriage through a rebased maintenance commit."""
+
+    _table = TestMtableMaintenanceRebase._table
+    _race = TestMtableMaintenanceRebase._race
+
+    def test_two_compactions_racing_replan(self, spark, tmp_path, monkeypatch):
+        """Two full compactions rewrite the same inputs: the loser's
+        replacement files are based on files the winner just removed —
+        must replan, never double-commit."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            ConcurrentWriteError,
+            mtable_compact,
+        )
+
+        d = self._table(spark, tmp_path, "cre1")
+        self._race(
+            monkeypatch,
+            lambda: mtable_compact(spark, d, target_bytes=1 << 20),
+        )
+        with pytest.raises(ConcurrentWriteError, match="not rebase-safe"):
+            mtable_compact(spark, d, target_bytes=1 << 19)
+        assert read_manifest(d)["op"] == "compact"  # winner stands alone
+        assert mtable_read(spark, d).count() == 400
+
+    def test_compact_racing_spec_evolution_replans(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The winner changes the partition SPEC while compaction is
+        publishing: the loser's replacement files were written under
+        the old spec's layout — the table-contract rule replans."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            ConcurrentWriteError,
+            mtable_compact,
+            mtable_create,
+            mtable_set_partitioning,
+        )
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+        d = str(tmp_path / "cre2")
+        mtable_create(spark, df.repartition(4, "k"), d)
+        self._race(
+            monkeypatch, lambda: mtable_set_partitioning(spark, d, ["p"])
+        )
+        with pytest.raises(ConcurrentWriteError, match="not rebase-safe"):
+            mtable_compact(spark, d, target_bytes=1 << 20)
+        assert read_manifest(d).get("partition_by") == ["p"]
+        assert mtable_read(spark, d).count() == 200
+
+    def test_compact_rebase_keeps_newer_sink_watermark(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A sink micro-batch wins the CAS against a rebasing
+        compaction: the rebased manifest must carry the WINNER's newer
+        epoch watermark (losing it would re-open the replay window —
+        duplicate rows on the next crash recovery)."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_sink,
+        )
+
+        d = str(tmp_path / "cre3")
+        sink = mtable_sink(spark, d)
+        sink(spark.createDataFrame([(i, i) for i in range(50)], "k long, v long"), 0)
+        sink(spark.createDataFrame([(100, -1)], "k long, v long"), 1)
+        self._race(
+            monkeypatch,
+            lambda: sink(
+                spark.createDataFrame([(200, -2)], "k long, v long"), 2
+            ),
+        )
+        man = mtable_compact(spark, d, target_bytes=1 << 20)
+        assert man.get("rebases") == 1
+        assert man["epoch_watermark"] == 2  # the winner's, not our stale 1
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert got[200] == -2 and got[100] == -1 and len(got) == 52
+        # a replay of the raced epoch after the rebase is still a no-op
+        sink(spark.createDataFrame([(200, -2)], "k long, v long"), 2)
+        assert read_manifest(d)["version"] == man["version"]
