@@ -7,6 +7,7 @@ must stay untouched, verified here at the os.stat level)."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -93,7 +94,7 @@ class TestMtableMerge:
         updates = spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string")
         mtable_merge(spark, table, updates, "k")
         man1 = read_manifest(table)
-        out = mtable_vacuum(table, retain_versions=1)
+        out = mtable_vacuum(table, retain_versions=1, grace_seconds=0)
         # v0's rewritten file is gone; v1 still reads completely
         assert out["retained_versions"] == [1]
         assert all(f not in man1["files"] for f in out["removed_files"])
@@ -372,7 +373,7 @@ class TestMtableCrashRecovery:
         got = mtable_read(spark, table).where(F.col("k") == 9999).count()
         assert got == 0
         # vacuum reclaims the orphan files
-        out = mtable_vacuum(table, retain_versions=1)
+        out = mtable_vacuum(table, retain_versions=1, grace_seconds=0)
         assert set(orphans) <= set(out["removed_files"])
         assert mtable_read(spark, table).count() == n0
 
@@ -559,7 +560,7 @@ class TestMtableVacuumAnchoring:
         with open(M._manifest_path(table, 2), "w") as f:
             _json.dump({"version": 2, "files": orphan_files, "op": "crash"}, f)
         assert M._current_version(table) == 1
-        out = mtable_vacuum(table, retain_versions=1)
+        out = mtable_vacuum(table, retain_versions=1, grace_seconds=0)
         # the POINTED-TO version survives whole and still reads
         assert 1 in out["retained_versions"]
         assert mtable_read(spark, table).count() == 1000
@@ -575,7 +576,7 @@ class TestMtableVacuumAnchoring:
 
         with open(M._manifest_path(table, 1), "w") as f:
             f.write('{"version": 1, "files": [')  # half-written crash debris
-        out = mtable_vacuum(table, retain_versions=1)
+        out = mtable_vacuum(table, retain_versions=1, grace_seconds=0)
         assert out["retained_versions"] == [0]
         assert not _os.path.exists(M._manifest_path(table, 1))
         assert mtable_read(spark, table).count() == 1000
@@ -800,7 +801,7 @@ class TestMtableCloneAndDupKeys:
 
         # vacuuming the CLONE only deletes files under the clone dir;
         # the shared base files survive and src still reads
-        out = mtable_vacuum(dst, retain_versions=1)
+        out = mtable_vacuum(dst, retain_versions=1, grace_seconds=0)
         assert all(not f.startswith("/") or dst in f for f in out["removed_files"])
         assert mtable_read(spark, table).count() == 1000
         assert mtable_read(spark, dst).count() == 1000
@@ -1543,11 +1544,11 @@ class TestMtableTableOps:
     def test_vacuum_dry_run_touches_nothing(self, spark, table):
         upd = spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string")
         mtable_merge(spark, table, upd, "k")
-        dry = mtable_vacuum(table, retain_versions=1, dry_run=True)
+        dry = mtable_vacuum(table, retain_versions=1, dry_run=True, grace_seconds=0)
         assert dry["dry_run"] and dry["removed_files"] and dry["dropped_manifests"] == [0]
         # nothing actually removed: v0 still reads
         assert mtable_read(spark, table, version=0).count() == 1000
-        wet = mtable_vacuum(table, retain_versions=1)
+        wet = mtable_vacuum(table, retain_versions=1, grace_seconds=0)
         assert wet["removed_files"] == dry["removed_files"]
         assert wet["dropped_manifests"] == [0]
         with pytest.raises(FileNotFoundError):
@@ -1766,7 +1767,7 @@ class TestMtableDeletionVectors:
         assert "dv" not in man
         assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
         # vacuum now reclaims the orphaned DV file
-        rep = mtable_vacuum(d, retain_versions=1)
+        rep = mtable_vacuum(d, retain_versions=1, grace_seconds=0)
         assert any(f.startswith("dv-") for f in rep["removed_files"])
         assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
 
@@ -1836,7 +1837,7 @@ class TestMtableDeletionVectors:
         d = self._mk(spark, tmp_path)
         kdf = spark.createDataFrame([(3,)], "k long")
         mtable_delete(spark, d, kdf, "k", mode="mor")
-        rep = mtable_vacuum(d, retain_versions=1)
+        rep = mtable_vacuum(d, retain_versions=1, grace_seconds=0)
         assert not any(f.startswith("dv-") for f in rep["removed_files"])
         assert mtable_read(spark, d).count() == 999
 
@@ -2188,7 +2189,7 @@ class TestMtableBloomSkipping:
         man_del = mtable_delete(
             spark, d, spark.createDataFrame([(5,)], "k long"), "k"
         )
-        rep = mtable_vacuum(d, retain_versions=2)
+        rep = mtable_vacuum(d, retain_versions=2, grace_seconds=0)
         # sidecars referenced by a retained version survive the vacuum
         # (the create's sidecar still backs the 7 carried files)
         live = set(man_del["bloom"]["files"].values())
@@ -2215,7 +2216,7 @@ class TestMtableBloomSkipping:
         man_c = mtable_compact(spark, d)
         assert set(man_c["bloom"]["files"]) == set(man_c["files"])
         assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
-        rep2 = mtable_vacuum(d, retain_versions=1)
+        rep2 = mtable_vacuum(d, retain_versions=1, grace_seconds=0)
         assert live & set(rep2["removed_files"]) == live
         assert sorted(map(tuple, mtable_read(spark, d).collect())) == want
 
@@ -2528,7 +2529,7 @@ class TestMtableSegmentedManifests:
         from w4h_etl_container_spark.pipeline import mtable as M
 
         debris = M._write_segment(table, ["data-x/ghost.parquet"], {}, {})
-        out = mtable_vacuum(table, retain_versions=1)
+        out = mtable_vacuum(table, retain_versions=1, grace_seconds=0)
         assert debris in out["dropped_segments"]
         live = self._raw(table, 1)["segments"]
         on_disk = {f for f in _os.listdir(mdir) if f.startswith("seg-")}
@@ -2658,7 +2659,7 @@ class TestMtablePartitionSpec:
         assert man2["partition_by"] == ["p"]
         assert all(f.startswith("data-parts/") for f in man2["files"])
         assert mtable_read(spark, d).count() == 400
-        out = mtable_vacuum(d, retain_versions=1)
+        out = mtable_vacuum(d, retain_versions=1, grace_seconds=0)
         assert out["removed_files"]  # pre-compaction partitioned files
         got = mtable_read(spark, d)
         assert got.count() == 400
@@ -3929,12 +3930,12 @@ class TestMtableVacuumTimeRetention:
             )
         # all four versions committed seconds ago: a 1-hour window
         # retains them ALL despite retain_versions=1
-        rep = mtable_vacuum(d, retain_versions=1, retain_hours=1.0)
+        rep = mtable_vacuum(d, retain_versions=1, retain_hours=1.0, grace_seconds=0)
         assert rep["dropped_manifests"] == []
         for v in range(4):
             assert read_manifest(d, v)["version"] == v  # still readable
         # a zero-hour window leaves only the count rule
-        rep2 = mtable_vacuum(d, retain_versions=1, retain_hours=0.0)
+        rep2 = mtable_vacuum(d, retain_versions=1, retain_hours=0.0, grace_seconds=0)
         assert sorted(rep2["dropped_manifests"]) == [0, 1, 2]
         assert mtable_read(spark, d).count() == 4
 
@@ -4186,7 +4187,7 @@ class TestMtableVacuumReaderRace:
         def vacuumer():
             try:
                 for _ in range(12):
-                    mtable_vacuum(d, retain_versions=4)
+                    mtable_vacuum(d, retain_versions=4, grace_seconds=0)
             except Exception as e:  # pragma: no cover - failure detail
                 errors.append(repr(e))
             finally:
@@ -4214,7 +4215,7 @@ class TestMtableVacuumReaderRace:
         d = self._versioned_table(spark, tmp_path, "vr2")
         old = 1
         assert mtable_read(spark, d, version=old).count() == 400
-        mtable_vacuum(d, retain_versions=1)
+        mtable_vacuum(d, retain_versions=1, grace_seconds=0)
         with pytest.raises(FileNotFoundError):
             mtable_read(spark, d, version=old)
         # the retained head still reads exactly
@@ -4306,3 +4307,270 @@ class TestMtableMaintenanceRebaseEdges:
         # a replay of the raced epoch after the rebase is still a no-op
         sink(spark.createDataFrame([(200, -2)], "k long, v long"), 2)
         assert read_manifest(d)["version"] == man["version"]
+
+
+class TestMtableVacuumLiveWriterGrace:
+    """Round 16: vacuum is safe BESIDE live writers, not only under the
+    cooperative lock — an in-flight commit (data files referenced by no
+    manifest yet; a manifest one slot above the pointer awaiting its
+    flip) is byte-identical to crash debris except for AGE, so anything
+    younger than ``grace_seconds`` is left alone (the Delta
+    file-retention posture). ``grace_seconds=0`` is the explicit
+    immediate-reclaim opt-out for single-writer maintenance windows."""
+
+    def _simulate_inflight(self, spark, tmp_path):
+        import shutil
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _manifest_path,
+            mtable_create,
+            mtable_merge,
+        )
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        d = str(tmp_path / "grace")
+        mtable_create(spark, df, d)
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(1, -1)], "k long, v long"), "k",
+        )
+        man = read_manifest(d)
+        # (a) fresh data files a writer has staged but not yet published
+        src = os.path.join(d, man["files"][0])
+        orphan_dir = os.path.join(d, "data-deadbeefinflight")
+        os.makedirs(orphan_dir)
+        orphan = os.path.join(orphan_dir, "part-inflight.parquet")
+        shutil.copy(src, orphan)
+        orphan_rel = os.path.relpath(orphan, d)
+        # (b) a manifest one slot above the pointer, mid-flip
+        above = man["version"] + 1
+        shutil.copy(_manifest_path(d, man["version"]), _manifest_path(d, above))
+        return d, man, orphan_rel, above
+
+    def test_young_inflight_artifacts_survive_default_vacuum(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _manifest_path,
+            mtable_vacuum,
+        )
+
+        d, man, orphan_rel, above = self._simulate_inflight(spark, tmp_path)
+        out = mtable_vacuum(d, retain_versions=1)  # DEFAULT grace
+        assert orphan_rel not in out["removed_files"]
+        assert above not in out["dropped_manifests"]
+        assert os.path.exists(os.path.join(d, orphan_rel))
+        assert os.path.exists(_manifest_path(d, above))
+        # committed history below the window is never in-flight:
+        # reclaimed regardless of age
+        assert 0 in out["dropped_manifests"]
+        # the explicit opt-out reclaims everything at once
+        out0 = mtable_vacuum(d, retain_versions=1, grace_seconds=0)
+        assert orphan_rel in out0["removed_files"]
+        assert above in out0["dropped_manifests"]
+        assert not os.path.exists(os.path.join(d, orphan_rel))
+
+    def test_aged_inflight_artifacts_are_reclaimed(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _manifest_path,
+            mtable_vacuum,
+        )
+
+        d, man, orphan_rel, above = self._simulate_inflight(spark, tmp_path)
+        old = time.time() - 7200
+        os.utime(os.path.join(d, orphan_rel), (old, old))
+        os.utime(_manifest_path(d, above), (old, old))
+        out = mtable_vacuum(d, retain_versions=1)  # default 1 h grace
+        assert orphan_rel in out["removed_files"]
+        assert above in out["dropped_manifests"]
+
+    def test_threaded_writers_survive_concurrent_default_vacuum(
+        self, spark, tmp_path
+    ):
+        """The race the lock used to be required for: merges commit
+        while a default-grace vacuum loops. No writer may error, no
+        committed update may be lost, and the final head must read
+        exactly — the grace window keeps each in-flight commit's files
+        alive through its publish."""
+        import threading
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge,
+            mtable_vacuum,
+        )
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+        d = str(tmp_path / "gracechaos")
+        mtable_create(spark, df, d)
+        errors = []
+        done = threading.Event()
+
+        def vacuumer():
+            try:
+                while not done.is_set():
+                    mtable_vacuum(d, retain_versions=1)
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(repr(e))
+
+        t = threading.Thread(target=vacuumer)
+        t.start()
+        try:
+            for c in range(8):
+                mtable_merge(
+                    spark, d,
+                    spark.createDataFrame([(c, 100 + c)], "k long, v long"),
+                    "k", retries=8,
+                )
+        finally:
+            done.set()
+            t.join()
+        assert not errors, errors
+        got = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert len(got) == 300
+        for c in range(8):
+            assert got[c] == 100 + c
+
+
+class TestMtableOverwritePartitions:
+    """Round 16: dynamic partition overwrite (INSERT OVERWRITE ...
+    PARTITION / replaceWhere) — replace exactly the partition values
+    present in the dataframe, atomically, foreign partitions untouched
+    at the inode level."""
+
+    def _ptable(self, spark, tmp_path, name):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            F.lit("old").alias("tag"),
+        )
+        d = str(tmp_path / name)
+        mtable_create(spark, df, d, partition_by=["p"])
+        return d
+
+    def test_basic_partition_swap(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_overwrite_partitions,
+        )
+
+        d = self._ptable(spark, tmp_path, "ow1")
+        man0 = read_manifest(d)
+        foreign = [f for f in man0["files"] if "p=1" not in f]
+        before = _stat(d, foreign)
+        new_p1 = spark.createDataFrame(
+            [(10_000 + i, 1, "new") for i in range(5)],
+            "k long, p int, tag string",
+        )
+        man1 = mtable_overwrite_partitions(spark, d, new_p1)
+        assert man1["op"] == "overwrite-partitions"
+        assert man1["n_partition_values"] == 1
+        assert _stat(d, foreign) == before  # foreign partitions untouched
+        got = mtable_read(spark, d)
+        assert got.where(F.col("p") == 1).count() == 5
+        assert set(
+            r["tag"] for r in got.where(F.col("p") == 1).collect()
+        ) == {"new"}
+        assert got.where(F.col("p") != 1).count() == 200
+        # readers see either the old day or the new day — never a mix
+        old = mtable_read(spark, d, version=man0["version"])
+        assert old.where(F.col("p") == 1).count() == 100
+        # overwrite is idempotent-ish: repeating it replaces again
+        man2 = mtable_overwrite_partitions(spark, d, new_p1)
+        assert mtable_read(spark, d).count() == 205
+        assert man2["version"] == man1["version"] + 1
+
+    def test_old_spec_files_keep_foreign_rows(self, spark, tmp_path):
+        """After spec evolution an old-spec file interleaves many
+        partition values (the column is data bytes there): overwriting
+        one value must rewrite those files MINUS the value, never drop
+        them wholesale."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_overwrite_partitions,
+            mtable_set_partitioning,
+        )
+
+        df = spark.range(0, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("p"),
+            F.lit("old").alias("tag"),
+        )
+        d = str(tmp_path / "ow2")
+        mtable_create(spark, df.coalesce(2), d)  # files interleave p values
+        mtable_set_partitioning(spark, d, ["p"])
+        new_p1 = spark.createDataFrame(
+            [(9_000, 1, "new")], "k long, p int, tag string"
+        )
+        mtable_overwrite_partitions(spark, d, new_p1)
+        got = mtable_read(spark, d)
+        assert got.where(F.col("p") == 0).count() == 60  # foreign rows live
+        assert got.where(F.col("p") == 1).count() == 1
+        assert got.where((F.col("p") == 0) & (F.col("tag") != "old")).count() == 0
+
+    def test_refusals(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_overwrite_partitions,
+        )
+
+        d = self._ptable(spark, tmp_path, "ow3")
+        with pytest.raises(ValueError, match="names no partition values"):
+            mtable_overwrite_partitions(
+                spark, d, spark.createDataFrame([], "k long, p int, tag string")
+            )
+        with pytest.raises(ValueError, match="match the recorded table schema"):
+            mtable_overwrite_partitions(
+                spark, d,
+                spark.createDataFrame([(1, 1, "x", 9)], "k long, p int, tag string, extra long"),
+            )
+        flat = spark.range(0, 10).select(F.col("id").alias("k"))
+        dflat = str(tmp_path / "ow3flat")
+        mtable_create(spark, flat, dflat)
+        with pytest.raises(ValueError, match="no partition spec"):
+            mtable_overwrite_partitions(spark, dflat, flat)
+
+    def test_rebase_disjoint_and_conflict(self, spark, tmp_path, monkeypatch):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            ConcurrentWriteError,
+            mtable_merge,
+            mtable_overwrite_partitions,
+        )
+
+        race = TestMtableMaintenanceRebase._race
+        new_p1 = spark.createDataFrame(
+            [(10_000, 1, "new")], "k long, p int, tag string"
+        )
+        # disjoint: winner inserts into p=2 — stats refute the key box
+        d = self._ptable(spark, tmp_path, "ow4")
+        race(
+            self, monkeypatch,
+            lambda: mtable_merge(
+                spark, d,
+                spark.createDataFrame([(20_000, 2, "w")], "k long, p int, tag string"),
+                ["p", "k"],
+            ),
+        )
+        man = mtable_overwrite_partitions(spark, d, new_p1)
+        assert man.get("rebases") == 1
+        got = mtable_read(spark, d)
+        assert got.where(F.col("k") == 20_000).count() == 1  # winner lives
+        assert got.where(F.col("p") == 1).count() == 1
+        # conflict: winner inserts INTO the overwritten partition
+        d2 = self._ptable(spark, tmp_path, "ow5")
+        race(
+            self, monkeypatch,
+            lambda: mtable_merge(
+                spark, d2,
+                spark.createDataFrame([(30_000, 1, "w")], "k long, p int, tag string"),
+                ["p", "k"],
+            ),
+        )
+        with pytest.raises(ConcurrentWriteError, match="not rebase-safe"):
+            mtable_overwrite_partitions(spark, d2, new_p1)
+        assert mtable_read(spark, d2).where(F.col("k") == 30_000).count() == 1

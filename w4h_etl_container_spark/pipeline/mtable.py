@@ -1625,6 +1625,117 @@ def mtable_set_checks(
     return read_manifest(table_dir)
 
 
+def mtable_overwrite_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    max_collect_keys: int = DEFAULT_MAX_COLLECT_KEYS,
+    expected_version: int | None = None,
+    retries: int = 0,
+) -> dict:
+    """DYNAMIC PARTITION OVERWRITE (Hive ``INSERT OVERWRITE ...
+    PARTITION`` / Delta ``replaceWhere`` / Spark's own
+    ``partitionOverwriteMode=dynamic``, round 16): atomically replace
+    exactly the partition values PRESENT IN ``df`` with ``df``'s rows,
+    in ONE commit — the daily-reprocess primitive (recompute one date,
+    swap it in; readers see either the old day or the new day, never a
+    mix, and time travel keeps the old day until vacuum).
+
+    Planning is the delete planner verbatim with the PARTITION COLUMNS
+    as the key set: current-spec files prune by their path-borne [v,v]
+    stats (foreign partitions refuted before any footer read), and
+    old-spec files — where the partition column is data bytes and one
+    file can interleave many values — are rewritten MINUS the
+    overwritten values, so their foreign rows survive (wholesale
+    removal would silently drop them; pinned in tests). The fresh rows
+    land through the optimized partitioned writer. Publishes through
+    the rebase path: the key box is the overwritten values' range, so
+    a concurrent writer that touched OTHER partitions rebases past us
+    while one that added rows INTO an overwritten partition conflicts
+    (under a serial order those rows must not survive the overwrite).
+
+    ``df`` must match the recorded table schema (overwrite never
+    evolves it — a reprocess writing a different shape is a bug, not a
+    migration), and an EMPTY ``df`` is refused loudly (it names no
+    partitions; use ``mtable_delete`` keyed on the partition columns
+    to drop one)."""
+    def _once() -> dict:
+        man = read_manifest(table_dir)
+        _check_expected(man, expected_version, table_dir)
+        pby = man.get("partition_by")
+        if not pby:
+            raise ValueError(
+                "mtable_overwrite_partitions: the table has no partition "
+                "spec — overwrite-by-partition needs one (mtable_create "
+                "partition_by=... or mtable_set_partitioning)"
+            )
+        sj = man.get("schema_json")
+        if sj is not None:
+            want = T.StructType.fromJson(json.loads(sj))
+            wmap = {f.name: f.dataType for f in want.fields}
+            hmap = {f.name: f.dataType for f in df.schema.fields}
+            missing = sorted(wmap.keys() - hmap.keys())
+            extra = sorted(hmap.keys() - wmap.keys())
+            clash = sorted(
+                n for n in wmap.keys() & hmap.keys() if wmap[n] != hmap[n]
+            )
+            if missing or extra or clash:
+                raise ValueError(
+                    "mtable_overwrite_partitions: the dataframe must match "
+                    f"the recorded table schema exactly (missing={missing}, "
+                    f"extra={extra}, type_clash={clash}); overwrite never "
+                    "evolves the schema"
+                )
+            ordered = df.select(*[f.name for f in want.fields])
+        else:
+            ordered = df
+        _enforce_checks(ordered, man.get("checks"), "overwrite-partitions")
+        vals = ordered.select(*pby).distinct()
+        matched, untouched, n_keys, kdf, path, key_box = _plan_matched_files(
+            spark, table_dir, man, vals, pby, max_collect_keys,
+            "mtable_overwrite_partitions: the dataframe is empty — it "
+            "names no partition values to overwrite",
+        )
+        new_files: list[str] = []
+        try:
+            if matched:
+                old = _read_files(spark, table_dir, matched, man)
+                anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
+                survivors = old.join(anti, pby, "left_anti")
+                if survivors.limit(1).count():
+                    new_files += _new_data_files(
+                        table_dir, survivors, partition_by=pby,
+                        root=man.get("partition_root", "data-parts"),
+                    )
+            new_files += _new_data_files(
+                table_dir, ordered, partition_by=pby,
+                root=man.get("partition_root", "data-parts"),
+            )
+        finally:
+            kdf.unpersist()
+        _publish_or_rebase(
+            spark, table_dir, man,
+            loser_removed=set(matched),
+            loser_read=set(matched),
+            loser_added=new_files,
+            loser_dv_added={},
+            meta=_carry_schema(man, {
+                "op": "overwrite-partitions",
+                "parent": man["version"],
+                "keys": pby,
+                "n_partition_values": n_keys,
+                "files_replaced": len(matched),
+                "files_untouched": len(untouched),
+                "key_match_path": path,
+            }),
+            key_box=key_box,
+            allow_rebase=expected_version is None,
+        )
+        return read_manifest(table_dir)
+
+    return _retrying(_once, table_dir, retries, expected_version)
+
+
 def mtable_set_partitioning(
     spark: SparkSession,
     table_dir: str,
@@ -2248,11 +2359,19 @@ def mtable_merge(
     return _retrying(_once, table_dir, retries, expected_version)
 
 
+#: mtable_vacuum's live-writer grace window (seconds): young
+#: unreferenced files and young above-pointer manifests are an
+#: IN-FLIGHT commit, not debris. One hour mirrors Delta's posture of
+#: never reclaiming anything a running job could still publish.
+_VACUUM_GRACE_SECONDS = 3600.0
+
+
 def mtable_vacuum(
     table_dir: str,
     retain_versions: int = 1,
     dry_run: bool = False,
     retain_hours: float | None = None,
+    grace_seconds: float = _VACUUM_GRACE_SECONDS,
 ) -> dict:
     """Delete data files unreferenced by the ``retain_versions`` most
     recent COMMITTED manifests, and drop manifests outside that window.
@@ -2265,10 +2384,12 @@ def mtable_vacuum(
     ``dry_run=True`` reports what WOULD be removed without touching
     anything — run it first; vacuum is the one irreversible operation
     in the format.
-    Time travel shrinks to the retained window. Run under the
-    cooperative writer lock when writers may be live — a vacuum racing
-    a writer's link-to-pointer-flip window would otherwise delete the
-    about-to-be-pointed-at manifest.
+    Time travel shrinks to the retained window. Safe beside live
+    writers at the DEFAULT ``grace_seconds`` (see below — a vacuum
+    racing a writer's link-to-pointer-flip window is age-gated away
+    from the about-to-be-pointed-at manifest and its files); only the
+    ``grace_seconds=0`` opt-out still requires the cooperative writer
+    lock or a single-writer maintenance window.
 
     Retention is anchored on the ``_latest`` POINTER, never on the
     highest manifest file present: a crash between manifest write and
@@ -2278,8 +2399,29 @@ def mtable_vacuum(
     the window is the pointer version and its predecessors; manifests
     above the pointer are crash debris — dropped whole (their data
     files are reclaimed unless a retained version also lists them),
-    tolerating even an unparseable half-written orphan."""
+    tolerating even an unparseable half-written orphan.
+
+    ``grace_seconds`` (round 16 — the Delta file-retention posture)
+    makes vacuum SAFE TO RUN BESIDE LIVE WRITERS instead of only under
+    the cooperative lock: an in-flight commit consists of (a) data/DV/
+    bloom files already written but referenced by NO manifest yet and
+    (b) possibly a manifest one slot above the pointer awaiting its
+    flip — byte-identical to crash debris EXCEPT for age. Anything
+    younger than the grace window is therefore left alone (removed on
+    a later vacuum once it is either referenced or provably abandoned);
+    only the explicit ``grace_seconds=0`` opt-out reclaims immediately
+    (single-writer maintenance windows, tests)."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    now = time.time()
+
+    def _aged(path: str) -> bool:
+        # unstattable = concurrently removed or being replaced: not ours
+        # to reclaim this pass either way
+        try:
+            return now - os.path.getmtime(path) > grace_seconds
+        except OSError:
+            return False
+
     current = _current_version(table_dir)
     versions = sorted(
         int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
@@ -2335,11 +2477,23 @@ def mtable_vacuum(
         for root, _dirs, fs in os.walk(sub):
             for f in fs:
                 rel = os.path.relpath(os.path.join(root, f), table_dir)
-                if f.endswith(".parquet") and rel not in referenced:
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and _aged(os.path.join(table_dir, rel))
+                ):
                     if not dry_run:
                         os.remove(os.path.join(table_dir, rel))
                     removed.append(rel)
-    dropped_manifests = [v for v in versions if v not in keep_versions]
+    # committed history (v <= pointer) is never in-flight — reclaimed
+    # regardless of age; an ABOVE-pointer manifest is only debris once
+    # it has outlived the grace window (else it is a commit mid-flip)
+    dropped_manifests = [
+        v
+        for v in versions
+        if v not in keep_versions
+        and (v <= current or _aged(_manifest_path(table_dir, v)))
+    ]
     if not dry_run:
         for v in dropped_manifests:
             os.remove(_manifest_path(table_dir, v))
@@ -2348,7 +2502,14 @@ def mtable_vacuum(
     # losers' debris, half-finished writers' staging
     dropped_segments = []
     for f in os.listdir(mdir):
-        if f.startswith("seg-") and f.endswith(".json") and f not in referenced_segs:
+        if (
+            f.startswith("seg-")
+            and f.endswith(".json")
+            and f not in referenced_segs
+            # a young unreferenced segment is an in-flight writer's
+            # manifest-to-be (segments land BEFORE the descriptor)
+            and _aged(os.path.join(mdir, f))
+        ):
             if not dry_run:
                 os.remove(os.path.join(mdir, f))
                 _SEG_CACHE.pop(os.path.abspath(os.path.join(mdir, f)), None)
@@ -2734,6 +2895,7 @@ def mtable_maintain(
     dv_max_files: int = 16,
     target_bytes: int = 128 << 20,
     vacuum_retain: int | None = None,
+    vacuum_grace_seconds: float = _VACUUM_GRACE_SECONDS,
     dry_run: bool = False,
 ) -> dict:
     """The MAINTENANCE POLICY the format's primitives were missing
@@ -2809,7 +2971,8 @@ def mtable_maintain(
         report["actions"].append("compact-small")
     if vacuum_retain is not None:
         out = mtable_vacuum(
-            table_dir, retain_versions=vacuum_retain, dry_run=dry_run
+            table_dir, retain_versions=vacuum_retain, dry_run=dry_run,
+            grace_seconds=vacuum_grace_seconds,
         )
         report["actions"].append("vacuum")
         report["vacuum"] = {

@@ -672,3 +672,72 @@ def q_mtable_compact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"generous-target re-compaction left multi-file values: {bad}"
         )
     return mtable_read(spark, d).select("ckey", "seg", "bal")
+
+
+@register(
+    "q_mtable_overwrite",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN -2.0
+                ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+    FROM customer
+    UNION ALL
+    SELECT 99000001 AS ckey, 'BUILDING' AS seg, 42.0 AS bal
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+)
+def q_mtable_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 DYNAMIC PARTITION OVERWRITE end to end (Hive INSERT
+    OVERWRITE PARTITION / Delta replaceWhere —
+    ``mtable_overwrite_partitions``): customer lands as a segment-
+    partitioned mtable, then ONE commit atomically replaces the
+    BUILDING partition with a reprocessed rendering (every balance
+    recomputed to −2, one synthetic late-arriving customer appended) —
+    the daily-reprocess primitive. In-query assertions pin the
+    partition-pruned plan: exactly the doomed partition's files are
+    replaced, every foreign partition's file survives VERBATIM in the
+    new manifest (never rewritten — the path-borne [v,v] stats refute
+    them before any footer read), and the pre-overwrite version still
+    time-travels to the old day. The oracle states the swap as one
+    CASE + UNION ALL; hash parity proves readers see the old day or
+    the new day, never a mix."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_overwrite_partitions,
+        mtable_read,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-ow-")
+    mtable_create(spark, cust.repartition(4, "ckey"), d, partition_by=["seg"])
+    man0 = read_manifest(d)
+    foreign = [f for f in man0["files"] if "seg=BUILDING" not in f]
+    doomed = [f for f in man0["files"] if "seg=BUILDING" in f]
+    reprocessed = cust.where(F.col("seg") == "BUILDING").select(
+        "ckey", "seg", F.lit(-2.0).alias("bal")
+    ).unionByName(
+        spark.createDataFrame(
+            [(99_000_001, "BUILDING", 42.0)], "ckey long, seg string, bal double"
+        )
+    )
+    man1 = mtable_overwrite_partitions(spark, d, reprocessed)
+    if man1["files_replaced"] != len(doomed):
+        raise AssertionError(
+            f"overwrite replaced {man1['files_replaced']} files, expected "
+            f"exactly the {len(doomed)} in seg=BUILDING"
+        )
+    if not set(foreign) <= set(man1["files"]):
+        raise AssertionError(
+            "a foreign partition's file was rewritten by the overwrite"
+        )
+    n_old = mtable_read(spark, d, version=man0["version"]).where(
+        F.col("seg") == "BUILDING"
+    ).count()
+    if n_old == 0:
+        raise AssertionError("time travel to the pre-overwrite day is empty")
+    return mtable_read(spark, d).select("ckey", "seg", "bal")

@@ -67,7 +67,10 @@ QUERIES: dict[str, Query] = {}
 # the SAME-round q_mtable_compact_split (target-honoring partitioned
 # compaction, the r16 ADVICE fix, in-query split/re-coalesce
 # assertions) took q_mtable_partitioned's slot (its spec shape stays
-# gate-covered by q_mtable_evolution's mixed-spec cycle).
+# gate-covered by q_mtable_evolution's mixed-spec cycle), and the
+# SAME-round q_mtable_overwrite (dynamic partition overwrite with
+# foreign-partition inode pins) took q_ann_lsh's (EXT-SIM keeps gate
+# reps q_ann_probe / q_embed_neardup / q_quantize).
 # Library queries keep their oracle SQL and stay pinned by the pytest
 # plan-shape and selfcheck-library suites — same code path, one
 # registry flag.

@@ -203,6 +203,8 @@ _DUCK_NORM = _norm("duck", "embedding")
     FROM embeddings
     """,
     survey_ids=("EXT-SIM",),
+    gate=False,  # r16: slot ceded to the SAME-round q_mtable_overwrite
+    # (EXT-SIM keeps gate reps q_ann_probe / q_embed_neardup / q_quantize)
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH signature (8 sign bits → bucket id) plus the
