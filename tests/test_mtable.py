@@ -3802,18 +3802,20 @@ class TestMtableSpecEvolutionModelCheck:
     ):
         """Model-based check for the round-15 spec-evolution surface
         composed with EVERYTHING else: random merge / MOR-merge /
-        delete / set-partitioning / compact / restore sequences against
-        a dict model (restore replays the model's own history). After
-        every op the full table contents equal the model — mixed-spec
-        reads, per-file-spec pruning, migration compaction and
-        time-travel restore all under one randomized walk. Seeded,
-        three sequences of eight ops."""
+        delete / set-partitioning / compact / restore / (r16)
+        partition-overwrite sequences against a dict model (restore
+        replays the model's own history). After every op the full
+        table contents equal the model — mixed-spec reads, per-file-
+        spec pruning, migration compaction, dynamic partition
+        overwrite under every spec, and time-travel restore all under
+        one randomized walk. Seeded, three sequences of eight ops."""
         import random
 
         from w4h_etl_container_spark.pipeline.mtable import (
             mtable_compact,
             mtable_delete,
             mtable_merge,
+            mtable_overwrite_partitions,
             mtable_read,
             mtable_restore,
             mtable_set_partitioning,
@@ -3839,7 +3841,7 @@ class TestMtableSpecEvolutionModelCheck:
             for step in range(8):
                 op = rng.choice(
                     ["merge", "merge_mor", "delete", "evolve",
-                     "compact", "restore"]
+                     "compact", "restore", "overwrite"]
                 )
                 if op in ("merge", "merge_mor"):
                     batch = {
@@ -3878,6 +3880,39 @@ class TestMtableSpecEvolutionModelCheck:
                         continue
                     mtable_set_partitioning(spark, d, new_spec)
                     spec_i = SPECS.index(new_spec)
+                elif op == "overwrite":
+                    # fresh unique keys keep the dict-by-k model sound
+                    # (overwrite is not keyed — a batch key colliding
+                    # with a surviving foreign-partition row would be a
+                    # legitimate second row, which the model can't hold)
+                    batch = {
+                        1000 + step * 100 + i: (
+                            rng.randrange(3), rng.randrange(5),
+                            rng.randrange(1000),
+                        )
+                        for i in range(rng.randrange(1, 4))
+                    }
+                    bdf = spark.createDataFrame(
+                        [(k, p, q, v)
+                         for k, (p, q, v) in sorted(batch.items())],
+                        "k long, p int, q int, v long",
+                    )
+                    cur_spec = SPECS[spec_i]
+                    if cur_spec is None:
+                        with pytest.raises(ValueError, match="no partition spec"):
+                            mtable_overwrite_partitions(spark, d, bdf)
+                        continue  # refused: nothing committed
+                    idx = [{"p": 0, "q": 1}[c] for c in cur_spec]
+                    vals = {
+                        tuple(t[i] for i in idx) for t in batch.values()
+                    }
+                    mtable_overwrite_partitions(spark, d, bdf)
+                    model = {
+                        k: t
+                        for k, t in model.items()
+                        if tuple(t[i] for i in idx) not in vals
+                    }
+                    model.update(batch)
                 elif op == "compact":
                     mtable_compact(spark, d, target_bytes=1 << 20)
                 else:  # restore
@@ -4574,3 +4609,29 @@ class TestMtableOverwritePartitions:
         with pytest.raises(ConcurrentWriteError, match="not rebase-safe"):
             mtable_overwrite_partitions(spark, d2, new_p1)
         assert mtable_read(spark, d2).where(F.col("k") == 30_000).count() == 1
+
+    def test_null_partition_value_is_overwritable(self, spark, tmp_path):
+        """NULL is a partition (__HIVE_DEFAULT_PARTITION__): an
+        overwrite whose batch carries a NULL partition value must
+        replace the old NULL rows (a null-unsafe anti-join would keep
+        them beside the fresh ones)."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_overwrite_partitions,
+        )
+
+        rows = [(i, i % 2 if i % 5 else None, "old") for i in range(50)]
+        df = spark.createDataFrame(rows, "k long, p int, tag string")
+        d = str(tmp_path / "ownull")
+        mtable_create(spark, df, d, partition_by=["p"])
+        n_null = sum(1 for _k, p, _t in rows if p is None)
+        assert n_null  # fixture sanity
+        batch = spark.createDataFrame(
+            [(900, None, "new"), (901, None, "new")], "k long, p int, tag string"
+        )
+        mtable_overwrite_partitions(spark, d, batch)
+        got = mtable_read(spark, d)
+        nulls = got.where(F.col("p").isNull()).collect()
+        assert {r["k"] for r in nulls} == {900, 901}
+        assert all(r["tag"] == "new" for r in nulls)
+        assert got.where(F.col("p").isNotNull()).count() == 50 - n_null

@@ -1690,18 +1690,68 @@ def mtable_overwrite_partitions(
         else:
             ordered = df
         _enforce_checks(ordered, man.get("checks"), "overwrite-partitions")
-        vals = ordered.select(*pby).distinct()
-        matched, untouched, n_keys, kdf, path, key_box = _plan_matched_files(
-            spark, table_dir, man, vals, pby, max_collect_keys,
-            "mtable_overwrite_partitions: the dataframe is empty — it "
-            "names no partition values to overwrite",
-        )
+        vals = ordered.select(*pby).distinct().persist()
+        # NULL is a partition (__HIVE_DEFAULT_PARTITION__), and unlike
+        # merge/delete's equi-keys it is a legitimate overwrite target.
+        # The standard planner refuses NULL keys, so null-bearing value
+        # tuples plan SEPARATELY and conservatively: any file whose
+        # recorded stats cannot refute nulls on some partition column
+        # (stat None/missing = unprunable) is read and rewritten.
+        null_cond = F.lit(False)
+        for c in pby:
+            null_cond = null_cond | F.col(c).isNull()
+        n_null_vals = vals.where(null_cond).count()
+        vals_nn = vals.where(~null_cond)
+        null_matched: list[str] = []
+        if n_null_vals:
+            stats = man.get("file_stats") or {}
+            null_matched = [
+                f
+                for f in man["files"]
+                if any((stats.get(f) or {}).get(c) is None for c in pby)
+            ]
+        kdf0 = None
+        try:
+            if n_null_vals and vals_nn.limit(1).count() == 0:
+                matched0: list[str] = []
+                n_nn, path, key_box = 0, "collect", {}
+            else:
+                matched0, _untouched0, n_nn, kdf0, path, key_box = (
+                    _plan_matched_files(
+                        spark, table_dir, man, vals_nn, pby, max_collect_keys,
+                        "mtable_overwrite_partitions: the dataframe is "
+                        "empty — it names no partition values to overwrite",
+                    )
+                )
+        except Exception:
+            vals.unpersist()
+            raise
+        matched = sorted(set(matched0) | set(null_matched))
+        untouched = [f for f in man["files"] if f not in set(matched)]
+        n_keys = n_nn + n_null_vals
+        if n_null_vals:
+            key_box = {}  # a NULL target has no provable range: any
+            # winner-added file conservatively conflicts on rebase
+        kdf = vals
         new_files: list[str] = []
         try:
             if matched:
                 old = _read_files(spark, table_dir, matched, man)
-                anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
-                survivors = old.join(anti, pby, "left_anti")
+                # NULL-SAFE anti-join: a NULL partition value IS a
+                # partition (__HIVE_DEFAULT_PARTITION__) and overwriting
+                # it must replace the old NULL rows — a plain column-
+                # name anti-join never matches on NULL, silently keeping
+                # stale rows beside the fresh ones
+                kalias = kdf.select(
+                    *[F.col(c).alias(f"__ow_{c}") for c in pby]
+                )
+                if n_keys <= max_collect_keys:
+                    kalias = F.broadcast(kalias)
+                cond = None
+                for c in pby:
+                    eq = old[c].eqNullSafe(F.col(f"__ow_{c}"))
+                    cond = eq if cond is None else cond & eq
+                survivors = old.join(kalias, cond, "left_anti")
                 if survivors.limit(1).count():
                     new_files += _new_data_files(
                         table_dir, survivors, partition_by=pby,
@@ -1713,6 +1763,8 @@ def mtable_overwrite_partitions(
             )
         finally:
             kdf.unpersist()
+            if kdf0 is not None:
+                kdf0.unpersist()
         _publish_or_rebase(
             spark, table_dir, man,
             loser_removed=set(matched),
