@@ -4635,3 +4635,86 @@ class TestMtableOverwritePartitions:
         assert {r["k"] for r in nulls} == {900, 901}
         assert all(r["tag"] == "new" for r in nulls)
         assert got.where(F.col("p").isNotNull()).count() == 50 - n_null
+
+
+class TestMtableSinkPartitionOverwrite:
+    """Round 16: the recompute-a-partition-per-batch sink
+    (``mtable_sink(partition_overwrite=True)`` — Structured Streaming's
+    foreachBatch + replaceWhere pattern): each micro-batch atomically
+    replaces exactly the partition values it carries, under the sink's
+    exactly-once epoch watermark."""
+
+    def test_overwrite_sink_cycle(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_sink,
+        )
+
+        d = str(tmp_path / "owsink")
+        base = spark.createDataFrame(
+            [(i, i % 3, "seed") for i in range(90)], "k long, p int, tag string"
+        )
+        mtable_create(spark, base, d, partition_by=["p"])
+        sink = mtable_sink(spark, d, partition_overwrite=True)
+        # epoch 0 recomputes partition 1
+        sink(
+            spark.createDataFrame(
+                [(1000, 1, "v0"), (1001, 1, "v0")], "k long, p int, tag string"
+            ),
+            0,
+        )
+        got = mtable_read(spark, d)
+        assert got.where(F.col("p") == 1).count() == 2
+        assert got.where(F.col("p") != 1).count() == 60
+        # epoch 1 recomputes it again: last write wins, wholesale
+        sink(
+            spark.createDataFrame(
+                [(2000, 1, "v1")], "k long, p int, tag string"
+            ),
+            1,
+        )
+        got = mtable_read(spark, d)
+        assert {r["k"] for r in got.where(F.col("p") == 1).collect()} == {2000}
+        v = read_manifest(d)["version"]
+        # a REPLAYED epoch is a no-op (crash-recovery contract)
+        sink(
+            spark.createDataFrame(
+                [(2000, 1, "v1")], "k long, p int, tag string"
+            ),
+            1,
+        )
+        assert read_manifest(d)["version"] == v
+        # empty micro-batch is a no-op
+        sink(spark.createDataFrame([], "k long, p int, tag string"), 2)
+        assert read_manifest(d)["version"] == v
+        assert read_manifest(d)["epoch_watermark"] == 1
+
+    def test_overwrite_sink_refusals(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_sink,
+        )
+
+        with pytest.raises(ValueError, match="append shape only"):
+            mtable_sink(spark, str(tmp_path / "x"), key="k", partition_overwrite=True)
+        # table must pre-exist with a spec
+        d = str(tmp_path / "owsink2")
+        sink = mtable_sink(spark, d, partition_overwrite=True)
+        with pytest.raises(ValueError, match="created first with a partition spec"):
+            sink(
+                spark.createDataFrame([(1, 1, "x")], "k long, p int, tag string"),
+                0,
+            )
+        # an unpartitioned pre-created table refuses through the op
+        dflat = str(tmp_path / "owsink3")
+        mtable_create(
+            spark,
+            spark.createDataFrame([(1, 1, "x")], "k long, p int, tag string"),
+            dflat,
+        )
+        sink2 = mtable_sink(spark, dflat, partition_overwrite=True)
+        with pytest.raises(ValueError, match="no partition spec"):
+            sink2(
+                spark.createDataFrame([(2, 1, "y")], "k long, p int, tag string"),
+                0,
+            )

@@ -3046,6 +3046,7 @@ def mtable_sink(
     key: str | list[str] | None = None,
     combine: dict[str, str] | None = None,
     mode: str = "cow",
+    partition_overwrite: bool = False,
 ):
     """Exactly-once streaming sink into an mtable: a ``foreachBatch``
     function that APPENDS each micro-batch (or MERGES it by ``key`` —
@@ -3086,6 +3087,12 @@ def mtable_sink(
             mtable_sink(spark, table_dir, key="doc_id")
         ).option("checkpointLocation", ckpt).start()
     """
+
+    if partition_overwrite and (key is not None or combine is not None):
+        raise ValueError(
+            "mtable_sink: partition_overwrite composes with the append "
+            "shape only — pass neither key= nor combine="
+        )
 
     def _commit(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
@@ -3131,6 +3138,13 @@ def mtable_sink(
                     "restarting the stream."
                 )
         if man is None:
+            if partition_overwrite:
+                raise ValueError(
+                    "mtable_sink(partition_overwrite=True): the target "
+                    "table must be created first with a partition spec "
+                    "(mtable_create(..., partition_by=[...])) — the sink "
+                    "cannot invent one from a micro-batch"
+                )
             files = _new_data_files(table_dir, df)
             if not files:
                 # First micro-batch was empty (_drop_empty pruned the
@@ -3162,6 +3176,31 @@ def mtable_sink(
                 raise ValueError("mtable_sink: combine mode needs key=")
             mtable_merge_agg(
                 spark, table_dir, df, key, combine, extra_meta=dict(epoch_meta)
+            )
+        elif partition_overwrite:
+            # recompute-a-partition-per-batch (Structured Streaming +
+            # replaceWhere): each micro-batch atomically replaces the
+            # partition values it carries. Crash between the overwrite
+            # commit and the epoch annotation below replays the SAME
+            # batch, whose overwrite is content-idempotent (it replaces
+            # the partitions with identical rows) — exactly-once
+            # contents at the cost of one redundant version on that
+            # recovery path, the same story as merge mode.
+            new_man = mtable_overwrite_partitions(spark, table_dir, df)
+            _write_manifest(
+                table_dir,
+                new_man["version"],
+                new_man["files"],
+                {
+                    k: v
+                    for k, v in new_man.items()
+                    if k not in ("version", "files", "file_stats", "dv", "bloom")
+                }
+                | epoch_meta,
+                file_stats=new_man.get("file_stats"),
+                dv=new_man.get("dv"),
+                bloom=new_man.get("bloom"),
+                overwrite=True,
             )
         elif key is None:
             _enforce_checks(df, man.get("checks"), "sink append")
