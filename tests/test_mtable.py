@@ -4718,3 +4718,99 @@ class TestMtableSinkPartitionOverwrite:
                 spark.createDataFrame([(2, 1, "y")], "k long, p int, tag string"),
                 0,
             )
+
+
+class TestMtableDataSkippingRead:
+    """Round 16: stats/bloom file pruning on the READ path
+    (mtable_read_pruned) — the data-skipping move that turns a point or
+    range query on a clustered table from scan-every-file into
+    scan-the-matching-files, with result equality to the unpruned
+    filtered read pinned."""
+
+    def test_range_read_prunes_clustered_files(self, spark, table):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _skip_files,
+            mtable_read_pruned,
+            read_manifest,
+        )
+
+        man = read_manifest(table)
+        kept, n_stats, n_bloom = _skip_files(
+            spark, table, man, {"k": (100, 199)}
+        )
+        assert n_stats > 0 and len(kept) < len(man["files"])
+        got = mtable_read_pruned(spark, table, {"k": (100, 199)})
+        want = mtable_read(spark, table).where(
+            (F.col("k") >= 100) & (F.col("k") <= 199)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.count() == 100
+
+    def test_point_read_and_open_bounds(self, spark, table):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_read_pruned,
+        )
+
+        got = mtable_read_pruned(spark, table, {"k": 42})
+        assert [(r["k"], r["v"]) for r in got.collect()] == [(42, 420)]
+        hi_only = mtable_read_pruned(spark, table, {"k": (900, None)})
+        assert hi_only.count() == 100
+        lo_only = mtable_read_pruned(spark, table, {"k": (None, 99)})
+        assert lo_only.count() == 100
+
+    def test_bloom_refutes_point_on_unclustered_table(self, spark, tmp_path):
+        """Unclustered bloom table: every file's k-range spans the
+        whole domain (stats skip nothing), the bitsets do the work."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _skip_files,
+            mtable_create,
+            mtable_read_pruned,
+            read_manifest,
+        )
+
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ).repartition(8)  # round-robin: every file spans the domain
+        d = str(tmp_path / "skipbloom")
+        mtable_create(spark, df, d, bloom_keys=["k"])
+        man = read_manifest(d)
+        kept, n_stats, n_bloom = _skip_files(spark, d, man, {"k": 777})
+        assert n_stats == 0  # ranges refute nothing here
+        assert n_bloom > 0 and len(kept) < len(man["files"])
+        got = mtable_read_pruned(spark, d, {"k": 777})
+        assert [(r["k"], r["v"]) for r in got.collect()] == [(777, 5439)]
+
+    def test_pruned_read_sees_deletion_vectors(self, spark, table):
+        """Pruning composes with MOR deletes: a DV-shadowed row stays
+        deleted through the pruned read."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_read_pruned,
+        )
+
+        mtable_delete(
+            spark, table,
+            spark.createDataFrame([(150,)], "k long"), "k", mode="mor",
+        )
+        got = mtable_read_pruned(spark, table, {"k": (100, 199)})
+        assert got.count() == 99
+        assert got.where(F.col("k") == 150).count() == 0
+
+    def test_time_travel_composition(self, spark, table):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_read_pruned,
+        )
+
+        man1 = mtable_merge(
+            spark, table,
+            spark.createDataFrame([(150, -1, "u")], "k long, v long, tag string"),
+            "k",
+        )
+        now = mtable_read_pruned(spark, table, {"k": 150})
+        assert [r["v"] for r in now.collect()] == [-1]
+        old = mtable_read_pruned(
+            spark, table, {"k": 150}, version=man1["version"] - 1
+        )
+        assert [r["v"] for r in old.collect()] == [1500]

@@ -2181,6 +2181,116 @@ def mtable_read(
     return _read_files(spark, table_dir, man["files"], man)
 
 
+def _skip_files(
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    where: dict,
+) -> tuple[list[str], int, int]:
+    """The data-skipping core: files of ``man`` surviving the bound
+    spec ``where`` ({col: point | (lo, hi)}; None = open bound), plus
+    how many the stats refuted and how many the blooms refuted.
+    Stats pruning is driver-only metadata (zero jobs, zero data I/O);
+    a file with None/missing stats on a column is unprunable on it —
+    matched, read, never skipped (the same conservatism as write-side
+    planning). Bloom refutation applies only when every bloom key
+    column is bound to an exact point — the point lookup on an
+    UNCLUSTERED table, where every file's range covers everything and
+    only the bitsets can skip."""
+    norm = {}
+    for c, rng in where.items():
+        lo, hi = rng if isinstance(rng, tuple) else (rng, rng)
+        norm[c] = (lo, hi)
+    stats = man.get("file_stats") or {}
+    kept = []
+    for f in man["files"]:
+        st = stats.get(f)
+        refuted = False
+        for c, (lo, hi) in norm.items():
+            r = (st or {}).get(c)
+            if r is None:
+                continue
+            try:
+                if (hi is not None and r[0] is not None and r[0] > hi) or (
+                    lo is not None and r[1] is not None and r[1] < lo
+                ):
+                    refuted = True
+                    break
+            except TypeError:
+                continue  # incomparable renderings: unprovable, keep
+        if not refuted:
+            kept.append(f)
+    n_stats = len(man["files"]) - len(kept)
+    n_bloom = 0
+    bloom = man.get("bloom")
+    sj = man.get("schema_json")
+    if bloom and kept and sj is not None:
+        bkeys = bloom["keys"]
+        if all(
+            c in norm
+            and norm[c][0] is not None
+            and norm[c][0] == norm[c][1]
+            for c in bkeys
+        ):
+            full = T.StructType.fromJson(json.loads(sj))
+            schema = T.StructType([full[c] for c in bkeys])
+            kdf = spark.createDataFrame(
+                [tuple(norm[c][0] for c in bkeys)], schema
+            )
+            kept, n_bloom = _bloom_prune(
+                spark, table_dir, man, kdf, bkeys, kept
+            )
+    return kept, n_stats, n_bloom
+
+
+def mtable_read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    where: dict,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """DATA-SKIPPING READ (the Delta/Iceberg data-skipping move, round
+    16): ``mtable_read`` restricted by simple column bounds —
+    ``where`` maps column → exact point or ``(lo, hi)`` range (None =
+    open bound) — with files pruned AT PLANNING TIME from the
+    manifest-persisted per-file stats the writers already maintain.
+    Until now those stats pruned only the WRITE side (merge/delete
+    planning); a clustered 100 TB table answering a point or range
+    query was still scheduling a scan task per file. This read skips
+    every file whose recorded [min, max] provably refutes a bound
+    (driver metadata only — zero jobs before the surviving scan), adds
+    per-file BLOOM refutation when the bounds fix the table's bloom
+    key tuple to an exact point (the unclustered point-lookup case
+    range stats cannot help), and applies the residual predicate to
+    the survivors — pruning is an optimization, never a semantics
+    change (result ≡ the unpruned filtered read, pinned in tests and
+    by the declared query's oracle). Composes with time travel
+    (``version=`` / ``as_of=``) and reads DV-shadowed files through
+    the usual anti-join."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("mtable_read_pruned: pass version OR as_of, not both")
+        version = version_as_of(table_dir, as_of)
+    man = read_manifest(table_dir, version)
+    if not man["files"]:
+        raise ValueError(
+            f"mtable at {table_dir} v{man['version']} lists no files"
+        )
+    kept, _n_stats, _n_bloom = _skip_files(spark, table_dir, man, where)
+    df = _read_files(spark, table_dir, kept, man)
+    for c, rng in where.items():
+        lo, hi = rng if isinstance(rng, tuple) else (rng, rng)
+        if lo is not None and lo == hi:
+            df = df.where(F.col(c) == F.lit(lo))
+        else:
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+    return df
+
+
 def _evolve_schema(
     table_schema: T.StructType | None,
     updates: DataFrame,

@@ -741,3 +741,54 @@ def q_mtable_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_old == 0:
         raise AssertionError("time travel to the pre-overwrite day is empty")
     return mtable_read(spark, d).select("ckey", "seg", "bal")
+
+
+@register(
+    "q_mtable_skipread",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer
+    WHERE c_custkey BETWEEN 200 AND 699
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # library: the mtable gate class stays at five slots
+)
+def q_mtable_skipread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 DATA-SKIPPING READ under the oracle
+    (``mtable_read_pruned``): customer lands as a key-clustered mtable
+    (disjoint per-file ranges, like any maintained big table), then a
+    range read prunes files AT PLANNING TIME from the manifest's
+    per-file stats — the in-query assertion pins that the scan
+    actually skipped files (a pruned read that reads everything is a
+    filter, not data skipping) — and the survivors' residual filter
+    yields exactly the oracle's BETWEEN. Hash parity proves pruning is
+    an optimization, never a semantics change."""
+    from w4h_etl_container_spark.operators.layout import cluster_by
+    from w4h_etl_container_spark.pipeline.mtable import (
+        _skip_files,
+        mtable_create,
+        mtable_read_pruned,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-skip-")
+    mtable_create(spark, cluster_by(cust, ["ckey"], n_files=8), d)
+    man = read_manifest(d)
+    kept, n_stats, _n_bloom = _skip_files(
+        spark, d, man, {"ckey": (200, 699)}
+    )
+    if not (n_stats > 0 and len(kept) < len(man["files"])):
+        raise AssertionError(
+            f"data skipping skipped nothing ({len(kept)}/{len(man['files'])} "
+            "files kept) — the clustered table's stats should refute "
+            "out-of-range files"
+        )
+    return mtable_read_pruned(spark, d, {"ckey": (200, 699)}).select(
+        "ckey", "seg", "bal"
+    )
