@@ -4814,3 +4814,34 @@ class TestMtableDataSkippingRead:
             spark, table, {"k": 150}, version=man1["version"] - 1
         )
         assert [r["v"] for r in old.collect()] == [1500]
+
+    def test_partition_column_bounds_prune_partitioned_files(
+        self, spark, tmp_path
+    ):
+        """Partition values persist as exact [v,v] stats, so the
+        data-skipping read prunes partitioned tables on the partition
+        column with zero extra machinery — and data-column bounds
+        compose on top."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _skip_files,
+            mtable_create,
+            mtable_read_pruned,
+            read_manifest,
+        )
+
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"),
+            (F.col("id") * 3).alias("v"),
+        )
+        d = str(tmp_path / "skippart")
+        mtable_create(spark, df, d, partition_by=["p"])
+        man = read_manifest(d)
+        kept, n_stats, _ = _skip_files(spark, d, man, {"p": 2})
+        assert len(kept) < len(man["files"]) and n_stats > 0
+        assert all("p=2" in f for f in kept)
+        got = mtable_read_pruned(spark, d, {"p": 2, "k": (0, 99)})
+        want = sorted(
+            (k, 2, k * 3) for k in range(0, 100) if k % 4 == 2
+        )
+        assert sorted(map(tuple, got.select("k", "p", "v").collect())) == want
