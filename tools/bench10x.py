@@ -408,6 +408,45 @@ def lakehouse_tier(sf_dir: str) -> dict:
         rec["hash_equal_post_maintain"] = (
             checksum(dirs["cow"]) == checksum(dirs["mor"])
         )
+        if churn_tag == "10x":
+            # DATA-SKIPPING READ at volume (r16): cluster the CoW table
+            # by key, then a ~4% key-range read through manifest-stats
+            # pruning vs the same predicate as a full-scan filter —
+            # the read-side half of the clustering story, measured.
+            M.mtable_compact(
+                spark, dirs["cow"], cluster=["okey"], target_bytes=512 << 10
+            )
+            man_c = M.read_manifest(dirs["cow"])
+            lo, hi = 100_000, 160_000
+            kept, n_stats, _nb = M._skip_files(
+                spark, dirs["cow"], man_c, {"okey": (lo, hi)}
+            )
+            rec["skipread_files"] = [len(kept), len(man_c["files"])]
+
+            def _agg(df):
+                return df.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("qty").alias("s")
+                ).collect()[0]
+
+            rec["skipread_wall"] = best_of(
+                lambda: _agg(
+                    M.mtable_read_pruned(spark, dirs["cow"], {"okey": (lo, hi)})
+                )
+            )
+            rec["fullfilter_wall"] = best_of(
+                lambda: _agg(
+                    M.mtable_read(spark, dirs["cow"]).where(
+                        (F.col("okey") >= lo) & (F.col("okey") <= hi)
+                    )
+                )
+            )
+            a = _agg(M.mtable_read_pruned(spark, dirs["cow"], {"okey": (lo, hi)}))
+            b = _agg(
+                M.mtable_read(spark, dirs["cow"]).where(
+                    (F.col("okey") >= lo) & (F.col("okey") <= hi)
+                )
+            )
+            rec["skipread_equal"] = (a["n"], str(a["s"])) == (b["n"], str(b["s"]))
         out[churn_tag] = rec
         print(f"# lakehouse {churn_tag}: {json.dumps(rec)}",
               file=sys.stderr, flush=True)
