@@ -1186,3 +1186,65 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionByName(
         negs.select("anchor", "partner", F.lit(0).alias("label"))
     )
+
+
+def _epoch_shards_sql() -> str:
+    from w4h_etl_container_spark.plans.textops import _nib_sql
+
+    nib = _nib_sql("hh", 4)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(({nib}) % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ({nib}) % 8 ORDER BY hh, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """
+
+
+@register(
+    "q_epoch_shards",
+    sql=_epoch_shards_sql(),
+    survey_ids=("EXT-SAMPLE",),
+    gate=False,
+)
+def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE + SHARD ASSIGNMENT — the step that
+    turns a curated corpus into training input: every document gets a
+    pseudorandom but REPRODUCIBLE position for epoch e by hashing
+    ``'epoch{e}:' || doc_id`` (an epoch-seeded md5 — engine-neutral, so
+    the oracle replays it bit-for-bit), a shard = hash % n_shards, and
+    a within-shard position = rank of the hash. Different epochs
+    permute independently; re-running an epoch reproduces it exactly
+    (the determinism every resumable training job needs — no stored
+    permutation table, no RNG state).
+
+    Scale: one hash projection (no data movement) + one shuffle on the
+    shard id; the per-shard ORDER BY sorts n/n_shards rows inside each
+    writer task — exactly the work writing shuffled shards requires,
+    with no global sort and no driver-side permutation. n_shards
+    scales to the fleet (1024 shards → 1024-task epochs); the hash
+    keys are 4 hex nibbles here for the oracle's nibble arithmetic —
+    the production twin is xxhash64(seed, doc_id) with the identical
+    plan shape."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        h.alias("hh"),
+        F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(8))
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
