@@ -4845,3 +4845,39 @@ class TestMtableDataSkippingRead:
             (k, 2, k * 3) for k in range(0, 100) if k % 4 == 2
         )
         assert sorted(map(tuple, got.select("k", "p", "v").collect())) == want
+
+    def test_in_list_pruning_and_bloom(self, spark, table, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _skip_files,
+            mtable_create,
+            mtable_read_pruned,
+            read_manifest,
+        )
+
+        # clustered table: an IN-list spanning two distant key pockets
+        # keeps only the files whose ranges cover a pocket
+        man = read_manifest(table)
+        kept, n_stats, _ = _skip_files(
+            spark, table, man, {"k": [5, 7, 905]}
+        )
+        assert n_stats > 0 and len(kept) < len(man["files"])
+        got = mtable_read_pruned(spark, table, {"k": [5, 7, 905]})
+        assert sorted(r["k"] for r in got.collect()) == [5, 7, 905]
+        # unclustered bloom table: the tuple-product probes refute
+        df = spark.range(0, 1500).select(
+            F.col("id").alias("k"), (F.col("id") * 11).alias("v")
+        ).repartition(6)
+        d = str(tmp_path / "skipin")
+        mtable_create(spark, df, d, bloom_keys=["k"])
+        man2 = read_manifest(d)
+        kept2, ns2, nb2 = _skip_files(spark, d, man2, {"k": [3, 1400]})
+        assert ns2 == 0 and nb2 > 0 and len(kept2) < len(man2["files"])
+        got2 = mtable_read_pruned(spark, d, {"k": [3, 1400]})
+        assert sorted((r["k"], r["v"]) for r in got2.collect()) == [
+            (3, 33), (1400, 15400),
+        ]
+        # refusals: None inside an IN-list, empty IN-list
+        with pytest.raises(ValueError, match="None inside the IN-list"):
+            mtable_read_pruned(spark, table, {"k": [1, None]})
+        with pytest.raises(ValueError, match="empty IN-list"):
+            mtable_read_pruned(spark, table, {"k": []})

@@ -2197,27 +2197,32 @@ def _skip_files(
     column is bound to an exact point — the point lookup on an
     UNCLUSTERED table, where every file's range covers everything and
     only the bitsets can skip."""
-    norm = {}
-    for c, rng in where.items():
-        lo, hi = rng if isinstance(rng, tuple) else (rng, rng)
-        norm[c] = (lo, hi)
+    norm = _normalize_bounds(where)
     stats = man.get("file_stats") or {}
     kept = []
     for f in man["files"]:
         st = stats.get(f)
         refuted = False
-        for c, (lo, hi) in norm.items():
+        for c, spec in norm.items():
             r = (st or {}).get(c)
             if r is None:
                 continue
             try:
-                if (hi is not None and r[0] is not None and r[0] > hi) or (
-                    lo is not None and r[1] is not None and r[1] < lo
-                ):
-                    refuted = True
+                if spec[0] == "in":
+                    refuted = all(
+                        (r[0] is not None and v < r[0])
+                        or (r[1] is not None and v > r[1])
+                        for v in spec[1]
+                    )
+                else:
+                    _tag, lo, hi = spec
+                    refuted = (
+                        hi is not None and r[0] is not None and r[0] > hi
+                    ) or (lo is not None and r[1] is not None and r[1] < lo)
+                if refuted:
                     break
             except TypeError:
-                continue  # incomparable renderings: unprovable, keep
+                refuted = False  # incomparable renderings: unprovable, keep
         if not refuted:
             kept.append(f)
     n_stats = len(man["files"]) - len(kept)
@@ -2226,21 +2231,59 @@ def _skip_files(
     sj = man.get("schema_json")
     if bloom and kept and sj is not None:
         bkeys = bloom["keys"]
-        if all(
-            c in norm
-            and norm[c][0] is not None
-            and norm[c][0] == norm[c][1]
-            for c in bkeys
-        ):
+
+        def _points(c):
+            spec = norm.get(c)
+            if spec is None:
+                return None
+            if spec[0] == "in":
+                return None if any(v is None for v in spec[1]) else spec[1]
+            _tag, lo, hi = spec
+            return [lo] if (lo is not None and lo == hi) else None
+
+        per_col = [_points(c) for c in bkeys]
+        n_tuples = 1
+        for pts in per_col:
+            n_tuples *= len(pts) if pts is not None else 0
+        if all(p is not None for p in per_col) and 0 < n_tuples <= 256:
+            import itertools
+
             full = T.StructType.fromJson(json.loads(sj))
             schema = T.StructType([full[c] for c in bkeys])
             kdf = spark.createDataFrame(
-                [tuple(norm[c][0] for c in bkeys)], schema
+                [tuple(t) for t in itertools.product(*per_col)], schema
             )
             kept, n_bloom = _bloom_prune(
                 spark, table_dir, man, kdf, bkeys, kept
             )
     return kept, n_stats, n_bloom
+
+
+def _normalize_bounds(where: dict) -> dict:
+    """Bound-spec normalization shared by pruning and the residual
+    filter: scalar → ("range", v, v); (lo, hi) tuple → ("range", lo,
+    hi); list/set → ("in", values) — the multi-key point-lookup shape.
+    None inside an IN-list is refused (NULL never equi-matches; an
+    accidental None would make the residual filter silently drop what
+    the caller thought they asked for)."""
+    norm = {}
+    for c, rng in where.items():
+        if isinstance(rng, (list, set, frozenset)):
+            if any(v is None for v in rng):
+                raise ValueError(
+                    f"mtable read pruning: None inside the IN-list for "
+                    f"{c!r} — NULL never equi-matches a row"
+                )
+            vals = sorted(rng)
+            if not vals:
+                raise ValueError(
+                    f"mtable read pruning: empty IN-list for {c!r}"
+                )
+            norm[c] = ("in", vals)
+        else:
+            lo, hi = rng if isinstance(rng, tuple) else (rng, rng)
+            norm[c] = ("range", lo, hi)
+    return norm
 
 
 def mtable_read_pruned(
@@ -2252,8 +2295,9 @@ def mtable_read_pruned(
 ) -> DataFrame:
     """DATA-SKIPPING READ (the Delta/Iceberg data-skipping move, round
     16): ``mtable_read`` restricted by simple column bounds —
-    ``where`` maps column → exact point or ``(lo, hi)`` range (None =
-    open bound) — with files pruned AT PLANNING TIME from the
+    ``where`` maps column → exact point, ``(lo, hi)`` range (None =
+    open bound), or a list/set of points (IN-list — the multi-key
+    lookup) — with files pruned AT PLANNING TIME from the
     manifest-persisted per-file stats the writers already maintain.
     Until now those stats pruned only the WRITE side (merge/delete
     planning); a clustered 100 TB table answering a point or range
@@ -2279,8 +2323,11 @@ def mtable_read_pruned(
         )
     kept, _n_stats, _n_bloom = _skip_files(spark, table_dir, man, where)
     df = _read_files(spark, table_dir, kept, man)
-    for c, rng in where.items():
-        lo, hi = rng if isinstance(rng, tuple) else (rng, rng)
+    for c, spec in _normalize_bounds(where).items():
+        if spec[0] == "in":
+            df = df.where(F.col(c).isin(spec[1]))
+            continue
+        _tag, lo, hi = spec
         if lo is not None and lo == hi:
             df = df.where(F.col(c) == F.lit(lo))
         else:
