@@ -1,0 +1,690 @@
+"""Incremental materialized views (pipeline/mview.py) and the merge
+extensions they ride on (mtable_merge ``deletes=``/``extra_meta=``,
+mtable_changes ``pre_images=``).
+
+The contract under test everywhere: after ANY base-table mutation
+sequence, ``mv_refresh`` + ``mv_read`` equals a from-scratch groupBy
+over the base's current snapshot — while the refresh itself reads only
+the change feed (plus the base for min/max dirty groups)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.pipeline.mtable import (
+    mtable_changes,
+    mtable_compact,
+    mtable_create,
+    mtable_delete,
+    mtable_merge,
+    mtable_read,
+    mtable_restore,
+    read_manifest,
+)
+from w4h_etl_container_spark.pipeline.mview import mv_create, mv_read, mv_refresh
+
+AGGS = {
+    "n": ("count", "*"),
+    "nx": ("count", "x"),
+    "sx": ("sum", "x"),
+    "ax": ("avg", "x"),
+    "mn": ("min", "x"),
+    "mx": ("max", "x"),
+}
+
+
+def _base_df(spark, n=1000, null_every=17):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        F.when(F.col("id") % null_every == 0, F.lit(None))
+        .otherwise(F.col("id") * 1.0)
+        .alias("x"),
+    )
+
+
+def _expected(spark, base_dir, where=None):
+    cur = mtable_read(spark, base_dir)
+    if where:
+        cur = cur.where(where)
+    rows = (
+        cur.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("nx"),
+            F.sum("x").alias("sx"),
+            F.avg("x").alias("ax"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    )
+    return {r["g"]: {k: r[k] for k in AGGS} for r in rows}
+
+
+def _got(spark, mv_dir):
+    return {
+        r["g"]: {k: r[k] for k in AGGS} for r in mv_read(spark, mv_dir).collect()
+    }
+
+
+def _assert_parity(spark, base_dir, mv_dir, where=None):
+    exp, got = _expected(spark, base_dir, where), _got(spark, mv_dir)
+    assert set(exp) == set(got), (sorted(exp), sorted(got))
+    for g in exp:
+        for k in AGGS:
+            e, a = exp[g][k], got[g][k]
+            if isinstance(e, float) and isinstance(a, float):
+                assert a == pytest.approx(e, rel=1e-12), (g, k, e, a)
+            else:
+                assert a == e, (g, k, e, a)
+
+
+class TestMviewBasics:
+    def test_create_matches_full_groupby(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark), base)
+        rep = mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        assert rep["mv"]["base_version"] == 0
+        _assert_parity(spark, base, mv)
+        # declared column order survives the manifest JSON round-trip
+        assert mv_read(spark, mv).columns == ["g"] + list(AGGS)
+
+    def test_refresh_after_updates_inserts_deletes(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        upd = spark.range(0, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 3.0).alias("x"),
+        )
+        ins = spark.range(5000, 5040).select(
+            F.col("id").alias("k"),
+            F.lit(11).cast("long").alias("g"),
+            (F.col("id") * 1.0).alias("x"),
+        )
+        mtable_merge(spark, base, upd.unionByName(ins), key="k")
+        rep = mv_refresh(spark, mv)
+        assert rep["refreshed"] and rep["base_version"] == 1
+        _assert_parity(spark, base, mv)
+        # CoW delete wipes the new group entirely; MOR delete clips others
+        mtable_delete(
+            spark, base, spark.range(5000, 5040).select(F.col("id").alias("k")),
+            key="k",
+        )
+        mtable_delete(
+            spark,
+            base,
+            spark.createDataFrame([(999,), (1,)], "k long"),
+            key="k",
+            mode="mor",
+        )
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_deleted"] == 1
+        _assert_parity(spark, base, mv)
+        assert 11 not in _got(spark, mv)
+
+    def test_noop_and_metadata_only_refresh(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=300), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        assert mv_refresh(spark, mv) == {"refreshed": False, "base_version": 0}
+        # a pure compaction changes files but no rows: the refresh must
+        # advance the watermark (metadata-only commit) so the next
+        # refresh does not re-diff the compacted snapshot forever
+        mtable_compact(spark, base, target_bytes=1 << 30)
+        rep = mv_refresh(spark, mv)
+        assert rep["refreshed"] and rep["groups_upserted"] == 0
+        assert read_manifest(mv)["mv"]["base_version"] == 1
+        assert mv_refresh(spark, mv) == {"refreshed": False, "base_version": 1}
+        _assert_parity(spark, base, mv)
+
+    def test_sum_count_avg_never_recompute(self, spark, tmp_path):
+        """Self-maintainable aggregates must never touch the base: the
+        dirty-recompute count stays zero through updates AND deletes."""
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark), base)
+        aggs = {"n": ("count", "*"), "sx": ("sum", "x"), "ax": ("avg", "x")}
+        mv_create(spark, mv, base, group_by="g", aggs=aggs, key="k")
+        upd = spark.range(0, 200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 5.0).alias("x"),
+        )
+        mtable_merge(spark, base, upd, key="k")
+        mtable_delete(
+            spark, base, spark.range(900, 950).select(F.col("id").alias("k")),
+            key="k",
+        )
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 0
+        exp = _expected(spark, base)
+        got = {
+            r["g"]: r.asDict() for r in mv_read(spark, mv).collect()
+        }
+        for g, e in exp.items():
+            assert got[g]["n"] == e["n"]
+            assert got[g]["sx"] == pytest.approx(e["sx"], rel=1e-12)
+            assert got[g]["ax"] == pytest.approx(e["ax"], rel=1e-12)
+
+    def test_minmax_dirty_only_on_extremum_removal(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, null_every=10**9), base)
+        mv_create(
+            spark, mv, base, group_by="g",
+            aggs={"mn": ("min", "x"), "mx": ("max", "x")}, key="k",
+        )
+        # insert-only churn: new values extend extrema, zero recompute
+        ins = spark.range(10000, 10070).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.0).alias("x"),
+        )
+        mtable_merge(spark, base, ins, key="k")
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 0
+        _got_mm = {r["g"]: (r["mn"], r["mx"]) for r in mv_read(spark, mv).collect()}
+        # delete an interior value (not an extremum of its group): no
+        # recompute either — the removal refutation is range-based
+        mtable_delete(
+            spark, base, spark.createDataFrame([(500,)], "k long"), key="k"
+        )
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 0
+        # delete the global max: its group must recompute
+        mtable_delete(
+            spark, base, spark.createDataFrame([(10069,)], "k long"), key="k"
+        )
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 1
+        _assert_mm = {r["g"]: (r["mn"], r["mx"]) for r in mv_read(spark, mv).collect()}
+        exp = _expected(spark, base)
+        for g, e in exp.items():
+            assert _assert_mm[g] == (e["mn"], e["mx"])
+
+    def test_where_filter(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark), base)
+        mv_create(
+            spark, mv, base, group_by="g", aggs=AGGS, key="k", where="k % 2 = 0"
+        )
+        upd = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 9.0).alias("x"),
+        )
+        mtable_merge(spark, base, upd, key="k")
+        mv_refresh(spark, mv)
+        _assert_parity(spark, base, mv, where="k % 2 = 0")
+
+    def test_refusals(self, spark, tmp_path):
+        base = str(tmp_path / "b")
+        df = spark.createDataFrame(
+            [(1, None, 1.0), (2, 5, 2.0)], "k long, g long, x double"
+        )
+        mtable_create(spark, df, base)
+        with pytest.raises(ValueError, match="NULL in group"):
+            mv_create(
+                spark, str(tmp_path / "v1"), base, group_by="g",
+                aggs={"n": ("count", "*")}, key="k",
+            )
+        with pytest.raises(ValueError, match="unsupported aggregate"):
+            mv_create(
+                spark, str(tmp_path / "v2"), base, group_by="k",
+                aggs={"n": ("median", "x")}, key="k",
+            )
+        with pytest.raises(ValueError, match="not an aggregate"):
+            mv_create(
+                spark, str(tmp_path / "v3"), base, group_by="k",
+                aggs={"n": ("sum", "*")}, key="k",
+            )
+        with pytest.raises(ValueError, match="not a materialized view"):
+            mv_refresh(spark, base)
+
+    def test_base_restored_past_watermark_fails_loudly(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=100), base)
+        upd = spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            F.lit(0.5).alias("x"),
+        )
+        mtable_merge(spark, base, upd, key="k")
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        # restore publishes a NEW higher version (v2 = v0's content), so
+        # the watermark stays valid and refresh applies the diff back
+        mtable_restore(base, 0)
+        mv_refresh(spark, mv)
+        _assert_parity(spark, base, mv)
+
+
+class TestMviewModelCheck:
+    def test_randomized_mutations_stay_parity(self, spark, tmp_path):
+        rng = random.Random(20260816)
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=400), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        live_hint = 400
+        for step in range(8):
+            op = rng.choice(["merge", "delete_cow", "delete_mor", "compact"])
+            if op == "merge":
+                lo = rng.randrange(0, 600)
+                upd = spark.range(lo, lo + rng.randrange(20, 80)).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % rng.choice([5, 7, 9])).alias("g"),
+                    F.when(F.col("id") % 13 == 0, F.lit(None))
+                    .otherwise(F.col("id") * rng.choice([0.5, 1.0, 2.0]))
+                    .alias("x"),
+                )
+                mtable_merge(spark, base, upd, key="k")
+                live_hint += 80
+            elif op in ("delete_cow", "delete_mor") and live_hint > 100:
+                lo = rng.randrange(0, 500)
+                keys = spark.range(lo, lo + rng.randrange(5, 40)).select(
+                    F.col("id").alias("k")
+                )
+                # deleting keys that don't exist is a no-op commit
+                mtable_delete(
+                    spark, base, keys, key="k",
+                    mode="cow" if op == "delete_cow" else "mor",
+                )
+                live_hint -= 40
+            else:
+                mtable_compact(spark, base, target_bytes=1 << 30)
+            if rng.random() < 0.7:
+                mv_refresh(spark, mv)
+                _assert_parity(spark, base, mv)
+        mv_refresh(spark, mv)
+        _assert_parity(spark, base, mv)
+
+
+class TestMergeDeletes:
+    """mtable_merge(deletes=) — full MERGE INTO in one commit."""
+
+    def test_upsert_and_delete_one_commit(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t)
+        upd = spark.createDataFrame([(1, 10.0), (200, 20.0)], "k long, v double")
+        dels = spark.createDataFrame([(2,), (3,)], "k long")
+        man = mtable_merge(spark, t, upd, key="k", deletes=dels)
+        assert man["version"] == 1
+        assert man["n_update_keys"] == 2
+        assert man["n_delete_keys"] == 2
+        out = {r["k"]: r["v"] for r in mtable_read(spark, t).collect()}
+        assert out[1] == 10.0 and out[200] == 20.0
+        assert 2 not in out and 3 not in out
+        assert len(out) == 99  # 100 - 2 deleted + 1 inserted
+
+    def test_mor_mode_shadows_deleted_rows(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t)
+        upd = spark.createDataFrame([(1, 10.0)], "k long, v double")
+        dels = spark.createDataFrame([(2,)], "k long")
+        man = mtable_merge(spark, t, upd, key="k", deletes=dels, mode="mor")
+        assert man["files_rewritten"] == 0 and man.get("dv")
+        out = {r["k"]: r["v"] for r in mtable_read(spark, t).collect()}
+        assert out[1] == 10.0 and 2 not in out and len(out) == 99
+
+    def test_deletes_only_empty_updates(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t)
+        empty = df.limit(0)
+        dels = spark.createDataFrame([(7,), (8,)], "k long")
+        man = mtable_merge(spark, t, empty, key="k", deletes=dels)
+        assert man["n_update_keys"] == 0 and man["n_delete_keys"] == 2
+        assert mtable_read(spark, t).count() == 48
+
+    def test_overlapping_key_refused(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t)
+        upd = spark.createDataFrame([(7, 1.0)], "k long, v double")
+        dels = spark.createDataFrame([(7,)], "k long")
+        with pytest.raises(ValueError, match="both updates and deletes"):
+            mtable_merge(spark, t, upd, key="k", deletes=dels)
+        # the refused commit left no version behind
+        assert read_manifest(t)["version"] == 0
+
+    def test_deletes_missing_key_column_refused(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t)
+        with pytest.raises(ValueError, match="missing key column"):
+            mtable_merge(
+                spark, t, df.limit(1), key="k",
+                deletes=spark.createDataFrame([(1.0,)], "z double"),
+            )
+
+    def test_extra_meta_lands_and_reserved_refused(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t, extra_meta={"owner": "mv-suite"})
+        assert read_manifest(t)["owner"] == "mv-suite"
+        upd = spark.createDataFrame([(1, 9.0)], "k long, v double")
+        man = mtable_merge(
+            spark, t, upd, key="k", extra_meta={"watermark": 42}
+        )
+        assert man["watermark"] == 42
+        with pytest.raises(ValueError, match="reserved"):
+            mtable_merge(spark, t, upd, key="k", extra_meta={"files": []})
+        with pytest.raises(ValueError, match="reserved"):
+            mtable_create(spark, df, str(tmp_path / "t2"), extra_meta={"op": "x"})
+
+
+class TestChangesPreImages:
+    def test_update_emits_pre_and_post(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t)
+        upd = spark.createDataFrame(
+            [(5, 50.0), (100, 1.0)], "k long, v double"
+        )
+        mtable_merge(spark, t, upd, key="k", deletes=spark.createDataFrame([(6,)], "k long"))
+        feed = mtable_changes(spark, t, 0, 1, key="k", pre_images=True)
+        rows = {(r["k"], r["_change_type"]): r["v"] for r in feed.collect()}
+        assert rows[(5, "update_preimage")] == 5.0
+        assert rows[(5, "update_postimage")] == 50.0
+        assert rows[(100, "insert")] == 1.0
+        assert rows[(6, "delete")] == 6.0
+        assert len(rows) == 4
+        # default vocabulary unchanged: post-image only
+        legacy = mtable_changes(spark, t, 0, 1, key="k")
+        lr = {(r["k"], r["_change_type"]): r["v"] for r in legacy.collect()}
+        assert lr == {
+            (5, "update"): 50.0,
+            (100, "insert"): 1.0,
+            (6, "delete"): 6.0,
+        }
+
+    def test_signed_feed_replays_any_aggregate(self, spark, tmp_path):
+        """The property that makes pre-images matter: SUM over
+        (sign × value) of the feed equals the between-version delta of
+        SUM over the table — for any window."""
+        t = str(tmp_path / "t")
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        mtable_create(spark, df, t)
+        mtable_merge(
+            spark, t,
+            spark.range(0, 50).select(
+                F.col("id").alias("k"), (F.col("id") * -2.0).alias("v")
+            ),
+            key="k",
+        )
+        mtable_delete(
+            spark, t, spark.range(150, 180).select(F.col("id").alias("k")),
+            key="k", mode="mor",
+        )
+        feed = mtable_changes(spark, t, 0, 2, key="k", pre_images=True)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        delta = feed.agg(F.sum(sign * F.col("v"))).collect()[0][0]
+        s0 = mtable_read(spark, t, version=0).agg(F.sum("v")).collect()[0][0]
+        s2 = mtable_read(spark, t, version=2).agg(F.sum("v")).collect()[0][0]
+        assert delta == pytest.approx(s2 - s0, rel=1e-12)
+
+
+class TestMviewStreaming:
+    def test_mv_follows_trickling_base(self, spark, tmp_path):
+        """The streaming tie-in: an mtable-versions stream drives
+        mv_sync_on_changes; after several trickle commits and
+        availableNow passes the view equals a full recompute, and a
+        replayed pass is a no-op (watermark already advanced)."""
+        from w4h_etl_container_spark.streaming.changefeed import (
+            MtableVersionsDataSource,
+            mv_sync_on_changes,
+        )
+
+        spark.dataSource.register(MtableVersionsDataSource)
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        ckpt = str(tmp_path / "ckpt")
+        mtable_create(spark, _base_df(spark, n=200), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+
+        def run_pass():
+            # starting_version=0: the default initial offset is the
+            # version current at checkpoint creation, which would skip
+            # the first commit (same option every index-sync test uses)
+            q = (
+                spark.readStream.format("mtable_versions")
+                .option("table_dir", base)
+                .option("starting_version", "0")
+                .load()
+                .writeStream.foreachBatch(mv_sync_on_changes(spark, mv))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+
+        rng = random.Random(7)
+        for i in range(3):
+            lo = rng.randrange(0, 300)
+            upd = spark.range(lo, lo + 30).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).alias("g"),
+                (F.col("id") * (i + 2.0)).alias("x"),
+            )
+            mtable_merge(spark, base, upd, key="k")
+            run_pass()
+            _assert_parity(spark, base, mv)
+        v_before = read_manifest(mv)["version"]
+        run_pass()  # no new base commits: the view must not move
+        assert read_manifest(mv)["version"] == v_before
+        _assert_parity(spark, base, mv)
+
+
+class TestMviewPrunedRecompute:
+    def test_dirty_recompute_prunes_clustered_base(self, spark, tmp_path):
+        """min/max dirty recompute goes through the data-skipping read
+        when the dirty set is small: on a base clustered by the group
+        column the IN-list bound refutes files at planning (asserted
+        via _skip_files), and the refreshed state stays parity."""
+        from w4h_etl_container_spark.operators.layout import cluster_by
+        from w4h_etl_container_spark.pipeline.mtable import _skip_files
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        df = _base_df(spark, n=2000, null_every=10**9)
+        mtable_create(spark, cluster_by(df, ["g"], n_files=7), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        # delete group 3's maximum: exactly one dirty group
+        gmax = (
+            mtable_read(spark, base)
+            .where("g = 3")
+            .orderBy(F.col("x").desc())
+            .limit(1)
+            .collect()[0]["k"]
+        )
+        mtable_delete(
+            spark, base, spark.createDataFrame([(gmax,)], "k long"), key="k"
+        )
+        # the pruning premise: the dirty group's IN-list refutes files
+        man = read_manifest(base)
+        kept, n_stats, _nb = _skip_files(spark, base, man, {"g": [3]})
+        assert n_stats > 0 and len(kept) < len(man["files"])
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 1
+        _assert_parity(spark, base, mv)
+
+    def test_above_cap_falls_back_to_full_scan(self, spark, tmp_path, monkeypatch):
+        import w4h_etl_container_spark.pipeline.mview as mview_mod
+
+        monkeypatch.setattr(mview_mod, "_DIRTY_PRUNE_CAP", 0)
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=500, null_every=10**9), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        # delete every group's minimum (k = g for g in 0..6); k=0's x
+        # is NULL (0 % null_every == 0 whatever the modulus), and
+        # removing a NULL value never dirties min/max — so 6 groups
+        # recompute, not 7
+        mtable_delete(
+            spark, base,
+            spark.createDataFrame([(g,) for g in range(7)], "k long"),
+            key="k",
+        )
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 6
+        _assert_parity(spark, base, mv)
+
+
+class TestMviewComposition:
+    def test_mv_over_mv(self, spark, tmp_path):
+        """Views compose: a view IS an mtable keyed on its group
+        columns, so a second-level rollup can materialize against the
+        first view's change feed — base churn flows through refresh
+        chains with no special casing."""
+        base = str(tmp_path / "b")
+        v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+        df = spark.range(0, 800).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 40).alias("g"),           # fine grain
+            ((F.col("id") % 40) % 5).alias("g5"),    # coarse grain
+            (F.col("id") * 1.0).alias("x"),
+        )
+        mtable_create(spark, df, base)
+        # level 1: per-(g, g5) count/sum — its merge key IS (g, g5);
+        # level 2: per-g5 rollup of the level-1 STORED sum column,
+        # maintained from the level-1 table's own change feed
+        mv_create(
+            spark, v1, base, group_by=["g", "g5"],
+            aggs={"n1": ("count", "*"), "s1": ("sum", "x")}, key="k",
+        )
+        mv_create(
+            spark, v2, v1, group_by="g5",
+            aggs={"n2": ("count", "*"), "s2": ("sum", "__s_s1")},
+            key=["g", "g5"],
+        )
+        upd = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 40).alias("g"),
+            ((F.col("id") % 40) % 5).alias("g5"),
+            (F.col("id") * 2.0).alias("x"),
+        )
+        mtable_merge(spark, base, upd, key="k")
+        mv_refresh(spark, v1)
+        rep = mv_refresh(spark, v2)
+        assert rep["refreshed"]
+        # level-2 parity against a from-scratch rollup of the BASE
+        exp = {
+            r["g5"]: (r["n2"], r["s2"])
+            for r in mtable_read(spark, base)
+            .groupBy("g5")
+            .agg(
+                F.count_distinct("g").alias("n2"), F.sum("x").alias("s2")
+            )
+            .collect()
+        }
+        got = {
+            r["g5"]: (r["n2"], r["s2"]) for r in mv_read(spark, v2).collect()
+        }
+        assert set(exp) == set(got)
+        for g5, (n2, s2) in exp.items():
+            assert got[g5][0] == n2
+            assert got[g5][1] == pytest.approx(s2, rel=1e-12)
+
+    def test_maintain_on_view_preserves_definition(self, spark, tmp_path):
+        """Compacting the VIEW table must not orphan it from its base:
+        the mv metadata rides _carry_schema through maintenance, and a
+        post-compaction refresh still applies base churn."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_maintain
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=600), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        for i in range(3):  # a few refresh commits → small files
+            upd = spark.range(i * 50, i * 50 + 50).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).alias("g"),
+                (F.col("id") * (i + 2.0)).alias("x"),
+            )
+            mtable_merge(spark, base, upd, key="k")
+            mv_refresh(spark, mv)
+        mtable_compact(spark, mv, target_bytes=1 << 30)
+        assert read_manifest(mv)["mv"]["base_version"] == 3
+        upd = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            F.lit(123.0).alias("x"),
+        )
+        mtable_merge(spark, base, upd, key="k")
+        rep = mv_refresh(spark, mv)
+        assert rep["refreshed"] and rep["base_version"] == 4
+        _assert_parity(spark, base, mv)
+        mtable_maintain(spark, mv)
+        assert read_manifest(mv)["mv"]["base_version"] == 4
+        _assert_parity(spark, base, mv)
+
+
+class TestMergeDeletesConcurrency:
+    def test_threaded_disjoint_merge_deletes_rebase(self, spark, tmp_path):
+        """mtable_merge(deletes=) under REAL thread interleaving: four
+        partition-disjoint writers each commit update+delete batches
+        with retries; every update lands exactly once and every delete
+        removes exactly its keys — the rebase key box spans BOTH key
+        sets, so disjoint writers serialize at manifest speed and no
+        delete resurrects or update vanishes."""
+        import threading
+
+        from w4h_etl_container_spark.pipeline import mtable as M
+
+        df = spark.createDataFrame(
+            [(i, i % 4, 0) for i in range(400)], "k long, p int, v long"
+        )
+        d = str(tmp_path / "stress")
+        M.mtable_create(spark, df, d, partition_by=["p"])
+        errors = []
+
+        def writer(p):
+            try:
+                for c in range(4):
+                    # update one in-partition key, delete another
+                    # (both ≡ p mod 4, disjoint from other writers and
+                    # from each other across iterations)
+                    upd = spark.createDataFrame(
+                        [(8 * c + p, p, 1000 * p + c)], "k long, p int, v long"
+                    )
+                    dels = spark.createDataFrame(
+                        [(8 * c + 4 + p, p)], "k long, p int"
+                    )
+                    M.mtable_merge(
+                        spark, d, upd, ["p", "k"], deletes=dels, retries=16
+                    )
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append((p, repr(e)))
+
+        threads = [threading.Thread(target=writer, args=(p,)) for p in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        out = {r["k"]: r["v"] for r in mtable_read(spark, d).collect()}
+        assert len(out) == 400 - 16  # 4 writers × 4 deletes
+        for p in range(4):
+            for c in range(4):
+                assert out[8 * c + p] == 1000 * p + c  # update landed
+                assert 8 * c + 4 + p not in out        # delete landed

@@ -304,6 +304,28 @@ def lakehouse_tier(sf_dir: str) -> dict:
             rec.setdefault("base_bytes", table_bytes(tdir, man["files"]))
             if mode == "cow":
                 rec["read_pre"] = read_wall(tdir)
+            if mode == "mor":
+                # INCREMENTAL MV (r16): the view sits on the MOR table
+                # because that is the base whose change feed is truly
+                # O(churn) — CoW trickle churn rewrites most files, so
+                # its v0→vN diff reads ~the table (the same CDF caveat
+                # the mtable_changes docstring states)
+                from w4h_etl_container_spark.pipeline import mview as MV
+
+                mvdir = os.path.join(LAKE_DIR, f"{churn_tag}-mv")
+                t0 = time.time()
+                MV.mv_create(
+                    spark, mvdir, tdir,
+                    group_by="cnt",
+                    aggs={
+                        "n": ("count", "*"),
+                        "sq": ("sum", "qty"),
+                        "mnq": ("min", "qty"),
+                        "mxq": ("max", "qty"),
+                    },
+                    key="okey",
+                )
+                rec["mv_create_wall"] = round(time.time() - t0, 3)
             data_bytes = 0
             dv_bytes = 0
             rows_churned = 0
@@ -395,6 +417,38 @@ def lakehouse_tier(sf_dir: str) -> dict:
         ).count()
         rec["changes_wall"] = round(time.time() - t0, 3)
         rec["changes_rows"] = int(n_changes)
+        # INCREMENTAL MV refresh vs full recompute (r16): ONE refresh
+        # absorbs every churn commit from the MOR table's DV-borne feed
+        # (O(churned rows)); the comparison recompute re-aggregates the
+        # whole base. At this page-cached scale the refresh carries a
+        # fixed commit cost — the structural claim is the feed volume
+        # (changes_rows above) vs base_rows, which scales.
+        from w4h_etl_container_spark.pipeline import mview as MV
+
+        mvdir = os.path.join(LAKE_DIR, f"{churn_tag}-mv")
+        t0 = time.time()
+        mv_rep = MV.mv_refresh(spark, mvdir)
+        rec["mv_refresh_wall"] = round(time.time() - t0, 3)
+        rec["mv_groups_recomputed"] = mv_rep.get("groups_recomputed")
+
+        def _mv_state(df):
+            return sorted(
+                (r["cnt"], r["n"], str(r["sq"]), str(r["mnq"]), str(r["mxq"]))
+                for r in df.collect()
+            )
+
+        def _recompute():
+            return M.mtable_read(spark, dirs["mor"]).groupBy("cnt").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("qty").alias("sq"),
+                F.min("qty").alias("mnq"),
+                F.max("qty").alias("mxq"),
+            )
+
+        rec["mv_recompute_wall"] = best_of(lambda: _recompute().collect())
+        rec["mv_equal_recompute"] = _mv_state(
+            MV.mv_read(spark, mvdir)
+        ) == _mv_state(_recompute())
         # maintain() on the MOR table: materialize DVs + compact small
         # files, then the read cost must come back down
         t0 = time.time()
@@ -407,6 +461,16 @@ def lakehouse_tier(sf_dir: str) -> dict:
         )
         rec["hash_equal_post_maintain"] = (
             checksum(dirs["cow"]) == checksum(dirs["mor"])
+        )
+        # the maintain was a pure compaction of the view's base: the
+        # next refresh must advance the watermark METADATA-ONLY (zero
+        # groups touched) — the property that keeps nightly OPTIMIZE
+        # from turning every downstream view refresh into a table diff
+        t0 = time.time()
+        mv_rep2 = MV.mv_refresh(spark, mvdir)
+        rec["mv_refresh_post_maintain_wall"] = round(time.time() - t0, 3)
+        rec["mv_refresh_post_maintain_groups"] = mv_rep2.get(
+            "groups_upserted", -1
         )
         if churn_tag == "10x":
             # DATA-SKIPPING READ at volume (r16): cluster the CoW table

@@ -1015,8 +1015,15 @@ def _plan_matched_files(
     # bounding box (for the rebase conflict check) — folding the box
     # into the job the planner already runs keeps the commit path at
     # the same job count it had before disjoint-writer rebase existed
+    null_cond = F.lit(False)
+    for c in keys:
+        null_cond = null_cond | F.col(c).isNull()
+    # the NULL-key refusal rides the SAME aggregate (one driver
+    # round-trip, not two — at commit frequency these planner jobs are
+    # the lakehouse's per-write floor)
     row = kdf.agg(
         F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(null_cond, 1).otherwise(0)).alias("__nn"),
         *[
             m
             for c in keys
@@ -1028,10 +1035,7 @@ def _plan_matched_files(
     if n_keys == 0:
         kdf.unpersist()
         raise ValueError(empty_msg)
-    null_cond = F.lit(False)
-    for c in keys:
-        null_cond = null_cond | F.col(c).isNull()
-    if kdf.where(null_cond).limit(1).count():
+    if row["__nn"]:
         kdf.unpersist()
         raise ValueError(
             f"mtable: NULL value in merge/delete key column(s) {keys} — "
@@ -1144,6 +1148,12 @@ def _carry_schema(man: dict, meta: dict) -> dict:
         meta["epoch_watermark"] = man["epoch_watermark"]
         if man.get("epochs") and "epochs" not in meta:
             meta["epochs"] = man["epochs"]
+    # a materialized view's definition + base watermark (pipeline/
+    # mview.py) must survive maintenance commits for the same reason
+    # as the epoch watermark: a compact that dropped it would orphan
+    # the view from its base table
+    if man.get("mv") is not None and "mv" not in meta:
+        meta["mv"] = man["mv"]
     return meta
 
 
@@ -1872,6 +1882,7 @@ def mtable_create(
     bloom_bits: int = _BLOOM_DEFAULT_BITS,
     partition_by: list[str] | None = None,
     checks: dict[str, str] | None = None,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Create version 0 from ``df``. ``bloom_keys`` opts the table into
     per-file key bloom filters (see the bloom section above): every
@@ -1917,6 +1928,18 @@ def mtable_create(
         meta["partition_by"] = partition_by
     if checks:
         meta["checks"] = dict(sorted(checks.items()))
+    if extra_meta:
+        reserved = set(meta) | {
+            "version", "files", "file_stats", "dv", "bloom", "committed_at",
+            "parent", "epochs", "epoch_watermark", "partition_root",
+        }
+        bad = reserved & set(extra_meta)
+        if bad:
+            raise ValueError(
+                f"mtable_create: extra_meta keys {sorted(bad)} collide with "
+                "reserved manifest metadata"
+            )
+        meta.update(extra_meta)
     bloom = None
     if bloom_keys:
         if bloom_bits & (bloom_bits - 1):
@@ -2395,6 +2418,8 @@ def mtable_merge(
     retries: int = 0,
     schema_evolution: bool = False,
     mode: str = "cow",
+    deletes: DataFrame | None = None,
+    extra_meta: dict | None = None,
 ) -> dict:
     """MERGE (upsert) ``updates`` by ``key`` (single column or
     composite list): rows whose key tuple exists are replaced, new
@@ -2439,10 +2464,43 @@ def mtable_merge(
 
     Returns the new manifest (also records files_rewritten /
     files_untouched / key_match_path so the no-table-rewrite property
-    and the chosen pruning strategy are observable)."""
+    and the chosen pruning strategy are observable).
+
+    ``deletes`` (a DataFrame carrying the key columns) extends the
+    upsert to the FULL ``MERGE INTO`` statement — WHEN MATCHED AND
+    <in deletes> THEN DELETE — in the SAME atomic commit: replaced
+    rows are replaced, fresh keys inserted, and the delete-key rows
+    removed, all published as one version (the shape an incremental
+    materialized-view refresh needs — changed groups upserted,
+    vanished groups dropped, no torn intermediate a reader or a crash
+    can observe). A key tuple in BOTH ``updates`` and ``deletes`` is
+    refused loudly (which action wins is undefined in every MERGE
+    dialect). Planning cost is unchanged: one planner pass over the
+    UNION of the two key sets.
+
+    ``extra_meta`` lands caller keys in the committed manifest's meta
+    (reserved manifest keys refused) — the crash-safe place to record
+    application watermarks (e.g. "this MV version reflects base
+    version N"): the CAS that publishes the data also publishes the
+    watermark, so a replay after a crash is impossible by
+    construction."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"mtable_merge: unknown mode {mode!r} (cow|mor)")
     keys = _as_keys(key)
+    if extra_meta:
+        reserved = {
+            "op", "parent", "keys", "mode", "schema_json", "files_rewritten",
+            "files_untouched", "n_update_keys", "n_delete_keys",
+            "key_match_path", "n_replaced", "partition_by", "partition_root",
+            "checks", "bloom", "version", "files", "file_stats", "dv",
+            "committed_at", "epochs", "epoch_watermark",
+        } & set(extra_meta)
+        if reserved:
+            raise ValueError(
+                f"mtable_merge: extra_meta keys {sorted(reserved)} collide "
+                "with reserved manifest metadata — pick application-level "
+                "names"
+            )
 
     def _once() -> dict:
         man = read_manifest(table_dir)
@@ -2457,24 +2515,77 @@ def mtable_merge(
         )
         _enforce_checks(updates, man.get("checks"), "merge")
         updates.persist()
+        dels_kdf = None
+        if deletes is not None:
+            missing_k = [c for c in keys if c not in deletes.columns]
+            if missing_k:
+                raise ValueError(
+                    f"mtable_merge: deletes is missing key column(s) "
+                    f"{missing_k}"
+                )
+            dels_kdf = deletes.select(*keys).distinct().persist()
+        plan_batch = (
+            updates
+            if dels_kdf is None
+            else updates.select(*keys).unionByName(dels_kdf)
+        )
         try:
             matched, untouched, n_keys, kdf, path, key_box = (
                 _plan_matched_files(
-                    spark, table_dir, man, updates, keys, max_collect_keys,
+                    spark, table_dir, man, plan_batch, keys, max_collect_keys,
                     "mtable_merge: empty update batch",
                 )
             )
             try:
-                n_rows = updates.count()
-                if n_rows != n_keys:
+                if dels_kdf is None:
+                    n_rows = updates.count()
+                    n_upd_keys = n_keys
+                else:
+                    # the planner counted the UNION of both key sets;
+                    # the duplicate-batch refusal below must judge the
+                    # update rows alone — and a key appearing on BOTH
+                    # sides has no defined winner, so refuse that too.
+                    # ONE tagged-union aggregate carries all three
+                    # counts (update rows, distinct update keys,
+                    # distinct delete keys); disjointness then falls
+                    # out arithmetically: overlap ⇔ upd + del > union
+                    krow = (
+                        updates.select(*keys)
+                        .withColumn("_mt_side", F.lit(1))
+                        .unionByName(dels_kdf.withColumn("_mt_side", F.lit(0)))
+                        .agg(
+                            F.sum("_mt_side").alias("__nu_rows"),
+                            F.count_distinct(
+                                F.when(
+                                    F.col("_mt_side") == 1, F.struct(*keys)
+                                )
+                            ).alias("__nu_keys"),
+                            F.count_distinct(
+                                F.when(
+                                    F.col("_mt_side") == 0, F.struct(*keys)
+                                )
+                            ).alias("__nd_keys"),
+                        )
+                        .collect()[0]
+                    )
+                    n_rows = krow["__nu_rows"] or 0
+                    n_upd_keys = krow["__nu_keys"]
+                    if n_upd_keys + krow["__nd_keys"] > n_keys:
+                        raise ValueError(
+                            "mtable_merge: a key tuple appears in both "
+                            "updates and deletes — whether it is replaced "
+                            "or removed is undefined; split the batch "
+                            "upstream"
+                        )
+                if n_rows != n_upd_keys:
                     # a batch with duplicate key tuples has no
                     # well-defined upsert (which row wins?) — the
                     # Delta/Iceberg "multiple source rows matched"
                     # refusal; dedupe upstream or pre-aggregate via
                     # mtable_merge_agg
                     raise ValueError(
-                        f"mtable_merge: update batch has {n_rows - n_keys} "
-                        f"duplicate key rows ({n_rows} rows, {n_keys} "
+                        f"mtable_merge: update batch has {n_rows - n_upd_keys} "
+                        f"duplicate key rows ({n_rows} rows, {n_upd_keys} "
                         f"distinct {keys}); an upsert needs one row per key"
                     )
                 dv_added: dict = {}
@@ -2539,6 +2650,8 @@ def mtable_merge(
                 kdf.unpersist()
         finally:
             updates.unpersist()
+            if dels_kdf is not None:
+                dels_kdf.unpersist()
         meta = {
             "op": "merge",
             "parent": man["version"],
@@ -2546,13 +2659,22 @@ def mtable_merge(
             "mode": mode,
             "files_rewritten": 0 if mode == "mor" else len(matched),
             "files_untouched": len(untouched),
-            "n_update_keys": n_keys,
+            "n_update_keys": n_upd_keys,
             "key_match_path": path,
             **({"n_replaced": n_replaced} if n_replaced is not None else {}),
+            # the overlap refusal above makes the two key sets
+            # disjoint, so the union count decomposes exactly
+            **(
+                {"n_delete_keys": n_keys - n_upd_keys}
+                if dels_kdf is not None
+                else {}
+            ),
         }
         meta = _carry_schema(man, meta)
         if evolved_json is not None:
             meta["schema_json"] = evolved_json
+        if extra_meta:
+            meta.update(extra_meta)
         _publish_or_rebase(
             spark, table_dir, man,
             loser_removed=set() if mode == "mor" else set(matched),
@@ -3611,6 +3733,7 @@ def mtable_changes(
     to_version: int | None = None,
     *,
     key: str | list[str],
+    pre_images: bool = False,
 ) -> DataFrame:
     """Row-level CHANGE FEED between two committed versions — Delta's
     Change Data Feed shape, derived for free from the copy-on-write
@@ -3631,6 +3754,16 @@ def mtable_changes(
     ``mtable_merge`` enforces): a changed row whose key also appears
     among the removed rows is an update; a changed row with a fresh
     key is an insert; a removed key with no replacement is a delete.
+
+    ``pre_images=True`` switches to the full Delta-CDF vocabulary:
+    updates emit BOTH rows — ``update_preimage`` (the replaced values)
+    and ``update_postimage`` (the new ones) — instead of the post-image
+    alone. Pre-images are what make the feed ALGEBRAICALLY consumable:
+    a downstream incremental aggregate (see ``pipeline/mview.py``)
+    applies each change as signed deltas (+post, −pre), which is
+    impossible when the replaced values are suppressed. Cost is zero
+    extra scans — the suppressed branch already exists in the counted
+    diff; the flag only stops dropping it.
 
     Degenerate diffs behave correctly by construction: a pure
     compaction rewrites every file but changes no rows — the
@@ -3746,18 +3879,29 @@ def mtable_changes(
         F.max(F.when(F.col("_mt_d") > 0, 1).otherwise(0)).over(w).alias("_mt_new"),
         F.max(F.when(F.col("_mt_d") < 0, 1).otherwise(0)).over(w).alias("_mt_old"),
     )
+    upd_label = "update_postimage" if pre_images else "update"
     ups = flagged.where(F.col("_mt_d") > 0).select(
         *cols,
-        F.when(F.col("_mt_old") == 1, F.lit("update"))
+        F.when(F.col("_mt_old") == 1, F.lit(upd_label))
         .otherwise(F.lit("insert"))
         .alias("_change_type"),
         F.explode(F.sequence(F.lit(1), F.col("_mt_d"))).alias("_mt_i"),
     ).drop("_mt_i")
-    dels = flagged.where(
-        (F.col("_mt_d") < 0) & (F.col("_mt_new") == 0)
-    ).select(
+    # without pre-images a replaced key's removed row is suppressed
+    # (the default feed carries updates as post-image only); with them
+    # it surfaces as update_preimage — same counted table, one more
+    # branch off the shared exchange
+    del_cond = F.col("_mt_d") < 0
+    if not pre_images:
+        del_cond = del_cond & (F.col("_mt_new") == 0)
+    dels = flagged.where(del_cond).select(
         *cols,
-        F.lit("delete").alias("_change_type"),
+        (
+            F.when(F.col("_mt_new") == 1, F.lit("update_preimage"))
+            .otherwise(F.lit("delete"))
+            if pre_images
+            else F.lit("delete")
+        ).alias("_change_type"),
         F.explode(F.sequence(F.lit(1), -F.col("_mt_d"))).alias("_mt_i"),
     ).drop("_mt_i")
     return ups.unionByName(dels)

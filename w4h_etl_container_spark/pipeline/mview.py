@@ -1,0 +1,461 @@
+"""Incremental MATERIALIZED VIEWS over manifest tables — the layer
+that turns "recompute the aggregate nightly" into "apply the change
+feed" (reference parity: the job's whole merge-then-reaggregate loop,
+`main.py:246-276` + `main.py:341-407`, is a hand-rolled single-view
+refresh; here it is a general operator).
+
+A view is ``SELECT group_by..., aggs... FROM base [WHERE filter]
+GROUP BY group_by`` materialized as its OWN manifest table keyed on
+the group columns, plus metadata — the definition, the base table
+path, and the base VERSION the stored rows reflect — recorded in the
+view table's committed manifest. Refresh reads the base's row-level
+change feed with pre-images (``mtable_changes(pre_images=True)``)
+between the recorded version and the base's current version and
+applies it algebraically:
+
+* ``count`` / ``sum`` / ``avg`` are self-maintainable: every feed row
+  contributes a SIGNED delta (+1 for insert / update_postimage, −1
+  for delete / update_preimage); one ``groupBy`` over the feed — which
+  is O(churned rows), never O(base) — yields per-group deltas that add
+  onto the stored state. ``avg`` stores (sum, count) and divides at
+  read time, so it stays exact whenever the sum is.
+* ``min`` / ``max`` are self-maintainable on the INSERT side
+  (``least``/``greatest`` against the stored value) but not under
+  removals: a removed value that ties the stored extremum makes the
+  group DIRTY, and dirty groups alone are recomputed from the base
+  snapshot with a key semi-join (partition/stats pruning applies when
+  the base is clustered by the group key). This is the standard MV
+  treatment (Larson & Zhou, "Efficient Maintenance of Materialized
+  Outer-Join Views", and every production MV engine): deletes against
+  extrema need the base, everything else needs only the delta.
+
+The refresh is ONE atomic commit on the view table: changed groups
+upsert, vanished groups delete (``mtable_merge(deletes=...)``), and
+the new base watermark rides the same manifest (``extra_meta``) — a
+crash either publishes all of it or none, so a replayed refresh is
+impossible by construction (it would see the already-advanced
+watermark and no-op).
+
+100 TB shape: refresh cost is O(churned files of the base) for the
+feed scan + O(touched groups) for the view commit. The view never
+rescans the base except for min/max dirty groups, and the commit
+rewrites only the view files holding touched groups.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from w4h_etl_container_spark.pipeline.mtable import (
+    _carry_schema,
+    _write_manifest,
+    mtable_create,
+    mtable_changes,
+    mtable_merge,
+    mtable_read,
+    read_manifest,
+)
+
+_FNS = ("count", "sum", "avg", "min", "max")
+_POST = ("insert", "update_postimage")
+
+#: dirty min/max groups at or under this count recompute through a
+#: data-skipping read (per-column IN-list pruning) instead of a full
+#: base scan; the cap bounds the driver-side key collect, not
+#: correctness (above it, the semi-join against the full read is the
+#: same result)
+_DIRTY_PRUNE_CAP = 64
+
+
+def _norm_spec(group_by, aggs) -> tuple[list[str], dict[str, tuple[str, str]]]:
+    gb = [group_by] if isinstance(group_by, str) else list(group_by)
+    if not gb:
+        raise ValueError("mview: group_by must name at least one column")
+    norm: dict[str, tuple[str, str]] = {}
+    for out, (fn, col) in aggs.items():
+        if fn not in _FNS:
+            raise ValueError(f"mview: unsupported aggregate {fn!r} (have {_FNS})")
+        if fn != "count" and col == "*":
+            raise ValueError(f"mview: {fn}(*) is not an aggregate; name a column")
+        if out in gb:
+            raise ValueError(f"mview: output {out!r} collides with a group column")
+        norm[out] = (fn, col)
+    if not norm:
+        raise ValueError("mview: at least one aggregate is required")
+    return gb, norm
+
+
+def _state_aggs(aggs: dict[str, tuple[str, str]]) -> list:
+    """The stored-state aggregate expressions for a FULL compute (create
+    and dirty-group recompute share them)."""
+    exprs = [F.count(F.lit(1)).alias("__rows")]
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            src = F.lit(1) if col == "*" else F.col(col)
+            exprs.append(F.count(src).alias(f"__s_{out}"))
+        elif fn in ("sum", "avg"):
+            exprs.append(F.sum(col).alias(f"__s_{out}"))
+            exprs.append(F.count(col).alias(f"__n_{out}"))
+        elif fn == "min":
+            exprs.append(F.min(col).alias(f"__v_{out}"))
+        else:
+            exprs.append(F.max(col).alias(f"__v_{out}"))
+    return exprs
+
+
+def _refuse_null_groups(df: DataFrame, gb: list[str], context: str) -> None:
+    cond = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in gb])
+    if df.where(cond).limit(1).count():
+        raise ValueError(
+            f"mview {context}: NULL in group column(s) {gb} — the group "
+            "tuple is the view table's merge key and NULL keys never "
+            "equi-match; COALESCE upstream or exclude with the view filter"
+        )
+
+
+def mv_create(
+    spark: SparkSession,
+    mv_dir: str,
+    base_dir: str,
+    *,
+    group_by,
+    aggs: dict[str, tuple[str, str]],
+    key,
+    where: str | None = None,
+) -> dict:
+    """Materialize the view (full compute, pinned to the base's current
+    version) and record its definition + watermark in version 0's
+    manifest. ``key`` is the BASE table's merge key (the change feed
+    classifies on it). ``aggs`` maps output name → (fn, column) with
+    fn ∈ count/sum/avg/min/max; ``("count", "*")`` counts rows.
+    ``where`` is an optional SQL filter applied to base rows before
+    grouping (and to every feed batch — filters commute with the
+    signed-delta algebra because they are row-local)."""
+    gb, aggs = _norm_spec(group_by, aggs)
+    base_man = read_manifest(base_dir)
+    base = mtable_read(spark, base_dir, version=base_man["version"])
+    if where:
+        base = base.where(where)
+    _refuse_null_groups(base.select(*gb), gb, "create")
+    state = base.groupBy(*gb).agg(*_state_aggs(aggs))
+    mv_meta = {
+        "base_dir": base_dir,
+        "base_version": base_man["version"],
+        "group_by": gb,
+        # list-of-triples, not a dict: the manifest JSON round-trip
+        # sorts object keys, and the view's declared column order must
+        # survive it
+        "aggs": [[o, fn, col] for o, (fn, col) in aggs.items()],
+        "key": [key] if isinstance(key, str) else list(key),
+        **({"where": where} if where else {}),
+    }
+    return mtable_create(spark, state, mv_dir, extra_meta={"mv": mv_meta})
+
+
+def _mv_meta(mv_dir: str) -> dict:
+    man = read_manifest(mv_dir)
+    mv = man.get("mv")
+    if not mv:
+        raise ValueError(
+            f"mview: {mv_dir} is not a materialized view (no 'mv' metadata "
+            "in its manifest) — create it with mv_create"
+        )
+    return man
+
+
+def mv_read(spark: SparkSession, mv_dir: str) -> DataFrame:
+    """The view as a USER-FACING DataFrame: group columns + the declared
+    aggregate outputs (avg divides its stored sum/count; an all-NULL
+    group exposes NULL exactly as a full recompute would)."""
+    man = _mv_meta(mv_dir)
+    mv = man["mv"]
+    stored = mtable_read(spark, mv_dir)
+    cols = [F.col(c) for c in mv["group_by"]]
+    for out, fn, _col in mv["aggs"]:
+        if fn == "count":
+            cols.append(F.col(f"__s_{out}").alias(out))
+        elif fn == "sum":
+            cols.append(
+                F.when(F.col(f"__n_{out}") > 0, F.col(f"__s_{out}")).alias(out)
+            )
+        elif fn == "avg":
+            cols.append(
+                F.when(
+                    F.col(f"__n_{out}") > 0,
+                    F.col(f"__s_{out}") / F.col(f"__n_{out}"),
+                ).alias(out)
+            )
+        else:
+            cols.append(F.col(f"__v_{out}").alias(out))
+    return stored.select(*cols)
+
+
+def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
+    """Advance the view to the base table's CURRENT version by applying
+    the change feed (see module docstring for the algebra). Returns a
+    report: versions spanned, groups upserted/deleted, and how many
+    groups needed a base recompute (min/max dirty set). Idempotent:
+    a refresh against an unchanged base is a no-op; a feed window with
+    zero row changes (pure compaction) advances the watermark with a
+    metadata-only commit."""
+    man = _mv_meta(mv_dir)
+    mv = man["mv"]
+    gb: list[str] = mv["group_by"]
+    aggs = {o: (fn, col) for o, fn, col in mv["aggs"]}
+    base_dir = mv["base_dir"]
+    synced = mv["base_version"]
+    base_man = read_manifest(base_dir)
+    current = base_man["version"]
+    if current == synced:
+        return {"refreshed": False, "base_version": synced}
+    if current < synced:
+        raise ValueError(
+            f"mview at {mv_dir}: base {base_dir} is at v{current} but the "
+            f"view reflects v{synced} — the base was restored/vacuumed past "
+            "the watermark; recreate the view"
+        )
+
+    feed = mtable_changes(
+        spark, base_dir, synced, current, key=mv["key"], pre_images=True
+    )
+    if mv.get("where"):
+        feed = feed.where(mv["where"])
+    sign = F.when(F.col("_change_type").isin(*_POST), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+
+    delta_aggs = [F.sum(sign).alias("__d_rows")]
+    minmax = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            src = (
+                sign
+                if col == "*"
+                else F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
+            )
+            delta_aggs.append(F.sum(src).alias(f"__ds_{out}"))
+        elif fn in ("sum", "avg"):
+            delta_aggs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sign * F.col(col)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"__ds_{out}")
+            )
+            delta_aggs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
+                ).alias(f"__dn_{out}")
+            )
+        elif fn == "min":
+            minmax.append((out, fn))
+            delta_aggs.append(F.min(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
+            delta_aggs.append(F.min(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
+        else:
+            minmax.append((out, fn))
+            delta_aggs.append(F.max(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
+            delta_aggs.append(F.max(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
+
+    delta = feed.groupBy(*gb).agg(*delta_aggs)
+
+    stored = mtable_read(spark, mv_dir, version=man["version"])
+    m, d = stored.alias("m"), delta.alias("d")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"m.{c}").eqNullSafe(F.col(f"d.{c}")) for c in gb],
+    )
+    # right join, not full outer: untouched groups stay in their files
+    # verbatim (the merge below never reads them) — only groups the
+    # delta names participate
+    j = m.join(d, cond, "right")
+    rows_new = F.coalesce(F.col("m.__rows"), F.lit(0)) + F.col("d.__d_rows")
+
+    sel = [F.col(f"d.{c}").alias(c) for c in gb]
+    sel.append(rows_new.alias("__rows"))
+    dirty = F.lit(False)
+    for out, (fn, _col) in aggs.items():
+        if fn == "count":
+            sel.append(
+                (
+                    F.coalesce(F.col(f"m.__s_{out}"), F.lit(0))
+                    + F.col(f"d.__ds_{out}")
+                ).alias(f"__s_{out}")
+            )
+        elif fn in ("sum", "avg"):
+            sel.append(
+                (
+                    F.coalesce(F.col(f"m.__s_{out}"), F.lit(0))
+                    + F.col(f"d.__ds_{out}")
+                ).alias(f"__s_{out}")
+            )
+            sel.append(
+                (
+                    F.coalesce(F.col(f"m.__n_{out}"), F.lit(0))
+                    + F.col(f"d.__dn_{out}")
+                ).alias(f"__n_{out}")
+            )
+        elif fn == "min":
+            sel.append(
+                F.least(F.col(f"m.__v_{out}"), F.col(f"d.__ins_{out}")).alias(
+                    f"__v_{out}"
+                )
+            )
+            # a removal at-or-below the stored minimum may have been the
+            # minimum itself (multiplicity is unknowable from the state)
+            # — recompute; stored-NULL with a non-null removal is a
+            # state mismatch, recompute that too
+            rm = F.col(f"d.__rm_{out}")
+            dirty = dirty | (
+                rm.isNotNull()
+                & (
+                    F.col(f"m.__v_{out}").isNull()
+                    | (rm <= F.col(f"m.__v_{out}"))
+                )
+            )
+        else:
+            sel.append(
+                F.greatest(
+                    F.col(f"m.__v_{out}"), F.col(f"d.__ins_{out}")
+                ).alias(f"__v_{out}")
+            )
+            rm = F.col(f"d.__rm_{out}")
+            dirty = dirty | (
+                rm.isNotNull()
+                & (
+                    F.col(f"m.__v_{out}").isNull()
+                    | (rm >= F.col(f"m.__v_{out}"))
+                )
+            )
+    merged = j.select(*sel, dirty.alias("__dirty")).persist()
+    try:
+        # ONE job classifies every touched group (negative-rows
+        # corruption, vanished, dirty, clean, NULL group keys) — the
+        # per-class counts the report needs anyway
+        null_g = reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in gb]
+        )
+        stats = merged.agg(
+            F.count(F.lit(1)).alias("touched"),
+            F.sum(F.when(null_g, 1).otherwise(0)).alias("nullg"),
+            F.sum(F.when(F.col("__rows") < 0, 1).otherwise(0)).alias("neg"),
+            F.sum(F.when(F.col("__rows") == 0, 1).otherwise(0)).alias("van"),
+            F.sum(
+                F.when((F.col("__rows") > 0) & F.col("__dirty"), 1).otherwise(0)
+            ).alias("dirty"),
+        ).collect()[0]
+        if stats["touched"] == 0:
+            # pure-compaction window (or the filter excluded all churn):
+            # nothing to apply, but the watermark must still advance or
+            # the next refresh re-diffs this window forever — a
+            # metadata-only commit, same shape as mtable_set_checks
+            meta = _carry_schema(
+                man,
+                {
+                    "op": "mv-refresh",
+                    "parent": man["version"],
+                    "mv": {**mv, "base_version": current},
+                },
+            )
+            _write_manifest(
+                mv_dir,
+                man["version"] + 1,
+                man["files"],
+                meta,
+                file_stats=man.get("file_stats"),
+                dv=man.get("dv"),
+                bloom=man.get("bloom"),
+            )
+            return {
+                "refreshed": True,
+                "base_version": current,
+                "groups_upserted": 0,
+                "groups_deleted": 0,
+                "groups_recomputed": 0,
+            }
+        if stats["nullg"]:
+            raise ValueError(
+                f"mview refresh at {mv_dir}: NULL in group column(s) {gb} "
+                "entered the base — the group tuple is the view table's "
+                "merge key and NULL keys never equi-match; COALESCE "
+                "upstream or exclude with the view filter"
+            )
+        if stats["neg"]:
+            raise ValueError(
+                f"mview at {mv_dir}: refresh drove a group's row count "
+                "negative — the stored state disagrees with the change "
+                "feed (was the base restored across the watermark, or "
+                "the view table written to directly?); recreate the view"
+            )
+        n_dirty = stats["dirty"]
+        n_del = stats["van"]
+        vanished = merged.where(F.col("__rows") == 0).select(*gb)
+        upserts = merged.where((F.col("__rows") > 0) & ~F.col("__dirty")).drop(
+            "__dirty"
+        )
+        if n_dirty:
+            dirty_keys = merged.where(
+                (F.col("__rows") > 0) & F.col("__dirty")
+            ).select(*gb)
+            if n_dirty <= _DIRTY_PRUNE_CAP:
+                # a small dirty set prunes the recompute scan through
+                # the manifest's data-skipping reads: per-column
+                # IN-lists refute files at PLANNING time (exact on a
+                # base clustered/partitioned by the group columns;
+                # conservative no-op otherwise), and the semi-join
+                # below stays the correctness filter either way. The
+                # collect is bounded by the cap — never by group
+                # cardinality.
+                from w4h_etl_container_spark.pipeline.mtable import (
+                    mtable_read_pruned,
+                )
+
+                rows = dirty_keys.collect()
+                bounds = {c: sorted({r[c] for r in rows}) for c in gb}
+                base = mtable_read_pruned(
+                    spark, base_dir, bounds, version=current
+                )
+            else:
+                base = mtable_read(spark, base_dir, version=current)
+            if mv.get("where"):
+                base = base.where(mv["where"])
+            recomp = (
+                base.join(F.broadcast(dirty_keys), gb, "left_semi")
+                .groupBy(*gb)
+                .agg(*_state_aggs(aggs))
+            )
+            upserts = upserts.unionByName(recomp)
+        # align the upsert batch to the stored schema's column order and
+        # types (sum deltas over an empty side widen long→long, but a
+        # double-typed stored sum must stay double)
+        upserts = upserts.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in stored.schema.fields
+            ]
+        )
+        # ONE atomic commit whatever the mix: merge accepts an empty
+        # upsert side when deletes are present, so even an
+        # all-groups-vanished refresh publishes data + watermark
+        # together — no crash window between "state changed" and
+        # "watermark advanced"
+        mtable_merge(
+            spark,
+            mv_dir,
+            upserts,
+            key=gb,
+            deletes=vanished if n_del else None,
+            extra_meta={"mv": {**mv, "base_version": current}},
+            expected_version=man["version"],
+        )
+        return {
+            "refreshed": True,
+            "base_version": current,
+            "groups_upserted": stats["touched"] - n_del,
+            "groups_deleted": n_del,
+            "groups_recomputed": n_dirty,
+        }
+    finally:
+        merged.unpersist()

@@ -153,6 +153,8 @@ def q_mtable_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base WHERE okey % 211 = 0 AND lineno = 1
     """,
     survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # r16 late rotation: 3 rounds green; q_mtable_mv's churn-2
+    # commit is now the gate's MOR representative (DV merge+delete)
 )
 def q_mtable_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``q_mtable_merge``'s exact upsert through the MERGE-ON-READ
@@ -792,3 +794,111 @@ def q_mtable_skipread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mtable_read_pruned(spark, d, {"ckey": (200, 699)}).select(
         "ckey", "seg", "bal"
     )
+
+
+@register(
+    "q_mtable_mv",
+    sql="""
+    WITH base AS (
+      SELECT c_custkey AS ckey, c_nationkey AS g,
+             ROUND(CAST(c_acctbal AS DOUBLE) * 100) AS bal
+      FROM customer
+    ),
+    churn AS (
+      SELECT ckey, g,
+             CASE WHEN ckey % 53 = 0 THEN bal + 700 ELSE bal END AS bal
+      FROM base
+      WHERE NOT (ckey % 89 = 0 AND ckey % 53 <> 0)
+      UNION ALL
+      SELECT ckey + 10000000 AS ckey, g, 9900.0 AS bal
+      FROM base WHERE ckey % 211 = 0
+    )
+    SELECT g,
+           COUNT(*) AS n, SUM(bal) AS sb, AVG(bal) AS ab,
+           MIN(bal) AS mnb, MAX(bal) AS mxb
+    FROM churn GROUP BY 1
+    """,
+    survey_ids=("STR-1", "AGG-1", "EXT-LAKEHOUSE"),
+)
+def q_mtable_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 INCREMENTAL MATERIALIZED VIEW end to end
+    (pipeline/mview.py — the reference's merge-then-reaggregate loop,
+    ``main.py:246-276``, generalized): customer (balances in integral
+    CENTS, so every sum is order-independent and oracle-exact) becomes
+    an mtable; an MV (count/sum/avg/min/max per nation) materializes
+    against it; then ONE atomic commit carries all three mutation
+    kinds — every 53rd balance updated, a synthetic customer per 211th
+    inserted, every (non-updated) 89th deleted — through
+    ``mtable_merge(deletes=)`` in MERGE-ON-READ mode (full MERGE INTO:
+    zero data files rewritten, pre-images carried by the deletion
+    vector). ``mv_refresh`` absorbs that commit from the row-level
+    change feed with pre-images: signed deltas maintain count/sum/avg;
+    min/max recompute only the groups whose stored extremum a removal
+    hit. The oracle restates the history as CASE/UNION/WHERE + one
+    GROUP BY: hash parity proves the incremental state equals the
+    from-scratch aggregate. In-query assertions pin the metadata: the
+    watermark advances WITH the data (same manifest CAS — crash-safe
+    by construction) and a refresh against an unchanged base is a
+    no-op. 100 TB shape: refresh reads O(churned files), never the
+    base; the view commit rewrites only files holding touched groups.
+    Multi-window refresh sequences, CoW feeds, and the randomized
+    mutation model check live in tests/test_mview.py."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+        read_manifest,
+    )
+    from w4h_etl_container_spark.pipeline.mview import (
+        mv_create,
+        mv_read,
+        mv_refresh,
+    )
+
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_nationkey").alias("g"),
+        F.round(F.col("c_acctbal").cast("double") * 100).alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-mv-base-")
+    v = _scratch_dir("q-mtable-mv-view-")
+    mtable_create(spark, base.repartition(4, "ckey"), d)
+    mv_create(
+        spark, v, d,
+        group_by="g",
+        aggs={
+            "n": ("count", "*"),
+            "sb": ("sum", "bal"),
+            "ab": ("avg", "bal"),
+            "mnb": ("min", "bal"),
+            "mxb": ("max", "bal"),
+        },
+        key="ckey",
+    )
+    cur = mtable_read(spark, d)
+    del_pred = (F.col("ckey") % 89 == 0) & (F.col("ckey") % 53 != 0)
+    upd = cur.where(F.col("ckey") % 53 == 0).withColumn(
+        "bal", F.col("bal") + 700
+    )
+    ins = (
+        cur.where(F.col("ckey") % 211 == 0)
+        .withColumn("ckey", F.col("ckey") + 10000000)
+        .withColumn("bal", F.lit(9900.0))
+    )
+    dels = cur.where(del_pred).select("ckey")
+    man = mtable_merge(
+        spark, d, upd.unionByName(ins), key="ckey", deletes=dels, mode="mor"
+    )
+    if man["files_rewritten"] != 0:
+        raise AssertionError("MOR merge+delete rewrote data files")
+    if not (man["n_update_keys"] > 0 and man["n_delete_keys"] > 0):
+        raise AssertionError("the atomic commit lost one of its sides")
+    rep = mv_refresh(spark, v)
+    if read_manifest(v)["mv"]["base_version"] != man["version"]:
+        raise AssertionError("view watermark lags the base after refresh")
+    if rep["groups_deleted"] != 0 or rep["groups_upserted"] == 0:
+        raise AssertionError(f"unexpected refresh shape: {rep}")
+    rep2 = mv_refresh(spark, v)
+    if rep2["refreshed"]:
+        raise AssertionError("refresh against an unchanged base was not a no-op")
+    return mv_read(spark, v)

@@ -70,7 +70,11 @@ QUERIES: dict[str, Query] = {}
 # gate-covered by q_mtable_evolution's mixed-spec cycle), and the
 # SAME-round q_mtable_overwrite (dynamic partition overwrite with
 # foreign-partition inode pins) took q_ann_lsh's (EXT-SIM keeps gate
-# reps q_ann_probe / q_embed_neardup / q_quantize).
+# reps q_ann_probe / q_embed_neardup / q_quantize). Late r16: the
+# SAME-round q_mtable_mv (incremental materialized view over the
+# pre-image change feed; its churn-2 commit is an atomic MOR
+# merge+delete, keeping a DV write cycle on the gate) took
+# q_mtable_merge_mor's slot (three rounds hash-green).
 # Library queries keep their oracle SQL and stay pinned by the pytest
 # plan-shape and selfcheck-library suites — same code path, one
 # registry flag.

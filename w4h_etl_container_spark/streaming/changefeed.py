@@ -248,3 +248,33 @@ def sync_index_on_changes(
         _sync(spark, index_dir, table_dir, to_version=target)
 
     return _fb
+
+
+def mv_sync_on_changes(spark: SparkSession, mv_dir: str):
+    """foreachBatch adapter keeping a MATERIALIZED VIEW
+    (pipeline/mview.py) current behind a trickling base table: each
+    micro-batch of version rows collapses into ONE ``mv_refresh`` call
+    — the refresh diffs from the view's own manifest watermark to the
+    base's newest committed version, so intermediate versions cost one
+    O(churned files) application and a replayed batch is a no-op (the
+    watermark already advanced; the refresh returns refreshed=False).
+    Wire it to the mtable-versions stream exactly like the index
+    syncs:
+
+        reader = (spark.readStream.format("mtable-versions")
+                  .option("table_dir", base).load())
+        reader.writeStream.foreachBatch(mv_sync_on_changes(spark, mv))
+    """
+    from w4h_etl_container_spark.pipeline.mview import mv_refresh
+
+    def _fb(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.select("version").limit(1).collect():
+            return
+        # mv_refresh reads the base's CURRENT version itself; the batch
+        # is only the wake-up signal (its max version is ≤ current, and
+        # refreshing past it is strictly fresher — same contract as the
+        # index syncs' to_version=max, minus the pin, because the view
+        # watermark rides the view table's own CAS)
+        mv_refresh(spark, mv_dir)
+
+    return _fb
