@@ -422,3 +422,61 @@ class TestCompaction:
         out = str(tmp_path / "comp3")
         man = compact_table(spark, src, out, target_bytes=1 << 20)
         assert man["rows"] == spark.read.parquet(out).count() == 1000
+
+
+class TestZorderMtableSkipread:
+    def test_zorder_compaction_composes_with_data_skipping_reads(
+        self, spark, tmp_path
+    ):
+        """End-to-end layout story: OPTIMIZE ZORDER BY (x, y) through
+        mtable_compact, then manifest-stats skip-reads prune files on
+        EITHER column — and on both at once — with results identical
+        to the unpruned filtered read. The linear-clustered control in
+        TestZorder shows a trailing key cannot prune; this pins that
+        the MANIFEST layer actually delivers the Morton layout's
+        promise to readers."""
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _skip_files,
+            mtable_compact,
+            mtable_create,
+            mtable_read,
+            mtable_read_pruned,
+            read_manifest,
+        )
+
+        grid = (
+            spark.range(0, 10000)
+            .select(
+                (F.col("id") % 100).alias("x"),
+                (F.col("id") / 100).cast("long").alias("y"),
+                F.col("id").alias("payload"),
+            )
+        )
+        d = str(tmp_path / "t")
+        mtable_create(spark, grid.repartition(4), d)
+        mtable_compact(spark, d, zorder=["x", "y"], target_bytes=5 << 10)
+        man = read_manifest(d)
+        n = len(man["files"])
+        assert n >= 8, n
+        band = (40, 49)
+        kept_x, sx, _ = _skip_files(spark, d, man, {"x": band})
+        kept_y, sy, _ = _skip_files(spark, d, man, {"y": band})
+        kept_xy, _, _ = _skip_files(spark, d, man, {"x": band, "y": band})
+        assert sx > 0 and len(kept_x) <= n // 2 + 2, (len(kept_x), n)
+        assert sy > 0 and len(kept_y) <= n // 2 + 2, (len(kept_y), n)
+        assert len(kept_xy) <= min(len(kept_x), len(kept_y))
+        for where in ({"x": band}, {"y": band}, {"x": band, "y": band}):
+            cond = F.lit(True)
+            for c, (lo, hi) in where.items():
+                cond = cond & F.col(c).between(lo, hi)
+            a = sorted(
+                (r["x"], r["y"], r["payload"])
+                for r in mtable_read_pruned(spark, d, where).collect()
+            )
+            b = sorted(
+                (r["x"], r["y"], r["payload"])
+                for r in mtable_read(spark, d).where(cond).collect()
+            )
+            assert a == b and len(a) > 0

@@ -688,3 +688,142 @@ class TestMergeDeletesConcurrency:
             for c in range(4):
                 assert out[8 * c + p] == 1000 * p + c  # update landed
                 assert 8 * c + 4 + p not in out        # delete landed
+
+
+class TestMviewRobustness:
+    def test_base_schema_evolution_mid_view(self, spark, tmp_path):
+        """A base column ADDED after the view exists must not disturb
+        refresh: the feed reads both sides under the newer schema and
+        the delta aggregates touch only the view's declared columns."""
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=300), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        evolved = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 4.0).alias("x"),
+            F.lit("tagged").alias("note"),   # NEW column
+        )
+        mtable_merge(spark, base, evolved, key="k", schema_evolution=True)
+        rep = mv_refresh(spark, mv)
+        assert rep["refreshed"]
+        _assert_parity(spark, base, mv)
+
+    def test_base_vacuumed_past_watermark_fails_loudly(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_vacuum
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=200), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        for i in range(3):
+            upd = spark.range(i * 20, i * 20 + 20).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).alias("g"),
+                (F.col("id") * (i + 2.0)).alias("x"),
+            )
+            mtable_merge(spark, base, upd, key="k")
+        # drop everything but the newest version: the watermark (v0) is
+        # no longer diffable — the refresh must fail loudly, not apply
+        # a partial window
+        mtable_vacuum(base, retain_versions=1, grace_seconds=0)
+        v_before = read_manifest(mv)["version"]
+        with pytest.raises(Exception):
+            mv_refresh(spark, mv)
+        assert read_manifest(mv)["version"] == v_before  # nothing committed
+
+
+class TestMviewKmv:
+    """Approximate count-distinct as a maintainable aggregate: the
+    stored k-min state must equal a from-scratch sketch BIT FOR BIT
+    after any refresh (k-min sets are union-maintainable over a
+    deterministic hash), and removals dirty a group only when the
+    removed hash could sit inside the state."""
+
+    @staticmethod
+    def _state(spark, mv_dir):
+        return {
+            r["g"]: tuple(r["__kmv_du"])
+            for r in mtable_read(spark, mv_dir).select("g", "__kmv_du").collect()
+        }
+
+    @staticmethod
+    def _recompute(spark, base_dir):
+        from w4h_etl_container_spark.pipeline.mview import (
+            _KMV_K,
+            _kmv_hash,
+        )
+
+        rows = (
+            mtable_read(spark, base_dir)
+            .groupBy("g")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set(_kmv_hash("val"))), 1, _KMV_K
+                ).alias("s")
+            )
+            .collect()
+        )
+        return {r["g"]: tuple(r["s"]) for r in rows}
+
+    def _base(self, spark, n=2000):
+        return spark.range(0, n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % 97).alias("val"),   # heavy value duplication
+        )
+
+    def test_state_equals_recompute_through_churn(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, self._base(spark), base)
+        mv_create(
+            spark, mv, base, group_by="g", aggs={"du": ("kmv", "val")}, key="k"
+        )
+        assert self._state(spark, mv) == self._recompute(spark, base)
+        # insert-only churn: fresh values extend the sketch, no dirty
+        ins = spark.range(10000, 10200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % 397 + 1000).alias("val"),
+        )
+        mtable_merge(spark, base, ins, key="k")
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 0
+        assert self._state(spark, mv) == self._recompute(spark, base)
+        # removals: values are heavily duplicated, so a deleted row's
+        # value usually survives in other rows — the sketch must NOT
+        # change for those, and must recompute when an in-state hash's
+        # last holder goes away; state-vs-recompute equality covers both
+        mtable_delete(
+            spark, base, spark.range(0, 300, 3).select(F.col("id").alias("k")),
+            key="k", mode="mor",
+        )
+        mv_refresh(spark, mv)
+        assert self._state(spark, mv) == self._recompute(spark, base)
+        # update churn (pre-image removal + post-image insert)
+        upd = spark.range(300, 500).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % 53 + 5000).alias("val"),
+        )
+        mtable_merge(spark, base, upd, key="k")
+        mv_refresh(spark, mv)
+        assert self._state(spark, mv) == self._recompute(spark, base)
+
+    def test_estimate_quality_and_exact_below_k(self, spark, tmp_path):
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        # group 0: 10 distinct values (< K=32, estimate must be EXACT);
+        # group 1: 500 distinct values (~±20% at K=32)
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            (F.col("id") < 500).cast("long").alias("g"),
+            F.when(F.col("id") < 500, F.col("id") % 10)
+            .otherwise(500 + F.col("id"))
+            .alias("val"),
+        )
+        mtable_create(spark, df, base)
+        mv_create(
+            spark, mv, base, group_by="g", aggs={"du": ("kmv", "val")}, key="k"
+        )
+        got = {r["g"]: r["du"] for r in mv_read(spark, mv).collect()}
+        assert got[1] == 10.0   # g=1 ⇔ id<500 ⇔ val = id % 10
+        assert 500 * 0.5 < got[0] < 500 * 2.0

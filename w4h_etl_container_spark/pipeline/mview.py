@@ -59,8 +59,27 @@ from w4h_etl_container_spark.pipeline.mtable import (
     read_manifest,
 )
 
-_FNS = ("count", "sum", "avg", "min", "max")
+_FNS = ("count", "sum", "avg", "min", "max", "kmv")
 _POST = ("insert", "update_postimage")
+
+#: KMV approximate-distinct state size and hash domain (matches
+#: plans/sketches.py): the K smallest DISTINCT 60-bit hashes of the
+#: column. K-min sets are UNION-maintainable — merging an insert
+#: batch's k-min set into the stored one and re-truncating gives
+#: exactly the from-scratch sketch (deterministic hash ⇒ incremental
+#: ≡ recompute, bit for bit) — so the sketch refreshes like sum, and
+#: only REMOVALS whose hash could sit inside the state (≤ the stored
+#: maximum) dirty the group, exactly the min/max rule.
+_KMV_K = 32
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_hash(col: str):
+    """60-bit md5-derived hash of the column's string form (same form
+    as plans/sketches.py so estimates agree across the repo)."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
 
 #: dirty min/max groups at or under this count recompute through a
 #: data-skipping read (per-column IN-list pruning) instead of a full
@@ -101,8 +120,26 @@ def _state_aggs(aggs: dict[str, tuple[str, str]]) -> list:
             exprs.append(F.count(col).alias(f"__n_{out}"))
         elif fn == "min":
             exprs.append(F.min(col).alias(f"__v_{out}"))
-        else:
+        elif fn == "max":
             exprs.append(F.max(col).alias(f"__v_{out}"))
+        else:  # kmv
+            # the K smallest DISTINCT hashes; collect_set skips NULLs.
+            # Scale note: collect_set materializes the group's full
+            # distinct hash set before the slice — a production
+            # deployment swaps in a bounded k-min aggregator (same
+            # 32-long contract); the STATE and its maintenance algebra
+            # are identical either way.
+            # canonical array<bigint> (containsNull=true): collect_set
+            # infers containsNull=false while the refresh's
+            # union-with-empty path infers true — a merge would refuse
+            # the "type change" unless both land on one spelling
+            exprs.append(
+                F.slice(
+                    F.array_sort(F.collect_set(_kmv_hash(col))), 1, _KMV_K
+                )
+                .cast("array<bigint>")
+                .alias(f"__kmv_{out}")
+            )
     return exprs
 
 
@@ -188,6 +225,19 @@ def mv_read(spark: SparkSession, mv_dir: str) -> DataFrame:
                     F.col(f"__s_{out}") / F.col(f"__n_{out}"),
                 ).alias(out)
             )
+        elif fn == "kmv":
+            # the standard KMV estimator: exact below K distinct
+            # hashes (the state IS the set), else (K-1)·domain / kth
+            st = F.col(f"__kmv_{out}")
+            cols.append(
+                F.when(F.size(st) < _KMV_K, F.size(st).cast("double"))
+                .otherwise(
+                    F.lit(float(_KMV_K - 1))
+                    * F.lit(_KMV_DOMAIN)
+                    / F.element_at(st, _KMV_K).cast("double")
+                )
+                .alias(out)
+            )
         else:
             cols.append(F.col(f"__v_{out}").alias(out))
     return stored.select(*cols)
@@ -254,10 +304,23 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             minmax.append((out, fn))
             delta_aggs.append(F.min(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
             delta_aggs.append(F.min(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
-        else:
+        elif fn == "max":
             minmax.append((out, fn))
             delta_aggs.append(F.max(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
             delta_aggs.append(F.max(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
+        else:  # kmv: k-min set of inserted hashes; smallest removed hash
+            delta_aggs.append(
+                F.slice(
+                    F.array_sort(
+                        F.collect_set(F.when(sign > 0, _kmv_hash(col)))
+                    ),
+                    1,
+                    _KMV_K,
+                ).alias(f"__kins_{out}")
+            )
+            delta_aggs.append(
+                F.min(F.when(sign < 0, _kmv_hash(col))).alias(f"__krm_{out}")
+            )
 
     delta = feed.groupBy(*gb).agg(*delta_aggs)
 
@@ -315,7 +378,7 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                     | (rm <= F.col(f"m.__v_{out}"))
                 )
             )
-        else:
+        elif fn == "max":
             sel.append(
                 F.greatest(
                     F.col(f"m.__v_{out}"), F.col(f"d.__ins_{out}")
@@ -328,6 +391,32 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                     F.col(f"m.__v_{out}").isNull()
                     | (rm >= F.col(f"m.__v_{out}"))
                 )
+            )
+        else:  # kmv: union + re-truncate is EXACTLY the from-scratch
+            # sketch (k-min sets are union-maintainable); a removal
+            # whose hash is at or under the stored maximum may sit
+            # inside the state — recompute, same rule as min/max
+            st = F.col(f"m.__kmv_{out}")
+            ins = F.col(f"d.__kins_{out}")
+            empty = F.array().cast("array<long>")
+            sel.append(
+                F.slice(
+                    F.array_sort(
+                        F.array_union(
+                            F.coalesce(st, empty), F.coalesce(ins, empty)
+                        )
+                    ),
+                    1,
+                    _KMV_K,
+                ).alias(f"__kmv_{out}")
+            )
+            rm = F.col(f"d.__krm_{out}")
+            kmax = F.when(
+                st.isNotNull() & (F.size(st) > 0),
+                F.element_at(st, F.size(st)),
+            )
+            dirty = dirty | (
+                rm.isNotNull() & (kmax.isNull() | (rm <= kmax))
             )
     merged = j.select(*sel, dirty.alias("__dirty")).persist()
     try:

@@ -902,3 +902,107 @@ def q_mtable_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rep2["refreshed"]:
         raise AssertionError("refresh against an unchanged base was not a no-op")
     return mv_read(spark, v)
+
+
+def _mv_kmv_sql() -> str:
+    from w4h_etl_container_spark.plans.textops import _nib_sql
+
+    h = _nib_sql("md5(CAST(val AS VARCHAR))", 15)
+    return f"""
+    WITH base AS (
+      SELECT c_custkey AS ckey, c_mktsegment AS g,
+             c_custkey % 997 AS val
+      FROM customer
+    ),
+    churn AS (
+      SELECT ckey, g,
+             CASE WHEN ckey % 31 = 0 THEN val + 100000 ELSE val END AS val
+      FROM base
+      WHERE NOT (ckey % 73 = 0 AND ckey % 31 <> 0)
+    ),
+    hashes AS (SELECT DISTINCT g, {h} AS h FROM churn),
+    ranked AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM hashes
+    )
+    SELECT g, COUNT(*) AS n_mins, MAX(h) AS kth_min,
+           FLOOR((CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE 31.0 * 1152921504606846976.0
+                            / CAST(MAX(h) AS DOUBLE)
+                  END) * 1000000.0 + 0.5) / 1000000.0 AS est
+    FROM ranked WHERE rn <= 32 GROUP BY g
+    """
+
+
+@register(
+    "q_mtable_mv_kmv",
+    sql=_mv_kmv_sql(),
+    survey_ids=("STR-1", "AGG-2", "EXT-LAKEHOUSE"),
+    gate=False,  # library: the sketch-MV's oracle proof without
+    # spending a second gate slot on the MV family
+)
+def q_mtable_mv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE COUNT-DISTINCT as a maintainable MV aggregate
+    (``("kmv", col)`` in pipeline/mview.py): the stored state is the
+    K=32 smallest distinct 60-bit hashes per group — union-maintainable
+    (insert batches merge + re-truncate to EXACTLY the from-scratch
+    sketch, because k-min is a set operation on a deterministic hash),
+    with removals dirtying a group only when the removed hash could
+    sit inside the state (≤ its stored maximum, the min/max rule).
+    Here: customer's (custkey % 997) values sketch per market segment;
+    one atomic merge+delete churns the base; one refresh absorbs it;
+    the STORED STATE's (size, max) and the standard estimator are
+    hash-checked against DuckDB replaying the identical k-min over the
+    post-churn rows — sketch parity, not just estimate parity. The
+    rollup-cube view (Druid/Pinot-style) this enables is the 100 TB
+    point: distinct-count dashboards refresh from the feed at O(churn)
+    instead of re-scanning for COUNT(DISTINCT)."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+        read_manifest,
+    )
+    from w4h_etl_container_spark.pipeline.mview import (
+        _KMV_K,
+        mv_create,
+        mv_refresh,
+    )
+
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("g"),
+        (F.col("c_custkey") % 997).alias("val"),
+    )
+    d = _scratch_dir("q-mv-kmv-base-")
+    v = _scratch_dir("q-mv-kmv-view-")
+    mtable_create(spark, base.repartition(4, "ckey"), d)
+    mv_create(
+        spark, v, d, group_by="g", aggs={"du": ("kmv", "val")}, key="ckey"
+    )
+    cur = mtable_read(spark, d)
+    del_pred = (F.col("ckey") % 73 == 0) & (F.col("ckey") % 31 != 0)
+    upd = cur.where(F.col("ckey") % 31 == 0).withColumn(
+        "val", F.col("val") + 100000
+    )
+    dels = cur.where(del_pred).select("ckey")
+    man = mtable_merge(spark, d, upd, key="ckey", deletes=dels)
+    rep = mv_refresh(spark, v)
+    if not (rep["refreshed"] and rep["base_version"] == man["version"]):
+        raise AssertionError(f"refresh did not track the churn: {rep}")
+    if mv_refresh(spark, v)["refreshed"]:
+        raise AssertionError("second refresh was not a no-op")
+    st = F.col("__kmv_du")
+    est = F.when(F.size(st) < _KMV_K, F.size(st).cast("double")).otherwise(
+        F.lit(31.0)
+        * F.lit(1152921504606846976.0)
+        / F.element_at(st, _KMV_K).cast("double")
+    )
+    return mtable_read(spark, v).select(
+        "g",
+        F.size(st).cast("long").alias("n_mins"),
+        F.element_at(st, F.size(st)).alias("kth_min"),
+        (F.floor(est * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "est"
+        ),
+    )
