@@ -827,3 +827,79 @@ class TestMviewKmv:
         got = {r["g"]: r["du"] for r in mv_read(spark, mv).collect()}
         assert got[1] == 10.0   # g=1 ⇔ id<500 ⇔ val = id % 10
         assert 500 * 0.5 < got[0] < 500 * 2.0
+
+
+class TestMviewZeroJobStamp:
+    def test_metadata_only_base_commit_skips_the_feed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A base commit that moved no bytes (set-checks here; spec
+        changes and empty-feed commits likewise) must advance the
+        view's watermark WITHOUT reading a feed — manifest identity is
+        decidable on the driver. The monkeypatch makes any feed read
+        loud."""
+        from w4h_etl_container_spark.pipeline.mtable import mtable_set_checks
+        import w4h_etl_container_spark.pipeline.mview as mview_mod
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=200), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        mtable_set_checks(spark, base, {"key_pos": "k >= 0"})
+
+        def _no_feed(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("metadata-only window read the feed")
+
+        monkeypatch.setattr(mview_mod, "mtable_changes", _no_feed)
+        rep = mv_refresh(spark, mv)
+        assert rep == {
+            "refreshed": True,
+            "base_version": 1,
+            "groups_upserted": 0,
+            "groups_deleted": 0,
+            "groups_recomputed": 0,
+        }
+        assert read_manifest(mv)["mv"]["base_version"] == 1
+        monkeypatch.undo()
+        _assert_parity(spark, base, mv)
+
+
+class TestMviewPartitionedBase:
+    def test_refresh_over_partitioned_base(self, spark, tmp_path):
+        """A hive-partitioned base (partition col = the group col) is
+        the best case for the MV: the feed diffs only churned files,
+        and a dirty recompute's IN-list bound is refuted by the
+        path-borne [v,v] partition stats before any footer read."""
+        from w4h_etl_container_spark.pipeline.mtable import _skip_files
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        df = _base_df(spark, n=1200, null_every=10**9)
+        mtable_create(spark, df, base, partition_by=["g"])
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        man = read_manifest(base)
+        kept, n_stats, _ = _skip_files(spark, base, man, {"g": [3]})
+        assert n_stats > 0 and len(kept) < len(man["files"])
+        # delete group 3's max (dirty) and some interior keys
+        gmax = (
+            mtable_read(spark, base)
+            .where("g = 3")
+            .orderBy(F.col("x").desc())
+            .limit(1)
+            .collect()[0]["k"]
+        )
+        mtable_delete(
+            spark, base,
+            spark.createDataFrame([(gmax,), (10,), (11,)], "k long"),
+            key="k",
+        )
+        rep = mv_refresh(spark, mv)
+        assert rep["groups_recomputed"] == 1
+        _assert_parity(spark, base, mv)
+        # and a plain update pass stays parity too
+        upd = spark.range(100, 160).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 9.0).alias("x"),
+        )
+        mtable_merge(spark, base, upd, key="k")
+        mv_refresh(spark, mv)
+        _assert_parity(spark, base, mv)

@@ -268,6 +268,44 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             "the watermark; recreate the view"
         )
 
+    def _stamp_only() -> dict:
+        meta = _carry_schema(
+            man,
+            {
+                "op": "mv-refresh",
+                "parent": man["version"],
+                "mv": {**mv, "base_version": current},
+            },
+        )
+        _write_manifest(
+            mv_dir,
+            man["version"] + 1,
+            man["files"],
+            meta,
+            file_stats=man.get("file_stats"),
+            dv=man.get("dv"),
+            bloom=man.get("bloom"),
+        )
+        return {
+            "refreshed": True,
+            "base_version": current,
+            "groups_upserted": 0,
+            "groups_deleted": 0,
+            "groups_recomputed": 0,
+        }
+
+    # metadata-only window (set-checks, spec changes, an empty feed by
+    # manifest identity): the endpoint manifests list the same files
+    # under the same deletion vectors, so the diff is empty by
+    # construction — stamp the watermark with ZERO Spark jobs instead
+    # of scheduling an empty feed plan (the trickle-sink + nightly
+    # maintain loop hits this constantly)
+    old_man = read_manifest(base_dir, synced)
+    if sorted(old_man["files"]) == sorted(base_man["files"]) and {
+        f: sorted(v) for f, v in (old_man.get("dv") or {}).items()
+    } == {f: sorted(v) for f, v in (base_man.get("dv") or {}).items()}:
+        return _stamp_only()
+
     feed = mtable_changes(
         spark, base_dir, synced, current, key=mv["key"], pre_images=True
     )
@@ -278,7 +316,6 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
     )
 
     delta_aggs = [F.sum(sign).alias("__d_rows")]
-    minmax = []
     for out, (fn, col) in aggs.items():
         if fn == "count":
             src = (
@@ -301,11 +338,9 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                 ).alias(f"__dn_{out}")
             )
         elif fn == "min":
-            minmax.append((out, fn))
             delta_aggs.append(F.min(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
             delta_aggs.append(F.min(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
         elif fn == "max":
-            minmax.append((out, fn))
             delta_aggs.append(F.max(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
             delta_aggs.append(F.max(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
         else:  # kmv: k-min set of inserted hashes; smallest removed hash
@@ -436,34 +471,11 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             ).alias("dirty"),
         ).collect()[0]
         if stats["touched"] == 0:
-            # pure-compaction window (or the filter excluded all churn):
-            # nothing to apply, but the watermark must still advance or
-            # the next refresh re-diffs this window forever — a
-            # metadata-only commit, same shape as mtable_set_checks
-            meta = _carry_schema(
-                man,
-                {
-                    "op": "mv-refresh",
-                    "parent": man["version"],
-                    "mv": {**mv, "base_version": current},
-                },
-            )
-            _write_manifest(
-                mv_dir,
-                man["version"] + 1,
-                man["files"],
-                meta,
-                file_stats=man.get("file_stats"),
-                dv=man.get("dv"),
-                bloom=man.get("bloom"),
-            )
-            return {
-                "refreshed": True,
-                "base_version": current,
-                "groups_upserted": 0,
-                "groups_deleted": 0,
-                "groups_recomputed": 0,
-            }
+            # pure-compaction window (rewritten files, identical rows)
+            # or the filter excluded all churn: nothing to apply, but
+            # the watermark must still advance or the next refresh
+            # re-diffs this window forever
+            return _stamp_only()
         if stats["nullg"]:
             raise ValueError(
                 f"mview refresh at {mv_dir}: NULL in group column(s) {gb} "

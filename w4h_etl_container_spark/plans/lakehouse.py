@@ -1006,3 +1006,82 @@ def q_mtable_mv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est"
         ),
     )
+
+
+@register(
+    "q_mv_corpus_profile",
+    sql="""
+    WITH churn AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 13 = 0 THEN
+                    CASE WHEN n_chars < 100 THEN n_chars ELSE 100 END
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE NOT (doc_id % 17 = 0 AND doc_id % 13 <> 0)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) AS chars_total,
+           AVG(n_chars) AS chars_avg, MIN(n_chars) AS chars_min,
+           MAX(n_chars) AS chars_max,
+           CAST(COUNT(DISTINCT source) AS DOUBLE) AS du_sources
+    FROM churn GROUP BY 1
+    """,
+    survey_ids=("STR-1", "EXT-TEXT", "EXT-LAKEHOUSE"),
+    gate=False,  # library: the MV family keeps one gate slot (q_mtable_mv)
+)
+def q_mv_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV layer on the TRAINING-DATA tables: a per-language corpus
+    dashboard (doc count, char volume, min/avg/max length, distinct
+    sources via the kmv sketch — exact here, the fixture has 20
+    sources < K=32) materialized over a documents mtable and refreshed
+    incrementally through a curation pass — one atomic commit truncates
+    every 13th doc to ≤100 chars (quality clip) and deletes every
+    (non-clipped) 17th (contamination purge). This is the operational
+    shape of corpus curation at 100 TB: the dashboard follows the
+    curation sink from the change feed at O(churn), never re-scanning
+    the corpus, and COUNT(DISTINCT source) rides a 32-long mergeable
+    state instead of a shuffle of source strings."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+    )
+    from w4h_etl_container_spark.pipeline.mview import (
+        mv_create,
+        mv_read,
+        mv_refresh,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d = _scratch_dir("q-mv-corpus-base-")
+    v = _scratch_dir("q-mv-corpus-view-")
+    mtable_create(spark, docs.repartition(4, "doc_id"), d)
+    mv_create(
+        spark, v, d,
+        group_by="lang",
+        aggs={
+            "n_docs": ("count", "*"),
+            "chars_total": ("sum", "n_chars"),
+            "chars_avg": ("avg", "n_chars"),
+            "chars_min": ("min", "n_chars"),
+            "chars_max": ("max", "n_chars"),
+            "du_sources": ("kmv", "source"),
+        },
+        key="doc_id",
+    )
+    cur = mtable_read(spark, d)
+    del_pred = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 13 != 0)
+    upd = cur.where(F.col("doc_id") % 13 == 0).withColumn(
+        "n_chars", F.least(F.col("n_chars"), F.lit(100))
+    )
+    dels = cur.where(del_pred).select("doc_id")
+    mtable_merge(spark, d, upd, key="doc_id", deletes=dels)
+    rep = mv_refresh(spark, v)
+    if not rep["refreshed"]:
+        raise AssertionError(f"curation churn did not refresh the view: {rep}")
+    # DuckDB's SUM(BIGINT) widens past int64; align the sum as double
+    return mv_read(spark, v).withColumn(
+        "chars_total", F.col("chars_total").cast("double")
+    )
