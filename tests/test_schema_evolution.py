@@ -132,3 +132,104 @@ class TestMigrateTable:
         assert man["lossy_nulls"] == {"v": 0}
         vs = {r["v"] for r in spark.read.parquet(out).collect()}
         assert vs == {"10", "20", "30", "oops"}
+
+
+class TestDropColumns:
+    """mtable_drop_columns — metadata-only ALTER TABLE DROP COLUMN."""
+
+    def _table(self, spark, tmp_path, **kw):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        df = spark.range(0, 200).selectExpr(
+            "id AS k", "id % 7 AS g", "CAST(id AS DOUBLE) AS x",
+            "CONCAT('v', id) AS note",
+        )
+        d = str(tmp_path / "t")
+        mtable_create(spark, df, d, **kw)
+        return d
+
+    def test_drop_is_metadata_only_and_time_travel_correct(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_drop_columns,
+            mtable_read,
+            read_manifest,
+        )
+
+        d = self._table(spark, tmp_path)
+        files_before = read_manifest(d)["files"]
+        man = mtable_drop_columns(spark, d, "note")
+        assert man["files"] == files_before            # zero data motion
+        assert man["dropped"] == ["note"]
+        assert mtable_read(spark, d).columns == ["k", "g", "x"]
+        # era-correct time travel: the pre-drop version still sees it
+        assert "note" in mtable_read(spark, d, version=0).columns
+        # stats for the dropped column were shed
+        for st in (man.get("file_stats") or {}).values():
+            assert "note" not in (st or {})
+
+    def test_post_drop_write_paths_work(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_drop_columns,
+            mtable_merge,
+            mtable_read,
+        )
+        from pyspark.sql import functions as F
+
+        d = self._table(spark, tmp_path)
+        mtable_drop_columns(spark, d, ["note"])
+        upd = spark.createDataFrame(
+            [(5, 5, 500.0), (1000, 1, 1.5)], "k long, g long, x double"
+        )
+        mtable_merge(spark, d, upd, key="k")
+        out = {r["k"]: r["x"] for r in mtable_read(spark, d).collect()}
+        assert out[5] == 500.0 and out[1000] == 1.5 and len(out) == 201
+        # compaction rewrites under the narrowed schema: the dropped
+        # column's bytes physically disappear from the new files
+        mtable_compact(spark, d, target_bytes=1 << 30)
+        import pyarrow.parquet as pq
+        import os as _os
+
+        from w4h_etl_container_spark.pipeline.mtable import read_manifest
+
+        for f in read_manifest(d)["files"]:
+            cols = pq.ParquetFile(_os.path.join(d, f)).schema_arrow.names
+            assert "note" not in cols
+
+    def test_changefeed_across_drop_is_empty(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_drop_columns,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_drop_columns(spark, d, "note")
+        # the drop changed no ROW facts: both sides read under the new
+        # schema and cancel to an empty feed
+        assert mtable_changes(spark, d, 0, 1, key="k").count() == 0
+
+    def test_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_drop_columns,
+            mtable_set_checks,
+        )
+
+        d = self._table(spark, tmp_path, partition_by=["g"], bloom_keys=["k"])
+        with _pytest.raises(ValueError, match="partition"):
+            mtable_drop_columns(spark, d, "g")
+        with _pytest.raises(ValueError, match="bloom"):
+            mtable_drop_columns(spark, d, "k")
+        with _pytest.raises(ValueError, match="not in the table schema"):
+            mtable_drop_columns(spark, d, "nope")
+        with _pytest.raises(ValueError, match="every column"):
+            mtable_drop_columns(spark, d, ["k", "g", "x", "note"])
+        mtable_set_checks(spark, d, {"x_pos": "x >= 0"})
+        with _pytest.raises(ValueError, match="CHECK"):
+            mtable_drop_columns(spark, d, "x")
+        # and the allowed one still goes through on this guarded table
+        man = mtable_drop_columns(spark, d, "note")
+        assert man["dropped"] == ["note"]

@@ -112,6 +112,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import time
 import uuid
 from bisect import bisect_left, bisect_right
@@ -1631,6 +1632,94 @@ def mtable_set_checks(
         file_stats=man.get("file_stats"),
         dv=man.get("dv"),
         bloom=man.get("bloom"),
+    )
+    return read_manifest(table_dir)
+
+
+def mtable_drop_columns(
+    spark: SparkSession,
+    table_dir: str,
+    cols: str | list[str],
+) -> dict:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (the
+    Delta-with-column-mapping / Iceberg drop semantics): the new
+    version's recorded schema simply omits the columns; no data file
+    is touched. Every reader resolves through the schema-declared read
+    (``_read_files``), which prunes columns not in the declared
+    struct, so old files' bytes for the dropped column become
+    invisible immediately and physically disappear whenever compaction
+    next rewrites a file. Time travel stays era-correct: a read AS OF
+    a pre-drop version uses THAT manifest's schema and still sees the
+    column.
+
+    Refused for columns the table's machinery depends on — partition
+    columns (their values live in directory names), bloom key columns
+    (the bitsets hash them), and any column referenced by an installed
+    CHECK constraint (drop or rewrite the check first). Dropping every
+    column is refused. Renames are deliberately NOT offered: drop+add
+    loses data, and a true rename needs per-file field identity
+    (Iceberg field IDs) this format does not carry."""
+    drop = _as_keys(cols)
+    man = read_manifest(table_dir)
+    sj = man.get("schema_json")
+    if sj is None:
+        raise ValueError(
+            f"mtable at {table_dir}: legacy manifest without a recorded "
+            "schema cannot drop columns (recreate or compact first)"
+        )
+    schema = json.loads(sj)
+    names = [f["name"] for f in schema["fields"]]
+    missing = [c for c in drop if c not in names]
+    if missing:
+        raise ValueError(
+            f"mtable_drop_columns: {missing} not in the table schema {names}"
+        )
+    remaining = [f for f in schema["fields"] if f["name"] not in drop]
+    if not remaining:
+        raise ValueError("mtable_drop_columns: cannot drop every column")
+    pb = set(man.get("partition_by") or [])
+    if pb & set(drop):
+        raise ValueError(
+            f"mtable_drop_columns: {sorted(pb & set(drop))} are partition "
+            "columns — their values are path-borne; rewrite the spec first "
+            "(mtable_set_partitioning)"
+        )
+    bloom = man.get("bloom")
+    if bloom and set(bloom.get("keys") or []) & set(drop):
+        raise ValueError(
+            f"mtable_drop_columns: {sorted(set(bloom['keys']) & set(drop))} "
+            "are bloom key columns — the per-file bitsets hash them"
+        )
+    for name, expr in (man.get("checks") or {}).items():
+        for c in drop:
+            if re.search(rf"\b{re.escape(c)}\b", expr):
+                raise ValueError(
+                    f"mtable_drop_columns: column {c!r} is referenced by "
+                    f"CHECK {name!r} ({expr}); drop or rewrite the check "
+                    "first (mtable_set_checks)"
+                )
+    meta = _carry_schema(man, {
+        "op": "drop-columns",
+        "parent": man["version"],
+        "dropped": sorted(drop),
+    })
+    meta["schema_json"] = json.dumps(
+        {**schema, "fields": remaining}, sort_keys=True
+    )
+    # per-file stats for the dropped columns are dead weight for every
+    # future planner pass — shed them in the same commit
+    stats = {
+        f: ({c: v for c, v in st.items() if c not in drop} if st else st)
+        for f, st in (man.get("file_stats") or {}).items()
+    }
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        man["files"],
+        meta,
+        file_stats=stats,
+        dv=man.get("dv"),
+        bloom=bloom,
     )
     return read_manifest(table_dir)
 

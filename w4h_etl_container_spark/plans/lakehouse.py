@@ -1085,3 +1085,54 @@ def q_mv_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv_read(spark, v).withColumn(
         "chars_total", F.col("chars_total").cast("double")
     )
+
+
+@register(
+    "q_mtable_drop_column",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CASE WHEN c_custkey % 19 = 0 THEN -7.0
+                ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+    FROM customer
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # library
+)
+def q_mtable_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COLUMN DROP under the oracle
+    (``mtable_drop_columns``): customer lands with an extra name
+    column, the drop removes it from the recorded schema without
+    touching a data file (in-query assertion pins the identical file
+    list), a post-drop merge writes NARROW batches against the old
+    wide files, and the committed snapshot reads back exactly the
+    oracle's projection — proving the schema-declared read prunes the
+    dropped column from pre-drop files while time travel (asserted)
+    still sees it at version 0."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_drop_columns,
+        mtable_merge,
+        mtable_read,
+        read_manifest,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_name").alias("note"),
+    )
+    d = _scratch_dir("q-mtable-drop-")
+    man0 = mtable_create(spark, cust.repartition(4, "ckey"), d)
+    man1 = mtable_drop_columns(spark, d, "note")
+    if man1["files"] != man0["files"]:
+        raise AssertionError("column drop moved data files")
+    if "note" not in mtable_read(spark, d, version=0).columns:
+        raise AssertionError("time travel lost the pre-drop schema")
+    upd = (
+        mtable_read(spark, d)
+        .where(F.col("ckey") % 19 == 0)
+        .withColumn("bal", F.lit(-7.0))
+    )
+    mtable_merge(spark, d, upd, key="ckey")
+    return mtable_read(spark, d).select("ckey", "seg", "bal")
