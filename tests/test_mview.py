@@ -903,3 +903,55 @@ class TestMviewPartitionedBase:
         mtable_merge(spark, base, upd, key="k")
         mv_refresh(spark, mv)
         _assert_parity(spark, base, mv)
+
+
+class TestMviewConcurrentBaseWriters:
+    def test_refresh_loop_beside_live_writers_converges(self, spark, tmp_path):
+        """REAL interleaving: two threads churn the base (partition-
+        disjoint keys, retries on) while a third refreshes the view in
+        a loop. Mid-flight refreshes see consistent snapshots (feed
+        endpoints are pinned versions), and once the writers stop, one
+        final refresh lands exact parity."""
+        import threading
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=400), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        errors = []
+        stop = threading.Event()
+
+        def writer(side):
+            try:
+                for c in range(5):
+                    lo = side * 1000 + c * 40
+                    upd = spark.range(lo, lo + 40).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") % 7).alias("g"),
+                        (F.col("id") * (c + 1.5)).alias("x"),
+                    )
+                    mtable_merge(spark, base, upd, key="k", retries=16)
+            except Exception as e:  # pragma: no cover
+                errors.append(("writer", side, repr(e)))
+
+        def refresher():
+            try:
+                while not stop.is_set():
+                    mv_refresh(spark, mv)
+            except Exception as e:  # pragma: no cover
+                errors.append(("refresher", repr(e)))
+
+        threads = [
+            threading.Thread(target=writer, args=(s,)) for s in (1, 2)
+        ] + [threading.Thread(target=refresher)]
+        for t in threads:
+            t.start()
+        for t in threads[:2]:
+            t.join()
+        stop.set()
+        threads[2].join()
+        assert not errors, errors
+        mv_refresh(spark, mv)
+        _assert_parity(spark, base, mv)
+        assert read_manifest(mv)["mv"]["base_version"] == read_manifest(base)[
+            "version"
+        ]
