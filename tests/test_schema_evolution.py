@@ -233,3 +233,223 @@ class TestDropColumns:
         # and the allowed one still goes through on this guarded table
         man = mtable_drop_columns(spark, d, "note")
         assert man["dropped"] == ["note"]
+
+
+class TestAddColumnsWithDefaults:
+    """mtable_add_columns — metadata-only ADD COLUMN ... DEFAULT with
+    era-correct fills (only files that predate the column take the
+    default; later files' bytes — including real NULLs — are law)."""
+
+    def _table(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        df = spark.range(0, 150).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x")
+        d = str(tmp_path / "t")
+        mtable_create(spark, df, d)
+        return d
+
+    def test_era_fill_real_null_and_materialization(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_changes,
+            mtable_compact,
+            mtable_merge,
+            mtable_read,
+            read_manifest,
+        )
+
+        d = self._table(spark, tmp_path)
+        man = mtable_add_columns(
+            spark, d, {"tier": ("string", "bronze"), "score": ("double", 0.5)}
+        )
+        assert man["files"] == read_manifest(d, 0)["files"]  # zero motion
+        assert mtable_changes(spark, d, 0, 1, key="k").count() == 0
+        got = {r["k"]: (r["tier"], r["score"]) for r in mtable_read(spark, d).collect()}
+        assert got[7] == ("bronze", 0.5)
+        # post-add write: real values and a REAL NULL both survive
+        upd = spark.createDataFrame(
+            [(7, 7.0, None, 9.9), (500, 1.0, "gold", 1.0)],
+            "k long, x double, tier string, score double",
+        )
+        mtable_merge(spark, d, upd, key="k")
+        got = {r["k"]: (r["tier"], r["score"]) for r in mtable_read(spark, d).collect()}
+        assert got[7] == (None, 9.9)
+        assert got[500] == ("gold", 1.0)
+        assert got[8] == ("bronze", 0.5)
+        # rewrite materializes the default; the era list empties
+        mtable_compact(spark, d, target_bytes=1 << 30)
+        m = read_manifest(d)
+        live = set(m["files"])
+        for cd in (m.get("column_defaults") or {}).values():
+            assert not (set(cd["files"]) & live)
+        got = {r["k"]: (r["tier"], r["score"]) for r in mtable_read(spark, d).collect()}
+        assert got[7] == (None, 9.9) and got[8] == ("bronze", 0.5)
+        # time travel: pre-add era reads pre-add schema
+        assert mtable_read(spark, d, version=0).columns == ["k", "x"]
+
+    def test_fill_through_deletion_vectors(self, spark, tmp_path):
+        """The _mt_file-conditional fill path: a MOR delete shadows rows
+        of a pre-add file; the surviving rows still take the default."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_delete,
+            mtable_read,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_add_columns(spark, d, {"tier": ("string", "bronze")})
+        mtable_delete(
+            spark, d, spark.createDataFrame([(3,), (4,)], "k long"),
+            key="k", mode="mor",
+        )
+        got = {r["k"]: r["tier"] for r in mtable_read(spark, d).collect()}
+        assert 3 not in got and 4 not in got
+        assert got[5] == "bronze" and len(got) == 148
+
+    def test_multi_generation_eras(self, spark, tmp_path):
+        """Two adds with a write in between: three eras, each file
+        filling exactly the columns it predates."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_merge,
+            mtable_read,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_add_columns(spark, d, {"a": ("long", 1)})
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(1000, 1.0, 77)], "k long, x double, a long"),
+            key="k",
+        )
+        mtable_add_columns(spark, d, {"b": ("string", "bee")})
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame(
+                [(2000, 2.0, 88, "real")], "k long, x double, a long, b string"
+            ),
+            key="k",
+        )
+        got = {r["k"]: (r["a"], r["b"]) for r in mtable_read(spark, d).collect()}
+        assert got[5] == (1, "bee")        # predates both
+        assert got[1000] == (77, "bee")    # predates b only
+        assert got[2000] == (88, "real")   # predates neither
+
+    def test_defaults_in_aggregates_and_mv(self, spark, tmp_path):
+        """The fill is plan-level, so every consumer sees it — incl. a
+        materialized view built after the add."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_merge,
+            mtable_read,
+        )
+        from w4h_etl_container_spark.pipeline.mview import (
+            mv_create,
+            mv_read,
+            mv_refresh,
+        )
+        from pyspark.sql import functions as F
+
+        d = self._table(spark, tmp_path)
+        mtable_add_columns(spark, d, {"tier": ("string", "bronze")})
+        v = str(tmp_path / "v")
+        mv_create(
+            spark, v, d, group_by="tier",
+            aggs={"n": ("count", "*"), "sx": ("sum", "x")}, key="k",
+        )
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame(
+                [(9000, 4.0, "gold"), (3, 3.0, "gold")],
+                "k long, x double, tier string",
+            ),
+            key="k",
+        )
+        mv_refresh(spark, v)
+        exp = {
+            r["tier"]: (r["n"], r["sx"])
+            for r in mtable_read(spark, d)
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+            .collect()
+        }
+        got = {r["tier"]: (r["n"], r["sx"]) for r in mv_read(spark, v).collect()}
+        assert got == exp and set(got) == {"bronze", "gold"}
+
+    def test_drop_of_default_column_sheds_the_era(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_drop_columns,
+            mtable_read,
+            read_manifest,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_add_columns(spark, d, {"tier": ("string", "bronze")})
+        mtable_drop_columns(spark, d, "tier")
+        assert not read_manifest(d).get("column_defaults")
+        assert mtable_read(spark, d).columns == ["k", "x"]
+
+    def test_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.pipeline.mtable import mtable_add_columns
+
+        d = self._table(spark, tmp_path)
+        with _pytest.raises(ValueError, match="already exists"):
+            mtable_add_columns(spark, d, {"x": ("double", 0.0)})
+        with _pytest.raises(ValueError, match="cannot parse type"):
+            mtable_add_columns(spark, d, {"y": ("no_such_type", 0)})
+        with _pytest.raises(ValueError, match="does not cast"):
+            mtable_add_columns(spark, d, {"y": ("double", "not-a-number")})
+        with _pytest.raises(ValueError, match="JSON-storable"):
+            mtable_add_columns(spark, d, {"y": ("double", object())})
+        with _pytest.raises(ValueError, match="no columns"):
+            mtable_add_columns(spark, d, {})
+
+    def test_partitioned_base_and_skipread_with_default(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_create,
+            mtable_read,
+            mtable_read_pruned,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 120).selectExpr(
+            "id AS k", "id % 4 AS p", "CAST(id AS DOUBLE) AS x"
+        )
+        d = str(tmp_path / "tp")
+        mtable_create(spark, df, d, partition_by=["p"])
+        mtable_add_columns(spark, d, {"tier": ("string", "bronze")})
+        got = mtable_read(spark, d).where("p = 2").collect()
+        assert got and all(r["tier"] == "bronze" for r in got)
+        # data-skipping read on the partition column composes with the
+        # era fill (old files have no stats for tier — unprunable on it,
+        # but the partition bound prunes and the fill still applies)
+        pruned = mtable_read_pruned(spark, d, {"p": 2}).collect()
+        assert sorted(r["k"] for r in pruned) == sorted(r["k"] for r in got)
+        assert all(r["tier"] == "bronze" for r in pruned)
+
+    def test_feed_preimages_carry_the_era_default(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_changes,
+            mtable_merge,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_add_columns(spark, d, {"tier": ("string", "bronze")})
+        upd = spark.createDataFrame(
+            [(5, 5.5, "gold")], "k long, x double, tier string"
+        )
+        mtable_merge(spark, d, upd, key="k")
+        feed = {
+            (r["k"], r["_change_type"]): r["tier"]
+            for r in mtable_changes(spark, d, 1, 2, key="k", pre_images=True)
+            .collect()
+        }
+        # the replaced row lived in a pre-add file: its PRE-image must
+        # read the era default, its post-image the real value
+        assert feed[(5, "update_preimage")] == "bronze"
+        assert feed[(5, "update_postimage")] == "gold"

@@ -1155,6 +1155,10 @@ def _carry_schema(man: dict, meta: dict) -> dict:
     # the view from its base table
     if man.get("mv") is not None and "mv" not in meta:
         meta["mv"] = man["mv"]
+    # era-correct ADD COLUMN defaults ride every commit until the last
+    # pre-add file is rewritten (mtable_add_columns)
+    if man.get("column_defaults") and "column_defaults" not in meta:
+        meta["column_defaults"] = man["column_defaults"]
     return meta
 
 
@@ -1636,6 +1640,108 @@ def mtable_set_checks(
     return read_manifest(table_dir)
 
 
+def mtable_add_columns(
+    spark: SparkSession,
+    table_dir: str,
+    cols: dict[str, tuple[str, object]],
+) -> dict:
+    """ALTER TABLE ADD COLUMN ... DEFAULT as a METADATA-ONLY commit
+    with ERA-CORRECT defaults (Iceberg's initial-default semantics):
+    ``cols`` maps new column name → (Spark DDL type, default literal).
+    No data file is touched — the commit records the widened schema
+    plus, per column, the default and the file list that PREDATES it.
+    Readers fill the default for exactly those files (they physically
+    lack the column, so every row takes it) while files written later
+    carry real bytes — including real NULLs, which a naive
+    read-then-coalesce would silently overwrite. Any rewrite
+    (merge/compaction) materializes the default into the new files,
+    so era lists only ever shrink.
+
+    Defaults must be JSON-storable scalars castable to the declared
+    type (strings are fine for dates/timestamps/decimals — they cast).
+    A default of None is allowed and degenerates to the plain
+    add-column evolution (null-fill), recorded without an era list."""
+    man = read_manifest(table_dir)
+    sj = man.get("schema_json")
+    if sj is None:
+        raise ValueError(
+            f"mtable at {table_dir}: legacy manifest without a recorded "
+            "schema cannot add columns (recreate or compact first)"
+        )
+    if not cols:
+        raise ValueError("mtable_add_columns: no columns given")
+    schema = json.loads(sj)
+    existing = {f["name"] for f in schema["fields"]}
+    new_fields = []
+    defaults = dict(man.get("column_defaults") or {})
+    for name, (ddl, default) in cols.items():
+        if name in existing:
+            raise ValueError(
+                f"mtable_add_columns: column {name!r} already exists"
+            )
+        if default is not None and not isinstance(
+            default, (str, int, float, bool)
+        ):
+            raise ValueError(
+                f"mtable_add_columns: default for {name!r} must be a "
+                "JSON-storable scalar (str/int/float/bool) castable to "
+                f"{ddl!r}"
+            )
+        try:
+            field = T.StructType.fromDDL(f"`{name}` {ddl}").fields[0]
+        except Exception as e:
+            raise ValueError(
+                f"mtable_add_columns: cannot parse type {ddl!r} for "
+                f"{name!r}: {e}"
+            ) from e
+        if default is not None:
+            # fail at the only informative moment if the literal cannot
+            # cast to the declared type (one driver-only expression)
+            probe = spark.createDataFrame([(1,)], "x int").select(
+                F.lit(default).cast(ddl)
+            )
+            try:
+                # under ANSI semantics a bad literal throws here; under
+                # legacy it comes back NULL — refuse either way
+                bad = (
+                    probe.schema.fields[0].dataType != field.dataType
+                    or probe.first()[0] is None
+                )
+            except Exception:
+                bad = True
+            if bad:
+                raise ValueError(
+                    f"mtable_add_columns: default {default!r} does not "
+                    f"cast to {ddl!r} for column {name!r}"
+                )
+            defaults[name] = {
+                "type": ddl,
+                "default": default,
+                "files": sorted(man["files"]),
+            }
+        new_fields.append(json.loads(field.json()))
+    meta = _carry_schema(man, {
+        "op": "add-columns",
+        "parent": man["version"],
+        "added": sorted(cols),
+    })
+    meta["schema_json"] = json.dumps(
+        {**schema, "fields": schema["fields"] + new_fields}, sort_keys=True
+    )
+    if defaults:
+        meta["column_defaults"] = defaults
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        man["files"],
+        meta,
+        file_stats=man.get("file_stats"),
+        dv=man.get("dv"),
+        bloom=man.get("bloom"),
+    )
+    return read_manifest(table_dir)
+
+
 def mtable_drop_columns(
     spark: SparkSession,
     table_dir: str,
@@ -1702,6 +1808,13 @@ def mtable_drop_columns(
         "op": "drop-columns",
         "parent": man["version"],
         "dropped": sorted(drop),
+        # a dropped column's ADD-era default dies with it (set even
+        # when empty so _carry_schema does not resurrect the old map)
+        "column_defaults": {
+            c: d
+            for c, d in (man.get("column_defaults") or {}).items()
+            if c not in drop
+        },
     })
     meta["schema_json"] = json.dumps(
         {**schema, "fields": remaining}, sort_keys=True
@@ -2097,6 +2210,20 @@ def _spec_groups(files: list[str]) -> list[tuple[str | None, list[str]]]:
     return sorted(groups.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))
 
 
+def _default_fills_for(man: dict, files: list[str]) -> dict[str, dict]:
+    """The ADD-COLUMN defaults applicable to THIS read: column →
+    {"type", "default", "files": era files ∩ files being read}. Era
+    lists only reference files that existed at add time, so any
+    rewrite shrinks the intersection toward empty."""
+    out = {}
+    fset = set(files)
+    for c, d in (man.get("column_defaults") or {}).items():
+        hit = set(d["files"]) & fset
+        if hit:
+            out[c] = {**d, "files": hit}
+    return out
+
+
 def _scan_with_pos(
     spark: SparkSession,
     table_dir: str,
@@ -2172,6 +2299,17 @@ def _scan_with_pos(
     df = parts[0]
     for extra in parts[1:]:
         df = df.unionByName(extra)
+    # era-correct ADD COLUMN defaults: this scan carries _mt_file, so
+    # the fill is a per-row basename test instead of an era re-grouping
+    for c, d in _default_fills_for(man, files).items():
+        bn = sorted({os.path.basename(f) for f in d["files"]})
+        df = df.withColumn(
+            c,
+            F.when(
+                F.col("_mt_file").isin(bn),
+                F.lit(d["default"]).cast(d["type"]),
+            ).otherwise(F.col(c)),
+        )
     dv_files = _dv_paths(dv_man if dv_man is not None else man, files)
     if dv_files:
         dead = _read_dv(spark, table_dir, dv_files).withColumnsRenamed(
@@ -2244,6 +2382,36 @@ def _read_files(
         return _scan_with_pos(spark, table_dir, files, man, dv_man).drop(
             "_mt_file", "_mt_pos"
         )
+    fills = _default_fills_for(man, files)
+    if fills:
+        # era-correct ADD COLUMN defaults: group files by WHICH added
+        # columns they predate, read each era plain (the declared read
+        # null-fills the missing column), overwrite those columns with
+        # the default for that era alone — files written after the add
+        # carry real bytes, including real NULLs, untouched. Era count
+        # is the number of distinct add-generations still unrewritten,
+        # never O(files).
+        eras: dict[frozenset, list[str]] = {}
+        for f in files:
+            key = frozenset(c for c, d in fills.items() if f in d["files"])
+            eras.setdefault(key, []).append(f)
+        if set(eras) != {frozenset()}:
+            plain = {**man, "column_defaults": None}
+            parts = []
+            for key in sorted(eras, key=lambda k: sorted(k)):
+                sub = _read_files(spark, table_dir, eras[key], plain, dv_man)
+                for c in sorted(key):
+                    d = fills[c]
+                    # withColumn keeps the declared position (the added
+                    # column is in the recorded schema on every era)
+                    sub = sub.withColumn(
+                        c, F.lit(d["default"]).cast(d["type"])
+                    )
+                parts.append(sub)
+            out = parts[0]
+            for extra in parts[1:]:
+                out = out.unionByName(extra)
+            return out
     sj = man.get("schema_json")
     parts = []
     for root, fs in _spec_groups(files):

@@ -1136,3 +1136,62 @@ def q_mtable_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mtable_merge(spark, d, upd, key="ckey")
     return mtable_read(spark, d).select("ckey", "seg", "bal")
+
+
+@register(
+    "q_mtable_add_default",
+    sql="""
+    SELECT c_custkey AS ckey, CAST(c_acctbal AS DOUBLE) AS bal,
+           CASE WHEN c_custkey % 23 = 0 THEN NULL
+                WHEN c_custkey % 11 = 0 THEN 'gold'
+                ELSE 'bronze' END AS tier,
+           CASE WHEN c_custkey % 23 = 0 OR c_custkey % 11 = 0
+                THEN 99.0 ELSE 10.0 END AS bonus
+    FROM customer
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # library
+)
+def q_mtable_add_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY ADD COLUMN ... DEFAULT under the oracle
+    (``mtable_add_columns``): two columns land on an existing customer
+    mtable without touching a file (asserted), pre-add rows read the
+    era default, a post-add merge writes real values INCLUDING a real
+    NULL tier — which must survive (the era fill applies only to files
+    that predate the column, never a read-then-coalesce that would
+    overwrite stored NULLs). The oracle restates the final state as
+    CASE expressions; time travel to version 0 (asserted) still reads
+    the two-column pre-add schema."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_add_columns,
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-adddef-")
+    man0 = mtable_create(spark, cust.repartition(4, "ckey"), d)
+    man1 = mtable_add_columns(
+        spark, d, {"tier": ("string", "bronze"), "bonus": ("double", 10.0)}
+    )
+    if man1["files"] != man0["files"]:
+        raise AssertionError("ADD COLUMN moved data files")
+    if mtable_read(spark, d, version=0).columns != ["ckey", "bal"]:
+        raise AssertionError("time travel lost the pre-add schema")
+    cur = mtable_read(spark, d)
+    upd = cur.where(
+        (F.col("ckey") % 23 == 0) | (F.col("ckey") % 11 == 0)
+    ).select(
+        "ckey",
+        "bal",
+        F.when(F.col("ckey") % 23 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("gold"))
+        .alias("tier"),
+        F.lit(99.0).alias("bonus"),
+    )
+    mtable_merge(spark, d, upd, key="ckey")
+    return mtable_read(spark, d).select("ckey", "bal", "tier", "bonus")
