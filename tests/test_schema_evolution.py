@@ -453,3 +453,170 @@ class TestAddColumnsWithDefaults:
         # read the era default, its post-image the real value
         assert feed[(5, "update_preimage")] == "bronze"
         assert feed[(5, "update_postimage")] == "gold"
+
+
+class TestRenameColumn:
+    """mtable_rename_column — metadata-only RENAME with rename eras."""
+
+    def _table(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        df = spark.range(0, 150).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS amount", "id % 5 AS g"
+        )
+        d = str(tmp_path / "t")
+        mtable_create(spark, df, d)
+        return d
+
+    def test_rename_reads_merges_and_time_travel(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_merge,
+            mtable_read,
+            mtable_rename_column,
+            read_manifest,
+        )
+
+        d = self._table(spark, tmp_path)
+        man = mtable_rename_column(spark, d, "amount", "value")
+        assert man["files"] == read_manifest(d, 0)["files"]
+        assert mtable_read(spark, d).columns == ["k", "value", "g"]
+        assert mtable_changes(spark, d, 0, 1, key="k").count() == 0
+        upd = spark.createDataFrame(
+            [(5, 555.0, 0), (900, 9.0, 1)], "k long, value double, g long"
+        )
+        mtable_merge(spark, d, upd, key="k")
+        got = {r["k"]: r["value"] for r in mtable_read(spark, d).collect()}
+        assert got[5] == 555.0 and got[900] == 9.0 and got[6] == 6.0
+        assert mtable_read(spark, d, version=0).columns == ["k", "amount", "g"]
+        # stats translated in the same commit: planning on the NEW name
+        # still prunes pre-rename files (skip-read proves it end to end)
+        from w4h_etl_container_spark.pipeline.mtable import mtable_read_pruned
+
+        assert mtable_read_pruned(spark, d, {"k": (10, 19)}).count() == 10
+
+    def test_chained_rename_and_mor_path(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_delete,
+            mtable_merge,
+            mtable_read,
+            mtable_rename_column,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_rename_column(spark, d, "amount", "value")
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(1000, 1.0, 2)], "k long, value double, g long"),
+            key="k",
+        )
+        mtable_rename_column(spark, d, "value", "v2")
+        got = {r["k"]: r["v2"] for r in mtable_read(spark, d).collect()}
+        assert got[3] == 3.0 and got[1000] == 1.0   # both physical eras
+        # deletion-vector scan path on a file still carrying 'amount'
+        mtable_delete(
+            spark, d, spark.createDataFrame([(3,)], "k long"),
+            key="k", mode="mor",
+        )
+        got = {r["k"]: r["v2"] for r in mtable_read(spark, d).collect()}
+        assert 3 not in got and got[4] == 4.0
+
+    def test_compaction_materializes_and_eras_die(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_compact,
+            mtable_read,
+            mtable_rename_column,
+            read_manifest,
+        )
+        import os as _os
+        import pyarrow.parquet as pq
+
+        d = self._table(spark, tmp_path)
+        mtable_rename_column(spark, d, "amount", "value")
+        mtable_compact(spark, d, target_bytes=1 << 30)
+        m = read_manifest(d)
+        live = set(m["files"])
+        for eras in (m.get("column_renames") or {}).values():
+            for e in eras:
+                assert not (set(e["files"]) & live)
+        for f in m["files"]:
+            assert "value" in pq.ParquetFile(
+                _os.path.join(d, f)
+            ).schema_arrow.names
+        assert {r["k"]: r["value"] for r in mtable_read(spark, d).collect()}[
+            9
+        ] == 9.0
+
+    def test_compose_with_add_default_and_drop(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_drop_columns,
+            mtable_read,
+            mtable_rename_column,
+            read_manifest,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_add_columns(spark, d, {"tier": ("string", "bronze")})
+        mtable_rename_column(spark, d, "tier", "grade")   # default translates
+        got = mtable_read(spark, d).limit(3).collect()
+        assert all(r["grade"] == "bronze" for r in got)
+        mtable_rename_column(spark, d, "amount", "value")
+        mtable_drop_columns(spark, d, "value")            # eras die with it
+        m = read_manifest(d)
+        assert "value" not in (m.get("column_renames") or {})
+        assert mtable_read(spark, d).columns == ["k", "g", "grade"]
+
+    def test_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_create,
+            mtable_rename_column,
+            mtable_set_checks,
+        )
+
+        d = self._table(spark, tmp_path)
+        with _pytest.raises(ValueError, match="not in the table schema"):
+            mtable_rename_column(spark, d, "nope", "x2")
+        with _pytest.raises(ValueError, match="already exists"):
+            mtable_rename_column(spark, d, "amount", "g")
+        with _pytest.raises(ValueError, match="same name"):
+            mtable_rename_column(spark, d, "amount", "amount")
+        mtable_set_checks(spark, d, {"amt_pos": "amount >= 0"})
+        with _pytest.raises(ValueError, match="CHECK"):
+            mtable_rename_column(spark, d, "amount", "value")
+        mtable_set_checks(spark, d, {})
+        # a historical physical name cannot be resurrected while files
+        # still carry it — by rename OR by add
+        mtable_rename_column(spark, d, "amount", "value")
+        with _pytest.raises(ValueError, match="PHYSICAL name"):
+            mtable_rename_column(spark, d, "value", "amount")
+        with _pytest.raises(ValueError, match="PHYSICAL name"):
+            mtable_add_columns(spark, d, {"amount": ("double", 1.0)})
+        # partitioned table: partition column rename refused
+        df = spark.range(0, 40).selectExpr("id AS k", "id % 4 AS p", "id AS x")
+        d2 = str(tmp_path / "tp")
+        mtable_create(spark, df, d2, partition_by=["p"])
+        with _pytest.raises(ValueError, match="partition"):
+            mtable_rename_column(spark, d2, "p", "p2")
+
+    def test_bloom_keys_translate(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge,
+            mtable_read,
+            mtable_rename_column,
+            read_manifest,
+        )
+
+        df = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x")
+        d = str(tmp_path / "tb")
+        mtable_create(spark, df, d, bloom_keys=["k"])
+        mtable_rename_column(spark, d, "k", "key_id")
+        assert read_manifest(d)["bloom"]["keys"] == ["key_id"]
+        upd = spark.createDataFrame([(5, 50.0)], "key_id long, x double")
+        mtable_merge(spark, d, upd, key="key_id")
+        got = {r["key_id"]: r["x"] for r in mtable_read(spark, d).collect()}
+        assert got[5] == 50.0 and got[6] == 6.0 and len(got) == 200

@@ -1159,6 +1159,9 @@ def _carry_schema(man: dict, meta: dict) -> dict:
     # pre-add file is rewritten (mtable_add_columns)
     if man.get("column_defaults") and "column_defaults" not in meta:
         meta["column_defaults"] = man["column_defaults"]
+    # likewise RENAME eras (mtable_rename_column)
+    if man.get("column_renames") and "column_renames" not in meta:
+        meta["column_renames"] = man["column_renames"]
     return meta
 
 
@@ -1674,10 +1677,21 @@ def mtable_add_columns(
     existing = {f["name"] for f in schema["fields"]}
     new_fields = []
     defaults = dict(man.get("column_defaults") or {})
+    live_phys = {
+        e["from"]
+        for eras in (man.get("column_renames") or {}).values()
+        for e in eras
+        if e["files"]
+    }
     for name, (ddl, default) in cols.items():
         if name in existing:
             raise ValueError(
                 f"mtable_add_columns: column {name!r} already exists"
+            )
+        if name in live_phys:
+            raise ValueError(
+                f"mtable_add_columns: {name!r} is still the PHYSICAL name "
+                "of a rename era some files carry — compact first"
             )
         if default is not None and not isinstance(
             default, (str, int, float, bool)
@@ -1738,6 +1752,169 @@ def mtable_add_columns(
         file_stats=man.get("file_stats"),
         dv=man.get("dv"),
         bloom=man.get("bloom"),
+    )
+    return read_manifest(table_dir)
+
+
+def _rename_eras_for(man: dict, files: list[str]) -> dict[str, list[dict]]:
+    """The RENAME eras applicable to THIS read: declared column name →
+    [{"from": physical name, "files": era files ∩ files being read}].
+    A file appears in at most one era per column (the oldest physical
+    name it carries); rewrites shrink every era toward empty."""
+    out: dict[str, list[dict]] = {}
+    fset = set(files)
+    for new, eras in (man.get("column_renames") or {}).items():
+        hit = [
+            {**e, "files": set(e["files"]) & fset}
+            for e in eras
+            if set(e["files"]) & fset
+        ]
+        if hit:
+            out[new] = hit
+    return out
+
+
+def _file_rename_sig(
+    renames: dict[str, list[dict]], f: str
+) -> tuple[tuple[str, str], ...]:
+    """(declared, physical) pairs this one file needs, sorted."""
+    sig = []
+    for new, eras in renames.items():
+        for e in eras:
+            if f in e["files"]:
+                sig.append((new, e["from"]))
+                break
+    return tuple(sorted(sig))
+
+
+def _patched_schema_json(sj: str, sig: tuple[tuple[str, str], ...]) -> str:
+    """The recorded schema with each (declared → physical) pair of
+    ``sig`` applied IN PLACE (order preserved) — the schema a pre-
+    rename file's bytes actually satisfy."""
+    schema = json.loads(sj)
+    phys = dict(sig)
+    for fld in schema["fields"]:
+        if fld["name"] in phys:
+            fld["name"] = phys[fld["name"]]
+    return json.dumps(schema, sort_keys=True)
+
+
+def mtable_rename_column(
+    spark: SparkSession,
+    table_dir: str,
+    old: str,
+    new: str,
+) -> dict:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit — the move
+    Delta needs column-mapping mode for and Iceberg does with field
+    IDs, done here with RENAME ERAS: the commit records that every
+    current file stores the column's bytes under the OLD physical
+    name; readers scan those files under a patched schema and rename
+    after the scan, while files written later carry the new name for
+    real. Everything name-keyed in the manifest translates EXACTLY in
+    the same commit — per-file stats (planning on the new name keeps
+    pruning old files), bloom key config (the bitsets hash values, not
+    names), ADD-era defaults. Renames compose (a→b→c chains flatten
+    into per-era physical names) and any rewrite materializes the new
+    name, shrinking the eras.
+
+    Refused for partition columns (their name is a directory
+    component) and CHECK-referenced columns (rewrite the check
+    first); also refused when ``new`` collides with a live column OR
+    with a historical physical name some unrewritten file still
+    carries (compact first — resurrecting a physical name would make
+    one scan need two fields with one name)."""
+    man = read_manifest(table_dir)
+    sj = man.get("schema_json")
+    if sj is None:
+        raise ValueError(
+            f"mtable at {table_dir}: legacy manifest without a recorded "
+            "schema cannot rename columns"
+        )
+    schema = json.loads(sj)
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(
+            f"mtable_rename_column: {old!r} not in the table schema {names}"
+        )
+    if old == new:
+        raise ValueError("mtable_rename_column: old and new are the same name")
+    if new in names:
+        raise ValueError(
+            f"mtable_rename_column: {new!r} already exists in the schema"
+        )
+    renames = {
+        k: [dict(e) for e in v]
+        for k, v in (man.get("column_renames") or {}).items()
+    }
+    live_phys = {
+        e["from"] for eras in renames.values() for e in eras if e["files"]
+    }
+    if new in live_phys:
+        raise ValueError(
+            f"mtable_rename_column: {new!r} is still the PHYSICAL name of "
+            "an earlier rename era some files carry — compact first"
+        )
+    if old in set(man.get("partition_by") or []):
+        raise ValueError(
+            f"mtable_rename_column: {old!r} is a partition column — its "
+            "name is a directory component; rewrite the spec instead"
+        )
+    for cname, expr in (man.get("checks") or {}).items():
+        if re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"mtable_rename_column: column {old!r} is referenced by "
+                f"CHECK {cname!r} ({expr}); rewrite the check first"
+            )
+    # chain-flatten: files already carrying an even-older physical name
+    # keep it; everything else physically carries ``old``
+    prior = renames.pop(old, [])
+    covered = {f for e in prior for f in e["files"]}
+    fresh = sorted(set(man["files"]) - covered)
+    eras = prior + ([{"from": old, "files": fresh}] if fresh else [])
+    if eras:
+        renames[new] = eras
+    # schema rename in place
+    for fld in schema["fields"]:
+        if fld["name"] == old:
+            fld["name"] = new
+    meta = _carry_schema(man, {
+        "op": "rename-column",
+        "parent": man["version"],
+        "renamed": [old, new],
+        "column_renames": renames,
+    })
+    meta["schema_json"] = json.dumps(schema, sort_keys=True)
+    # name-keyed metadata translates exactly: stats keys, bloom keys,
+    # ADD-era defaults
+    stats = {
+        f: (
+            {(new if c == old else c): v for c, v in st.items()}
+            if st
+            else st
+        )
+        for f, st in (man.get("file_stats") or {}).items()
+    }
+    bloom = man.get("bloom")
+    if bloom and old in (bloom.get("keys") or []):
+        bloom = {
+            **bloom,
+            "keys": [new if k == old else k for k in bloom["keys"]],
+        }
+    defaults = man.get("column_defaults")
+    if defaults and old in defaults:
+        defaults = {
+            (new if c == old else c): d for c, d in defaults.items()
+        }
+        meta["column_defaults"] = defaults
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        man["files"],
+        meta,
+        file_stats=stats,
+        dv=man.get("dv"),
+        bloom=bloom,
     )
     return read_manifest(table_dir)
 
@@ -1808,11 +1985,17 @@ def mtable_drop_columns(
         "op": "drop-columns",
         "parent": man["version"],
         "dropped": sorted(drop),
-        # a dropped column's ADD-era default dies with it (set even
-        # when empty so _carry_schema does not resurrect the old map)
+        # a dropped column's ADD-era default and RENAME eras die with
+        # it (set even when empty so _carry_schema does not resurrect
+        # the old maps)
         "column_defaults": {
             c: d
             for c, d in (man.get("column_defaults") or {}).items()
+            if c not in drop
+        },
+        "column_renames": {
+            c: d
+            for c, d in (man.get("column_renames") or {}).items()
             if c not in drop
         },
     })
@@ -2269,33 +2452,53 @@ def _scan_with_pos(
             ]
         )
         return spark.createDataFrame([], schema)
+    renames = _rename_eras_for(man, files)
     parts = []
     for root, fs in _spec_groups(files):
-        reader = (
-            spark.read.schema(T.StructType.fromJson(json.loads(sj)))
-            if sj is not None
-            else spark.read
-        )
-        if root is not None:
-            # partition columns live in the directory names under this
-            # spec's shared root; basePath re-attaches them (and gives
-            # Spark real PartitionFilters on any downstream predicate)
-            reader = reader.option("basePath", os.path.join(table_dir, root))
-        # Spark appends inferred partition columns LAST; project the
-        # recorded schema's column order (in the SAME select that grabs
-        # the scan-only _metadata pseudo-column) for one stable shape
-        cols = (
-            [f["name"] for f in json.loads(sj)["fields"]]
-            if root is not None and sj is not None
-            else ["*"]
-        )
-        parts.append(
-            reader.parquet(*[os.path.join(table_dir, f) for f in fs]).select(
+        # pre-rename files store their bytes under an old PHYSICAL
+        # name: each rename era scans under its own patched schema and
+        # renames after the scan (a rename is plan-level — it cannot be
+        # a per-row conditional the way the default fill below can)
+        by_sig: dict[tuple, list[str]] = {}
+        for f in fs:
+            by_sig.setdefault(_file_rename_sig(renames, f), []).append(f)
+        for sig in sorted(by_sig):
+            sub_fs = by_sig[sig]
+            sub_sj = (
+                _patched_schema_json(sj, sig) if sj is not None and sig else sj
+            )
+            reader = (
+                spark.read.schema(T.StructType.fromJson(json.loads(sub_sj)))
+                if sub_sj is not None
+                else spark.read
+            )
+            if root is not None:
+                # partition columns live in the directory names under
+                # this spec's shared root; basePath re-attaches them
+                # (and gives Spark real PartitionFilters on any
+                # downstream predicate)
+                reader = reader.option(
+                    "basePath", os.path.join(table_dir, root)
+                )
+            # Spark appends inferred partition columns LAST; project the
+            # recorded schema's column order (in the SAME select that
+            # grabs the scan-only _metadata pseudo-column) for one
+            # stable shape
+            cols = (
+                [f["name"] for f in json.loads(sub_sj)["fields"]]
+                if root is not None and sub_sj is not None
+                else ["*"]
+            )
+            part = reader.parquet(
+                *[os.path.join(table_dir, f) for f in sub_fs]
+            ).select(
                 *cols,
                 F.col("_metadata.file_name").alias("_mt_file"),
                 F.col("_metadata.row_index").alias("_mt_pos"),
             )
-        )
+            for newc, phys in sig:
+                part = part.withColumnRenamed(phys, newc)
+            parts.append(part)
     df = parts[0]
     for extra in parts[1:]:
         df = df.unionByName(extra)
@@ -2383,24 +2586,39 @@ def _read_files(
             "_mt_file", "_mt_pos"
         )
     fills = _default_fills_for(man, files)
-    if fills:
-        # era-correct ADD COLUMN defaults: group files by WHICH added
-        # columns they predate, read each era plain (the declared read
-        # null-fills the missing column), overwrite those columns with
-        # the default for that era alone — files written after the add
-        # carry real bytes, including real NULLs, untouched. Era count
-        # is the number of distinct add-generations still unrewritten,
+    renames = _rename_eras_for(man, files)
+    if fills or renames:
+        # era-correct ADD-defaults and RENAMEs: group files by WHICH
+        # added columns they predate and WHICH physical names they
+        # still carry; read each era under its own (possibly patched)
+        # schema, rename after the scan, overwrite the default columns
+        # for that era alone — files written after the change carry
+        # real bytes, including real NULLs, untouched. Era count is
+        # the number of distinct alter-generations still unrewritten,
         # never O(files).
-        eras: dict[frozenset, list[str]] = {}
+        eras: dict[tuple, list[str]] = {}
         for f in files:
-            key = frozenset(c for c, d in fills.items() if f in d["files"])
-            eras.setdefault(key, []).append(f)
-        if set(eras) != {frozenset()}:
-            plain = {**man, "column_defaults": None}
+            fkey = frozenset(c for c, d in fills.items() if f in d["files"])
+            rkey = _file_rename_sig(renames, f)
+            eras.setdefault((fkey, rkey), []).append(f)
+        if set(eras) != {(frozenset(), ())}:
             parts = []
-            for key in sorted(eras, key=lambda k: sorted(k)):
-                sub = _read_files(spark, table_dir, eras[key], plain, dv_man)
-                for c in sorted(key):
+            for key in sorted(eras, key=lambda k: (sorted(k[0]), k[1])):
+                fkey, rkey = key
+                sub_man = {
+                    **man, "column_defaults": None, "column_renames": None,
+                }
+                if rkey:
+                    sub_man["schema_json"] = _patched_schema_json(
+                        man["schema_json"], rkey
+                    )
+                sub = _read_files(
+                    spark, table_dir, eras[key], sub_man, dv_man
+                )
+                for newc, phys in rkey:
+                    # rename in place keeps the declared position
+                    sub = sub.withColumnRenamed(phys, newc)
+                for c in sorted(fkey):
                     d = fills[c]
                     # withColumn keeps the declared position (the added
                     # column is in the recorded schema on every era)

@@ -1195,3 +1195,52 @@ def q_mtable_add_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mtable_merge(spark, d, upd, key="ckey")
     return mtable_read(spark, d).select("ckey", "bal", "tier", "bonus")
+
+
+@register(
+    "q_mtable_rename",
+    sql="""
+    SELECT c_custkey AS ckey, c_mktsegment AS seg,
+           CASE WHEN c_custkey % 19 = 0 THEN -7.0
+                ELSE CAST(c_acctbal AS DOUBLE) END AS balance
+    FROM customer
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # library
+)
+def q_mtable_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COLUMN RENAME under the oracle
+    (``mtable_rename_column``): customer's balance column renames
+    without touching a file (asserted) — pre-rename files keep their
+    bytes under the old PHYSICAL name and read through a rename era;
+    a post-rename merge writes real files under the new name; the
+    committed snapshot hash-matches the oracle's aliased projection.
+    Time travel to version 0 (asserted) still reads the old name —
+    schemas are per-version facts. The per-file stats translated in
+    the rename commit keep planning exact: the merge's pruning ran on
+    the NEW name against stats recorded under the old one."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+        mtable_rename_column,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    d = _scratch_dir("q-mtable-rename-")
+    man0 = mtable_create(spark, cust.repartition(4, "ckey"), d)
+    man1 = mtable_rename_column(spark, d, "bal", "balance")
+    if man1["files"] != man0["files"]:
+        raise AssertionError("RENAME moved data files")
+    if mtable_read(spark, d, version=0).columns != ["ckey", "seg", "bal"]:
+        raise AssertionError("time travel lost the pre-rename schema")
+    cur = mtable_read(spark, d)
+    upd = cur.where(F.col("ckey") % 19 == 0).withColumn(
+        "balance", F.lit(-7.0)
+    )
+    mtable_merge(spark, d, upd, key="ckey")
+    return mtable_read(spark, d).select("ckey", "seg", "balance")
