@@ -620,3 +620,111 @@ class TestRenameColumn:
         mtable_merge(spark, d, upd, key="key_id")
         got = {r["key_id"]: r["x"] for r in mtable_read(spark, d).collect()}
         assert got[5] == 50.0 and got[6] == 6.0 and len(got) == 200
+
+
+class TestWidenColumn:
+    """mtable_widen_column — metadata-only, widening-only type change."""
+
+    def test_widen_reads_merges_compaction_time_travel(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_compact,
+            mtable_create,
+            mtable_merge,
+            mtable_read,
+            mtable_widen_column,
+            read_manifest,
+        )
+
+        df = spark.range(0, 120).selectExpr(
+            "id AS k", "CAST(id AS INT) AS n", "CAST(id AS FLOAT) AS f"
+        )
+        d = str(tmp_path / "t")
+        mtable_create(spark, df, d)
+        man = mtable_widen_column(spark, d, "n", "bigint")
+        mtable_widen_column(spark, d, "f", "double")
+        assert man["files"] == read_manifest(d, 0)["files"]
+        sch = {x.name: x.dataType.simpleString() for x in mtable_read(spark, d).schema}
+        assert sch["n"] == "bigint" and sch["f"] == "double"
+        assert mtable_changes(spark, d, 0, 1, key="k").count() == 0
+        # a value only the WIDE type can hold lands via merge
+        upd = spark.createDataFrame(
+            [(5, 10_000_000_000, 1.5)], "k long, n long, f double"
+        )
+        mtable_merge(spark, d, upd, key="k")
+        got = {r["k"]: (r["n"], r["f"]) for r in mtable_read(spark, d).collect()}
+        assert got[5] == (10_000_000_000, 1.5) and got[6] == (6, 6.0)
+        mtable_compact(spark, d, target_bytes=1 << 30)
+        m = read_manifest(d)
+        live = set(m["files"])
+        for eras in (m.get("column_widenings") or {}).values():
+            for e in eras:
+                assert not (set(e["files"]) & live)
+        v0 = {x.name: x.dataType.simpleString() for x in mtable_read(spark, d, version=0).schema}
+        assert v0["n"] == "int" and v0["f"] == "float"
+
+    def test_widen_mor_and_rename_composition(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_delete,
+            mtable_read,
+            mtable_rename_column,
+            mtable_widen_column,
+        )
+
+        df = spark.range(0, 80).selectExpr("id AS k", "CAST(id AS INT) AS n")
+        d = str(tmp_path / "t")
+        mtable_create(spark, df, d)
+        mtable_widen_column(spark, d, "n", "bigint")
+        mtable_delete(
+            spark, d, spark.createDataFrame([(3,)], "k long"),
+            key="k", mode="mor",
+        )
+        mtable_rename_column(spark, d, "n", "num")  # widen era translates
+        got = {r["k"]: r["num"] for r in mtable_read(spark, d).collect()}
+        assert 3 not in got and got[4] == 4 and len(got) == 79
+
+    def test_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_widen_column,
+        )
+
+        df = spark.range(0, 40).selectExpr(
+            "id AS k", "CAST(id AS INT) AS n", "CAST(id % 4 AS INT) AS p"
+        )
+        d = str(tmp_path / "t")
+        mtable_create(spark, df, d, partition_by=["p"])
+        with _pytest.raises(ValueError, match="not a safe widening"):
+            mtable_widen_column(spark, d, "k", "double")   # long→double lossy
+        with _pytest.raises(ValueError, match="not a safe widening"):
+            mtable_widen_column(spark, d, "n", "string")
+        with _pytest.raises(ValueError, match="not a safe widening"):
+            mtable_widen_column(spark, d, "n", "short")    # narrowing
+        with _pytest.raises(ValueError, match="already"):
+            mtable_widen_column(spark, d, "n", "int")
+        with _pytest.raises(ValueError, match="not in the table schema"):
+            mtable_widen_column(spark, d, "zz", "bigint")
+        with _pytest.raises(ValueError, match="partition column"):
+            mtable_widen_column(spark, d, "p", "bigint")
+        mtable_widen_column(spark, d, "n", "bigint")  # allowed one works
+
+    def test_bloom_key_widening_refused(self, spark, tmp_path):
+        """xxhash64 hashes the TYPED value — widening a bloom key would
+        make old bitsets falsely refute; the op must refuse."""
+        import pytest as _pytest
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_widen_column,
+        )
+
+        df = spark.range(0, 60).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS x"
+        )
+        d = str(tmp_path / "tb")
+        mtable_create(spark, df, d, bloom_keys=["k"])
+        with _pytest.raises(ValueError, match="bloom key"):
+            mtable_widen_column(spark, d, "k", "bigint")

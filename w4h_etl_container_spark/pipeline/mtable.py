@@ -1159,9 +1159,12 @@ def _carry_schema(man: dict, meta: dict) -> dict:
     # pre-add file is rewritten (mtable_add_columns)
     if man.get("column_defaults") and "column_defaults" not in meta:
         meta["column_defaults"] = man["column_defaults"]
-    # likewise RENAME eras (mtable_rename_column)
+    # likewise RENAME eras (mtable_rename_column) and WIDEN eras
+    # (mtable_widen_column)
     if man.get("column_renames") and "column_renames" not in meta:
         meta["column_renames"] = man["column_renames"]
+    if man.get("column_widenings") and "column_widenings" not in meta:
+        meta["column_widenings"] = man["column_widenings"]
     return meta
 
 
@@ -1787,16 +1790,184 @@ def _file_rename_sig(
     return tuple(sorted(sig))
 
 
-def _patched_schema_json(sj: str, sig: tuple[tuple[str, str], ...]) -> str:
-    """The recorded schema with each (declared → physical) pair of
-    ``sig`` applied IN PLACE (order preserved) — the schema a pre-
-    rename file's bytes actually satisfy."""
+def _patched_schema_json(
+    sj: str,
+    sig: tuple[tuple[str, str], ...],
+    wsig: tuple[tuple[str, str], ...] = (),
+) -> str:
+    """The recorded schema with the rename pairs (declared → physical
+    NAME) and widen pairs (declared name → physical narrow TYPE ddl)
+    applied IN PLACE (order preserved) — the schema a pre-alter file's
+    bytes actually satisfy. Types patch first (keyed on declared
+    names), then names."""
     schema = json.loads(sj)
+    if wsig:
+        wmap = {
+            c: T.StructType.fromDDL(f"`x` {ddl}").fields[0].dataType.jsonValue()
+            for c, ddl in wsig
+        }
+        for fld in schema["fields"]:
+            if fld["name"] in wmap:
+                fld["type"] = wmap[fld["name"]]
     phys = dict(sig)
     for fld in schema["fields"]:
         if fld["name"] in phys:
             fld["name"] = phys[fld["name"]]
     return json.dumps(schema, sort_keys=True)
+
+
+#: widening-only type changes ``mtable_widen_column`` accepts: every
+#: value of the narrow type is exactly representable in the wide one
+#: (int→double is exact — ints fit a 53-bit mantissa; long→double is
+#: NOT and is refused)
+_SAFE_WIDENINGS = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def _dt_from_json(type_json) -> T.DataType:
+    """A DataType from its schema-json ``type`` value (primitive string
+    or nested object)."""
+    return T.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "x", "type": type_json, "nullable": True,
+                 "metadata": {}}
+            ],
+        }
+    ).fields[0].dataType
+
+
+def _widen_eras_for(man: dict, files: list[str]) -> dict[str, list[dict]]:
+    """The WIDEN eras applicable to THIS read: declared column name →
+    [{"from": narrow ddl, "files": era files ∩ files being read}]."""
+    out: dict[str, list[dict]] = {}
+    fset = set(files)
+    for c, eras in (man.get("column_widenings") or {}).items():
+        hit = [
+            {**e, "files": set(e["files"]) & fset}
+            for e in eras
+            if set(e["files"]) & fset
+        ]
+        if hit:
+            out[c] = hit
+    return out
+
+
+def _file_widen_sig(
+    widens: dict[str, list[dict]], f: str
+) -> tuple[tuple[str, str], ...]:
+    sig = []
+    for c, eras in widens.items():
+        for e in eras:
+            if f in e["files"]:
+                sig.append((c, e["from"]))
+                break
+    return tuple(sorted(sig))
+
+
+def mtable_widen_column(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    new_type: str,
+) -> dict:
+    """ALTER TABLE ALTER COLUMN TYPE — WIDENING ONLY — as a
+    METADATA-ONLY commit (Delta's type widening / Iceberg's primitive
+    promotion): byte→short→int→long, float→double, and small-int→
+    double (all exact). The commit records the narrow physical type
+    the current files carry; readers scan each era under the narrow
+    schema and CAST after the scan, files written later carry the wide
+    type for real, and any rewrite materializes it. Lossy changes
+    (long→double, anything→string, narrowing) are refused — that is a
+    data migration (``session.migrate_table``), not an ALTER."""
+    man = read_manifest(table_dir)
+    sj = man.get("schema_json")
+    if sj is None:
+        raise ValueError(
+            f"mtable at {table_dir}: legacy manifest without a recorded "
+            "schema cannot widen columns"
+        )
+    schema = json.loads(sj)
+    fld = next((f for f in schema["fields"] if f["name"] == col), None)
+    if fld is None:
+        raise ValueError(
+            f"mtable_widen_column: {col!r} not in the table schema "
+            f"{[f['name'] for f in schema['fields']]}"
+        )
+    try:
+        new_dt = T.StructType.fromDDL(f"`x` {new_type}").fields[0].dataType
+    except Exception as e:
+        raise ValueError(
+            f"mtable_widen_column: cannot parse type {new_type!r}: {e}"
+        ) from e
+    old_json = fld["type"]
+    if not isinstance(old_json, str):
+        raise ValueError(
+            f"mtable_widen_column: {col!r} is a nested type "
+            f"({old_json.get('type')}) — only primitive widenings are "
+            "supported"
+        )
+    if new_dt.jsonValue() == old_json:
+        raise ValueError(
+            f"mtable_widen_column: {col!r} is already {new_type!r}"
+        )
+    if new_dt.jsonValue() not in _SAFE_WIDENINGS.get(old_json, set()):
+        raise ValueError(
+            f"mtable_widen_column: {old_json} → {new_type!r} is not a "
+            "safe widening (allowed: byte/short/int→wider int or double, "
+            "float→double); use session.migrate_table for a lossy change"
+        )
+    if col in set(man.get("partition_by") or []):
+        raise ValueError(
+            f"mtable_widen_column: {col!r} is a partition column — its "
+            "values are path-borne strings re-parsed under the spec; "
+            "rewrite the spec instead"
+        )
+    bloom = man.get("bloom")
+    if bloom and col in (bloom.get("keys") or []):
+        # xxhash64 hashes the TYPED value: the existing bitsets were
+        # built from the narrow type, and a wide-typed probe of the
+        # same number lands on different bits — silent FALSE refutation
+        # (a merge would skip files that hold matching keys). A rename
+        # is name-only and translates; a widen cannot.
+        raise ValueError(
+            f"mtable_widen_column: {col!r} is a bloom key column — the "
+            "per-file bitsets hash the typed value, so widening would "
+            "falsely refute old files; migrate with session.migrate_table"
+        )
+    widens = {
+        k: [dict(e) for e in v]
+        for k, v in (man.get("column_widenings") or {}).items()
+    }
+    prior = widens.pop(col, [])
+    covered = {f for e in prior for f in e["files"]}
+    fresh = sorted(set(man["files"]) - covered)
+    eras = prior + ([{"from": old_json, "files": fresh}] if fresh else [])
+    if eras:
+        widens[col] = eras
+    fld["type"] = new_dt.jsonValue()
+    meta = _carry_schema(man, {
+        "op": "widen-column",
+        "parent": man["version"],
+        "widened": [col, old_json, new_dt.jsonValue()],
+        "column_widenings": widens,
+    })
+    meta["schema_json"] = json.dumps(schema, sort_keys=True)
+    _write_manifest(
+        table_dir,
+        man["version"] + 1,
+        man["files"],
+        meta,
+        file_stats=man.get("file_stats"),
+        dv=man.get("dv"),
+        bloom=man.get("bloom"),
+    )
+    return read_manifest(table_dir)
 
 
 def mtable_rename_column(
@@ -1907,6 +2078,11 @@ def mtable_rename_column(
             (new if c == old else c): d for c, d in defaults.items()
         }
         meta["column_defaults"] = defaults
+    widenings = man.get("column_widenings")
+    if widenings and old in widenings:
+        meta["column_widenings"] = {
+            (new if c == old else c): d for c, d in widenings.items()
+        }
     _write_manifest(
         table_dir,
         man["version"] + 1,
@@ -1996,6 +2172,11 @@ def mtable_drop_columns(
         "column_renames": {
             c: d
             for c, d in (man.get("column_renames") or {}).items()
+            if c not in drop
+        },
+        "column_widenings": {
+            c: d
+            for c, d in (man.get("column_widenings") or {}).items()
             if c not in drop
         },
     })
@@ -2453,19 +2634,29 @@ def _scan_with_pos(
         )
         return spark.createDataFrame([], schema)
     renames = _rename_eras_for(man, files)
+    widens = _widen_eras_for(man, files)
+    declared = (
+        {f["name"]: f["type"] for f in json.loads(sj)["fields"]}
+        if sj is not None
+        else {}
+    )
     parts = []
     for root, fs in _spec_groups(files):
-        # pre-rename files store their bytes under an old PHYSICAL
-        # name: each rename era scans under its own patched schema and
-        # renames after the scan (a rename is plan-level — it cannot be
-        # a per-row conditional the way the default fill below can)
+        # pre-rename/pre-widen files store their bytes under an old
+        # PHYSICAL name/type: each era scans under its own patched
+        # schema, then renames and widen-casts after the scan (both are
+        # plan-level — they cannot be per-row conditionals the way the
+        # default fill below can)
         by_sig: dict[tuple, list[str]] = {}
         for f in fs:
-            by_sig.setdefault(_file_rename_sig(renames, f), []).append(f)
-        for sig in sorted(by_sig):
-            sub_fs = by_sig[sig]
+            key = (_file_rename_sig(renames, f), _file_widen_sig(widens, f))
+            by_sig.setdefault(key, []).append(f)
+        for sig, wsig in sorted(by_sig):
+            sub_fs = by_sig[(sig, wsig)]
             sub_sj = (
-                _patched_schema_json(sj, sig) if sj is not None and sig else sj
+                _patched_schema_json(sj, sig, wsig)
+                if sj is not None and (sig or wsig)
+                else sj
             )
             reader = (
                 spark.read.schema(T.StructType.fromJson(json.loads(sub_sj)))
@@ -2498,6 +2689,10 @@ def _scan_with_pos(
             )
             for newc, phys in sig:
                 part = part.withColumnRenamed(phys, newc)
+            for c, _from in wsig:
+                part = part.withColumn(
+                    c, F.col(c).cast(_dt_from_json(declared[c]))
+                )
             parts.append(part)
     df = parts[0]
     for extra in parts[1:]:
@@ -2587,7 +2782,8 @@ def _read_files(
         )
     fills = _default_fills_for(man, files)
     renames = _rename_eras_for(man, files)
-    if fills or renames:
+    widens = _widen_eras_for(man, files)
+    if fills or renames or widens:
         # era-correct ADD-defaults and RENAMEs: group files by WHICH
         # added columns they predate and WHICH physical names they
         # still carry; read each era under its own (possibly patched)
@@ -2600,17 +2796,25 @@ def _read_files(
         for f in files:
             fkey = frozenset(c for c, d in fills.items() if f in d["files"])
             rkey = _file_rename_sig(renames, f)
-            eras.setdefault((fkey, rkey), []).append(f)
-        if set(eras) != {(frozenset(), ())}:
+            wkey = _file_widen_sig(widens, f)
+            eras.setdefault((fkey, rkey, wkey), []).append(f)
+        if set(eras) != {(frozenset(), (), ())}:
+            declared = {
+                f["name"]: f["type"]
+                for f in json.loads(man["schema_json"])["fields"]
+            }
             parts = []
-            for key in sorted(eras, key=lambda k: (sorted(k[0]), k[1])):
-                fkey, rkey = key
+            for key in sorted(eras, key=lambda k: (sorted(k[0]), k[1], k[2])):
+                fkey, rkey, wkey = key
                 sub_man = {
-                    **man, "column_defaults": None, "column_renames": None,
+                    **man,
+                    "column_defaults": None,
+                    "column_renames": None,
+                    "column_widenings": None,
                 }
-                if rkey:
+                if rkey or wkey:
                     sub_man["schema_json"] = _patched_schema_json(
-                        man["schema_json"], rkey
+                        man["schema_json"], rkey, wkey
                     )
                 sub = _read_files(
                     spark, table_dir, eras[key], sub_man, dv_man
@@ -2618,6 +2822,11 @@ def _read_files(
                 for newc, phys in rkey:
                     # rename in place keeps the declared position
                     sub = sub.withColumnRenamed(phys, newc)
+                for c, _from in wkey:
+                    # widen-cast in place (exact by _SAFE_WIDENINGS)
+                    sub = sub.withColumn(
+                        c, F.col(c).cast(_dt_from_json(declared[c]))
+                    )
                 for c in sorted(fkey):
                     d = fills[c]
                     # withColumn keeps the declared position (the added

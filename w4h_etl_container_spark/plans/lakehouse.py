@@ -1244,3 +1244,52 @@ def q_mtable_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mtable_merge(spark, d, upd, key="ckey")
     return mtable_read(spark, d).select("ckey", "seg", "balance")
+
+
+@register(
+    "q_mtable_widen",
+    sql="""
+    SELECT c_custkey AS ckey,
+           CASE WHEN c_custkey % 19 = 0 THEN 10000000000
+                ELSE CAST(c_nationkey AS BIGINT) END AS nation
+    FROM customer
+    """,
+    survey_ids=("STR-1", "EXT-LAKEHOUSE"),
+    gate=False,  # library
+)
+def q_mtable_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY TYPE WIDENING under the oracle
+    (``mtable_widen_column``): customer's nation key lands as INT,
+    widens to BIGINT without touching a file (asserted), and a
+    post-widen merge writes a value only the wide type can hold
+    (10^10 > 2^31). Pre-widen files read through their narrow-era
+    cast; time travel to version 0 (asserted) still reads INT —
+    schemas, types included, are per-version facts."""
+    from w4h_etl_container_spark.pipeline.mtable import (
+        mtable_create,
+        mtable_merge,
+        mtable_read,
+        mtable_widen_column,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+    )
+    d = _scratch_dir("q-mtable-widen-")
+    man0 = mtable_create(spark, cust.repartition(4, "ckey"), d)
+    man1 = mtable_widen_column(spark, d, "nation", "bigint")
+    if man1["files"] != man0["files"]:
+        raise AssertionError("WIDEN moved data files")
+    v0_type = dict(
+        (x.name, x.dataType.simpleString())
+        for x in mtable_read(spark, d, version=0).schema
+    )["nation"]
+    if v0_type != "int":
+        raise AssertionError(f"time travel lost the narrow type: {v0_type}")
+    cur = mtable_read(spark, d)
+    upd = cur.where(F.col("ckey") % 19 == 0).withColumn(
+        "nation", F.lit(10_000_000_000).cast("bigint")
+    )
+    mtable_merge(spark, d, upd, key="ckey")
+    return mtable_read(spark, d).select("ckey", "nation")
