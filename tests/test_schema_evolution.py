@@ -728,3 +728,37 @@ class TestWidenColumn:
         mtable_create(spark, df, d, bloom_keys=["k"])
         with _pytest.raises(ValueError, match="bloom key"):
             mtable_widen_column(spark, d, "k", "bigint")
+
+    def test_feed_spans_rename_mor_delete_and_merge(self, spark, tmp_path):
+        """One feed window covering a rename, a MOR delete of a
+        pre-rename row, and a CoW update: pre-images surface under the
+        NEW name with the old files' bytes read through their era."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_changes,
+            mtable_create,
+            mtable_delete,
+            mtable_merge,
+            mtable_rename_column,
+        )
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path / "tf")
+        df = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS amount")
+        mtable_create(spark, df, d)
+        mtable_rename_column(spark, d, "amount", "value")
+        mtable_delete(
+            spark, d, spark.createDataFrame([(3,)], "k long"),
+            key="k", mode="mor",
+        )
+        mtable_merge(
+            spark, d,
+            spark.createDataFrame([(4, 44.0)], "k long, value double"),
+            key="k",
+        )
+        feed = mtable_changes(spark, d, 0, 3, key="k", pre_images=True)
+        rows = sorted((r["k"], r["_change_type"], r["value"]) for r in feed.collect())
+        assert rows == [
+            (3, "delete", 3.0),
+            (4, "update_postimage", 44.0),
+            (4, "update_preimage", 4.0),
+        ]
