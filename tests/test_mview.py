@@ -955,3 +955,44 @@ class TestMviewConcurrentBaseWriters:
         assert read_manifest(mv)["mv"]["base_version"] == read_manifest(base)[
             "version"
         ]
+
+
+class TestMviewUnderBaseAlters:
+    def test_rename_of_unused_column_is_invisible(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_rename_column,
+        )
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=300), base)
+        mtable_add_columns(spark, base, {"note": ("string", "n/a")})
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        mtable_rename_column(spark, base, "note", "remark")
+        upd = spark.range(0, 40).selectExpr(
+            "id AS k", "id % 7 AS g", "CAST(id * 2 AS DOUBLE) AS x",
+            "'real' AS remark",
+        )
+        mtable_merge(spark, base, upd, key="k")
+        mv_refresh(spark, mv)
+        _assert_parity(spark, base, mv)
+
+    def test_rename_of_view_column_fails_loudly_not_silently(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_rename_column,
+        )
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=300), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        mtable_rename_column(spark, base, "x", "y")
+        upd = spark.range(0, 20).selectExpr(
+            "id AS k", "id % 7 AS g", "CAST(id * 3 AS DOUBLE) AS y"
+        )
+        mtable_merge(spark, base, upd, key="k")
+        v_before = read_manifest(mv)["version"]
+        with pytest.raises(Exception):
+            mv_refresh(spark, mv)   # the view's spec names 'x'
+        assert read_manifest(mv)["version"] == v_before  # nothing committed
