@@ -511,6 +511,44 @@ def lakehouse_tier(sf_dir: str) -> dict:
                 )
             )
             rec["skipread_equal"] = (a["n"], str(a["s"])) == (b["n"], str(b["s"]))
+            # METADATA-ONLY ALTER at volume (r16): a zero-copy clone of
+            # the (clustered) CoW table renames a column — the commit
+            # wall must be manifest-speed, the rename-era read's wall
+            # comparable to the pre-alter read, and the data identical
+            # (checksum under the new name). The comparison rewrite is
+            # what every engine without rename eras pays.
+            adir = os.path.join(LAKE_DIR, f"{churn_tag}-alter")
+            M.mtable_clone(dirs["cow"], adir)
+            pre_read = read_wall(adir)
+            t0 = time.time()
+            M.mtable_rename_column(spark, adir, "qty", "quantity")
+            rec["alter_rename_wall"] = round(time.time() - t0, 3)
+
+            def read_renamed():
+                return best_of(
+                    lambda: M.mtable_read(spark, adir)
+                    .agg(F.sum("quantity"), F.count(F.lit(1)))
+                    .collect()
+                )
+
+            rec["alter_read_pre"] = pre_read
+            rec["alter_read_post"] = read_renamed()
+            t0 = time.time()
+            M.mtable_read(spark, dirs["cow"]).select(
+                "okey", F.col("qty").alias("quantity"), "cnt"
+            ).write.mode("overwrite").parquet(os.path.join(LAKE_DIR, "rewrite"))
+            rec["alter_rewrite_equiv_wall"] = round(time.time() - t0, 3)
+
+            def chk(tdir, qcol):
+                row = M.mtable_read(spark, tdir).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col(qcol).cast("decimal(38,6)")).alias("s"),
+                ).collect()[0]
+                return (row["n"], str(row["s"]))
+
+            rec["alter_hash_equal"] = chk(adir, "quantity") == chk(
+                dirs["cow"], "qty"
+            )
         out[churn_tag] = rec
         print(f"# lakehouse {churn_tag}: {json.dumps(rec)}",
               file=sys.stderr, flush=True)
