@@ -996,3 +996,31 @@ class TestMviewUnderBaseAlters:
         with pytest.raises(Exception):
             mv_refresh(spark, mv)   # the view's spec names 'x'
         assert read_manifest(mv)["version"] == v_before  # nothing committed
+
+    def test_widen_of_view_column_refused_no_silent_truncation(
+        self, spark, tmp_path
+    ):
+        """The silent-corruption hole this check closes: base widens a
+        summed int column to double, churn adds FRACTIONAL values; an
+        unchecked refresh would cast the widened delta back to the
+        stored long state and truncate. The refresh must refuse."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_widen_column,
+        )
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        df = spark.range(0, 200).selectExpr(
+            "id AS k", "id % 7 AS g", "CAST(id AS INT) AS v"
+        )
+        mtable_create(spark, df, base)
+        mv_create(
+            spark, mv, base, group_by="g",
+            aggs={"sv": ("sum", "v")}, key="k",
+        )
+        mtable_widen_column(spark, base, "v", "double")
+        upd = spark.createDataFrame([(5, 5, 5.5)], "k long, g long, v double")
+        mtable_merge(spark, base, upd, key="k")
+        v_before = read_manifest(mv)["version"]
+        with pytest.raises(ValueError, match="changed from"):
+            mv_refresh(spark, mv)
+        assert read_manifest(mv)["version"] == v_before

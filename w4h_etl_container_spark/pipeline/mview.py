@@ -44,6 +44,7 @@ rewrites only the view files holding touched groups.
 
 from __future__ import annotations
 
+import json
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -178,9 +179,24 @@ def mv_create(
         base = base.where(where)
     _refuse_null_groups(base.select(*gb), gb, "create")
     state = base.groupBy(*gb).agg(*_state_aggs(aggs))
+    # fingerprint the referenced base columns' TYPES: a later base
+    # widen/retype would make the signed deltas a wider type than the
+    # stored state, and the refresh's align-cast would truncate
+    # SILENTLY — refusal at refresh time needs the expectation recorded
+    referenced = set(gb) | {
+        col for (_fn, col) in aggs.values() if col != "*"
+    } | set([key] if isinstance(key, str) else key)
+    base_fields = {f.name: f.dataType.json() for f in base.schema.fields}
+    missing_ref = sorted(referenced - set(base_fields))
+    if missing_ref:
+        raise ValueError(
+            f"mview create: referenced column(s) {missing_ref} not in the "
+            f"base table schema {sorted(base_fields)}"
+        )
     mv_meta = {
         "base_dir": base_dir,
         "base_version": base_man["version"],
+        "col_types": {c: base_fields[c] for c in sorted(referenced)},
         "group_by": gb,
         # list-of-triples, not a dict: the manifest JSON round-trip
         # sorts object keys, and the view's declared column order must
@@ -267,6 +283,25 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             f"view reflects v{synced} — the base was restored/vacuumed past "
             "the watermark; recreate the view"
         )
+    # base ALTERs on referenced columns refuse loudly BEFORE any math:
+    # a renamed/dropped column would fail analysis anyway (cryptically),
+    # but a WIDENED one would flow wider deltas into the stored state's
+    # align-cast and truncate silently
+    if mv.get("col_types") and base_man.get("schema_json"):
+        cur_fields = {
+            f["name"]: f["type"]
+            for f in json.loads(base_man["schema_json"])["fields"]
+        }
+        for c, tj in mv["col_types"].items():
+            want = json.loads(tj)  # DataType.json() string → str | dict
+            have = cur_fields.get(c)
+            if have != want:
+                raise ValueError(
+                    f"mview at {mv_dir}: base column {c!r} changed from "
+                    f"{want} to {have} since the view was created "
+                    "(renamed/dropped/widened) — an incremental refresh "
+                    "cannot absorb a type or name change; recreate the view"
+                )
 
     def _stamp_only() -> dict:
         meta = _carry_schema(
