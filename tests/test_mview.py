@@ -839,7 +839,7 @@ class TestMviewZeroJobStamp:
         decidable on the driver. The monkeypatch makes any feed read
         loud."""
         from w4h_etl_container_spark.pipeline.mtable import mtable_set_checks
-        import w4h_etl_container_spark.pipeline.mview as mview_mod
+        import w4h_etl_container_spark.pipeline.mtable as mtable_mod
 
         base, mv = str(tmp_path / "b"), str(tmp_path / "v")
         mtable_create(spark, _base_df(spark, n=200), base)
@@ -849,7 +849,9 @@ class TestMviewZeroJobStamp:
         def _no_feed(*a, **k):  # pragma: no cover - failure path
             raise AssertionError("metadata-only window read the feed")
 
-        monkeypatch.setattr(mview_mod, "mtable_changes", _no_feed)
+        # the refresh consumes the counted feed from the mtable module
+        # (r17) — make any feed construction loud
+        monkeypatch.setattr(mtable_mod, "_changes_counted", _no_feed)
         rep = mv_refresh(spark, mv)
         assert rep == {
             "refreshed": True,
@@ -860,6 +862,46 @@ class TestMviewZeroJobStamp:
         }
         assert read_manifest(mv)["mv"]["base_version"] == 1
         monkeypatch.undo()
+        _assert_parity(spark, base, mv)
+
+    def test_row_preserving_op_chain_skips_the_feed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A refresh window containing ONLY row-preserving ops
+        (compaction here — rewritten files, identical logical rows)
+        must stamp the watermark from the op chain alone (r17): no
+        feed plan is built, no Spark job diffs the rewritten files.
+        A window that also contains a row-changing op must still take
+        the real feed path."""
+        import w4h_etl_container_spark.pipeline.mtable as mtable_mod
+        from w4h_etl_container_spark.pipeline.mtable import mtable_merge
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        mtable_create(spark, _base_df(spark, n=200), base)
+        mv_create(spark, mv, base, group_by="g", aggs=AGGS, key="k")
+        # churn so the compaction below actually rewrites (files differ)
+        upd = _base_df(spark, n=40)
+        mtable_merge(spark, base, upd, key="k")
+        mv_refresh(spark, mv)
+        mtable_compact(spark, base, target_bytes=1 << 30)
+
+        def _no_feed(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("row-preserving window read the feed")
+
+        monkeypatch.setattr(mtable_mod, "_changes_counted", _no_feed)
+        rep = mv_refresh(spark, mv)
+        assert rep["refreshed"] and rep["groups_upserted"] == 0
+        assert read_manifest(mv)["mv"]["base_version"] == read_manifest(
+            base
+        )["version"]
+        monkeypatch.undo()
+        _assert_parity(spark, base, mv)
+        # mixed window (compact + merge): the real feed must run
+        mtable_compact(spark, base, target_bytes=1 << 30)
+        upd2 = _base_df(spark, n=60)
+        mtable_merge(spark, base, upd2, key="k")
+        rep2 = mv_refresh(spark, mv)
+        assert rep2["refreshed"]
         _assert_parity(spark, base, mv)
 
 

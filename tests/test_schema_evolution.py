@@ -762,3 +762,149 @@ class TestWidenColumn:
             (4, "update_postimage", 44.0),
             (4, "update_preimage", 4.0),
         ]
+
+
+class TestZombieColumnAndCloneEras:
+    """ADVICE r17: (1) drop-then-re-add must never resurrect pre-drop
+    bytes; (2) schema-evolution merges refuse live rename-physical and
+    live dropped names; (3) mtable_clone translates ALTER-era file
+    lists to the clone's absolute paths (alter-THEN-clone reads)."""
+
+    def _table(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        df = spark.range(0, 100).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS x", "CONCAT('v', id) AS note"
+        )
+        d = str(tmp_path / "zt")
+        mtable_create(spark, df, d)
+        return d
+
+    def test_drop_then_readd_null_default_masks_old_bytes(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_drop_columns,
+            mtable_read,
+            read_manifest,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_drop_columns(spark, d, "note")
+        assert set(read_manifest(d)["dropped_columns"]) == {"note"}
+        # re-add with default=None: old files still carry 'v<id>' bytes,
+        # which must NOT resurface
+        mtable_add_columns(spark, d, {"note": ("string", None)})
+        vals = {r["note"] for r in mtable_read(spark, d).collect()}
+        assert vals == {None}
+        # a NULL-default era was recorded to mask the zombie bytes
+        assert "note" in read_manifest(d)["column_defaults"]
+
+    def test_drop_then_readd_with_default_takes_default(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_drop_columns,
+            mtable_read,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_drop_columns(spark, d, "note")
+        mtable_add_columns(spark, d, {"note": ("string", "fresh")})
+        vals = {r["note"] for r in mtable_read(spark, d).collect()}
+        assert vals == {"fresh"}
+
+    def test_evolve_refuses_dropped_and_rename_physical_names(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_drop_columns,
+            mtable_merge,
+            mtable_rename_column,
+        )
+
+        d = self._table(spark, tmp_path)
+        mtable_drop_columns(spark, d, "note")
+        upd = spark.createDataFrame(
+            [(1, 1.0, "zombie")], "k long, x double, note string"
+        )
+        with pytest.raises(ValueError, match="previously DROPPED"):
+            mtable_merge(spark, d, upd, "k", schema_evolution=True)
+        # rename-era physical name: old files still carry 'x' bytes
+        mtable_rename_column(spark, d, "x", "amount")
+        upd2 = spark.createDataFrame(
+            [(1, 1.0, 2.0)], "k long, amount double, x double"
+        )
+        with pytest.raises(ValueError, match="PHYSICAL name"):
+            mtable_merge(spark, d, upd2, "k", schema_evolution=True)
+
+    def test_alter_then_clone_reads_through_translated_eras(
+        self, spark, tmp_path
+    ):
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_add_columns,
+            mtable_clone,
+            mtable_read,
+            mtable_rename_column,
+            mtable_widen_column,
+            read_manifest,
+        )
+
+        src = str(tmp_path / "src")
+        from w4h_etl_container_spark.pipeline.mtable import mtable_create
+
+        df = spark.range(0, 60).selectExpr(
+            "id AS k", "CAST(id AS INT) AS n", "CAST(id AS DOUBLE) AS amount"
+        )
+        mtable_create(spark, df, src)
+        # live eras of all three kinds, all BEFORE the clone
+        mtable_rename_column(spark, src, "amount", "value")
+        mtable_widen_column(spark, src, "n", "long")
+        mtable_add_columns(spark, src, {"tag": ("string", "era")})
+        dst = str(tmp_path / "dst")
+        mtable_clone(src, dst)
+        man = read_manifest(dst)
+        # era file lists reference the clone's (absolute) files
+        files = set(man["files"])
+        for e in man["column_renames"]["value"]:
+            assert set(e["files"]) <= files
+        for e in man["column_widenings"]["n"]:
+            assert set(e["files"]) <= files
+        assert set(man["column_defaults"]["tag"]["files"]) <= files
+        got = sorted(
+            (r["k"], r["n"], r["value"], r["tag"])
+            for r in mtable_read(spark, dst).collect()
+        )
+        want = sorted((i, i, float(i), "era") for i in range(60))
+        assert got == want
+
+
+class TestMviewWhereColumnFingerprint:
+    def test_where_only_column_alter_refuses_refresh(self, spark, tmp_path):
+        """ADVICE r17 (low): a base rename of a column referenced ONLY
+        by the view's WHERE filter must hit the deliberate
+        'recreate the view' refusal, not a cryptic analysis error."""
+        from w4h_etl_container_spark.pipeline.mtable import (
+            mtable_create,
+            mtable_merge,
+            mtable_rename_column,
+        )
+        from w4h_etl_container_spark.pipeline.mview import mv_create, mv_refresh
+
+        base, mv = str(tmp_path / "b"), str(tmp_path / "v")
+        df = spark.range(0, 100).selectExpr(
+            "id AS k", "id % 5 AS g", "CAST(id AS DOUBLE) AS val",
+            "id % 2 AS flag",
+        )
+        mtable_create(spark, df, base)
+        mv_create(
+            spark, mv, base, group_by="g",
+            aggs={"s": ("sum", "val")}, key="k", where="flag = 1",
+        )
+        mtable_rename_column(spark, base, "flag", "is_odd")
+        upd = spark.createDataFrame(
+            [(1, 1, 10.0, 1)], "k long, g long, val double, is_odd long"
+        )
+        mtable_merge(spark, base, upd, "k")
+        with pytest.raises(ValueError, match="recreate the view"):
+            mv_refresh(spark, mv)

@@ -195,6 +195,30 @@ def synthesize_deeper(con) -> None:
             os.symlink(f"{DEEP}/{t}.parquet", dst)
 
 
+#: MV-crossover corpus: 300x lineitem ONLY (the crossover leg's sole
+#: input) — the base volume where a full view recompute can no longer
+#: hide in scheduling noise while the refresh stays O(churn)
+MVX_CORPUS = "/tmp/benchmvx_corpus"
+MVX_COPIES = 3  # x the 100x tier
+
+
+def synthesize_mvx(con) -> None:
+    os.makedirs(MVX_CORPUS, exist_ok=True)
+    if not os.path.exists(f"{MVX_CORPUS}/lineitem.parquet"):
+        lis = " UNION ALL ".join(
+            f"SELECT * REPLACE (l_orderkey + {j * 10_000_000_000} AS "
+            f"l_orderkey) FROM _limvx"
+            for j in range(MVX_COPIES)
+        )
+        con.execute(
+            f"CREATE VIEW _limvx AS SELECT * FROM '{DEEP}/lineitem.parquet'"
+        )
+        con.execute(
+            f"COPY ({lis}) TO '{MVX_CORPUS}/lineitem.parquet' (FORMAT PARQUET)"
+        )
+        con.execute("DROP VIEW _limvx")
+
+
 def best_of(fn, n=2) -> float:
     best = float("inf")
     for _ in range(n):
@@ -281,6 +305,12 @@ def lakehouse_tier(sf_dir: str) -> dict:
             .collect()
         )
 
+    def jobs() -> int:
+        # DAGScheduler's monotone job counter: deltas around a commit
+        # loop = Spark jobs (driver round-trips) per commit — the
+        # commit-floor accounting the r16 verdict asked for (#4)
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
     n_keys = base.count()
     out: dict = {"commits": LAKE_COMMITS, "base_dir": sf_dir, "base_rows": n_keys}
     for churn_tag, batch_rows in LAKE_CHURNS.items():
@@ -330,6 +360,7 @@ def lakehouse_tier(sf_dir: str) -> dict:
             dv_bytes = 0
             rows_churned = 0
             t0 = time.time()
+            j0 = jobs()
             prev = man
             for c in range(LAKE_COMMITS):
                 upd = base.where(
@@ -356,6 +387,9 @@ def lakehouse_tier(sf_dir: str) -> dict:
                 prev = cur
             rec[f"{mode}_rows_churned"] = rows_churned
             rec[f"{mode}_commit_wall"] = round(time.time() - t0, 3)
+            rec[f"{mode}_jobs_per_commit"] = round(
+                (jobs() - j0) / LAKE_COMMITS, 1
+            )
             rec[f"{mode}_data_bytes_written"] = data_bytes
             rec[f"{mode}_dv_bytes_written"] = dv_bytes
             rec[f"{mode}_bytes_per_row_churned"] = round(
@@ -380,6 +414,7 @@ def lakehouse_tier(sf_dir: str) -> dict:
             M.mtable_create(spark, base.repartition(32, "okey"), tdir)
             prev = M.read_manifest(tdir)
             t0 = time.time()
+            j0 = jobs()
             for c in range(LAKE_COMMITS):
                 upd = base.where(
                     F.pmod(F.xxhash64(F.col("okey")), F.lit(n_buckets)) == c
@@ -392,6 +427,9 @@ def lakehouse_tier(sf_dir: str) -> dict:
                     spark, tdir, upd, "okey", mode="mor", max_collect_keys=0
                 )
             rec["joinpath_commit_wall"] = round(time.time() - t0, 3)
+            rec["joinpath_jobs_per_commit"] = round(
+                (jobs() - j0) / LAKE_COMMITS, 1
+            )
             rec["joinpath_planner_path"] = prev.get("key_match_path")
             rec["joinpath_hash_equal_collect"] = (
                 checksum(tdir) == checksum(dirs["mor"])
@@ -427,8 +465,10 @@ def lakehouse_tier(sf_dir: str) -> dict:
 
         mvdir = os.path.join(LAKE_DIR, f"{churn_tag}-mv")
         t0 = time.time()
+        j0 = jobs()
         mv_rep = MV.mv_refresh(spark, mvdir)
         rec["mv_refresh_wall"] = round(time.time() - t0, 3)
+        rec["mv_refresh_jobs"] = jobs() - j0
         rec["mv_groups_recomputed"] = mv_rep.get("groups_recomputed")
 
         def _mv_state(df):
@@ -467,11 +507,43 @@ def lakehouse_tier(sf_dir: str) -> dict:
         # groups touched) — the property that keeps nightly OPTIMIZE
         # from turning every downstream view refresh into a table diff
         t0 = time.time()
+        j0 = jobs()
         mv_rep2 = MV.mv_refresh(spark, mvdir)
         rec["mv_refresh_post_maintain_wall"] = round(time.time() - t0, 3)
+        rec["mv_refresh_post_maintain_jobs"] = jobs() - j0
         rec["mv_refresh_post_maintain_groups"] = mv_rep2.get(
             "groups_upserted", -1
         )
+        # MV CROSSOVER (r16 verdict #1a): one small-churn window on the
+        # maintained base — the nightly shape (trickle churn between
+        # refreshes) — refresh wall vs the full recompute. With the r17
+        # commit-floor folds the refresh's fixed cost is what this
+        # measures; the crossover claim is refresh < recompute at this
+        # churn/base ratio, recorded either way.
+        small = base.where(
+            F.pmod(F.xxhash64(F.col("okey")), F.lit(5000)) == 7
+        ).select(
+            "okey", F.lit(-99.5).alias("qty"), F.lit(99).cast("long").alias("cnt")
+        )
+        M.mtable_merge(spark, dirs["mor"], small, "okey", mode="mor")
+        t0 = time.time()
+        j0 = jobs()
+        MV.mv_refresh(spark, mvdir)
+        rec["mv_small_churn_refresh_wall"] = round(time.time() - t0, 3)
+        rec["mv_small_churn_refresh_jobs"] = jobs() - j0
+        rec["mv_small_churn_rows"] = int(
+            M.read_manifest(dirs["mor"]).get("n_update_keys") or 0
+        )
+        rec["mv_small_churn_recompute_wall"] = best_of(
+            lambda: _recompute().collect()
+        )
+        rec["mv_refresh_beats_recompute"] = (
+            rec["mv_small_churn_refresh_wall"]
+            < rec["mv_small_churn_recompute_wall"]
+        )
+        rec["mv_equal_recompute_small_churn"] = _mv_state(
+            MV.mv_read(spark, mvdir)
+        ) == _mv_state(_recompute())
         if churn_tag == "10x":
             # DATA-SKIPPING READ at volume (r16): cluster the CoW table
             # by key, then a ~4% key-range read through manifest-stats
@@ -557,6 +629,121 @@ def lakehouse_tier(sf_dir: str) -> dict:
     return out
 
 
+MVX_DIR = "/tmp/bench10x_mvx"
+
+
+def mv_crossover_tier(sf_dir: str) -> dict:
+    """MV ECONOMICS CROSSOVER (r16 verdict #1a): the lakehouse-tier MV
+    rows showed refresh losing to recompute at every PAGE-CACHED base
+    size — the refresh carries a fixed commit cost while recompute is
+    one cheap cached aggregate. This leg scales the BASE to the 100×
+    lineitem (~15 M group keys) and makes the churn window the realistic
+    nightly shape — key-range-local churn on a key-CLUSTERED base, so
+    the feed's file diff is genuinely O(churned files) — then measures
+    one incremental refresh against the from-scratch aggregate.
+    Aggregates are the self-maintainable set (count/sum/avg): min/max
+    dirty-group economics are the 10× lakehouse leg's story.
+
+    Run in its own subprocess (fresh session). Prints one JSON line."""
+    import shutil
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    from pyspark.sql import functions as F
+
+    from w4h_etl_container_spark.pipeline import mtable as M
+    from w4h_etl_container_spark.pipeline import mview as MV
+    from w4h_etl_container_spark.session import get_spark
+
+    spark = get_spark("bench10x-mvx")
+
+    def jobs() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    shutil.rmtree(MVX_DIR, ignore_errors=True)
+    os.makedirs(MVX_DIR, exist_ok=True)
+    base = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("double")).alias("qty"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    tdir = os.path.join(MVX_DIR, "base")
+    mvdir = os.path.join(MVX_DIR, "mv")
+    out: dict = {"base_dir": sf_dir}
+    t0 = time.time()
+    M.mtable_create(spark, base.repartition(32, "okey"), tdir)
+    # cluster by key so a key-range churn touches O(churned) files —
+    # the locality every production MV base maintains (nightly OPTIMIZE)
+    man = M.read_manifest(tdir)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(tdir, f)) for f in man["files"]
+    )
+    M.mtable_compact(
+        spark, tdir, cluster=["okey"], target_bytes=max(total_bytes // 32, 1)
+    )
+    out["base_build_wall"] = round(time.time() - t0, 3)
+    out["base_files"] = len(M.read_manifest(tdir)["files"])
+    import pyarrow.parquet as pq
+
+    out["base_rows"] = sum(
+        pq.ParquetFile(os.path.join(tdir, f)).metadata.num_rows
+        for f in M.read_manifest(tdir)["files"]
+    )
+    t0 = time.time()
+    MV.mv_create(
+        spark, mvdir, tdir, group_by="cnt",
+        aggs={"n": ("count", "*"), "sq": ("sum", "qty"), "aq": ("avg", "qty")},
+        key="okey",
+    )
+    out["mv_create_wall"] = round(time.time() - t0, 3)
+    # nightly churn: one contiguous key range (~0.02% of the key space;
+    # the synthesized copies translate keys by 100M per copy, so the
+    # range sits inside copy 1's populated span — orderkeys are ~25%
+    # dense there)
+    lo, hi = 100_000_000, 100_012_000
+    churn = base.where((F.col("okey") >= lo) & (F.col("okey") < hi)).select(
+        "okey", F.lit(-7.5).alias("qty"), F.col("cnt")
+    )
+    cman = M.mtable_merge(spark, tdir, churn, "okey", mode="mor")
+    out["churn_rows"] = cman["n_update_keys"]
+    out["churn_files_matched"] = len(
+        [f for f in (cman.get("dv") or {})]
+    )
+    t0 = time.time()
+    j0 = jobs()
+    rep = MV.mv_refresh(spark, mvdir)
+    out["refresh_wall"] = round(time.time() - t0, 3)
+    out["refresh_jobs"] = jobs() - j0
+    out["groups_recomputed"] = rep.get("groups_recomputed")
+
+    def _recompute():
+        return M.mtable_read(spark, tdir).groupBy("cnt").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty").alias("sq"),
+            F.avg("qty").alias("aq"),
+        )
+
+    out["recompute_wall"] = best_of(lambda: _recompute().collect())
+    out["refresh_beats_recompute"] = (
+        out["refresh_wall"] < out["recompute_wall"]
+    )
+
+    def _state(df):
+        return sorted(
+            (r["cnt"], r["n"], str(r["sq"]), str(round(r["aq"], 9)))
+            for r in df.collect()
+        )
+
+    out["equal_recompute"] = _state(MV.mv_read(spark, mvdir)) == _state(
+        _recompute()
+    )
+    shutil.rmtree(MVX_DIR, ignore_errors=True)
+    print(json.dumps(out))
+    return out
+
+
 def spark_tier(sf_dir: str, qnames: list[str]) -> dict:
     """Measure one tier's Spark walls on a FRESH session (subprocess
     entry — see main). Prints one JSON line {name: best_seconds}."""
@@ -601,6 +788,9 @@ def main() -> int:
     if len(sys.argv) > 2 and sys.argv[1] == "--lakehouse-tier":
         lakehouse_tier(sys.argv[2])
         return 0
+    if len(sys.argv) > 2 and sys.argv[1] == "--mv-crossover-tier":
+        mv_crossover_tier(sys.argv[2])
+        return 0
 
     tag = sys.argv[1] if len(sys.argv) > 1 else "r11"
     con = duckdb.connect()
@@ -611,6 +801,7 @@ def main() -> int:
     # queries that already crossed at 10x
     synthesize(con, BIG=DEEP, COPIES=DEEP_COPIES, docs=True, embs=False)
     synthesize_deeper(con)
+    synthesize_mvx(con)
 
     from w4h_etl_container_spark.plans.registry import load_library
 
@@ -717,6 +908,20 @@ def main() -> int:
         print(proc.stderr[-4000:], file=sys.stderr)
         raise RuntimeError("lakehouse tier failed")
     out["lakehouse"] = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # MV crossover (r17): incremental refresh vs full recompute at the
+    # 300x base volume with key-range-local churn on a clustered base
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mv-crossover-tier",
+         MVX_CORPUS],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    if proc.returncode != 0:
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError("mv crossover tier failed")
+    out["mv_crossover_300x"] = json.loads(
+        proc.stdout.strip().splitlines()[-1]
+    )
 
     out["spark_total_10x"] = round(
         sum(r["spark_10x"] for r in out["queries"].values()), 3

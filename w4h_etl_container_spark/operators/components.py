@@ -117,10 +117,16 @@ def connected_components(
     rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint()
 
-    if driver_edge_cap and edges.count() <= driver_edge_cap:
-        # count() and collect() both read the checkpointed partitions —
-        # the candidate subtree is never re-evaluated.
-        return _driver_cc(pairs.sparkSession, edges.collect())
+    if driver_edge_cap:
+        # ONE capped collect decides the strategy AND delivers the edge
+        # list (r17 — was a count job then a collect job): limit(cap+1)
+        # returns at most cap+1 rows off the checkpointed partitions, so
+        # len <= cap means we already hold the complete edge set, and
+        # len == cap+1 proves the graph is over the cap without ever
+        # collecting an unbounded amount to the driver.
+        head = edges.limit(driver_edge_cap + 1).collect()
+        if len(head) <= driver_edge_cap:
+            return _driver_cc(pairs.sparkSession, head)
 
     labels = (
         edges.select(F.col("src").alias("v"))

@@ -798,11 +798,19 @@ def _new_data_files(
     sub = f"data-{uuid.uuid4().hex}"
     out = os.path.join(table_dir, sub)
     df.write.parquet(out)
-    return _drop_empty([
+    kept = _drop_empty([
         os.path.join(sub, f)
         for f in os.listdir(out)
         if f.endswith(".parquet")
     ])
+    if not kept:
+        # an all-empty write (e.g. a CoW delete whose matched rows all
+        # died) leaves only markers behind — remove the dir so the
+        # manifest never has unreferenced debris to explain
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    return kept
 
 
 def _partition_values(
@@ -984,6 +992,7 @@ def _plan_matched_files(
     keys: list[str],
     max_collect_keys: int,
     empty_msg: str,
+    precounted: tuple[int, dict] | None = None,
 ):
     """Shared MERGE/DELETE planning: which data files can contain any
     of the batch's key tuples?
@@ -1010,8 +1019,21 @@ def _plan_matched_files(
     containment (conjunction; a column with no trusted range
     constrains nothing), and only the distinct matched FILE names
     collect (bounded by file count). Files with no trusted stats on
-    any key column are matched unconditionally on both paths."""
+    any key column are matched unconditionally on both paths.
+
+    ``precounted=(n_keys, key_box)`` lets a caller that already folded
+    the distinct-count/NULL-refusal/bounding-box aggregate into its own
+    batch-validation job (mtable_merge, overwrite — the r17 commit-floor
+    folds) skip this helper's aggregate entirely: one planner job fewer
+    per commit, identical planning inputs. Such a caller has already
+    refused empty batches and NULL keys."""
     kdf = batch.select(*keys).distinct().persist()
+    if precounted is not None:
+        n_keys, key_box = precounted
+        return _match_files_from_ranges(
+            spark, table_dir, man, kdf, keys, max_collect_keys,
+            n_keys, key_box,
+        )
     # ONE agg carries the count-gate decision AND the per-column key
     # bounding box (for the rebase conflict check) — folding the box
     # into the job the planner already runs keeps the commit path at
@@ -1043,6 +1065,24 @@ def _plan_matched_files(
             "a NULL key never equi-matches any table row; filter or "
             "repair the batch upstream"
         )
+    return _match_files_from_ranges(
+        spark, table_dir, man, kdf, keys, max_collect_keys, n_keys, key_box,
+    )
+
+
+def _match_files_from_ranges(
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    kdf: DataFrame,
+    keys: list[str],
+    max_collect_keys: int,
+    n_keys: int,
+    key_box: dict,
+):
+    """File-matching back half of ``_plan_matched_files`` (count-gated
+    collect-bisect vs range-join — see its docstring), split out so
+    callers with a precounted key aggregate share one copy."""
     ranges = _ranges_for_plan(table_dir, man, keys)
     unprunable = [f for f, box in ranges.items() if not box]
     bounded = {f: box for f, box in ranges.items() if box}
@@ -1155,6 +1195,10 @@ def _carry_schema(man: dict, meta: dict) -> dict:
     # the view from its base table
     if man.get("mv") is not None and "mv" not in meta:
         meta["mv"] = man["mv"]
+    # dropped-column zombie bookkeeping (mtable_drop_columns) rides
+    # every commit until the last byte-carrying file is rewritten
+    if man.get("dropped_columns") and "dropped_columns" not in meta:
+        meta["dropped_columns"] = man["dropped_columns"]
     # era-correct ADD COLUMN defaults ride every commit until the last
     # pre-add file is rewritten (mtable_add_columns)
     if man.get("column_defaults") and "column_defaults" not in meta:
@@ -1686,6 +1730,12 @@ def mtable_add_columns(
         for e in eras
         if e["files"]
     }
+    live = set(man["files"])
+    dropped_live = {
+        c
+        for c, fs in (man.get("dropped_columns") or {}).items()
+        if set(fs) & live
+    }
     for name, (ddl, default) in cols.items():
         if name in existing:
             raise ValueError(
@@ -1734,6 +1784,19 @@ def mtable_add_columns(
             defaults[name] = {
                 "type": ddl,
                 "default": default,
+                "files": sorted(man["files"]),
+            }
+        elif name in dropped_live:
+            # ZOMBIE-BYTE mask (ADVICE r17): this name was DROPPED and
+            # live files still physically carry its pre-drop bytes — a
+            # plain null-fill re-add would resurrect them through the
+            # schema-declared read. A NULL-default era masks the old
+            # bytes for exactly the current files; files written after
+            # this add carry honest values, and any rewrite shrinks the
+            # era toward empty, same as every other era.
+            defaults[name] = {
+                "type": ddl,
+                "default": None,
                 "files": sorted(man["files"]),
             }
         new_fields.append(json.loads(field.json()))
@@ -2157,10 +2220,36 @@ def mtable_drop_columns(
                     f"CHECK {name!r} ({expr}); drop or rewrite the check "
                     "first (mtable_set_checks)"
                 )
+    # ZOMBIE-BYTE bookkeeping (ADVICE r17): the drop is metadata-only,
+    # so live files still PHYSICALLY carry the dropped column's bytes —
+    # re-adding the same name without an era would resurrect pre-drop
+    # values through the schema-declared read. Record, per dropped
+    # physical name, the files that still carry its bytes: the declared
+    # name's bytes live in every current file, and a dropped column's
+    # RENAME eras leave their old physical names' bytes in exactly the
+    # era files. mtable_add_columns/_evolve_schema consult this map;
+    # rewrites shrink the intersections toward empty, and entries whose
+    # files are all gone are pruned here (the only place with the file
+    # list in hand).
+    live = set(man["files"])
+    dropped_phys = {
+        c: sorted(set(fs) & live)
+        for c, fs in (man.get("dropped_columns") or {}).items()
+        if set(fs) & live
+    }
+    for c in drop:
+        dropped_phys[c] = sorted(man["files"])
+        for e in (man.get("column_renames") or {}).get(c, []):
+            phys_live = sorted(set(e["files"]) & live)
+            if phys_live:
+                dropped_phys[e["from"]] = sorted(
+                    set(dropped_phys.get(e["from"], [])) | set(phys_live)
+                )
     meta = _carry_schema(man, {
         "op": "drop-columns",
         "parent": man["version"],
         "dropped": sorted(drop),
+        "dropped_columns": dropped_phys,
         # a dropped column's ADD-era default and RENAME eras die with
         # it (set even when empty so _carry_schema does not resurrect
         # the old maps)
@@ -2265,7 +2354,12 @@ def mtable_overwrite_partitions(
             ordered = df.select(*[f.name for f in want.fields])
         else:
             ordered = df
-        _enforce_checks(ordered, man.get("checks"), "overwrite-partitions")
+        checks = man.get("checks") or {}
+        # ONE materialization serves the validation aggregate, the
+        # distinct value set, the survivor anti-join probe side and the
+        # fresh-rows write (same discipline as merge's updates.persist —
+        # without it the fold below would ADD a scan of the batch)
+        ordered.persist()
         vals = ordered.select(*pby).distinct().persist()
         # NULL is a partition (__HIVE_DEFAULT_PARTITION__), and unlike
         # merge/delete's equi-keys it is a legitimate overwrite target.
@@ -2273,10 +2367,60 @@ def mtable_overwrite_partitions(
         # tuples plan SEPARATELY and conservatively: any file whose
         # recorded stats cannot refute nulls on some partition column
         # (stat None/missing = unprunable) is read and rewritten.
+        #
+        # ONE validation aggregate (r17 commit-floor fold) carries the
+        # CHECK-constraint counts, both distinct-value-tuple counts
+        # (null-bearing and not), and the non-null key box the planner
+        # and the rebase conflict check need — it replaces the separate
+        # checks pass, null count, and planner aggregate (three driver
+        # round-trips → one).
         null_cond = F.lit(False)
         for c in pby:
             null_cond = null_cond | F.col(c).isNull()
-        n_null_vals = vals.where(null_cond).count()
+        ck_names = sorted(checks)
+        vrow = ordered.agg(
+            F.count_distinct(F.when(null_cond, F.struct(*pby))).alias("__nv"),
+            F.count_distinct(F.when(~null_cond, F.struct(*pby))).alias("__nn"),
+            *[
+                m
+                for c in pby
+                for m in (
+                    F.min(F.when(~null_cond, F.col(c))).alias(f"__mn_{c}"),
+                    F.max(F.when(~null_cond, F.col(c))).alias(f"__mx_{c}"),
+                )
+            ],
+            *[
+                F.sum(F.when(~F.expr(checks[n]), 1).otherwise(0)).alias(
+                    f"__ck_{i}"
+                )
+                for i, n in enumerate(ck_names)
+            ],
+        ).collect()[0]
+        bad = {
+            n: int(vrow[f"__ck_{i}"])
+            for i, n in enumerate(ck_names)
+            if vrow[f"__ck_{i}"]
+        }
+        if bad:
+            vals.unpersist()
+            ordered.unpersist()
+            detail = ", ".join(
+                f"{n!r} ({checks[n]}): {c} row(s)" for n, c in bad.items()
+            )
+            raise ValueError(
+                f"mtable overwrite-partitions: CHECK constraint violation — "
+                f"{detail}; the batch was refused and no version was "
+                "committed"
+            )
+        n_null_vals = vrow["__nv"]
+        n_nn = vrow["__nn"]
+        if n_null_vals + n_nn == 0:
+            vals.unpersist()
+            ordered.unpersist()
+            raise ValueError(
+                "mtable_overwrite_partitions: the dataframe is "
+                "empty — it names no partition values to overwrite"
+            )
         vals_nn = vals.where(~null_cond)
         null_matched: list[str] = []
         if n_null_vals:
@@ -2288,19 +2432,24 @@ def mtable_overwrite_partitions(
             ]
         kdf0 = None
         try:
-            if n_null_vals and vals_nn.limit(1).count() == 0:
+            if n_nn == 0:
                 matched0: list[str] = []
-                n_nn, path, key_box = 0, "collect", {}
+                path, key_box = "collect", {}
             else:
+                box = {
+                    c: (vrow[f"__mn_{c}"], vrow[f"__mx_{c}"]) for c in pby
+                }
                 matched0, _untouched0, n_nn, kdf0, path, key_box = (
                     _plan_matched_files(
                         spark, table_dir, man, vals_nn, pby, max_collect_keys,
                         "mtable_overwrite_partitions: the dataframe is "
                         "empty — it names no partition values to overwrite",
+                        precounted=(n_nn, box),
                     )
                 )
         except Exception:
             vals.unpersist()
+            ordered.unpersist()
             raise
         matched = sorted(set(matched0) | set(null_matched))
         untouched = [f for f in man["files"] if f not in set(matched)]
@@ -2328,17 +2477,20 @@ def mtable_overwrite_partitions(
                     eq = old[c].eqNullSafe(F.col(f"__ow_{c}"))
                     cond = eq if cond is None else cond & eq
                 survivors = old.join(kalias, cond, "left_anti")
-                if survivors.limit(1).count():
-                    new_files += _new_data_files(
-                        table_dir, survivors, partition_by=pby,
-                        root=man.get("partition_root", "data-parts"),
-                    )
+                # write unconditionally (r17): the writer drops zero-row
+                # part files, so a no-survivor rewrite contributes no
+                # files — the probe job it replaced cost the same scan
+                new_files += _new_data_files(
+                    table_dir, survivors, partition_by=pby,
+                    root=man.get("partition_root", "data-parts"),
+                )
             new_files += _new_data_files(
                 table_dir, ordered, partition_by=pby,
                 root=man.get("partition_root", "data-parts"),
             )
         finally:
             kdf.unpersist()
+            ordered.unpersist()
             if kdf0 is not None:
                 kdf0.unpersist()
         _publish_or_rebase(
@@ -3050,6 +3202,7 @@ def _evolve_schema(
     updates: DataFrame,
     schema_evolution: bool,
     op: str,
+    man: dict | None = None,
 ) -> str | None:
     """Reconcile the update batch's schema against the table's.
     Identical column sets (order-insensitive, exact type match) pass
@@ -3077,6 +3230,44 @@ def _evolve_schema(
             "explicitly (session.migrate_table)"
         )
     new = [n for n in updates.columns if n not in tmap]
+    if new and man is not None:
+        # name-collision guards mirroring mtable_add_columns (ADVICE
+        # r17): a live RENAME era's physical name would make
+        # _patched_schema_json emit two identically-named fields for
+        # pre-rename files (ambiguous reads of every untouched era
+        # file), and a live DROPPED name's old bytes would resurrect
+        # through the schema-declared read. Both refuse loudly here —
+        # use mtable_add_columns (which records a masking era) or
+        # compact first.
+        live = set(man.get("files") or [])
+        live_phys = {
+            e["from"]
+            for eras in (man.get("column_renames") or {}).values()
+            for e in eras
+            if set(e["files"]) & live
+        }
+        bad_phys = sorted(set(new) & live_phys)
+        if bad_phys:
+            raise ValueError(
+                f"{op}: new column(s) {bad_phys} collide with the PHYSICAL "
+                "name of a rename era some live files still carry — "
+                "pre-rename files would scan with two identically-named "
+                "fields; compact first or pick another name"
+            )
+        dropped_live = {
+            c
+            for c, fs in (man.get("dropped_columns") or {}).items()
+            if set(fs) & live
+        }
+        bad_drop = sorted(set(new) & dropped_live)
+        if bad_drop:
+            raise ValueError(
+                f"{op}: new column(s) {bad_drop} were previously DROPPED "
+                "and live files still physically carry their pre-drop "
+                "bytes — a schema-evolution re-add would resurrect them; "
+                "re-add via mtable_add_columns (which masks the old bytes "
+                "with a NULL-default era) or compact first"
+            )
     missing = sorted(tmap.keys() - umap.keys())
     if (new or missing) and not schema_evolution:
         raise ValueError(
@@ -3104,6 +3295,7 @@ def mtable_merge(
     mode: str = "cow",
     deletes: DataFrame | None = None,
     extra_meta: dict | None = None,
+    _prevalidated: dict | None = None,
 ) -> dict:
     """MERGE (upsert) ``updates`` by ``key`` (single column or
     composite list): rows whose key tuple exists are replaced, new
@@ -3195,181 +3387,265 @@ def mtable_merge(
             else None
         )
         evolved_json = _evolve_schema(
-            tschema, updates, schema_evolution, "mtable_merge"
+            tschema, updates, schema_evolution, "mtable_merge", man
         )
-        _enforce_checks(updates, man.get("checks"), "merge")
+        checks = man.get("checks") or {}
         updates.persist()
         dels_kdf = None
-        if deletes is not None:
-            missing_k = [c for c in keys if c not in deletes.columns]
-            if missing_k:
-                raise ValueError(
-                    f"mtable_merge: deletes is missing key column(s) "
-                    f"{missing_k}"
-                )
-            dels_kdf = deletes.select(*keys).distinct().persist()
-        plan_batch = (
-            updates
-            if dels_kdf is None
-            else updates.select(*keys).unionByName(dels_kdf)
-        )
         try:
-            matched, untouched, n_keys, kdf, path, key_box = (
-                _plan_matched_files(
-                    spark, table_dir, man, plan_batch, keys, max_collect_keys,
-                    "mtable_merge: empty update batch",
-                )
-            )
-            try:
-                if dels_kdf is None:
-                    n_rows = updates.count()
-                    n_upd_keys = n_keys
-                else:
-                    # the planner counted the UNION of both key sets;
-                    # the duplicate-batch refusal below must judge the
-                    # update rows alone — and a key appearing on BOTH
-                    # sides has no defined winner, so refuse that too.
-                    # ONE tagged-union aggregate carries all three
-                    # counts (update rows, distinct update keys,
-                    # distinct delete keys); disjointness then falls
-                    # out arithmetically: overlap ⇔ upd + del > union
-                    krow = (
-                        updates.select(*keys)
-                        .withColumn("_mt_side", F.lit(1))
-                        .unionByName(dels_kdf.withColumn("_mt_side", F.lit(0)))
-                        .agg(
-                            F.sum("_mt_side").alias("__nu_rows"),
-                            F.count_distinct(
-                                F.when(
-                                    F.col("_mt_side") == 1, F.struct(*keys)
-                                )
-                            ).alias("__nu_keys"),
-                            F.count_distinct(
-                                F.when(
-                                    F.col("_mt_side") == 0, F.struct(*keys)
-                                )
-                            ).alias("__nd_keys"),
-                        )
-                        .collect()[0]
-                    )
-                    n_rows = krow["__nu_rows"] or 0
-                    n_upd_keys = krow["__nu_keys"]
-                    if n_upd_keys + krow["__nd_keys"] > n_keys:
-                        raise ValueError(
-                            "mtable_merge: a key tuple appears in both "
-                            "updates and deletes — whether it is replaced "
-                            "or removed is undefined; split the batch "
-                            "upstream"
-                        )
-                if n_rows != n_upd_keys:
-                    # a batch with duplicate key tuples has no
-                    # well-defined upsert (which row wins?) — the
-                    # Delta/Iceberg "multiple source rows matched"
-                    # refusal; dedupe upstream or pre-aggregate via
-                    # mtable_merge_agg
+            if deletes is not None:
+                missing_k = [c for c in keys if c not in deletes.columns]
+                if missing_k:
                     raise ValueError(
-                        f"mtable_merge: update batch has {n_rows - n_upd_keys} "
-                        f"duplicate key rows ({n_rows} rows, {n_upd_keys} "
-                        f"distinct {keys}); an upsert needs one row per key"
+                        f"mtable_merge: deletes is missing key column(s) "
+                        f"{missing_k}"
                     )
-                dv_added: dict = {}
-                n_replaced = None
-                if matched and mode == "mor":
-                    # shadow the replaced rows' positions; the batch
-                    # lands whole as fresh files — zero rewrites
-                    scan = _scan_with_pos(spark, table_dir, matched, man)
-                    semi = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
-                    doomed = (
-                        scan.join(semi, keys, "left_semi")
-                        .select(
-                            F.col("_mt_file").alias("file"),
-                            F.col("_mt_pos").alias("pos"),
+                dels_kdf = deletes.select(*keys).distinct().persist()
+
+            def _merge_planned(man, evolved_json, n_keys, key_box, n_upd_keys):
+                # planning + write + publish, shared by the validated and
+                # pre-validated paths (r17)
+                plan_batch = (
+                    updates
+                    if dels_kdf is None
+                    else updates.select(*keys).unionByName(dels_kdf)
+                )
+                try:
+                    matched, untouched, n_keys, kdf, path, key_box = (
+                        _plan_matched_files(
+                            spark, table_dir, man, plan_batch, keys, max_collect_keys,
+                            "mtable_merge: empty update batch",
+                            precounted=(n_keys, key_box),
                         )
-                        .persist()
                     )
                     try:
-                        n_replaced = doomed.count()
-                        if n_replaced:
-                            dv_rel = _new_dv_file(table_dir, doomed)
-                            base_to_rel = {
-                                os.path.basename(f): f for f in matched
-                            }
-                            for r in doomed.select("file").distinct().collect():
-                                dv_added.setdefault(
-                                    base_to_rel[r["file"]], []
-                                ).append(dv_rel)
+                        dv_added: dict = {}
+                        n_replaced = None
+                        if matched and mode == "mor":
+                            # shadow the replaced rows' positions; the batch
+                            # lands whole as fresh files — zero rewrites
+                            scan = _scan_with_pos(spark, table_dir, matched, man)
+                            semi = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
+                            doomed = (
+                                scan.join(semi, keys, "left_semi")
+                                .select(
+                                    F.col("_mt_file").alias("file"),
+                                    F.col("_mt_pos").alias("pos"),
+                                )
+                                .persist()
+                            )
+                            try:
+                                # ONE per-file count collect (bounded by the
+                                # matched-file count) carries both the replaced-
+                                # row total and the shadowed-file set — the
+                                # separate count() + distinct-file collect were
+                                # two driver round-trips for the same scan (r17)
+                                per_file = doomed.groupBy("file").count().collect()
+                                n_replaced = sum(r["count"] for r in per_file)
+                                if n_replaced:
+                                    dv_rel = _new_dv_file(table_dir, doomed)
+                                    base_to_rel = {
+                                        os.path.basename(f): f for f in matched
+                                    }
+                                    for r in per_file:
+                                        dv_added.setdefault(
+                                            base_to_rel[r["file"]], []
+                                        ).append(dv_rel)
+                            finally:
+                                doomed.unpersist()
+                            combined = updates
+                        elif matched:
+                            # matched files read under the TABLE schema, so an
+                            # already-evolved table merges old-schema files
+                            # without tripping the union
+                            old = _read_files(spark, table_dir, matched, man)
+                            anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
+                            combined = old.join(anti, keys, "left_anti").unionByName(
+                                updates, allowMissingColumns=schema_evolution
+                            )
+                        else:
+                            combined = updates
+                        if combined is updates and evolved_json is not None:
+                            # align a standalone-written batch (insert-only, or
+                            # any MOR batch) to the full evolved schema (absent
+                            # table columns become NULL)
+                            full = T.StructType.fromJson(json.loads(evolved_json))
+                            have = set(updates.columns)
+                            combined = updates.select(
+                                *[
+                                    F.col(f.name)
+                                    if f.name in have
+                                    else F.lit(None).cast(f.dataType).alias(f.name)
+                                    for f in full.fields
+                                ]
+                            )
+                        new_files = _new_data_files(
+                            table_dir, combined, partition_by=man.get("partition_by"),
+                            root=man.get("partition_root", "data-parts")
+                        )
                     finally:
-                        doomed.unpersist()
-                    combined = updates
-                elif matched:
-                    # matched files read under the TABLE schema, so an
-                    # already-evolved table merges old-schema files
-                    # without tripping the union
-                    old = _read_files(spark, table_dir, matched, man)
-                    anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
-                    combined = old.join(anti, keys, "left_anti").unionByName(
-                        updates, allowMissingColumns=schema_evolution
-                    )
-                else:
-                    combined = updates
-                if combined is updates and evolved_json is not None:
-                    # align a standalone-written batch (insert-only, or
-                    # any MOR batch) to the full evolved schema (absent
-                    # table columns become NULL)
-                    full = T.StructType.fromJson(json.loads(evolved_json))
-                    have = set(updates.columns)
-                    combined = updates.select(
-                        *[
-                            F.col(f.name)
-                            if f.name in have
-                            else F.lit(None).cast(f.dataType).alias(f.name)
-                            for f in full.fields
-                        ]
-                    )
-                new_files = _new_data_files(
-                    table_dir, combined, partition_by=man.get("partition_by"),
-                    root=man.get("partition_root", "data-parts")
+                        kdf.unpersist()
+                finally:
+                    updates.unpersist()
+                    if dels_kdf is not None:
+                        dels_kdf.unpersist()
+                meta = {
+                    "op": "merge",
+                    "parent": man["version"],
+                    "keys": keys,
+                    "mode": mode,
+                    "files_rewritten": 0 if mode == "mor" else len(matched),
+                    "files_untouched": len(untouched),
+                    "n_update_keys": n_upd_keys,
+                    "key_match_path": path,
+                    **({"n_replaced": n_replaced} if n_replaced is not None else {}),
+                    # the overlap refusal above makes the two key sets
+                    # disjoint, so the union count decomposes exactly
+                    **(
+                        {"n_delete_keys": n_keys - n_upd_keys}
+                        if dels_kdf is not None
+                        else {}
+                    ),
+                }
+                meta = _carry_schema(man, meta)
+                if evolved_json is not None:
+                    meta["schema_json"] = evolved_json
+                if extra_meta:
+                    meta.update(extra_meta)
+                _publish_or_rebase(
+                    spark, table_dir, man,
+                    loser_removed=set() if mode == "mor" else set(matched),
+                    loser_read=set(matched),
+                    loser_added=new_files,
+                    loser_dv_added=dv_added,
+                    meta=meta,
+                    key_box=key_box,
+                    allow_rebase=expected_version is None,
                 )
-            finally:
-                kdf.unpersist()
-        finally:
+                return read_manifest(table_dir)
+
+            if _prevalidated is not None and not checks:
+                # PRE-VALIDATED internal path (r17): the caller — the MV
+                # refresh, whose classification aggregate already proved the
+                # batch non-empty, NULL-free, key-distinct and side-disjoint
+                # and computed these exact counts and the key box — skips
+                # the batch-validation aggregate entirely. Never taken when
+                # the table carries CHECK constraints (those must scan), and
+                # never exposed on the public surface; the manifest CAS and
+                # the planner run unchanged.
+                n_keys = _prevalidated["n_keys"]
+                key_box = dict(_prevalidated["key_box"])
+                n_rows = _prevalidated["n_rows"]
+                n_upd_keys = _prevalidated["n_upd_keys"]
+                return _merge_planned(
+                    man, evolved_json, n_keys, key_box, n_upd_keys
+                )
+            # ONE batch-validation aggregate (r17 commit-floor fold): the
+            # CHECK-constraint counts, the duplicate-key refusal's row/key
+            # counts, the planner's count-gate + NULL refusal + rebase key
+            # box, and (with deletes) the overlap refusal all ride a single
+            # tagged scan of the batch — three driver round-trips folded
+            # into one, per commit, at any scale. The refusal ORDER is
+            # unchanged (checks → empty → NULL keys → overlap → duplicates).
+            side = F.col("_mt_side")
+            if dels_kdf is None:
+                tagged = updates.withColumn("_mt_side", F.lit(1))
+            else:
+                utypes = {f.name: f.dataType for f in updates.schema.fields}
+                tagged = updates.withColumn("_mt_side", F.lit(1)).unionByName(
+                    dels_kdf.select(
+                        *[
+                            F.col(c) if c in keys
+                            else F.lit(None).cast(utypes[c]).alias(c)
+                            for c in updates.columns
+                        ],
+                        F.lit(0).alias("_mt_side"),
+                    )
+                )
+            null_cond = F.lit(False)
+            for c in keys:
+                null_cond = null_cond | F.col(c).isNull()
+            ck_names = sorted(checks)
+            vrow = tagged.agg(
+                F.sum(side).alias("__nu_rows"),
+                F.count_distinct(F.when(side == 1, F.struct(*keys))).alias(
+                    "__nu_keys"
+                ),
+                F.count_distinct(F.when(side == 0, F.struct(*keys))).alias(
+                    "__nd_keys"
+                ),
+                F.count_distinct(F.struct(*keys)).alias("__n"),
+                F.max(F.when(null_cond, 1).otherwise(0)).alias("__nn"),
+                *[
+                    m
+                    for c in keys
+                    for m in (
+                        F.min(c).alias(f"__mn_{c}"),
+                        F.max(c).alias(f"__mx_{c}"),
+                    )
+                ],
+                *[
+                    F.sum(
+                        F.when((side == 1) & ~F.expr(checks[n]), 1).otherwise(0)
+                    ).alias(f"__ck_{i}")
+                    for i, n in enumerate(ck_names)
+                ],
+            ).collect()[0]
+            bad = {
+                n: int(vrow[f"__ck_{i}"])
+                for i, n in enumerate(ck_names)
+                if vrow[f"__ck_{i}"]
+            }
+            if bad:
+                detail = ", ".join(
+                    f"{n!r} ({checks[n]}): {c} row(s)" for n, c in bad.items()
+                )
+                raise ValueError(
+                    f"mtable merge: CHECK constraint violation — {detail}; "
+                    "the batch was refused and no version was committed"
+                )
+            n_keys = vrow["__n"]
+            if n_keys == 0:
+                raise ValueError("mtable_merge: empty update batch")
+            if vrow["__nn"]:
+                raise ValueError(
+                    f"mtable: NULL value in merge/delete key column(s) {keys} — "
+                    "a NULL key never equi-matches any table row; filter or "
+                    "repair the batch upstream"
+                )
+            key_box = {c: (vrow[f"__mn_{c}"], vrow[f"__mx_{c}"]) for c in keys}
+            n_rows = vrow["__nu_rows"] or 0
+            n_upd_keys = vrow["__nu_keys"]
+            if dels_kdf is not None and n_upd_keys + vrow["__nd_keys"] > n_keys:
+                # a key appearing on BOTH sides has no defined winner;
+                # disjointness falls out arithmetically: overlap ⇔
+                # upd + del > union
+                raise ValueError(
+                    "mtable_merge: a key tuple appears in both "
+                    "updates and deletes — whether it is replaced "
+                    "or removed is undefined; split the batch "
+                    "upstream"
+                )
+            if n_rows != n_upd_keys:
+                # a batch with duplicate key tuples has no
+                # well-defined upsert (which row wins?) — the
+                # Delta/Iceberg "multiple source rows matched"
+                # refusal; dedupe upstream or pre-aggregate via
+                # mtable_merge_agg
+                raise ValueError(
+                    f"mtable_merge: update batch has {n_rows - n_upd_keys} "
+                    f"duplicate key rows ({n_rows} rows, {n_upd_keys} "
+                    f"distinct {keys}); an upsert needs one row per key"
+                )
+            return _merge_planned(man, evolved_json, n_keys, key_box, n_upd_keys)
+        except Exception:
+            # refusals raised during validation must not leak the
+            # persisted batch (the success path unpersists inside
+            # _merge_planned; a second unpersist there is a no-op)
             updates.unpersist()
             if dels_kdf is not None:
                 dels_kdf.unpersist()
-        meta = {
-            "op": "merge",
-            "parent": man["version"],
-            "keys": keys,
-            "mode": mode,
-            "files_rewritten": 0 if mode == "mor" else len(matched),
-            "files_untouched": len(untouched),
-            "n_update_keys": n_upd_keys,
-            "key_match_path": path,
-            **({"n_replaced": n_replaced} if n_replaced is not None else {}),
-            # the overlap refusal above makes the two key sets
-            # disjoint, so the union count decomposes exactly
-            **(
-                {"n_delete_keys": n_keys - n_upd_keys}
-                if dels_kdf is not None
-                else {}
-            ),
-        }
-        meta = _carry_schema(man, meta)
-        if evolved_json is not None:
-            meta["schema_json"] = evolved_json
-        if extra_meta:
-            meta.update(extra_meta)
-        _publish_or_rebase(
-            spark, table_dir, man,
-            loser_removed=set() if mode == "mor" else set(matched),
-            loser_read=set(matched),
-            loser_added=new_files,
-            loser_dv_added=dv_added,
-            meta=meta,
-            key_box=key_box,
-            allow_rebase=expected_version is None,
-        )
-        return read_manifest(table_dir)
+            raise
 
     return _retrying(_once, table_dir, retries, expected_version)
 
@@ -3604,11 +3880,15 @@ def mtable_delete(
                     .persist()
                 )
                 try:
-                    n_deleted = doomed.count()
+                    # one per-file count collect carries the deleted-row
+                    # total AND the shadowed-file set (r17 fold — was a
+                    # count() plus a distinct-file collect)
+                    per_file = doomed.groupBy("file").count().collect()
+                    n_deleted = sum(r["count"] for r in per_file)
                     if n_deleted:
                         dv_rel = _new_dv_file(table_dir, doomed)
                         base_to_rel = {os.path.basename(f): f for f in matched}
-                        for r in doomed.select("file").distinct().collect():
+                        for r in per_file:
                             dv_added.setdefault(
                                 base_to_rel[r["file"]], []
                             ).append(dv_rel)
@@ -3618,11 +3898,15 @@ def mtable_delete(
                 old = _read_files(spark, table_dir, matched, man)
                 anti = F.broadcast(kdf) if n_keys <= max_collect_keys else kdf
                 survivors = old.join(anti, kcols, "left_anti")
-                if survivors.limit(1).count():
-                    new_files = _new_data_files(
-                        table_dir, survivors, partition_by=man.get("partition_by"),
-                        root=man.get("partition_root", "data-parts")
-                    )
+                # write unconditionally: the writer already drops
+                # zero-row part files, so an all-deleted match yields an
+                # empty new_files list — the pre-count probe job it
+                # replaced answered the same question at the same scan
+                # cost (r17 fold)
+                new_files = _new_data_files(
+                    table_dir, survivors, partition_by=man.get("partition_by"),
+                    root=man.get("partition_root", "data-parts")
+                )
         finally:
             kdf.unpersist()
         _publish_or_rebase(
@@ -3886,12 +4170,52 @@ def mtable_compact(
     # (the winner's appends legitimately change the total); comparing
     # the DV-filtered rewrite set against its replacement files checks
     # exactly what compaction may not alter.
-    n_in = _read_files(spark, table_dir, rewrite, man).count()
-    n_out_rows = (
-        _read_files(spark, table_dir, new_files, man, dv_man={}).count()
-        if new_files
-        else 0
-    )
+    #
+    # r17: both sides come from DRIVER METADATA, not Spark jobs — the
+    # previous implementation re-scanned every rewritten byte a second
+    # time (two count jobs after the rewrite job, pure read
+    # amplification at any scale). The replacement side is a plain
+    # footer num_rows sum (fresh files carry no DVs); the input side is
+    # footer rows minus the DV positions shadowing the rewrite set,
+    # read from the tiny DV sidecars with pyarrow. Oversized shadows
+    # (same 32 MB decompressed gate as the read path's broadcast
+    # decision) fall back to the exact Spark count — correctness is
+    # never gated.
+    import pyarrow.parquet as pq
+
+    def _rows(rels: list[str]) -> int:
+        return sum(
+            pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
+            for f in rels
+        )
+
+    n_out_rows = _rows(new_files) if new_files else 0
+    dv_rel_files = _dv_paths(man, rewrite)
+    n_in = None
+    if dv_rel_files:
+        try:
+            if _rows(dv_rel_files) * 128 <= 32 << 20:
+                rewrite_bases = {os.path.basename(f) for f in rewrite}
+                dead: set[tuple] = set()
+                for rel in dv_rel_files:
+                    t = pq.read_table(
+                        os.path.join(table_dir, rel), columns=["file", "pos"]
+                    )
+                    dead.update(
+                        (b, p)
+                        for b, p in zip(
+                            t.column("file").to_pylist(),
+                            t.column("pos").to_pylist(),
+                        )
+                        if b in rewrite_bases
+                    )
+                n_in = _rows(rewrite) - len(dead)
+        except Exception:
+            n_in = None  # unreadable sidecar: use the exact count below
+        if n_in is None:
+            n_in = _read_files(spark, table_dir, rewrite, man).count()
+    else:
+        n_in = _rows(rewrite)
     if n_in != n_out_rows:
         raise RuntimeError(
             f"mtable_compact row-count mismatch: rewrote {n_in} rows "
@@ -4323,13 +4647,22 @@ def mtable_merge_agg(
         combined = pool.groupBy(*kcols).agg(
             *[_combine_expr(c, fn) for c, fn in sorted(combine.items())]
         )
-        _enforce_checks(
-            combined.select(*cols), man.get("checks"), "merge_agg"
-        )
-        new_files = _new_data_files(
-            table_dir, combined.select(*cols), partition_by=man.get("partition_by"),
-            root=man.get("partition_root", "data-parts")
-        )
+        out_df = combined.select(*cols)
+        has_checks = bool(man.get("checks"))
+        if has_checks:
+            # the CHECK scan and the data write need the same combined
+            # aggregate — persist so the matched-file read + groupBy run
+            # once, not twice (r17; checks-free tables keep the bare plan)
+            out_df.persist()
+        try:
+            _enforce_checks(out_df, man.get("checks"), "merge_agg")
+            new_files = _new_data_files(
+                table_dir, out_df, partition_by=man.get("partition_by"),
+                root=man.get("partition_root", "data-parts")
+            )
+        finally:
+            if has_checks:
+                out_df.unpersist()
         _publish_or_rebase(
             spark, table_dir, man,
             loser_removed=set(matched),
@@ -4456,6 +4789,75 @@ def mtable_changes(
     versions must still be retained (vacuum shrinks the feed's reach,
     exactly as it shrinks time travel)."""
     keys = _as_keys(key)
+    counted, cols = _changes_counted(spark, table_dir, from_version, to_version)
+    if counted is None:
+        # committed-but-changed-nothing window (e.g. a delete that
+        # matched no rows): a legitimately EMPTY feed, not an error
+        man_b = read_manifest(table_dir, to_version)
+        return _read_files(spark, table_dir, man_b["files"], man_b).limit(
+            0
+        ).withColumn("_change_type", F.lit(""))
+    # classification WITHOUT self-joins: one window over the (small,
+    # changed-rows-only) counted table marks whether each key has a
+    # post-image (d > 0 anywhere) and a pre-image (d < 0 anywhere) —
+    # replaced keys are updates, fresh ones inserts, un-replaced
+    # removed ones deletes (a replaced key's pre-image is suppressed,
+    # same as the join rendering). Both output branches share the
+    # window's exchange, so the churned files are scanned exactly once
+    # per side at runtime.
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*keys)
+    flagged = counted.select(
+        *cols,
+        "_mt_d",
+        F.max(F.when(F.col("_mt_d") > 0, 1).otherwise(0)).over(w).alias("_mt_new"),
+        F.max(F.when(F.col("_mt_d") < 0, 1).otherwise(0)).over(w).alias("_mt_old"),
+    )
+    upd_label = "update_postimage" if pre_images else "update"
+    ups = flagged.where(F.col("_mt_d") > 0).select(
+        *cols,
+        F.when(F.col("_mt_old") == 1, F.lit(upd_label))
+        .otherwise(F.lit("insert"))
+        .alias("_change_type"),
+        F.explode(F.sequence(F.lit(1), F.col("_mt_d"))).alias("_mt_i"),
+    ).drop("_mt_i")
+    # without pre-images a replaced key's removed row is suppressed
+    # (the default feed carries updates as post-image only); with them
+    # it surfaces as update_preimage — same counted table, one more
+    # branch off the shared exchange
+    del_cond = F.col("_mt_d") < 0
+    if not pre_images:
+        del_cond = del_cond & (F.col("_mt_new") == 0)
+    dels = flagged.where(del_cond).select(
+        *cols,
+        (
+            F.when(F.col("_mt_new") == 1, F.lit("update_preimage"))
+            .otherwise(F.lit("delete"))
+            if pre_images
+            else F.lit("delete")
+        ).alias("_change_type"),
+        F.explode(F.sequence(F.lit(1), -F.col("_mt_d"))).alias("_mt_i"),
+    ).drop("_mt_i")
+    return ups.unionByName(dels)
+
+
+def _changes_counted(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+):
+    """The change feed's COUNTED core: the multiset difference between
+    two versions as one row per changed row-value with its signed
+    multiplicity ``_mt_d`` (> 0: appears ``d`` more times in the newer
+    version; < 0: ``-d`` fewer). ``mtable_changes`` layers the per-key
+    window classification (insert/update/delete vocabulary) on top; an
+    ALGEBRAIC consumer (pipeline/mview.py's incremental refresh) reads
+    this form directly — its signed-delta aggregates only need the
+    multiplicity, so it skips the classification window's exchange and
+    the explode entirely (r17). Returns ``(counted_df, data_columns)``;
+    ``(None, cols)`` for a committed-but-changed-nothing window."""
     man_a = read_manifest(table_dir, from_version)
     man_b = read_manifest(table_dir, to_version)
     added = sorted(set(man_b["files"]) - set(man_a["files"]))
@@ -4491,11 +4893,9 @@ def mtable_changes(
             "a change feed needs two distinct committed versions"
         )
     if not added and not removed and not dv_changed:
-        # committed-but-changed-nothing window (e.g. a delete that
-        # matched no rows): a legitimately EMPTY feed, not an error
-        return _read_files(spark, table_dir, man_b["files"], man_b).limit(
-            0
-        ).withColumn("_change_type", F.lit(""))
+        return None, _read_files(
+            spark, table_dir, man_b["files"], man_b
+        ).limit(0).columns
     new_rows = _read(added, man_b)
     old_rows = _read(removed, man_a)
     if dv_changed:
@@ -4546,49 +4946,7 @@ def mtable_changes(
         .agg(F.sum("_mt_d").alias("_mt_d"))
         .where(F.col("_mt_d") != 0)
     )
-    # classification WITHOUT self-joins: one window over the (small,
-    # changed-rows-only) counted table marks whether each key has a
-    # post-image (d > 0 anywhere) and a pre-image (d < 0 anywhere) —
-    # replaced keys are updates, fresh ones inserts, un-replaced
-    # removed ones deletes (a replaced key's pre-image is suppressed,
-    # same as the join rendering). Both output branches share the
-    # window's exchange, so the churned files are scanned exactly once
-    # per side at runtime.
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy(*keys)
-    flagged = counted.select(
-        *cols,
-        "_mt_d",
-        F.max(F.when(F.col("_mt_d") > 0, 1).otherwise(0)).over(w).alias("_mt_new"),
-        F.max(F.when(F.col("_mt_d") < 0, 1).otherwise(0)).over(w).alias("_mt_old"),
-    )
-    upd_label = "update_postimage" if pre_images else "update"
-    ups = flagged.where(F.col("_mt_d") > 0).select(
-        *cols,
-        F.when(F.col("_mt_old") == 1, F.lit(upd_label))
-        .otherwise(F.lit("insert"))
-        .alias("_change_type"),
-        F.explode(F.sequence(F.lit(1), F.col("_mt_d"))).alias("_mt_i"),
-    ).drop("_mt_i")
-    # without pre-images a replaced key's removed row is suppressed
-    # (the default feed carries updates as post-image only); with them
-    # it surfaces as update_preimage — same counted table, one more
-    # branch off the shared exchange
-    del_cond = F.col("_mt_d") < 0
-    if not pre_images:
-        del_cond = del_cond & (F.col("_mt_new") == 0)
-    dels = flagged.where(del_cond).select(
-        *cols,
-        (
-            F.when(F.col("_mt_new") == 1, F.lit("update_preimage"))
-            .otherwise(F.lit("delete"))
-            if pre_images
-            else F.lit("delete")
-        ).alias("_change_type"),
-        F.explode(F.sequence(F.lit(1), -F.col("_mt_d"))).alias("_mt_i"),
-    ).drop("_mt_i")
-    return ups.unionByName(dels)
+    return counted, cols
 
 
 def mtable_clone(src_dir: str, dst_dir: str) -> dict:
@@ -4647,15 +5005,39 @@ def mtable_clone(src_dir: str, dst_dir: str) -> dict:
                 for f, s in (src_bloom.get("files") or {}).items()
             },
         }
+    meta = _carry_schema(man, {
+        "op": "clone",
+        "cloned_from": os.path.abspath(src_dir),
+        "cloned_version": man["version"],
+    })
+    # ALTER-era file lists are source-relative while the clone references
+    # its files by absolute path — translate them exactly like
+    # file_stats/dv/bloom (ADVICE r17, high): untranslated era lists
+    # intersect the clone's file list to the EMPTY set, so pre-alter
+    # files would read WITHOUT the era patch — a renamed column silently
+    # all-NULL, ADD-era defaults silently NULL, widened narrow files
+    # read under the wide schema.
+    if meta.get("column_defaults"):
+        meta["column_defaults"] = {
+            c: {**d, "files": sorted(_abs(f) for f in d["files"])}
+            for c, d in meta["column_defaults"].items()
+        }
+    for era_key in ("column_renames", "column_widenings"):
+        if meta.get(era_key):
+            meta[era_key] = {
+                c: [
+                    {**e, "files": sorted(_abs(f) for f in e["files"])}
+                    for e in eras
+                ]
+                for c, eras in meta[era_key].items()
+            }
+    # dropped-physical-name bookkeeping (see mtable_drop_columns) is
+    # name-keyed, not path-keyed — it carries verbatim
     _write_manifest(
         dst_dir,
         0,
         abs_files,
-        _carry_schema(man, {
-            "op": "clone",
-            "cloned_from": os.path.abspath(src_dir),
-            "cloned_version": man["version"],
-        }),
+        meta,
         file_stats=abs_stats,
         dv=abs_dv,
         bloom=abs_bloom,

@@ -9,13 +9,17 @@ GROUP BY group_by`` materialized as its OWN manifest table keyed on
 the group columns, plus metadata — the definition, the base table
 path, and the base VERSION the stored rows reflect — recorded in the
 view table's committed manifest. Refresh reads the base's row-level
-change feed with pre-images (``mtable_changes(pre_images=True)``)
-between the recorded version and the base's current version and
-applies it algebraically:
+change feed in its COUNTED form (``mtable._changes_counted`` — one row
+per changed row-value with signed multiplicity ``_mt_d``; the r17 fold:
+the classification window and its explode that
+``mtable_changes(pre_images=True)`` layers on top are pure overhead for
+an algebraic consumer) between the recorded version and the base's
+current version and applies it algebraically:
 
-* ``count`` / ``sum`` / ``avg`` are self-maintainable: every feed row
-  contributes a SIGNED delta (+1 for insert / update_postimage, −1
-  for delete / update_preimage); one ``groupBy`` over the feed — which
+* ``count`` / ``sum`` / ``avg`` are self-maintainable: every counted
+  feed row contributes a SIGNED delta weighted by its multiplicity
+  (+d for rows appearing d more times, −d for rows removed d times);
+  one ``groupBy`` over the feed — which
   is O(churned rows), never O(base) — yields per-group deltas that add
   onto the stored state. ``avg`` stores (sum, count) and divides at
   read time, so it stays exact whenever the sum is.
@@ -54,14 +58,12 @@ from w4h_etl_container_spark.pipeline.mtable import (
     _carry_schema,
     _write_manifest,
     mtable_create,
-    mtable_changes,
     mtable_merge,
     mtable_read,
     read_manifest,
 )
 
 _FNS = ("count", "sum", "avg", "min", "max", "kmv")
-_POST = ("insert", "update_postimage")
 
 #: KMV approximate-distinct state size and hash domain (matches
 #: plans/sketches.py): the K smallest DISTINCT 60-bit hashes of the
@@ -177,8 +179,12 @@ def mv_create(
     base = mtable_read(spark, base_dir, version=base_man["version"])
     if where:
         base = base.where(where)
-    _refuse_null_groups(base.select(*gb), gb, "create")
-    state = base.groupBy(*gb).agg(*_state_aggs(aggs))
+    # the NULL-group refusal runs on the STATE (one row per group, so a
+    # NULL base key surfaces as a NULL-keyed group), persisted so the
+    # base is scanned ONCE for check + materialization instead of twice
+    # (r17 — the old base-side probe was a second full scan on clean
+    # inputs, which is the common case)
+    state = base.groupBy(*gb).agg(*_state_aggs(aggs)).persist()
     # fingerprint the referenced base columns' TYPES: a later base
     # widen/retype would make the signed deltas a wider type than the
     # stored state, and the refresh's align-cast would truncate
@@ -187,6 +193,22 @@ def mv_create(
         col for (_fn, col) in aggs.values() if col != "*"
     } | set([key] if isinstance(key, str) else key)
     base_fields = {f.name: f.dataType.json() for f in base.schema.fields}
+    if where:
+        # columns referenced ONLY by the filter belong in the fingerprint
+        # too (ADVICE r17): a later base rename/drop of one must hit the
+        # deliberate 'recreate the view' refusal at refresh (not a cryptic
+        # analysis error), and a retype must not silently change filter
+        # semantics. Identifier-shaped tokens ∩ the base schema is a
+        # conservative superset (a string literal spelling a column name
+        # also pins it) — over-pinning only ever refuses more loudly,
+        # never computes wrong results.
+        import re
+
+        referenced |= {
+            t
+            for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", where)
+            if t in base_fields
+        }
     missing_ref = sorted(referenced - set(base_fields))
     if missing_ref:
         raise ValueError(
@@ -205,7 +227,11 @@ def mv_create(
         "key": [key] if isinstance(key, str) else list(key),
         **({"where": where} if where else {}),
     }
-    return mtable_create(spark, state, mv_dir, extra_meta={"mv": mv_meta})
+    try:
+        _refuse_null_groups(state.select(*gb), gb, "create")
+        return mtable_create(spark, state, mv_dir, extra_meta={"mv": mv_meta})
+    finally:
+        state.unpersist()
 
 
 def _mv_meta(mv_dir: str) -> dict:
@@ -341,55 +367,82 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
     } == {f: sorted(v) for f, v in (base_man.get("dv") or {}).items()}:
         return _stamp_only()
 
-    feed = mtable_changes(
-        spark, base_dir, synced, current, key=mv["key"], pre_images=True
-    )
+    # ROW-PRESERVING window (r17 — the post-maintain refresh fix): when
+    # every commit between the watermark and the head is an op that
+    # cannot change the table's logical row multiset (compaction —
+    # its row conservation is checked at commit; constraint/spec/
+    # metadata-only schema changes), the feed is empty BY THE OP
+    # ALGEBRA even though the file lists differ — stamp the watermark
+    # without building (or running) the feed plan over the rewritten
+    # files. A missing intermediate manifest (vacuumed history) or any
+    # row-changing op falls through to the real diff.
+    _ROW_PRESERVING = {
+        "compact", "set-checks", "set-partitioning", "reset-epochs",
+        "add-columns", "drop-columns", "rename-column", "widen-column",
+    }
+    try:
+        if all(
+            read_manifest(base_dir, v).get("op") in _ROW_PRESERVING
+            for v in range(synced + 1, current + 1)
+        ):
+            return _stamp_only()
+    except FileNotFoundError:
+        pass
+
+    # the refresh consumes the feed's COUNTED form — one row per
+    # changed row-value with signed multiplicity _mt_d — because the
+    # signed-delta algebra only needs multiplicities: the change-feed
+    # classification window (an extra exchange over the churned rows)
+    # and its explode never run (r17; was mtable_changes(pre_images=True))
+    from w4h_etl_container_spark.pipeline.mtable import _changes_counted
+
+    feed, _cols = _changes_counted(spark, base_dir, synced, current)
+    if feed is None:
+        return _stamp_only()
     if mv.get("where"):
         feed = feed.where(mv["where"])
-    sign = F.when(F.col("_change_type").isin(*_POST), F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    d = F.col("_mt_d")
 
-    delta_aggs = [F.sum(sign).alias("__d_rows")]
+    delta_aggs = [F.sum(d).alias("__d_rows")]
     for out, (fn, col) in aggs.items():
         if fn == "count":
             src = (
-                sign
+                d
                 if col == "*"
-                else F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
+                else F.when(F.col(col).isNotNull(), d).otherwise(F.lit(0))
             )
             delta_aggs.append(F.sum(src).alias(f"__ds_{out}"))
         elif fn in ("sum", "avg"):
             delta_aggs.append(
                 F.sum(
-                    F.when(F.col(col).isNotNull(), sign * F.col(col)).otherwise(
+                    F.when(F.col(col).isNotNull(), d * F.col(col)).otherwise(
                         F.lit(0)
                     )
                 ).alias(f"__ds_{out}")
             )
             delta_aggs.append(
                 F.sum(
-                    F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
+                    F.when(F.col(col).isNotNull(), d).otherwise(F.lit(0))
                 ).alias(f"__dn_{out}")
             )
         elif fn == "min":
-            delta_aggs.append(F.min(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
-            delta_aggs.append(F.min(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
+            delta_aggs.append(F.min(F.when(d > 0, F.col(col))).alias(f"__ins_{out}"))
+            delta_aggs.append(F.min(F.when(d < 0, F.col(col))).alias(f"__rm_{out}"))
         elif fn == "max":
-            delta_aggs.append(F.max(F.when(sign > 0, F.col(col))).alias(f"__ins_{out}"))
-            delta_aggs.append(F.max(F.when(sign < 0, F.col(col))).alias(f"__rm_{out}"))
+            delta_aggs.append(F.max(F.when(d > 0, F.col(col))).alias(f"__ins_{out}"))
+            delta_aggs.append(F.max(F.when(d < 0, F.col(col))).alias(f"__rm_{out}"))
         else:  # kmv: k-min set of inserted hashes; smallest removed hash
             delta_aggs.append(
                 F.slice(
                     F.array_sort(
-                        F.collect_set(F.when(sign > 0, _kmv_hash(col)))
+                        F.collect_set(F.when(d > 0, _kmv_hash(col)))
                     ),
                     1,
                     _KMV_K,
                 ).alias(f"__kins_{out}")
             )
             delta_aggs.append(
-                F.min(F.when(sign < 0, _kmv_hash(col))).alias(f"__krm_{out}")
+                F.min(F.when(d < 0, _kmv_hash(col))).alias(f"__krm_{out}")
             )
 
     delta = feed.groupBy(*gb).agg(*delta_aggs)
@@ -504,6 +557,18 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             F.sum(
                 F.when((F.col("__rows") > 0) & F.col("__dirty"), 1).otherwise(0)
             ).alias("dirty"),
+            # the touched groups' per-column key box rides the same job:
+            # it pre-validates the view commit below (the merge's own
+            # batch-validation aggregate re-derives exactly these facts,
+            # so handing them over skips one Spark job per refresh — r17)
+            *[
+                m
+                for c in gb
+                for m in (
+                    F.min(c).alias(f"__mn_{c}"),
+                    F.max(c).alias(f"__mx_{c}"),
+                )
+            ],
         ).collect()[0]
         if stats["touched"] == 0:
             # pure-compaction window (rewritten files, identical rows)
@@ -585,6 +650,19 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             deletes=vanished if n_del else None,
             extra_meta={"mv": {**mv, "base_version": current}},
             expected_version=man["version"],
+            # the classification aggregate above already proved this
+            # batch non-empty, NULL-free, one-row-per-group and
+            # side-disjoint (upserts ⇔ __rows > 0, deletes ⇔ __rows == 0)
+            # and computed the union key box — skip the merge's own
+            # validation job (ignored if the view table carries checks)
+            _prevalidated={
+                "n_keys": stats["touched"],
+                "n_rows": stats["touched"] - n_del,
+                "n_upd_keys": stats["touched"] - n_del,
+                "key_box": {
+                    c: (stats[f"__mn_{c}"], stats[f"__mx_{c}"]) for c in gb
+                },
+            },
         )
         return {
             "refreshed": True,
