@@ -126,6 +126,9 @@ def connected_components(
         # collecting an unbounded amount to the driver.
         head = edges.limit(driver_edge_cap + 1).collect()
         if len(head) <= driver_edge_cap:
+            # a driver-built LocalRelation is already materialized and
+            # its row count is driver knowledge — consumers
+            # (dedup_survivors) skip their checkpoint + count jobs (r17)
             return _driver_cc(pairs.sparkSession, head)
 
     labels = (
@@ -191,7 +194,11 @@ def _driver_cc(spark, edge_rows) -> DataFrame:
     # root chosen as the min at every union step ⇒ find(v) IS the
     # component minimum once all edges are processed
     labels = [(v, find(v)) for v in parent]
-    return spark.createDataFrame(labels, "doc_id: long, cluster_id: long")
+    out = spark.createDataFrame(labels, "doc_id: long, cluster_id: long")
+    # driver knowledge riding along: the label count, so downstream
+    # consumers never pay a Spark job to re-learn it (r17)
+    out._local_label_rows = len(labels)  # type: ignore[attr-defined]
+    return out
 
 
 def _edge_rewrite_cc(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
@@ -325,10 +332,19 @@ def dedup_survivors(
     broadcast at runtime if the post-filter loser set turns out small.
     Pass ``broadcast_cap=0`` to never hint.
     """
-    cc = connected_components(pairs).localCheckpoint()
-    # One scalar job over checkpointed (or driver-built) partitions —
-    # the component computation is never re-evaluated.
-    clustered_small = broadcast_cap > 0 and cc.count() <= broadcast_cap
+    cc = connected_components(pairs)
+    n_local = getattr(cc, "_local_label_rows", None)
+    if n_local is None:
+        # iterative result: checkpoint so the component computation is
+        # never re-evaluated, one scalar job learns the size
+        cc = cc.localCheckpoint()
+        clustered_small = broadcast_cap > 0 and cc.count() <= broadcast_cap
+    else:
+        # driver union-find result: a LocalRelation — already
+        # materialized (re-use costs a plan-embedded local scan, no
+        # recompute) and its size is driver knowledge; the checkpoint
+        # and count jobs would be pure scheduling overhead (r17)
+        clustered_small = broadcast_cap > 0 and n_local <= broadcast_cap
     hint = F.broadcast if clustered_small else (lambda df: df)
     if prefer is None:
         losers = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")

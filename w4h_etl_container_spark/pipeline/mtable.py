@@ -147,6 +147,45 @@ class ConcurrentWriteError(RuntimeError):
     this writer planned against (``expected_version`` stale)."""
 
 
+def _plan_no_aqe(df: DataFrame) -> DataFrame:
+    """Plan a CONTROL-PLANE query without adaptive execution and return
+    it ready to collect (r17 — the commit path's driver-round-trip
+    floor).
+
+    The commit path's validation/planning queries are bounded-output by
+    construction: global aggregates (one row), count-gated key frames
+    (≤ ``max_collect_keys`` rows), per-file counts (≤ matched-file
+    rows). AQE cannot improve such a plan at ANY data scale — there is
+    no join strategy left to revise (build sides are already explicit
+    ``broadcast()`` hints), no skew to split (a global aggregate's
+    exchange moves one partial row per map task), and nothing worth
+    coalescing — but its stage-by-stage materialization turns a 1-job
+    2-stage aggregate into 3-4 sequential driver round-trips, measured
+    at ~80 ms each on this harness: at commit frequency AQE is pure
+    scheduling overhead on these queries. Data-plane queries (reads,
+    rewrites, the streaming sink's batches) keep AQE — this helper is
+    only for bounded collects the engine itself constructs.
+
+    The conf flip is scoped to PLAN CONSTRUCTION only (the physical
+    plan is fixed once ``executedPlan`` materializes, and the
+    DataFrame's QueryExecution is cached) and restored in ``finally``;
+    a concurrent session thread that plans inside that ~ms window would
+    merely plan one query without AQE — never a correctness effect."""
+    spark = df.sparkSession
+    try:
+        old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        return df
+    if old == "false":
+        return df
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    return df
+
+
 def _as_keys(key: str | list[str] | tuple[str, ...]) -> list[str]:
     """Normalize the key spec: a single column name or a composite key
     column list. Order matters — the FIRST column drives bisect range
@@ -993,6 +1032,7 @@ def _plan_matched_files(
     max_collect_keys: int,
     empty_msg: str,
     precounted: tuple[int, dict] | None = None,
+    keys_distinct: bool = False,
 ):
     """Shared MERGE/DELETE planning: which data files can contain any
     of the batch's key tuples?
@@ -1026,8 +1066,20 @@ def _plan_matched_files(
     batch-validation job (mtable_merge, overwrite — the r17 commit-floor
     folds) skip this helper's aggregate entirely: one planner job fewer
     per commit, identical planning inputs. Such a caller has already
-    refused empty batches and NULL keys."""
-    kdf = batch.select(*keys).distinct().persist()
+    refused empty batches and NULL keys.
+
+    ``keys_distinct=True`` additionally asserts the batch's key tuples
+    are ALREADY distinct (merge: the duplicate-key and overlap refusals
+    prove it; overwrite: the batch is a filtered ``distinct()``), so the
+    key frame skips its own ``distinct()`` — one exchange (and its AQE
+    stage round-trip) fewer per commit. Every consumer of the key frame
+    is duplicate-insensitive anyway (semi/anti joins, the bisect
+    membership test); the flag only matters for the non-precounted
+    aggregate's count, which is why it requires ``precounted``."""
+    kdf = batch.select(*keys)
+    if not (keys_distinct and precounted is not None):
+        kdf = kdf.distinct()
+    kdf = kdf.persist()
     if precounted is not None:
         n_keys, key_box = precounted
         return _match_files_from_ranges(
@@ -1044,14 +1096,16 @@ def _plan_matched_files(
     # the NULL-key refusal rides the SAME aggregate (one driver
     # round-trip, not two — at commit frequency these planner jobs are
     # the lakehouse's per-write floor)
-    row = kdf.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.when(null_cond, 1).otherwise(0)).alias("__nn"),
-        *[
-            m
-            for c in keys
-            for m in (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
-        ],
+    row = _plan_no_aqe(
+        kdf.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(null_cond, 1).otherwise(0)).alias("__nn"),
+            *[
+                m
+                for c in keys
+                for m in (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
+            ],
+        )
     ).collect()[0]
     n_keys = row["__n"]
     key_box = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in keys}
@@ -1088,7 +1142,9 @@ def _match_files_from_ranges(
     bounded = {f: box for f, box in ranges.items() if box}
     if n_keys <= max_collect_keys:
         path = "collect"
-        tuples = sorted(tuple(r[c] for c in keys) for r in kdf.collect())
+        tuples = sorted(
+            tuple(r[c] for c in keys) for r in _plan_no_aqe(kdf).collect()
+        )
         firsts = [t[0] for t in tuples]
         hits = []
         for f, box in bounded.items():
@@ -1128,10 +1184,11 @@ def _match_files_from_ranges(
             cond = cond & (lo.isNull() | ((F.col(c) >= lo) & (F.col(c) <= hi)))
         hits = sorted(
             r[0]
-            for r in kdf.join(F.broadcast(rng_df), cond)
-            .select("_mt_file")
-            .distinct()
-            .collect()
+            for r in _plan_no_aqe(
+                kdf.join(F.broadcast(rng_df), cond)
+                .select("_mt_file")
+                .distinct()
+            ).collect()
         )
     else:
         path = "join"
@@ -1571,7 +1628,9 @@ def _bloom_prune(
         return candidates, 0
     probes = [
         tuple(r[f"_bp{i}"] for i in range(_BLOOM_K))
-        for r in kdf.select(*_bloom_positions(keys, bloom["bits"])).collect()
+        for r in _plan_no_aqe(
+            kdf.select(*_bloom_positions(keys, bloom["bits"]))
+        ).collect()
     ]
     import pyarrow.parquet as pq
 
@@ -1644,7 +1703,7 @@ def _enforce_checks(
         F.sum(F.when(~F.expr(expr), 1).otherwise(0)).alias(name)
         for name, expr in sorted(checks.items())
     ]
-    row = df.agg(*aggs).collect()[0]
+    row = _plan_no_aqe(df.agg(*aggs)).collect()[0]
     bad = {n: int(row[n]) for n in sorted(checks) if row[n]}
     if bad:
         detail = ", ".join(
@@ -2378,7 +2437,7 @@ def mtable_overwrite_partitions(
         for c in pby:
             null_cond = null_cond | F.col(c).isNull()
         ck_names = sorted(checks)
-        vrow = ordered.agg(
+        vrow = _plan_no_aqe(ordered.agg(
             F.count_distinct(F.when(null_cond, F.struct(*pby))).alias("__nv"),
             F.count_distinct(F.when(~null_cond, F.struct(*pby))).alias("__nn"),
             *[
@@ -2395,7 +2454,7 @@ def mtable_overwrite_partitions(
                 )
                 for i, n in enumerate(ck_names)
             ],
-        ).collect()[0]
+        )).collect()[0]
         bad = {
             n: int(vrow[f"__ck_{i}"])
             for i, n in enumerate(ck_names)
@@ -2445,6 +2504,8 @@ def mtable_overwrite_partitions(
                         "mtable_overwrite_partitions: the dataframe is "
                         "empty — it names no partition values to overwrite",
                         precounted=(n_nn, box),
+                        # vals_nn filters an already-distinct value set
+                        keys_distinct=True,
                     )
                 )
         except Exception:
@@ -3400,7 +3461,14 @@ def mtable_merge(
                         f"mtable_merge: deletes is missing key column(s) "
                         f"{missing_k}"
                     )
-                dels_kdf = deletes.select(*keys).distinct().persist()
+                dels_kdf = deletes.select(*keys)
+                if _prevalidated is None:
+                    # a caller-supplied delete set may carry duplicate
+                    # rows; the pre-validated internal path (the MV
+                    # refresh) proves one row per key by construction,
+                    # so its delete side skips the exchange
+                    dels_kdf = dels_kdf.distinct()
+                dels_kdf = dels_kdf.persist()
 
             def _merge_planned(man, evolved_json, n_keys, key_box, n_upd_keys):
                 # planning + write + publish, shared by the validated and
@@ -3416,6 +3484,13 @@ def mtable_merge(
                             spark, table_dir, man, plan_batch, keys, max_collect_keys,
                             "mtable_merge: empty update batch",
                             precounted=(n_keys, key_box),
+                            # the duplicate-key refusal proved the update
+                            # keys distinct, the overlap refusal proved
+                            # the sides disjoint, and the delete side is
+                            # distinct (by .distinct() or by the
+                            # pre-validated caller's construction) — the
+                            # union needs no re-distinct
+                            keys_distinct=True,
                         )
                     )
                     try:
@@ -3440,7 +3515,12 @@ def mtable_merge(
                                 # row total and the shadowed-file set — the
                                 # separate count() + distinct-file collect were
                                 # two driver round-trips for the same scan (r17)
-                                per_file = doomed.groupBy("file").count().collect()
+                                per_file = doomed.groupBy("file").count()
+                                if n_keys <= max_collect_keys:
+                                    # broadcast branch: no join strategy
+                                    # left for AQE to revise
+                                    per_file = _plan_no_aqe(per_file)
+                                per_file = per_file.collect()
                                 n_replaced = sum(r["count"] for r in per_file)
                                 if n_replaced:
                                     dv_rel = _new_dv_file(table_dir, doomed)
@@ -3566,7 +3646,7 @@ def mtable_merge(
             for c in keys:
                 null_cond = null_cond | F.col(c).isNull()
             ck_names = sorted(checks)
-            vrow = tagged.agg(
+            vrow = _plan_no_aqe(tagged.agg(
                 F.sum(side).alias("__nu_rows"),
                 F.count_distinct(F.when(side == 1, F.struct(*keys))).alias(
                     "__nu_keys"
@@ -3590,7 +3670,7 @@ def mtable_merge(
                     ).alias(f"__ck_{i}")
                     for i, n in enumerate(ck_names)
                 ],
-            ).collect()[0]
+            )).collect()[0]
             bad = {
                 n: int(vrow[f"__ck_{i}"])
                 for i, n in enumerate(ck_names)
@@ -3883,7 +3963,10 @@ def mtable_delete(
                     # one per-file count collect carries the deleted-row
                     # total AND the shadowed-file set (r17 fold — was a
                     # count() plus a distinct-file collect)
-                    per_file = doomed.groupBy("file").count().collect()
+                    per_file = doomed.groupBy("file").count()
+                    if n_keys <= max_collect_keys:
+                        per_file = _plan_no_aqe(per_file)
+                    per_file = per_file.collect()
                     n_deleted = sum(r["count"] for r in per_file)
                     if n_deleted:
                         dv_rel = _new_dv_file(table_dir, doomed)

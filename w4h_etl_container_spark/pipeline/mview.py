@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.pipeline.mtable import (
     _carry_schema,
+    _plan_no_aqe,
     _write_manifest,
     mtable_create,
     mtable_merge,
@@ -148,7 +149,16 @@ def _state_aggs(aggs: dict[str, tuple[str, str]]) -> list:
 
 def _refuse_null_groups(df: DataFrame, gb: list[str], context: str) -> None:
     cond = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in gb])
-    if df.where(cond).limit(1).count():
+    # ONE global-aggregate probe (r17): a limit(1) probe executeTakes
+    # incrementally (1, 4, 16… partitions = a job cascade over the
+    # not-yet-materialized state cache), and the common case — no NULL
+    # anywhere — scans everything regardless; the max-flag aggregate is
+    # a single Spark job with map-side partials that also materializes
+    # the caller's persisted state for the write that follows
+    row = _plan_no_aqe(
+        df.agg(F.max(F.when(cond, 1).otherwise(0)).alias("__has_null"))
+    ).collect()[0]
+    if row["__has_null"]:
         raise ValueError(
             f"mview {context}: NULL in group column(s) {gb} — the group "
             "tuple is the view table's merge key and NULL keys never "
@@ -549,7 +559,7 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
         null_g = reduce(
             lambda a, b: a | b, [F.col(c).isNull() for c in gb]
         )
-        stats = merged.agg(
+        stats = _plan_no_aqe(merged.agg(
             F.count(F.lit(1)).alias("touched"),
             F.sum(F.when(null_g, 1).otherwise(0)).alias("nullg"),
             F.sum(F.when(F.col("__rows") < 0, 1).otherwise(0)).alias("neg"),
@@ -569,7 +579,7 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                     F.max(c).alias(f"__mx_{c}"),
                 )
             ],
-        ).collect()[0]
+        )).collect()[0]
         if stats["touched"] == 0:
             # pure-compaction window (rewritten files, identical rows)
             # or the filter excluded all churn: nothing to apply, but
@@ -613,7 +623,7 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                     mtable_read_pruned,
                 )
 
-                rows = dirty_keys.collect()
+                rows = _plan_no_aqe(dirty_keys).collect()
                 bounds = {c: sorted({r[c] for r in rows}) for c in gb}
                 base = mtable_read_pruned(
                     spark, base_dir, bounds, version=current
