@@ -4881,3 +4881,59 @@ class TestMtableDataSkippingRead:
             mtable_read_pruned(spark, table, {"k": [1, None]})
         with pytest.raises(ValueError, match="empty IN-list"):
             mtable_read_pruned(spark, table, {"k": []})
+
+
+class TestControlPlaneNoAqe:
+    """r17: bounded control-plane collects re-host their plans on the
+    no-AQE companion session (``_plan_no_aqe`` / ``_persist_no_aqe``).
+    Pin the mechanics: identical results, the parent session's conf
+    never mutates, plans really lose their AdaptiveSparkPlan wrapper,
+    and the shared CacheManager serves a companion-registered cache to
+    the parent-session handle."""
+
+    def test_rehost_result_and_parent_conf(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.pipeline.mtable import _plan_no_aqe
+
+        df = spark.range(1000).agg(
+            F.count(F.lit(1)).alias("n"), F.max("id").alias("mx")
+        )
+        out = _plan_no_aqe(df)
+        assert out.collect() == df.collect()
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" not in plan
+
+    def test_companion_session_is_reused(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _ctl_session, _plan_no_aqe,
+        )
+
+        a = _plan_no_aqe(spark.range(10).agg(F.count(F.lit(1))))
+        b = _plan_no_aqe(spark.range(20).agg(F.count(F.lit(1))))
+        assert a.sparkSession is b.sparkSession is _ctl_session(spark)
+        assert (
+            _ctl_session(spark).conf.get("spark.sql.adaptive.enabled")
+            == "false"
+        )
+
+    def test_persist_no_aqe_shares_cache_with_parent(self, spark):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.pipeline.mtable import _persist_no_aqe
+
+        df = spark.range(500).select(
+            "id", (F.col("id") % 7).alias("g")
+        ).groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        cached = _persist_no_aqe(df)
+        try:
+            # materialize through the parent-session handle; the entry
+            # registered via the companion session must serve it
+            assert cached.count() == 7
+            assert cached.storageLevel.useMemory
+        finally:
+            cached.unpersist()
+        assert not cached.storageLevel.useMemory

@@ -2438,3 +2438,33 @@ class TestEmbedNeardupBucketCap:
         keys = [(r["vec_a"], r["vec_b"]) for r in got]
         assert len(keys) == len(set(keys))          # verify once per pair
         assert all(a < b for a, b in keys)          # canonical order
+
+
+class TestDriverCCLocalRows:
+    """r17: the driver union-find result is a LocalRelation whose row
+    count rides along as driver knowledge (``_local_label_rows``), so
+    ``dedup_survivors`` skips its checkpoint + count jobs on that path.
+    The attribute must agree with the actual label count and the labels
+    themselves must be unchanged."""
+
+    def test_attribute_matches_label_count(self, spark):
+        from w4h_etl_container_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "a: long, b: long"
+        )
+        cc = connected_components(pairs)
+        assert getattr(cc, "_local_label_rows", None) == 5
+        got = {(r["doc_id"], r["cluster_id"]) for r in cc.collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    def test_iterative_path_has_no_attribute(self, spark):
+        from w4h_etl_container_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
+        cc = connected_components(pairs, driver_edge_cap=0)
+        assert getattr(cc, "_local_label_rows", None) is None

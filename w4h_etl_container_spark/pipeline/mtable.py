@@ -147,10 +147,30 @@ class ConcurrentWriteError(RuntimeError):
     this writer planned against (``expected_version`` stale)."""
 
 
+def _ctl_session(spark: SparkSession) -> SparkSession:
+    """The CONTROL-PLANE companion session: same SparkContext, same
+    shared state (cached relations live in the SharedState CacheManager
+    and are visible from every session), own SQLConf with adaptive
+    execution off. Created once per engine session, reused for every
+    commit-path bounded collect — no session-wide conf ever flips, so a
+    concurrent tenant's data-plane query can never be planned without
+    AQE by accident."""
+    ctl = getattr(spark, "_mt_ctl_session", None)
+    if ctl is None:
+        ctl = spark.newSession()
+        ctl.conf.set("spark.sql.adaptive.enabled", "false")
+        # the two dynamic confs read paths depend on (everything else
+        # rides the SparkContext conf the new session inherits)
+        ctl.conf.set("spark.sql.session.timeZone", "UTC")
+        ctl.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark._mt_ctl_session = ctl  # type: ignore[attr-defined]
+    return ctl
+
+
 def _plan_no_aqe(df: DataFrame) -> DataFrame:
-    """Plan a CONTROL-PLANE query without adaptive execution and return
-    it ready to collect (r17 — the commit path's driver-round-trip
-    floor).
+    """Re-host a CONTROL-PLANE query on the no-AQE companion session and
+    return it ready to collect (r17 — the commit path's
+    driver-round-trip floor).
 
     The commit path's validation/planning queries are bounded-output by
     construction: global aggregates (one row), count-gated key frames
@@ -166,24 +186,38 @@ def _plan_no_aqe(df: DataFrame) -> DataFrame:
     rewrites, the streaming sink's batches) keep AQE — this helper is
     only for bounded collects the engine itself constructs.
 
-    The conf flip is scoped to PLAN CONSTRUCTION only (the physical
-    plan is fixed once ``executedPlan`` materializes, and the
-    DataFrame's QueryExecution is cached) and restored in ``finally``;
-    a concurrent session thread that plans inside that ~ms window would
-    merely plan one query without AQE — never a correctness effect."""
+    Mechanics: the analyzed logical plan is lifted onto the companion
+    session (``Dataset.ofRows`` — same SparkContext, shared
+    CacheManager, so persisted inputs are served from cache, never
+    recomputed), where planning runs under that session's PRIVATE
+    adaptive-off conf. No shared conf mutates, so this is safe under
+    arbitrary concurrency. Any reflection failure falls back to the
+    original frame — AQE on, correct either way."""
     spark = df.sparkSession
     try:
-        old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        ctl = _ctl_session(spark)
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            ctl._jsparkSession, df._jdf.queryExecution().logical()
+        )
+        return DataFrame(jdf, ctl)
     except Exception:
         return df
-    if old == "false":
-        return df
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
+def _persist_no_aqe(df: DataFrame) -> DataFrame:
+    """``persist()`` twin of ``_plan_no_aqe``: the cache-materialization
+    plan is built at REGISTRATION time under the registering session's
+    conf, so a bounded control-plane frame registered through the
+    companion session materializes as ONE job instead of an AQE stage
+    cascade. The cache entry lives in the shared CacheManager; the
+    parent-session handle (returned) attaches to the same entry (its
+    own ``persist()`` is a no-op re-registration) and a later
+    ``unpersist()`` on it clears the entry normally."""
     try:
-        df._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
-    return df
+        _plan_no_aqe(df).persist()
+    except Exception:
+        pass
+    return df.persist()
 
 
 def _as_keys(key: str | list[str] | tuple[str, ...]) -> list[str]:

@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from w4h_etl_container_spark.pipeline.mtable import (
     _carry_schema,
+    _persist_no_aqe,
     _plan_no_aqe,
     _write_manifest,
     mtable_create,
@@ -551,7 +552,10 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             dirty = dirty | (
                 rm.isNotNull() & (kmax.isNull() | (rm <= kmax))
             )
-    merged = j.select(*sel, dirty.alias("__dirty")).persist()
+    # the touched-groups frame is O(churned groups) by construction —
+    # registering its cache through the no-AQE companion session keeps
+    # the materialization (under the stats collect below) one Spark job
+    merged = _persist_no_aqe(j.select(*sel, dirty.alias("__dirty")))
     try:
         # ONE job classifies every touched group (negative-rows
         # corruption, vanished, dirty, clean, NULL group keys) — the
@@ -647,6 +651,12 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                 for f in stored.schema.fields
             ]
         )
+        # pre-register the upsert batch's cache without AQE (the merge's
+        # own persist() is then a no-op re-registration): the batch is
+        # O(touched groups), mostly a select over the already-persisted
+        # frame above — its materialization under the planner's key
+        # collect stays one job instead of a stage cascade
+        upserts = _persist_no_aqe(upserts)
         # ONE atomic commit whatever the mix: merge accepts an empty
         # upsert side when deletes are present, so even an
         # all-groups-vanished refresh publishes data + watermark
