@@ -4937,3 +4937,44 @@ class TestControlPlaneNoAqe:
         finally:
             cached.unpersist()
         assert not cached.storageLevel.useMemory
+
+
+class TestReadDvLocal:
+    """r17: small DV shadows are read on the DRIVER into a
+    LocalRelation (zero scan/broadcast-build jobs per DV-bearing read).
+    Pin row parity with the executor-side scan and the oversized-gate
+    fallback."""
+
+    def test_local_matches_scan(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from w4h_etl_container_spark.pipeline.mtable import (
+            _read_dv, _read_dv_local, mtable_create, mtable_delete,
+            read_manifest,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        mtable_create(spark, df.repartition(2, "k"), t)
+        mtable_delete(
+            spark, t, spark.range(0, 40, 3).select(F.col("id").alias("k")),
+            key="k", mode="mor",
+        )
+        man = read_manifest(t)
+        dv_files = sorted({d for dvs in man["dv"].values() for d in dvs})
+        assert dv_files
+        local = _read_dv_local(spark, t, dv_files)
+        assert local is not None
+        got = sorted((r["file"], r["pos"]) for r in local.collect())
+        want = sorted(
+            (r["file"], r["pos"])
+            for r in _read_dv(spark, t, dv_files).collect()
+        )
+        assert got == want and len(got) == 14  # ceil(40/3) keys deleted
+
+    def test_unreadable_falls_back_to_none(self, spark, tmp_path):
+        from w4h_etl_container_spark.pipeline.mtable import _read_dv_local
+
+        assert _read_dv_local(spark, str(tmp_path), ["no-such.parquet"]) is None

@@ -2805,6 +2805,36 @@ def _read_dv(spark: SparkSession, table_dir: str, dv_files: list[str]) -> DataFr
     )
 
 
+def _read_dv_local(
+    spark: SparkSession, table_dir: str, dv_files: list[str]
+) -> DataFrame | None:
+    """The DV sidecars as a DRIVER-BUILT LocalRelation when their
+    decompressed estimate fits the same 32 MB gate the broadcast
+    decision uses (footer row counts × 128 B/row — driver metadata
+    reads, no job): a BroadcastExchange over a local table collects
+    driver-side, so every DV anti-/semi-join build costs ZERO Spark
+    jobs instead of a scan job + a broadcast-build job per read (r17
+    second pass). Returns ``None`` when the shadow is oversized or any
+    sidecar is unreadable — callers fall back to the executor-side
+    scan, which is always correct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        paths = [os.path.join(table_dir, f) for f in dv_files]
+        dv_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        if dv_rows * 128 > 32 << 20:
+            return None
+        tbl = pa.concat_tables(
+            pq.read_table(p, columns=["file", "pos"]) for p in paths
+        )
+        return spark.createDataFrame(
+            tbl.to_pandas(), "file string, pos long"
+        )
+    except Exception:
+        return None
+
+
 def _spec_groups(files: list[str]) -> list[tuple[str | None, list[str]]]:
     """Group data files by the PARTITION ROOT they were written under —
     the first path segment when any later segment is a hive
@@ -2957,9 +2987,6 @@ def _scan_with_pos(
         )
     dv_files = _dv_paths(dv_man if dv_man is not None else man, files)
     if dv_files:
-        dead = _read_dv(spark, table_dir, dv_files).withColumnsRenamed(
-            {"file": "_mt_file", "pos": "_mt_pos"}
-        )
         # DVs are tiny by design (O(deleted rows since last compaction))
         # — but "tiny" is a policy, not a law: a table whose operator
         # never compacts can accumulate an arbitrarily large shadow,
@@ -2975,23 +3002,26 @@ def _scan_with_pos(
         # Small shadows broadcast; oversized or unreadable ones fall
         # back to a plain shuffled anti-join (correct either way;
         # compaction is the fix, the read path must merely survive).
-        import pyarrow.parquet as pq
-
-        try:
-            dv_rows = sum(
-                pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
-                for f in dv_files
+        local = _read_dv_local(spark, table_dir, dv_files)
+        if local is not None:
+            # gate passed → the shadow fits driver memory by the same
+            # estimate the broadcast relied on, and it is already a
+            # LocalRelation: the anti-join's broadcast build collects
+            # driver-side, ZERO Spark jobs (was a scan job + a
+            # broadcast-build job per DV-bearing read)
+            dead = F.broadcast(
+                local.withColumnsRenamed(
+                    {"file": "_mt_file", "pos": "_mt_pos"}
+                )
             )
-            small = dv_rows * 128 <= 32 << 20
-        except Exception:
-            small = False
-        if small:
-            dead = F.broadcast(dead)
         else:
-            # force sort-merge: Catalyst's OWN sizeInBytes estimate is
-            # the compressed file size, so without the hint it would
+            # oversized/unreadable shadow: executor-side scan, and force
+            # sort-merge — Catalyst's OWN sizeInBytes estimate is the
+            # compressed file size, so without the hint it would
             # re-introduce the very auto-broadcast the gate refused
-            dead = dead.hint("merge")
+            dead = _read_dv(spark, table_dir, dv_files).withColumnsRenamed(
+                {"file": "_mt_file", "pos": "_mt_pos"}
+            ).hint("merge")
         df = df.join(dead, ["_mt_file", "_mt_pos"], "left_anti")
     return df
 
@@ -5022,9 +5052,14 @@ def _changes_counted(
             dvf = _dv_paths(m, dv_changed)
             if not dvf:
                 return None
-            return _read_dv(spark, table_dir, dvf).where(
-                F.col("file").isin(bases)
+            # driver-built LocalRelation when the footer gate passes
+            # (see _read_dv_local): the _pick broadcast below then
+            # collects driver-side with zero scan/build jobs
+            local = _read_dv_local(spark, table_dir, dvf)
+            src = local if local is not None else _read_dv(
+                spark, table_dir, dvf
             )
+            return src.where(F.col("file").isin(bases))
 
         ra, rb = _dv_rows(man_a), _dv_rows(man_b)
         scan = _scan_with_pos(spark, table_dir, dv_changed, man_b, dv_man={})
