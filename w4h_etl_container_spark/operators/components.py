@@ -194,7 +194,24 @@ def _driver_cc(spark, edge_rows) -> DataFrame:
     # root chosen as the min at every union step ⇒ find(v) IS the
     # component minimum once all edges are processed
     labels = [(v, find(v)) for v in parent]
-    out = spark.createDataFrame(labels, "doc_id: long, cluster_id: long")
+    # a TRUE LocalRelation (r18 — createDataFrame parallelizes into a
+    # LogicalRDD whose every broadcast build costs a
+    # defaultParallelism-task job; see operators/localrel): the loser
+    # filter folds driver-side and the corpus anti-join's broadcast
+    # build runs zero Spark jobs
+    from pyspark.sql import types as T
+
+    from w4h_etl_container_spark.operators.localrel import local_df
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+        ]
+    )
+    out = local_df(spark, labels, schema)
+    if out is None:
+        out = spark.createDataFrame(labels, "doc_id: long, cluster_id: long")
     # driver knowledge riding along: the label count, so downstream
     # consumers never pay a Spark job to re-learn it (r17)
     out._local_label_rows = len(labels)  # type: ignore[attr-defined]

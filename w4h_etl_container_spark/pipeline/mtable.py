@@ -140,6 +140,18 @@ MAX_STATS_COLS = 32
 #: long-string columns are simply unprunable).
 _MAX_STAT_STR = 64
 
+#: Key sets at or under this size that the planner has ALREADY collected
+#: to the driver (the count-gated 'collect' path) are rebuilt as a
+#: LocalRelation for downstream consumers: a BroadcastExchange over a
+#: local table collects driver-side (zero Spark jobs per semi/anti
+#: build) and the optimizer folds projections over it (the bloom probe
+#: becomes job-free too). Above it the persisted distributed key frame
+#: is kept — re-pickling a very large key set through py4j would cost
+#: more driver time than the broadcast-build job it saves. The bytes
+#: under the cap already crossed to the driver once (the planner's
+#: bisect needs them), so this adds no new driver-memory exposure.
+_LOCAL_KDF_MAX = 20_000
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer planned to
@@ -202,6 +214,15 @@ def _plan_no_aqe(df: DataFrame) -> DataFrame:
         return DataFrame(jdf, ctl)
     except Exception:
         return df
+
+
+# LocalRelation helpers (r18): shared with operators/components.py —
+# the commit path and the driver union-find hand already-collected
+# bounded row sets back as true LocalRelations (see operators/localrel)
+from w4h_etl_container_spark.operators.localrel import (  # noqa: E402
+    is_local_rel as _is_local_rel,
+    local_df as _local_df,
+)
 
 
 def _persist_no_aqe(df: DataFrame) -> DataFrame:
@@ -1113,7 +1134,8 @@ def _plan_matched_files(
     kdf = batch.select(*keys)
     if not (keys_distinct and precounted is not None):
         kdf = kdf.distinct()
-    kdf = kdf.persist()
+    if not _is_local_rel(kdf):
+        kdf = kdf.persist()
     if precounted is not None:
         n_keys, key_box = precounted
         return _match_files_from_ranges(
@@ -1179,6 +1201,17 @@ def _match_files_from_ranges(
         tuples = sorted(
             tuple(r[c] for c in keys) for r in _plan_no_aqe(kdf).collect()
         )
+        if len(tuples) <= _LOCAL_KDF_MAX and not _is_local_rel(kdf):
+            # the exact key set is in hand — rebuild the key frame as a
+            # LocalRelation so every downstream consumer (the semi/anti
+            # join's BroadcastExchange build, the bloom probe
+            # projection) runs driver-side with ZERO Spark jobs instead
+            # of one broadcast-build job per join over the persisted
+            # distributed frame (r18)
+            local = _local_df(spark, tuples, kdf.schema)
+            if local is not None:
+                kdf.unpersist()
+                kdf = local
         firsts = [t[0] for t in tuples]
         hits = []
         for f, box in bounded.items():
@@ -2515,6 +2548,23 @@ def mtable_overwrite_partitions(
                 "empty — it names no partition values to overwrite"
             )
         vals_nn = vals.where(~null_cond)
+        if n_null_vals + n_nn <= _LOCAL_KDF_MAX:
+            # the distinct value-tuple set is bounded (and about to be
+            # collected by the planner anyway) — materialize it ONCE
+            # and rebuild both the planner input and the anti-join
+            # build side as LocalRelations: the planner's key collect
+            # and the anti-join's broadcast build become job-free (r18)
+            vrows = _plan_no_aqe(vals).collect()
+            local_vals = _local_df(spark, vrows, vals.schema)
+            local_nn = _local_df(
+                spark,
+                [r for r in vrows if not any(r[c] is None for c in pby)],
+                vals.schema,
+            )
+            if local_vals is not None and local_nn is not None:
+                vals.unpersist()
+                vals = local_vals
+                vals_nn = local_nn
         null_matched: list[str] = []
         if n_null_vals:
             stats = man.get("file_stats") or {}
@@ -3052,7 +3102,15 @@ def _read_files(
                 f"mtable at {table_dir}: cannot read an empty file list "
                 "without a recorded table schema (legacy manifest)"
             )
-        return spark.createDataFrame([], T.StructType.fromJson(json.loads(sj)))
+        schema = T.StructType.fromJson(json.loads(sj))
+        # a true LocalRelation (r18): unions over the empty side fold
+        # flat and nothing downstream pays an RDD-scan subtree for it
+        empty = _local_df(spark, [], schema)
+        return (
+            empty
+            if empty is not None
+            else spark.createDataFrame([], schema)
+        )
     if _dv_paths(dv_man if dv_man is not None else man, files):
         return _scan_with_pos(spark, table_dir, files, man, dv_man).drop(
             "_mt_file", "_mt_pos"
@@ -3515,7 +3573,8 @@ def mtable_merge(
             tschema, updates, schema_evolution, "mtable_merge", man
         )
         checks = man.get("checks") or {}
-        updates.persist()
+        if not _is_local_rel(updates):
+            updates.persist()
         dels_kdf = None
         try:
             if deletes is not None:
@@ -3532,16 +3591,29 @@ def mtable_merge(
                     # refresh) proves one row per key by construction,
                     # so its delete side skips the exchange
                     dels_kdf = dels_kdf.distinct()
-                dels_kdf = dels_kdf.persist()
+                if not _is_local_rel(dels_kdf):
+                    dels_kdf = dels_kdf.persist()
 
             def _merge_planned(man, evolved_json, n_keys, key_box, n_upd_keys):
                 # planning + write + publish, shared by the validated and
                 # pre-validated paths (r17)
-                plan_batch = (
-                    updates
-                    if dels_kdf is None
-                    else updates.select(*keys).unionByName(dels_kdf)
-                )
+                plan_batch = None
+                if dels_kdf is None:
+                    plan_batch = updates
+                elif _is_local_rel(updates) and _is_local_rel(dels_kdf):
+                    # a Union of LocalRelations is NOT folded by the
+                    # optimizer — stitch the key union driver-side so
+                    # the planner's key frame stays a LocalRelation
+                    # (job-free collect, job-free broadcast builds);
+                    # collect() on a LocalRelation plan is job-free
+                    ukeys = updates.select(*keys)
+                    plan_batch = _local_df(
+                        spark,
+                        ukeys.collect() + dels_kdf.select(*keys).collect(),
+                        ukeys.schema,
+                    )
+                if plan_batch is None:
+                    plan_batch = updates.select(*keys).unionByName(dels_kdf)
                 try:
                     matched, untouched, n_keys, kdf, path, key_box = (
                         _plan_matched_files(
@@ -5029,7 +5101,14 @@ def _changes_counted(
         # dead in the old version must not resurface as a delete)
         if files:
             return _read_files(spark, table_dir, files, man_b, dv_man=dv_side)
-        # empty side: zero rows with the OTHER side's schema
+        if man_b.get("schema_json"):
+            # empty side under the recorded schema: a LocalRelation leaf
+            # (r18) — the pure-insert / MOR-only windows (a trickle
+            # sink's steady state) stop carrying a scan-with-limit(0)
+            # subtree through every refresh plan
+            return _read_files(spark, table_dir, [], man_b)
+        # legacy manifest without a schema: zero rows with the OTHER
+        # side's schema
         other = removed if files is added else added
         src = other if other else man_b["files"]
         return _read_files(spark, table_dir, src, man_b).limit(0)

@@ -93,6 +93,27 @@ def _kmv_hash(col: str):
 #: same result)
 _DIRTY_PRUNE_CAP = 64
 
+#: Touched-group counts at or under this collect the refresh's merged
+#: state frame to the driver ONCE (it is already materialized in the
+#: cache by the classification job, and each stored state row is
+#: bounded: group tuple + numeric sums/counts + ≤32-long kmv arrays) —
+#: the upsert batch, the vanished-key set and the dirty-key set then
+#: plan as LocalRelations: the dirty-key collect job disappears, the
+#: view commit's planner/broadcast builds run driver-side with zero
+#: Spark jobs, and Catalyst plans tiny local trees instead of the full
+#: feed DAG for every commit action (r18). Above the cap the
+#: distributed path runs unchanged — the cap bounds driver bytes, not
+#: correctness.
+_LOCAL_COMMIT_ROWS = 8192
+
+#: mv_create sizes the state write as ceil(groups / this) files (capped
+#: at session parallelism): view state rows are compact (group tuple +
+#: numeric sums + ≤32-long kmv arrays ≈ 100-200 B), so ~2M rows ≈ a
+#: few-hundred-MB parquet file — the guide's target band. Without it
+#: the state's groupBy leaves shuffle-partition-many near-empty files
+#: and every refresh commit pays per-file planning/rewrites forever.
+_STATE_ROWS_PER_FILE = 2_000_000
+
 
 def _norm_spec(group_by, aggs) -> tuple[list[str], dict[str, tuple[str, str]]]:
     gb = [group_by] if isinstance(group_by, str) else list(group_by)
@@ -148,16 +169,21 @@ def _state_aggs(aggs: dict[str, tuple[str, str]]) -> list:
     return exprs
 
 
-def _refuse_null_groups(df: DataFrame, gb: list[str], context: str) -> None:
+def _refuse_null_groups(df: DataFrame, gb: list[str], context: str) -> int:
     cond = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in gb])
     # ONE global-aggregate probe (r17): a limit(1) probe executeTakes
     # incrementally (1, 4, 16… partitions = a job cascade over the
     # not-yet-materialized state cache), and the common case — no NULL
     # anywhere — scans everything regardless; the max-flag aggregate is
     # a single Spark job with map-side partials that also materializes
-    # the caller's persisted state for the write that follows
+    # the caller's persisted state for the write that follows. The row
+    # count rides the same job (r18): the caller sizes the state write
+    # from it.
     row = _plan_no_aqe(
-        df.agg(F.max(F.when(cond, 1).otherwise(0)).alias("__has_null"))
+        df.agg(
+            F.max(F.when(cond, 1).otherwise(0)).alias("__has_null"),
+            F.count(F.lit(1)).alias("__n"),
+        )
     ).collect()[0]
     if row["__has_null"]:
         raise ValueError(
@@ -165,6 +191,7 @@ def _refuse_null_groups(df: DataFrame, gb: list[str], context: str) -> None:
             "tuple is the view table's merge key and NULL keys never "
             "equi-match; COALESCE upstream or exclude with the view filter"
         )
+    return row["__n"]
 
 
 def mv_create(
@@ -239,8 +266,19 @@ def mv_create(
         **({"where": where} if where else {}),
     }
     try:
-        _refuse_null_groups(state.select(*gb), gb, "create")
-        return mtable_create(spark, state, mv_dir, extra_meta={"mv": mv_meta})
+        n_groups = _refuse_null_groups(state.select(*gb), gb, "create")
+        # right-size the state files (guide §6 — small files hurt every
+        # later read AND every refresh commit, which plans/rewrites per
+        # file): the groupBy leaves shuffle-partition-many near-empty
+        # parts (measured: a 25-row view landed as 15 files, so each
+        # refresh's CoW commit re-read and re-planned 15 footers).
+        # coalesce from the probe's row count — no extra job, reads the
+        # persisted state.
+        k = max(1, min(spark.sparkContext.defaultParallelism,
+                       -(-n_groups // _STATE_ROWS_PER_FILE)))
+        return mtable_create(
+            spark, state.coalesce(k), mv_dir, extra_meta={"mv": mv_meta}
+        )
     finally:
         state.unpersist()
 
@@ -606,14 +644,60 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             )
         n_dirty = stats["dirty"]
         n_del = stats["van"]
-        vanished = merged.where(F.col("__rows") == 0).select(*gb)
-        upserts = merged.where((F.col("__rows") > 0) & ~F.col("__dirty")).drop(
-            "__dirty"
-        )
+        local_rows = None
+        if stats["touched"] <= _LOCAL_COMMIT_ROWS:
+            # LOCAL COMMIT (r18): the merged frame is already
+            # materialized in the cache by the classification job —
+            # one cheap collect puts every touched group's state in
+            # hand, and the commit's inputs below become
+            # LocalRelations (see _LOCAL_COMMIT_ROWS)
+            local_rows = _plan_no_aqe(merged).collect()
+        from pyspark.sql import types as T
+
+        from w4h_etl_container_spark.pipeline.mtable import _local_df
+
+        gb_schema = T.StructType([merged.schema[c] for c in gb])
+        out_fields = [f for f in merged.schema.fields if f.name != "__dirty"]
+        if local_rows is not None:
+            # all-or-nothing: every commit input must land as a true
+            # LocalRelation or the distributed branch runs unchanged
+            vanished_l = _local_df(
+                spark,
+                [tuple(r[c] for c in gb) for r in local_rows if r["__rows"] == 0],
+                gb_schema,
+            )
+            upserts_l = _local_df(
+                spark,
+                [
+                    tuple(r[f.name] for f in out_fields)
+                    for r in local_rows
+                    if r["__rows"] > 0 and not r["__dirty"]
+                ],
+                T.StructType(out_fields),
+            )
+            dirty_tuples = [
+                tuple(r[c] for c in gb)
+                for r in local_rows
+                if r["__rows"] > 0 and r["__dirty"]
+            ]
+            dirty_l = _local_df(spark, dirty_tuples, gb_schema)
+            if vanished_l is None or upserts_l is None or dirty_l is None:
+                local_rows = None
+        if local_rows is not None:
+            vanished = vanished_l
+            upserts = upserts_l
+        else:
+            vanished = merged.where(F.col("__rows") == 0).select(*gb)
+            upserts = merged.where(
+                (F.col("__rows") > 0) & ~F.col("__dirty")
+            ).drop("__dirty")
         if n_dirty:
-            dirty_keys = merged.where(
-                (F.col("__rows") > 0) & F.col("__dirty")
-            ).select(*gb)
+            if local_rows is not None:
+                dirty_keys = dirty_l
+            else:
+                dirty_keys = merged.where(
+                    (F.col("__rows") > 0) & F.col("__dirty")
+                ).select(*gb)
             if n_dirty <= _DIRTY_PRUNE_CAP:
                 # a small dirty set prunes the recompute scan through
                 # the manifest's data-skipping reads: per-column
@@ -622,13 +706,20 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                 # conservative no-op otherwise), and the semi-join
                 # below stays the correctness filter either way. The
                 # collect is bounded by the cap — never by group
-                # cardinality.
+                # cardinality (and skipped entirely when the local
+                # commit path already holds the rows).
                 from w4h_etl_container_spark.pipeline.mtable import (
                     mtable_read_pruned,
                 )
 
-                rows = _plan_no_aqe(dirty_keys).collect()
-                bounds = {c: sorted({r[c] for r in rows}) for c in gb}
+                if local_rows is not None:
+                    bounds = {
+                        c: sorted({t[i] for t in dirty_tuples})
+                        for i, c in enumerate(gb)
+                    }
+                else:
+                    rows = _plan_no_aqe(dirty_keys).collect()
+                    bounds = {c: sorted({r[c] for r in rows}) for c in gb}
                 base = mtable_read_pruned(
                     spark, base_dir, bounds, version=current
                 )
@@ -641,7 +732,41 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                 .groupBy(*gb)
                 .agg(*_state_aggs(aggs))
             )
-            upserts = upserts.unionByName(recomp)
+            if local_rows is not None:
+                # the recompute output is one row per dirty group —
+                # bounded by the same cap that admitted the local
+                # commit. Collect it (this is the recompute's one real
+                # job; the scan work is identical) and stitch the union
+                # driver-side so the whole upsert batch stays a
+                # LocalRelation: the view commit's planner collect and
+                # its broadcast builds stay job-free (r18).
+                out_names = [f.name for f in out_fields]
+                rec_rows = _plan_no_aqe(recomp.select(*out_names)).collect()
+                stitched = _local_df(
+                    spark,
+                    [
+                        tuple(r[f.name] for f in out_fields)
+                        for r in local_rows
+                        if r["__rows"] > 0 and not r["__dirty"]
+                    ]
+                    + [tuple(r[n] for n in out_names) for r in rec_rows],
+                    T.StructType(out_fields),
+                )
+                if stitched is not None:
+                    upserts = stitched
+                else:
+                    # the recompute rows are in hand either way — a
+                    # LogicalRDD union is still cheaper than re-running
+                    # the recompute under the merge, but correctness
+                    # only needs SOME frame with these rows
+                    upserts = upserts.unionByName(
+                        spark.createDataFrame(
+                            [tuple(r[n] for n in out_names) for r in rec_rows],
+                            T.StructType(out_fields),
+                        )
+                    )
+            else:
+                upserts = upserts.unionByName(recomp)
         # align the upsert batch to the stored schema's column order and
         # types (sum deltas over an empty side widen long→long, but a
         # double-typed stored sum must stay double)
@@ -651,12 +776,15 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                 for f in stored.schema.fields
             ]
         )
-        # pre-register the upsert batch's cache without AQE (the merge's
-        # own persist() is then a no-op re-registration): the batch is
-        # O(touched groups), mostly a select over the already-persisted
-        # frame above — its materialization under the planner's key
-        # collect stays one job instead of a stage cascade
-        upserts = _persist_no_aqe(upserts)
+        if local_rows is None:
+            # pre-register the upsert batch's cache without AQE (the
+            # merge's own persist() is then a no-op re-registration):
+            # the batch is O(touched groups) — its materialization
+            # under the planner's key collect stays one job instead of
+            # a stage cascade. A local batch skips the cache entirely:
+            # persisting a LocalRelation would ADD a materialization
+            # job to a frame the driver already holds.
+            upserts = _persist_no_aqe(upserts)
         # ONE atomic commit whatever the mix: merge accepts an empty
         # upsert side when deletes are present, so even an
         # all-groups-vanished refresh publishes data + watermark
