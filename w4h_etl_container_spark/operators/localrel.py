@@ -81,6 +81,14 @@ def local_df(spark: SparkSession, rows, schema: T.StructType) -> DataFrame | Non
             columns=names,
         )
         df = spark.createDataFrame(pdf, schema)
-        return df if is_local_rel(df) else None
+        # verify on the LOGICAL plan (the Arrow local-relation path
+        # lands there directly; an RDD fallback lands as LogicalRDD) —
+        # ~1 ms, vs ~15 ms for an optimizedPlan round (r18)
+        if (
+            df._jdf.queryExecution().logical().getClass().getSimpleName()
+            == "LocalRelation"
+        ):
+            return df
+        return None
     except Exception:
         return None

@@ -755,6 +755,7 @@ def _new_data_files(
     salt_col: str | None = None,
     salt_tasks: int | None = None,
     max_records_per_file: int | None = None,
+    local_batch: bool = False,
 ) -> list[str]:
     """Write ``df`` as fresh immutable data files; return their paths
     (relative to ``table_dir``).
@@ -834,6 +835,14 @@ def _new_data_files(
             # handful of advisory-sized tasks, silently undoing the
             # split (user-specified counts are exempt from coalescing)
             shuffled = df.repartition(salt_tasks, *shuffle_keys)
+        elif local_batch:
+            # a LocalRelation batch (caller-certified: driver-held,
+            # bounded — the MV refresh's local commit and small merge
+            # batches): ONE task writing partitionBy still emits exactly
+            # one file per touched value, so the optimizeWrite shuffle
+            # would buy nothing and cost an exchange stage + its AQE
+            # job (r18)
+            shuffled = df.coalesce(1)
         else:
             shuffled = df.repartition(*shuffle_keys)
         if sort_within_by:
@@ -1088,9 +1097,19 @@ def _plan_matched_files(
     empty_msg: str,
     precounted: tuple[int, dict] | None = None,
     keys_distinct: bool = False,
+    batch_local: bool = False,
 ):
     """Shared MERGE/DELETE planning: which data files can contain any
     of the batch's key tuples?
+
+    ``batch_local=True`` (r18): the caller CERTIFIES the batch is a
+    driver-built LocalRelation (the MV refresh's local commit, the
+    overwrite's rebuilt value set) — the key frame skips its persist
+    (persisting a LocalRelation adds a materialization job) and the
+    collect path skips its rebuild. An explicit flag, not plan
+    sniffing: inspecting the optimized plan costs ~25 ms of driver
+    time per call on real DAG batches, which at commit frequency was
+    measurably slower than the broadcast jobs it avoided.
 
     Returns ``(matched, untouched, n_keys, key_df, path)`` where
     ``key_df`` is the persisted distinct-key DataFrame (caller reuses
@@ -1134,13 +1153,16 @@ def _plan_matched_files(
     kdf = batch.select(*keys)
     if not (keys_distinct and precounted is not None):
         kdf = kdf.distinct()
-    if not _is_local_rel(kdf):
+        # an aggregate over a LocalRelation is NOT folded — the
+        # distinct key frame is distributed again
+        batch_local = False
+    if not batch_local:
         kdf = kdf.persist()
     if precounted is not None:
         n_keys, key_box = precounted
         return _match_files_from_ranges(
             spark, table_dir, man, kdf, keys, max_collect_keys,
-            n_keys, key_box,
+            n_keys, key_box, kdf_local=batch_local,
         )
     # ONE agg carries the count-gate decision AND the per-column key
     # bounding box (for the rebase conflict check) — folding the box
@@ -1189,10 +1211,13 @@ def _match_files_from_ranges(
     max_collect_keys: int,
     n_keys: int,
     key_box: dict,
+    kdf_local: bool = False,
 ):
     """File-matching back half of ``_plan_matched_files`` (count-gated
     collect-bisect vs range-join — see its docstring), split out so
-    callers with a precounted key aggregate share one copy."""
+    callers with a precounted key aggregate share one copy.
+    ``kdf_local``: the key frame is already a LocalRelation (certified
+    by the caller) — skip the rebuild below."""
     ranges = _ranges_for_plan(table_dir, man, keys)
     unprunable = [f for f, box in ranges.items() if not box]
     bounded = {f: box for f, box in ranges.items() if box}
@@ -1201,7 +1226,7 @@ def _match_files_from_ranges(
         tuples = sorted(
             tuple(r[c] for c in keys) for r in _plan_no_aqe(kdf).collect()
         )
-        if len(tuples) <= _LOCAL_KDF_MAX and not _is_local_rel(kdf):
+        if len(tuples) <= _LOCAL_KDF_MAX and not kdf_local:
             # the exact key set is in hand — rebuild the key frame as a
             # LocalRelation so every downstream consumer (the semi/anti
             # join's BroadcastExchange build, the bloom probe
@@ -2548,6 +2573,7 @@ def mtable_overwrite_partitions(
                 "empty — it names no partition values to overwrite"
             )
         vals_nn = vals.where(~null_cond)
+        vals_local = False
         if n_null_vals + n_nn <= _LOCAL_KDF_MAX:
             # the distinct value-tuple set is bounded (and about to be
             # collected by the planner anyway) — materialize it ONCE
@@ -2565,6 +2591,7 @@ def mtable_overwrite_partitions(
                 vals.unpersist()
                 vals = local_vals
                 vals_nn = local_nn
+                vals_local = True
         null_matched: list[str] = []
         if n_null_vals:
             stats = man.get("file_stats") or {}
@@ -2590,6 +2617,7 @@ def mtable_overwrite_partitions(
                         precounted=(n_nn, box),
                         # vals_nn filters an already-distinct value set
                         keys_distinct=True,
+                        batch_local=vals_local,
                     )
                 )
         except Exception:
@@ -3573,7 +3601,12 @@ def mtable_merge(
             tschema, updates, schema_evolution, "mtable_merge", man
         )
         checks = man.get("checks") or {}
-        if not _is_local_rel(updates):
+        # the MV refresh's local commit CERTIFIES its frames are
+        # driver-built LocalRelations (r18 — an explicit flag; plan
+        # sniffing costs ~25 ms of optimizer time per call on real DAG
+        # batches, more than the jobs it saves)
+        batch_local = bool(_prevalidated and _prevalidated.get("local_batch"))
+        if not batch_local:
             updates.persist()
         dels_kdf = None
         try:
@@ -3591,16 +3624,16 @@ def mtable_merge(
                     # refresh) proves one row per key by construction,
                     # so its delete side skips the exchange
                     dels_kdf = dels_kdf.distinct()
-                if not _is_local_rel(dels_kdf):
+                if not batch_local:
                     dels_kdf = dels_kdf.persist()
 
             def _merge_planned(man, evolved_json, n_keys, key_box, n_upd_keys):
                 # planning + write + publish, shared by the validated and
                 # pre-validated paths (r17)
-                plan_batch = None
+                plan_batch, plan_local = None, False
                 if dels_kdf is None:
-                    plan_batch = updates
-                elif _is_local_rel(updates) and _is_local_rel(dels_kdf):
+                    plan_batch, plan_local = updates, batch_local
+                elif batch_local:
                     # a Union of LocalRelations is NOT folded by the
                     # optimizer — stitch the key union driver-side so
                     # the planner's key frame stays a LocalRelation
@@ -3612,6 +3645,7 @@ def mtable_merge(
                         ukeys.collect() + dels_kdf.select(*keys).collect(),
                         ukeys.schema,
                     )
+                    plan_local = plan_batch is not None
                 if plan_batch is None:
                     plan_batch = updates.select(*keys).unionByName(dels_kdf)
                 try:
@@ -3620,6 +3654,7 @@ def mtable_merge(
                             spark, table_dir, man, plan_batch, keys, max_collect_keys,
                             "mtable_merge: empty update batch",
                             precounted=(n_keys, key_box),
+                            batch_local=plan_local,
                             # the duplicate-key refusal proved the update
                             # keys distinct, the overlap refusal proved
                             # the sides disjoint, and the delete side is
@@ -3697,7 +3732,12 @@ def mtable_merge(
                             )
                         new_files = _new_data_files(
                             table_dir, combined, partition_by=man.get("partition_by"),
-                            root=man.get("partition_root", "data-parts")
+                            root=man.get("partition_root", "data-parts"),
+                            # MOR and insert-only commits write the batch
+                            # itself (or a foldable select over it); the
+                            # CoW union with matched files is never local
+                            local_batch=batch_local
+                            and (mode == "mor" or not matched),
                         )
                     finally:
                         kdf.unpersist()

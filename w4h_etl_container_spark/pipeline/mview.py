@@ -683,6 +683,7 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
             dirty_l = _local_df(spark, dirty_tuples, gb_schema)
             if vanished_l is None or upserts_l is None or dirty_l is None:
                 local_rows = None
+        commit_local = local_rows is not None
         if local_rows is not None:
             vanished = vanished_l
             upserts = upserts_l
@@ -755,6 +756,7 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                 if stitched is not None:
                     upserts = stitched
                 else:
+                    commit_local = False
                     # the recompute rows are in hand either way — a
                     # LogicalRDD union is still cheaper than re-running
                     # the recompute under the merge, but correctness
@@ -810,6 +812,11 @@ def mv_refresh(spark: SparkSession, mv_dir: str) -> dict:
                 "key_box": {
                     c: (stats[f"__mn_{c}"], stats[f"__mx_{c}"]) for c in gb
                 },
+                # certify the commit inputs as driver-built
+                # LocalRelations (upserts, vanished, and the stitched
+                # dirty recompute) — the merge then skips persists and
+                # plans everything locally without sniffing (r18)
+                "local_batch": commit_local,
             },
         )
         return {

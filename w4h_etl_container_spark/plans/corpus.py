@@ -111,7 +111,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas-based canonicalizers (round-1 driver finding — same contract
     as ``q_agg_collect``); the array form is the library operator's
     output, unchanged."""
-    fps = winnow_fingerprints(parallelize_compute(read_table(spark, sf_dir, "documents")))
+    fps = winnow_fingerprints(parallelize_compute(read_table(spark, sf_dir, "documents"), key="doc_id"))
     return fps.select(
         "doc_id",
         F.concat_ws(",", F.col("fingerprints")).alias("fingerprints_csv"),
@@ -212,7 +212,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # spread the per-shingle md5 signature stage (the q_winnow trade);
     # the corpus-side anti-join input stays the plain scan
-    surv = dedup_survivors(docs, minhash_candidates(parallelize_compute(docs)))
+    surv = dedup_survivors(docs, minhash_candidates(parallelize_compute(docs, key="doc_id")))
     return surv.select("doc_id", "lang", "source", "n_chars")
 
 
@@ -557,7 +557,7 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from w4h_etl_container_spark.plans.textops import _jaccard_from_shingles
 
     fps = winnow_fingerprints(
-        parallelize_compute(read_table(spark, sf_dir, "documents"))
+        parallelize_compute(read_table(spark, sf_dir, "documents"), key="doc_id")
     )
     # The localCheckpoint between the fingerprint HOFs and the explode
     # is a CORRECTNESS-OF-COST barrier, not a tuning knob: exploding the
@@ -654,7 +654,7 @@ def q_dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus)."""
     docs = read_table(spark, sf_dir, "documents")
     surv = dedup_survivors(
-        docs, minhash_candidates(parallelize_compute(docs)), prefer="n_chars"
+        docs, minhash_candidates(parallelize_compute(docs, key="doc_id")), prefer="n_chars"
     )
     return surv.select("doc_id", "lang", "source", "n_chars")
 
@@ -851,7 +851,7 @@ def q_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     labels = connected_components(
-        minhash_candidates(parallelize_compute(docs))
+        minhash_candidates(parallelize_compute(docs, key="doc_id"))
     ).withColumnRenamed("doc_id", "ldoc")
     joined = docs.join(labels, docs.doc_id == F.col("ldoc"), "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
@@ -924,7 +924,7 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from w4h_etl_container_spark.operators.components import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
-    labels = connected_components(minhash_candidates(parallelize_compute(docs)))
+    labels = connected_components(minhash_candidates(parallelize_compute(docs, key="doc_id")))
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count(F.lit(1)).alias("n_clusters")
@@ -1067,7 +1067,7 @@ def q_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     labels = connected_components(
-        minhash_candidates(parallelize_compute(docs))
+        minhash_candidates(parallelize_compute(docs, key="doc_id"))
     )
     losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     j = docs.join(
@@ -1153,7 +1153,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from w4h_etl_container_spark.plans.textops import minhash_candidates
 
     docs = read_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(parallelize_compute(docs))
+    cands = minhash_candidates(parallelize_compute(docs, key="doc_id"))
     bucketed = docs.select(
         "doc_id",
         (

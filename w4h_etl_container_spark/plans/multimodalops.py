@@ -145,7 +145,13 @@ def _doc_scan(spark: SparkSession, sf_dir: str, always_spread: bool) -> DataFram
             n_bytes = _SPREAD_MIN_BYTES
         if n_bytes < _SPREAD_MIN_BYTES:
             return docs
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    # hash on the unique doc_id (r18): a keyless repartition sorts each
+    # input partition's row bytes first (SPARK-23207 retry determinism);
+    # hashing a unique key is deterministic per row, skips the sort, and
+    # cannot skew
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
 
 
 

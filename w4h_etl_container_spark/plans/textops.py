@@ -582,7 +582,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-shingle md5 is kernel-grade compute on a one-split input —
     # spread the signature stage (same trade as q_winnow; measured
     # 1.06 → 0.67 s for the candidate subtree at sf0.1)
-    cands = minhash_candidates(parallelize_compute(d), _N_HASHES, _N_BANDS)
+    cands = minhash_candidates(parallelize_compute(d, key="doc_id"), _N_HASHES, _N_BANDS)
     da = d.select(F.col("doc_id").alias("da_id"), F.substring("text", 1, 30).alias("pa"))
     db = d.select(F.col("doc_id").alias("db_id"), F.substring("text", 1, 30).alias("pb"))
     return (
@@ -696,7 +696,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     # per-shingle md5 over a one-split fixture scan is kernel-grade
     # compute — spread it (guarded; no-op once the scan has real splits)
-    keyed = _shingle_sets(parallelize_compute(d)).select(
+    keyed = _shingle_sets(parallelize_compute(d, key="doc_id")).select(
         "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("sh")
     )
     # inverted index in ONE groupBy(sh): the posting list's size IS the
@@ -749,7 +749,7 @@ def _jaccard_from_shingles(
         .where(F.size("ds") <= _DF_CAP)
     )
     if spread and not _small_local_scan(shingles):
-        byssh = parallelize_compute(byssh.localCheckpoint())
+        byssh = parallelize_compute(byssh.localCheckpoint(), key="sh")
     # Two separate aggregations — sizes from the occurrence stream,
     # co-occurrence counts from the pair expansion — are the RIGHT
     # scale shape, established by measurement, not intuition. The

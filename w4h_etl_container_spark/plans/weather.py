@@ -88,7 +88,7 @@ def _spark_events_kernel_sqltext(spark, sf_dir, build, view: str) -> DataFrame:
     the vectors.py lesson applied to kernels). Catalyst sees the
     identical expression tree either way; the Column rendering stays the
     API surface for pipelines (forecast.py) and parity tests."""
-    ev = parallelize_compute(read_events(spark, sf_dir))
+    ev = parallelize_compute(read_events(spark, sf_dir), key="user_id")
     ev.createOrReplaceTempView(view)
     return spark.sql(_sql_events_kernel(build, from_table=view))
 
@@ -127,7 +127,7 @@ def q_sf_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``main.py:266-270``; +0.5/floor is the backend-exact rounding).
       Synthesized inputs land in the encodable range utci,wbgt ∈
       (−100, 100), offset ≤ 199."""
-    li = parallelize_compute(read_table(spark, sf_dir, "lineitem"))
+    li = parallelize_compute(read_table(spark, sf_dir, "lineitem"), key="l_orderkey")
     B = SparkBackend()
     u = B.let("enc_u", F.col("l_quantity") - F.lit(25.0) + F.col("l_tax") * F.lit(10.0))
     w = B.let("enc_w", F.col("l_discount") * F.lit(100.0) - F.lit(2.0) + F.col("l_quantity") / F.lit(2.0))
@@ -310,7 +310,7 @@ def q_daily_highlow(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: scan-partition pruning on ts, one hash aggregate with
     map-side partials, one tiny window; nothing else.
     """
-    ev = parallelize_compute(read_events(spark, sf_dir))
+    ev = parallelize_compute(read_events(spark, sf_dir), key="user_id")
     B = SparkBackend()
     sy = synth_weather(B, F.col("value"), F.col("user_id").cast("double"))
     utci = round6(B, K.utci_c(B, sy["t2_k"], sy["va"], sy["mrt_k"], sy["td_k"]))

